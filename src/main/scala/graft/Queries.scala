@@ -1,0 +1,343 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Hashing
+import graft.operators._
+
+/** Registry of every operator query (SURVEY.md §2) with its DuckDB oracle.
+  *
+  * Numeric-compare discipline: the driver hash-compares our parquet output
+  * against DuckDB's result, so every aggregated double goes through an EXACT
+  * decimal intermediate and is emitted as a double derived from that decimal
+  * (`CAST(decimal AS DOUBLE)` is correctly rounded in both engines, so the
+  * bits match). Raw doubles pass through untouched. Dates/timestamps are
+  * emitted as ISO strings to dodge dtype-mapping ambiguity between readers.
+  */
+object Queries {
+
+  final case class QueryDef(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private val D2 = DecimalType(18, 2)
+  private val D4 = DecimalType(9, 4)
+
+  /** Exact 2-dec decimal view of a raw double measure. */
+  private def money(c: Column): Column = c.cast(D2)
+  /** Final emit: exact decimal -> double (bit-identical across engines).
+    * NEVER down-cast a decimal's scale first: Spark rounds HALF_UP, DuckDB
+    * half-to-even, so exact .5 boundaries would diverge. Decimal→double is
+    * correctly rounded in both engines. */
+  private def asDouble(c: Column): Column = c.cast("double")
+  private def emit2(c: Column): Column = c.cast("double")
+  private def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Oracle building blocks (DuckDB SQL mirroring the helpers above). */
+  private def oMoney(x: String) = s"CAST($x AS DECIMAL(18,2))"
+  private def oSum2(x: String) = s"CAST(SUM(${oMoney(x)}) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- queries
+
+  /** A4/A3: grouped SUM/COUNT aggregation with exact decimal money math
+    * (reference: profit-by-subcategory view, SQLproject1.sql:680-687). */
+  private val q01 = QueryDef(
+    "q01_pricing_agg",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          emit2(sum(money(col("l_quantity")))).as("sum_qty"),
+          emit2(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+          emit2(sum(money(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast(D4)))).as("sum_disc_price"),
+          count(lit(1)).as("count_lines"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${oSum2("l_quantity")} AS sum_qty,
+             ${oSum2("l_extendedprice")} AS sum_base_price,
+             CAST(SUM(${oMoney("l_extendedprice")} *
+               (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE)
+               AS sum_disc_price,
+             COUNT(*) AS count_lines
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
+
+  /** A1: DISTINCT projection (dim seeding, SQLproject1.sql:391-425). */
+  private val q02 = QueryDef(
+    "q02_distinct_dim",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
+
+  /** A2: GROUP BY + MAX attribute snapshot (one row per natural key,
+    * reference customer/product snapshots SQLproject1.sql:454-463). */
+  private val q03 = QueryDef(
+    "q03_snapshot_max",
+    (s, d) => Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(max(col("c_name")).as("max_name"),
+           max(col("c_mktsegment")).as("max_segment"),
+           emit2(max(money(col("c_acctbal")))).as("max_acctbal"),
+           count(lit(1)).as("n_customers")),
+    Some(s"""
+      SELECT c_nationkey, MAX(c_name) AS max_name,
+             MAX(c_mktsegment) AS max_segment,
+             CAST(MAX(${oMoney("c_acctbal")}) AS DOUBLE) AS max_acctbal,
+             COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey"""))
+
+  /** P4/U2: data-quality rule counts, all rules in one scan
+    * (qa.LoadIssues, SQLproject1.sql:213-240). */
+  private val q04 = QueryDef(
+    "q04_dq_counts",
+    (s, d) => Quality.check(Tables.lineitem(s, d), Seq(
+      Quality.Rule("HIGH_DISCOUNT", "l_discount > 0.05", col("l_discount") > 0.05),
+      Quality.Rule("ZERO_TAX", "l_tax = 0", col("l_tax") === 0),
+      Quality.Rule("RETURNED", "l_returnflag = R", col("l_returnflag") === "R"))),
+    Some("""
+      SELECT 'HIGH_DISCOUNT' AS issue_type, 'l_discount > 0.05' AS issue_detail,
+             COUNT(*) FILTER (WHERE l_discount > 0.05) AS row_count FROM lineitem
+      UNION ALL
+      SELECT 'ZERO_TAX', 'l_tax = 0',
+             COUNT(*) FILTER (WHERE l_tax = 0) FROM lineitem
+      UNION ALL
+      SELECT 'RETURNED', 'l_returnflag = R',
+             COUNT(*) FILTER (WHERE l_returnflag = 'R') FROM lineitem"""))
+
+  /** J1: star join fact->dims with broadcast of the small sides
+    * (fact.Sales -> dim lookups, SQLproject1.sql:586-615). */
+  private val q05 = QueryDef(
+    "q05_star_join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(emit2(sum(money(col("o_totalprice")))).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    },
+    Some(s"""
+      SELECT r_name, n_name, ${oSum2("o_totalprice")} AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""))
+
+  /** J2+X3: case-insensitive multi-column join collapsed to a single MD5
+    * hash-key equi-join (geography lookup, SQLproject1.sql:323-325,441-445).
+    * At scale this turns a 5-column shuffle key into one 32-byte key. */
+  private val q06 = QueryDef(
+    "q06_hashkey_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val hk = Hashing.hashKey(Seq(col("c_mktsegment"), col("c_nationkey")))
+      val dim = c.select(upper(col("c_mktsegment")).as("segment"),
+                         col("c_nationkey").as("nationkey"))
+        .distinct()
+        .withColumn("hash_key",
+          Hashing.hashKey(Seq(col("segment"), col("nationkey"))))
+      val fact = Tables.orders(s, d)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("hash_key", hk)
+      fact.join(broadcast(dim), Seq("hash_key"))
+        .groupBy(col("hash_key"), col("segment"), col("nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             emit2(sum(money(col("o_totalprice")))).as("revenue"))
+    },
+    Some(s"""
+      WITH dim AS (
+        SELECT DISTINCT upper(c_mktsegment) AS segment, c_nationkey AS nationkey
+        FROM customer),
+      dimh AS (
+        SELECT segment, nationkey,
+               md5(concat_ws('|', upper(segment), upper(CAST(nationkey AS VARCHAR)))) AS hash_key
+        FROM dim),
+      fact AS (
+        SELECT o_orderkey, o_totalprice,
+               md5(concat_ws('|', upper(c_mktsegment), upper(CAST(c_nationkey AS VARCHAR)))) AS hash_key
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      SELECT f.hash_key, d.segment, d.nationkey,
+             COUNT(*) AS n_orders, ${oSum2("f.o_totalprice")} AS revenue
+      FROM fact f JOIN dimh d ON f.hash_key = d.hash_key
+      GROUP BY f.hash_key, d.segment, d.nationkey"""))
+
+  /** J3/T1: latest row per key (CROSS APPLY TOP(1) ... ORDER BY DESC,
+    * SQLproject1.sql:589-602) as a row_number window. */
+  private val q07 = QueryDef(
+    "q07_latest_per_key",
+    (s, d) => Windows.latestPerKey(Tables.orders(s, d),
+        Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"),
+              dstr(col("o_orderdate")).as("last_order_date"),
+              asDouble(money(col("o_totalprice"))).as("last_totalprice")),
+    Some(s"""
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,
+             CAST(${oMoney("o_totalprice")} AS DOUBLE) AS last_totalprice
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      WHERE rn = 1"""))
+
+  /** J5: anti join / NOT EXISTS (idempotent-load guard,
+    * SQLproject1.sql:612-615). */
+  private val q08 = QueryDef(
+    "q08_anti_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  /** J6: semi join / EXISTS (SCD2 changed-row detection shape,
+    * SQLproject1.sql:497-509). */
+  private val q09 = QueryDef(
+    "q09_semi_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(f, c("c_custkey") === f("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"""))
+
+  /** W1: keep-exactly-one dedup by explicit preference ordering
+    * (SQLproject1.sql:198-211). */
+  private val q10 = QueryDef(
+    "q10_window_dedup",
+    (s, d) => Dedup.keepFirst(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey"),
+        // the synthetic data has (orderkey,partkey,linenumber) collisions —
+        // extend the preference ordering until it is total, or the survivor
+        // is engine-dependent
+        Seq(col("l_linenumber").desc, col("l_suppkey").desc,
+            col("l_quantity").desc, col("l_extendedprice").desc))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+              col("l_quantity")),
+    Some("""
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+              ORDER BY l_linenumber DESC, l_suppkey DESC, l_quantity DESC,
+                       l_extendedprice DESC) AS rn FROM lineitem)
+      WHERE rn = 1"""))
+
+  /** W2: stable line numbering within a group (SQLproject1.sql:564-568). */
+  private val q11 = QueryDef(
+    "q11_line_number",
+    (s, d) => Windows.lineNumber(Tables.orders(s, d),
+        Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")),
+        "order_seq")
+      .select(col("o_custkey"), col("o_orderkey"), col("order_seq")),
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+      FROM orders"""))
+
+  /** W3: ROWS-framed rolling 30-row sum over a pre-aggregated daily grain
+    * (qa.v_Rolling30, SQLproject1.sql:628-638). Pre-aggregating bounds the
+    * per-partition sort at scale (nation x day, not nation x order). */
+  private val q12 = QueryDef(
+    "q12_rolling30",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val daily = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(sum(money(col("o_totalprice"))).as("daily_rev"))
+      Windows.rollingSum(daily, Seq(col("n_name")), Seq(col("order_date")),
+          col("daily_rev"), 30, "rev_30d")
+        .select(col("n_name"), dstr(col("order_date")).as("order_date"),
+                emit2(col("daily_rev")).as("daily_rev"),
+                emit2(col("rev_30d")).as("rev_30d"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT n_name, CAST(o_orderdate AS DATE) AS order_date,
+               SUM(${oMoney("o_totalprice")}) AS daily_rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, CAST(o_orderdate AS DATE))
+      SELECT n_name, strftime(order_date, '%Y-%m-%d') AS order_date,
+             CAST(CAST(daily_rev AS DECIMAL(18,2)) AS DOUBLE) AS daily_rev,
+             CAST(CAST(SUM(daily_rev) OVER (PARTITION BY n_name ORDER BY order_date
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE)
+               AS rev_30d
+      FROM daily"""))
+
+  /** W4/T2: top-N per group via RANK — ties kept
+    * (qa.v_TopProductsBySubCat, SQLproject1.sql:689-699). */
+  private val q13 = QueryDef(
+    "q13_rank_topn",
+    (s, d) => Windows.topNPerGroup(Tables.part(s, d),
+        Seq(col("p_brand")), col("p_retailprice"), 5)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+              col("rnk").cast("int").as("rnk")),
+    Some("""
+      SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS INT) AS rnk
+      FROM (SELECT *, RANK() OVER (PARTITION BY p_brand
+              ORDER BY p_retailprice DESC) AS rnk FROM part)
+      WHERE rnk <= 5"""))
+
+  /** W5: share-of-total over a whole partition with NULLIF(total,0) guard
+    * (ProfitShare, SQLproject1.sql:693-694). */
+  private val q14 = QueryDef(
+    "q14_share_of_total",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val rev = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(money(col("o_totalprice"))).cast(D2).as("rev"))
+      rev.select(col("r_name"), col("n_name"),
+          asDouble(col("rev")).as("revenue"),
+          (asDouble(col("rev")) /
+            nullif(asDouble(sum(col("rev")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+            ).cast(D2)), lit(0.0))).as("region_share"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT r_name, n_name,
+               CAST(SUM(${oMoney("o_totalprice")}) AS DECIMAL(18,2)) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+             CAST(rev AS DOUBLE) /
+               NULLIF(CAST(CAST(SUM(rev) OVER (PARTITION BY r_name) AS DECIMAL(18,2)) AS DOUBLE), 0.0)
+               AS region_share
+      FROM rev"""))
+
+  // ------------------------------------------------------------- registry
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

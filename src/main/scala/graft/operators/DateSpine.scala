@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Calendar date-dimension spine (SURVEY §2.8 X1).
+  *
+  * The reference builds one row per calendar day between data-driven bounds
+  * with a recursive CTE (`SQLproject1.sql:262-284`, MAXRECURSION 0). In
+  * Spark the idiomatic equivalent is `sequence(lo, hi, interval 1 day)` +
+  * `explode` — no recursion, no driver-side loop: the bounds come from a
+  * 1-row aggregate that stays distributed via a cross join (broadcast of a
+  * single row), so the same plan works whether the fact table is 10k rows
+  * or 100 TB.
+  */
+object DateSpine {
+
+  /** One row per day from `min(loCol)` to `max(hiCol)` over `bounds`,
+    * with the reference's derived calendar attributes. */
+  def fromBounds(bounds: DataFrame, loCol: Column, hiCol: Column): DataFrame = {
+    val b = bounds.agg(min(loCol).as("lo"), max(hiCol).as("hi"))
+    val days = b.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("date"))
+    withCalendarAttrs(days, col("date"))
+  }
+
+  /** The reference's dim.Date attribute set (SQLproject1.sql:272-283). */
+  def withCalendarAttrs(days: DataFrame, d: Column): DataFrame =
+    days.select(
+      date_format(d, "yyyyMMdd").cast("int").as("date_key"),
+      d.as("date"),
+      year(d).as("year"),
+      quarter(d).as("quarter"),
+      month(d).as("month"),
+      dayofmonth(d).as("day"),
+      weekofyear(d).as("week_of_year"),
+      date_format(d, "MMMM").as("month_name"),
+      concat(lit("Q"), quarter(d)).as("quarter_name"),
+      date_format(d, "EEEE").isin("Saturday", "Sunday").as("is_weekend"))
+}
