@@ -334,10 +334,306 @@ object Queries {
                AS region_share
       FROM rev"""))
 
+  /** A7/A8: pivot-style subtotal lattice as ROLLUP over the date hierarchy
+    * (PivotTable8, Superstore_Dashboard.xlsx!xl/pivotTables/pivotTable2.xml).
+    * grouping_id disambiguates subtotal rows from genuine NULL keys. */
+  private val q15 = QueryDef(
+    "q15_rollup",
+    (s, d) => Tables.orders(s, d)
+      .rollup(year(col("o_orderdate")).as("o_year"),
+              month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           emit2(sum(money(col("o_totalprice")))).as("revenue"),
+           grouping_id().cast("int").as("gid")),
+    Some(s"""
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(month(o_orderdate) AS INT) AS o_month,
+             COUNT(*) AS n_orders, ${oSum2("o_totalprice")} AS revenue,
+             CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS INT) AS gid
+      FROM orders
+      GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))"""))
+
+  /** X1: calendar date spine from data-driven bounds via sequence+explode
+    * (the recursive-CTE replacement, SQLproject1.sql:262-284). */
+  private val q16 = QueryDef(
+    "q16_date_spine",
+    (s, d) => {
+      val spine = DateSpine.fromBounds(Tables.orders(s, d),
+        col("o_orderdate").cast("date"), col("o_orderdate").cast("date"))
+      spine.select(col("date_key"), dstr(col("date")).as("date_str"),
+        col("year"), col("quarter"), col("month"), col("day"),
+        col("week_of_year"), col("month_name"), col("quarter_name"),
+        col("is_weekend"))
+    },
+    Some("""
+      WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                        max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+      days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM b)
+      SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+             strftime(d, '%Y-%m-%d') AS date_str,
+             CAST(year(d) AS INT) AS year, CAST(quarter(d) AS INT) AS quarter,
+             CAST(month(d) AS INT) AS month, CAST(day(d) AS INT) AS day,
+             CAST(weekofyear(d) AS INT) AS week_of_year,
+             monthname(d) AS month_name,
+             'Q' || CAST(quarter(d) AS VARCHAR) AS quarter_name,
+             dayname(d) IN ('Saturday', 'Sunday') AS is_weekend
+      FROM days"""))
+
+  /** U1/U2: set operations — EXCEPT (distinct) between two key sets. */
+  private val q17 = QueryDef(
+    "q17_set_ops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.except(p)
+    },
+    Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"""))
+
+  /** P6/P7: CASE WHEN buckets + zero-pad normalization + NULL-safe chains
+    * (postal-code repair, SQLproject1.sql:430-435). */
+  private val q18 = QueryDef(
+    "q18_case_pad",
+    (s, d) => Tables.customer(s, d).select(
+      col("c_custkey"),
+      lpad(col("c_custkey").cast("string"), 9, "0").as("custkey_padded"),
+      when(col("c_acctbal") < 0, "negative")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high").as("balance_bucket"),
+      coalesce(nullif(trim(col("c_name")), lit("")), lit("UNKNOWN")).as("name_clean"),
+      Cleaning.zeroPadNumeric(col("c_custkey").cast("string"), 12).as("custkey_pad12")),
+    Some("""
+      SELECT c_custkey,
+             lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS custkey_padded,
+             CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS balance_bucket,
+             COALESCE(NULLIF(trim(c_name), ''), 'UNKNOWN') AS name_clean,
+             CASE WHEN TRY_CAST(CAST(c_custkey AS VARCHAR) AS INT) IS NOT NULL
+                  THEN lpad(CAST(TRY_CAST(CAST(c_custkey AS VARCHAR) AS INT) AS VARCHAR), 12, '0')
+                  ELSE CAST(c_custkey AS VARCHAR) END AS custkey_pad12
+      FROM customer"""))
+
+  /** X3: MD5 hash-key + SHA2-256 hash-diff canonicalization
+    * (SQLproject1.sql:323-325, 465-472). */
+  private val q19 = QueryDef(
+    "q19_hash_functions",
+    (s, d) => Tables.customer(s, d).select(
+      col("c_custkey"),
+      Hashing.hashKey(Seq(col("c_name"), col("c_mktsegment"), col("c_nationkey")))
+        .as("hash_key"),
+      Hashing.hashDiff(Seq(col("c_name"), col("c_mktsegment"), col("c_nationkey")))
+        .as("hash_diff")),
+    Some("""
+      SELECT c_custkey,
+             md5(concat_ws('|', upper(coalesce(c_name, '')),
+                                upper(coalesce(c_mktsegment, '')),
+                                upper(coalesce(CAST(c_nationkey AS VARCHAR), ''))))
+               AS hash_key,
+             sha256(concat_ws('|', upper(coalesce(c_name, '')),
+                                   upper(coalesce(c_mktsegment, '')),
+                                   upper(coalesce(CAST(c_nationkey AS VARCHAR), ''))))
+               AS hash_diff
+      FROM customer"""))
+
+  /** P1/P3/P10: trim/clean/regexp-extract/try_cast over semi-structured
+    * event props (staging normalization, SQLproject1.sql:172-191). */
+  private val q20 = QueryDef(
+    "q20_clean_strings",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      upper(trim(col("event_type"))).as("etype"),
+      Cleaning.cleanControlChars(col("props")).as("props_clean"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast(IntegerType).as("k"),
+      when(col("value") < 50, "low").when(col("value") < 150, "mid")
+        .otherwise("high").as("value_bucket")),
+    Some("""
+      SELECT event_id, upper(trim(event_type)) AS etype,
+             regexp_replace(props, '[[:cntrl:]]', '', 'g') AS props_clean,
+             TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+             CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+                  ELSE 'high' END AS value_bucket
+      FROM events"""))
+
+  /** X4/§2.9: the scalar date-function surface (year/quarter/month/day,
+    * month name, EOMONTH/last_day, DATEADD, DATEDIFF-month boundary). */
+  private val q21 = QueryDef(
+    "q21_date_functions",
+    (s, d) => {
+      val od = col("o_orderdate").cast("date")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(od).as("y"), quarter(od).as("q"), month(od).as("m"),
+        dayofmonth(od).as("dom"),
+        date_format(od, "MMMM").as("month_name"),
+        dstr(last_day(od)).as("eomonth"),
+        dstr(date_add(od, 30)).as("plus30"),
+        date_format(od, "yyyyMMdd").cast("int").as("date_key"),
+        ((lit(2002) * 12 + lit(1)) - (year(od) * 12 + month(od)))
+          .cast("int").as("months_to_2002"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             CAST(month(o_orderdate) AS INT) AS m,
+             CAST(day(o_orderdate) AS INT) AS dom,
+             monthname(o_orderdate) AS month_name,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eomonth,
+             strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+             CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_key,
+             CAST((2002*12 + 1) - (year(o_orderdate)*12 + month(o_orderdate)) AS INT)
+               AS months_to_2002
+      FROM orders"""))
+
+  /** A5/A6 + EOMONTH/DATEDIFF: customer cohort analysis
+    * (qa.v_CustomerCohort, SQLproject1.sql:645-673). */
+  private val q22 = QueryDef(
+    "q22_cohort",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+      val first = o.groupBy(col("o_custkey"))
+        .agg(min(col("od")).as("first_od"))
+      val perMonth = o.groupBy(col("o_custkey"), last_day(col("od")).as("order_month"))
+        .agg(count(lit(1)).as("orders_count"))
+      perMonth.join(first, "o_custkey")
+        .select(col("o_custkey"),
+          dstr(last_day(col("first_od"))).as("cohort_month"),
+          dstr(col("order_month")).as("order_month"),
+          ((year(col("order_month")) * 12 + month(col("order_month"))) -
+           (year(col("first_od")) * 12 + month(col("first_od"))))
+            .cast("int").as("months_since"),
+          col("orders_count"))
+    },
+    Some("""
+      WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+      first AS (SELECT o_custkey, min(od) AS first_od FROM o GROUP BY o_custkey),
+      per_month AS (SELECT o_custkey, last_day(od) AS order_month,
+                           COUNT(*) AS orders_count
+                    FROM o GROUP BY o_custkey, last_day(od))
+      SELECT p.o_custkey,
+             strftime(last_day(f.first_od), '%Y-%m-%d') AS cohort_month,
+             strftime(p.order_month, '%Y-%m-%d') AS order_month,
+             CAST((year(p.order_month)*12 + month(p.order_month)) -
+                  (year(f.first_od)*12 + month(f.first_od)) AS INT) AS months_since,
+             p.orders_count
+      FROM per_month p JOIN first f ON p.o_custkey = f.o_custkey"""))
+
+  /** Domain-anomaly filter with NULLIF-guarded division
+    * (qa.v_SuspiciousDiscounts, SQLproject1.sql:703-716). */
+  private val q23 = QueryDef(
+    "q23_suspicious_ratio",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_discount") > 0)
+      .withColumn("tax_ratio", col("l_tax") / nullif(col("l_discount"), lit(0.0)))
+      .filter(!col("tax_ratio").between(0.05, 2.0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax"), col("tax_ratio")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax,
+             l_tax / NULLIF(l_discount, 0.0) AS tax_ratio
+      FROM lineitem
+      WHERE l_discount > 0
+        AND NOT (l_tax / NULLIF(l_discount, 0.0) BETWEEN 0.05 AND 2.0)"""))
+
+  /** J7: insert-only dimension merge preserving surrogate keys
+    * (MERGE WHEN NOT MATCHED INSERT, SQLproject1.sql:390-416). */
+  private val q24 = QueryDef(
+    "q24_merge_insert_only",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val existing = Dims.buildDim(
+        c.filter(col("c_custkey") <= 750).select(col("c_mktsegment").as("segment")),
+        Seq("segment"), "segment_key")
+      val incoming = c.select(col("c_mktsegment").as("segment"))
+      Dims.insertOnlyMerge(existing, incoming, Seq("segment"), "segment_key")
+    },
+    Some("""
+      WITH existing AS (
+        SELECT segment, CAST(ROW_NUMBER() OVER (ORDER BY segment) AS BIGINT) AS segment_key
+        FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer WHERE c_custkey <= 750)),
+      incoming AS (SELECT DISTINCT c_mktsegment AS segment FROM customer),
+      mx AS (SELECT COALESCE(MAX(segment_key), 0) AS m FROM existing),
+      added AS (
+        SELECT i.segment,
+               CAST(m + ROW_NUMBER() OVER (ORDER BY i.segment) AS BIGINT) AS segment_key
+        FROM incoming i, mx
+        WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.segment = i.segment))
+      SELECT segment, segment_key FROM existing
+      UNION ALL
+      SELECT segment, segment_key FROM added"""))
+
+  /** J8/X3: SCD Type 2 merge — initial load of a partial snapshot, then a
+    * merge of a drifted snapshot (SQLproject1.sql:449-560). Classifies rows
+    * into kept / closed / new-version / brand-new via hash-diff compare. */
+  private val q25 = QueryDef(
+    "q25_scd2_merge",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val snap1 = c.filter(col("c_custkey") % 7 =!= 0).select(
+        col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"), money(col("c_acctbal")).as("acctbal"))
+      val snap2 = c.select(
+        col("c_custkey").as("custkey"), col("c_name").as("name"),
+        when(col("c_custkey") % 5 === 0, "MOVED").otherwise(col("c_mktsegment"))
+          .as("segment"),
+        money(col("c_acctbal")).as("acctbal"))
+      val tracked = Seq("name", "segment", "acctbal")
+      val dim0 = Scd2.initialLoad(snap1, tracked)
+      val dim1 = Scd2.merge(dim0, snap2, Seq("custkey"), tracked, "2024-06-01")
+      dim1.select(col("custkey"), col("name"), col("segment"),
+        asDouble(col("acctbal")).as("acctbal"), col("hash_diff"),
+        dstr(col("effective_from")).as("effective_from"),
+        dstr(col("effective_to")).as("effective_to"), col("is_current"))
+    },
+    Some("""
+      WITH snap1 AS (
+        SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        FROM customer WHERE c_custkey % 7 <> 0),
+      snap2 AS (
+        SELECT c_custkey AS custkey, c_name AS name,
+               CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS segment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        FROM customer),
+      h1 AS (SELECT *, sha256(concat_ws('|', upper(coalesce(name,'')),
+                 upper(coalesce(segment,'')),
+                 upper(coalesce(CAST(acctbal AS VARCHAR),'')))) AS hash_diff FROM snap1),
+      h2 AS (SELECT *, sha256(concat_ws('|', upper(coalesce(name,'')),
+                 upper(coalesce(segment,'')),
+                 upper(coalesce(CAST(acctbal AS VARCHAR),'')))) AS hash_diff FROM snap2),
+      d0 AS (SELECT custkey, name, segment, acctbal, hash_diff,
+                    DATE '1900-01-01' AS ef, DATE '9999-12-31' AS et, TRUE AS cur
+             FROM h1),
+      changed AS (SELECT d0.custkey FROM d0
+                  JOIN h2 ON d0.custkey = h2.custkey AND d0.hash_diff <> h2.hash_diff),
+      kept AS (SELECT * FROM d0
+               WHERE custkey NOT IN (SELECT custkey FROM changed)),
+      closed AS (SELECT custkey, name, segment, acctbal, hash_diff,
+                        ef, DATE '2024-06-01' AS et, FALSE AS cur
+                 FROM d0 WHERE custkey IN (SELECT custkey FROM changed)),
+      newv AS (SELECT custkey, name, segment, acctbal, hash_diff,
+                      DATE '2024-06-01' AS ef, DATE '9999-12-31' AS et, TRUE AS cur
+               FROM h2 WHERE custkey IN (SELECT custkey FROM changed)),
+      brand AS (SELECT custkey, name, segment, acctbal, hash_diff,
+                       DATE '1900-01-01' AS ef, DATE '9999-12-31' AS et, TRUE AS cur
+                FROM h2 WHERE custkey NOT IN (SELECT custkey FROM d0))
+      SELECT custkey, name, segment, CAST(acctbal AS DOUBLE) AS acctbal, hash_diff,
+             strftime(ef, '%Y-%m-%d') AS effective_from,
+             strftime(et, '%Y-%m-%d') AS effective_to,
+             cur AS is_current
+      FROM (SELECT * FROM kept UNION ALL SELECT * FROM closed
+            UNION ALL SELECT * FROM newv UNION ALL SELECT * FROM brand)"""))
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conformed-dimension builders (SURVEY §2.3 J7, §2.4 A1, §7.4).
+  *
+  * Surrogate keys use strategy §7.4(a): `row_number()` over a deterministic
+  * natural-key ordering — stable, dense, reproducible (the reference's
+  * IDENTITY only guarantees key *semantics*, not values). The unpartitioned
+  * window funnels the dim through one task, which is correct for conformed
+  * dims (ship modes, categories, geographies — small by definition). For a
+  * dim that could be huge, switch to `xxhash64(naturalKey)` keys instead;
+  * documented here rather than implemented because every reference dim is
+  * small (SURVEY §4: all dims broadcast).
+  */
+object Dims {
+
+  /** A1: distinct natural keys + dense deterministic surrogate key. */
+  def buildDim(src: DataFrame, naturalKey: Seq[String], keyCol: String): DataFrame = {
+    val d = src.select(naturalKey.map(col): _*).distinct()
+    d.withColumn(keyCol,
+      row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
+  }
+
+  /** J7: MERGE ... WHEN NOT MATCHED THEN INSERT (SQLproject1.sql:390-416) —
+    * existing rows keep their surrogate keys; unseen natural keys are
+    * appended with keys offset past max(existing). */
+  def insertOnlyMerge(existing: DataFrame, incoming: DataFrame,
+                      naturalKey: Seq[String], keyCol: String): DataFrame = {
+    val fresh = incoming.select(naturalKey.map(col): _*).distinct()
+      .join(existing, naturalKey, "left_anti")
+    val maxKey = existing.agg(coalesce(max(col(keyCol)), lit(0L)).as("__mx"))
+    val keyed = fresh
+      .withColumn("__rn", row_number().over(Window.orderBy(naturalKey.map(col): _*)))
+      .crossJoin(broadcast(maxKey))
+      .withColumn(keyCol, (col("__mx") + col("__rn")).cast("long"))
+      .drop("__rn", "__mx")
+    existing.unionByName(keyed.select(existing.columns.map(col): _*))
+  }
+}
