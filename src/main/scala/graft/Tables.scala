@@ -29,10 +29,10 @@ object Tables {
     * TimestampType column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division: ns epochs (~1.7e18) exceed double precision, so
+    // `ts / 1000` (double div) would round some values by ±1 microsecond
     load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000)
-          .cast(org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection over document text (SURVEY §7.7).
+  *
+  * Three families, in increasing scale-friendliness:
+  *  - n-gram Jaccard: exact pairwise similarity via a shingle self-join.
+  *    Cost is Σ per-shingle bucket². Fine to ~10⁵ docs; the candidate
+  *    generator for anything larger is MinHash LSH below.
+  *  - MinHash + LSH banding: per-doc signatures are computed SCALAR-side
+  *    (array_min over md5'd shingles — no explode), then docs are bucketed
+  *    by band keys; only same-bucket pairs are compared. Shuffle cost is
+  *    O(docs × bands), independent of pairwise volume.
+  *  - SimHash: one 32-bit fingerprint per doc; near-dups collide exactly.
+  *
+  * Hash choice: md5 (not xxhash64) because signatures must be reproducible
+  * across engines for the differential oracle; the lexicographic min of
+  * md5(seed || shingle) is a valid MinHash permutation substitute.
+  */
+object NearDup {
+
+  /** Exact word n-gram Jaccard over all candidate pairs sharing ≥1 shingle.
+    * Emits (a_id, b_id, intersection, jaccard) for pairs ≥ threshold. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val words = TextFunctions.tokens(col(textCol))
+    val withSh = docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.wordShingles(words, n)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sh = withSh.select(col("doc_id"), explode(col("__sh")).as("s"))
+    val sizes = withSh.select(col("doc_id"), size(col("__sh")).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("intersection"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("n_a") + col("n_b") - col("intersection")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("intersection"), col("jaccard"))
+  }
+
+  /** Per-doc MinHash signature columns sig_0..sig_{numHashes-1}. */
+  def withMinHashSignature(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, numHashes: Int): DataFrame = {
+    val words = TextFunctions.tokens(col(textCol))
+    val sh = array_distinct(TextFunctions.wordShingles(words, shingleN))
+    val base = docs.select(col(idCol).as("doc_id"), sh.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sigs = (0 until numHashes).map { s =>
+      array_min(transform(col("__sh"), x => md5(concat(lit(s + "|"), x)))).as(s"sig_$s")
+    }
+    base.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** LSH banding: distinct candidate pairs sharing at least one band key. */
+  def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, numHashes: Int = 12,
+                           bandSize: Int = 3): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must divide into bands")
+    val sig = withMinHashSignature(docs, idCol, textCol, shingleN, numHashes)
+    val numBands = numHashes / bandSize
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws(",",
+          (0 until bandSize).map(k => col(s"sig_${b * bandSize + k}")): _*))
+          .as("band_key"))
+    }
+    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash per document: per-token md5 nibble bits vote ±1 per bit
+    * position; the sign of each bit-sum sets the fingerprint bit. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame = {
+    require(bits <= 32, "md5 prefix provides 32 deterministic nibble bits here")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", md5(col("__t")))
+    val sums = (0 until bits).map { j =>
+      val nib = conv(substring(col("__h"), j / 4 + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(nib, j % 4).bitwiseAND(lit(1))
+      sum(bit * lit(2) - lit(1)).as(s"__s$j")
+    }
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map(j =>
+          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY §7.7).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: broadcast the (small) query set against the
+  *    corpus — one pass, no shuffle of the corpus, exact. The dot products
+  *    are strict left-fold double sums so results are bit-reproducible
+  *    across engines (needed for the differential oracle).
+  *  - hyperplane LSH bucketing: the 100 TB path. Each vector gets a b-bit
+  *    bucket from the signs of dot products with deterministic pseudo-random
+  *    hyperplanes; candidate generation is then a bucket-equality join
+  *    (shuffle on a small int key) instead of a cross join.
+  */
+object Similarity {
+
+  /** Strict left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (queries chosen by
+    * predicate; must be small enough to broadcast). */
+  def cosineTopK(embeddings: DataFrame, idCol: String, embCol: String,
+                 queryPredicate: Column, k: Int): DataFrame = {
+    val q = embeddings.filter(queryPredicate)
+      .select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+    val cand = embeddings.select(col(idCol).as("n_id"), col(embCol).as("__n_emb"))
+    val scored = cand.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("__q_emb"), col("__n_emb")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("n_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p, i) is derived
+    * from an md5 nibble, shifted to be zero-centered (value − 7.5). Public
+    * md5 arithmetic only, so any engine can reproduce the planes. */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val block = md5hex(s"plane$p:${i / 32}")
+        val nib = Integer.parseInt(block.charAt(i % 32).toString, 16)
+        nib - 7.5
+      }.toArray
+    }
+  }
+
+  /** Sign-of-projection LSH bucket (b bits for b planes). */
+  def lshBucket(emb: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, j) =>
+      val proj = w.zipWithIndex
+        .map { case (wi, i) => element_at(emb, i + 1).cast("double") * lit(wi) }
+        .reduce(_ + _)
+      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Bucketed corpus: each vector tagged with its LSH bucket and the bucket
+    * population (candidate-set size a query in that bucket would scan). */
+  def lshBucketed(embeddings: DataFrame, idCol: String, embCol: String,
+                  numPlanes: Int, dim: Int): DataFrame = {
+    val bucket = lshBucket(col(embCol), hyperplanes(numPlanes, dim))
+    embeddings.select(col(idCol), bucket.as("bucket"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+  }
+}
