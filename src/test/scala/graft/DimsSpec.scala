@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dims
+
+class DimsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("buildDim: dense deterministic surrogate keys over distinct keys") {
+    val src = Seq("b", "a", "b", "c").toDF("nk")
+    val dim = Dims.buildDim(src, Seq("nk"), "k")
+    dim.orderBy("k").select("nk", "k").as[(String, Long)].collect().toSeq shouldBe
+      Seq(("a", 1L), ("b", 2L), ("c", 3L))
+  }
+
+  test("insertOnlyMerge: existing keys stable, new keys appended past max") {
+    val existing = Dims.buildDim(Seq("a", "b").toDF("nk"), Seq("nk"), "k")
+    val merged = Dims.insertOnlyMerge(existing,
+      Seq("b", "c", "d").toDF("nk"), Seq("nk"), "k")
+    merged.orderBy("k").select("nk", "k").as[(String, Long)].collect().toSeq shouldBe
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
+  }
+
+  test("insertOnlyMerge is idempotent when nothing is new") {
+    val existing = Dims.buildDim(Seq("a", "b").toDF("nk"), Seq("nk"), "k")
+    val merged = Dims.insertOnlyMerge(existing, Seq("a", "b").toDF("nk"),
+      Seq("nk"), "k")
+    merged.count() shouldBe 2
+  }
+}

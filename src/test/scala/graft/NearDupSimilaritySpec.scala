@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{NearDup, Similarity}
+
+class NearDupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the sleepy dog"), // near-dup of 1
+    (3, "completely different text about spark catalyst plans"),
+    (4, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("id", "text")
+
+  test("ngramJaccardPairs finds the near-dup pair and scores the exact dup 1.0") {
+    val pairs = NearDup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.3)
+      .orderBy("a_id", "b_id")
+      .select("a_id", "b_id", "jaccard").as[(Int, Int, Double)].collect().toSeq
+    pairs.map(p => (p._1, p._2)) shouldBe Seq((1, 2), (1, 4), (2, 4))
+    pairs.find(p => p._1 == 1 && p._2 == 4).get._3 shouldBe 1.0
+    pairs.find(p => p._1 == 1 && p._2 == 2).get._3 should be < 1.0
+  }
+
+  test("minHashLshCandidates surfaces near-dups without a full cross join") {
+    val cand = NearDup.minHashLshCandidates(docs, "id", "text",
+        shingleN = 3, numHashes = 12, bandSize = 3)
+      .as[(Int, Int)].collect().toSet
+    cand should contain((1, 4)) // identical docs always collide
+    // doc 3 shares no shingles: can never band-collide with anything
+    cand.exists(p => p._1 == 3 || p._2 == 3) shouldBe false
+  }
+
+  test("simHash: identical docs identical hash; near-dups within small hamming") {
+    val hashes = NearDup.simHash(docs, "id", "text").orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    hashes(0) shouldBe hashes(3)
+    java.lang.Long.bitCount(hashes(0) ^ hashes(1)) should be <= 8
+    java.lang.Long.bitCount(hashes(0) ^ hashes(2)) should be > 8
+  }
+
+  private lazy val embs = Seq(
+    (0, Array(1.0f, 0.0f, 0.0f)),
+    (1, Array(0.9f, 0.1f, 0.0f)),
+    (2, Array(0.0f, 1.0f, 0.0f)),
+    (3, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK: exact ranking by cosine for each query") {
+    val out = Similarity.cosineTopK(embs, "vec_id", "embedding",
+        $"vec_id" === 0, k = 3)
+      .orderBy("rank").select("n_id").as[Int].collect().toSeq
+    out shouldBe Seq(1, 2, 3) // most to least similar to [1,0,0]
+  }
+
+  test("cosine column: orthogonal=0, identical=1, opposite=-1") {
+    val c = embs.as("a").crossJoin(embs.as("b"))
+      .filter($"a.vec_id" === 0)
+      .select($"b.vec_id".as("id"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .orderBy("id").as[(Int, Double)].collect().map(_._2)
+    c(0) shouldBe 1.0 +- 1e-9
+    c(2) shouldBe 0.0 +- 1e-9
+    c(3) shouldBe -1.0 +- 1e-9
+  }
+
+  test("lshBucketed: same vector same bucket; bucket sizes consistent") {
+    val dup = embs.union(embs.filter($"vec_id" === 0)
+      .select(lit(9).as("vec_id"), $"embedding"))
+    val out = Similarity.lshBucketed(dup, "vec_id", "embedding",
+      numPlanes = 8, dim = 3)
+    val buckets = out.select("vec_id", "bucket").as[(Int, Int)].collect().toMap
+    buckets(0) shouldBe buckets(9)
+    // bucket_size equals the actual bucket population
+    val sizes = out.groupBy("bucket").count()
+      .join(out.select("bucket", "bucket_size").distinct(), "bucket")
+      .filter($"count" =!= $"bucket_size").count() shouldBe 0
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scd2
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Int, String, String)*): DataFrame =
+    rows.toDF("key", "name", "segment")
+
+  private val tracked = Seq("name", "segment")
+
+  test("initialLoad: every row current with the open sentinel range") {
+    val dim = Scd2.initialLoad(snap((1, "a", "X"), (2, "b", "Y")), tracked)
+    dim.count() shouldBe 2
+    dim.filter($"is_current").count() shouldBe 2
+    col1(dim.select($"effective_from".cast("string")).distinct()) shouldBe
+      Seq("1900-01-01")
+  }
+
+  test("merge classifies kept / closed+new-version / brand-new") {
+    val dim0 = Scd2.initialLoad(snap((1, "a", "X"), (2, "b", "Y")), tracked)
+    val dim1 = Scd2.merge(dim0,
+      snap((1, "a", "X"), (2, "b", "Z"), (3, "c", "W")),
+      Seq("key"), tracked, "2024-06-01")
+
+    dim1.count() shouldBe 4 // kept(1) + closed(2-old) + new(2) + brand-new(3)
+    // unchanged key untouched
+    dim1.filter($"key" === 1 && $"is_current").count() shouldBe 1
+    // changed key: old version closed at runDate
+    val closed = dim1.filter($"key" === 2 && !$"is_current").collect().head
+    closed.getAs[java.sql.Date]("effective_to").toString shouldBe "2024-06-01"
+    // changed key: new current version effective from runDate
+    val cur2 = dim1.filter($"key" === 2 && $"is_current").collect().head
+    cur2.getAs[String]("segment") shouldBe "Z"
+    cur2.getAs[java.sql.Date]("effective_from").toString shouldBe "2024-06-01"
+    // brand-new key gets the open range
+    dim1.filter($"key" === 3 && $"is_current").count() shouldBe 1
+  }
+
+  test("merge invariants: at most one current row, no overlapping ranges") {
+    val dim0 = Scd2.initialLoad(snap((1, "a", "X"), (2, "b", "Y")), tracked)
+    val dim1 = Scd2.merge(dim0, snap((1, "a2", "X"), (2, "b", "Y")),
+      Seq("key"), tracked, "2024-01-01")
+    val dim2 = Scd2.merge(dim1, snap((1, "a3", "X"), (2, "b", "Y")),
+      Seq("key"), tracked, "2024-02-01")
+
+    // ≤ 1 current row per key (the filtered-unique-index invariant)
+    dim2.filter($"is_current").groupBy("key").count()
+      .filter($"count" > 1).count() shouldBe 0
+    // ranges are contiguous: each non-current row's effective_to equals the
+    // next version's effective_from
+    val k1 = dim2.filter($"key" === 1).orderBy("effective_from")
+      .select($"effective_from".cast("string"), $"effective_to".cast("string"))
+      .as[(String, String)].collect()
+    k1.sliding(2).foreach { case Array((_, to1), (from2, _)) =>
+      to1 shouldBe from2
+    }
+  }
+
+  test("same-snapshot re-run is a no-op (idempotent, unlike the reference)") {
+    val s = snap((1, "a", "X"), (2, "b", "Y"))
+    val dim0 = Scd2.initialLoad(s, tracked)
+    val dim1 = Scd2.merge(dim0, s, Seq("key"), tracked, "2024-06-01")
+    dim1.count() shouldBe 2
+    dim1.filter(!$"is_current").count() shouldBe 0
+  }
+
+  test("keys absent from the snapshot are left untouched") {
+    val dim0 = Scd2.initialLoad(snap((1, "a", "X"), (2, "b", "Y")), tracked)
+    val dim1 = Scd2.merge(dim0, snap((1, "a", "X")), Seq("key"), tracked,
+      "2024-06-01")
+    dim1.filter($"key" === 2 && $"is_current").count() shouldBe 1
+  }
+}
