@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.superstore.{Ingest, Marts, Pipeline, Staging}
+
+/** Golden end-to-end tests on the real reference CSV (SURVEY §5.2.2): every
+  * assertion is a number measured on `superstore.csv` and recorded in
+  * BASELINE.md. Skipped gracefully when the reference checkout is absent. */
+class SuperstorePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val csv = "/root/reference/Project1/superstore.csv"
+  private def available = new java.io.File(csv).exists()
+
+  private lazy val out = Pipeline.run(spark, csv)
+
+  test("ingest repairs all quirks: 9,994 rows, 21 columns, no corrupt rows") {
+    assume(available)
+    val raw = out.raw
+    raw.count() shouldBe 9994
+    // fully-quoted rows were unwrapped, not dropped: every row has an OrderID
+    raw.filter($"OrderID".isNull || !$"OrderID".rlike("^[A-Z]{2}-")).count() shouldBe 0
+    // cp1252 NBSP decoded (Konftel product name survives intact)
+    raw.filter($"ProductName".contains("Konftel 250")).count() should be >= 1L
+  }
+
+  test("excel-compat mode reproduces the workbook's 7,484-row data loss") {
+    assume(available)
+    Ingest.readRaw(spark, csv, excelCompat = true).count() shouldBe 7484
+  }
+
+  test("typed staging: all dates parse (M/d/yyyy), aggregate invariants hold") {
+    assume(available)
+    val stg = out.staged
+    stg.filter($"order_date".isNull || $"ship_date".isNull).count() shouldBe 0
+    // staged columns follow the reference DDL (DECIMAL(18,2) per row, so
+    // the stored sum is 2297201.07, same as SQL Server would hold); the
+    // BASELINE invariants are measured at full precision on the raw strings
+    val stored = stg.agg(sum($"sales").cast("decimal(18,2)").cast("string"),
+      sum($"quantity")).as[(String, Long)].head()
+    stored._1 shouldBe "2297201.07"
+    stored._2 shouldBe 37873L
+    val raw = out.raw.agg(
+      sum($"Sales".cast("decimal(18,4)")).cast("decimal(18,2)").cast("string"),
+      sum($"Profit".cast("decimal(18,4)")).cast("decimal(18,2)").cast("string"))
+      .as[(String, String)].head()
+    raw._1 shouldBe "2297200.86"
+    raw._2 shouldBe "286397.02"
+  }
+
+  test("dedup: 9,986 rows survive (8 duplicate order lines removed)") {
+    assume(available)
+    out.deduped.count() shouldBe 9986
+  }
+
+  test("QA rule counts: 0 null dates, 1,871 negative-profit rows") {
+    assume(available)
+    val issues = out.loadIssues.select("issue_type", "row_count")
+      .as[(String, Long)].collect().toMap
+    issues("NULL_DATES") shouldBe 0
+    // 1,871 negative-profit measured on all 9,994; dedup removes 4 of them
+    issues("NEGATIVE_PROFIT") shouldBe 1867L +- 8L
+    issues("INCONSISTENT_GEOGRAPHY") shouldBe 0
+  }
+
+  test("dim cardinalities match the measured profile") {
+    assume(available)
+    out.dims.shipMode.count() shouldBe 4
+    out.dims.category.count() shouldBe 3
+    out.dims.subCategory.count() shouldBe 17
+    out.dims.customer.count() shouldBe 793
+    out.dims.product.select("product_id").distinct().count() shouldBe 1862
+    out.dims.geography.select("region").distinct().count() shouldBe 4
+    out.dims.geography.select("state").distinct().count() shouldBe 49
+  }
+
+  test("date spine spans order-date min to ship-date max: 1,464 days") {
+    assume(available)
+    out.dims.date.count() shouldBe 1464
+  }
+
+  test("fact: grain preserved, surrogate keys resolve, idempotency keys unique") {
+    assume(available)
+    val fact = out.fact.cache()
+    fact.count() shouldBe 9986
+    // PK (order_id, order_line_no) unique — the reference's fact constraint
+    fact.groupBy("order_id", "order_line_no").count()
+      .filter($"count" > 1).count() shouldBe 0
+    // every row resolves every dim key (no orphans)
+    fact.filter($"ship_mode_key".isNull || $"customer_key".isNull ||
+      $"product_key".isNull || $"geography_key".isNull ||
+      $"sub_category_key".isNull || $"order_date_key".isNull).count() shouldBe 0
+    fact.unpersist()
+    ()
+  }
+
+  test("pivot mart by category: 3 categories + grand total, measures consistent") {
+    assume(available)
+    val p = out.pivotByCategory.collect()
+    p.length shouldBe 4 // 3 categories + rollup grand total
+    val total = p.find(_.isNullAt(0)).get
+    total.getAs[Long]("sum_quantity") shouldBe
+      out.deduped.agg(sum($"quantity")).as[Long].head()
+  }
+
+  test("rolling30 equals brute force for one region prefix") {
+    assume(available)
+    val r30 = out.rolling30.filter($"region" === "West")
+      .orderBy($"date", $"order_id", $"order_line_no")
+      .select($"sales".cast("double"), $"sales_30".cast("double"))
+      .as[(Double, Double)].collect()
+    val sales = r30.map(_._1)
+    r30.zipWithIndex.foreach { case ((_, s30), i) =>
+      val brute = sales.slice((i - 29).max(0), i + 1).sum
+      s30 shouldBe brute +- 1e-6
+    }
+  }
+
+  test("top products per sub-category: rank <= 5 with ties kept") {
+    assume(available)
+    val tp = out.topProducts
+    tp.filter($"rnk" > 5).count() shouldBe 0
+    tp.groupBy("sub_category").count().filter($"count" < 5).count() shouldBe 0
+  }
+}
