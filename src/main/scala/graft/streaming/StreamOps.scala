@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.10).
+  *
+  * The reference is batch-only but incremental-READY (audit columns,
+  * idempotent anti-join fact loads, insert-only dim merges — SQLproject1.sql
+  * :104-105, :612-615). This module is the streaming expression of that
+  * design: the same windowed aggregations as the batch EventOps (identical
+  * epoch-aligned grids, so batch and stream outputs are directly
+  * comparable), plus watermarked state and a foreachBatch incremental-load
+  * pattern that reuses the batch builders unchanged.
+  *
+  * Scale notes: all aggregations are keyed on (window x key) — state is
+  * bounded by the watermark; sessionization state is per active user and
+  * expires via timeout. No operation collects to the driver.
+  */
+object StreamOps {
+
+  /** Tumbling-window aggregation with a watermark for late data. Grid is
+    * identical to EventOps.tumblingStart (epoch-aligned). */
+  def tumblingAgg(events: DataFrame, tsCol: String, sizeSec: Int,
+                  watermark: String, keys: Seq[Column],
+                  aggs: Seq[Column]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), s"$sizeSec seconds")
+        .getField("start").as("window_start") +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding-window aggregation (size/slide), watermarked. */
+  def slidingAgg(events: DataFrame, tsCol: String, sizeSec: Int,
+                 slideSec: Int, watermark: String, keys: Seq[Column],
+                 aggs: Seq[Column]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), s"$sizeSec seconds", s"$slideSec seconds")
+        .getField("start").as("window_start") +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Native gap-based session windows (the streaming analogue of
+    * EventOps.sessionize). */
+  def sessionAgg(events: DataFrame, tsCol: String, gapSec: Int,
+                 watermark: String, keys: Seq[Column],
+                 aggs: Seq[Column]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), s"$gapSec seconds").as("session") +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session.start"))
+      .withColumn("session_end", col("session.end"))
+      .drop("session")
+
+  // ---- custom state: running per-key counters via mapGroupsWithState -----
+
+  final case class KeyedEvent(key: String, ts: Timestamp, value: Double)
+  final case class RunningStats(key: String, count: Long, sum: Double,
+                                max: Double)
+
+  /** flatMapGroupsWithState custom operator: emits updated running stats
+    * per key on every micro-batch; state never expires (processing-time
+    * timeout would bound it in production). */
+  def runningStats(events: Dataset[KeyedEvent]): Dataset[RunningStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RunningStats, RunningStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[RunningStats]) =>
+          val prev = state.getOption.getOrElse(RunningStats(key, 0L, 0.0,
+            Double.NegativeInfinity))
+          val batch = rows.toSeq
+          val next = RunningStats(key,
+            prev.count + batch.size,
+            prev.sum + batch.map(_.value).sum,
+            math.max(prev.max, batch.map(_.value).foldLeft(Double.NegativeInfinity)(math.max)))
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  // ---- incremental ELT: foreachBatch reusing the batch builders ----------
+
+  /** Run `batchFn` once per micro-batch (the reference's re-runnable
+    * pipeline pattern: idempotent loads keyed by batchId). With
+    * `Trigger.AvailableNow` this processes a backlog of files and stops —
+    * the streaming equivalent of the reference's file-drop re-runs. */
+  def incrementalLoad(stream: DataFrame, checkpoint: String)
+                     (batchFn: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(batchFn)
+      .start()
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+import graft.streaming.StreamOps
+
+/** Streaming specs: every windowed result must equal its batch analogue on
+  * the same data (shared epoch-aligned grid), per SURVEY §2.10. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val data = Seq(
+    ("u1", ts("2024-01-01 00:05:00"), 10.0),
+    ("u1", ts("2024-01-01 00:20:00"), 20.0),
+    ("u1", ts("2024-01-01 01:10:00"), 30.0),
+    ("u2", ts("2024-01-01 00:59:59"), 40.0))
+
+  private def runStream(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        mode: String = "complete"): org.apache.spark.sql.DataFrame = {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    mem.addData(data: _*)
+    val out = build(mem.toDF.toDF("user_id", "ts", "value"))
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling agg equals batch EventOps on the same grid") {
+    val streamed = runStream(df => StreamOps.tumblingAgg(df, "ts", 3600,
+      "10 minutes", Seq($"user_id"),
+      Seq(count(lit(1)).as("n"), sum($"value").as("sv"))))
+    val batch = EventOps.tumblingAgg(data.toDF("user_id", "ts", "value"),
+      $"ts", 3600, Seq($"user_id"),
+      Seq(count(lit(1)).as("n"), sum($"value").as("sv")))
+    streamed.except(batch).count() shouldBe 0
+    batch.except(streamed).count() shouldBe 0
+  }
+
+  test("streaming sliding agg equals batch EventOps on the same grid") {
+    val streamed = runStream(df => StreamOps.slidingAgg(df, "ts", 600, 300,
+      "10 minutes", Seq($"user_id"), Seq(count(lit(1)).as("n"))))
+    val batch = EventOps.slidingAgg(data.toDF("user_id", "ts", "value"),
+      $"ts", 600, 300, Seq($"user_id"), Seq(count(lit(1)).as("n")))
+    streamed.except(batch).count() shouldBe 0
+    batch.except(streamed).count() shouldBe 0
+  }
+
+  test("streaming session windows match the batch sessionization rollup") {
+    val streamed = runStream(df => StreamOps.sessionAgg(df, "ts", 1800,
+      "1 hour", Seq($"user_id"), Seq(count(lit(1)).as("n"))))
+    // u1: events at 00:05 and 00:20 in one session; 01:10 in another
+    streamed.count() shouldBe 3
+    streamed.filter($"user_id" === "u1" && $"n" === 2).count() shouldBe 1
+    val batch = EventOps.sessionize(data.toDF("user_id", "ts", "value"),
+        $"user_id", $"ts", $"value", 1800)
+      .groupBy("user_id", "session_id").count()
+    batch.count() shouldBe 3
+  }
+
+  test("flatMapGroupsWithState running stats accumulate per key") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamOps.KeyedEvent]
+    mem.addData(data.map(t => StreamOps.KeyedEvent(t._1, t._2, t._3)): _*)
+    val q = StreamOps.runningStats(mem.toDS())
+      .writeStream.format("memory").queryName("running_stats")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // second batch: state carries over
+    mem.addData(StreamOps.KeyedEvent("u1", ts("2024-01-01 02:00:00"), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running_stats")
+      .filter($"key" === "u1").orderBy($"count".desc).collect().head
+    last.getAs[Long]("count") shouldBe 4
+    last.getAs[Double]("sum") shouldBe 65.0 +- 1e-9
+    last.getAs[Double]("max") shouldBe 30.0 +- 1e-9
+  }
+
+  test("incrementalLoad foreachBatch processes a file backlog and stops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ckpt = s"$dir/ckpt"
+    val src = s"$dir/in"
+    new java.io.File(src).mkdirs()
+    data.toDF("user_id", "ts", "value").write.parquet(s"$src/batch0")
+
+    val schema = data.toDF("user_id", "ts", "value").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$src/*")
+    var seen = 0L
+    val q = StreamOps.incrementalLoad(stream, ckpt) { (df, _) =>
+      seen += df.count()
+    }
+    q.awaitTermination(60000)
+    seen shouldBe 4
+  }
+}
