@@ -19,12 +19,23 @@ object TextFunctions {
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Overlapping word n-gram shingles; empty array when the doc is shorter
-    * than n words. */
-  def wordShingles(words: Column, n: Int): Column =
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(words, i + lit(k + 1))): _*)))
-      .otherwise(array().cast("array<string>"))
+    * than n words.
+    *
+    * Implementation note: built by zip_with-ing n shifted `slice`s of the
+    * token array rather than `element_at(words, i+k)` inside a `transform`
+    * lambda. Higher-order-function lambdas are interpreted (not codegen'd)
+    * and re-evaluate any non-bound expression per ELEMENT — with an inline
+    * tokenizer expression that meant re-tokenizing the document ~3n times.
+    * The slice inputs are evaluated once per row, and the lambda only
+    * concatenates its bound variables. */
+  def wordShingles(words: Column, n: Int): Column = {
+    require(n >= 2, "shingle size must be >= 2")
+    val m = size(words) - (n - 1) // number of shingles
+    val shifted = (0 until n).map(k => slice(words, lit(k + 1), m))
+    val zipped = shifted.reduce((acc, next) =>
+      zip_with(acc, next, (a, b) => concat(a, lit(" "), b)))
+    when(size(words) >= n, zipped).otherwise(array().cast("array<string>"))
+  }
 
   /** Language-marker stopword lists (tiny n-gram heuristic). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

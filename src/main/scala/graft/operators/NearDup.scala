@@ -23,12 +23,20 @@ import graft.functions.TextFunctions
   */
 object NearDup {
 
+  /** Corpus tables often arrive as few large files (here: one parquet per
+    * table), which Spark scans with near-zero parallelism. Shingling /
+    * hashing is CPU-bound per row, so spread rows across all cores first —
+    * one cheap shuffle of raw text buys full-width compute on every
+    * downstream stage. */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact word n-gram Jaccard over all candidate pairs sharing ≥1 shingle.
     * Emits (a_id, b_id, intersection, jaccard) for pairs ≥ threshold. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val words = TextFunctions.tokens(col(textCol))
-    val withSh = docs
+    val withSh = spread(docs)
       .select(col(idCol).as("doc_id"),
         array_distinct(TextFunctions.wordShingles(words, n)).as("__sh"))
       .filter(size(col("__sh")) > 0)
@@ -52,7 +60,7 @@ object NearDup {
                            shingleN: Int, numHashes: Int): DataFrame = {
     val words = TextFunctions.tokens(col(textCol))
     val sh = array_distinct(TextFunctions.wordShingles(words, shingleN))
-    val base = docs.select(col(idCol).as("doc_id"), sh.as("__sh"))
+    val base = spread(docs).select(col(idCol).as("doc_id"), sh.as("__sh"))
       .filter(size(col("__sh")) > 0)
     val sigs = (0 until numHashes).map { s =>
       array_min(transform(col("__sh"), x => md5(concat(lit(s + "|"), x)))).as(s"sig_$s")
@@ -88,7 +96,7 @@ object NearDup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
     require(bits <= 32, "md5 prefix provides 32 deterministic nibble bits here")
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = spread(docs).select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .withColumn("__h", md5(col("__t")))
     val sums = (0 until bits).map { j =>
