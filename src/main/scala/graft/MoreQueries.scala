@@ -1,0 +1,349 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Queries.QueryDef
+import graft.operators.AsOf
+
+/** Second wave of operator-coverage queries: pivot/cube/grouping-sets
+  * lattices, exact quantiles, the full window-navigation surface, a true
+  * 30-day RANGE frame, lateral top-N, as-of join, generators, array and
+  * string scalar families, set ops, null-safe joins, ordered-arg
+  * aggregates, and the no-oracle approx/xxhash scale demos. */
+object MoreQueries {
+
+  private val D2 = DecimalType(18, 2)
+  private def money(c: Column): Column = c.cast(D2)
+  private def emit2(c: Column): Column = c.cast("double")
+  private def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  private def oMoney(x: String) = s"CAST($x AS DECIMAL(18,2))"
+  private def oSum2(x: String) = s"CAST(SUM(${oMoney(x)}) AS DOUBLE)"
+
+  /** A7 transpose: the pivot RELATIONAL operator (not just the rollup
+    * lattice) — status columns out of status rows. */
+  private val q26 = QueryDef(
+    "q26_pivot",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(emit2(sum(money(col("o_totalprice"))))),
+    Some(s"""
+      SELECT o_orderpriority,
+             CAST(SUM(${oMoney("o_totalprice")}) FILTER (WHERE o_orderstatus='F') AS DOUBLE) AS F,
+             CAST(SUM(${oMoney("o_totalprice")}) FILTER (WHERE o_orderstatus='O') AS DOUBLE) AS O,
+             CAST(SUM(${oMoney("o_totalprice")}) FILTER (WHERE o_orderstatus='P') AS DOUBLE) AS P
+      FROM orders GROUP BY o_orderpriority"""))
+
+  /** A8 generalization: full CUBE lattice with grouping_id. */
+  private val q27 = QueryDef(
+    "q27_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        emit2(sum(money(col("o_totalprice")))).as("revenue"),
+        grouping_id().cast("int").as("gid")),
+    Some(s"""
+      SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year,
+             COUNT(*) AS n_orders, ${oSum2("o_totalprice")} AS revenue,
+             CAST(GROUPING(o_orderstatus, year(o_orderdate)) AS INT) AS gid
+      FROM orders GROUP BY CUBE(o_orderstatus, year(o_orderdate))"""))
+
+  /** Explicit GROUPING SETS (the exact pivot-subtotal shape when neither
+    * rollup nor cube fits). */
+  private val q28 = QueryDef(
+    "q28_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        grouping_id().cast("int").as("gid")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
+
+  /** Exact interpolated percentiles + distinct counts per group. */
+  private val q29 = QueryDef(
+    "q29_quantiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS median_qty,
+             quantile_cont(l_quantity, 0.9) AS p90_qty,
+             COUNT(DISTINCT l_partkey) AS nd_parts, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Window navigation family: lag/lead/first_value + day deltas
+    * (completes the §2.5 frame coverage beyond the reference's set). */
+  private val q42 = QueryDef(
+    "q42_lead_lag",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        dstr(col("o_orderdate")).as("order_date"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date"))
+          .as("days_since_prev"),
+        ntile(4).over(w).cast("int").as("quartile"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             lag(o_orderkey, 1) OVER w AS prev_orderkey,
+             lead(o_orderkey, 1) OVER w AS next_orderkey,
+             first_value(o_orderkey) OVER w AS first_orderkey,
+             CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS INT)
+               AS days_since_prev,
+             CAST(ntile(4) OVER w AS INT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
+
+  /** True 30-DAY rolling revenue via a RANGE frame over day numbers — the
+    * calendar-correct contrast to the reference's 30-ROW frame (W3). */
+  private val q43 = QueryDef(
+    "q43_range_30day",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val daily = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(sum(money(col("o_totalprice"))).as("daily_rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name"))
+        .orderBy(unix_date(col("order_date")))
+        .rangeBetween(-29, org.apache.spark.sql.expressions.Window.currentRow)
+      daily.select(col("n_name"), dstr(col("order_date")).as("order_date"),
+        emit2(col("daily_rev")).as("daily_rev"),
+        emit2(sum(col("daily_rev")).over(w)).as("rev_30day"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT n_name, CAST(o_orderdate AS DATE) AS order_date,
+               SUM(${oMoney("o_totalprice")}) AS daily_rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, CAST(o_orderdate AS DATE))
+      SELECT n_name, strftime(order_date, '%Y-%m-%d') AS order_date,
+             CAST(CAST(daily_rev AS DECIMAL(18,2)) AS DOUBLE) AS daily_rev,
+             CAST(CAST(SUM(daily_rev) OVER (PARTITION BY n_name
+               ORDER BY datediff('day', DATE '1970-01-01', order_date)
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE)
+               AS rev_30day
+      FROM daily"""))
+
+  /** LATERAL correlated top-N per row (Spark SQL >= 3.4 decorrelates it;
+    * the reference's CROSS APPLY TOP(1) generalized to TOP(2)). */
+  private val q44 = QueryDef(
+    "q44_lateral_topn",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+    },
+    Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"""))
+
+  /** As-of join: each order sees the customer's most recent STRICTLY
+    * earlier order (union-trick operator, one shuffle — no range join). */
+  private val q45 = QueryDef(
+    "q45_asof_join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      AsOf.join(o, o, Seq("o_custkey"),
+          leftTs = col("o_orderdate"), rightTs = col("o_orderdate"),
+          tiebreak = col("o_orderkey"),
+          payload = Seq("o_orderkey", "o_totalprice"), strict = true)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dstr(col("o_orderdate")).as("order_date"),
+          col("asof_o_orderkey").as("prev_orderkey"),
+          col("asof_o_totalprice").as("prev_totalprice"))
+    },
+    Some("""
+      SELECT o1.o_orderkey, o1.o_custkey,
+             strftime(o1.o_orderdate, '%Y-%m-%d') AS order_date,
+             (SELECT (max(struct_pack(ts := o2.o_orderdate, tb := o2.o_orderkey,
+                                      v := o2.o_orderkey))).v
+              FROM orders o2 WHERE o2.o_custkey = o1.o_custkey
+                AND o2.o_orderdate < o1.o_orderdate) AS prev_orderkey,
+             (SELECT (max(struct_pack(ts := o2.o_orderdate, tb := o2.o_orderkey,
+                                      v := o2.o_totalprice))).v
+              FROM orders o2 WHERE o2.o_custkey = o1.o_custkey
+                AND o2.o_orderdate < o1.o_orderdate) AS prev_totalprice
+      FROM orders o1"""))
+
+  /** Generators: posexplode over a split array (UDTF-shaped row expansion). */
+  private val q46 = QueryDef(
+    "q46_posexplode",
+    (s, d) => Tables.part(s, d)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+      .select(col("p_partkey"), col("pos").cast("int").as("pos"), col("word")),
+    Some("""
+      SELECT p_partkey, CAST(generate_subscripts(w, 1) - 1 AS INT) AS pos,
+             unnest(w) AS word
+      FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)"""))
+
+  /** Array scalar family over the embedding column (element access, size,
+    * min/max, predicate counts — all codegen-friendly, no UDF). */
+  private val q47 = QueryDef(
+    "q47_array_ops",
+    (s, d) => Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      array_max(col("embedding")).cast("double").as("vmax"),
+      array_min(col("embedding")).cast("double").as("vmin"),
+      size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+      element_at(col("embedding"), 1).cast("double").as("e1"),
+      element_at(col("embedding"), -1).cast("double").as("e_last")),
+    Some("""
+      SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+             CAST(embedding[1] AS DOUBLE) AS e1,
+             CAST(embedding[-1] AS DOUBLE) AS e_last
+      FROM embeddings"""))
+
+  /** String scalar family beyond the reference's §2.9 set. */
+  private val q48 = QueryDef(
+    "q48_string_funcs",
+    (s, d) => Tables.part(s, d).select(
+      col("p_partkey"),
+      substring_index(col("p_name"), " ", 1).as("first_word"),
+      reverse(col("p_brand")).as("brand_rev"),
+      translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels"),
+      instr(col("p_name"), "red").cast("int").as("red_pos"),
+      ascii(col("p_brand")).cast("int").as("brand_ascii"),
+      levenshtein(col("p_brand"), col("p_type")).cast("int").as("lev_dist"),
+      repeat(substring(col("p_brand"), 1, 2), 2).as("brand_rep")),
+    Some("""
+      SELECT p_partkey,
+             split_part(p_name, ' ', 1) AS first_word,
+             reverse(p_brand) AS brand_rev,
+             translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+             CAST(strpos(p_name, 'red') AS INT) AS red_pos,
+             CAST(ascii(p_brand) AS INT) AS brand_ascii,
+             CAST(levenshtein(p_brand, p_type) AS INT) AS lev_dist,
+             repeat(p_brand[1:2], 2) AS brand_rep
+      FROM part"""))
+
+  /** Set-op family completion: INTERSECT (q17 covers EXCEPT). */
+  private val q49 = QueryDef(
+    "q49_intersect",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    },
+    Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"""))
+
+  /** Null-safe equality (<=>) driving a FULL OUTER join of two keyed
+    * aggregates where the key itself is nullable. */
+  private val q50 = QueryDef(
+    "q50_nullsafe_full_join",
+    (s, d) => {
+      val e = Tables.events(s, d).withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast(IntegerType) % 10)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("k").as("ck")).agg(count(lit(1)).as("n_clicks"))
+      val errors = e.filter(col("event_type") === "error")
+        .groupBy(col("k").as("ek")).agg(count(lit(1)).as("n_errors"))
+      clicks.join(errors, col("ck") <=> col("ek"), "full")
+        .select(coalesce(col("ck"), col("ek")).as("k"),
+          col("n_clicks"), col("n_errors"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                   TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k
+                 FROM events),
+      clicks AS (SELECT k AS ck, COUNT(*) AS n_clicks FROM e
+                 WHERE event_type = 'click' GROUP BY k),
+      errors AS (SELECT k AS ek, COUNT(*) AS n_errors FROM e
+                 WHERE event_type = 'error' GROUP BY k)
+      SELECT coalesce(ck, ek) AS k, n_clicks, n_errors
+      FROM clicks FULL OUTER JOIN errors ON ck IS NOT DISTINCT FROM ek"""))
+
+  /** Ordered-argument aggregates: deterministic max_by/min_by via struct
+    * ordering, count_if, bool_and/bool_or. */
+  private val q51 = QueryDef(
+    "q51_arg_aggregates",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+          .getField("k").as("best_order"),
+        min(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+          .getField("k").as("worst_order"),
+        count_if(col("o_totalprice") > 100000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_totalprice") > 400000).as("any_huge")),
+    Some("""
+      SELECT o_orderstatus,
+             (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_order,
+             (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS worst_order,
+             CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+             bool_and(o_totalprice > 0) AS all_positive,
+             bool_or(o_totalprice > 400000) AS any_huge
+      FROM orders GROUP BY o_orderstatus"""))
+
+  /** Approximate aggregates — the 100 TB path where exact distinct counts
+    * and quantiles stop being affordable. Sketch internals are engine-
+    * specific, so no cross-engine oracle (driver does a rows>0 check);
+    * AccuracySpec asserts the error envelope against exact values. */
+  private val q52 = QueryDef(
+    "q52_approx_aggs",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        count(lit(1)).as("n")),
+    None)
+
+  /** xxhash64 surrogate/join keys — the §7.4(c) strategy for dims too big
+    * to window over; engine-specific hash, so no cross-engine oracle. */
+  private val q53 = QueryDef(
+    "q53_xxhash_keys",
+    (s, d) => Tables.customer(s, d).select(
+      col("c_custkey"),
+      xxhash64(col("c_name"), col("c_mktsegment")).as("xx_key"),
+      crc32(col("c_name").cast("binary")).as("crc_key"),
+      hash(col("c_name"), col("c_nationkey")).as("murmur_key")),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
+    q52, q53)
+}
