@@ -343,7 +343,38 @@ object MoreQueries {
       hash(col("c_name"), col("c_nationkey")).as("murmur_key")),
     None)
 
+  /** Multimodal metadata-only aggregation (payload column pruned from the
+    * scan); metadata derivation is deterministic from doc_id, so DuckDB
+    * can mirror it exactly. */
+  private val q54 = QueryDef(
+    "q54_media_metadata",
+    (s, d) => operators.Multimodal.metadataSummary(
+        operators.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+      .select(col("kind"), col("n_media"),
+        col("avg_width"), col("total_duration_ms")),
+    Some("""
+      WITH media AS (
+        SELECT doc_id,
+               ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+               CAST((doc_id % 64) + 16 AS INT) AS width,
+               CAST((doc_id % 5000) + 1000 AS BIGINT) AS duration_ms
+        FROM documents)
+      SELECT kind, COUNT(*) AS n_media,
+             CAST(SUM(CAST(width AS DOUBLE)) / COUNT(*) AS DOUBLE) AS avg_width,
+             CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
+      FROM media GROUP BY kind"""))
+
+  /** Multimodal decode + feature extraction (stub codec, real plumbing) —
+    * not SQL-expressible, driver does a rows>0 check; MultimodalSpec
+    * asserts determinism and batch shape. */
+  private val q55 = QueryDef(
+    "q55_media_features",
+    (s, d) => operators.Multimodal.extractFeatures(
+      operators.Multimodal.spreadForDecode(
+        operators.Multimodal.mediaFromDocuments(Tables.documents(s, d)))).toDF(),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53)
+    q52, q53, q54, q55)
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing (SURVEY §7.7 extension).
+  *
+  * Media are opaque `binary` payloads plus a typed metadata struct — the
+  * lakehouse-standard shape (same as HuggingFace datasets' Image/Audio
+  * columns or Spark's own `binaryFile` source). All the Spark-side plumbing
+  * is real and tested: schemas, per-partition batched processing, kind
+  * dispatch, frame-explosion, and partitioning. The codec itself is a
+  * clearly-marked DETERMINISTIC STUB (`FakeCodec`) because no image/audio
+  * libraries exist in this container: it synthesizes pixel/sample bytes
+  * from a seeded hash of the payload, so every test is reproducible and the
+  * operator shape (batch in → batch out, bounded memory per partition) is
+  * exactly what a real libjpeg/ffmpeg binding would drop into.
+  *
+  * Scale shape: decode/feature-extract run as `mapPartitions` over the
+  * payload column only after column pruning — a scan that needs metadata
+  * never touches bytes. Partition count governs decode parallelism;
+  * `spreadForDecode` rebalances skewed media sizes before the CPU-heavy
+  * stage (same rationale as NearDup.spread).
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, channels: Int,
+                             sampleRate: Int, durationMs: Long, format: String)
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                            meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                                 mean: Double, std: Double, p_zero: Double)
+  final case class Frame(media_id: Long, frame_no: Int, payload: Array[Byte])
+
+  /** DETERMINISTIC STUB for the native codec boundary. A real deployment
+    * replaces exactly these three functions with JNI/process bindings;
+    * nothing outside this object would change. */
+  object FakeCodec {
+    /** "Decode" a payload to raw bytes of the metadata-implied size. */
+    def decode(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
+      val n = math.max(1, meta.width * meta.height * math.max(meta.channels, 1))
+      val out = new Array[Byte](math.min(n, 1 << 16)) // cap for tests
+      var h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+      var i = 0
+      while (i < out.length) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(i) = (h >>> 56).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** "Resize": deterministic stride subsample to the target dimensions. */
+    def resize(decoded: Array[Byte], from: MediaMeta, w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, w * h * math.max(from.channels, 1))
+      val stride = math.max(1, decoded.length / target)
+      decoded.indices.by(stride).take(target).map(decoded).toArray
+    }
+
+    /** "Frame-sample" a video payload: one pseudo-frame per sampled index. */
+    def sampleFrames(row: MediaRow, everyNth: Int): Iterator[Frame] = {
+      val fps = 25
+      val nFrames = math.max(1, (row.meta.durationMs * fps / 1000).toInt)
+      Iterator.range(0, nFrames, everyNth).map { f =>
+        decodeFrameStub(row, f)
+      }
+    }
+    private def decodeFrameStub(row: MediaRow, f: Int): Frame =
+      Frame(row.media_id, f,
+        decode(row.payload :+ (f & 0xff).toByte,
+          row.meta.copy(width = row.meta.width / 8, height = row.meta.height / 8)))
+  }
+
+  /** Build a media table from the documents test table (no binary test
+    * fixture ships with the driver data): payload = utf8 text bytes, kind
+    * and metadata derived deterministically from doc attributes. */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"),
+        lit(3).as("channels"),
+        lit(16000).as("sampleRate"),
+        (pmod(col("doc_id"), lit(5000)) + 1000).cast("long").as("durationMs"),
+        element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format")).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** Rebalance before CPU-heavy decode (media sizes are often skewed). */
+  def spreadForDecode(media: Dataset[MediaRow]): Dataset[MediaRow] =
+    media.repartition(media.sparkSession.sparkContext.defaultParallelism,
+      col("media_id"))
+
+  /** Decode + feature-extract, batched per partition (the Scala analogue
+    * of a Pandas-UDF `mapInPandas`: one iterator in, one iterator out,
+    * bounded memory, no per-row function-call overhead). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = FakeCodec.decode(r.payload, r.meta)
+        val n = bytes.length
+        val vals = bytes.map(b => (b & 0xff).toDouble)
+        val mean = vals.sum / n
+        val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / n)
+        MediaFeatures(r.media_id, r.kind, n, mean, std,
+          vals.count(_ == 0).toDouble / n)
+      }
+    }
+  }
+
+  /** Resize images to a thumbnail; non-images pass through untouched. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.kind != "image") r
+      else {
+        val decoded = FakeCodec.decode(r.payload, r.meta)
+        r.copy(payload = FakeCodec.resize(decoded, r.meta, w, h),
+          meta = r.meta.copy(width = w, height = h))
+      }
+    })
+  }
+
+  /** Explode videos into sampled frames (row-expanding, partition-local). */
+  def sampleVideoFrames(media: Dataset[MediaRow], everyNth: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video")
+      .mapPartitions(_.flatMap(r => FakeCodec.sampleFrames(r, everyNth)))
+  }
+
+  /** Metadata-only scan: must never deserialize payload bytes (column
+    * pruning does this for free once metadata lives in its own column). */
+  def metadataSummary(media: Dataset[MediaRow]): DataFrame =
+    media.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        avg(col("meta.width")).as("avg_width"),
+        sum(col("meta.durationMs")).as("total_duration_ms"))
+}

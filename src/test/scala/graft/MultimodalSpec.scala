@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{FakeCodec, MediaMeta}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def available = new java.io.File(s"$sf/documents.parquet").exists()
+
+  private lazy val media =
+    Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+
+  test("media table schema: opaque binary payload + typed metadata struct") {
+    assume(available)
+    val schema = media.schema
+    schema("payload").dataType.typeName shouldBe "binary"
+    schema("meta").dataType.typeName shouldBe "struct"
+    media.count() should be > 0L
+    col1(media.select("kind").distinct()) shouldBe Seq("audio", "image", "video")
+  }
+
+  test("feature extraction is deterministic and batch-shaped") {
+    assume(available)
+    val f1 = Multimodal.extractFeatures(Multimodal.spreadForDecode(media))
+      .orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    f1.map(_.mean).toSeq shouldBe f2.map(_.mean).toSeq // partitioning-invariant
+    f1.foreach { f =>
+      f.n_bytes should be > 0
+      f.mean should (be >= 0.0 and be <= 255.0)
+    }
+  }
+
+  test("resize changes image payload + metadata, passes others through") {
+    assume(available)
+    val resized = Multimodal.resizeImages(media, 8, 8)
+    val img = resized.filter($"kind" === "image").head()
+    img.meta.width shouldBe 8
+    img.meta.height shouldBe 8
+    img.payload.length shouldBe (8 * 8 * 3)
+    val audioBefore = media.filter($"kind" === "audio").head()
+    val audioAfter = resized.filter($"kind" === "audio" &&
+      $"media_id" === audioBefore.media_id).head()
+    audioAfter.payload.toSeq shouldBe audioBefore.payload.toSeq
+  }
+
+  test("video frame sampling expands rows with the expected cardinality") {
+    assume(available)
+    val one = media.filter($"kind" === "video").orderBy("media_id").head()
+    val fps = 25
+    val expected = math.max(1, (one.meta.durationMs * fps / 1000).toInt)
+    val frames = Multimodal.sampleVideoFrames(
+      media.filter($"media_id" === one.media_id), everyNth = 10)
+    frames.count() shouldBe ((expected + 9) / 10)
+    frames.head().payload.length should be > 0
+  }
+
+  test("metadata-only scan prunes the payload column out of the plan") {
+    assume(available)
+    val summary = Multimodal.metadataSummary(media)
+    summary.count() shouldBe 3
+    // the optimized scan must not read the payload bytes
+    val plan = summary.queryExecution.optimizedPlan.toString
+    plan.toLowerCase should not include "payload"
+  }
+
+  test("FakeCodec stub: decode size follows metadata, resize strides down") {
+    val meta = MediaMeta(16, 16, 3, 0, 0, "jpeg")
+    val d = FakeCodec.decode("abc".getBytes, meta)
+    d.length shouldBe (16 * 16 * 3)
+    FakeCodec.decode("abc".getBytes, meta).toSeq shouldBe d.toSeq // deterministic
+    FakeCodec.resize(d, meta, 4, 4).length shouldBe (4 * 4 * 3)
+  }
+}
