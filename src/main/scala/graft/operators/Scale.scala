@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew and co-location tools for the 100 TB posture (SURVEY §7.6).
+  *
+  * These address the two places where a plan that is correct at sf0.1
+  * falls over at cluster scale:
+  *
+  *  - a handful of hot keys (the Region=4 problem): `saltedAggregate`
+  *    splits each hot group across `buckets` sub-groups and re-combines;
+  *    `saltedJoin` replicates the small side per salt so the big side's
+  *    hot key spreads over `buckets` tasks. AQE's skew-join handles sort-
+  *    merge skew automatically; explicit salting remains necessary for
+  *    aggregations and for deterministic layout control.
+  *
+  *  - dimension surrogate keys that need a global row_number (single-task
+  *    sort): `hashKeyDim` derives keys with xxhash64 on the natural key —
+  *    fully parallel, stable across runs and clusters, no window. The
+  *    trade-off is non-dense 64-bit keys and a (vanishingly small but
+  *    checkable) collision risk, surfaced via `hashCollisionCount`.
+  */
+object Scale {
+
+  /** Salted sum: two-phase aggregation that never concentrates a hot key
+    * in one task. The same shape generalizes to any decomposable
+    * aggregate (count/min/max: re-aggregate the partials; avg: carry
+    * sum+count). */
+  def saltedSum(df: DataFrame, keys: Seq[String], value: Column,
+                saltSource: Column, buckets: Int, as: String): DataFrame =
+    df.withColumn("__salt", pmod(saltSource, lit(buckets)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(value).as(as))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(as)).as(as))
+
+  /** Salted equi-join: big side salted deterministically, small side
+    * replicated `buckets`×. Semantics identical to
+    * `big.join(small, keys)`; the hot key's probe work spreads over
+    * `buckets` tasks at the cost of replicating the small side. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltSource: Column, buckets: Int): DataFrame = {
+    val b = big.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
+
+  /** §7.4(c): hash surrogate keys — parallel, stable, windowless. */
+  def hashKeyDim(src: DataFrame, naturalKey: Seq[String],
+                 keyCol: String): DataFrame =
+    src.select(naturalKey.map(col): _*).distinct()
+      .withColumn(keyCol, xxhash64(naturalKey.map(col): _*))
+
+  /** Post-build collision check (must be 0 before trusting hash keys). */
+  def hashCollisionCount(dim: DataFrame, keyCol: String): Long =
+    dim.groupBy(col(keyCol)).count().filter(col("count") > 1).count()
+}
