@@ -374,7 +374,103 @@ object MoreQueries {
         operators.Multimodal.mediaFromDocuments(Tables.documents(s, d)))).toDF(),
     None)
 
+  /** Proper winnowing (not just the global-min fingerprint of q32): min
+    * hash per sliding window over the POSITIONAL shingle sequence, then
+    * the distinct fingerprint set per document. Local edits perturb only
+    * the windows they touch. */
+  private val q56 = QueryDef(
+    "q56_winnow_fingerprints",
+    (s, d) => {
+      val w = 4
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val sh = graft.functions.TextFunctions.wordShingles(toks, 3) // ordered!
+      Tables.documents(s, d)
+        .select(col("doc_id"), transform(sh, x => md5(x)).as("__h"))
+        .filter(size(col("__h")) >= w)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("__h")) - (w - 1)),
+            i => array_min(slice(col("__h"), i, lit(w)))))).as("fingerprint"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+                 FROM documents),
+      sh AS (SELECT doc_id,
+               list_transform(range(1, len(w) - 1),
+                 i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS h
+             FROM t WHERE len(w) >= 3),
+      wins AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(h) - 2),
+                   i -> list_aggregate(h[i:i+3], 'min'))) AS fps
+               FROM sh WHERE len(h) >= 4)
+      SELECT doc_id, unnest(fps) AS fingerprint FROM wins"""))
+
+  /** TF-IDF-style term scoring. The idf factor is the raw ratio
+    * (N - df + 0.5)/(df + 0.5) — BM25's idf argument without the log:
+    * IEEE +-*\/ are correctly rounded so the score is bit-identical
+    * across engines, which ln() does not guarantee. Real pipelines wrap
+    * ln() around exactly this ratio. */
+  private val q57 = QueryDef(
+    "q57_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) >= 4)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(broadcast(df_), "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast("double") *
+            ((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5))).as("score"))
+        .filter(col("score") > 1.0)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(list_filter(
+                      string_split_regex(text, '\s+'), x -> x <> '')) AS term
+                    FROM documents),
+      f AS (SELECT * FROM toks WHERE length(term) >= 4),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM f GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) *
+               ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+                (CAST(df.df AS DOUBLE) + 0.5)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE CAST(tf.tf AS DOUBLE) *
+              ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+               (CAST(df.df AS DOUBLE) + 0.5)) > 1.0"""))
+
+  /** Deterministic train/val/test split by content-independent key hash —
+    * the scalable, engine-portable alternative to sampleBy: stable under
+    * re-runs, repartitioning, and engine changes. */
+  private val q58 = QueryDef(
+    "q58_hash_split", {
+      (s, d) =>
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+          16, 10).cast("int") % 100
+        Tables.documents(s, d).select(
+          col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+    },
+    Some {
+      val nib = (j: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $j, 1)) - 1)"
+      val bucket = s"CAST(4096*${nib(1)} + 256*${nib(2)} + 16*${nib(3)} + ${nib(4)} AS INT) % 100"
+      s"""
+      SELECT doc_id, $bucket AS bucket,
+             CASE WHEN $bucket < 80 THEN 'train'
+                  WHEN $bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55)
+    q52, q53, q54, q55, q56, q57, q58)
 }

@@ -118,6 +118,15 @@ object StarSchema {
         col("sales"), col("quantity"), col("discount"), col("profit"))
   }
 
+  /** J5: idempotent fact (re-)load — only lines whose (order_id,
+    * order_line_no) key is absent from the existing fact are appended
+    * (the reference's NOT EXISTS guard, SQLproject1.sql:612-615). A
+    * re-run with an already-loaded batch is a no-op. */
+  def appendFactIdempotent(existing: DataFrame, incoming: DataFrame): DataFrame =
+    existing.unionByName(
+      incoming.join(existing.select("order_id", "order_line_no"),
+        Seq("order_id", "order_line_no"), "left_anti"))
+
   final case class SuperstoreDims(
       date: DataFrame, shipMode: DataFrame, category: DataFrame,
       subCategory: DataFrame, geography: DataFrame,
