@@ -470,7 +470,74 @@ object MoreQueries {
       FROM documents"""
     })
 
+  private val EmbDim = 64
+  private val IvfK = 8
+  private def oDot(a: String, b: String) = "0.0 + " + (1 to EmbDim)
+    .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private def oCos(a: String, b: String) =
+    s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
+  private val oCentroids = s"""
+      cent AS (SELECT vec_id AS centroid_id, embedding AS cemb
+               FROM embeddings
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfK)"""
+
+  /** IVF assignment: nearest deterministic seed centroid per vector (the
+    * build side of the inverted-file ANN index). */
+  private val q59 = QueryDef(
+    "q59_ivf_assign",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Similarity.ivfAssign(e, "vec_id", "embedding",
+        graft.operators.Similarity.ivfCentroids(e, "vec_id", "embedding", IvfK))
+    },
+    Some(s"""
+      WITH $oCentroids,
+      sc AS (SELECT e.vec_id, c.centroid_id,
+               ${oCos("e.embedding", "c.cemb")} AS cos
+             FROM embeddings e CROSS JOIN cent c),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, centroid_id) AS rn FROM sc)
+      SELECT vec_id, centroid_id, cos AS centroid_cos FROM rk WHERE rn = 1"""))
+
+  /** IVF top-k search probing nprobe=2 of $IvfK buckets — candidate volume
+    * is corpus * nprobe / k instead of the full corpus. */
+  private val q60 = QueryDef(
+    "q60_ivf_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Similarity.ivfTopK(e, "vec_id", "embedding",
+        col("vec_id") < 10,
+        graft.operators.Similarity.ivfCentroids(e, "vec_id", "embedding", IvfK),
+        k = 3, nprobe = 2)
+    },
+    Some(s"""
+      WITH $oCentroids,
+      asc_ AS (SELECT vec_id, centroid_id FROM (
+               SELECT e.vec_id, c.centroid_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${oCos("e.embedding", "c.cemb")} DESC,
+                                 c.centroid_id) AS rn
+               FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS qemb FROM embeddings
+            WHERE vec_id < 10),
+      qc AS (SELECT q_id, qemb, centroid_id FROM (
+             SELECT q.q_id, q.qemb, c.centroid_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.q_id
+                      ORDER BY ${oCos("q.qemb", "c.cemb")} DESC,
+                               c.centroid_id) AS rn
+             FROM q CROSS JOIN cent c) WHERE rn <= 2),
+      cand AS (SELECT qc.q_id, qc.qemb, e.vec_id AS n_id, e.embedding AS nemb
+               FROM qc
+               JOIN asc_ a ON a.centroid_id = qc.centroid_id
+               JOIN embeddings e ON e.vec_id = a.vec_id
+               WHERE qc.q_id <> e.vec_id),
+      sc AS (SELECT q_id, n_id, ${oCos("qemb", "nemb")} AS cosine FROM cand),
+      rk AS (SELECT q_id, n_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, n_id) AS INT) AS rank FROM sc)
+      SELECT q_id, n_id, cosine, rank FROM rk WHERE rank <= 3"""))
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

@@ -55,6 +55,69 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
   }
 
+  // ---- IVF (inverted-file) ANN: the centroid-bucketed scale path --------
+
+  /** Deterministic IVF seed centroids: the k vectors with the smallest
+    * md5(vec_id) — an arbitrary but engine-portable pseudo-random draw.
+    * (A production IVF refines these with Lloyd iterations; element-wise
+    * mean centroids are deliberately NOT computed here because distributed
+    * float summation order would break cross-engine reproducibility.) */
+  def ivfCentroids(embeddings: DataFrame, idCol: String, embCol: String,
+                   k: Int): DataFrame =
+    embeddings
+      .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_emb"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"), col("centroid_id"))
+      .limit(k)
+      .drop("__h")
+
+  /** Assign every vector to its nearest centroid by cosine (broadcast of
+    * the tiny centroid set; one scan, no shuffle of the corpus). */
+  def ivfAssign(embeddings: DataFrame, idCol: String, embCol: String,
+                centroids: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val scored = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("cos",
+        call_function("vec_cosine", col(embCol), col("centroid_emb")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("centroid_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("centroid_id"), col("cos").as("centroid_cos"))
+  }
+
+  /** IVF top-k search: probe only the `nprobe` nearest centroid buckets
+    * per query. Candidate volume is corpus/k * nprobe instead of the whole
+    * corpus — the 100 TB trade of recall for a k-fold scan cut. Join is on
+    * the small centroid id (bucket), never a cross join of the corpus. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, embCol: String,
+              queryPredicate: Column, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val assigned = ivfAssign(embeddings, idCol, embCol, centroids)
+    val corpus = embeddings.select(col(idCol).as("n_id"), col(embCol).as("__n_emb"))
+      .join(assigned.select(col(idCol).as("n_id"), col("centroid_id")), "n_id")
+    val queries = embeddings.filter(queryPredicate)
+      .select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+    // top-nprobe centroids per query
+    val qc = queries.crossJoin(broadcast(centroids))
+      .withColumn("cos",
+        call_function("vec_cosine", col("__q_emb"), col("centroid_emb")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("__q_emb"), col("centroid_id"))
+    qc.join(corpus, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        call_function("vec_cosine", col("__q_emb"), col("__n_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("n_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p, i) is derived
     * from an md5 nibble, shifted to be zero-centered (value − 7.5). Public
     * md5 arithmetic only, so any engine can reproduce the planes. */
