@@ -537,7 +537,24 @@ object MoreQueries {
                  ORDER BY cosine DESC, n_id) AS INT) AS rank FROM sc)
       SELECT q_id, n_id, cosine, rank FROM rk WHERE rank <= 3"""))
 
+  /** One-scan column profiler over a mixed-type column set. */
+  private val q61 = QueryDef(
+    "q61_profile",
+    (s, d) => graft.operators.Quality.profile(Tables.orders(s, d),
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")),
+    Some {
+      def one(c: String) = s"""
+        SELECT '$c' AS column_name, COUNT($c) AS n_present,
+               COUNT(*) - COUNT($c) AS n_null,
+               COUNT(DISTINCT $c) AS n_distinct,
+               CAST(MIN($c) AS VARCHAR) AS min_value,
+               CAST(MAX($c) AS VARCHAR) AS max_value
+        FROM orders"""
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .map(one).mkString("\n        UNION ALL")
+    })
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }

@@ -36,6 +36,29 @@ object Quality {
       .select(col("issue_type"), col("issue_detail"), col("row_count"))
   }
 
+  /** One-pass column profiler: null rate, distinct count, min/max per
+    * column, one output row per column (values canonicalized to strings).
+    * The single wide aggregate keeps it at ONE table scan regardless of
+    * column count — at 100 TB, profiling must not be N scans. */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = one.select(explode(array(columns.map(c =>
+      struct(lit(c).as("column_name"),
+        col(s"__cnt_$c").as("n_present"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))): _*)).as("p"))
+    stacked.select(col("p.*"))
+  }
+
   /** §1.3 constraint checks (Spark enforces nothing — assert post-build). */
   def duplicateKeyCount(df: DataFrame, keys: Seq[String]): Long =
     df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()

@@ -56,6 +56,19 @@ object StreamOps {
       .withColumn("session_end", col("session.end"))
       .drop("session")
 
+  /** Watermarked stream-stream interval join: right events join left
+    * events with the same key when they occur within `withinSec` AFTER the
+    * left event. Both sides carry watermarks so the join state is bounded
+    * — Spark drops buffered rows once they age past watermark + interval. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, watermark: String,
+                   withinSec: Int): DataFrame =
+    left.withWatermark(leftTs, watermark).join(
+      right.withWatermark(rightTs, watermark),
+      left(key) === right(key) &&
+        right(rightTs) >= left(leftTs) &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $withinSec SECONDS"))
+
   // ---- custom state: running per-key counters via mapGroupsWithState -----
 
   final case class KeyedEvent(key: String, ts: Timestamp, value: Double)
