@@ -554,7 +554,26 @@ object MoreQueries {
         .map(one).mkString("\n        UNION ALL")
     })
 
+  /** JSON scalar surface: path extraction (string + typed via from_json
+    * schema) and construction (to_json over a struct). */
+  private val q62 = QueryDef(
+    "q62_json_ops",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").try_cast(IntegerType).as("k_path"),
+      from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k").as("k_typed"),
+      to_json(struct(col("event_type").as("t"),
+        col("user_id").as("u"))).as("json_out")),
+    Some("""
+      SELECT event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+             CAST(to_json(struct_pack(t := event_type, u := user_id)) AS VARCHAR)
+               AS json_out
+      FROM events"""))
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }
