@@ -40,15 +40,18 @@ object NearDup {
       .select(col(idCol).as("doc_id"),
         array_distinct(TextFunctions.wordShingles(words, n)).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val sh = withSh.select(col("doc_id"), explode(col("__sh")).as("s"))
-    val sizes = withSh.select(col("doc_id"), size(col("__sh")).as("n_sh"))
+    // carry each doc's shingle count on every posting row: the pair
+    // aggregation then has both set sizes in hand, so no separate `sizes`
+    // branch (which would recompute the shingle subtree — no exchange to
+    // reuse across a different shuffle key) and no post-join lookups
+    val sh = withSh.select(col("doc_id"), size(col("__sh")).as("n_sh"),
+      explode(col("__sh")).as("s"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("intersection"))
+      .agg(count(lit(1)).as("intersection"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
     pairs
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
       .withColumn("jaccard", col("intersection").cast("double") /
         (col("n_a") + col("n_b") - col("intersection")).cast("double"))
       .filter(col("jaccard") >= threshold)
