@@ -573,7 +573,62 @@ object MoreQueries {
                AS json_out
       FROM events"""))
 
+  /** Gopher-style repetition quality signals: a document dominated by one
+    * term or one bigram is low-quality training data. All ratios are
+    * integer-derived doubles (exact division — deterministic cross-engine). */
+  private val q63 = QueryDef(
+    "q63_repetition_signals",
+    (s, d) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("__t"),
+          graft.functions.TextFunctions.wordShingles(toks, 2).as("__b"))
+      val tf = base.select(col("doc_id"), explode(col("__t")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max(col("tf")).as("max_tf"))
+      val bf = base.select(col("doc_id"), explode(col("__b")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("bf"))
+        .groupBy("doc_id")
+        .agg(sum(col("bf")).as("n_bigrams"), max(col("bf")).as("max_bf"))
+      tf.join(bf, "doc_id").select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"),
+        (col("max_tf").cast("double") / col("n_tokens").cast("double"))
+          .as("top_term_share"),
+        (col("max_bf").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_share"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${oToksQ63("text")} AS w FROM documents),
+      tf AS (SELECT doc_id, unnest(w) AS term FROM t),
+      tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+      ta AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                    COUNT(*) AS n_distinct, MAX(tf) AS max_tf
+             FROM tfc GROUP BY doc_id),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS bg
+             FROM t WHERE len(w) >= 2),
+      bgc AS (SELECT doc_id, bg, COUNT(*) AS bf FROM bg GROUP BY 1, 2),
+      ba AS (SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+                    MAX(bf) AS max_bf
+             FROM bgc GROUP BY doc_id)
+      SELECT ta.doc_id, n_tokens, n_distinct,
+             CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS distinct_ratio,
+             CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS top_term_share,
+             CAST(max_bf AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+               AS top_bigram_share
+      FROM ta JOIN ba ON ta.doc_id = ba.doc_id"""))
+
+  private def oToksQ63(t: String) =
+    s"list_filter(string_split_regex($t, '\\s+'), x -> x <> '')"
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 }
