@@ -48,7 +48,7 @@ object AsOf {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftSideRank && col("__ts").isNotNull)
-      .select(leftCols.map(col) ++
+      .select(leftCols.toIndexedSeq.map(col) ++
         payload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
   }
 }

@@ -37,6 +37,6 @@ object Dims {
       .crossJoin(broadcast(maxKey))
       .withColumn(keyCol, (col("__mx") + col("__rn")).cast("long"))
       .drop("__rn", "__mx")
-    existing.unionByName(keyed.select(existing.columns.map(col): _*))
+    existing.unionByName(keyed.select(existing.columns.toIndexedSeq.map(col): _*))
   }
 }

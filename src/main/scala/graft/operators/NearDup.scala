@@ -66,7 +66,7 @@ object NearDup {
     val base = spread(docs).select(col(idCol).as("doc_id"), sh.as("__sh"))
       .filter(size(col("__sh")) > 0)
     val sigs = (0 until numHashes).map { s =>
-      array_min(transform(col("__sh"), x => md5(concat(lit(s + "|"), x)))).as(s"sig_$s")
+      array_min(transform(col("__sh"), x => md5(concat(lit(s"$s|"), x)))).as(s"sig_$s")
     }
     base.select(col("doc_id") +: sigs: _*)
   }

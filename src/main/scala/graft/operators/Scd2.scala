@@ -71,7 +71,7 @@ object Scd2 {
       .withColumn("is_current", lit(true))
 
     Seq(history, kept, closed, newVersions, brandNew)
-      .map(_.select(kept.columns.map(col): _*))
+      .map(_.select(kept.columns.toIndexedSeq.map(col): _*))
       .reduce(_ unionByName _)
   }
 }
