@@ -25,6 +25,8 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, on: Seq[String],
            leftTs: Column, rightTs: Column, tiebreak: Column,
            payload: Seq[String], strict: Boolean = false): DataFrame = {
+    val reserved = Set("__ts", "__side", "__tb", "__rv", "__match")
+    require(!left.columns.exists(reserved), s"left side must not contain ${reserved.mkString(", ")}")
     val leftSideRank = if (strict) 0 else 1 // smaller sorts first
     val rightSideRank = 1 - leftSideRank
     val keyCols = on.map(col)
