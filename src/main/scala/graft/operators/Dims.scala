@@ -24,6 +24,38 @@ object Dims {
       row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
   }
 
+  /** Dense deterministic surrogate keys WITHOUT a single-task global
+    * window — the at-scale IDENTITY replacement for dims too large for
+    * [[buildDim]]. Range-partition the distinct natural keys, number rows
+    * within each partition, then add each partition's starting offset
+    * (computed from per-partition counts — one tiny driver-side action
+    * over numPartitions integers, never the data). Output is identical to
+    * [[buildDim]] on the same input; only the plan shape differs. */
+  def buildDimDistributed(src: DataFrame, naturalKey: Seq[String],
+                          keyCol: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val n = if (partitions > 0) partitions
+      else src.sparkSession.sparkContext.defaultParallelism
+    val keys = naturalKey.map(col)
+    val sorted = src.select(keys: _*).distinct()
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    val numbered = sorted.withColumn("__rn", row_number().over(localW))
+      .localCheckpoint() // freeze partitioning: counts + keys must agree
+    val counts = numbered.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L) { (acc, p) =>
+      acc + counts.getOrElse(p, 0L)
+    }
+    val offsetCol = (0 until n).foldLeft(lit(0L)) { (acc, p) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    numbered.withColumn(keyCol, (offsetCol + col("__rn")).cast("long"))
+      .drop("__pid", "__rn")
+  }
+
   /** J7: MERGE ... WHEN NOT MATCHED THEN INSERT (SQLproject1.sql:390-416) —
     * existing rows keep their surrogate keys; unseen natural keys are
     * appended with keys offset past max(existing). */

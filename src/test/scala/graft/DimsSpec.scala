@@ -22,6 +22,23 @@ class DimsSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
   }
 
+  test("buildDimDistributed: identical keys to buildDim, no global window") {
+    val src = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select($"c_name".as("nk"))
+    val global = Dims.buildDim(src, Seq("nk"), "k")
+    val dist = Dims.buildDimDistributed(src, Seq("nk"), "k", partitions = 4)
+    dist.count() shouldBe global.count()
+    global.except(dist).count() shouldBe 0
+    dist.except(global).count() shouldBe 0
+    // keys are dense 1..n
+    dist.agg(min($"k"), max($"k")).as[(Long, Long)].head() shouldBe
+      ((1L, global.count()))
+    // and the plan has no empty-partitionBy window
+    val plan = Dims.buildDimDistributed(src, Seq("nk"), "k", partitions = 4)
+      .queryExecution.executedPlan.toString
+    plan should not include "windowspecdefinition(nk"
+  }
+
   test("insertOnlyMerge is idempotent when nothing is new") {
     val existing = Dims.buildDim(Seq("a", "b").toDF("nk"), Seq("nk"), "k")
     val merged = Dims.insertOnlyMerge(existing, Seq("a", "b").toDF("nk"),
