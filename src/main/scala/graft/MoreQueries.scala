@@ -628,7 +628,30 @@ object MoreQueries {
   private def oToksQ63(t: String) =
     s"list_filter(string_split_regex($t, '\\s+'), x -> x <> '')"
 
+  /** Deterministic stratified sampling: exactly N docs per language,
+    * chosen by md5-hash order — reproducible across engines, runs, and
+    * partitionings (unlike sampleBy's RNG), the standard way to carve
+    * balanced eval sets out of a skewed corpus. */
+  private val q64 = QueryDef(
+    "q64_stratified_sample",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 25)
+        .select(col("doc_id"), col("lang"), col("__rn").cast("int").as("sample_rank"))
+    },
+    Some("""
+      SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank
+      FROM (SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 25"""))
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }
