@@ -26,7 +26,11 @@ object Tables {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark only reads
     * as a raw long under the legacy conf. Convert to micros (truncating, the
     * same thing DuckDB's TIMESTAMP does) so downstream code sees a normal
-    * TimestampType column. */
+    * TimestampType column.
+    *
+    * Known side effect: the legacy conf stays set on the session, so other
+    * TIMESTAMP(NANOS) parquet reads (none exist in this corpus) would also
+    * surface raw longs. There is no per-read option for this flag. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integer division: ns epochs (~1.7e18) exceed double precision, so
@@ -38,7 +42,14 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` mirrors the
-    * DuckDB oracle's view of the data. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    * DuckDB oracle's view of the data. Goes through the typed loaders so
+    * `events` gets its nanos→micros ts conversion, not the raw long. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+      "embeddings" -> embeddings)
+    names.foreach(n => loaders(n)(spark, sfDir).createOrReplaceTempView(n))
+  }
 }

@@ -32,9 +32,13 @@ object AsOf {
     val keyCols = on.map(col)
     val leftCols = left.columns
 
-    val r = right.select(keyCols :+ rightTs.as("__ts") :+
-      lit(rightSideRank).as("__side") :+ tiebreak.cast("long").as("__tb") :+
-      struct(payload.map(col): _*).as("__rv"): _*)
+    // null-ts right rows would sort first (nulls-first) and leak their
+    // payload into every left row with no genuine predecessor — they can
+    // never satisfy ts <= / < anything, so drop them up front
+    val r = right.filter(rightTs.isNotNull)
+      .select(keyCols :+ rightTs.as("__ts") :+
+        lit(rightSideRank).as("__side") :+ tiebreak.cast("long").as("__tb") :+
+        struct(payload.map(col): _*).as("__rv"): _*)
     val rvType = r.schema("__rv").dataType.catalogString
 
     val l = left
@@ -47,9 +51,11 @@ object AsOf {
       .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // null-ts LEFT rows sort first, see no prior right rows, and correctly
+    // emit a NULL payload — they are preserved, as a left join would
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === leftSideRank && col("__ts").isNotNull)
+      .filter(col("__side") === leftSideRank)
       .select(leftCols.toIndexedSeq.map(col) ++
         payload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
   }

@@ -17,6 +17,7 @@ object Quality {
 
   /** Evaluate all rules in a single scan; one output row per rule. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Quality.check needs at least one rule")
     val aggs = rules.zipWithIndex.map { case (r, i) =>
       count(when(r.predicate, lit(1))).as(s"__c$i")
     }
@@ -41,6 +42,7 @@ object Quality {
     * The single wide aggregate keeps it at ONE table scan regardless of
     * column count — at 100 TB, profiling must not be N scans. */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "Quality.profile needs at least one column")
     val aggs = columns.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
         count(when(col(c).isNull, lit(1))).as(s"__null_$c"),

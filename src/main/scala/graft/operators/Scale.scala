@@ -41,7 +41,10 @@ object Scale {
     * `buckets` tasks at the cost of replicating the small side. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltSource: Column, buckets: Int): DataFrame = {
-    val b = big.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    // NULL saltSource must not drop the row (NULL never equi-joins):
+    // bucket 0 keeps semantics identical to the unsalted join
+    val b = big.withColumn("__salt",
+      coalesce(pmod(saltSource, lit(buckets)), lit(0)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
     b.join(s, keys :+ "__salt").drop("__salt")

@@ -67,14 +67,18 @@ object Marts {
         "product_key")
       .groupBy(col("sub_category"), col("product_name"))
       .agg(sum(col("profit")).as("total_profit"))
-    Windows.topNPerGroup(profits, Seq(col("sub_category")),
-        col("total_profit"), 5)
-      .withColumn("profit_share",
-        (col("total_profit") * lit(1.0) /
-          nullif(sum(col("total_profit")).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("sub_category"))), lit(0)))
-          .cast("decimal(9,4)"))
+    // share divides by the FULL sub-category total — computed before the
+    // rank filter, exactly as the reference's ranked CTE does
+    // (SQLproject1.sql:693-699); filtering first would inflate shares to
+    // sum to 1.0 over just the survivors
+    val withShare = profits.withColumn("profit_share",
+      (col("total_profit") * lit(1.0) /
+        nullif(sum(col("total_profit")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("sub_category"))), lit(0)))
+        .cast("decimal(9,4)"))
+    Windows.topNPerGroup(withShare, Seq(col("sub_category")),
+      col("total_profit"), 5)
   }
 
   /** qa.v_SuspiciousDiscounts: discounted lines whose margin falls outside

@@ -27,12 +27,12 @@ object Pipeline {
     // reference materializes #temp tables for the same reason)
     val deduped = Staging.deduped(staged).cache()
 
+    val categoryDim = StarSchema.categoryDim(deduped)
     val dims = SuperstoreDims(
       date = StarSchema.dateDim(deduped),
       shipMode = StarSchema.shipModeDim(deduped),
-      category = StarSchema.categoryDim(deduped),
-      subCategory = StarSchema.subCategoryDim(deduped,
-        StarSchema.categoryDim(deduped)),
+      category = categoryDim,
+      subCategory = StarSchema.subCategoryDim(deduped, categoryDim),
       geography = StarSchema.geographyDim(deduped),
       customer = StarSchema.customerDim(deduped),
       product = StarSchema.productDim(deduped))

@@ -53,6 +53,20 @@ class AsOfSpec extends SparkSpec {
       (13L, None))     // only quote is same-instant
   }
 
+  test("NULL timestamps: left rows kept with NULL payload, right rows ignored") {
+    val trades2 = trades.unionByName(
+      Seq(("A", null.asInstanceOf[Date], 99L)).toDF("k", "ts", "trade_id"))
+    val quotes2 = quotes.unionByName(
+      Seq(("A", null.asInstanceOf[Date], 100L, 999.0)).toDF("k", "ts", "id", "price"))
+    val out = AsOf.join(trades2, quotes2, Seq("k"),
+        col("ts"), col("ts"), col("id"), Seq("id", "price"), strict = false)
+      .select("trade_id", "asof_id").as[(Long, Option[Long])]
+      .collect().toMap
+    out(99L) shouldBe None        // null-ts left row preserved, no match
+    out(10L) shouldBe None        // null-ts RIGHT row must not leak in
+    out(11L) shouldBe Some(3L)
+  }
+
   test("payload columns arrive together from the same matched row") {
     val out = AsOf.join(trades, quotes, Seq("k"),
         col("ts"), col("ts"), col("id"), Seq("id", "price"), strict = false)

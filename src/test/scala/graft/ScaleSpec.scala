@@ -33,6 +33,13 @@ class ScaleSpec extends SparkSpec {
     salted.except(plain).count() shouldBe 0
   }
 
+  test("saltedJoin keeps rows whose salt source is NULL") {
+    val big = Seq(("hot", Some(1L)), ("hot", None)).toDF("k", "id")
+    val dim = Seq(("hot", "HOT")).toDF("k", "label")
+    Scale.saltedJoin(big, dim, Seq("k"), $"id", 8)
+      .count() shouldBe 2 // NULL-salt row lands in bucket 0, not dropped
+  }
+
   test("hashKeyDim: stable parallel keys, zero collisions on real dims") {
     val dim = Scale.hashKeyDim(Tables.customer(spark, "/root/testdata/sf0.001"),
       Seq("c_name", "c_mktsegment"), "ck")

@@ -123,4 +123,22 @@ class SuperstorePipelineSpec extends SparkSpec {
     tp.filter($"rnk" > 5).count() shouldBe 0
     tp.groupBy("sub_category").count().filter($"count" < 5).count() shouldBe 0
   }
+
+  test("profit_share divides by the FULL sub-category total, not the top-5's") {
+    assume(available)
+    // independent recomputation of the full-subcategory totals
+    val full = out.fact
+      .join(out.dims.product.select("product_key", "product_name", "sub_category"),
+        "product_key")
+      .groupBy("sub_category", "product_name")
+      .agg(sum($"profit").as("p"))
+    val totals = full.groupBy("sub_category").agg(sum($"p").as("t"))
+    val expected = full.join(totals, "sub_category")
+      .select($"sub_category", $"product_name",
+        ($"p" * lit(1.0) / $"t").cast("decimal(9,4)").as("want"))
+    val mismatches = out.topProducts
+      .join(expected, Seq("sub_category", "product_name"))
+      .filter($"profit_share" =!= $"want")
+    mismatches.count() shouldBe 0
+  }
 }
