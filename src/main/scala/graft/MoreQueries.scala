@@ -651,7 +651,21 @@ object MoreQueries {
             FROM documents)
       WHERE rn <= 25"""))
 
+  /** Embedding-cosine near-duplicate pairs (exact, brute-force scoring —
+    * the verification baseline; LSH/IVF candidate pre-filters are the
+    * scale path, see Similarity.cosineNearDupPairs). */
+  private val q65 = QueryDef(
+    "q65_embed_neardup",
+    (s, d) => graft.operators.Similarity.cosineNearDupPairs(
+      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4),
+    Some(s"""
+      WITH a AS (SELECT vec_id AS a_id, embedding AS ae FROM embeddings),
+      b AS (SELECT vec_id AS b_id, embedding AS be FROM embeddings)
+      SELECT a_id, b_id, ${oCos("ae", "be")} AS cosine
+      FROM a JOIN b ON a_id < b_id
+      WHERE ${oCos("ae", "be")} >= 0.4"""))
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }

@@ -55,6 +55,32 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: every (a, b) with cosine >=
+    * threshold. With `candidates` given (e.g. LSH band pairs from
+    * [[lshBucketed]] or IVF buckets), only those pairs are scored — the
+    * scale path. Without, all pairs are scored via a broadcast cross join —
+    * exact, for verification scale. */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, embCol: String,
+                         threshold: Double,
+                         candidates: Option[DataFrame] = None): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    // spread the probe side: single-file corpora scan as one task, which
+    // would run the whole O(n^2) scoring loop single-threaded
+    val a = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("a_id"), col(embCol).as("__a_emb"))
+    val b = embeddings.select(col(idCol).as("b_id"), col(embCol).as("__b_emb"))
+    val pairs = candidates match {
+      case Some(c) => c.join(a, "a_id").join(b, "b_id")
+      case None => a.join(broadcast(b), col("a_id") < col("b_id"))
+    }
+    pairs
+      .withColumn("cosine",
+        call_function("vec_cosine", col("__a_emb"), col("__b_emb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   // ---- IVF (inverted-file) ANN: the centroid-bucketed scale path --------
 
   /** Deterministic IVF seed centroids: the k vectors with the smallest
