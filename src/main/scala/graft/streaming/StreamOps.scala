@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.10).
   *
@@ -94,6 +94,39 @@ object StreamOps {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  // ---- transformWithState (Spark 4 arbitrary-state API) ------------------
+
+  final case class KeyedRecord(key: String, payload: String)
+
+  /** Streaming exact dedup: emit only the FIRST record per key, tracked in
+    * per-key ValueState via the transformWithState StatefulProcessor API
+    * (the streaming face of the batch Dedup family). State is one boolean
+    * per distinct key; bound it in production with a TTLConfig. */
+  class FirstSeenProcessor
+      extends StatefulProcessor[String, KeyedRecord, KeyedRecord] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedRecord],
+                                 timerValues: TimerValues): Iterator[KeyedRecord] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        rows.take(1)
+      }
+    }
+  }
+
+  def dedupFirstSeen(records: Dataset[KeyedRecord]): Dataset[KeyedRecord] = {
+    import records.sparkSession.implicits._
+    records.groupByKey(_.key)
+      .transformWithState(new FirstSeenProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   // ---- incremental ELT: foreachBatch reusing the batch builders ----------

@@ -86,6 +86,34 @@ class StreamOpsSpec extends SparkSpec {
     last.getAs[Double]("max") shouldBe 30.0 +- 1e-9
   }
 
+  test("transformWithState dedup emits only the first record per key") {
+    implicit val sc = spark.sqlContext
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.KeyedRecord]
+      val q = StreamOps.dedupFirstSeen(mem.toDS())
+        .writeStream.format("memory").queryName("tws_dedup")
+        .outputMode("append").start()
+      mem.addData(StreamOps.KeyedRecord("a", "first"),
+        StreamOps.KeyedRecord("a", "dup-same-batch"),
+        StreamOps.KeyedRecord("b", "first"))
+      q.processAllAvailable()
+      mem.addData(StreamOps.KeyedRecord("a", "dup-later-batch"),
+        StreamOps.KeyedRecord("c", "first"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_dedup")
+        .as[StreamOps.KeyedRecord].collect().sortBy(_.key)
+      rows.map(r => (r.key, r.payload)).toSeq shouldBe
+        Seq(("a", "first"), ("b", "first"), ("c", "first"))
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("incrementalLoad foreachBatch processes a file backlog and stops") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val ckpt = s"$dir/ckpt"
