@@ -665,7 +665,38 @@ object MoreQueries {
       FROM a JOIN b ON a_id < b_id
       WHERE ${oCos("ae", "be")} >= 0.4"""))
 
+  /** Typed Aggregator top-k per group — one pass, O(groups x k) state, no
+    * partition sort (contrast with the window/rank formulations q13/q44). */
+  private val q66 = QueryDef(
+    "q66_topk_aggregator", {
+      (s, d) =>
+        import s.implicits._
+        import graft.functions.TopKAggregator
+        import graft.functions.TopKAggregator.ScoredId
+        val rows = Tables.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+          .as[(String, Double, Long)]
+        rows.groupByKey(_._1)
+          .mapValues(r => ScoredId(r._2, r._3))
+          .agg(TopKAggregator.topK(3).toColumn.name("top"))
+          .toDF("o_orderstatus", "top")
+          .select(col("o_orderstatus"),
+            posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("o_orderstatus"),
+            (col("pos") + 1).cast("int").as("rk"),
+            col("t.id").as("o_orderkey"),
+            col("t.score").as("o_totalprice"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(rn AS INT) AS rk, o_orderkey, o_totalprice
+      FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3"""))
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
+    q66)
 }
