@@ -21,11 +21,11 @@ object ExtQueries {
   // ---- oracle SQL building blocks (DuckDB) --------------------------------
 
   /** Whitespace tokens with empties removed. */
-  private def oToks(t: String) =
+  private[graft] def oToks(t: String) =
     s"list_filter(string_split_regex($t, '\\s+'), x -> x <> '')"
 
   /** Word n-gram shingles over a token-list column. */
-  private def oShingles(w: String, n: Int) = {
+  private[graft] def oShingles(w: String, n: Int) = {
     val terms = (0 until n).map(k => s"$w[i+$k]").mkString(" || ' ' || ")
     s"list_transform(range(1, len($w)-${n - 2}), i -> $terms)"
   }

@@ -319,29 +319,77 @@ object MoreQueries {
       FROM orders GROUP BY o_orderstatus"""))
 
   /** Approximate aggregates — the 100 TB path where exact distinct counts
-    * and quantiles stop being affordable. Sketch internals are engine-
-    * specific, so no cross-engine oracle (driver does a rows>0 check);
-    * AccuracySpec asserts the error envelope against exact values. */
+    * and quantiles stop being affordable. Sketch VALUES are engine-specific
+    * (HLL++ here, DuckDB's HLL there), so the oracle-compared columns are
+    * the exact values plus each engine's own within-error-bound BOOLEANS:
+    * both engines assert their sketch lands inside the same envelope, which
+    * is the property the operator actually promises. ApproxAccuracySpec
+    * additionally bounds the raw Spark sketch error. */
   private val q52 = QueryDef(
     "q52_approx_aggs",
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-          .as("approx_median"),
-        count(lit(1)).as("n")),
-    None)
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_nd_parts"),
+        // rsd 1%: the 5% envelope is then ~5 sigma, not the coin-flip-ish
+        // ~1 sigma the default 5% rsd would make of it
+        approx_count_distinct(col("l_partkey"), 0.01).as("__approx_nd"),
+        percentile_approx(col("l_quantity").cast("double"), lit(0.5),
+          lit(10000)).as("__approx_med"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").as("__exact_med"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_nd_parts"), col("n"),
+        (abs(col("__approx_nd").cast("double") -
+             col("exact_nd_parts").cast("double")) <=
+          col("exact_nd_parts").cast("double") * 0.05).as("nd_within_5pct"),
+        (abs(col("__approx_med") - col("__exact_med")) <= 1.0)
+          .as("median_within_1")),
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd_parts,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+                 - CAST(COUNT(DISTINCT l_partkey) AS DOUBLE))
+               <= CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) * 0.05
+               AS nd_within_5pct,
+             abs(approx_quantile(CAST(l_quantity AS DOUBLE), 0.5)
+                 - median(CAST(l_quantity AS DOUBLE))) <= 1.0
+               AS median_within_1
+      FROM lineitem GROUP BY l_returnflag"""))
 
-  /** xxhash64 surrogate/join keys — the §7.4(c) strategy for dims too big
-    * to window over; engine-specific hash, so no cross-engine oracle. */
+  /** Surrogate/join keys for dims too big to window over (§7.4(c)):
+    * xxhash64/crc32/murmur3 on the Spark side, plus an md5-based key that
+    * IS engine-portable. The md5 key is oracle-compared cell-for-cell; the
+    * engine-specific hashes are surfaced as collision-freeness booleans
+    * (all-distinct over the corpus), which DuckDB states as the expected
+    * constant — a broken/degenerate Spark hash column flips them false. */
   private val q53 = QueryDef(
-    "q53_xxhash_keys",
-    (s, d) => Tables.customer(s, d).select(
-      col("c_custkey"),
-      xxhash64(col("c_name"), col("c_mktsegment")).as("xx_key"),
-      crc32(col("c_name").cast("binary")).as("crc_key"),
-      hash(col("c_name"), col("c_nationkey")).as("murmur_key")),
-    None)
+    "q53_xxhash_keys", { (s, d) =>
+      val keyed = Tables.customer(s, d).select(
+        col("c_custkey"),
+        md5(concat_ws("|", col("c_name"), col("c_mktsegment")))
+          .as("portable_key"),
+        xxhash64(col("c_name"), col("c_mktsegment")).as("__xx"),
+        crc32(col("c_name").cast("binary")).as("__crc"),
+        hash(col("c_name"), col("c_nationkey")).as("__mm"))
+      val stats = keyed.agg(
+        countDistinct(col("__xx")).as("__nd_xx"),
+        countDistinct(col("__crc")).as("__nd_crc"),
+        countDistinct(col("__mm")).as("__nd_mm"),
+        count(lit(1)).as("__n"))
+      keyed.crossJoin(broadcast(stats)).select(
+        col("c_custkey"), col("portable_key"),
+        (col("__nd_xx") === col("__n")).as("xx_collision_free"),
+        (col("__nd_crc") === col("__n")).as("crc_collision_free"),
+        (col("__nd_mm") === col("__n")).as("murmur_collision_free"))
+    },
+    Some("""
+      SELECT c_custkey,
+             md5(c_name || '|' || c_mktsegment) AS portable_key,
+             TRUE AS xx_collision_free,
+             TRUE AS crc_collision_free,
+             TRUE AS murmur_collision_free
+      FROM customer"""))
 
   /** Multimodal metadata-only aggregation (payload column pruned from the
     * scan); metadata derivation is deterministic from doc_id, so DuckDB

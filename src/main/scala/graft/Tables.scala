@@ -23,16 +23,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark only reads
-    * as a raw long under the legacy conf. Convert to micros (truncating, the
-    * same thing DuckDB's TIMESTAMP does) so downstream code sees a normal
-    * TimestampType column.
-    *
-    * Known side effect: the legacy conf stays set on the session, so other
-    * TIMESTAMP(NANOS) parquet reads (none exist in this corpus) would also
-    * surface raw longs. There is no per-read option for this flag. */
+  /** The one session conf this corpus requires: events.parquet stores `ts`
+    * as TIMESTAMP(NANOS), which Spark 4 only reads (as a raw long) under
+    * this legacy flag. It must be set at session build (Verify/Bench/test
+    * builders all do) — a loader mutating session state would be
+    * action-at-a-distance for every other read on the session. */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** events.parquet's TIMESTAMP(NANOS) `ts` surfaces as a raw nanos long
+    * (see [[NanosConf]]); convert to micros (truncating, the same thing
+    * DuckDB's TIMESTAMP does) so downstream code sees a normal
+    * TimestampType column. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption(NanosConf).contains("true"),
+      s"reading events.parquet requires $NanosConf=true, set at session " +
+        "build (it gates how the TIMESTAMP(NANOS) column is surfaced)")
     // integer division: ns epochs (~1.7e18) exceed double precision, so
     // `ts / 1000` (double div) would round some values by ±1 microsecond
     load(s, d, "events").withColumn("ts",

@@ -19,8 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * matching the HOF fold, so results are bit-identical to both the HOF
   * version and the differential oracle's unrolled SQL.
   *
-  * NULL if either input is NULL; inputs of different lengths compare over
-  * the common prefix (callers validate dimensions upstream).
+  * NULL if either input is NULL, and NULL when either vector has zero norm
+  * (empty or all-zero): cosine is undefined there, and the naive 0/0 = NaN
+  * would rank FIRST under `DESC` ordering (Spark orders NaN above every
+  * double), silently displacing genuine neighbors from a top-k. DuckDB's
+  * float division yields NULL on /0, so NULL also keeps the differential
+  * oracle aligned. Inputs of different lengths compare over the common
+  * prefix (callers validate dimensions upstream).
   */
 case class FloatVecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,6 +41,7 @@ case class FloatVecCosine(left: Expression, right: Expression)
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // zero-norm inputs yield NULL
   override def prettyName: String = "vec_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -54,7 +60,8 @@ case class FloatVecCosine(left: Expression, right: Expression)
       ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -76,7 +83,11 @@ case class FloatVecCosine(left: Expression, right: Expression)
         |  $nx += $xi * $xi;
         |  $ny += $yi * $yi;
         |}
-        |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        |if ($nx == 0.0 || $ny == 0.0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        |}
       """.stripMargin
     })
 

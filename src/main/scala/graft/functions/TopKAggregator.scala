@@ -20,7 +20,9 @@ object TopKAggregator {
 
   final case class ScoredId(score: Double, id: Long)
 
-  def topK(k: Int): Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] =
+  def topK(k: Int): Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] = {
+    // k <= 0 would short-circuit into buf.last on an empty buffer at runtime
+    require(k >= 1, s"topK needs k >= 1, got $k")
     new Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
       private def prune(xs: Seq[ScoredId]): Seq[ScoredId] =
         xs.sortBy(x => (-x.score, x.id)).take(k)
@@ -42,4 +44,5 @@ object TopKAggregator {
       override def outputEncoder: Encoder[Seq[ScoredId]] =
         ExpressionEncoder[Seq[ScoredId]]()
     }
+  }
 }

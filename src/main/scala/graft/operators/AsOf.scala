@@ -35,16 +35,21 @@ object AsOf {
     // null-ts right rows would sort first (nulls-first) and leak their
     // payload into every left row with no genuine predecessor — they can
     // never satisfy ts <= / < anything, so drop them up front
+    //
+    // the tiebreak keeps its own type: casting to long would silently NULL
+    // non-numeric tiebreaks (string ids) and make same-timestamp right-row
+    // resolution nondeterministic — any orderable type is a valid tiebreak
     val r = right.filter(rightTs.isNotNull)
       .select(keyCols :+ rightTs.as("__ts") :+
-        lit(rightSideRank).as("__side") :+ tiebreak.cast("long").as("__tb") :+
+        lit(rightSideRank).as("__side") :+ tiebreak.as("__tb") :+
         struct(payload.map(col): _*).as("__rv"): _*)
     val rvType = r.schema("__rv").dataType.catalogString
+    val tbType = r.schema("__tb").dataType.catalogString
 
     val l = left
       .withColumn("__ts", leftTs)
       .withColumn("__side", lit(leftSideRank))
-      .withColumn("__tb", lit(null).cast("long"))
+      .withColumn("__tb", lit(null).cast(tbType))
       .withColumn("__rv", lit(null).cast(rvType))
 
     val w = Window.partitionBy(keyCols: _*)

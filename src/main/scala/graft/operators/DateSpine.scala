@@ -16,9 +16,19 @@ import org.apache.spark.sql.functions._
 object DateSpine {
 
   /** One row per day from `min(loCol)` to `max(hiCol)` over `bounds`,
-    * with the reference's derived calendar attributes. */
-  def fromBounds(bounds: DataFrame, loCol: Column, hiCol: Column): DataFrame = {
-    val b = bounds.agg(min(loCol).as("lo"), max(hiCol).as("hi"))
+    * with the reference's derived calendar attributes.
+    *
+    * NULL-bounds fallback (SQLproject1.sql:262-263 `ISNULL(MIN(OrderDate),
+    * '2010-01-01')` / `ISNULL(MAX(ShipDate),'2025-12-31')`): when every
+    * date fails to parse (or `bounds` is empty), the spine still covers the
+    * fallback range instead of exploding `sequence(null, null)` into an
+    * empty dim that NULLs every date key downstream. */
+  def fromBounds(bounds: DataFrame, loCol: Column, hiCol: Column,
+                 loFallback: String = "2010-01-01",
+                 hiFallback: String = "2025-12-31"): DataFrame = {
+    val b = bounds.agg(
+      coalesce(min(loCol), to_date(lit(loFallback))).as("lo"),
+      coalesce(max(hiCol), to_date(lit(hiFallback))).as("hi"))
     val days = b.select(
       explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("date"))
     withCalendarAttrs(days, col("date"))

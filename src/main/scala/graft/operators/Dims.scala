@@ -58,17 +58,45 @@ object Dims {
 
   /** J7: MERGE ... WHEN NOT MATCHED THEN INSERT (SQLproject1.sql:390-416) —
     * existing rows keep their surrogate keys; unseen natural keys are
-    * appended with keys offset past max(existing). */
+    * appended with keys offset past max(existing).
+    *
+    * Fresh keys are numbered with an unpartitioned window — one task over
+    * just the NEW keys, fine for conformed dims where a day's novelty is
+    * small. If a single batch can introduce a huge number of new keys, use
+    * [[insertOnlyMergeDistributed]] (same output, no global window). */
   def insertOnlyMerge(existing: DataFrame, incoming: DataFrame,
                       naturalKey: Seq[String], keyCol: String): DataFrame = {
     val fresh = incoming.select(naturalKey.map(col): _*).distinct()
       .join(existing, naturalKey, "left_anti")
-    val maxKey = existing.agg(coalesce(max(col(keyCol)), lit(0L)).as("__mx"))
     val keyed = fresh
-      .withColumn("__rn", row_number().over(Window.orderBy(naturalKey.map(col): _*)))
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
+    appendOffsetKeyed(existing, keyed, keyCol)
+  }
+
+  /** [[insertOnlyMerge]] with fresh-key numbering done by the
+    * [[buildDimDistributed]] machinery instead of an unpartitioned window —
+    * identical output, but new-key assignment scales past one task. */
+  def insertOnlyMergeDistributed(existing: DataFrame, incoming: DataFrame,
+                                 naturalKey: Seq[String], keyCol: String,
+                                 partitions: Int = 0): DataFrame = {
+    val fresh = incoming.select(naturalKey.map(col): _*).distinct()
+      .join(existing, naturalKey, "left_anti")
+    // NOT "__rn": buildDimDistributed uses that name internally and would
+    // drop the output key with its own scratch column
+    val keyed = buildDimDistributed(fresh, naturalKey, "__fresh_rn", partitions)
+      .withColumnRenamed("__fresh_rn", "__rn")
+    appendOffsetKeyed(existing, keyed, keyCol)
+  }
+
+  /** Shift dense 1..n `__rn` keys past max(existing key) and append. */
+  private def appendOffsetKeyed(existing: DataFrame, keyed: DataFrame,
+                                keyCol: String): DataFrame = {
+    val maxKey = existing.agg(coalesce(max(col(keyCol)), lit(0L)).as("__mx"))
+    val shifted = keyed
       .crossJoin(broadcast(maxKey))
       .withColumn(keyCol, (col("__mx") + col("__rn")).cast("long"))
       .drop("__rn", "__mx")
-    existing.unionByName(keyed.select(existing.columns.toIndexedSeq.map(col): _*))
+    existing.unionByName(shifted.select(existing.columns.toIndexedSeq.map(col): _*))
   }
 }

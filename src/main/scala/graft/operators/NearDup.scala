@@ -32,9 +32,25 @@ object NearDup {
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact word n-gram Jaccard over all candidate pairs sharing ≥1 shingle.
-    * Emits (a_id, b_id, intersection, jaccard) for pairs ≥ threshold. */
+    * Emits (a_id, b_id, intersection, jaccard) for pairs ≥ threshold.
+    *
+    * The shingle self-join's work is Σ per-shingle bucket², so a single
+    * stop-phrase shingle shared by 1% of a large corpus is a catastrophic
+    * pair explosion. `maxDf` bounds that IN CODE: shingles appearing in
+    * more than `maxDf` documents are dropped from both intersection and
+    * set sizes before the join (one cheap aggregation pass — the surviving
+    * hot-shingle list is tiny by construction, ≤ postings/maxDf entries, so
+    * the exclusion join broadcasts). Σ bucket² is then ≤ maxDf × postings —
+    * linear in the corpus for fixed maxDf. Near-dup semantics are
+    * unchanged: a shingle in >maxDf docs carries no similarity signal
+    * (it's a stop phrase), exactly like min-df pruning in IR practice.
+    * `maxDf = 0` disables the cap (verification-scale corpora only);
+    * `candidates` (a_id, b_id) restricts scoring to precomputed pairs
+    * (e.g. [[minHashLshCandidates]]) — the preferred 100 TB shape.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double, maxDf: Int = 10000,
+                        candidates: Option[DataFrame] = None): DataFrame = {
     val words = TextFunctions.tokens(col(textCol))
     val withSh = spread(docs)
       .select(col(idCol).as("doc_id"),
@@ -44,10 +60,40 @@ object NearDup {
     // aggregation then has both set sizes in hand, so no separate `sizes`
     // branch (which would recompute the shingle subtree — no exchange to
     // reuse across a different shuffle key) and no post-join lookups
-    val sh = withSh.select(col("doc_id"), size(col("__sh")).as("n_sh"),
+    val posting = withSh.select(col("doc_id"), size(col("__sh")).as("n_sh"),
       explode(col("__sh")).as("s"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val sh =
+      if (maxDf <= 0) posting
+      else {
+        val hot = posting.groupBy(col("s")).count()
+          .filter(col("count") > maxDf).select(col("s"))
+        // n_sh must count the SURVIVING shingles (set sizes and
+        // intersections must agree on the same universe). Subtract each
+        // doc's hot-shingle count rather than re-counting survivors with a
+        // window: postings are distinct per (doc, shingle), so the values
+        // are identical, but hotPerDoc only holds docs that CONTAIN a hot
+        // shingle — empty whenever the cap doesn't bite, so AQE turns the
+        // correction join into a broadcast no-op instead of the window's
+        // unconditional full shuffle+sort of the postings by doc_id
+        val hotPerDoc = posting.join(broadcast(hot), Seq("s"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("__nhot"))
+        posting.join(broadcast(hot), Seq("s"), "left_anti")
+          .join(hotPerDoc, Seq("doc_id"), "left")
+          .withColumn("n_sh",
+            col("n_sh") - coalesce(col("__nhot"), lit(0)))
+          .drop("__nhot")
+      }
+    val joined = candidates match {
+      case Some(c) =>
+        c.select(col("a_id").as("__ca"), col("b_id").as("__cb"))
+          .join(sh.as("a"), col("__ca") === col("a.doc_id"))
+          .join(sh.as("b"),
+            col("__cb") === col("b.doc_id") && col("a.s") === col("b.s"))
+      case None =>
+        sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    }
+    val pairs = joined
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("intersection"),
         first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))

@@ -15,8 +15,15 @@ object Quality {
 
   final case class Rule(issueType: String, issueDetail: String, predicate: Column)
 
-  /** Evaluate all rules in a single scan; one output row per rule. */
-  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  /** Evaluate all rules in a single scan; one output row per rule.
+    *
+    * `createdAt` is the reference's `CreatedAt DATETIME DEFAULT GETDATE()`
+    * audit column (SQLproject1.sql:220) — issues from successive runs must
+    * stay distinguishable when appended to a load-issues table. An explicit
+    * parameter (never wall clock) keeps runs deterministic; None omits the
+    * column. */
+  def check(df: DataFrame, rules: Seq[Rule],
+            createdAt: Option[String] = None): DataFrame = {
     require(rules.nonEmpty, "Quality.check needs at least one rule")
     val aggs = rules.zipWithIndex.map { case (r, i) =>
       count(when(r.predicate, lit(1))).as(s"__c$i")
@@ -33,8 +40,10 @@ object Quality {
       explode(array(rules.indices.map(i =>
         struct(lit(i).as("__i"), col(s"__c$i").as("row_count"))): _*)).as("kv"))
       .select(col("kv.__i"), col("kv.row_count"))
-    stacked.join(broadcast(meta), "__i")
+    val out = stacked.join(broadcast(meta), "__i")
       .select(col("issue_type"), col("issue_detail"), col("row_count"))
+    createdAt.fold(out)(ts =>
+      out.withColumn("created_at", to_timestamp(lit(ts))))
   }
 
   /** One-pass column profiler: null rate, distinct count, min/max per

@@ -74,4 +74,40 @@ object Scd2 {
       .map(_.select(kept.columns.toIndexedSeq.map(col): _*))
       .reduce(_ unionByName _)
   }
+
+  /** [[merge]] for a dim that carries a surrogate key column: surviving
+    * version rows (history, unchanged, closed) KEEP their keys — the
+    * reference's MERGE updates rows in place, never re-keys them
+    * (SQLproject1.sql:485-513) — while new version rows (a changed key's
+    * new current version, brand-new keys) get fresh keys offset past
+    * max(existing).
+    *
+    * A version row is identified by (naturalKey, effective_from): two
+    * versions of one key can never share a start date (a day's merge closes
+    * at `runDate` and opens at `runDate` — distinct rows, same key, but the
+    * closed one started earlier). Fresh-key numbering windows over only the
+    * new rows — one task over a day's novelty, same posture as
+    * [[graft.operators.Dims.insertOnlyMerge]]. */
+  def mergeKeyed(dim: DataFrame, snapshot: DataFrame, naturalKey: Seq[String],
+                 tracked: Seq[String], runDate: String,
+                 keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = merge(dim.drop(keyCol), snapshot, naturalKey, tracked, runDate)
+    val versionId = naturalKey :+ "effective_from"
+    val keyMap = dim.select(versionId.map(col) :+ col(keyCol): _*)
+    val joined = merged.join(keyMap, versionId, "left")
+    val kept = joined.filter(col(keyCol).isNotNull)
+    val maxKey = dim.agg(coalesce(max(col(keyCol)), lit(0L)).as("__mx"))
+    val fresh = joined.filter(col(keyCol).isNull).drop(keyCol)
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(versionId.map(col): _*)).cast("long"))
+      .crossJoin(broadcast(maxKey))
+      .withColumn(keyCol, (col("__mx") + col("__rn")).cast("long"))
+      .drop("__rn", "__mx")
+    // emit the input dim's column ORDER: a MERGE updates a table in place
+    // and never reorders its schema (and positional ops like except/union
+    // on prior-vs-merged would silently misalign otherwise)
+    val cols = dim.columns.toIndexedSeq.map(col)
+    kept.select(cols: _*).unionByName(fresh.select(cols: _*))
+  }
 }

@@ -23,25 +23,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamOps {
 
   /** Tumbling-window aggregation with a watermark for late data. Grid is
-    * identical to EventOps.tumblingStart (epoch-aligned). */
+    * identical to EventOps.tumblingStart (epoch-aligned).
+    *
+    * Groups by the `window(...)` STRUCT and projects `.start` only after
+    * the aggregate: grouping by `.getField("start")` would strip the
+    * event-time watermark metadata from the grouping key, which (a) fails
+    * analysis in append mode and (b) leaves update-mode window state
+    * unevictable — unbounded — despite the watermark. */
   def tumblingAgg(events: DataFrame, tsCol: String, sizeSec: Int,
                   watermark: String, keys: Seq[Column],
                   aggs: Seq[Column]): DataFrame =
-    events
+    startProjected(events
       .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), s"$sizeSec seconds")
-        .getField("start").as("window_start") +: keys: _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .groupBy(window(col(tsCol), s"$sizeSec seconds").as("__w") +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*))
 
-  /** Sliding-window aggregation (size/slide), watermarked. */
+  /** Sliding-window aggregation (size/slide), watermarked; same
+    * struct-grouping rule as [[tumblingAgg]]. */
   def slidingAgg(events: DataFrame, tsCol: String, sizeSec: Int,
                  slideSec: Int, watermark: String, keys: Seq[Column],
                  aggs: Seq[Column]): DataFrame =
-    events
+    startProjected(events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), s"$sizeSec seconds", s"$slideSec seconds")
-        .getField("start").as("window_start") +: keys: _*)
-      .agg(aggs.head, aggs.tail: _*)
+        .as("__w") +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*))
+
+  /** Replace the leading `__w` window struct with `window_start`, keeping
+    * the (window_start, keys..., aggs...) output shape callers rely on. */
+  private def startProjected(agged: DataFrame): DataFrame =
+    agged.select(col("__w").getField("start").as("window_start") +:
+      agged.columns.filterNot(_ == "__w").toIndexedSeq.map(col): _*)
 
   /** Native gap-based session windows (the streaming analogue of
     * EventOps.sessionize). */

@@ -70,7 +70,18 @@ object Ingest {
 
     val noCr = regexp_replace(col("line"), "\r$", "")
     val noSemi = regexp_replace(noCr, ";$", "")
-    val repaired = when(noSemi.rlike("^\"[0-9]"),
+    // A wrapped row is the WHOLE line as one quoted field (inner quotes
+    // doubled). Detect it structurally, not by `^"[0-9]` (which would also
+    // fire on a normal row whose legitimately-quoted first field starts
+    // with a digit): after collapsing doubled quotes, a fully-wrapped line
+    // has exactly its two outer quotes left, while a normal row with quoted
+    // fields keeps a quote pair per field (>= 2, but never wrapping the
+    // full line with nothing outside).
+    val undoubled = regexp_replace(noSemi, "\"\"", "")
+    val isWrapped = noSemi.startsWith("\"") && noSemi.endsWith("\"") &&
+      (length(undoubled) - length(regexp_replace(undoubled, "\"", ""))) === 2 &&
+      length(noSemi) > 1
+    val repaired = when(isWrapped,
         regexp_replace(
           noSemi.substr(lit(2), length(noSemi) - 2), "\"\"", "\""))
       .otherwise(noSemi)

@@ -11,9 +11,11 @@ import graft.operators.{Quality, Windows}
   */
 object Marts {
 
-  /** qa.LoadIssues: the reference's three DQ rule counts in one scan. */
-  def loadIssues(stg: DataFrame): DataFrame =
-    Quality.check(stg, Seq(
+  /** qa.LoadIssues: the reference's three DQ rule counts in one scan.
+    * `createdAt` stamps the run (SQLproject1.sql:220), deterministic via
+    * explicit parameter; None omits the column. */
+  def loadIssues(stg: DataFrame, createdAt: Option[String] = None): DataFrame =
+    Quality.check(stg, createdAt = createdAt, rules = Seq(
       Quality.Rule("NULL_DATES", "order_date or ship_date failed to parse",
         col("order_date").isNull || col("ship_date").isNull),
       Quality.Rule("NEGATIVE_PROFIT", "profit < 0", col("profit") < 0),
@@ -36,6 +38,26 @@ object Marts {
       col("profit"), 30, "profit_30")
       .select("region", "date", "order_id", "order_line_no",
         "sales", "profit", "sales_30", "profit_30")
+  }
+
+  /** Scale-safe rolling mart at (region, day) grain: pre-aggregates BEFORE
+    * the window so each task sorts days, not order lines — the q12/q43
+    * formulation. [[rolling30]] keeps the reference's exact line-grain
+    * 30-ROW semantics (correct, but its window sorts fact/|regions| rows
+    * per task: at 100 TB use this variant, or a RANGE window, instead). */
+  def rolling30Daily(fact: DataFrame, geography: DataFrame,
+                     date: DataFrame): DataFrame = {
+    val daily = fact
+      .join(broadcast(geography.select("geography_key", "region")), "geography_key")
+      .join(broadcast(date.select(col("date_key").as("order_date_key"),
+        col("date"))), "order_date_key")
+      .groupBy(col("region"), col("date"))
+      .agg(sum(col("sales")).as("sales"), sum(col("profit")).as("profit"))
+    Windows.rollingSum(
+      Windows.rollingSum(daily, Seq(col("region")), Seq(col("date")),
+        col("sales"), 30, "sales_30"),
+      Seq(col("region")), Seq(col("date")), col("profit"), 30, "profit_30")
+      .select("region", "date", "sales", "profit", "sales_30", "profit_30")
   }
 
   /** qa.v_CustomerCohort: first-purchase cohort x order month

@@ -1,7 +1,9 @@
 package graft.superstore
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.operators.{DateSpine, Dims}
 import graft.superstore.StarSchema.SuperstoreDims
 
 /** End-to-end Superstore ELT pipeline (SURVEY §3.1's 13-stage DAG as lazy
@@ -19,8 +21,12 @@ object Pipeline {
       topProducts: DataFrame, suspiciousDiscounts: DataFrame,
       pivotByCategory: DataFrame, pivotByOrderDate: DataFrame)
 
+  /** First (full) load. `runTs` stamps the audit columns — fact.load_ts and
+    * qa.LoadIssues.created_at (SQLproject1.sql:378,220) — as an explicit
+    * parameter, never wall clock; None omits them. */
   def run(spark: SparkSession, csvPath: String,
-          excelCompat: Boolean = false): Outputs = {
+          excelCompat: Boolean = false,
+          runTs: Option[String] = None): Outputs = {
     val raw = Ingest.readRaw(spark, csvPath, excelCompat)
     val staged = Staging.typed(raw)
     // dedup output feeds every downstream consumer: cache it (S5 — the
@@ -37,11 +43,70 @@ object Pipeline {
       customer = StarSchema.customerDim(deduped),
       product = StarSchema.productDim(deduped))
 
-    val fact = StarSchema.salesFact(deduped, dims)
+    val fact = StarSchema.salesFact(deduped, dims, runTs)
+    outputs(raw, staged, deduped, dims, fact, runTs)
+  }
 
+  /** Day-2+ run: the reference script re-executed against the existing
+    * warehouse (SQLproject1.sql:288-617) — every MERGE lands on the PRIOR
+    * tables instead of empty ones:
+    *  - simple dims take insert-only merges (J7): existing surrogate keys
+    *    are untouched, unseen natural keys append past max(key);
+    *  - customer/product take the SCD2 merge (J8): changed keys close their
+    *    current version at `runDate` and open a new one, key-preserving;
+    *  - the date spine is re-derived over prior ∪ new bounds (date keys are
+    *    value-derived, so regeneration is stable);
+    *  - fact rows are built against the merged dims and appended through
+    *    the NOT EXISTS guard (J5) — re-running an already-loaded batch is a
+    *    no-op.
+    *
+    * Prior dims/fact should be MATERIALIZED inputs (read from storage, or
+    * checkpointed): the merge both reads them and produces their
+    * replacement, the classic read-then-overwrite hazard (SURVEY §7.5.1).
+    */
+  def runIncremental(spark: SparkSession, csvPath: String,
+                     priorDims: SuperstoreDims, priorFact: DataFrame,
+                     runDate: String, excelCompat: Boolean = false,
+                     runTs: Option[String] = None): Outputs = {
+    val raw = Ingest.readRaw(spark, csvPath, excelCompat)
+    val staged = Staging.typed(raw)
+    val deduped = Staging.deduped(staged).cache()
+
+    // union'd bounds: the prior spine's ends + the new batch's dates
+    val bounds = deduped
+      .select(col("order_date").as("lo"), col("ship_date").as("hi"))
+      .unionByName(priorDims.date
+        .select(col("date").as("lo"), col("date").as("hi")))
+    val category = Dims.insertOnlyMerge(priorDims.category,
+      deduped.filter(col("category").isNotNull), Seq("category"),
+      "category_key")
+    val dims = SuperstoreDims(
+      date = DateSpine.fromBounds(bounds, col("lo"), col("hi")),
+      shipMode = Dims.insertOnlyMerge(priorDims.shipMode,
+        deduped.filter(col("ship_mode").isNotNull), Seq("ship_mode"),
+        "ship_mode_key"),
+      category = category,
+      subCategory = StarSchema.subCategoryDimMerge(priorDims.subCategory,
+        deduped, category),
+      geography = StarSchema.geographyDimMerge(priorDims.geography, deduped),
+      customer = StarSchema.customerDimMerge(priorDims.customer, deduped,
+        runDate),
+      product = StarSchema.productDimMerge(priorDims.product, deduped,
+        runDate))
+
+    // use runTs consistently across runs: a stamped batch can only append
+    // to a fact that already carries load_ts (unionByName is strict)
+    val incoming = StarSchema.salesFact(deduped, dims, runTs)
+    val fact = StarSchema.appendFactIdempotent(priorFact, incoming)
+    outputs(raw, staged, deduped, dims, fact, runTs)
+  }
+
+  private def outputs(raw: DataFrame, staged: DataFrame, deduped: DataFrame,
+                      dims: SuperstoreDims, fact: DataFrame,
+                      runTs: Option[String]): Outputs =
     Outputs(
       raw = raw, staged = staged, deduped = deduped,
-      loadIssues = Marts.loadIssues(deduped),
+      loadIssues = Marts.loadIssues(deduped, runTs),
       dims = dims, fact = fact,
       rolling30 = Marts.rolling30(fact, dims.geography, dims.date),
       customerCohort = Marts.customerCohort(fact, dims.date),
@@ -49,5 +114,4 @@ object Pipeline {
       suspiciousDiscounts = Marts.suspiciousDiscounts(fact),
       pivotByCategory = Marts.pivotByCategory(deduped),
       pivotByOrderDate = Marts.pivotByOrderDate(deduped))
-  }
 }

@@ -83,9 +83,73 @@ object StarSchema {
           .orderBy(col("product_id"), col("category"), col("sub_category"),
             col("effective_from"))).cast("long"))
 
+  // ---- day-2 merges: the reference script is re-runnable against the ----
+  // ---- existing warehouse (SQLproject1.sql:288-560)                  ----
+
+  /** Insert-only geography merge (J7): existing rows keep their surrogate
+    * keys; new geos append past max(key). `hash_key` is derived from the
+    * natural key, so it is recomputed uniformly over the union. */
+  def geographyDimMerge(existing: DataFrame, stg: DataFrame): DataFrame = {
+    val geoKey = Seq("country", "state", "city", "postal_code", "region")
+    val incoming = stg
+      .filter(col("region").isNotNull || col("state").isNotNull ||
+        col("city").isNotNull)
+      .select(col("country"), col("city"), col("state"),
+        Staging.normalizePostal(col("postal_code")).as("postal_code"),
+        col("region"))
+    Dims.insertOnlyMerge(existing.drop("hash_key"), incoming, geoKey,
+        "geography_key")
+      .withColumn("hash_key", Hashing.hashKey(Seq(
+        col("country"), col("state"), col("city"), col("postal_code"),
+        col("region"))))
+  }
+
+  /** Insert-only sub-category merge: new (category, sub_category) pairs
+    * pick up their category_key from the (already-merged) category dim and
+    * append past max(sub_category_key). */
+  def subCategoryDimMerge(existing: DataFrame, stg: DataFrame,
+                          catDim: DataFrame): DataFrame = {
+    val fresh = stg
+      .filter(col("category").isNotNull && col("sub_category").isNotNull)
+      .select("category", "sub_category").distinct()
+      .join(existing.select("category", "sub_category"),
+        Seq("category", "sub_category"), "left_anti")
+      .join(broadcast(catDim.select("category", "category_key")), "category")
+    val maxKey = existing.agg(
+      coalesce(max(col("sub_category_key")), lit(0L)).as("__mx"))
+    val keyed = fresh
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("category"), col("sub_category"))).cast("long"))
+      .crossJoin(broadcast(maxKey))
+      .withColumn("sub_category_key", (col("__mx") + col("__rn")).cast("long"))
+      .drop("__rn", "__mx")
+    existing.unionByName(
+      keyed.select(existing.columns.toIndexedSeq.map(col): _*))
+  }
+
+  /** SCD2 day-2 merges (J8): surviving version rows keep their surrogate
+    * keys, new versions get keys past max — [[graft.operators.Scd2.mergeKeyed]]. */
+  def customerDimMerge(existing: DataFrame, stg: DataFrame,
+                       runDate: String): DataFrame =
+    Scd2.mergeKeyed(existing, customerSnapshot(stg), Seq("customer_id"),
+      Seq("customer_name", "segment", "region"), runDate, "customer_key")
+
+  def productDimMerge(existing: DataFrame, stg: DataFrame,
+                      runDate: String): DataFrame =
+    Scd2.mergeKeyed(existing, productSnapshot(stg),
+      Seq("product_id", "category", "sub_category"),
+      Seq("product_name", "category", "sub_category"), runDate, "product_key")
+
   /** fact.Sales: stable line numbers + all dim keys (W2/J1/J3/J5;
-    * SQLproject1.sql:562-617). Grain = order line. */
-  def salesFact(stg: DataFrame, dims: SuperstoreDims): DataFrame = {
+    * SQLproject1.sql:562-617). Grain = order line.
+    *
+    * `loadTs` is the reference's `LoadTS DATETIME2 DEFAULT SYSDATETIME()`
+    * audit column (SQLproject1.sql:378) — an explicit parameter like
+    * `runDate`, never a wall-clock call, so loads stay deterministic and
+    * re-runnable. None omits the column. */
+  def salesFact(stg: DataFrame, dims: SuperstoreDims,
+                loadTs: Option[String] = None): DataFrame = {
     val numbered = Windows.lineNumber(stg,
       Seq(col("order_id")), Seq(col("product_id"), col("product_name")),
       "order_line_no")
@@ -95,7 +159,7 @@ object StarSchema {
         Staging.normalizePostal(col("postal_code")), col("region"))))
       .join(broadcast(dims.geography.select(col("hash_key").as("__geo_hash"),
         col("geography_key"))), Seq("__geo_hash"), "left")
-    geoKeyed
+    val selected = geoKeyed
       .join(broadcast(dims.shipMode), Seq("ship_mode"), "left")
       .join(broadcast(dims.subCategory.select("sub_category", "category_key",
         "sub_category_key")
@@ -116,6 +180,8 @@ object StarSchema {
         col("geography_key"), col("__ck").as("category_key"),
         col("sub_category_key"),
         col("sales"), col("quantity"), col("discount"), col("profit"))
+    loadTs.fold(selected)(ts =>
+      selected.withColumn("load_ts", to_timestamp(lit(ts))))
   }
 
   /** J5: idempotent fact (re-)load — only lines whose (order_id,

@@ -15,6 +15,19 @@ class DateSpineSpec extends SparkSpec {
     col1(spine.select(date_format($"date", "yyyy-MM-dd"))) should contain("2016-02-29")
   }
 
+  test("fromBounds: NULL bounds fall back to the reference's default range") {
+    // all dates failed to parse (SQLproject1.sql:262-263 ISNULL fallback)
+    val df = Seq(1, 2, 3).toDF("x").select(lit(null).cast("date").as("d"))
+    val spine = DateSpine.fromBounds(df, col("d"), col("d"))
+    spine.count() shouldBe 5844 // 2010-01-01 .. 2025-12-31 inclusive
+    val bounds = spine.agg(min($"date").cast("string"), max($"date").cast("string"))
+      .as[(String, String)].head()
+    bounds shouldBe (("2010-01-01", "2025-12-31"))
+    // an EMPTY bounds frame behaves the same (min/max over zero rows)
+    DateSpine.fromBounds(df.filter(lit(false)), col("d"), col("d"))
+      .count() shouldBe 5844
+  }
+
   test("calendar attributes: date_key, names, weekend flag") {
     val df = Seq("2024-06-01").toDF("d").select(to_date($"d").as("d"))
     val row = DateSpine.fromBounds(df, col("d"), col("d")).collect().head

@@ -39,6 +39,26 @@ class DimsSpec extends SparkSpec {
     plan should not include "windowspecdefinition(nk"
   }
 
+  test("insertOnlyMergeDistributed == insertOnlyMerge, no global window") {
+    val all = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select($"c_name".as("nk"))
+    // deterministic "prior" slice (limit() could pick different rows per
+    // evaluation of the lazy plans below); localCheckpoint freezes the
+    // buildDim window OUT of the merged plan so the no-window assertion
+    // below covers only the merge machinery
+    val existing = Dims.buildDim(all.filter($"nk" < "Customer#000000800"),
+      Seq("nk"), "k").localCheckpoint()
+    val windowed = Dims.insertOnlyMerge(existing, all, Seq("nk"), "k")
+    val dist = Dims.insertOnlyMergeDistributed(existing, all, Seq("nk"), "k",
+      partitions = 4)
+    dist.count() shouldBe windowed.count()
+    windowed.except(dist).count() shouldBe 0
+    dist.except(windowed).count() shouldBe 0
+    val plan = Dims.insertOnlyMergeDistributed(existing, all, Seq("nk"), "k",
+      partitions = 4).queryExecution.executedPlan.toString
+    plan should not include "windowspecdefinition(nk"
+  }
+
   test("insertOnlyMerge is idempotent when nothing is new") {
     val existing = Dims.buildDim(Seq("a", "b").toDF("nk"), Seq("nk"), "k")
     val merged = Dims.insertOnlyMerge(existing, Seq("a", "b").toDF("nk"),

@@ -23,6 +23,50 @@ class NearDupSimilaritySpec extends SparkSpec {
     pairs.find(p => p._1 == 1 && p._2 == 2).get._3 should be < 1.0
   }
 
+  test("ngramJaccardPairs maxDf cap drops hot shingles from both " +
+    "intersection and set sizes") {
+    // shingles shared by all three docs have df=3; cap at 2 removes them,
+    // so only the doc1/doc2 overlap that is NOT corpus-wide survives
+    val trio = Seq(
+      (1, "alpha beta gamma delta epsilon zeta"),
+      (2, "alpha beta gamma delta epsilon eta"),
+      (3, "alpha beta gamma theta iota kappa")
+    ).toDF("id", "text")
+    val uncapped = NearDup.ngramJaccardPairs(trio, "id", "text", n = 3,
+      threshold = 0.0, maxDf = 0)
+      .select("a_id", "b_id", "jaccard").as[(Int, Int, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    val capped = NearDup.ngramJaccardPairs(trio, "id", "text", n = 3,
+      threshold = 0.0, maxDf = 2)
+      .select("a_id", "b_id", "jaccard").as[(Int, Int, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    // "alpha beta gamma" (df=3) is capped away: the 1-3 / 2-3 pairs shared
+    // ONLY that stop-shingle, so they vanish entirely
+    uncapped.keySet shouldBe Set((1, 2), (1, 3), (2, 3))
+    capped.keySet shouldBe Set((1, 2))
+    // and the surviving pair is scored over the reduced universe:
+    // 3 of 5 shingles shared uncapped; 2 of 4 shared once the stop-shingle
+    // is gone from both intersection AND set sizes
+    uncapped((1, 2)) shouldBe 0.6 +- 1e-12
+    capped((1, 2)) shouldBe 0.5 +- 1e-12
+  }
+
+  test("ngramJaccardPairs candidates mode scores only the given pairs") {
+    val cand = Seq((1, 2)).toDF("a_id", "b_id")
+    val pairs = NearDup.ngramJaccardPairs(docs, "id", "text", n = 3,
+      threshold = 0.0, maxDf = 0, candidates = Some(cand))
+      .select("a_id", "b_id").as[(Int, Int)].collect().toSet
+    pairs shouldBe Set((1, 2)) // (1,4)/(2,4) never scored
+    // scores agree with the all-pairs path
+    val full = NearDup.ngramJaccardPairs(docs, "id", "text", n = 3,
+      threshold = 0.0, maxDf = 0)
+      .filter($"a_id" === 1 && $"b_id" === 2)
+      .select("jaccard").as[Double].head()
+    NearDup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.0,
+        maxDf = 0, candidates = Some(cand))
+      .select("jaccard").as[Double].head() shouldBe full
+  }
+
   test("minHashLshCandidates surfaces near-dups without a full cross join") {
     val cand = NearDup.minHashLshCandidates(docs, "id", "text",
         shingleN = 3, numHashes = 12, bandSize = 3)

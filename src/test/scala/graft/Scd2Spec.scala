@@ -75,4 +75,45 @@ class Scd2Spec extends SparkSpec {
       "2024-06-01")
     dim1.filter($"key" === 2 && $"is_current").count() shouldBe 1
   }
+
+  test("mergeKeyed: surviving versions keep surrogate keys, new versions " +
+    "offset past max (reference MERGE never re-keys, SQLproject1.sql:485)") {
+    val dim0 = Scd2.initialLoad(snap((1, "a", "X"), (2, "b", "Y")), tracked)
+      .withColumn("sk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"key")).cast("long") + 100)
+    val keys0 = dim0.select($"key", $"effective_from".cast("string").as("ef"),
+      $"sk").as[(Int, String, Long)].collect().toSet
+
+    val dim1 = Scd2.mergeKeyed(dim0,
+      snap((1, "a", "X"), (2, "b", "Z"), (3, "c", "W")),
+      Seq("key"), tracked, "2024-06-01", "sk")
+
+    dim1.count() shouldBe 4
+    // surviving version rows (kept key-1 + closed key-2) keep their keys
+    val after = dim1.select($"key", $"effective_from".cast("string").as("ef"),
+      $"sk").as[(Int, String, Long)].collect()
+    keys0.foreach(k => after should contain(k))
+    // new rows (key-2's new version, brand-new key-3) offset past max(sk)
+    val maxPrior = keys0.map(_._3).max
+    val freshKeys = after.toSet -- keys0
+    freshKeys.size shouldBe 2
+    freshKeys.foreach(_._3 should be > maxPrior)
+    // surrogate keys stay unique across the whole dim
+    dim1.select("sk").distinct().count() shouldBe 4
+    // and the merge semantics are untouched: closed + new current for key 2
+    dim1.filter($"key" === 2 && !$"is_current").count() shouldBe 1
+    dim1.filter($"key" === 2 && $"is_current").select("segment")
+      .as[String].head() shouldBe "Z"
+  }
+
+  test("mergeKeyed no-op merge preserves every key (idempotent re-run)") {
+    val s = snap((1, "a", "X"), (2, "b", "Y"))
+    val dim0 = Scd2.initialLoad(s, tracked)
+      .withColumn("sk", $"key".cast("long") * 7)
+    val dim1 = Scd2.mergeKeyed(dim0, s, Seq("key"), tracked, "2024-06-01", "sk")
+    dim1.count() shouldBe 2
+    dim1.except(dim0.select(dim1.columns.toIndexedSeq.map(col): _*))
+      .count() shouldBe 0
+  }
 }

@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(Tables.NanosConf, "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

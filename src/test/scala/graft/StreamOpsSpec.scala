@@ -55,6 +55,30 @@ class StreamOpsSpec extends SparkSpec {
     batch.except(streamed).count() shouldBe 0
   }
 
+  test("tumbling agg supports APPEND mode: watermark survives the grouping " +
+    "and finalized windows are emitted") {
+    // grouping by window(...).getField("start") used to strip the event-time
+    // watermark from the key — append mode failed analysis and update-mode
+    // state was never evicted
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamOps.tumblingAgg(mem.toDF.toDF("user_id", "ts", "value"),
+      "ts", 3600, "10 minutes", Seq($"user_id"),
+      Seq(count(lit(1)).as("n")))
+    val q = out.writeStream.format("memory").queryName("tumble_append")
+      .outputMode("append").start() // throws here without the watermark
+    mem.addData(data: _*)
+    q.processAllAvailable() // watermark -> 01:00 (max ts 01:10 - 10 min)
+    // a later event pushes the watermark past the hour-0 windows
+    mem.addData(("u9", ts("2024-01-01 05:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("tumble_append")
+      .select($"user_id", $"n").as[(String, Long)].collect().toSet
+    // the hour-0 windows (ends <= watermark) are finalized and emitted
+    emitted should contain allOf (("u1", 2L), ("u2", 1L))
+  }
+
   test("streaming session windows match the batch sessionization rollup") {
     val streamed = runStream(df => StreamOps.sessionAgg(df, "ts", 1800,
       "1 hour", Seq($"user_id"), Seq(count(lit(1)).as("n"))))

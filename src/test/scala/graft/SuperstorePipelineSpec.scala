@@ -117,6 +117,43 @@ class SuperstorePipelineSpec extends SparkSpec {
     }
   }
 
+  test("rolling30Daily: window runs on (region, day) grain and equals " +
+    "brute force over daily totals") {
+    assume(available)
+    val daily = Marts.rolling30Daily(out.fact, out.dims.geography, out.dims.date)
+    val west = daily.filter($"region" === "West").orderBy($"date")
+      .select($"sales".cast("double"), $"sales_30".cast("double"))
+      .as[(Double, Double)].collect()
+    val sales = west.map(_._1)
+    west.zipWithIndex.foreach { case ((_, s30), i) =>
+      s30 shouldBe sales.slice((i - 29).max(0), i + 1).sum +- 1e-6
+    }
+    // grain is daily: one row per (region, date), far fewer than fact lines
+    daily.groupBy("region", "date").count().filter($"count" > 1)
+      .count() shouldBe 0
+    // the scale property: the window's sort input is the pre-aggregated
+    // daily grain, so the Window sits ABOVE the aggregate in the plan
+    val plan = daily.queryExecution.optimizedPlan.toString
+    plan.indexOf("Window").should(be >= 0)
+    plan.indexOf("Window") should be < plan.indexOf("Aggregate")
+  }
+
+  test("audit columns: runTs stamps fact.load_ts and LoadIssues.created_at; " +
+    "omitted when unset") {
+    assume(available)
+    // default run: no audit columns (deterministic golden outputs unchanged)
+    out.fact.columns should not contain "load_ts"
+    out.loadIssues.columns should not contain "created_at"
+    val ts = "2024-06-01 12:34:56"
+    val stamped = Pipeline.run(spark, csv, runTs = Some(ts))
+    val loadTs = stamped.fact.select($"load_ts".cast("string")).distinct()
+      .as[String].collect()
+    loadTs shouldBe Array(ts)
+    val createdAt = stamped.loadIssues.select($"created_at".cast("string"))
+      .distinct().as[String].collect()
+    createdAt shouldBe Array(ts)
+  }
+
   test("top products per sub-category: rank <= 5 with ties kept") {
     assume(available)
     val tp = out.topProducts
