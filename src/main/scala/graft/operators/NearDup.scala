@@ -56,32 +56,28 @@ object NearDup {
       .select(col(idCol).as("doc_id"),
         array_distinct(TextFunctions.wordShingles(words, n)).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    // carry each doc's shingle count on every posting row: the pair
-    // aggregation then has both set sizes in hand, so no separate `sizes`
-    // branch (which would recompute the shingle subtree — no exchange to
-    // reuse across a different shuffle key) and no post-join lookups
+    // uncapped: carry each doc's shingle count on every posting row — the
+    // pair aggregation then has both set sizes in hand with no separate
+    // `sizes` branch (which would recompute the shingle subtree) and no
+    // post-join lookups
     val posting = withSh.select(col("doc_id"), size(col("__sh")).as("n_sh"),
       explode(col("__sh")).as("s"))
+    // capped: survivors keep only a broadcast anti-join on the hot-shingle
+    // list (tiny by construction, ≤ postings/maxDf entries) — the heavy
+    // self-join input is never re-shuffled for the cap. Set sizes must
+    // count SURVIVING shingles (sizes and intersections must agree on one
+    // universe), so they are re-aggregated from the survivors and joined
+    // onto the AGGREGATED pairs afterwards — pairs are orders of magnitude
+    // fewer rows than postings, so correcting there beats any formulation
+    // that joins a per-doc correction back onto the posting set (measured:
+    // that shape cost more than it saved at 10× scale, PLANS.md).
+    val capped = maxDf > 0
     val sh =
-      if (maxDf <= 0) posting
+      if (!capped) posting
       else {
         val hot = posting.groupBy(col("s")).count()
           .filter(col("count") > maxDf).select(col("s"))
-        // n_sh must count the SURVIVING shingles (set sizes and
-        // intersections must agree on the same universe). Subtract each
-        // doc's hot-shingle count rather than re-counting survivors with a
-        // window: postings are distinct per (doc, shingle), so the values
-        // are identical, but hotPerDoc only holds docs that CONTAIN a hot
-        // shingle — empty whenever the cap doesn't bite, so AQE turns the
-        // correction join into a broadcast no-op instead of the window's
-        // unconditional full shuffle+sort of the postings by doc_id
-        val hotPerDoc = posting.join(broadcast(hot), Seq("s"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("__nhot"))
-        posting.join(broadcast(hot), Seq("s"), "left_anti")
-          .join(hotPerDoc, Seq("doc_id"), "left")
-          .withColumn("n_sh",
-            col("n_sh") - coalesce(col("__nhot"), lit(0)))
-          .drop("__nhot")
+        posting.drop("n_sh").join(broadcast(hot), Seq("s"), "left_anti")
       }
     val joined = candidates match {
       case Some(c) =>
@@ -93,10 +89,22 @@ object NearDup {
         sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
     }
-    val pairs = joined
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("intersection"),
-        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+    val pairs =
+      if (!capped)
+        joined
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("intersection"),
+            first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+      else {
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        joined
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("intersection"))
+          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
+            "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
+            "b_id")
+      }
     pairs
       .withColumn("jaccard", col("intersection").cast("double") /
         (col("n_a") + col("n_b") - col("intersection")).cast("double"))
