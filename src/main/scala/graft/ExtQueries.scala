@@ -194,24 +194,29 @@ object ExtQueries {
 
   private val SimHashBits = 32
 
+  /** CTE list replicating NearDup.simHash in DuckDB; the final CTE `sims`
+    * is (doc_id, simhash BIGINT). Shared by q36 and R2Queries' q72. */
+  private[graft] def oSimHashCtes: String = {
+    val sums = (0 until SimHashBits).map { j =>
+      val nib = s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
+      s"SUM(2 * (($nib >> ${j % 4}) & 1) - 1) AS s_$j"
+    }.mkString(",\n             ")
+    val bits = (0 until SimHashBits).map(j =>
+      s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""tok AS (SELECT doc_id, md5(unnest(${oToks("text")})) AS h FROM documents),
+      sums AS (SELECT doc_id,
+             $sums
+      FROM tok GROUP BY doc_id),
+      sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)"""
+  }
+
   /** 32-bit SimHash fingerprints. */
   private val q36 = QueryDef(
     "q36_simhash",
     (s, d) => NearDup.simHash(Tables.documents(s, d), "doc_id", "text", SimHashBits),
-    Some {
-      val sums = (0 until SimHashBits).map { j =>
-        val nib = s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
-        s"SUM(2 * (($nib >> ${j % 4}) & 1) - 1) AS s_$j"
-      }.mkString(",\n             ")
-      val bits = (0 until SimHashBits).map(j =>
-        s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""
-      WITH tok AS (SELECT doc_id, md5(unnest(${oToks("text")})) AS h FROM documents),
-      sums AS (SELECT doc_id,
-             $sums
-      FROM tok GROUP BY doc_id)
-      SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums"""
-    })
+    Some(s"""
+      WITH $oSimHashCtes
+      SELECT doc_id, simhash FROM sims"""))
 
   // ---- similarity search --------------------------------------------------
 

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.QueryDef
-import graft.operators.{DateSpine, NearDup}
+import graft.functions.TextFunctions
+import graft.operators.{Corpus, DateSpine, NearDup}
 
 /** Round-2 additions: edge semantics of the reference surfaced by the
   * round-1 review (VERDICT.md) — the date-spine NULL-bounds fallback and
@@ -74,5 +75,122 @@ object R2Queries {
       WHERE CAST(intersection AS DOUBLE) /
               CAST(sa.n_sh + sb.n_sh - intersection AS DOUBLE) >= 0.1"""))
 
-  val all: Seq[QueryDef] = Seq(q67, q68)
+  /** Benchmark decontamination: every 50th doc plays the eval set, the rest
+    * are the training corpus; flag docs whose 3-gram overlap with the eval
+    * set exceeds 50%. */
+  private val q69 = QueryDef(
+    "q69_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.decontaminate(
+          corpus = docs.filter(col("doc_id") % 50 =!= 0),
+          evalDocs = docs.filter(col("doc_id") % 50 === 0),
+          idCol = "doc_id", textCol = "text", n = 3, maxOverlapRatio = 0.5)
+        .select(col("doc_id"), col("n_shingles").cast("long"),
+          col("n_overlap"), col("overlap_ratio"), col("contaminated"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w FROM documents),
+      ws AS (SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)}) AS sh
+             FROM t WHERE len(w) >= 3),
+      eval_sh AS (SELECT DISTINCT unnest(sh) AS s FROM ws WHERE doc_id % 50 = 0),
+      posting AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                  FROM ws WHERE doc_id % 50 <> 0)
+      SELECT p.doc_id,
+             CAST(MAX(p.n_sh) AS BIGINT) AS n_shingles,
+             CAST(COUNT(e.s) AS BIGINT) AS n_overlap,
+             CAST(COUNT(e.s) AS DOUBLE) / CAST(MAX(p.n_sh) AS DOUBLE)
+               AS overlap_ratio,
+             (CAST(COUNT(e.s) AS DOUBLE) / CAST(MAX(p.n_sh) AS DOUBLE)) > 0.5
+               AS contaminated
+      FROM posting p LEFT JOIN eval_sh e USING (s)
+      GROUP BY p.doc_id"""))
+
+  private val PackBudget = 128
+
+  /** Concat-then-chunk sequence packing: docs laid head-to-tail per shard
+    * (shard = doc_id % 8, ordered by doc_id), chunked every 128 BPE-ish
+    * tokens. */
+  private val q70 = QueryDef(
+    "q70_pack_sequences",
+    (s, d) => Corpus.packSequences(Tables.documents(s, d), "doc_id",
+      shard = col("doc_id") % 8,
+      tokenCount = TextFunctions.bpeTokenCount(col("text")),
+      budget = PackBudget),
+    Some(s"""
+      WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(regexp_extract_all(text,
+               '${TextFunctions.bpeTokenPattern}')) AS BIGINT) AS n_tok
+             FROM documents),
+      c AS (SELECT doc_id, shard, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_offset
+            FROM t)
+      SELECT doc_id, shard, n_tok, start_offset,
+             start_offset // $PackBudget AS bin,
+             start_offset % $PackBudget AS bin_offset
+      FROM c"""))
+
+  /** PII scrubbing over deterministic synthetic contact text: an email
+    * derived from c_name plus a TPC-H-style phone derived from c_custkey
+    * (twice for every third customer, so counts vary). Patterns avoid
+    * backslash classes so the regex source is byte-identical across
+    * engines. */
+  private val q71 = QueryDef(
+    "q71_pii_scrub", { (s, d) =>
+      val phone = format_string("%02d-%03d-%03d-%04d",
+        col("c_custkey") % 90 + 10, col("c_custkey") % 900 + 100,
+        (col("c_custkey") * 7) % 900 + 100,
+        (col("c_custkey") * 13) % 9000 + 1000)
+      val contact = concat(
+        lit("contact "), lower(regexp_replace(col("c_name"), "#", "-")),
+        lit("@example.com or call "), phone,
+        when(col("c_custkey") % 3 === 0,
+          concat(lit(" alt "), phone)).otherwise(lit("")),
+        lit(" re "), col("c_mktsegment"))
+      Corpus.scrubPii(
+        Tables.customer(s, d).select(col("c_custkey"),
+          contact.as("contact_text")),
+        "c_custkey", "contact_text", Seq(
+          ("email", "[a-z0-9-]+@[a-z]+[.][a-z]+", "<EMAIL>"),
+          ("phone", "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>")))
+    },
+    Some("""
+      WITH t AS (SELECT c_custkey,
+             'contact ' || lower(replace(c_name, '#', '-')) ||
+             '@example.com or call ' ||
+             printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10,
+               c_custkey % 900 + 100, (c_custkey * 7) % 900 + 100,
+               (c_custkey * 13) % 9000 + 1000) ||
+             (CASE WHEN c_custkey % 3 = 0 THEN ' alt ' ||
+               printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10,
+                 c_custkey % 900 + 100, (c_custkey * 7) % 900 + 100,
+                 (c_custkey * 13) % 9000 + 1000) ELSE '' END)
+             || ' re ' || c_mktsegment AS txt
+             FROM customer)
+      SELECT c_custkey,
+             regexp_replace(
+               regexp_replace(txt, '[a-z0-9-]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'),
+               '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+             CAST(len(regexp_extract_all(txt, '[a-z0-9-]+@[a-z]+[.][a-z]+'))
+               AS INT) AS n_email,
+             CAST(len(regexp_extract_all(txt,
+               '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone
+      FROM t"""))
+
+  /** SimHash Hamming-radius near-dups via band blocking; the oracle does
+    * the full O(n²) comparison over the same fingerprints (byte-identical
+    * to q36's), so equality proves the banding loses no pairs. */
+  private val q72 = QueryDef(
+    "q72_simhash_hamming",
+    (s, d) => Corpus.simHashHammingPairs(Tables.documents(s, d), "doc_id",
+      "text", maxHamming = 3),
+    Some(s"""
+      WITH ${ExtQueries.oSimHashCtes}
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""))
+
+  val all: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72)
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators for a training-data pipeline (SURVEY §7.7
+  * extension): benchmark decontamination, sequence packing, PII scrubbing,
+  * and SimHash Hamming-band near-dup candidates.
+  *
+  * Scale posture for each is stated on the method; the common theme is that
+  * the per-document side never shuffles more than once, and every join
+  * against reference data (eval sets, hot lists) is a broadcast.
+  */
+object Corpus {
+
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+  /** Benchmark decontamination: per-document n-gram overlap against an
+    * evaluation set (the standard guard against test-set leakage into
+    * training data). Emits one row per corpus doc with >= n words:
+    * (doc_id, n_shingles, n_overlap, overlap_ratio, contaminated).
+    *
+    * Scale: eval sets are small (KBs-MBs of benchmark text) while the
+    * corpus is the 100 TB side, so the distinct eval shingle set is
+    * BROADCAST and the corpus is scanned exactly once — no shuffle of
+    * corpus data at all; the only exchange is the per-doc aggregation. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int,
+                    maxOverlapRatio: Double): DataFrame = {
+    def shingles(df: DataFrame) = spread(df)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.wordShingles(
+          TextFunctions.tokens(col(textCol)), n)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val evalShingles = shingles(evalDocs)
+      .select(explode(col("__sh")).as("s")).distinct()
+    val posting = shingles(corpus)
+      .select(col("doc_id"), size(col("__sh")).as("n_shingles"),
+        explode(col("__sh")).as("s"))
+    posting
+      .join(broadcast(evalShingles).withColumn("__hit", lit(1)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        count(col("__hit")).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("overlap_ratio") > maxOverlapRatio)
+  }
+
+  /** Sequence packing: lay documents head-to-tail per shard and chunk the
+    * stream at a fixed token budget (concat-then-chunk, the GPT-style
+    * packing where a document may straddle two chunks). Emits
+    * (doc_id, shard, n_tok, start_offset, bin, bin_offset) with `bin`
+    * numbering budget-sized chunks within the shard and `bin_offset` the
+    * document's start position inside its first bin.
+    *
+    * Deterministic: order within a shard is by `idCol`. Scale: one shuffle
+    * on `shard` (pick shard count ~ O(executors × few) so each task's sort
+    * is corpus/shards); the running sum is a single window pass. */
+  def packSequences(docs: DataFrame, idCol: String, shard: Column,
+                    tokenCount: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"), shard.cast("long").as("shard"),
+        tokenCount.cast("long").as("n_tok"))
+      .withColumn("start_offset", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"start_offset div $budget"))
+      .withColumn("bin_offset", col("start_offset") % budget)
+  }
+
+  /** PII scrubbing: apply (name, pattern, replacement) rules in order and
+    * count matches per rule BEFORE redaction. Emits the input's id column,
+    * the scrubbed text, and one `n_<name>` count per rule.
+    *
+    * Patterns are applied with global replacement. Counts are computed on
+    * the ORIGINAL text, so overlapping rules each report what they saw
+    * (redaction order still matters for the scrubbed output, earlier rules
+    * win). Scale: pure scalar work — stays inside whole-stage codegen, no
+    * shuffle, no UDF. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String,
+               rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "scrubPii needs at least one rule")
+    val scrubbed = rules.foldLeft(col(textCol)) { case (acc, (_, pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    val counts = rules.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("int").as(s"n_$name")
+    }
+    df.select(col(idCol) +: scrubbed.as("scrubbed") +: counts: _*)
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius, found WITHOUT an
+    * all-pairs comparison: the `bits`-bit fingerprint is cut into
+    * `numBands` equal bands, and by pigeonhole any pair within Hamming
+    * distance `maxHamming` <= numBands - 1 agrees exactly on at least one
+    * band — so candidates are an equi-join on (band_id, band_value) and the
+    * exact distance check (codegen'd bit_count(xor)) runs only on
+    * candidates. Emits (a_id, b_id, hamming), exact and complete for
+    * maxHamming <= numBands - 1 (enforced).
+    *
+    * Scale: same posture as MinHash-LSH banding — shuffle is O(docs ×
+    * numBands) on band keys, never O(docs²). Band-key skew (a hot band
+    * value shared by a large cluster) is the residual risk; AQE skew-join
+    * handles moderate cases, and a hot-band df cap (as in
+    * [[NearDup.ngramJaccardPairs]]) is the escape hatch beyond that. */
+  def simHashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int, bits: Int = 32,
+                          numBands: Int = 4): DataFrame = {
+    require(bits % numBands == 0, "bits must divide into equal bands")
+    require(maxHamming <= numBands - 1,
+      s"pigeonhole completeness needs maxHamming <= numBands - 1 " +
+        s"(got $maxHamming vs $numBands bands)")
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    val sig = NearDup.simHash(docs, idCol, textCol, bits)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+            .as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_id"), col("b.band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

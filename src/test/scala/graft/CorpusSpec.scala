@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, NearDup}
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: overlap counted against the eval shingle universe") {
+    val corpus = Seq(
+      (1, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma"
+      (2, "zeta eta theta iota kappa")       // shares nothing
+    ).toDF("id", "text")
+    val eval = Seq((100, "alpha beta gamma mu nu")).toDF("id", "text")
+    val out = Corpus.decontaminate(corpus, eval, "id", "text", n = 3,
+        maxOverlapRatio = 0.3)
+      .select($"doc_id", $"n_shingles", $"n_overlap", $"contaminated")
+      .as[(Int, Int, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    out(1) shouldBe ((1, 3, 1L, true)) // 1 of 3 shingles is in the eval set
+    out(2) shouldBe ((2, 3, 0L, false))
+  }
+
+  test("packSequences: contiguous fill, docs may straddle bin boundaries") {
+    val docs = Seq((1, 60), (2, 50), (3, 30), (4, 10)).toDF("id", "n")
+    val out = Corpus.packSequences(docs, "id", shard = lit(0),
+        tokenCount = $"n", budget = 100)
+      .select($"doc_id", $"start_offset", $"bin", $"bin_offset")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    out(1) shouldBe ((1, 0L, 0L, 0L))
+    out(2) shouldBe ((2, 60L, 0L, 60L))  // starts in bin 0, spills into 1
+    out(3) shouldBe ((3, 110L, 1L, 10L))
+    out(4) shouldBe ((4, 140L, 1L, 40L))
+  }
+
+  test("packSequences: shards pack independently") {
+    val docs = Seq((1, 70), (2, 70), (3, 70)).toDF("id", "n")
+    val bins = Corpus.packSequences(docs, "id", shard = $"id" % 2,
+        tokenCount = $"n", budget = 100)
+      .select($"doc_id", $"shard", $"bin").as[(Int, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    bins(1) shouldBe ((1L, 0L)) // shard 1: offsets 0, 70
+    bins(3) shouldBe ((1L, 0L))
+    bins(2) shouldBe ((0L, 0L)) // alone in shard 0
+  }
+
+  test("scrubPii: global redaction, per-rule counts on the original text") {
+    val df = Seq((1, "mail a@b.com and c@d.org, call 12-345-678-9012")).
+      toDF("id", "text")
+    val out = Corpus.scrubPii(df, "id", "text", Seq(
+        ("email", "[a-z]+@[a-z]+[.][a-z]+", "<EMAIL>"),
+        ("phone", "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>")))
+      .as[(Int, String, Int, Int)].head()
+    out._2 shouldBe "mail <EMAIL> and <EMAIL>, call <PHONE>"
+    out._3 shouldBe 2
+    out._4 shouldBe 1
+  }
+
+  test("simHashHammingPairs: banding finds exactly the brute-force pairs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val banded = Corpus.simHashHammingPairs(docs, "doc_id", "text",
+        maxHamming = 3)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val sig = NearDup.simHash(docs, "doc_id", "text")
+    val brute = sig.as("a").join(sig.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter($"h" <= 3).as[(Long, Long, Int)].collect().toSet
+    banded shouldBe brute
+    banded should not be empty
+  }
+
+  test("simHashHammingPairs rejects a radius the banding cannot guarantee") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.simHashHammingPairs(docs, "doc_id", "text", maxHamming = 4,
+        numBands = 4)
+  }
+}
