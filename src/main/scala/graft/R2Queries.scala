@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.QueryDef
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, DateSpine, NearDup}
+import graft.operators.{Clusters, Corpus, DateSpine, NearDup, Similarity}
 
 /** Round-2 additions: edge semantics of the reference surfaced by the
   * round-1 review (VERDICT.md) — the date-spine NULL-bounds fallback and
@@ -192,5 +192,65 @@ object R2Queries {
       FROM sims a JOIN sims b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""))
 
-  val all: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72)
+  /** Near-dup cluster resolution: the q72 Hamming pairs resolved into
+    * connected components (cluster_id = min reachable doc_id — a unique
+    * fixpoint both engines can state; the oracle uses a recursive
+    * transitive closure, the Spark side min-label propagation). */
+  private val q73 = QueryDef(
+    "q73_dedup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Clusters.connectedComponents(docs, "doc_id",
+        Corpus.simHashHammingPairs(docs, "doc_id", "text", maxHamming = 3),
+        "a_id", "b_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${ExtQueries.oSimHashCtes},
+      prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+                UNION SELECT b_id, a_id FROM prs),
+      reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+                UNION
+                SELECT e.src AS id, reach.r
+                FROM edges e JOIN reach ON e.dst = reach.id)
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""))
+
+  private val EmbDim = 64
+
+  /** Top-k neighbors under int8-quantized cosine. Quantization uses floor
+    * (truncation is engine-universal; rounding modes are not) and integer
+    * dot/norm sums are exact, so the only float ops per pair are
+    * sqrt-multiply-divide — reproduced bit-for-bit by the oracle's
+    * unrolled SQL. */
+  private val q74 = QueryDef(
+    "q74_quantized_topk",
+    (s, d) => Similarity.quantizedCosineTopK(Tables.embeddings(s, d),
+      "vec_id", "embedding", col("vec_id") < 10, k = 3),
+    Some {
+      def idotSql(a: String, b: String) = (1 to EmbDim)
+        .map(i => s"$a.q8[$i]*$b.q8[$i]").mkString(" + ")
+      s"""
+      WITH base AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS mx
+             FROM embeddings),
+      qt AS (SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT)) AS q8
+             FROM base WHERE mx > 0),
+      scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             CAST(${idotSql("q", "n")} AS DOUBLE) /
+               (sqrt(CAST(${idotSql("q", "q")} AS DOUBLE)) *
+                sqrt(CAST(${idotSql("n", "n")} AS DOUBLE))) AS q_cosine
+             FROM qt q JOIN qt n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
+      SELECT q_id, n_id, q_cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY q_cosine DESC, n_id) AS INT) AS rank
+      FROM scored
+      QUALIFY rank <= 3"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q74)
 }

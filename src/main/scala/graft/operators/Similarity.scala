@@ -172,6 +172,59 @@ object Similarity {
 
   /** Bucketed corpus: each vector tagged with its LSH bucket and the bucket
     * population (candidate-set size a query in that bucket would scan). */
+  // ---- int8 scalar quantization: the memory/IO scale path ---------------
+
+  /** Per-vector symmetric int8 quantization: q_i = floor(x_i * 127 /
+    * max|x|). An embedding column stored int8 is 4× smaller than float32 —
+    * at 100 TB that is the difference between a corpus that fits the
+    * cluster's NVMe cache and one that doesn't — and integer dot products
+    * are exact, so scoring is bit-reproducible across engines (unlike float
+    * sums, whose order matters). `floor` (not round) because float→int
+    * rounding modes differ across engines; truncation toward -∞ is
+    * universal. Zero vectors yield a NULL quantized column (no scale
+    * exists); callers filter or coalesce. */
+  def quantizeInt8(emb: Column): Column = {
+    val mx = array_max(transform(emb, x => abs(x.cast("double"))))
+    when(mx > 0.0,
+      transform(emb, x =>
+        floor(x.cast("double") * (lit(127.0) / mx)).cast("long")))
+      .otherwise(lit(null).cast("array<bigint>"))
+  }
+
+  /** Exact top-k under QUANTIZED cosine: same shape as [[cosineTopK]]
+    * (broadcast query side, corpus scanned once, partial top-k before the
+    * exchange) but scoring int8 codes. The integer dot/norm sums are exact,
+    * so the only float ops are one sqrt-product-divide per pair — the
+    * differential oracle reproduces them bit-for-bit. Quality vs the float
+    * ranking is bounded in QuantizedSimilaritySpec (recall@k). */
+  def quantizedCosineTopK(embeddings: DataFrame, idCol: String,
+                          embCol: String, queryPredicate: Column,
+                          k: Int): DataFrame = {
+    val quantized = embeddings
+      .select(col(idCol), quantizeInt8(col(embCol)).as("__q8"))
+      .filter(col("__q8").isNotNull)
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    // norms once per VECTOR (before the pair join), not once per pair
+    val q = quantized.filter(queryPredicate)
+      .select(col(idCol).as("q_id"), col("__q8").as("__qa"),
+        idot(col("__q8"), col("__q8")).as("__na"))
+    val cand = quantized
+      .select(col(idCol).as("n_id"), col("__q8").as("__qb"),
+        idot(col("__q8"), col("__q8")).as("__nb"))
+    val scored = cand.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("q_cosine",
+        idot(col("__qa"), col("__qb")).cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("q_cosine").desc, col("n_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("q_cosine"), col("rank"))
+  }
+
   def lshBucketed(embeddings: DataFrame, idCol: String, embCol: String,
                   numPlanes: Int, dim: Int): DataFrame = {
     val bucket = lshBucket(col(embCol), hyperplanes(numPlanes, dim))

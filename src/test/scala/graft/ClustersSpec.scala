@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clusters, Similarity}
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(verts: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(verts.toDF("id"), "id",
+        pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, triangle, and singleton all resolve to min reachable id") {
+    val got = cc(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L),
+      Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), // 5-chain
+          (6L, 7L), (7L, 9L), (6L, 9L)))          // triangle
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L, 9L -> 6L)
+  }
+
+  test("convergence is detected (no fixed iteration count needed)") {
+    // a 2-vertex graph converges in 1 round; a 10-chain needs several —
+    // both must produce the exact fixpoint under the same maxIter
+    val chain = (1L to 10L).sliding(2).map(s => (s(1), s.head)).toSeq
+    cc(1L to 10L, chain).values.toSet shouldBe Set(1L)
+  }
+
+  test("clusterSummary: size and canonical representative per cluster") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster_id")
+    val s = Clusters.clusterSummary(comps, "id")
+      .as[(Long, Long, Long)].collect().toSet
+    s shouldBe Set((1L, 2L, 1L), (3L, 1L, 3L))
+  }
+
+  test("quantizeInt8: codes in [-127,127], zero vector -> NULL") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "emb")
+    val out = df.select($"id", Similarity.quantizeInt8($"emb").as("q"))
+    out.filter($"id" === 2 && $"q".isNull).count() shouldBe 1
+    val q = out.filter($"id" === 1).select($"q").as[Seq[Long]].head()
+    q shouldBe Seq(63L, -127L, 31L) // floor(x * 127 / 2)
+    q.foreach(v => math.abs(v) should be <= 127L)
+  }
+
+  test("quantized top-k keeps high recall vs exact float top-k") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedCosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    recall should be >= 0.8 // int8 keeps ~all of the float ranking
+  }
+}
