@@ -13,18 +13,22 @@ import org.apache.spark.sql.functions._
   * oracle states it as a recursive transitive closure). Vertices absent
   * from any pair are their own singleton cluster.
   *
-  * Algorithm: min-label propagation — each round every vertex adopts the
-  * smallest label among itself and its neighbors, converging in
-  * O(component diameter) rounds. Near-dup components are overwhelmingly
-  * tiny (pairs/triples), so 3-5 rounds close almost any corpus; `maxIter`
-  * bounds the pathological chain. Each round is one shuffle (join on the
-  * symmetrized edge list + min-aggregate); labels are `localCheckpoint`ed
-  * per round so lineage stays flat across iterations — the standard Spark
-  * posture for iterative algorithms. Convergence is detected by counting
-  * changed labels (an aggregate on data already clustered this round).
+  * Algorithm: min-label propagation with pointer jumping — each round
+  * every vertex adopts the smallest label among itself and its neighbors
+  * (one edge join + min-aggregate), then follows its label's own label
+  * (one label self-join: labels are vertex ids, so label(label) is defined
+  * and monotonically smaller). Propagation alone needs O(component
+  * diameter) rounds; the compression step makes label chains halve each
+  * round, so convergence is O(log diameter) — the difference between ~15
+  * and ~4 rounds on a corpus-wide boilerplate component, and per-round
+  * job overhead is exactly what dominates iterative Spark loops. Labels
+  * are `localCheckpoint`ed per round so lineage stays flat. Convergence is
+  * detected by counting changed labels on the already-materialized round
+  * output (no extra join).
   *
-  * At 100 TB the driver loop still holds: rounds are data-parallel jobs;
-  * only the per-round changed-count (one long) reaches the driver.
+  * At 100 TB the driver loop still holds: rounds are data-parallel jobs
+  * (edge join ~O(E), compression ~O(V)); only the per-round changed-count
+  * (one long) reaches the driver.
   */
 object Clusters {
 
@@ -51,17 +55,24 @@ object Clusters {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nb_label"))
-      val next = labels
+      val prop = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nb_label"), col("label")))
             .as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .count()
-      labels = next
+      // pointer jumping: adopt label(label) — materialized above so the
+      // self-join reads the checkpoint twice instead of recomputing the
+      // edge join on both sides
+      val lut = prop.select(col("id").as("__lid"), col("label").as("__ll"))
+      val next = prop
+        .join(lut, col("label") === col("__lid"), "left")
+        .select(col("id"), col("__old"),
+          least(col("label"), coalesce(col("__ll"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0L
       it += 1
     }
