@@ -252,5 +252,27 @@ object R2Queries {
       QUALIFY rank <= 3"""
     })
 
-  val all: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q74)
+  /** Overlapping-window chunking (50-token chunks, 10-token overlap):
+    * trailing windows that add no new tokens are dropped in both engines
+    * by the same start-filter rule. */
+  private val q75 = QueryDef(
+    "q75_chunk_documents",
+    (s, d) => Corpus.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+      chunkSize = 50, overlap = 10),
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w FROM documents),
+      b AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+      st AS (SELECT doc_id, w, n,
+             unnest(list_filter(range(0, n, 40),
+               s -> s = 0 OR s + 10 < n)) AS start_tok
+             FROM b)
+      SELECT doc_id,
+             CAST(start_tok // 40 AS INT) AS chunk_id,
+             CAST(start_tok AS INT) AS start_tok,
+             CAST(least(50, n - start_tok) AS INT) AS n_tok,
+             array_to_string(w[start_tok + 1 : start_tok + 50], ' ')
+               AS chunk_text
+      FROM st"""))
+
+  val all: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

@@ -94,6 +94,40 @@ object Corpus {
     df.select(col(idCol) +: scrubbed.as("scrubbed") +: counts: _*)
   }
 
+  /** Overlapping-window document chunking (the RAG/embedding-prep shape):
+    * each doc's token stream is cut into chunks of `chunkSize` tokens whose
+    * starts step by `chunkSize - overlap`. A trailing start whose window
+    * adds no new tokens beyond the previous chunk (start + overlap >= n) is
+    * dropped, except start 0. Emits (doc_id, chunk_id, start_tok, n_tok,
+    * chunk_text); docs with no tokens emit nothing.
+    *
+    * Scale: pure per-row explode — no shuffle, no UDF; row growth is
+    * n/stride per doc, the expected output shape for an embedding stage
+    * downstream. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = spread(docs)
+      .select(col(idCol).as("doc_id"), toks.as("__t"), size(toks).as("__n"))
+      .filter(col("__n") > 0)
+    val starts = filter(
+      sequence(lit(0), col("__n") - 1, lit(stride)),
+      s => s === 0 || s + overlap < col("__n"))
+    base
+      .select(col("doc_id"), col("__t"), col("__n"),
+        explode(starts).as("start_tok"))
+      .select(col("doc_id"),
+        expr(s"start_tok div $stride").cast("int").as("chunk_id"),
+        col("start_tok"),
+        least(lit(chunkSize), col("__n") - col("start_tok")).as("n_tok"),
+        array_join(slice(col("__t"), col("start_tok") + 1, lit(chunkSize)),
+          " ").as("chunk_text"))
+  }
+
   /** SimHash near-dup pairs within a Hamming radius, found WITHOUT an
     * all-pairs comparison: the `bits`-bit fingerprint is cut into
     * `numBands` equal bands, and by pigeonhole any pair within Hamming

@@ -56,6 +56,30 @@ class CorpusSpec extends SparkSpec {
     out._4 shouldBe 1
   }
 
+  test("chunkDocuments: overlap carried, tail kept, redundant tail dropped") {
+    val words = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = Corpus.chunkDocuments(Seq((1, words)).toDF("id", "text"),
+        "id", "text", chunkSize = 50, overlap = 10)
+      .select($"chunk_id", $"start_tok", $"n_tok", $"chunk_text")
+      .as[(Int, Int, Int, String)].collect().sortBy(_._1)
+    out.map(c => (c._1, c._2, c._3)) shouldBe
+      Seq((0, 0, 50), (1, 40, 50), (2, 80, 20))
+    // the overlap region is shared verbatim between consecutive chunks
+    out(0)._4.split(" ").takeRight(10) shouldBe out(1)._4.split(" ").take(10)
+    out(2)._4.split(" ").head shouldBe "w81"
+
+    // 90 tokens: start 80 adds nothing beyond chunk [40,90) -> dropped
+    val w90 = (1 to 90).map(i => s"w$i").mkString(" ")
+    Corpus.chunkDocuments(Seq((1, w90)).toDF("id", "text"), "id", "text",
+        chunkSize = 50, overlap = 10)
+      .select($"start_tok").as[Int].collect().sorted shouldBe Seq(0, 40)
+    // short doc -> exactly one whole-doc chunk; empty doc -> nothing
+    Corpus.chunkDocuments(Seq((1, "a b c"), (2, " ")).toDF("id", "text"),
+        "id", "text", chunkSize = 50, overlap = 10)
+      .select($"doc_id", $"n_tok", $"chunk_text").as[(Int, Int, String)]
+      .collect().toSeq shouldBe Seq((1, 3, "a b c"))
+  }
+
   test("simHashHammingPairs: banding finds exactly the brute-force pairs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val banded = Corpus.simHashHammingPairs(docs, "doc_id", "text",
