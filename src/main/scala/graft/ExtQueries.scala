@@ -138,11 +138,15 @@ object ExtQueries {
              min(doc_id) AS keep_id, COUNT(*) AS dup_count
       FROM documents GROUP BY md5(lower(trim(text)))"""))
 
-  /** Exact n-gram Jaccard similarity pairs via shingle self-join. */
+  /** Exact n-gram Jaccard similarity pairs via shingle self-join. maxDf is
+    * pinned to 0 (uncapped) because THIS oracle states the uncapped
+    * semantics — relying on the default cap merely not biting at the
+    * fixture's size would prime a divergence on any larger corpus. The
+    * capped twin with a capped oracle is q68. */
   private val q34 = QueryDef(
     "q34_ngram_jaccard",
     (s, d) => NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.2),
+      n = 3, threshold = 0.2, maxDf = 0),
     Some(s"""
       WITH t AS (SELECT doc_id, ${oToks("text")} AS w FROM documents),
       ws AS (SELECT doc_id, list_distinct(${oShingles("w", 3)}) AS sh

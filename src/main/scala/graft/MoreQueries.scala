@@ -365,6 +365,12 @@ object MoreQueries {
     * constant — a broken/degenerate Spark hash column flips them false. */
   private val q53 = QueryDef(
     "q53_xxhash_keys", { (s, d) =>
+      // only the 64-bit hash gets a collision-freeness boolean: at 2^32
+      // hashes (crc32, murmur3) distinctness is a birthday coin-flip from
+      // ~80k rows up, so stating it as an oracle constant would fail on a
+      // larger fixture for reasons unrelated to correctness. The 32-bit
+      // hashes are exercised (forced through a count the optimizer cannot
+      // prune) without asserting an invariant they don't have.
       val keyed = Tables.customer(s, d).select(
         col("c_custkey"),
         md5(concat_ws("|", col("c_name"), col("c_mktsegment")))
@@ -374,21 +380,18 @@ object MoreQueries {
         hash(col("c_name"), col("c_nationkey")).as("__mm"))
       val stats = keyed.agg(
         countDistinct(col("__xx")).as("__nd_xx"),
-        countDistinct(col("__crc")).as("__nd_crc"),
-        countDistinct(col("__mm")).as("__nd_mm"),
+        countDistinct(col("__crc"), col("__mm")).as("__nd_32"),
         count(lit(1)).as("__n"))
       keyed.crossJoin(broadcast(stats)).select(
         col("c_custkey"), col("portable_key"),
         (col("__nd_xx") === col("__n")).as("xx_collision_free"),
-        (col("__nd_crc") === col("__n")).as("crc_collision_free"),
-        (col("__nd_mm") === col("__n")).as("murmur_collision_free"))
+        (col("__nd_32") > 0).as("hashes_32bit_computed"))
     },
     Some("""
       SELECT c_custkey,
              md5(c_name || '|' || c_mktsegment) AS portable_key,
              TRUE AS xx_collision_free,
-             TRUE AS crc_collision_free,
-             TRUE AS murmur_collision_free
+             TRUE AS hashes_32bit_computed
       FROM customer"""))
 
   /** Multimodal metadata-only aggregation (payload column pruned from the

@@ -76,6 +76,15 @@ object Clusters {
       converged = changed == 0L
       it += 1
     }
+    // unconverged labels are silently WRONG (not the component minimum) —
+    // downstream dedup would keep several "canonical" docs per group with
+    // no signal. Fail loudly; convergence is already measured, so this
+    // costs nothing.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds; " +
+          "raise maxIter (rounds needed ~ log2 of the largest component's " +
+          "diameter under pointer jumping)")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -16,8 +16,8 @@ import graft.functions.TextFunctions
   */
 object Corpus {
 
-  private def spread(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+  // one corpus-spreading policy for all operators (see NearDup.spread)
+  private def spread(docs: DataFrame): DataFrame = NearDup.spread(docs)
 
   /** Benchmark decontamination: per-document n-gram overlap against an
     * evaluation set (the standard guard against test-set leakage into

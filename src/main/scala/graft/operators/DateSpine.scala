@@ -22,15 +22,23 @@ object DateSpine {
     * '2010-01-01')` / `ISNULL(MAX(ShipDate),'2025-12-31')`): when every
     * date fails to parse (or `bounds` is empty), the spine still covers the
     * fallback range instead of exploding `sequence(null, null)` into an
-    * empty dim that NULLs every date key downstream. */
+    * empty dim that NULLs every date key downstream.
+    *
+    * Inverted bounds (possible when only ONE side falls back — e.g. order
+    * dates all unparseable but ship dates ending before 2010) yield an
+    * EMPTY spine rather than a runtime error: the reference's `WHILE @d <=
+    * @end` loop body simply never runs in that case, and `sequence(lo, hi)`
+    * with lo > hi would throw instead of matching it. */
   def fromBounds(bounds: DataFrame, loCol: Column, hiCol: Column,
                  loFallback: String = "2010-01-01",
                  hiFallback: String = "2025-12-31"): DataFrame = {
     val b = bounds.agg(
       coalesce(min(loCol), to_date(lit(loFallback))).as("lo"),
       coalesce(max(hiCol), to_date(lit(hiFallback))).as("hi"))
-    val days = b.select(
-      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("date"))
+    val days = b.select(explode(
+      when(col("lo") <= col("hi"),
+        sequence(col("lo"), col("hi"), expr("interval 1 day")))
+        .otherwise(array().cast("array<date>"))).as("date"))
     withCalendarAttrs(days, col("date"))
   }
 

@@ -28,7 +28,7 @@ object NearDup {
     * hashing is CPU-bound per row, so spread rows across all cores first —
     * one cheap shuffle of raw text buys full-width compute on every
     * downstream stage. */
-  private def spread(docs: DataFrame): DataFrame =
+  private[operators] def spread(docs: DataFrame): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact word n-gram Jaccard over all candidate pairs sharing ≥1 shingle.

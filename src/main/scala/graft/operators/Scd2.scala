@@ -82,18 +82,25 @@ object Scd2 {
     * new current version, brand-new keys) get fresh keys offset past
     * max(existing).
     *
-    * A version row is identified by (naturalKey, effective_from): two
-    * versions of one key can never share a start date (a day's merge closes
-    * at `runDate` and opens at `runDate` — distinct rows, same key, but the
-    * closed one started earlier). Fresh-key numbering windows over only the
-    * new rows — one task over a day's novelty, same posture as
+    * A version row is identified by (naturalKey, effective_from,
+    * hash_diff): effective_from alone is NOT unique when a key changes
+    * twice under one runDate (the second merge closes a version that
+    * opened at runDate and opens another at runDate), but those two
+    * versions necessarily carry different hash_diffs — change detection IS
+    * hash inequality. The one identity this cannot distinguish is a value
+    * flipping A→B→A in THREE same-day merges (the third A-version repeats
+    * the first's hash at the same start date); same-day re-merges are
+    * already outside the reference's own semantics (it keys change
+    * detection on EffectiveTo = today), so that corner is documented, not
+    * handled. Fresh-key numbering windows over only the new rows — one
+    * task over a day's novelty, same posture as
     * [[graft.operators.Dims.insertOnlyMerge]]. */
   def mergeKeyed(dim: DataFrame, snapshot: DataFrame, naturalKey: Seq[String],
                  tracked: Seq[String], runDate: String,
                  keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val merged = merge(dim.drop(keyCol), snapshot, naturalKey, tracked, runDate)
-    val versionId = naturalKey :+ "effective_from"
+    val versionId = naturalKey :+ "effective_from" :+ "hash_diff"
     val keyMap = dim.select(versionId.map(col) :+ col(keyCol): _*)
     val joined = merged.join(keyMap, versionId, "left")
     val kept = joined.filter(col(keyCol).isNotNull)

@@ -44,20 +44,37 @@ object Marts {
     * the window so each task sorts days, not order lines — the q12/q43
     * formulation. [[rolling30]] keeps the reference's exact line-grain
     * 30-ROW semantics (correct, but its window sorts fact/|regions| rows
-    * per task: at 100 TB use this variant, or a RANGE window, instead). */
+    * per task: at 100 TB use this variant instead).
+    *
+    * `calendarRange = false` (default) keeps a 30-ROW frame over ACTIVE
+    * days — on a region with gap days the window spans more than 30
+    * calendar days (the reference's last-30-observations intent at daily
+    * grain). `calendarRange = true` switches to a true 30-calendar-day
+    * RANGE frame over day numbers (gap days shrink the window, never
+    * stretch it) — the q43 formulation. */
   def rolling30Daily(fact: DataFrame, geography: DataFrame,
-                     date: DataFrame): DataFrame = {
+                     date: DataFrame,
+                     calendarRange: Boolean = false): DataFrame = {
     val daily = fact
       .join(broadcast(geography.select("geography_key", "region")), "geography_key")
       .join(broadcast(date.select(col("date_key").as("order_date_key"),
         col("date"))), "order_date_key")
       .groupBy(col("region"), col("date"))
       .agg(sum(col("sales")).as("sales"), sum(col("profit")).as("profit"))
-    Windows.rollingSum(
-      Windows.rollingSum(daily, Seq(col("region")), Seq(col("date")),
-        col("sales"), 30, "sales_30"),
-      Seq(col("region")), Seq(col("date")), col("profit"), 30, "profit_30")
-      .select("region", "date", "sales", "profit", "sales_30", "profit_30")
+    val rolled =
+      if (!calendarRange)
+        Windows.rollingSum(
+          Windows.rollingSum(daily, Seq(col("region")), Seq(col("date")),
+            col("sales"), 30, "sales_30"),
+          Seq(col("region")), Seq(col("date")), col("profit"), 30, "profit_30")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("region")).orderBy(unix_date(col("date")))
+          .rangeBetween(-29, org.apache.spark.sql.expressions.Window.currentRow)
+        daily.withColumn("sales_30", sum(col("sales")).over(w))
+          .withColumn("profit_30", sum(col("profit")).over(w))
+      }
+    rolled.select("region", "date", "sales", "profit", "sales_30", "profit_30")
   }
 
   /** qa.v_CustomerCohort: first-purchase cohort x order month

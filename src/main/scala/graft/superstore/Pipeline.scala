@@ -49,7 +49,17 @@ object Pipeline {
 
   /** Day-2+ run: the reference script re-executed against the existing
     * warehouse (SQLproject1.sql:288-617) — every MERGE lands on the PRIOR
-    * tables instead of empty ones:
+    * tables instead of empty ones.
+    *
+    * CONTRACT: `csvPath` must be the FULL refreshed extract, exactly like
+    * the reference (its staging table is rebuilt from the whole file every
+    * run, :288-310). Line numbers (`order_line_no`) are assigned per run
+    * over the staged data, so they are only stable when each run sees
+    * every line of an order; feeding a partial delta whose orders are
+    * missing lines would collide batch-local numbers with warehouse
+    * numbers at the J5 guard — the same failure the reference's
+    * ROW_NUMBER-per-run staging has. New orders, drifted attributes, and
+    * re-sent rows are all fine; partially-delivered ORDERS are not.
     *  - simple dims take insert-only merges (J7): existing surrogate keys
     *    are untouched, unseen natural keys append past max(key);
     *  - customer/product take the SCD2 merge (J8): changed keys close their

@@ -27,6 +27,13 @@ class ClustersSpec extends SparkSpec {
     cc(1L to 10L, chain).values.toSet shouldBe Set(1L)
   }
 
+  test("exhausting maxIter fails loudly instead of returning wrong labels") {
+    val chain = (1L to 64L).sliding(2).map(s => (s(1), s.head)).toSeq
+    an[IllegalStateException] should be thrownBy
+      Clusters.connectedComponents((1L to 64L).toDF("id"), "id",
+        chain.toDF("a", "b"), "a", "b", maxIter = 2).collect()
+  }
+
   test("clusterSummary: size and canonical representative per cluster") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster_id")
     val s = Clusters.clusterSummary(comps, "id")

@@ -28,6 +28,15 @@ class DateSpineSpec extends SparkSpec {
       .count() shouldBe 5844
   }
 
+  test("fromBounds: inverted bounds (one-sided fallback) -> empty spine, " +
+    "not a runtime error (reference WHILE loop body never runs)") {
+    // order dates all unparseable -> lo falls back to 2010-01-01, but ship
+    // dates END before 2010: sequence(lo, hi) would throw on lo > hi
+    val df = Seq("1998-05-01").toDF("s")
+      .select(lit(null).cast("date").as("lo"), to_date($"s").as("hi"))
+    DateSpine.fromBounds(df, col("lo"), col("hi")).count() shouldBe 0
+  }
+
   test("calendar attributes: date_key, names, weekend flag") {
     val df = Seq("2024-06-01").toDF("d").select(to_date($"d").as("d"))
     val row = DateSpine.fromBounds(df, col("d"), col("d")).collect().head

@@ -107,6 +107,24 @@ class Scd2Spec extends SparkSpec {
       .as[String].head() shouldBe "Z"
   }
 
+  test("mergeKeyed: two changes under the SAME runDate still yield unique " +
+    "keys (version identity includes hash_diff, not just effective_from)") {
+    val dim0 = Scd2.initialLoad(snap((1, "a", "X")), tracked)
+      .withColumn("sk", lit(100L))
+    val dim1 = Scd2.mergeKeyed(dim0, snap((1, "a", "Y")), Seq("key"),
+      tracked, "2024-06-01", "sk")
+    // second change, same day: closes the version that OPENED at 06-01
+    val dim2 = Scd2.mergeKeyed(dim1, snap((1, "a", "Z")), Seq("key"),
+      tracked, "2024-06-01", "sk")
+    dim2.count() shouldBe 3
+    dim2.select("sk").distinct().count() shouldBe 3
+    // exactly one current row, carrying the newest value and a fresh key
+    val cur = dim2.filter($"is_current").collect()
+    cur.length shouldBe 1
+    cur.head.getAs[String]("segment") shouldBe "Z"
+    cur.head.getAs[Long]("sk") should be > 101L
+  }
+
   test("mergeKeyed no-op merge preserves every key (idempotent re-run)") {
     val s = snap((1, "a", "X"), (2, "b", "Y"))
     val dim0 = Scd2.initialLoad(s, tracked)

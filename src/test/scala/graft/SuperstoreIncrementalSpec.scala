@@ -78,14 +78,19 @@ class SuperstoreIncrementalSpec extends SparkSpec {
     "preserved keys; duplicate fact lines are not re-appended") {
     assume(available)
     val (dims0, fact0) = prior
-    // day-2 drop: Claire Gute's existing order line with Segment drifted,
+    // day-2 drop: Claire Gute's existing order COMPLETE (runIncremental's
+    // contract: orders arrive with all their lines) with Segment drifted,
     // plus one brand-new order from a brand-new customer
     val day2 = writeDay2(
       "1,CA-2016-152156,11/8/2016,11/11/2016,Second Class,CG-12520," +
         "Claire Gute,Home Office,United States,Henderson,Kentucky,42420," +
         "South,FUR-BO-10001798,Furniture,Bookcases," +
         "Bush Somerset Collection Bookcase,261.96,2,0,41.9136;",
-      "2,CA-2024-990001,6/1/2024,6/3/2024,Second Class,ZZ-99999," +
+      "\"2,CA-2016-152156,11/8/2016,11/11/2016,Second Class,CG-12520," +
+        "Claire Gute,Home Office,United States,Henderson,Kentucky,42420," +
+        "South,FUR-CH-10000454,Furniture,Chairs,\"\"Hon Deluxe Fabric " +
+        "Upholstered Stacking Chairs, Rounded Back\"\",731.94,3,0,219.582\";",
+      "3,CA-2024-990001,6/1/2024,6/3/2024,Second Class,ZZ-99999," +
         "Zed Zedson,Corporate,United States,Henderson,Kentucky,42420," +
         "South,FUR-BO-10001798,Furniture,Bookcases," +
         "Bush Somerset Collection Bookcase,100.00,1,0,10.00;")

@@ -138,6 +138,25 @@ class SuperstorePipelineSpec extends SparkSpec {
     plan.indexOf("Window") should be < plan.indexOf("Aggregate")
   }
 
+  test("rolling30Daily calendarRange: true 30-day window — gap days " +
+    "shrink it, never stretch it") {
+    assume(available)
+    val daily = Marts.rolling30Daily(out.fact, out.dims.geography,
+      out.dims.date, calendarRange = true)
+    val west = daily.filter($"region" === "West").orderBy($"date")
+      .select($"date".cast("string"), $"sales".cast("double"),
+        $"sales_30".cast("double"))
+      .as[(String, Double, Double)].collect()
+    val byDate = west.map(r => java.time.LocalDate.parse(r._1) -> r._2).toMap
+    west.foreach { case (ds, _, s30) =>
+      val d = java.time.LocalDate.parse(ds)
+      val brute = byDate.collect {
+        case (d2, v) if !d2.isAfter(d) && !d2.isBefore(d.minusDays(29)) => v
+      }.sum
+      s30 shouldBe brute +- 1e-6
+    }
+  }
+
   test("audit columns: runTs stamps fact.load_ts and LoadIssues.created_at; " +
     "omitted when unset") {
     assume(available)
