@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.operators.{Corpus, NearDup}
 
@@ -54,6 +55,28 @@ class CorpusSpec extends SparkSpec {
     out._2 shouldBe "mail <EMAIL> and <EMAIL>, call <PHONE>"
     out._3 shouldBe 2
     out._4 shouldBe 1
+  }
+
+  test("decontaminate composes with a streaming corpus (stream-static " +
+    "broadcast join + stateful agg) and matches the batch result") {
+    implicit val sc = spark.sqlContext
+    val evalSet = Seq((100, "alpha beta gamma mu nu")).toDF("id", "text")
+    val batchDocs = Seq(
+      (1, "alpha beta gamma delta epsilon"),
+      (2, "zeta eta theta iota kappa")).toDF("id", "text")
+    val mem = MemoryStream[(Int, String)]
+    val q = Corpus.decontaminate(mem.toDF.toDF("id", "text"), evalSet,
+        "id", "text", n = 3, maxOverlapRatio = 0.3)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("complete").start()
+    mem.addData((1, "alpha beta gamma delta epsilon"),
+      (2, "zeta eta theta iota kappa"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decon_stream").collect().toSet
+    val batch = Corpus.decontaminate(batchDocs, evalSet, "id", "text",
+      n = 3, maxOverlapRatio = 0.3).collect().toSet
+    streamed shouldBe batch
   }
 
   test("chunkDocuments: overlap carried, tail kept, redundant tail dropped") {
