@@ -274,5 +274,29 @@ object R2Queries {
                AS chunk_text
       FROM st"""))
 
-  val all: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75)
+  /** Mixture sampling: src0 upsampled 2.5×, src1 halved, src2 dropped,
+    * everything else kept at 1×. Thresholds are integers both engines
+    * compare against the same md5 16-bit bucket. */
+  private val q76 = QueryDef(
+    "q76_mix_sources",
+    (s, d) => Corpus.mixSources(Tables.documents(s, d), "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0)),
+    Some {
+      val nib = (j: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $j, 1)) - 1)"
+      val bucket = s"CAST(4096*${nib(1)} + 256*${nib(2)} + 16*${nib(3)} + ${nib(4)} AS INT)"
+      s"""
+      WITH w(source, nw, thr) AS (VALUES
+        ('src0', 2, 32768), ('src1', 0, 32768), ('src2', 0, 0)),
+      d AS (SELECT doc_id, source, $bucket AS b FROM documents),
+      c AS (SELECT doc_id, source,
+             coalesce(nw, 1) + (CASE WHEN b < coalesce(thr, 0)
+               THEN 1 ELSE 0 END) AS n
+            FROM d LEFT JOIN w USING (source))
+      SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS INT) AS copy_id
+      FROM c WHERE n >= 1"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
+    q76)
 }

@@ -94,6 +94,44 @@ object Corpus {
     df.select(col(idCol) +: scrubbed.as("scrubbed") +: counts: _*)
   }
 
+  /** Training-mixture sampling: each source is kept at its mixture WEIGHT —
+    * 0.3 drops ~70% of the source, 2.5 repeats every doc twice and a
+    * ~50% subset a third time (upsampling = repetition, how mixtures are
+    * actually fed to training). Deterministic: the fractional part keeps a
+    * doc iff its md5 16-bit bucket clears a per-source threshold, so the
+    * same doc survives (or not) on every run, engine, and partitioning —
+    * no sampleBy RNG state. Weights are quantized driver-side to integer
+    * (copies, threshold/65536) pairs, so NEITHER engine does float
+    * arithmetic on the data path. Emits (idCol, sourceCol, copy_id).
+    *
+    * Scale: one broadcast join against the (tiny) weights table + one
+    * scalar filter/explode — no shuffle of the corpus at all. */
+  def mixSources(docs: DataFrame, idCol: String, sourceCol: String,
+                 weights: Map[String, Double],
+                 defaultWeight: Double = 1.0): DataFrame = {
+    def quantize(w: Double): (Int, Int) = {
+      require(w >= 0, s"mixture weight must be >= 0, got $w")
+      val whole = math.floor(w).toInt
+      (whole, math.floor((w - whole) * 65536.0).toInt)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (defWhole, defThr) = quantize(defaultWeight)
+    val wdf = weights.toSeq.map { case (s, w) =>
+      val (n, t) = quantize(w); (s, n, t)
+    }.toDF(sourceCol, "__nw", "__thr")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    val copies = coalesce(col("__nw"), lit(defWhole)) +
+      when(bucket < coalesce(col("__thr"), lit(defThr)), 1).otherwise(0)
+    docs.select(col(idCol), col(sourceCol))
+      .join(broadcast(wdf), Seq(sourceCol), "left")
+      .withColumn("__n", copies)
+      .select(col(idCol), col(sourceCol),
+        explode(when(col("__n") >= 1, sequence(lit(1), col("__n")))
+          .otherwise(array().cast("array<int>"))).as("copy_id"))
+  }
+
   /** Overlapping-window document chunking (the RAG/embedding-prep shape):
     * each doc's token stream is cut into chunks of `chunkSize` tokens whose
     * starts step by `chunkSize - overlap`. A trailing start whose window

@@ -45,6 +45,33 @@ class CorpusSpec extends SparkSpec {
     bins(2) shouldBe ((0L, 0L)) // alone in shard 0
   }
 
+  test("mixSources: weights upsample by repetition, downsample " +
+    "deterministically, drop at zero") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, s"s${i % 4}")).toDF("doc_id", "source")
+    val out = Corpus.mixSources(docs, "doc_id", "source",
+        Map("s0" -> 3.0, "s1" -> 0.5, "s2" -> 0.0))
+      .cache()
+    // integer weight 3.0: every s0 doc appears exactly 3x, copy_ids 1..3
+    out.filter($"source" === "s0").groupBy("doc_id").count()
+      .select(countDistinct($"count")).as[Long].head() shouldBe 1
+    out.filter($"source" === "s0").count() shouldBe 300
+    out.filter($"source" === "s0").agg(max($"copy_id")).as[Int].head() shouldBe 3
+    // 0.5: a deterministic ~half survive, once each
+    val s1 = out.filter($"source" === "s1").count()
+    s1 should (be >= 30L and be <= 70L)
+    out.filter($"source" === "s1").agg(max($"copy_id")).as[Int].head() shouldBe 1
+    // 0.0 drops the source entirely; unlisted sources keep 1 copy
+    out.filter($"source" === "s2").count() shouldBe 0
+    out.filter($"source" === "s3").count() shouldBe 100
+    // re-run selects the SAME survivors (hash-determinism, no RNG)
+    val again = Corpus.mixSources(docs, "doc_id", "source",
+      Map("s0" -> 3.0, "s1" -> 0.5, "s2" -> 0.0))
+    again.except(out).count() shouldBe 0
+    out.unpersist()
+    ()
+  }
+
   test("scrubPii: global redaction, per-rule counts on the original text") {
     val df = Seq((1, "mail a@b.com and c@d.org, call 12-345-678-9012")).
       toDF("id", "text")
