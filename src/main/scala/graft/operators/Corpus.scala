@@ -176,10 +176,16 @@ object Corpus {
     * maxHamming <= numBands - 1 (enforced).
     *
     * Scale: same posture as MinHash-LSH banding — shuffle is O(docs ×
-    * numBands) on band keys, never O(docs²). Band-key skew (a hot band
-    * value shared by a large cluster) is the residual risk; AQE skew-join
-    * handles moderate cases, and a hot-band df cap (as in
-    * [[NearDup.ngramJaccardPairs]]) is the escape hatch beyond that. */
+    * numBands) on band keys, never O(docs²). Two rules keep candidate
+    * buckets small at corpus scale (measured: violating both turned the
+    * 10× probe ~16× superlinear, PLANS.md):
+    *  - run EXACT dedup first ([[Dedup]] content-hash groups): identical
+    *    docs share every band by definition, so a set of k copies
+    *    contributes k²/2 candidate pairs under ANY banding scheme;
+    *  - size the band space to the corpus: `bits = 64` with 4 bands gives
+    *    16-bit bands (65,536 values each), 256× finer buckets than the
+    *    default 32-bit/8-bit-band configuration.
+    * Residual hot-band skew beyond that is AQE skew-join territory. */
   def simHashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int, bits: Int = 32,
                           numBands: Int = 4): DataFrame = {

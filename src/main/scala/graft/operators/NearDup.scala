@@ -148,11 +148,18 @@ object NearDup {
       .distinct()
   }
 
-  /** 32-bit SimHash per document: per-token md5 nibble bits vote ±1 per bit
-    * position; the sign of each bit-sum sets the fingerprint bit. */
+  /** SimHash per document (up to 64 bits): per-token md5 nibble bits vote
+    * ±1 per bit position; the sign of each bit-sum sets the fingerprint
+    * bit. 32 bits is plenty for fingerprint equality/compact storage; use
+    * 64 when the fingerprint feeds BAND BLOCKING
+    * (graft.operators.Corpus.simHashHammingPairs) at scale — 16-bit bands
+    * over 64 bits give 65,536 values per band vs 256 for 8-bit bands over
+    * 32, i.e. 256× smaller candidate buckets for the same band count. */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
-    require(bits <= 32, "md5 prefix provides 32 deterministic nibble bits here")
+    require(bits <= 64,
+      "fingerprint is packed into a single long (md5 supplies up to 128 " +
+        "nibble bits, but 64 is the sign-safe long capacity here)")
     val tok = spread(docs).select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .withColumn("__h", md5(col("__t")))

@@ -146,6 +146,22 @@ class CorpusSpec extends SparkSpec {
     banded should not be empty
   }
 
+  test("simHashHammingPairs at 64 bits (16-bit bands) still matches brute " +
+    "force — the corpus-scale configuration") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val banded = Corpus.simHashHammingPairs(docs, "doc_id", "text",
+        maxHamming = 3, bits = 64)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val sig = NearDup.simHash(docs, "doc_id", "text", bits = 64)
+    val brute = sig.as("a").join(sig.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter($"h" <= 3).as[(Long, Long, Int)].collect().toSet
+    banded shouldBe brute
+  }
+
   test("simHashHammingPairs rejects a radius the banding cannot guarantee") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy
