@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
-import graft.operators.{Dedup, Scd2, Windows}
+import graft.operators.{Clusters, Corpus, Dedup, Scd2, Windows}
 
 /** Property-based invariants (SURVEY §5.2.4), plain ScalaCheck `Properties`
   * (runs under sbt's native ScalaCheck framework; no scalatestplus bridge in
@@ -68,5 +68,48 @@ object PropertySpec extends Properties("graft") {
         col("effective_to") === to_date(lit(Scd2.OpenEnd))).count() == 0
 
       atMostOneCurrent && everyKeyCurrent && noOpenHistory
+    }
+
+  private val tokCountsGen: Gen[List[Int]] =
+    Gen.nonEmptyListOf(Gen.choose(1, 200))
+
+  property("packSequences conserves tokens and packs contiguously") =
+    Prop.forAll(tokCountsGen) { ns =>
+      val docs = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("id", "n")
+      val out = Corpus.packSequences(docs, "id", shard = lit(0),
+          tokenCount = col("n"), budget = 100)
+        .orderBy("doc_id")
+        .select("n_tok", "start_offset", "bin", "bin_offset")
+        .as[(Long, Long, Long, Long)].collect().toList
+      // conservation: offsets are the exclusive prefix sums of token counts
+      val prefix = ns.map(_.toLong).scanLeft(0L)(_ + _).init
+      val offsetsOk = out.map(_._2) == prefix
+      // bin/bin_offset are exactly start div/mod budget
+      val binsOk = out.forall { case (_, s, b, o) => b == s / 100 && o == s % 100 }
+      offsetsOk && binsOk
+    }
+
+  private val edgesGen: Gen[List[(Long, Long)]] = Gen.listOf(for {
+    a <- Gen.choose(0L, 15L)
+    b <- Gen.choose(0L, 15L) if a != b
+  } yield (a, b))
+
+  property("connectedComponents matches a driver-side union-find") =
+    Prop.forAll(edgesGen) { edges =>
+      val verts = (0L to 15L).toList
+      val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+      def find(v: Long): Long =
+        if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val expected = verts.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+      val got = Clusters.connectedComponents(verts.toDF("id"), "id",
+          edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      got == expected
     }
 }
