@@ -297,6 +297,31 @@ object R2Queries {
       FROM c WHERE n >= 1"""
     })
 
+  /** Incremental crawl gate: docs with doc_id % 10 = 9 play the new batch,
+    * the rest the existing corpus; batch docs within Hamming 3 of any
+    * corpus doc are dropped. The oracle does the full batch × corpus
+    * comparison over the same fingerprints. */
+  private val q77 = QueryDef(
+    "q77_dedupe_against_corpus",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.dedupeAgainstCorpus(
+          batch = docs.filter(col("doc_id") % 10 === 9),
+          corpus = docs.filter(col("doc_id") % 10 =!= 9),
+          idCol = "doc_id", textCol = "text", maxHamming = 3)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+    Some(s"""
+      WITH ${ExtQueries.oSimHashCtes},
+      dup AS (SELECT DISTINCT x.doc_id
+              FROM sims x JOIN sims y
+                ON x.doc_id % 10 = 9 AND y.doc_id % 10 <> 9
+               AND bit_count(xor(x.simhash, y.simhash)) <= 3)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d
+      WHERE d.doc_id % 10 = 9
+        AND d.doc_id NOT IN (SELECT doc_id FROM dup)"""))
+
   val all: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76)
+    q76, q77)
 }

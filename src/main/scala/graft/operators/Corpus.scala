@@ -94,6 +94,43 @@ object Corpus {
     df.select(col(idCol) +: scrubbed.as("scrubbed") +: counts: _*)
   }
 
+  /** Incremental (day-2 crawl) near-dup gate: drop new-batch documents
+    * that are within `maxHamming` SimHash distance of ANY existing corpus
+    * document. The batch side is the small side; both sides are banded
+    * (same pigeonhole guarantee as [[simHashHammingPairs]]) so the check
+    * is an equi-join on band values, never batch × corpus. Emits the
+    * SURVIVING batch rows (original columns).
+    *
+    * Scale: corpus fingerprints should be PRECOMPUTED and stored (they
+    * never change); passing raw corpus text here recomputes them — fine
+    * for verification, wasteful daily. The fingerprint-store variant is
+    * this same join against the persisted signature table. */
+  def dedupeAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
+                          textCol: String, maxHamming: Int, bits: Int = 32,
+                          numBands: Int = 4): DataFrame = {
+    require(bits % numBands == 0, "bits must divide into equal bands")
+    require(maxHamming <= numBands - 1,
+      s"pigeonhole completeness needs maxHamming <= numBands - 1")
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame) =
+      NearDup.simHash(df, idCol, textCol, bits)
+        .select(col("doc_id"), col("simhash"),
+          explode(array((0 until numBands).map(b =>
+            struct(lit(b).as("band_id"),
+              shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+                .as("band_val"))): _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.band_id"),
+          col("b.band_val"))
+    val dupIds = banded(batch).as("x").join(banded(corpus).as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val"))
+      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+        <= maxHamming)
+      .select(col("x.doc_id").as("__dup_id")).distinct()
+    batch.join(dupIds, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** Training-mixture sampling: each source is kept at its mixture WEIGHT —
     * 0.3 drops ~70% of the source, 2.5 repeats every doc twice and a
     * ~50% subset a third time (upsampling = repetition, how mixtures are

@@ -162,6 +162,23 @@ class CorpusSpec extends SparkSpec {
     banded shouldBe brute
   }
 
+  test("dedupeAgainstCorpus drops batch docs near an existing doc, keeps " +
+    "the rest intact") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val batch = Seq(
+      // identical to corpus doc 1 -> hamming 0 -> dropped
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // unrelated -> survives with all columns
+      (11L, "completely different words nowhere near anything"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dedupeAgainstCorpus(batch, corpus, "doc_id", "text",
+      maxHamming = 3)
+    out.columns.toSeq shouldBe Seq("doc_id", "text")
+    out.select($"doc_id").as[Long].collect().toSeq shouldBe Seq(11L)
+  }
+
   test("simHashHammingPairs rejects a radius the banding cannot guarantee") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy
