@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.FloatVecCosine
+import graft.expressions.{FloatVecCosine, NormalizeUnicode}
 
 /** Session extensions: registers the library's native expressions as SQL
   * functions so both `spark.sql("vec_cosine(a, b)")` and
@@ -28,6 +28,20 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_cosine expects (array<float>, array<float>)")
         FloatVecCosine(args.head, args(1))
+      }),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[NormalizeUnicode].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "unicode_normalize expects (string, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+        val form = args(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.value != null =>
+            NormalizeUnicode.forName(lit.value.toString)
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        }
+        NormalizeUnicode(args.head, form)
       }))
 
   /** Imperative registration for sessions built without the extension. */

@@ -44,4 +44,27 @@ object Cleaning {
   /** P6: weekend flag from a date column. */
   def isWeekend(d: Column): Column =
     date_format(d, "EEEE").isin("Saturday", "Sunday")
+
+  /** Canonical text-matching form for corpus text: NFC-normalize
+    * (composed/decomposed variants of the same glyph become one string),
+    * strip accents (NFD, drop combining marks, recompose), lowercase,
+    * collapse whitespace runs to single spaces, trim. Two byte sequences
+    * that a reader sees as the same text hash/join/dedup identically
+    * afterwards — apply BEFORE paragraph hashing, exact dedup, or any
+    * text-keyed join.
+    *
+    * All codegen'd scalar ops ([[graft.expressions.NormalizeUnicode]] +
+    * built-in regexps): stays inside whole-stage codegen, no shuffle
+    * implications. Matches DuckDB's
+    * `lower(strip_accents(nfc_normalize(x)))` + whitespace collapse for
+    * the differential oracle. Needs `GraftExtensions.register(spark)`
+    * (or the extensions conf) in the analyzing session. */
+  def normalizeText(c: Column): Column = {
+    def norm(x: Column, form: String) =
+      call_function("unicode_normalize", x, lit(form))
+    // accent strip = decompose, drop combining marks, recompose
+    val deaccented = norm(regexp_replace(norm(c, "NFD"),
+      lit("\\p{M}"), lit("")), "NFC")
+    trim(regexp_replace(lower(deaccented), lit("\\s+"), lit(" ")))
+  }
 }

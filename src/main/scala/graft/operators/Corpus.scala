@@ -248,4 +248,86 @@ object Corpus {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** End-to-end near-dup resolution: candidate PAIRS (from
+    * [[simHashHammingPairs]], `NearDup.minHashLshPairs`, or an embedding
+    * bucket join) → connected components → one surviving document per
+    * duplicate group. This is the call a corpus owner actually makes;
+    * the pieces ([[Clusters.connectedComponents]], keeper choice,
+    * anti-join) are easy to wire WRONG — e.g. keeping per-PAIR winners
+    * leaves A–B–C chains with two survivors.
+    *
+    * Keeper per cluster: the row maximizing `prefer` (ties → minimum
+    * id), or the minimum id when `prefer` is None. Emits the surviving
+    * rows with `cluster_id` and `cluster_size` attached (singletons
+    * included, size 1).
+    *
+    * Scale: component resolution is O(log diameter) rounds over the
+    * PAIRS (a tiny fraction of the corpus); the docs side shuffles once
+    * for the components join and once for the keeper groupBy, both on
+    * the id key. */
+  def resolveDuplicates(docs: DataFrame, idCol: String,
+                        pairs: DataFrame, aCol: String, bCol: String,
+                        prefer: Option[Column] = None,
+                        maxIter: Int = 20): DataFrame = {
+    val components = Clusters.connectedComponents(
+      docs.select(col(idCol)), idCol, pairs, aCol, bCol, maxIter)
+    val withCluster = docs.join(components, idCol)
+    // keeper = max (prefer, -id): highest preference, smallest id on ties
+    val rank = prefer.getOrElse(lit(0))
+    val keepers = withCluster
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(rank.as("__r"), (-col(idCol)).as("__negid")))
+          .as("__best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("__best.__negid")).as("__keep_id"))
+    withCluster.join(keepers, "cluster_id")
+      .filter(col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
+  /** Paragraph-level exact dedup (the CCNet formulation): across the
+    * WHOLE corpus, each distinct paragraph survives only at its first
+    * occurrence — by (doc id, paragraph index) order — and every later
+    * copy is dropped; documents are reassembled from their surviving
+    * paragraphs. Boilerplate (headers, cookie banners, license blocks)
+    * disappears from every document but the first one carrying it.
+    *
+    * Emits (idCol, text, n_para_kept, n_para_dropped); documents whose
+    * every paragraph was dropped remain with empty text (filter on
+    * `n_para_kept` to drop them).
+    *
+    * Scale: two shuffles — one hash-partitioned window keyed by the
+    * paragraph hash (first-occurrence choice), one groupBy on the doc id
+    * (reassembly). Paragraph hashes are near-unique, so the window key
+    * is high-cardinality and skew-free; the hot-key danger of a
+    * frequency-capped variant doesn't arise because the window computes
+    * per-hash rank, not per-hash pairs. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep))
+        .as(Seq("para_idx", "para")))
+      .filter(length(col("para")) > 0)
+    val firstOnly = paras
+      .withColumn("__occ", row_number().over(
+        Window.partitionBy(col("para"))
+          .orderBy(col(idCol), col("para_idx"))))
+    val perDoc = firstOnly
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, array_sort(collect_list(
+          when(col("__occ") === 1,
+            struct(col("para_idx"), col("para"))))).getField("para"))
+          .as(textCol),
+        count(when(col("__occ") === 1, lit(1))).as("n_para_kept"),
+        count(when(col("__occ") =!= 1, lit(1))).as("n_para_dropped"))
+    // docs with no non-empty paragraphs at all still come back (empty text)
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_para_kept"), lit(0L)).as("n_para_kept"),
+        coalesce(col("n_para_dropped"), lit(0L)).as("n_para_dropped"))
+  }
 }

@@ -61,4 +61,87 @@ object EventOps {
     events.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** One funnel step: a display name plus the event predicate that
+    * qualifies an event for the step. */
+  final case class Step(name: String, predicate: Column)
+
+  /** Ordered-funnel analysis: per user, the earliest timestamp at which
+    * each step was reached IN ORDER — step i counts only from events at
+    * or after the user's step i-1 timestamp (the classic "signup →
+    * click → purchase" conversion question; an unordered count would
+    * credit a purchase that happened before the signup).
+    *
+    * Returns one row per user who completed step 1, with one nullable
+    * `<step.name>_ts` column per step; a NULL means the funnel stopped
+    * there. Aggregate `count(step_ts)` for the conversion report, or use
+    * [[funnelCounts]].
+    *
+    * Scale shape: one `filter → groupBy(user).min` per step plus an
+    * equi-join per step, ALL keyed on the user column — every stage
+    * shuffles on the same key, so Catalyst reuses one exchange per side
+    * and the join degenerates to co-partitioned sort-merge. Steps are
+    * few and static (a funnel definition), so the chain length is a
+    * constant, not a data-dependent loop. No window over all of a
+    * user's events is ever materialized.
+    */
+  def funnel(events: DataFrame, userCol: Column, ts: Column,
+             steps: Seq[Step]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.map(_.name).distinct.size == steps.size,
+      "step names must be distinct")
+    val user = userCol.cast("long").as("user_id")
+    def stepMin(st: Step, colName: String) =
+      events.filter(st.predicate)
+        .groupBy(user).agg(min(ts).as(colName))
+    val head = stepMin(steps.head, s"${steps.head.name}_ts")
+    steps.tail.foldLeft((head, s"${steps.head.name}_ts")) {
+      case ((acc, prevCol), st) =>
+        val cur = s"${st.name}_ts"
+        // events qualify from the prior step's instant onward
+        val next = events.filter(st.predicate)
+          .select(user, ts.as("__ts"))
+          .join(acc.select(col("user_id"), col(prevCol).as("__prev")), "user_id")
+          .filter(col("__ts") >= col("__prev"))
+          .groupBy(col("user_id")).agg(min(col("__ts")).as(cur))
+        (acc.join(next, Seq("user_id"), "left"), cur)
+    }._1
+  }
+
+  /** Funnel conversion report: one row per step with the number of users
+    * who reached it (in order) and the conversion rate vs step 1. */
+  def funnelCounts(events: DataFrame, userCol: Column, ts: Column,
+                   steps: Seq[Step]): DataFrame = {
+    val perUser = funnel(events, userCol, ts, steps)
+    val counts = perUser.select(
+      steps.zipWithIndex.map { case (st, i) =>
+        count(col(s"${st.name}_ts")).as(s"__n$i") }: _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("step"), lit(st.name).as("step_name"),
+        col(s"__n$i").as("n_users"),
+        (col(s"__n$i") * lit(1.0) / nullif(col("__n0"), lit(0)))
+          .as("conversion")) }
+    counts.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** N-day retention matrix: users bucketed by their first-activity date
+    * (cohort), then for each (cohort, day offset) the number of distinct
+    * users active that day. `day_offset` 0 is the cohort day itself.
+    *
+    * Two shuffles total: distinct (user, day) activity, then the cohort
+    * join keyed on user — the aggregate to (cohort, offset) grain is a
+    * partial-agg-friendly groupBy. Never materializes per-user event
+    * lists.
+    */
+  def retention(events: DataFrame, userCol: Column, ts: Column,
+                maxOffsetDays: Int = 30): DataFrame = {
+    val user = userCol.cast("long").as("user_id")
+    val activity = events.select(user, to_date(ts).as("day")).distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
 }
