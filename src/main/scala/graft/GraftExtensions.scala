@@ -14,8 +14,11 @@ import graft.expressions.{FloatVecCosine, NormalizeUnicode}
   * or inject programmatically via `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // opt-in range-join acceleration (spark.graft.rangeJoin.binWidth > 0)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftExtensions {

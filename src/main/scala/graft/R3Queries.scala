@@ -207,5 +207,40 @@ object R3Queries {
                '\s+', ' ', 'g')) AS norm_text FROM m)
       SELECT doc_id, norm_text, (norm_text = text) AS roundtrip_ok FROM n"""))
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q84)
+  /** The SAME join as q78 written as a plain inequality join — no manual
+    * binning — accelerated transparently by
+    * [[graft.plans.RangeJoinRule]] (appended to the live session's
+    * `experimental.extraOptimizations`, as a user without the extensions
+    * conf would). Same oracle as q78: the rewrite must be invisible in
+    * the result. */
+  private val q85 = QueryDef(
+    "q85_range_join_rule",
+    (s, d) => {
+      import graft.plans.RangeJoinRule
+      if (!s.experimental.extraOptimizations.contains(RangeJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ RangeJoinRule
+      s.conf.set(RangeJoinRule.BinWidthConf, "60")
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          (unix_timestamp(col("ts")) - 30).as("lo"),
+          (unix_timestamp(col("ts")) + 30).as("hi"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          unix_timestamp(col("ts")).as("pt"))
+      purchases.join(errors, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select(col("purchase_id"), col("error_id"),
+          (col("pt") - col("lo") - 30).as("delta_sec"))
+    },
+    Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+      SELECT p.event_id AS purchase_id, x.event_id AS error_id,
+             p.sec - x.sec AS delta_sec
+      FROM e p JOIN e x
+        ON p.event_type = 'purchase' AND x.event_type = 'error'
+       AND p.sec BETWEEN x.sec - 30 AND x.sec + 30"""))
+
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q84, q85)
 }
