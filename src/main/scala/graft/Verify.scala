@@ -17,9 +17,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_ONLY=q78,q79 runs just those
-    // (prefix match); unset = all queries (what the driver runs)
+    // (prefix match); unset OR empty = all queries (what the driver
+    // runs — an empty-but-set var from a script must not silently
+    // select zero queries)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
     selected.foreach { case (name, fn) =>

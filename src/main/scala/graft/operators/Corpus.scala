@@ -306,10 +306,7 @@ object Corpus {
     * per-hash rank, not per-hash pairs. */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
                       sep: String = "\n"): DataFrame = {
-    val paras = docs
-      .select(col(idCol), posexplode(split(col(textCol), sep))
-        .as(Seq("para_idx", "para")))
-      .filter(length(col("para")) > 0)
+    val paras = explodeParagraphs(docs, idCol, textCol, sep)
     val firstOnly = paras
       .withColumn("__occ", row_number().over(
         Window.partitionBy(col("para"))
@@ -330,4 +327,53 @@ object Corpus {
         coalesce(col("n_para_kept"), lit(0L)).as("n_para_kept"),
         coalesce(col("n_para_dropped"), lit(0L)).as("n_para_dropped"))
   }
+
+  /** Boilerplate removal by document frequency: a paragraph that appears
+    * in MORE than `maxDocFrequency` distinct documents is removed from
+    * EVERY document (cookie banners, nav menus, license headers — text
+    * whose very ubiquity marks it as template, not content). Complements
+    * [[dedupParagraphs]], which keeps exactly one global copy: for
+    * boilerplate, the right copy count is zero.
+    *
+    * Emits (idCol, text, n_para_kept, n_para_dropped), empty-text rows
+    * retained like [[dedupParagraphs]].
+    *
+    * Scale: the paragraph df-aggregate is a two-phase count-distinct on
+    * the paragraph key (partial aggregation applies since a doc's
+    * paragraphs are distinct within the explode); the filter join is on
+    * the same key, then one reassembly groupBy. The df table is
+    * paragraph-keyed, high-cardinality, skew-free. */
+  def dropBoilerplateParagraphs(docs: DataFrame, idCol: String,
+                                textCol: String, maxDocFrequency: Long,
+                                sep: String = "\n"): DataFrame = {
+    require(maxDocFrequency >= 1,
+      s"maxDocFrequency must be >= 1, got $maxDocFrequency")
+    val paras = explodeParagraphs(docs, idCol, textCol, sep)
+    val df = paras.groupBy(col("para"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+    val kept = paras.join(df, "para")
+      .withColumn("__keep", col("__df") <= maxDocFrequency)
+    val perDoc = kept
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, array_sort(collect_list(
+          when(col("__keep"), struct(col("para_idx"), col("para")))))
+          .getField("para")).as(textCol),
+        count(when(col("__keep"), lit(1))).as("n_para_kept"),
+        count(when(!col("__keep"), lit(1))).as("n_para_dropped"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_para_kept"), lit(0L)).as("n_para_kept"),
+        coalesce(col("n_para_dropped"), lit(0L)).as("n_para_dropped"))
+  }
+  // sep is a LITERAL separator in both the split and the reassembly
+  // (split() alone would treat it as a regex — a "|" separator would
+  // split between every character)
+  private def explodeParagraphs(docs: DataFrame, idCol: String,
+                                textCol: String, sep: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("para_idx", "para")))
+      .filter(length(col("para")) > 0)
 }

@@ -86,11 +86,12 @@ object EventOps {
     * user's events is ever materialized.
     */
   def funnel(events: DataFrame, userCol: Column, ts: Column,
-             steps: Seq[Step]): DataFrame = {
+             steps: Seq[Step], withinSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.map(_.name).distinct.size == steps.size,
       "step names must be distinct")
-    val user = userCol.cast("long").as("user_id")
+    withinSec.foreach(w => require(w >= 0, s"withinSec must be >= 0, got $w"))
+    val user = userCol.as("user_id")
     def stepMin(st: Step, colName: String) =
       events.filter(st.predicate)
         .groupBy(user).agg(min(ts).as(colName))
@@ -98,11 +99,23 @@ object EventOps {
     steps.tail.foldLeft((head, s"${steps.head.name}_ts")) {
       case ((acc, prevCol), st) =>
         val cur = s"${st.name}_ts"
-        // events qualify from the prior step's instant onward
+        // events qualify from the prior step's instant onward; with a
+        // conversion window, only up to `withinSec` after it (the "click
+        // within 24 h of signup" question)
+        // cast("double") = epoch seconds (micro-exact fraction) for
+        // timestamps, value-preserving for numeric time columns — the
+        // window check stays type-agnostic WITHOUT truncating: a long
+        // cast would floor both sides and let events up to 1 s past the
+        // window still convert
+        val inWindow = withinSec match {
+          case Some(w) => col("__ts") >= col("__prev") &&
+            col("__ts").cast("double") <= col("__prev").cast("double") + w
+          case None => col("__ts") >= col("__prev")
+        }
         val next = events.filter(st.predicate)
           .select(user, ts.as("__ts"))
           .join(acc.select(col("user_id"), col(prevCol).as("__prev")), "user_id")
-          .filter(col("__ts") >= col("__prev"))
+          .filter(inWindow)
           .groupBy(col("user_id")).agg(min(col("__ts")).as(cur))
         (acc.join(next, Seq("user_id"), "left"), cur)
     }._1
@@ -111,8 +124,9 @@ object EventOps {
   /** Funnel conversion report: one row per step with the number of users
     * who reached it (in order) and the conversion rate vs step 1. */
   def funnelCounts(events: DataFrame, userCol: Column, ts: Column,
-                   steps: Seq[Step]): DataFrame = {
-    val perUser = funnel(events, userCol, ts, steps)
+                   steps: Seq[Step],
+                   withinSec: Option[Long] = None): DataFrame = {
+    val perUser = funnel(events, userCol, ts, steps, withinSec)
     val counts = perUser.select(
       steps.zipWithIndex.map { case (st, i) =>
         count(col(s"${st.name}_ts")).as(s"__n$i") }: _*)
@@ -135,7 +149,7 @@ object EventOps {
     */
   def retention(events: DataFrame, userCol: Column, ts: Column,
                 maxOffsetDays: Int = 30): DataFrame = {
-    val user = userCol.cast("long").as("user_id")
+    val user = userCol.as("user_id")
     val activity = events.select(user, to_date(ts).as("day")).distinct()
     val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
     activity.join(cohorts, "user_id")

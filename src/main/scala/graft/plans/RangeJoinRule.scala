@@ -40,9 +40,18 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinWidthConf = "spark.graft.rangeJoin.binWidth"
 
-  private def binWidth: Long =
-    try conf.getConfString(BinWidthConf, "0").toLong
-    catch { case _: NumberFormatException => 0L }
+  private def binWidth: Long = {
+    val raw = conf.getConfString(BinWidthConf, "0")
+    try raw.toLong
+    catch {
+      case _: NumberFormatException =>
+        // the user explicitly opted in — silently disabling would leave
+        // them on the nested-loop plan with no hint why
+        logWarning(s"$BinWidthConf='$raw' is not a long; range-join " +
+          "rewrite disabled")
+        0L
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = binWidth

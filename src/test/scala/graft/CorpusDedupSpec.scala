@@ -49,6 +49,32 @@ class CorpusDedupSpec extends SparkSpec {
       (4L, "delta", 1L, 1L))
   }
 
+  test("dropBoilerplateParagraphs removes over-df paragraphs EVERYWHERE") {
+    val docs = Seq(
+      (1L, "banner\nunique-one"),
+      (2L, "banner\nunique-two"),
+      (3L, "banner\nrepeated\nunique-three"),
+      (4L, "repeated\nunique-four"))
+      .toDF("doc_id", "text")
+    // banner df=3 > 2 -> gone from all; repeated df=2 <= 2 -> stays
+    val got = Corpus.dropBoilerplateParagraphs(docs, "doc_id", "text",
+        maxDocFrequency = 2)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    got shouldBe Seq(
+      (1L, "unique-one", 1L, 1L),
+      (2L, "unique-two", 1L, 1L),
+      (3L, "repeated\nunique-three", 2L, 1L),
+      (4L, "repeated\nunique-four", 2L, 0L))
+  }
+
+  test("dropBoilerplateParagraphs counts DOCUMENT frequency, not copies") {
+    // para appears twice in ONE doc: df=1, survives a maxDf=1 filter
+    val docs = Seq((1L, "twice\ntwice")).toDF("doc_id", "text")
+    Corpus.dropBoilerplateParagraphs(docs, "doc_id", "text", 1)
+      .as[(Long, String, Long, Long)].head() shouldBe
+      (1L, "twice\ntwice", 2L, 0L)
+  }
+
   test("dedupParagraphs keeps the FIRST occurrence by (doc_id, idx) order") {
     val docs = Seq(
       (10L, "z\ncommon"),     // common at idx 1 of the smallest doc id

@@ -62,6 +62,24 @@ class FunnelRetentionSpec extends SparkSpec {
     rows.map(_.getDouble(3)) shouldBe Seq(1.0, 2.0 / 3, 1.0 / 3)
   }
 
+  test("funnel withinSec: conversions outside the window don't count") {
+    // user 2's click is 1 h after signup — a 30-min window rejects it,
+    // user 1's 5-min click passes
+    val perUser = EventOps.funnel(events, col("user_id"), col("ts"),
+      steps.take(2), withinSec = Some(1800L))
+      .orderBy("user_id").collect()
+    perUser.map(_.getLong(0)) shouldBe Seq(1L, 2L, 3L)
+    perUser(0).getTimestamp(1) shouldBe ts("2024-01-01 10:00:00")
+    assert(!perUser(0).isNullAt(2))
+    assert(perUser(1).isNullAt(2))
+    // boundary: exactly AT the window edge still converts
+    EventOps.funnel(events, col("user_id"), col("ts"),
+      steps.take(2), withinSec = Some(3600L))
+      .filter(col("user_id") === 2L)
+      .select("click_ts").collect()(0).getTimestamp(0) shouldBe
+      ts("2024-01-02 11:00:00")
+  }
+
   test("retention: cohort day 0 always counts; offsets past the cap drop") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),

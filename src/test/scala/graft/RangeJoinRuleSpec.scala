@@ -17,9 +17,16 @@ class RangeJoinRuleSpec extends SparkSpec {
     (10L, 0L, 60L), (11L, 59L, 61L), (12L, 100L, 200L),
     (13L, 500L, 400L), (14L, -50L, -10L)).toDF("i_id", "lo", "hi")
 
+  // save/restore (not unset): nesting must put back the OUTER value, or
+  // an inner withBinWidth(0) would disable the rule for the rest of the
+  // outer block and turn its assertions into rule-off-vs-rule-off
   private def withBinWidth[A](w: Long)(body: => A): A = {
+    val prior = spark.conf.getOption(RangeJoinRule.BinWidthConf)
     spark.conf.set(RangeJoinRule.BinWidthConf, w.toString)
-    try body finally spark.conf.unset(RangeJoinRule.BinWidthConf)
+    try body finally prior match {
+      case Some(v) => spark.conf.set(RangeJoinRule.BinWidthConf, v)
+      case None => spark.conf.unset(RangeJoinRule.BinWidthConf)
+    }
   }
 
   private def planOf(df: DataFrame): String =
@@ -45,40 +52,42 @@ class RangeJoinRuleSpec extends SparkSpec {
   }
 
   test("strict bounds and flipped operand order still match") {
+    // ground truth computed OUTSIDE withBinWidth: rule off
+    val expected = points.join(intervals,
+        col("pt") > col("lo") && col("pt") < col("hi"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
     withBinWidth(10) {
       val df = points.join(intervals,
         col("lo") < col("pt") && col("hi") > col("pt"))
       planOf(df) should not include "NestedLoop"
-      val expected = points.join(intervals,
-          col("pt") > col("lo") && col("pt") < col("hi"))
-        .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
       df.select("p_id", "i_id").as[(Long, Long)]
         .collect().toSeq.sorted shouldBe expected
     }
   }
 
   test("point expression on the RIGHT side is handled (mirror orientation)") {
+    val expected = intervals.join(points,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("i_id", "p_id").as[(Long, Long)].collect().toSeq.sorted
     withBinWidth(60) {
       val df = intervals.join(points,
         col("pt") >= col("lo") && col("pt") <= col("hi"))
       planOf(df) should not include "NestedLoop"
-      df.count() shouldBe points.join(intervals,
-        col("pt") >= col("lo") && col("pt") <= col("hi")).count()
+      df.select("i_id", "p_id").as[(Long, Long)]
+        .collect().toSeq.sorted shouldBe expected
     }
   }
 
   test("extra residual conjuncts survive the rewrite") {
+    val expected = points.join(intervals,
+        col("pt") >= col("lo") && col("pt") <= col("hi") &&
+          col("p_id") =!= col("i_id") && col("pt") =!= lit(150L))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
     withBinWidth(60) {
       val df = points.join(intervals,
         col("pt") >= col("lo") && col("pt") <= col("hi") &&
           col("p_id") =!= col("i_id") && col("pt") =!= lit(150L))
       planOf(df) should not include "NestedLoop"
-      val expected = withBinWidth(0) {
-        points.join(intervals,
-            col("pt") >= col("lo") && col("pt") <= col("hi") &&
-              col("p_id") =!= col("i_id") && col("pt") =!= lit(150L))
-          .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
-      }
       df.select("p_id", "i_id").as[(Long, Long)]
         .collect().toSeq.sorted shouldBe expected
     }
