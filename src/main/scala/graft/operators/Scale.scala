@@ -59,4 +59,35 @@ object Scale {
   /** Post-build collision check (must be 0 before trusting hash keys). */
   def hashCollisionCount(dim: DataFrame, keyCol: String): Long =
     dim.groupBy(col(keyCol)).count().filter(col("count") > 1).count()
+
+  /** Range-clustered parquet layout: range-partition on `orderCol` into
+    * `numFiles` files, sorted within each. Files then hold DISJOINT
+    * value ranges, so parquet's per-row-group min/max statistics prune
+    * selective scans down to one or two files — the poor man's
+    * Z-ordering for a single cluster column, and the difference between
+    * "scan 100 TB" and "scan the 100 GB that can match" for
+    * range-filtered queries on an unpartitioned column (partitionBy
+    * directories do this for LOW-cardinality columns; range layout is
+    * the tool for high-cardinality ones like ids, timestamps, prices).
+    *
+    * Writes with maxRecordsPerFile unset — one task = one file. The
+    * range exchange samples the column to build balanced bounds, so
+    * skewed distributions still give even file sizes. */
+  def writeRangeLayout(df: DataFrame, path: String, orderCol: String,
+                       numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.repartitionByRange(numFiles, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Layout audit for [[writeRangeLayout]]: per-file min/max of
+    * `orderCol`, ordered by min. Ranges must not overlap (tested) —
+    * overlap would defeat min/max pruning. */
+  def fileRanges(spark: org.apache.spark.sql.SparkSession, path: String,
+                 orderCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi"))
+      .orderBy(col("lo"))
 }
