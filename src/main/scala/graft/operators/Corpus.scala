@@ -19,6 +19,12 @@ object Corpus {
   // one corpus-spreading policy for all operators (see NearDup.spread)
   private def spread(docs: DataFrame): DataFrame = NearDup.spread(docs)
 
+  // Scala's << shifts mod 64, so (1L << 64) - 1 is 0, not all-ones — a
+  // bits=64/numBands=1 call would put every doc in band value 0 and turn
+  // the banded join into a full cross join
+  private[graft] def bandMask(bandBits: Int): Long =
+    if (bandBits >= 64) -1L else (1L << bandBits) - 1
+
   /** Benchmark decontamination: per-document n-gram overlap against an
     * evaluation set (the standard guard against test-set leakage into
     * training data). Emits one row per corpus doc with >= n words:
@@ -112,7 +118,7 @@ object Corpus {
     require(maxHamming <= numBands - 1,
       s"pigeonhole completeness needs maxHamming <= numBands - 1")
     val bandBits = bits / numBands
-    val mask = (1L << bandBits) - 1
+    val mask = bandMask(bandBits)
     def banded(df: DataFrame) =
       NearDup.simHash(df, idCol, textCol, bits)
         .select(col("doc_id"), col("simhash"),
@@ -231,7 +237,7 @@ object Corpus {
       s"pigeonhole completeness needs maxHamming <= numBands - 1 " +
         s"(got $maxHamming vs $numBands bands)")
     val bandBits = bits / numBands
-    val mask = (1L << bandBits) - 1
+    val mask = bandMask(bandBits)
     val sig = NearDup.simHash(docs, idCol, textCol, bits)
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until numBands).map(b =>
@@ -273,18 +279,17 @@ object Corpus {
     val components = Clusters.connectedComponents(
       docs.select(col(idCol)), idCol, pairs, aCol, bCol, maxIter)
     val withCluster = docs.join(components, idCol)
-    // keeper = max (prefer, -id): highest preference, smallest id on ties
+    // keeper = first row under (prefer desc NULLS LAST, id asc) — a plain
+    // sort order, so the id may be ANY orderable type (string URLs, content
+    // hashes, numeric keys) rather than something negatable
     val rank = prefer.getOrElse(lit(0))
-    val keepers = withCluster
-      .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"),
-        max(struct(rank.as("__r"), (-col(idCol)).as("__negid")))
-          .as("__best"))
-      .select(col("cluster_id"), col("cluster_size"),
-        (-col("__best.__negid")).as("__keep_id"))
-    withCluster.join(keepers, "cluster_id")
-      .filter(col(idCol) === col("__keep_id"))
-      .drop("__keep_id")
+    val wCluster = Window.partitionBy(col("cluster_id"))
+    withCluster
+      .withColumn("cluster_size", count(lit(1)).over(wCluster))
+      .withColumn("__rn", row_number().over(
+        wCluster.orderBy(rank.desc, col(idCol).asc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Paragraph-level exact dedup (the CCNet formulation): across the

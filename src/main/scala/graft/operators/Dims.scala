@@ -66,8 +66,7 @@ object Dims {
     * [[insertOnlyMergeDistributed]] (same output, no global window). */
   def insertOnlyMerge(existing: DataFrame, incoming: DataFrame,
                       naturalKey: Seq[String], keyCol: String): DataFrame = {
-    val fresh = incoming.select(naturalKey.map(col): _*).distinct()
-      .join(existing, naturalKey, "left_anti")
+    val fresh = freshKeys(existing, incoming, naturalKey)
     val keyed = fresh
       .withColumn("__rn",
         row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
@@ -80,13 +79,27 @@ object Dims {
   def insertOnlyMergeDistributed(existing: DataFrame, incoming: DataFrame,
                                  naturalKey: Seq[String], keyCol: String,
                                  partitions: Int = 0): DataFrame = {
-    val fresh = incoming.select(naturalKey.map(col): _*).distinct()
-      .join(existing, naturalKey, "left_anti")
+    val fresh = freshKeys(existing, incoming, naturalKey)
     // NOT "__rn": buildDimDistributed uses that name internally and would
     // drop the output key with its own scratch column
     val keyed = buildDimDistributed(fresh, naturalKey, "__fresh_rn", partitions)
       .withColumnRenamed("__fresh_rn", "__rn")
     appendOffsetKeyed(existing, keyed, keyCol)
+  }
+
+  /** Incoming natural keys not yet in the dim, under NULL-SAFE key
+    * equality: a plain anti-join never matches a key containing NULL
+    * (NULL = NULL is NULL), so such a row would be re-appended with a
+    * fresh surrogate key on EVERY incremental run — duplicating dim rows
+    * and fanning out facts. `<=>` treats NULL as a value, matching how
+    * `Hashing.hashKey` folds NULLs into one sentinel. */
+  private def freshKeys(existing: DataFrame, incoming: DataFrame,
+                        naturalKey: Seq[String]): DataFrame = {
+    val inc = incoming.select(naturalKey.map(col): _*).distinct().as("inc")
+    val ex = existing.select(naturalKey.map(col): _*).distinct().as("ex")
+    val cond = naturalKey.map(k => col(s"inc.$k") <=> col(s"ex.$k"))
+      .reduce(_ && _)
+    inc.join(ex, cond, "left_anti")
   }
 
   /** Shift dense 1..n `__rn` keys past max(existing key) and append. */

@@ -74,13 +74,17 @@ object Ingest {
     // doubled). Detect it structurally, not by `^"[0-9]` (which would also
     // fire on a normal row whose legitimately-quoted first field starts
     // with a digit): after collapsing doubled quotes, a fully-wrapped line
-    // has exactly its two outer quotes left, while a normal row with quoted
-    // fields keeps a quote pair per field (>= 2, but never wrapping the
-    // full line with nothing outside).
+    // is left with exactly its two OUTER quotes — first and last character,
+    // none interior. Requiring the positions (not just the count of 2)
+    // keeps the repair off legitimate rows whose quotes also collapse to
+    // two but not at both ends — e.g. a quoted first field plus a
+    // quoted-empty last field (`"a",...,""` -> `"a",...,`).
     val undoubled = regexp_replace(noSemi, "\"\"", "")
     val isWrapped = noSemi.startsWith("\"") && noSemi.endsWith("\"") &&
-      (length(undoubled) - length(regexp_replace(undoubled, "\"", ""))) === 2 &&
-      length(noSemi) > 1
+      length(noSemi) > 1 &&
+      undoubled.startsWith("\"") && undoubled.endsWith("\"") &&
+      length(undoubled) > 1 &&
+      !undoubled.substr(lit(2), length(undoubled) - 2).contains("\"")
     val repaired = when(isWrapped,
         regexp_replace(
           noSemi.substr(lit(2), length(noSemi) - 2), "\"\"", "\""))

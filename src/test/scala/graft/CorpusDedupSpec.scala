@@ -26,6 +26,24 @@ class CorpusDedupSpec extends SparkSpec {
     kept shouldBe Seq((2L, 1L, 3L), (4L, 4L, 2L), (6L, 6L, 1L))
   }
 
+  test("resolveDuplicates works with string document ids (URLs, hashes)") {
+    val docs = Seq(
+      ("url-a", "x", 10L), ("url-b", "y", 30L), ("url-c", "z", 20L),
+      ("url-d", "w", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq(("url-a", "url-b"), ("url-b", "url-c"))
+      .toDF("a_id", "b_id")
+    val kept = Corpus.resolveDuplicates(docs, "doc_id", pairs, "a_id", "b_id",
+        prefer = Some(col("n_chars")))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(String, String, Long)].collect().toSeq.sorted
+    kept shouldBe Seq(("url-b", "url-a", 3L), ("url-d", "url-d", 1L))
+    // no prefer: minimum id survives; nothing silently dropped
+    Corpus.resolveDuplicates(docs, "doc_id", pairs, "a_id", "b_id")
+      .select("doc_id").as[String].collect().toSeq.sorted shouldBe
+      Seq("url-a", "url-d")
+  }
+
   test("resolveDuplicates without prefer keeps the minimum id") {
     val docs = Seq((7L, "x"), (8L, "x"), (9L, "y")).toDF("doc_id", "text")
     val pairs = Seq((8L, 7L)).toDF("a_id", "b_id")

@@ -185,4 +185,28 @@ class CorpusSpec extends SparkSpec {
       Corpus.simHashHammingPairs(docs, "doc_id", "text", maxHamming = 4,
         numBands = 4)
   }
+
+  test("bandMask at 64 band bits is all-ones, not zero (shift wraps mod 64)") {
+    Corpus.bandMask(64) shouldBe -1L
+    Corpus.bandMask(16) shouldBe 0xFFFFL
+    Corpus.bandMask(8) shouldBe 0xFFL
+  }
+
+  test("bits=64 single band (maxHamming=0) finds exactly the " +
+    "identical-fingerprint pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical -> hamming 0
+      (3L, "completely different words nowhere near anything else at all"))
+      .toDF("doc_id", "text")
+    Corpus.simHashHammingPairs(docs, "doc_id", "text",
+        maxHamming = 0, bits = 64, numBands = 1)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 2L))
+    Corpus.dedupeAgainstCorpus(
+        Seq((10L, "alpha beta gamma delta epsilon zeta"),
+            (11L, "fresh unseen content")).toDF("doc_id", "text"),
+        docs, "doc_id", "text", maxHamming = 0, bits = 64, numBands = 1)
+      .select($"doc_id").as[Long].collect().toSeq shouldBe Seq(11L)
+  }
 }

@@ -65,4 +65,22 @@ class DimsSpec extends SparkSpec {
       Seq("nk"), "k")
     merged.count() shouldBe 2
   }
+
+  test("insertOnlyMerge is idempotent for natural keys containing NULL") {
+    // a plain anti-join never matches NULL keys, so a nullable-key dim row
+    // (e.g. geography with empty postal code) would gain a fresh surrogate
+    // key on every run; the null-safe join must keep it stable
+    val incoming = Seq(("x", Some("1")), ("y", None), ("y", None))
+      .toDF("city", "postal")
+    val existing = Dims.buildDim(incoming, Seq("city", "postal"), "k")
+      .localCheckpoint()
+    val run2 = Dims.insertOnlyMerge(existing, incoming,
+      Seq("city", "postal"), "k")
+    run2.count() shouldBe 2
+    run2.except(existing).count() shouldBe 0
+    val run2d = Dims.insertOnlyMergeDistributed(existing, incoming,
+      Seq("city", "postal"), "k", partitions = 2)
+    run2d.count() shouldBe 2
+    run2d.except(existing).count() shouldBe 0
+  }
 }

@@ -80,6 +80,21 @@ class IngestQuirkSpec extends SparkSpec {
     raw.filter($"ProductName" === "K P").count() shouldBe 1
   }
 
+  test("a normal row whose quotes collapse to exactly two is NOT unwrapped") {
+    // quoted first field + quoted-empty last field: starts and ends with a
+    // quote and undoubles to two quotes, but they are not the line's outer
+    // characters — the repair must leave the row alone
+    val tricky = "\"1\",CA-2016-00001,1/2/2016,1/5/2016,Second Class,CG-1," +
+      "Jane Doe,Consumer,United States,Henderson,Kentucky,42420,South," +
+      "FUR-1,Furniture,Bookcases,Plain Product,10.00,1,0,\"\""
+    val p = write(Seq(header, tricky))
+    val raw = Ingest.readRaw(spark, p)
+    raw.count() shouldBe 1
+    raw.filter($"RowID" === "1").count() shouldBe 1
+    raw.filter($"Quantity" === "1").count() shouldBe 1 // columns not shifted
+    raw.filter($"Profit".isNull || $"Profit" === "").count() shouldBe 1
+  }
+
   test("excelCompat drops exactly the wrapped rows") {
     val wrapped = "\"" + row(3) + "\";"
     val p = write(Seq(header, row(1) + ";", wrapped, row(4) + ";"))
