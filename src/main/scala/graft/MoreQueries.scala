@@ -407,7 +407,7 @@ object MoreQueries {
       WITH media AS (
         SELECT doc_id,
                ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-               CAST((doc_id % 64) + 16 AS INT) AS width,
+               CAST((doc_id % 16) + 8 AS INT) AS width,
                CAST((doc_id % 5000) + 1000 AS BIGINT) AS duration_ms
         FROM documents)
       SELECT kind, COUNT(*) AS n_media,
@@ -415,15 +415,79 @@ object MoreQueries {
              CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
       FROM media GROUP BY kind"""))
 
-  /** Multimodal decode + feature extraction (stub codec, real plumbing) —
-    * not SQL-expressible, driver does a rows>0 check; MultimodalSpec
-    * asserts determinism and batch shape. */
+  /** Multimodal decode + feature extraction. The stub codec is a 64-bit
+    * LCG (state h_t = a^t·seed + c·Σ_{j<t}a^j, all mod 2^64), so its
+    * per-media mean/std/p_zero have a closed form DuckDB can evaluate
+    * exactly: a recursive CTE builds the 31^j / a^j / Σa^j power tables
+    * once, HUGEINT arithmetic emulates 64-bit wraparound (seed split into
+    * 32-bit halves keeps a^t·seed inside the signed-128 range), and the
+    * moments are exact integers so the final doubles are bit-identical. */
   private val q55 = QueryDef(
     "q55_media_features",
     (s, d) => operators.Multimodal.extractFeatures(
       operators.Multimodal.spreadForDecode(
         operators.Multimodal.mediaFromDocuments(Tables.documents(s, d)))).toDF(),
-    None)
+    Some("""
+      WITH RECURSIVE
+      media AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+               encode(text) AS payload,
+               octet_length(encode(text)) AS plen,
+               CAST(GREATEST(1, (doc_id % 16 + 8) * (doc_id % 12 + 8) * 3) AS INT) AS n
+        FROM documents),
+      bounds AS (SELECT GREATEST(MAX(plen), MAX(n)) AS mx FROM media),
+      pw AS (
+        SELECT 0 AS j, 1::HUGEINT AS p31, 1::HUGEINT AS ap, 0::HUGEINT AS s
+        UNION ALL
+        SELECT j + 1,
+               (p31 * 31::HUGEINT) % 18446744073709551616::HUGEINT,
+               (ap * 6364136223846793005::HUGEINT) % 18446744073709551616::HUGEINT,
+               (s + ap) % 18446744073709551616::HUGEINT
+        FROM pw WHERE j < (SELECT mx FROM bounds)),
+      seedpos AS (
+        SELECT media_id, plen, hex(payload) AS hx,
+               unnest(generate_series(0, plen - 1)) AS k
+        FROM media),
+      seedterm AS (
+        SELECT b.media_id,
+               CAST(CASE WHEN bv > 127 THEN bv - 256 ELSE bv END AS HUGEINT) * p.p31 AS term
+        FROM (SELECT media_id, plen, k,
+                strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1)) * 16
+                + strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1)) - 17 AS bv
+              FROM seedpos) b
+        JOIN pw p ON p.j = b.plen - 1 - b.k),
+      seeds AS (
+        SELECT m.media_id,
+               ((((1125899906842597::HUGEINT * p.p31 + COALESCE(st.tsum, 0::HUGEINT))
+                  % 18446744073709551616::HUGEINT) + 18446744073709551616::HUGEINT)
+                  % 18446744073709551616::HUGEINT) AS seed
+        FROM media m
+        JOIN pw p ON p.j = m.plen
+        LEFT JOIN (SELECT media_id, SUM(term) AS tsum FROM seedterm GROUP BY 1) st
+          USING (media_id)),
+      bytes AS (
+        SELECT m.media_id, m.n,
+               CAST((((p.ap * (s.seed % 4294967296::HUGEINT))
+                      + ((p.ap * (s.seed // 4294967296::HUGEINT)) % 4294967296::HUGEINT)
+                        * 4294967296::HUGEINT
+                      + 1442695040888963407::HUGEINT * p.s)
+                     % 18446744073709551616::HUGEINT)
+                    // 72057594037927936::HUGEINT AS BIGINT) AS v
+        FROM media m
+        JOIN seeds s USING (media_id)
+        JOIN pw p ON p.j BETWEEN 1 AND m.n),
+      agg AS (
+        SELECT media_id, CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v*v) AS BIGINT) AS sq,
+               CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS z,
+               ANY_VALUE(n) AS n
+        FROM bytes GROUP BY 1)
+      SELECT m.media_id, m.kind, CAST(a.n AS INT) AS n_bytes,
+             CAST(a.sv AS DOUBLE) / a.n AS mean,
+             sqrt(CAST(a.sq AS DOUBLE) / a.n
+                  - (CAST(a.sv AS DOUBLE) / a.n) * (CAST(a.sv AS DOUBLE) / a.n)) AS std,
+             CAST(a.z AS DOUBLE) / a.n AS p_zero
+      FROM media m JOIN agg a USING (media_id)"""))
 
   /** Proper winnowing (not just the global-min fingerprint of q32): min
     * hash per sliding window over the POSITIONAL shingle sequence, then

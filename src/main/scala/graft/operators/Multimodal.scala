@@ -82,8 +82,8 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"),
       struct(
-        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(16)) + 8).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(12)) + 8).cast("int").as("height"),
         lit(3).as("channels"),
         lit(16000).as("sampleRate"),
         (pmod(col("doc_id"), lit(5000)) + 1000).cast("long").as("durationMs"),
@@ -99,18 +99,29 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition (the Scala analogue
     * of a Pandas-UDF `mapInPandas`: one iterator in, one iterator out,
-    * bounded memory, no per-row function-call overhead). */
+    * bounded memory, no per-row function-call overhead).
+    *
+    * Moments are accumulated as exact integers (sum, sum-of-squares ≤ 2^53)
+    * and only converted to double at the end, so the result is independent
+    * of summation order AND reproducible bit-for-bit by any engine that can
+    * run the LCG — which is what makes the q55 DuckDB oracle possible. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = FakeCodec.decode(r.payload, r.meta)
         val n = bytes.length
-        val vals = bytes.map(b => (b & 0xff).toDouble)
-        val mean = vals.sum / n
-        val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / n)
-        MediaFeatures(r.media_id, r.kind, n, mean, std,
-          vals.count(_ == 0).toDouble / n)
+        var s = 0L; var sq = 0L; var z = 0L
+        var i = 0
+        while (i < n) {
+          val v = (bytes(i) & 0xff).toLong
+          s += v; sq += v * v
+          if (v == 0L) z += 1L
+          i += 1
+        }
+        val mean = s.toDouble / n
+        val std = math.sqrt(sq.toDouble / n - mean * mean)
+        MediaFeatures(r.media_id, r.kind, n, mean, std, z.toDouble / n)
       }
     }
   }
