@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * round, so convergence is O(log diameter) — the difference between ~15
   * and ~4 rounds on a corpus-wide boilerplate component, and per-round
   * job overhead is exactly what dominates iterative Spark loops. Labels
-  * are `localCheckpoint`ed per round so lineage stays flat. Convergence is
+  * are snapshotted per round so lineage stays flat (`localCheckpoint` by
+  * default, reliable `checkpoint` when a checkpointDir is given).
+  * Convergence is
   * detected by counting changed labels on the already-materialized round
   * output (no extra join).
   *
@@ -33,20 +35,33 @@ import org.apache.spark.sql.functions._
 object Clusters {
 
   /** Resolve undirected candidate pairs (aCol, bCol) over `vertices`
-    * (idCol) into components. Emits (idCol, cluster_id). */
+    * (idCol) into components. Emits (idCol, cluster_id).
+    *
+    * Durability: by default each round is `localCheckpoint`ed — cheap
+    * (executor-local blocks, no replication) and right for bench scale,
+    * but on a real cluster one lost executor aborts the whole iterative
+    * job unrecoverably. Pass `checkpointDir` (HDFS/S3 path) to switch the
+    * round snapshots to reliable `checkpoint()` storage: each round then
+    * costs a distributed write, and a lost executor only recomputes from
+    * the last durable round. */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val edges = pairs
+    val snapshot: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        vertices.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val edges = snapshot(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
-    var labels = vertices.select(col(idCol).as("id"))
-      .distinct().withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = snapshot(vertices.select(col(idCol).as("id"))
+      .distinct().withColumn("label", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -55,22 +70,20 @@ object Clusters {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nb_label"))
-      val prop = labels
+      val prop = snapshot(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nb_label"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+            .as("label")))
       // pointer jumping: adopt label(label) — materialized above so the
       // self-join reads the checkpoint twice instead of recomputing the
       // edge join on both sides
       val lut = prop.select(col("id").as("__lid"), col("label").as("__ll"))
-      val next = prop
+      val next = snapshot(prop
         .join(lut, col("label") === col("__lid"), "left")
         .select(col("id"), col("__old"),
           least(col("label"), coalesce(col("__ll"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+            .as("label")))
       val changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.select(col("id"), col("label"))
       converged = changed == 0L

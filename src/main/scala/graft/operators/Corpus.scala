@@ -270,8 +270,11 @@ object Corpus {
     *
     * Scale: component resolution is O(log diameter) rounds over the
     * PAIRS (a tiny fraction of the corpus); the docs side shuffles once
-    * for the components join and once for the keeper groupBy, both on
-    * the id key. */
+    * for the components join and once more for the single cluster_id
+    * window pass that computes cluster_size + the keeper row_number
+    * (full rows, text included, sorted within each cluster partition —
+    * a pathologically large duplicate cluster funnels through one
+    * task). */
   def resolveDuplicates(docs: DataFrame, idCol: String,
                         pairs: DataFrame, aCol: String, bCol: String,
                         prefer: Option[Column] = None,

@@ -10,17 +10,31 @@ import org.apache.spark.sql.functions._
   * natural-key ordering — stable, dense, reproducible (the reference's
   * IDENTITY only guarantees key *semantics*, not values). The unpartitioned
   * window funnels the dim through one task, which is correct for conformed
-  * dims (ship modes, categories, geographies — small by definition). For a
-  * dim that could be huge, switch to `xxhash64(naturalKey)` keys instead;
-  * documented here rather than implemented because every reference dim is
-  * small (SURVEY §4: all dims broadcast).
+  * dims (ship modes, categories, geographies — small by definition). So a
+  * caller can't pick the single-task plan by accident on a huge dim,
+  * [[buildDim]] probes the distinct-key count and dispatches to
+  * [[buildDimDistributed]] above a configurable threshold.
   */
 object Dims {
 
-  /** A1: distinct natural keys + dense deterministic surrogate key. */
+  /** Conf key: distinct-key count above which [[buildDim]] dispatches to
+    * [[buildDimDistributed]] instead of the single-task global window.
+    * 1M keys through one window task is the upper edge of comfortable;
+    * real conformed dims sit orders of magnitude below it. */
+  val MaxSingleTaskKeysKey = "spark.graft.dims.maxSingleTaskKeys"
+  val DefaultMaxSingleTaskKeys: Long = 1000000L
+
+  /** A1: distinct natural keys + dense deterministic surrogate key.
+    * Size-dispatching: the distinct-key probe short-circuits at cap+1
+    * rows; above the cap the numbering routes to the partition-offset
+    * machinery of [[buildDimDistributed]] (output-identical, DimsSpec). */
   def buildDim(src: DataFrame, naturalKey: Seq[String], keyCol: String): DataFrame = {
     val d = src.select(naturalKey.map(col): _*).distinct()
-    d.withColumn(keyCol,
+    val cap = src.sparkSession.conf
+      .get(MaxSingleTaskKeysKey, DefaultMaxSingleTaskKeys.toString).toLong
+    val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    if (d.limit(probe).count() > cap) buildDimDistributed(src, naturalKey, keyCol)
+    else d.withColumn(keyCol,
       row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
   }
 
@@ -97,7 +111,7 @@ object Dims {
                         naturalKey: Seq[String]): DataFrame = {
     val inc = incoming.select(naturalKey.map(col): _*).distinct().as("inc")
     val ex = existing.select(naturalKey.map(col): _*).distinct().as("ex")
-    val cond = naturalKey.map(k => col(s"inc.$k") <=> col(s"ex.$k"))
+    val cond = naturalKey.map(k => col(s"inc.`$k`") <=> col(s"ex.`$k`"))
       .reduce(_ && _)
     inc.join(ex, cond, "left_anti")
   }

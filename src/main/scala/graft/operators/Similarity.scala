@@ -21,6 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Conf key bounding how many rows the brute-force paths may broadcast.
+    * The "query side must be small" contract was previously documentation
+    * only; this makes it enforced. At ~3 KB per 768-dim float vector the
+    * default (1M rows) is ~3 GB of driver/executor broadcast — already
+    * generous; anything larger is a mis-use that would OOM the driver on a
+    * real cluster. */
+  val MaxBroadcastRowsKey = "spark.graft.similarity.maxBroadcastRows"
+  val DefaultMaxBroadcastRows: Long = 1000000L
+
+  private def broadcastCap(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(MaxBroadcastRowsKey, DefaultMaxBroadcastRows.toString).toLong
+
+  /** Fail-fast guard on a side that is about to be driver-broadcast.
+    * Counts at most cap+1 rows — `limit` short-circuits the scan, so the
+    * probe stays cheap even when the guarded side turns out to be a large
+    * fraction of a 100 TB corpus (exactly the failure mode this catches).
+    * Throws before any broadcast is constructed. */
+  private def requireBroadcastable(df: DataFrame, what: String,
+                                   hint: String): DataFrame = {
+    val cap = broadcastCap(df)
+    val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    val observed = df.limit(probe).count()
+    require(observed <= cap,
+      s"$what matched more than $cap rows " +
+        s"(conf $MaxBroadcastRowsKey=$cap); broadcasting it would OOM the " +
+        s"driver at scale. $hint")
+    df
+  }
+
   /** Strict left-fold dot product in double precision. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -40,8 +70,12 @@ object Similarity {
   def cosineTopK(embeddings: DataFrame, idCol: String, embCol: String,
                  queryPredicate: Column, k: Int): DataFrame = {
     graft.GraftExtensions.register(embeddings.sparkSession)
-    val q = embeddings.filter(queryPredicate)
-      .select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+    val q = requireBroadcastable(
+      embeddings.filter(queryPredicate)
+        .select(col(idCol).as("q_id"), col(embCol).as("__q_emb")),
+      "cosineTopK query side (queryPredicate)",
+      "Narrow the predicate, or use ivfTopK / lshBucketed candidates for " +
+        "large query sets.")
     val cand = embeddings.select(col(idCol).as("n_id"), col(embCol).as("__n_emb"))
     val scored = cand.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
@@ -72,7 +106,13 @@ object Similarity {
     val b = embeddings.select(col(idCol).as("b_id"), col(embCol).as("__b_emb"))
     val pairs = candidates match {
       case Some(c) => c.join(a, "a_id").join(b, "b_id")
-      case None => a.join(broadcast(b), col("a_id") < col("b_id"))
+      case None =>
+        a.join(broadcast(requireBroadcastable(b,
+          "cosineNearDupPairs without candidates (all-pairs corpus broadcast)",
+          "Pass candidates= (e.g. from lshBucketed bands, " +
+            "simHashHammingPairs, or IVF buckets) for corpora above the " +
+            "cap; the no-candidates path is verification-scale only.")),
+          col("a_id") < col("b_id"))
     }
     pairs
       .withColumn("cosine",
@@ -206,9 +246,13 @@ object Similarity {
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
     // norms once per VECTOR (before the pair join), not once per pair
-    val q = quantized.filter(queryPredicate)
-      .select(col(idCol).as("q_id"), col("__q8").as("__qa"),
-        idot(col("__q8"), col("__q8")).as("__na"))
+    val q = requireBroadcastable(
+      quantized.filter(queryPredicate)
+        .select(col(idCol).as("q_id"), col("__q8").as("__qa"),
+          idot(col("__q8"), col("__q8")).as("__na")),
+      "quantizedCosineTopK query side (queryPredicate)",
+      "Narrow the predicate, or use ivfTopK / lshBucketed candidates for " +
+        "large query sets.")
     val cand = quantized
       .select(col(idCol).as("n_id"), col("__q8").as("__qb"),
         idot(col("__q8"), col("__q8")).as("__nb"))

@@ -34,6 +34,36 @@ class ClustersSpec extends SparkSpec {
         chain.toDF("a", "b"), "a", "b", maxIter = 2).collect()
   }
 
+  test("hub-skew: a 10k-spoke star converges in O(1) rounds despite one " +
+    "hot vertex") {
+    // diameter 2: label 0 reaches every spoke in one propagation round;
+    // maxIter=4 asserts the round count stays constant-small — if the
+    // hot-key aggregation or pointer jumping regressed to per-spoke
+    // progress this would blow the iteration budget and throw
+    val spokes = (1L to 10000L)
+    val verts = spark.range(0, 10001).toDF("id")
+    val pairs = spokes.toDF("b").withColumn("a", lit(0L))
+    val comps = Clusters.connectedComponents(verts, "id", pairs, "a", "b",
+      maxIter = 4)
+    comps.filter($"cluster_id" =!= 0L).count() shouldBe 0L
+    comps.count() shouldBe 10001L
+  }
+
+  test("reliable checkpointDir variant: identical output, durable files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    val chain = (1L to 10L).sliding(2).map(s => (s(1), s.head)).toSeq
+    val local = cc(1L to 10L, chain)
+    val durable = Clusters.connectedComponents(
+        (1L to 10L).toDF("id"), "id", chain.toDF("a", "b"), "a", "b",
+        maxIter = 20, checkpointDir = Some(dir.toString))
+      .as[(Long, Long)].collect().toMap
+    durable shouldBe local
+    // the rounds actually wrote reliable checkpoint data
+    def filesUnder(f: java.io.File): Long =
+      if (f.isFile) 1L else Option(f.listFiles()).fold(0L)(_.map(filesUnder).sum)
+    filesUnder(dir.toFile) should be > 0L
+  }
+
   test("clusterSummary: size and canonical representative per cluster") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster_id")
     val s = Clusters.clusterSummary(comps, "id")

@@ -14,6 +14,25 @@ class DimsSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 2L), ("c", 3L))
   }
 
+  test("buildDim dispatches to the distributed numbering above the " +
+    "single-task key threshold") {
+    val src = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select($"c_name".as("nk"))
+    val small = Dims.buildDim(src, Seq("nk"), "k") // default cap: windowed
+    spark.conf.set(Dims.MaxSingleTaskKeysKey, "10")
+    try {
+      val dispatched = Dims.buildDim(src, Seq("nk"), "k")
+      // above the cap there must be no global (empty-partitionBy) window
+      // in the plan — the distributed numbering already executed it away
+      dispatched.queryExecution.executedPlan.toString should
+        not include "windowspecdefinition(nk"
+      // and the output is identical to the single-task path
+      dispatched.count() shouldBe small.count()
+      small.except(dispatched).count() shouldBe 0
+      dispatched.except(small).count() shouldBe 0
+    } finally spark.conf.unset(Dims.MaxSingleTaskKeysKey)
+  }
+
   test("insertOnlyMerge: existing keys stable, new keys appended past max") {
     val existing = Dims.buildDim(Seq("a", "b").toDF("nk"), Seq("nk"), "k")
     val merged = Dims.insertOnlyMerge(existing,

@@ -33,6 +33,42 @@ class ScaleSpec extends SparkSpec {
     salted.except(plain).count() shouldBe 0
   }
 
+  test("saltedJoin splits the hot key across tasks (skew evidence)") {
+    // 90% of the big side is one key: hash-partitioned on k alone, all of
+    // it funnels into ONE shuffle partition (the straggler task at scale)
+    val n = 20000L
+    val big = spark.range(n).select(
+      when($"id" % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), $"id"))
+        .as("k"),
+      $"id")
+    val parts = 16
+    def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.rdd.mapPartitions(it => Iterator.single(it.size.toLong))
+        .collect().max
+    val unsalted = maxPartRows(big.repartition(parts, $"k"))
+    // the salted join's exchange partitions on (k, __salt): mimic it with
+    // the same salt expression saltedJoin derives from the salt source
+    val buckets = 8
+    val salted = maxPartRows(big
+      .withColumn("__salt", coalesce(pmod(xxhash64($"id"), lit(buckets)), lit(0)))
+      .repartition(parts, $"k", $"__salt"))
+    unsalted should be >= (n * 9 / 10) // hot key concentrated in one task
+    // spread over buckets (several salt groups may hash-collide into one
+    // partition, so the bound is buckets-agnostic: no task holds more than
+    // half the hot key anymore)
+    salted.toDouble should be <= unsalted.toDouble / 2
+    // and the executed join plan really exchanges on (k, __salt) — with
+    // broadcast off, since a broadcastable small side needs no salting
+    val dim = Seq(("hot", "HOT")).toDF("k", "label")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Scale.saltedJoin(big, dim, Seq("k"), xxhash64($"id"), buckets)
+        .queryExecution.executedPlan.toString.toLowerCase
+      plan should include("hashpartitioning(k")
+      plan should include("__salt")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("saltedJoin keeps rows whose salt source is NULL") {
     val big = Seq(("hot", Some(1L)), ("hot", None)).toDF("k", "id")
     val dim = Seq(("hot", "HOT")).toDF("k", "label")
