@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Queries.QueryDef
+import graft.functions.TextFunctions
+import graft.operators.CorpusPipeline
+
+/** Round-4 queries: the end-to-end [[CorpusPipeline]] COMPOSITION under a
+  * differential oracle. Every stage was already individually oracled
+  * (q84 normalize, q30 gates, q33 exact dedup, q72/q73/q82 near-dup,
+  * q69 decontaminate); these two queries prove the composition — stage
+  * ordering, survivor wiring, and the survival report — against one DuckDB
+  * SQL chain that re-runs the whole pipeline.
+  */
+object R4Queries {
+
+  private val stopList =
+    TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** SimHash tok/sums/sims CTEs over a source CTE exposing (doc_id, w). */
+  private def oSimHashOver(src: String, bits: Int): String = {
+    val sums = (0 until bits).map { j =>
+      val nib = s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
+      s"SUM(2 * (($nib >> ${j % 4}) & 1) - 1) AS s_$j"
+    }.mkString(",\n             ")
+    val packed = (0 until bits).map(j =>
+      s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""stok AS (SELECT doc_id, md5(unnest(w)) AS h FROM $src),
+      ssums AS (SELECT doc_id,
+             $sums
+      FROM stok GROUP BY doc_id),
+      sims AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM ssums)"""
+  }
+
+  // pipeline config for the oracled run: every gate exercises a real drop
+  // on the sf corpora (tokens 10..99, stopword-ratio p25 ~0.04), 32-bit
+  // SimHash (the q72-proven banding), q69's eval-set convention
+  private val MinTok = 20
+  private val MaxTok = 90
+  private val MinStop = 0.02
+  private val cfg = CorpusPipeline.Config(
+    minTokens = MinTok, maxTokens = MaxTok, minStopwordRatio = MinStop,
+    nearDupHamming = 3, simHashBits = 32, simHashBands = 4,
+    decontaminateShingleN = 3, maxEvalOverlapRatio = 0.5)
+
+  private def runPipeline(s: SparkSession, d: String): CorpusPipeline.Result = {
+    val docs = Tables.documents(s, d)
+    CorpusPipeline.run(s, docs.filter(col("doc_id") % 50 =!= 0), "doc_id",
+      "text", evalDocs = docs.filter(col("doc_id") % 50 === 0), cfg)
+  }
+
+  /** The full pipeline as one DuckDB CTE chain, ending at `fin` (the
+    * surviving corpus) with all stage CTEs named for count probes. */
+  private val oPipelineChain = s"""
+      norm AS (SELECT doc_id,
+               trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+                 '\\s+', ' ', 'g')) AS text,
+               lang, source, n_chars
+             FROM documents WHERE doc_id % 50 <> 0),
+      tokd AS (SELECT *, ${ExtQueries.oToks("text")} AS w FROM norm),
+      lg AS (SELECT * FROM tokd WHERE len(w) BETWEEN $MinTok AND $MaxTok),
+      qg AS (SELECT * FROM lg
+             WHERE coalesce(
+               CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) /
+                 CAST(NULLIF(len(w), 0) AS DOUBLE), 0.0) >= $MinStop),
+      ed AS (SELECT doc_id, text, lang, source, n_chars, w FROM (
+               SELECT *, row_number() OVER (PARTITION BY md5(text)
+                 ORDER BY doc_id) AS ern FROM qg)
+             WHERE ern = 1),
+      ${oSimHashOver("ed", 32)},
+      prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+                UNION SELECT b_id, a_id FROM prs),
+      reach AS (SELECT doc_id AS id, doc_id AS r FROM ed
+                UNION
+                SELECT e.src AS id, reach.r
+                FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      nd AS (SELECT doc_id, text, lang, source, n_chars, w FROM (
+               SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, d.w,
+                      row_number() OVER (PARTITION BY c.cluster_id
+                        ORDER BY length(d.text) DESC, d.doc_id) AS krn
+               FROM ed d JOIN comp c USING (doc_id))
+             WHERE krn = 1),
+      evw AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
+              FROM documents WHERE doc_id % 50 = 0),
+      evsh AS (SELECT DISTINCT unnest(list_distinct(${ExtQueries.oShingles("w", 3)})) AS s
+               FROM evw WHERE len(w) >= 3),
+      post AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM (
+                 SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)}) AS sh
+                 FROM nd WHERE len(w) >= 3)),
+      cont AS (SELECT p.doc_id
+               FROM post p LEFT JOIN evsh e USING (s)
+               GROUP BY p.doc_id
+               HAVING (CAST(COUNT(e.s) AS DOUBLE) /
+                       CAST(MAX(p.n_sh) AS DOUBLE)) > 0.5),
+      fin AS (SELECT doc_id, text, lang, source, n_chars FROM nd
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont))"""
+
+  /** The surviving corpus of the composed pipeline. */
+  private val q88 = QueryDef(
+    "q88_corpus_pipeline",
+    (s, d) => runPipeline(s, d).corpus,
+    Some(s"""
+      WITH RECURSIVE $oPipelineChain
+      SELECT doc_id, text, lang, source, n_chars FROM fin"""))
+
+  /** The per-stage survival report of the same run, cross-checked row by
+    * row (stage boundaries, in/out/dropped counts). */
+  private val q89 = QueryDef(
+    "q89_corpus_survival",
+    (s, d) => runPipeline(s, d).report,
+    Some(s"""
+      WITH RECURSIVE $oPipelineChain,
+      c AS (SELECT
+        (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0) AS c0,
+        (SELECT count(*) FROM norm) AS c1,
+        (SELECT count(*) FROM lg) AS c2,
+        (SELECT count(*) FROM qg) AS c3,
+        (SELECT count(*) FROM ed) AS c4,
+        (SELECT count(*) FROM nd) AS c5,
+        (SELECT count(*) FROM fin) AS c6)
+      SELECT CAST(1 AS INT) AS stage, 'normalize' AS stage_name,
+             CAST(c0 AS BIGINT) AS n_in, CAST(c1 AS BIGINT) AS n_out,
+             CAST(c0 - c1 AS BIGINT) AS n_dropped FROM c
+      UNION ALL SELECT 2, 'length_gate', c1, c2, c1 - c2 FROM c
+      UNION ALL SELECT 3, 'quality_gate', c2, c3, c2 - c3 FROM c
+      UNION ALL SELECT 4, 'exact_dedup', c3, c4, c3 - c4 FROM c
+      UNION ALL SELECT 5, 'near_dedup', c4, c5, c4 - c5 FROM c
+      UNION ALL SELECT 6, 'decontaminate', c5, c6, c5 - c6 FROM c"""))
+
+  val all: Seq[QueryDef] = Seq(q88, q89)
+}
