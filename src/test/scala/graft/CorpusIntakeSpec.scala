@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+import graft.streaming.CorpusIntake
+
+/** Streaming corpus intake: two file-drop batches, second-wave near-dups of
+  * already-accepted documents must be dropped, and the streamed corpus must
+  * equal the one-shot batch resolution of the same documents. */
+class CorpusIntakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 ~ doc 2 (near-dup, batch 1): components keep min id 1
+  // doc 11 ~ doc 1 (near-dup across batches): dropped by the corpus gate
+  // doc 12 is novel; doc 13 == doc 12 exactly (within-batch radius-0 dup)
+  private val batch1 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),
+    (3L, "completely different text about spark catalyst optimizer plans"))
+  private val batch2 = Seq(
+    (11L, "the quick brown fox jumps over the lazy dog tonight"),
+    (12L, "a genuinely novel document about distributed joins and shuffles"),
+    (13L, "a genuinely novel document about distributed joins and shuffles"))
+
+  test("two-batch intake: within-batch dedup, cross-batch gate, " +
+    "stream == one-shot batch resolution") {
+    val root = Files.createTempDirectory("graft_intake").toString
+    val (in, corpus, ckpt) = (s"$root/in", s"$root/corpus", s"$root/ckpt")
+    val schema = batch1.toDF("doc_id", "text").schema
+
+    def drop(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").write.mode("append").parquet(in)
+    def run(): Unit = CorpusIntake.runIncremental(spark, in, schema,
+      corpus, ckpt, "doc_id", "text")
+
+    drop(batch1); run()
+    val afterB1 = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet
+    afterB1 shouldBe Set(1L, 3L) // 2 resolved away within batch 1
+
+    drop(batch2); run() // checkpoint: only the new files are processed
+    val afterB2 = spark.read.parquet(corpus)
+    afterB2.select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L, 12L) // 11 gated by accepted doc 1; 13 deduped within b2
+    // accepted rows carry original columns untouched
+    afterB2.filter($"doc_id" === 12L).select("text").as[String].head() shouldBe
+      batch2(1)._2
+
+    // parity: one-shot batch resolution (min-id keeper) over ALL docs
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val oneShot = Corpus.resolveDuplicates(all, "doc_id",
+        Corpus.simHashHammingPairs(all, "doc_id", "text", maxHamming = 3),
+        "a_id", "b_id")
+      .select("doc_id", "text")
+    oneShot.collect().map(_.toSeq).toSet shouldBe
+      afterB2.select("doc_id", "text").collect().map(_.toSeq).toSet
+  }
+
+  test("re-running with no new files appends nothing") {
+    val root = Files.createTempDirectory("graft_intake2").toString
+    val schema = batch1.toDF("doc_id", "text").schema
+    batch1.toDF("doc_id", "text").write.parquet(s"$root/in")
+    def run(): Unit = CorpusIntake.runIncremental(spark, s"$root/in", schema,
+      s"$root/corpus", s"$root/ckpt", "doc_id", "text")
+    run()
+    val n1 = spark.read.parquet(s"$root/corpus").count()
+    run() // idempotent: checkpoint already covers every input file
+    spark.read.parquet(s"$root/corpus").count() shouldBe n1
+  }
+}
