@@ -133,5 +133,47 @@ object R4Queries {
       UNION ALL SELECT 5, 'near_dedup', c4, c5, c4 - c5 FROM c
       UNION ALL SELECT 6, 'decontaminate', c5, c6, c5 - c6 FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(q88, q89)
+  /** Per-source quota sampling: at most 15 of each source's 25 docs
+    * survive, chosen by deterministic md5 ranking (run-stable, unbiased
+    * vs crawl order). */
+  private val q90 = QueryDef(
+    "q90_cap_per_source",
+    (s, d) => operators.Corpus.capPerSource(Tables.documents(s, d),
+        "doc_id", "source", maxDocs = 15)
+      .select(col("doc_id"), col("source"), col("source_rank")),
+    Some("""
+      SELECT doc_id, source, CAST(rn AS INT) AS source_rank
+      FROM (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 15"""))
+
+  /** The q77 incremental gate against a PRECOMPUTED signature store — the
+    * corpus text is never re-read. Same oracle as q77 (signatures are a
+    * pure function of the corpus), so equality also proves
+    * store == recompute. */
+  private val q91 = QueryDef(
+    "q91_dedupe_against_signatures",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigStore = operators.NearDup.simHash(
+        docs.filter(col("doc_id") % 10 =!= 9), "doc_id", "text", bits = 32)
+      operators.Corpus.dedupeAgainstSignatures(
+          batch = docs.filter(col("doc_id") % 10 === 9), sigStore,
+          idCol = "doc_id", textCol = "text", maxHamming = 3)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+    Some(s"""
+      WITH ${ExtQueries.oSimHashCtes},
+      dup AS (SELECT DISTINCT x.doc_id
+              FROM sims x JOIN sims y
+                ON x.doc_id % 10 = 9 AND y.doc_id % 10 <> 9
+               AND bit_count(xor(x.simhash, y.simhash)) <= 3)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d
+      WHERE d.doc_id % 10 = 9
+        AND d.doc_id NOT IN (SELECT doc_id FROM dup)"""))
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91)
 }

@@ -109,32 +109,71 @@ object Corpus {
     *
     * Scale: corpus fingerprints should be PRECOMPUTED and stored (they
     * never change); passing raw corpus text here recomputes them — fine
-    * for verification, wasteful daily. The fingerprint-store variant is
-    * this same join against the persisted signature table. */
+    * for verification, wasteful daily. Use [[dedupeAgainstSignatures]]
+    * with the persisted signature table for the production shape. */
   def dedupeAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
                           textCol: String, maxHamming: Int, bits: Int = 32,
-                          numBands: Int = 4): DataFrame = {
+                          numBands: Int = 4): DataFrame =
+    dedupeAgainstSignatures(batch,
+      NearDup.simHash(corpus, idCol, textCol, bits),
+      idCol, textCol, maxHamming, bits, numBands)
+
+  /** [[dedupeAgainstCorpus]] against PRECOMPUTED corpus fingerprints — the
+    * production shape its scaladoc calls for: the accepted corpus's text is
+    * never re-read or re-hashed. `signatures` is (doc_id, simhash) as
+    * produced by `NearDup.simHash` with the SAME bits; the store is tiny
+    * (8 bytes/doc) and append-only — accept a batch, append its
+    * signatures. Join shape is identical to the text variant: banded
+    * equi-join, never batch × corpus. */
+  def dedupeAgainstSignatures(batch: DataFrame, signatures: DataFrame,
+                              idCol: String, textCol: String,
+                              maxHamming: Int, bits: Int = 32,
+                              numBands: Int = 4): DataFrame = {
     require(bits % numBands == 0, "bits must divide into equal bands")
     require(maxHamming <= numBands - 1,
       s"pigeonhole completeness needs maxHamming <= numBands - 1")
     val bandBits = bits / numBands
-    val mask = bandMask(bandBits)
-    def banded(df: DataFrame) =
-      NearDup.simHash(df, idCol, textCol, bits)
-        .select(col("doc_id"), col("simhash"),
-          explode(array((0 until numBands).map(b =>
-            struct(lit(b).as("band_id"),
-              shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
-                .as("band_val"))): _*)).as("b"))
-        .select(col("doc_id"), col("simhash"), col("b.band_id"),
-          col("b.band_val"))
-    val dupIds = banded(batch).as("x").join(banded(corpus).as("y"),
+    val dupIds = explodeBands(
+        NearDup.simHash(batch, idCol, textCol, bits), numBands, bandBits)
+      .as("x")
+      .join(explodeBands(signatures, numBands, bandBits).as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val"))
       .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
         <= maxHamming)
       .select(col("x.doc_id").as("__dup_id")).distinct()
     batch.join(dupIds, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
+  /** Explode a (doc_id, simhash) signature frame into one row per band. */
+  private def explodeBands(sigs: DataFrame, numBands: Int,
+                           bandBits: Int): DataFrame = {
+    val mask = bandMask(bandBits)
+    sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+              .as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_id"),
+        col("b.band_val"))
+  }
+
+  /** Per-source quota (corpus curation's "cap every domain"): keep at most
+    * `maxDocs` documents per source, selected by a deterministic md5
+    * ranking of ids — a run-stable unbiased sample even when ids encode
+    * crawl order. Emits survivors plus `source_rank` (1..maxDocs).
+    *
+    * Scale: the rank-limit window is recognized by Spark's
+    * WindowGroupLimit, so each map task keeps at most `maxDocs` rows per
+    * source BEFORE the exchange — a mega-domain never funnels through one
+    * task unbounded (asserted in CorpusSpec). */
+  def capPerSource(docs: DataFrame, idCol: String, sourceCol: String,
+                   maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("source_rank", row_number().over(w).cast("int"))
+      .filter(col("source_rank") <= maxDocs)
   }
 
   /** Training-mixture sampling: each source is kept at its mixture WEIGHT —

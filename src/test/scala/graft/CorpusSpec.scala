@@ -179,6 +179,43 @@ class CorpusSpec extends SparkSpec {
     out.select($"doc_id").as[Long].collect().toSeq shouldBe Seq(11L)
   }
 
+  test("dedupeAgainstSignatures == dedupeAgainstCorpus (store == recompute)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter($"doc_id" % 10 === 9)
+    val corpus = docs.filter($"doc_id" % 10 =!= 9)
+    val viaText = Corpus.dedupeAgainstCorpus(batch, corpus, "doc_id", "text",
+      maxHamming = 3)
+    // the persisted-store shape: 8 bytes/doc, no text column at all —
+    // materialized here so the gate's plan provably cannot re-read corpus
+    // text (there is none to read)
+    val store = NearDup.simHash(corpus, "doc_id", "text", bits = 32)
+      .localCheckpoint()
+    store.columns.toSeq shouldBe Seq("doc_id", "simhash")
+    val viaStore = Corpus.dedupeAgainstSignatures(batch, store, "doc_id",
+      "text", maxHamming = 3)
+    viaStore.count() shouldBe viaText.count()
+    viaText.except(viaStore).count() shouldBe 0
+    viaStore.except(viaText).count() shouldBe 0
+  }
+
+  test("capPerSource: deterministic quota per source, rank-limit pushed " +
+    "before the exchange") {
+    val docs = (1L to 70L)
+      .map(i => (i, if (i <= 60) "mega" else "small", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val capped = Corpus.capPerSource(docs, "doc_id", "source", maxDocs = 10)
+    capped.groupBy("source").count().as[(String, Long)].collect().toSet shouldBe
+      Set(("mega", 10L), ("small", 10L))
+    capped.agg(max($"source_rank")).as[Int].head() shouldBe 10
+    // stable across runs (md5 ranking, no RNG)
+    Corpus.capPerSource(docs, "doc_id", "source", maxDocs = 10)
+      .select("doc_id").except(capped.select("doc_id")).count() shouldBe 0
+    // Spark plans the rank filter as WindowGroupLimit: per-task top-k
+    // BEFORE the shuffle, so a mega-source never concentrates unbounded
+    capped.queryExecution.executedPlan.toString should
+      include("WindowGroupLimit")
+  }
+
   test("simHashHammingPairs rejects a radius the banding cannot guarantee") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy
