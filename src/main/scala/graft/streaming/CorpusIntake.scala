@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.Corpus
+import graft.operators.{Corpus, NearDup}
 
 /** Streaming corpus intake: the incremental twin of
   * `graft.operators.CorpusPipeline` for the crawl-arrival shape — documents
@@ -26,19 +26,30 @@ import graft.operators.Corpus
   *
   * Scale posture: the batch side is small by definition; the corpus side is
   * banded the same way as `dedupeAgainstCorpus` (equi-join on band values,
-  * never batch × corpus). At production scale, persist corpus fingerprints
-  * next to the corpus instead of re-reading text (see dedupeAgainstCorpus's
-  * scaladoc); the join shape is unchanged.
+  * never batch × corpus). Pass `signatureDir` to gate against a persisted
+  * (doc_id, simhash) store maintained by the intake itself — then accepted
+  * text is write-only and each run re-reads only 8 bytes per accepted doc.
   */
 object CorpusIntake {
 
   /** Process all currently-available input files once and stop. Returns
-    * after the corpus at `corpusDir` includes every accepted arrival. */
+    * after the corpus at `corpusDir` includes every accepted arrival.
+    *
+    * With `signatureDir` set (the production shape), the gate joins the
+    * batch against the persisted (doc_id, simhash) store instead of
+    * re-hashing the accepted corpus's text, and each accepted batch
+    * appends its own signatures — the store is 8 bytes/doc and the
+    * corpus text is write-only after acceptance. Caveat: corpus and
+    * store are two separate parquet appends; a crash between them leaves
+    * the last batch's signatures missing (re-gate that batch or rebuild
+    * signatures from the corpus — a transactional table format is the
+    * production answer). */
   def runIncremental(spark: SparkSession, inputDir: String, schema: StructType,
                      corpusDir: String, checkpointDir: String,
                      idCol: String, textCol: String,
                      maxHamming: Int = 3, bits: Int = 32,
-                     numBands: Int = 4): Unit = {
+                     numBands: Int = 4,
+                     signatureDir: Option[String] = None): Unit = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)
     val q = StreamOps.incrementalLoad(stream, checkpointDir) { (batch, _) =>
       if (!batch.isEmpty) {
@@ -51,24 +62,37 @@ object CorpusIntake {
               bits, numBands),
             "a_id", "b_id")
           .select(cols: _*)
-        val survivors = acceptedCorpus(spark, corpusDir) match {
-          case Some(corpus) => Corpus.dedupeAgainstCorpus(withinDeduped,
-            corpus, idCol, textCol, maxHamming, bits, numBands)
-          case None => withinDeduped
+        val gated = signatureDir match {
+          case Some(sd) => nonEmptyParquet(spark, sd) match {
+            case Some(sigs) => Corpus.dedupeAgainstSignatures(withinDeduped,
+              sigs, idCol, textCol, maxHamming, bits, numBands)
+            case None => withinDeduped
+          }
+          case None => nonEmptyParquet(spark, corpusDir) match {
+            case Some(corpus) => Corpus.dedupeAgainstCorpus(withinDeduped,
+              corpus, idCol, textCol, maxHamming, bits, numBands)
+            case None => withinDeduped
+          }
         }
-        survivors.select(cols: _*)
-          .write.mode("append").parquet(corpusDir)
+        // freeze the small survivor set once: the corpus write and the
+        // signature write must see the SAME rows, not re-evaluations
+        val survivors = gated.select(cols: _*).localCheckpoint()
+        survivors.write.mode("append").parquet(corpusDir)
+        signatureDir.foreach { sd =>
+          NearDup.simHash(survivors, idCol, textCol, bits)
+            .write.mode("append").parquet(sd)
+        }
       }
     }
     q.awaitTermination()
   }
 
-  private def acceptedCorpus(spark: SparkSession,
-                             corpusDir: String): Option[DataFrame] = {
-    val p = new Path(corpusDir)
+  private def nonEmptyParquet(spark: SparkSession,
+                              dir: String): Option[DataFrame] = {
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getLen > 0))
-      Some(spark.read.parquet(corpusDir))
+      Some(spark.read.parquet(dir))
     else None
   }
 }

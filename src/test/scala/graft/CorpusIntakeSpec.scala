@@ -59,6 +59,33 @@ class CorpusIntakeSpec extends SparkSpec {
       afterB2.select("doc_id", "text").collect().map(_.toSeq).toSet
   }
 
+  test("signature-store intake: same corpus as the text gate, store " +
+    "tracks acceptances, accepted text is write-only") {
+    val root = Files.createTempDirectory("graft_intake_sig").toString
+    val (in, corpus, ckpt, sigs) =
+      (s"$root/in", s"$root/corpus", s"$root/ckpt", s"$root/sigs")
+    val schema = batch1.toDF("doc_id", "text").schema
+    def run(): Unit = CorpusIntake.runIncremental(spark, in, schema,
+      corpus, ckpt, "doc_id", "text", signatureDir = Some(sigs))
+
+    batch1.toDF("doc_id", "text").write.mode("append").parquet(in); run()
+    batch2.toDF("doc_id", "text").write.mode("append").parquet(in); run()
+
+    val accepted = spark.read.parquet(corpus)
+    accepted.select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L, 12L) // identical decisions to the text-gate variant
+    // the store mirrors the corpus exactly: one signature per accepted doc
+    val store = spark.read.parquet(sigs)
+    store.columns.toSeq shouldBe Seq("doc_id", "simhash")
+    store.select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L, 12L)
+    // and the stored fingerprints ARE the accepted docs' fingerprints
+    val recomputed = graft.operators.NearDup
+      .simHash(accepted, "doc_id", "text", bits = 32)
+    store.except(recomputed).count() shouldBe 0
+    recomputed.except(store).count() shouldBe 0
+  }
+
   test("re-running with no new files appends nothing") {
     val root = Files.createTempDirectory("graft_intake2").toString
     val schema = batch1.toDF("doc_id", "text").schema
