@@ -47,7 +47,12 @@ object CorpusPipeline {
       decontaminateShingleN: Int = 3,
       maxEvalOverlapRatio: Double = 0.5)
 
-  final case class Result(corpus: DataFrame, report: DataFrame)
+  /** `report` is LAZY: the per-stage counts (seven actions over the cached
+    * stage outputs) run only when it is first read — a caller that wants
+    * just the corpus doesn't pay for the report. */
+  final case class Result(corpus: DataFrame, private val reportFn: () => DataFrame) {
+    lazy val report: DataFrame = reportFn()
+  }
 
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
           textCol: String, evalDocs: DataFrame,
@@ -93,15 +98,18 @@ object CorpusPipeline {
       "normalize" -> normalized, "length_gate" -> lengthGated,
       "quality_gate" -> qualityGated, "exact_dedup" -> exactDeduped,
       "near_dedup" -> nearDeduped, "decontaminate" -> clean)
-    // count each boundary once; cache the stage inputs that get scanned
-    // twice (once for their own count, once as the next stage's source)
+    // cache the stage outputs that get scanned twice (once as the next
+    // stage's source, once for the report counts if those are read)
     stages.foreach(_._2.cache())
-    val nIn = docs.count() +: stages.init.map(_._2.count())
-    val nOut = stages.map(_._2.count())
-    val report = spark.createDataFrame(
-      stages.map(_._1).zip(nIn).zip(nOut).zipWithIndex.map {
-        case (((name, in), out), i) => (i + 1, name, in, out, in - out)
-      }).toDF("stage", "stage_name", "n_in", "n_out", "n_dropped")
-    Result(clean, report)
+    // count each boundary once, deferred until the report is read
+    def report(): DataFrame = {
+      val nIn = docs.count() +: stages.init.map(_._2.count())
+      val nOut = stages.map(_._2.count())
+      spark.createDataFrame(
+        stages.map(_._1).zip(nIn).zip(nOut).zipWithIndex.map {
+          case (((name, in), out), i) => (i + 1, name, in, out, in - out)
+        }).toDF("stage", "stage_name", "n_in", "n_out", "n_dropped")
+    }
+    Result(clean, report _)
   }
 }
