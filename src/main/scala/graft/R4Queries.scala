@@ -175,5 +175,128 @@ object R4Queries {
       WHERE d.doc_id % 10 = 9
         AND d.doc_id NOT IN (SELECT doc_id FROM dup)"""))
 
-  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91)
+  /** Deterministic training shards: md5-derived shard + in-shard position
+    * (the reproducible global shuffle a data loader consumes). */
+  private val q92 = QueryDef(
+    "q92_train_shards",
+    (s, d) => operators.Corpus.shardForTraining(Tables.documents(s, d),
+        "doc_id", nShards = 8, seed = "r4")
+      .select(col("doc_id"), col("shard_id"), col("shard_pos")),
+    Some {
+      val nib = (j: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1)"
+      s"""
+      WITH t AS (SELECT doc_id,
+                   md5('r4:' || CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents),
+      sh AS (SELECT doc_id, h,
+               CAST(4096*${nib(1)} + 256*${nib(2)} + 16*${nib(3)} + ${nib(4)}
+                 AS INT) % 8 AS shard_id
+             FROM t)
+      SELECT doc_id, shard_id,
+             CAST(row_number() OVER (PARTITION BY shard_id
+               ORDER BY h, doc_id) AS INT) AS shard_pos
+      FROM sh"""
+    })
+
+  /** Per-source token budget: md5-ranked prefix per source while the
+    * running whitespace-token total stays within 600. */
+  private val q93 = QueryDef(
+    "q93_token_budget",
+    (s, d) => operators.Corpus.capTokensPerSource(Tables.documents(s, d),
+        "doc_id", "source",
+        tokenCount = size(TextFunctions.tokens(col("text"))),
+        maxTokens = 600)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens")),
+    Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(${ExtQueries.oToks("text")}) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              CAST(SUM(n_tokens) OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM t)
+      SELECT doc_id, source, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 600"""))
+
+  /** Gopher-style per-rule quality flags: every rule's boolean plus the
+    * keep conjunction, cross-checked signal by signal. */
+  private val q94 = QueryDef(
+    "q94_gopher_flags",
+    (s, d) => operators.Corpus.gopherQualityFlags(Tables.documents(s, d),
+        "doc_id", "text", minWords = 20, maxWords = 80,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        maxSymbolRatio = 0.1, minAlphaRatio = 0.8, minStopwordHits = 2)
+      .select(col("doc_id"), col("n_words").cast("int").as("n_words"),
+        col("mean_word_len"), col("symbol_ratio"), col("alpha_ratio"),
+        col("stop_hits").cast("int").as("stop_hits"),
+        col("flag_word_count"), col("flag_mean_word_len"),
+        col("flag_symbol_ratio"), col("flag_alpha_ratio"),
+        col("flag_stopwords"), col("keep")),
+    Some(s"""
+      WITH t AS (SELECT doc_id, text, ${ExtQueries.oToks("text")} AS w
+                 FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(w) AS INT) AS n_words,
+              CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) /
+                CAST(NULLIF(len(w), 0) AS DOUBLE) AS mean_word_len,
+              coalesce(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                  AS DOUBLE) /
+                CAST(NULLIF(len(w), 0) AS DOUBLE), 0.0) AS symbol_ratio,
+              coalesce(CAST(len(list_filter(w,
+                    x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) /
+                CAST(NULLIF(len(w), 0) AS DOUBLE), 0.0) AS alpha_ratio,
+              CAST(len(list_distinct(list_filter(w,
+                x -> x IN ($stopList)))) AS INT) AS stop_hits
+            FROM t)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+             stop_hits,
+             (n_words >= 20 AND n_words <= 80) AS flag_word_count,
+             coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+               false) AS flag_mean_word_len,
+             (symbol_ratio <= 0.1) AS flag_symbol_ratio,
+             (alpha_ratio >= 0.8) AS flag_alpha_ratio,
+             (stop_hits >= 2) AS flag_stopwords,
+             ((n_words >= 20 AND n_words <= 80)
+               AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+                 false)
+               AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+               AND stop_hits >= 2) AS keep
+      FROM m"""))
+
+  private val EmbDim = 64
+  private def oDot(a: String, b: String) = "0.0 + " + (1 to EmbDim)
+    .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private def oCos(a: String, b: String) =
+    s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
+
+  /** Semantic dedup over embeddings: cosine near-dup pairs → connected
+    * components → min-id keeper, as one call; the oracle recomputes the
+    * exact pair set and the recursive closure. */
+  private val q95 = QueryDef(
+    "q95_semantic_dedup",
+    (s, d) => operators.Similarity.semanticDedup(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.4)
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size")),
+    Some(s"""
+      WITH RECURSIVE
+      a AS (SELECT vec_id AS a_id, embedding AS ae FROM embeddings),
+      b AS (SELECT vec_id AS b_id, embedding AS be FROM embeddings),
+      prs AS (SELECT a_id, b_id FROM a JOIN b ON a_id < b_id
+              WHERE ${oCos("ae", "be")} >= 0.4),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+                UNION SELECT b_id, a_id FROM prs),
+      reach AS (SELECT vec_id AS id, vec_id AS r FROM embeddings
+                UNION
+                SELECT e.src AS id, reach.r
+                FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      j AS (SELECT vec_id, cluster_id,
+              row_number() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS rn,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp)
+      SELECT vec_id, cluster_id, cluster_size FROM j WHERE rn = 1"""))
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q92, q93, q94, q95)
 }

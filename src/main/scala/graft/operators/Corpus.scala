@@ -423,4 +423,111 @@ object Corpus {
       .select(col(idCol), posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("para_idx", "para")))
       .filter(length(col("para")) > 0)
+
+  /** Deterministic training-shard assignment: every document gets a
+    * `shard_id` in [0, nShards) and a dense 1-based `shard_pos` within its
+    * shard, both pure functions of (seed, id) — the reproducible global
+    * shuffle a training data-loader needs (same seed ⇒ same order on every
+    * run and every cluster size; new seed ⇒ a fresh permutation). The hash
+    * is md5, not a JVM hash, so any engine can recompute the layout.
+    *
+    * Scale: shard assignment is a scalar projection; the position window
+    * is partitioned by shard, so shards number/sort in parallel but each
+    * shard's sort runs in one task — size nShards so a shard (~N/nShards
+    * rows) fits a task, which is the same constraint the training side
+    * puts on shard files anyway. Writing: `partitionBy("shard_id")` with
+    * `sortWithinPartitions(shard_pos)` lays files out in read order. */
+  def shardForTraining(docs: DataFrame, idCol: String, nShards: Int,
+                       seed: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // 16 bits of the digest is plenty for shard balance; the full digest
+    // breaks ties in the in-shard order so position never depends on id
+    // ordering beyond the final deterministic tiebreak
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val shard = conv(substring(h, 1, 4), 16, 10).cast("int") % nShards
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("__h"), col(idCol))
+    docs.withColumn("__h", h)
+      .withColumn("shard_id", shard)
+      .withColumn("shard_pos", row_number().over(w).cast("int"))
+      .drop("__h")
+  }
+
+  /** Per-source token budget (the second half of corpus curation's quota
+    * story: [[capPerSource]] caps DOCUMENTS, this caps TOKENS): documents
+    * are md5-ranked within their source and kept while the running token
+    * total stays within `maxTokens` — a deterministic, unbiased prefix.
+    * Because token counts are positive the running total is monotonic, so
+    * `cum_tokens <= maxTokens` IS the prefix property (no dropped doc is
+    * followed by a kept one).
+    *
+    * Emits the input columns plus `n_tokens` and `cum_tokens`.
+    *
+    * Scale: one window per source — sources fill in parallel, but a single
+    * mega-source funnels through one task. Cap docs-per-source first
+    * ([[capPerSource]] with maxDocs ~ maxTokens / typical doc) when a
+    * source can exceed task-sized row counts; the budget filter here then
+    * sees a bounded stream. */
+  def capTokensPerSource(docs: DataFrame, idCol: String, sourceCol: String,
+                         tokenCount: Column, maxTokens: Long): DataFrame = {
+    require(maxTokens >= 0, s"maxTokens must be >= 0, got $maxTokens")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("n_tokens", tokenCount.cast("bigint"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= maxTokens)
+  }
+
+  /** Gopher-style per-rule quality flags (Rae et al. 2021's document
+    * filters, the public-rule formulation): one boolean per rule plus the
+    * conjunction, so a curation run can report WHY documents fail, not
+    * just how many (contrast with the single blended score in
+    * `TextFunctions`-based gates). Rules over whitespace tokens:
+    * word count in [minWords, maxWords]; mean word length in
+    * [minMeanWordLen, maxMeanWordLen]; '#'/'...' symbol-to-word ratio <=
+    * maxSymbolRatio; fraction of words containing an alphabetic char >=
+    * minAlphaRatio; >= minStopwordHits distinct stopword hits.
+    *
+    * Scale: a pure scalar projection — fuses into the scan, no shuffle. */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0,
+                         maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         minAlphaRatio: Double = 0.8,
+                         minStopwordHits: Int = 2): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.withColumn("__t", toks)
+      .withColumn("n_words", size(col("__t")))
+    val nW = col("n_words").cast("double")
+    val meanLen = aggregate(transform(col("__t"), t => length(t)), lit(0),
+      (a, v) => a + v).cast("double") / nullif(nW, lit(0.0))
+    val symbolRatio =
+      regexp_count(col(textCol), lit("#|\\.\\.\\.")).cast("double") /
+        nullif(nW, lit(0.0))
+    val alphaRatio =
+      size(filter(col("__t"), t => t.rlike("[a-zA-Z]"))).cast("double") /
+        nullif(nW, lit(0.0))
+    val stopHits = size(array_intersect(col("__t"),
+      array(TextFunctions.stopwords.map(lit): _*)))
+    base
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", coalesce(symbolRatio, lit(0.0)))
+      .withColumn("alpha_ratio", coalesce(alphaRatio, lit(0.0)))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("flag_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("flag_mean_word_len",
+        coalesce(col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen, lit(false)))
+      .withColumn("flag_symbol_ratio", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("flag_alpha_ratio", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("flag_stopwords", col("stop_hits") >= minStopwordHits)
+      .withColumn("keep",
+        col("flag_word_count") && col("flag_mean_word_len") &&
+          col("flag_symbol_ratio") && col("flag_alpha_ratio") &&
+          col("flag_stopwords"))
+      .drop("__t")
+  }
 }

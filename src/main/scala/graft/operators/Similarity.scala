@@ -276,4 +276,28 @@ object Similarity {
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("bucket"))))
   }
+
+  /** Semantic (embedding-space) deduplication: rows whose vectors are
+    * within `threshold` cosine of each other collapse to one survivor per
+    * connected near-dup cluster — the SemDeDup-style "drop semantic
+    * copies" operation, as one call. Pairs come from
+    * [[cosineNearDupPairs]]; cluster resolution and keeper choice are
+    * [[Corpus.resolveDuplicates]] (keeper = max `prefer`, ties → min id;
+    * min id when `prefer` is None). Emits surviving rows with
+    * `cluster_id` and `cluster_size`.
+    *
+    * Scale: pass `candidates` (LSH bands from [[lshBucketed]] or IVF
+    * buckets) — pair scoring is then a bucket join, and component
+    * resolution runs over pairs only, never the corpus. Without
+    * `candidates` the exact all-pairs path applies, verification-scale
+    * only and guarded by the broadcast cap. */
+  def semanticDedup(embeddings: DataFrame, idCol: String, embCol: String,
+                    threshold: Double,
+                    candidates: Option[DataFrame] = None,
+                    prefer: Option[Column] = None): DataFrame = {
+    val pairs = cosineNearDupPairs(embeddings, idCol, embCol, threshold,
+      candidates)
+    Corpus.resolveDuplicates(embeddings, idCol,
+      pairs.select(col("a_id"), col("b_id")), "a_id", "b_id", prefer)
+  }
 }
