@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVecCosine, NormalizeUnicode}
+import graft.expressions.{FloatVecCosine, NormalizeUnicode, SimHashPack}
 
 /** Session extensions: registers the library's native expressions as SQL
   * functions so both `spark.sql("vec_cosine(a, b)")` and
@@ -45,6 +45,19 @@ object GraftExtensions {
             s"unicode_normalize form must be a string literal, got $other")
         }
         NormalizeUnicode(args.head, form)
+      }),
+    (FunctionIdentifier("simhash_pack"),
+      new ExpressionInfo(classOf[SimHashPack].getName, "simhash_pack"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "simhash_pack expects (array<string>, bits literal)")
+        val bits = args(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.value != null => lit.value.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"simhash_pack bits must be an integer literal, got $other")
+        }
+        SimHashPack(args.head, bits)
       }))
 
   /** Imperative registration for sessions built without the extension. */

@@ -160,19 +160,18 @@ object NearDup {
     require(bits <= 64,
       "fingerprint is packed into a single long (md5 supplies up to 128 " +
         "nibble bits, but 64 is the sign-safe long capacity here)")
-    val tok = spread(docs).select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", md5(col("__t")))
-    val sums = (0 until bits).map { j =>
-      val nib = conv(substring(col("__h"), j / 4 + 1, 1), 16, 10).cast("int")
-      val bit = shiftright(nib, j % 4).bitwiseAND(lit(1))
-      sum(bit * lit(2) - lit(1)).as(s"__s$j")
-    }
-    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .withColumn("simhash",
-        (0 until bits).map(j =>
-          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _))
-      .select(col("doc_id"), col("simhash"))
+    // one fused pass per document (graft.expressions.SimHashPack) — the
+    // explode + bits-wide SUM formulation this replaces shuffled the whole
+    // tokenized corpus per fingerprint pass; NearDupSimilaritySpec pins
+    // signature equality against that aggregate formulation
+    graft.GraftExtensions.register(docs.sparkSession)
+    spread(docs)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      // the explode-based formulation emitted no row for token-less docs;
+      // keep that row-set contract
+      .filter(size(col("__t")) > 0)
+      .select(col("doc_id"),
+        call_function("simhash_pack", col("__t"), lit(bits)).as("simhash"))
   }
 }

@@ -121,4 +121,46 @@ class NearDupSimilaritySpec extends SparkSpec {
       .join(out.select("bucket", "bucket_size").distinct(), "bucket")
       .filter($"count" =!= $"bucket_size").count() shouldBe 0
   }
+
+  test("simHash: fused SimHashPack expression == explode+SUM aggregate") {
+    import graft.functions.TextFunctions
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the repeated repeated tokens vote with multiplicity"),
+      (3L, "unicode café naïve 日本語 tokens"),
+      (4L, ""),   // token-less: must emit NO row in either formulation
+      (5L, "  "), // whitespace-only: same
+      (6L, "x")
+    ).toDF("doc_id", "text")
+    for (bits <- Seq(16, 32, 64)) {
+      // the pre-expression aggregate formulation, verbatim
+      val tok = fixture.select($"doc_id",
+          explode(TextFunctions.tokens($"text")).as("__t"))
+        .withColumn("__h", md5($"__t"))
+      val sums = (0 until bits).map { j =>
+        val nib = conv(substring($"__h", j / 4 + 1, 1), 16, 10).cast("int")
+        val bit = shiftright(nib, j % 4).bitwiseAND(lit(1))
+        sum(bit * lit(2) - lit(1)).as(s"__s$j")
+      }
+      val legacy = tok.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+        .withColumn("simhash",
+          (0 until bits).map(j =>
+            when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _))
+        .select($"doc_id", $"simhash")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val fused = NearDup.simHash(fixture, "doc_id", "text", bits)
+        .as[(Long, Long)].collect().sortBy(_._1)
+      fused shouldBe legacy
+      fused.map(_._1) shouldBe Array(1L, 2L, 3L, 6L) // 4, 5 emit no row
+    }
+  }
+
+  test("simHash: fingerprinting is a scalar projection — no aggregate, " +
+      "no exchange beyond the spread repartition") {
+    val plan = NearDup.simHash(docs.withColumn("id", $"id".cast("long")),
+      "id", "text", 32).queryExecution.executedPlan.toString
+    plan should not include "HashAggregate"
+    "Exchange".r.findAllIn(plan).size shouldBe 1 // the spread only
+  }
 }
