@@ -30,7 +30,16 @@ object ExtQueries {
     s"list_transform(range(1, len($w)-${n - 2}), i -> $terms)"
   }
 
-  private val stopList = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+  // shared across the query registries (like oToks/oShingles): ONE source
+  // of truth for the oracle-side stopword list and the unrolled cosine SQL
+  private[graft] val stopList =
+    TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+
+  private[graft] val OracleEmbDim = 64
+  private[graft] def oDot(a: String, b: String) = "0.0 + " + (1 to OracleEmbDim)
+    .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private[graft] def oCos(a: String, b: String) =
+    s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
 
   // ---- text analysis ------------------------------------------------------
 
@@ -224,7 +233,7 @@ object ExtQueries {
 
   // ---- similarity search --------------------------------------------------
 
-  private val EmbDim = 64
+  private val EmbDim = OracleEmbDim
 
   /** Brute-force cosine top-k: the unrolled oracle repeats the exact
     * left-fold add order of Similarity.dot, so doubles match bitwise. */

@@ -53,7 +53,8 @@ object GraftExtensions {
           "simhash_pack expects (array<string>, bits literal)")
         val bits = args(1) match {
           case lit: org.apache.spark.sql.catalyst.expressions.Literal
-              if lit.value != null => lit.value.toString.toInt
+              if lit.dataType == org.apache.spark.sql.types.IntegerType &&
+                lit.value != null => lit.value.asInstanceOf[Int]
           case other => throw new IllegalArgumentException(
             s"simhash_pack bits must be an integer literal, got $other")
         }

@@ -585,12 +585,10 @@ object MoreQueries {
       FROM documents"""
     })
 
-  private val EmbDim = 64
+  private val EmbDim = ExtQueries.OracleEmbDim
   private val IvfK = 8
-  private def oDot(a: String, b: String) = "0.0 + " + (1 to EmbDim)
-    .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
-  private def oCos(a: String, b: String) =
-    s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
+  private def oDot(a: String, b: String) = ExtQueries.oDot(a, b)
+  private def oCos(a: String, b: String) = ExtQueries.oCos(a, b)
   private val oCentroids = s"""
       cent AS (SELECT vec_id AS centroid_id, embedding AS cemb
                FROM embeddings

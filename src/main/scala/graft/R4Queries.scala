@@ -16,8 +16,7 @@ import graft.operators.CorpusPipeline
   */
 object R4Queries {
 
-  private val stopList =
-    TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+  private val stopList = ExtQueries.stopList
 
   /** SimHash tok/sums/sims CTEs over a source CTE exposing (doc_id, w). */
   private def oSimHashOver(src: String, bits: Int): String = {
@@ -185,13 +184,16 @@ object R4Queries {
     Some {
       val nib = (j: Int) =>
         s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1)"
+      // 12 hex digits = the 48 hash bits the operator shards on
+      val hash48 = (0 until 12)
+        .map(k => s"${BigInt(16).pow(11 - k)}*${nib(k + 1)}")
+        .mkString(" + ")
       s"""
       WITH t AS (SELECT doc_id,
                    md5('r4:' || CAST(doc_id AS VARCHAR)) AS h
                  FROM documents),
       sh AS (SELECT doc_id, h,
-               CAST(4096*${nib(1)} + 256*${nib(2)} + 16*${nib(3)} + ${nib(4)}
-                 AS INT) % 8 AS shard_id
+               CAST(CAST($hash48 AS BIGINT) % 8 AS INT) AS shard_id
              FROM t)
       SELECT doc_id, shard_id,
              CAST(row_number() OVER (PARTITION BY shard_id
@@ -265,12 +267,6 @@ object R4Queries {
                AND stop_hits >= 2) AS keep
       FROM m"""))
 
-  private val EmbDim = 64
-  private def oDot(a: String, b: String) = "0.0 + " + (1 to EmbDim)
-    .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
-  private def oCos(a: String, b: String) =
-    s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
-
   /** Semantic dedup over embeddings: cosine near-dup pairs → connected
     * components → min-id keeper, as one call; the oracle recomputes the
     * exact pair set and the recursive closure. */
@@ -284,7 +280,7 @@ object R4Queries {
       a AS (SELECT vec_id AS a_id, embedding AS ae FROM embeddings),
       b AS (SELECT vec_id AS b_id, embedding AS be FROM embeddings),
       prs AS (SELECT a_id, b_id FROM a JOIN b ON a_id < b_id
-              WHERE ${oCos("ae", "be")} >= 0.4),
+              WHERE ${ExtQueries.oCos("ae", "be")} >= 0.4),
       edges AS (SELECT a_id AS src, b_id AS dst FROM prs
                 UNION SELECT b_id, a_id FROM prs),
       reach AS (SELECT vec_id AS id, vec_id AS r FROM embeddings

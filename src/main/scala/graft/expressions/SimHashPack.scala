@@ -66,10 +66,10 @@ object SimHashPack {
   def compute(tokens: ArrayData, bits: Int): Long = {
     val votes = new Array[Int](bits)
     val n = tokens.numElements()
+    val md = digests.get()
     var t = 0
     while (t < n) {
       if (!tokens.isNullAt(t)) {
-        val md = digests.get()
         md.reset()
         // UTF8String.getBytes is the UTF-8 encoding md5() hashes in SQL
         val dig = md.digest(tokens.getUTF8String(t).getBytes)

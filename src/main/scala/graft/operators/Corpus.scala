@@ -440,11 +440,14 @@ object Corpus {
   def shardForTraining(docs: DataFrame, idCol: String, nShards: Int,
                        seed: String = ""): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    // 16 bits of the digest is plenty for shard balance; the full digest
-    // breaks ties in the in-shard order so position never depends on id
-    // ordering beyond the final deterministic tiebreak
+    // 48 bits of the digest drive shard choice — enough that even a
+    // task-sized-shard layout over a 100 TB corpus (nShards in the
+    // hundreds of thousands) stays uniform; the full digest breaks ties
+    // in the in-shard order so position never depends on id ordering
+    // beyond the final deterministic tiebreak
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val shard = conv(substring(h, 1, 4), 16, 10).cast("int") % nShards
+    val shard = (conv(substring(h, 1, 12), 16, 10).cast("long") % nShards)
+      .cast("int")
     val w = Window.partitionBy(col("shard_id"))
       .orderBy(col("__h"), col(idCol))
     docs.withColumn("__h", h)

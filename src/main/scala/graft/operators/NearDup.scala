@@ -154,7 +154,13 @@ object NearDup {
     * 64 when the fingerprint feeds BAND BLOCKING
     * (graft.operators.Corpus.simHashHammingPairs) at scale — 16-bit bands
     * over 64 bits give 65,536 values per band vs 256 for 8-bit bands over
-    * 32, i.e. 256× smaller candidate buckets for the same band count. */
+    * 32, i.e. 256× smaller candidate buckets for the same band count.
+    *
+    * One row in, one fingerprint out: ids are expected unique (a document
+    * per row). Rows sharing an id each emit their own fingerprint — the
+    * historical aggregate formulation instead merged their token votes
+    * into one row, a merge no caller used (corpus tables carry unique
+    * ids) and that blended two documents' fingerprints when it fired. */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
     require(bits <= 64,

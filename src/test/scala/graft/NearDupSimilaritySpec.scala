@@ -156,6 +156,21 @@ class NearDupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simHash: duplicate ids emit one fingerprint row EACH (per-row " +
+      "contract, not the old vote-merge)") {
+    val dup = Seq((1L, "alpha beta gamma"), (1L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = NearDup.simHash(dup, "doc_id", "text", 32)
+      .as[(Long, Long)].collect()
+    out.length shouldBe 2
+    // each row's fingerprint is its own text's, not a blend
+    val single = NearDup.simHash(
+        Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+        "doc_id", "text", 32)
+      .as[(Long, Long)].head()._2
+    out.map(_._2) should contain(single)
+  }
+
   test("simHash: fingerprinting is a scalar projection — no aggregate, " +
       "no exchange beyond the spread repartition") {
     val plan = NearDup.simHash(docs.withColumn("id", $"id".cast("long")),
