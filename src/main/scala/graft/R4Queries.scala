@@ -294,5 +294,42 @@ object R4Queries {
             FROM comp)
       SELECT vec_id, cluster_id, cluster_size FROM j WHERE rn = 1"""))
 
-  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q92, q93, q94, q95)
+  /** Corpus vocabulary induction: top-200 tokens by occurrence count with
+    * document frequencies, deterministically ranked. */
+  private val q96 = QueryDef(
+    "q96_vocabulary",
+    (s, d) => operators.Corpus.vocabulary(Tables.documents(s, d),
+      "doc_id", "text", topK = 200),
+    Some(s"""
+      WITH t AS (SELECT doc_id, unnest(${ExtQueries.oToks("text")}) AS token
+                 FROM documents),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM t GROUP BY token)
+      SELECT token, n_occurrences, n_docs,
+             CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+               AS INT) AS rank
+      FROM c QUALIFY rank <= 200"""))
+
+  /** BPE merge-candidate statistics: top-100 adjacent character pairs
+    * inside words, corpus-wide. */
+  private val q97 = QueryDef(
+    "q97_bpe_pairs",
+    (s, d) => operators.Corpus.bpePairStats(Tables.documents(s, d),
+      "text", topK = 100),
+    Some(s"""
+      WITH w AS (SELECT unnest(${ExtQueries.oToks("text")}) AS tok
+                 FROM documents),
+      p AS (SELECT unnest(list_transform(range(1, length(tok)),
+              i -> substr(tok, i, 2))) AS pair
+            FROM w WHERE length(tok) >= 2),
+      c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM p GROUP BY pair)
+      SELECT pair, n_occurrences,
+             CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+               AS INT) AS rank
+      FROM c QUALIFY rank <= 100"""))
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q92, q93, q94, q95,
+    q96, q97)
 }

@@ -533,4 +533,54 @@ object Corpus {
           col("flag_stopwords"))
       .drop("__t")
   }
+
+  /** Corpus vocabulary induction (tokenizer-training prep): the `topK`
+    * most frequent whitespace tokens with occurrence and document
+    * frequencies, densely ranked by (occurrences desc, token asc) — a
+    * deterministic order any engine reproduces.
+    *
+    * Scale: explode + two-phase count aggregate (a doc's repeated tokens
+    * collapse map-side), then a global top-k rank. The rank window has no
+    * partition key, but Spark plans the rank<=topK filter as a bounded
+    * partial top-k per partition + merge (TakeOrderedAndProject — or
+    * WindowGroupLimit where the limit isn't pushed), so no task ever
+    * sorts the whole vocabulary (asserted in R4OpsSpec). */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = spread(docs).select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col(idCol)).as("n_docs"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("token"))).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** BPE merge-candidate statistics: the `topK` most frequent ADJACENT
+    * CHARACTER PAIRS inside words across the corpus — the counts the
+    * first merge round of byte-pair-encoding tokenizer training consumes
+    * (and re-running on merged text gives subsequent rounds).
+    *
+    * Scale: same posture as [[vocabulary]] — explode to (word) then to
+    * (pair), two-phase count, WindowGroupLimit-capped global top-k. The
+    * pair space is tiny (alphabet²), so the aggregate output is bounded
+    * regardless of corpus size. */
+  def bpePairStats(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val words = spread(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+    // adjacent pairs: substring windows over the bound word column
+    val pairs = words.select(explode(transform(
+      sequence(lit(1), length(col("__w")) - 1),
+      i => col("__w").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair"))).cast("int"))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -111,6 +111,42 @@ class R4OpsSpec extends SparkSpec {
     out shouldBe 1 // five copies of one stopword is one hit
   }
 
+  // ---- vocabulary / bpePairStats ------------------------------------------
+
+  test("vocabulary: counts, doc frequencies, deterministic rank") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha gamma"),
+      (3L, "beta beta beta")
+    ).toDF("id", "text")
+    val out = Corpus.vocabulary(docs, "id", "text", topK = 2)
+      .select($"token", $"n_occurrences", $"n_docs", $"rank")
+      .as[(String, Long, Long, Int)].collect().sortBy(_._4)
+    out shouldBe Array(("beta", 4L, 2L, 1), ("alpha", 3L, 2L, 2))
+  }
+
+  test("vocabulary: global top-k never sorts the whole vocabulary in one " +
+      "task (bounded TakeOrderedAndProject / WindowGroupLimit)") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    val plan = Corpus.vocabulary(docs, "id", "text", 10)
+      .queryExecution.executedPlan.toString
+    // Spark plans rank<=k over a global order as a limit-k partial top-k
+    // per partition + merge (TakeOrderedAndProject), or WindowGroupLimit
+    // on versions that don't push the limit — either keeps every task's
+    // output bounded by k
+    assert(plan.contains("TakeOrderedAndProject") ||
+      plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("bpePairStats: adjacent in-word character pairs, single chars skipped") {
+    val docs = Seq((1L, "abab x cd")).toDF("id", "text")
+    // abab -> ab, ba, ab ; x skipped ; cd -> cd
+    val out = Corpus.bpePairStats(docs, "text", topK = 10)
+      .select($"pair", $"n_occurrences", $"rank")
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    out shouldBe Array(("ab", 2L, 1), ("ba", 1L, 2), ("cd", 1L, 3))
+  }
+
   // ---- semanticDedup ------------------------------------------------------
 
   private def vec(xs: Double*) = xs.map(_.toFloat).toArray
