@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.{Corpus, NearDup}
@@ -43,13 +43,23 @@ object CorpusIntake {
     * store are two separate parquet appends; a crash between them leaves
     * the last batch's signatures missing (re-gate that batch or rebuild
     * signatures from the corpus — a transactional table format is the
-    * production answer). */
+    * production answer).
+    *
+    * With `quota = Some((sourceCol, maxDocs))` the intake also enforces a
+    * per-source ceiling ACROSS batches: a batch's survivors are
+    * deterministically md5-ranked per source (Corpus.capPerSource) and
+    * only as many are accepted as the source's remaining allowance.
+    * Already-used counts come from a pruned single-column scan of the
+    * accepted corpus — tiny per-source aggregate, broadcast into the
+    * batch; a production deployment keeps a counts table beside the
+    * signature store instead of re-aggregating. */
   def runIncremental(spark: SparkSession, inputDir: String, schema: StructType,
                      corpusDir: String, checkpointDir: String,
                      idCol: String, textCol: String,
                      maxHamming: Int = 3, bits: Int = 32,
                      numBands: Int = 4,
-                     signatureDir: Option[String] = None): Unit = {
+                     signatureDir: Option[String] = None,
+                     quota: Option[(String, Int)] = None): Unit = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)
     val q = StreamOps.incrementalLoad(stream, checkpointDir) { (batch, _) =>
       if (!batch.isEmpty) {
@@ -74,9 +84,25 @@ object CorpusIntake {
             case None => withinDeduped
           }
         }
+        val quotaed = quota match {
+          case Some((srcCol, maxDocs)) =>
+            // rank this batch's candidates 1..maxDocs per source, then
+            // admit only up to the source's remaining allowance
+            val ranked = Corpus.capPerSource(gated, idCol, srcCol, maxDocs)
+            nonEmptyParquet(spark, corpusDir) match {
+              case Some(corpus) =>
+                val used = corpus.groupBy(col(srcCol))
+                  .agg(count(lit(1)).as("__used"))
+                ranked.join(broadcast(used), Seq(srcCol), "left")
+                  .filter(col("source_rank") +
+                    coalesce(col("__used"), lit(0L)) <= maxDocs)
+              case None => ranked
+            }
+          case None => gated
+        }
         // freeze the small survivor set once: the corpus write and the
         // signature write must see the SAME rows, not re-evaluations
-        val survivors = gated.select(cols: _*).localCheckpoint()
+        val survivors = quotaed.select(cols: _*).localCheckpoint()
         survivors.write.mode("append").parquet(corpusDir)
         signatureDir.foreach { sd =>
           NearDup.simHash(survivors, idCol, textCol, bits)

@@ -86,6 +86,39 @@ class CorpusIntakeSpec extends SparkSpec {
     recomputed.except(store).count() shouldBe 0
   }
 
+  test("per-source quota holds ACROSS batches, remainder chosen by md5 rank") {
+    val root = Files.createTempDirectory("graft_intake_quota").toString
+    val (in, corpus, ckpt) = (s"$root/in", s"$root/corpus", s"$root/ckpt")
+    // mutually non-near-dup texts so only the quota gates
+    val b1 = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel", "a"),
+      (2L, "completely different text about catalyst optimizer plans", "a"),
+      (3L, "unrelated prose concerning streaming watermarks and state", "b"))
+    val b2 = Seq(
+      (11L, "november oscar papa quebec romeo sierra tango uniform", "a"),
+      (12L, "a genuinely novel document about distributed joins", "a"),
+      (13L, "yet another singular text on parquet row group pruning", "a"),
+      (14L, "fresh content regarding broadcast hash join thresholds", "b"))
+    val schema = b1.toDF("doc_id", "text", "source").schema
+    def run(): Unit = CorpusIntake.runIncremental(spark, in, schema,
+      corpus, ckpt, "doc_id", "text", quota = Some(("source", 3)))
+
+    b1.toDF("doc_id", "text", "source").write.mode("append").parquet(in); run()
+    b2.toDF("doc_id", "text", "source").write.mode("append").parquet(in); run()
+
+    val bySource = spark.read.parquet(corpus)
+      .select("doc_id", "source").as[(Long, String)].collect()
+      .groupBy(_._2).map { case (s, rs) => s -> rs.map(_._1).toSet }
+    bySource("a") should have size 3 // 2 from b1 + exactly 1 of b2's 3
+    bySource("b") shouldBe Set(3L, 14L) // under quota, all accepted
+    // the admitted source-a doc from b2 is the md5-rank minimum
+    val md5rank = (id: Long) => java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = Seq(11L, 12L, 13L).minBy(id => (md5rank(id), id))
+    bySource("a") shouldBe Set(1L, 2L, expected)
+  }
+
   test("re-running with no new files appends nothing") {
     val root = Files.createTempDirectory("graft_intake2").toString
     val schema = batch1.toDF("doc_id", "text").schema
