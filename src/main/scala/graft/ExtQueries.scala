@@ -41,6 +41,20 @@ object ExtQueries {
   private[graft] def oCos(a: String, b: String) =
     s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
 
+  /** Hyperplane-LSH bucket id over an `embedding` column (or `$e.embedding`
+    * with a prefix), replicating Similarity.hyperplanes' deterministic
+    * plane weights as SQL literals. */
+  private[graft] def oLshBucket(numPlanes: Int, e: String = ""): String = {
+    val emb = if (e.isEmpty) "embedding" else s"$e.embedding"
+    graft.operators.Similarity.hyperplanes(numPlanes, OracleEmbDim)
+      .zipWithIndex.map { case (w, j) =>
+        val proj = w.zipWithIndex
+          .map { case (wi, i) => s"CAST($emb[${i + 1}] AS DOUBLE)*($wi)" }
+          .mkString(" + ")
+        s"(CASE WHEN ($proj) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   /** Token counting + quality scoring (length/stopword/punct signals). */
@@ -267,19 +281,11 @@ object ExtQueries {
     "q38_embed_lsh",
     (s, d) => Similarity.lshBucketed(Tables.embeddings(s, d), "vec_id",
       "embedding", LshPlanes, EmbDim),
-    Some {
-      val planes = Similarity.hyperplanes(LshPlanes, EmbDim)
-      val bucket = planes.zipWithIndex.map { case (w, j) =>
-        val proj = w.zipWithIndex
-          .map { case (wi, i) => s"CAST(embedding[${i + 1}] AS DOUBLE)*($wi)" }
-          .mkString(" + ")
-        s"(CASE WHEN ($proj) >= 0 THEN ${1 << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""
-      WITH b AS (SELECT vec_id, CAST($bucket AS INT) AS bucket FROM embeddings)
+    Some(s"""
+      WITH b AS (SELECT vec_id, CAST(${oLshBucket(LshPlanes)} AS INT)
+                   AS bucket FROM embeddings)
       SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
-      FROM b"""
-    })
+      FROM b"""))
 
   // ---- event windows (batch form; streaming variants in graft.streaming) --
 

@@ -330,6 +330,47 @@ object R4Queries {
                AS INT) AS rank
       FROM c QUALIFY rank <= 100"""))
 
+  /** Semantic dedup on the SCALE PATH: candidates from hyperplane-LSH
+    * same-bucket pairs instead of the all-pairs broadcast — the plan a
+    * 100 TB corpus actually runs. The oracle replicates the deterministic
+    * plane weights (as q38 does), so the approximate candidate cut itself
+    * is differentially verified, not just the exact fallback. */
+  private val q98 = QueryDef(
+    "q98_semantic_dedup_lsh",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val b = operators.Similarity.lshBucketed(e, "vec_id", "embedding",
+        numPlanes = 8, dim = ExtQueries.OracleEmbDim)
+      val cand = b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      operators.Similarity.semanticDedup(e, "vec_id", "embedding",
+          threshold = 0.4, candidates = Some(cand))
+        .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      b AS (SELECT vec_id, embedding,
+              CAST(${ExtQueries.oLshBucket(8)} AS INT) AS bucket
+            FROM embeddings),
+      prs AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
+              FROM b x JOIN b y
+                ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+              WHERE ${ExtQueries.oCos("x.embedding", "y.embedding")} >= 0.4),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+                UNION SELECT b_id, a_id FROM prs),
+      reach AS (SELECT vec_id AS id, vec_id AS r FROM embeddings
+                UNION
+                SELECT e.src AS id, reach.r
+                FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      j AS (SELECT vec_id, cluster_id,
+              row_number() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS rn,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp)
+      SELECT vec_id, cluster_id, cluster_size FROM j WHERE rn = 1"""))
+
   val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97)
+    q96, q97, q98)
 }
