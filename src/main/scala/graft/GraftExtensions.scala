@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVecCosine, NormalizeUnicode, SimHashPack}
+import graft.expressions.{FloatVecCosine, NormalizeUnicode, RegexHashReplace, SimHashPack}
 
 /** Session extensions: registers the library's native expressions as SQL
   * functions so both `spark.sql("vec_cosine(a, b)")` and
@@ -59,6 +59,22 @@ object GraftExtensions {
             s"simhash_pack bits must be an integer literal, got $other")
         }
         SimHashPack(args.head, bits)
+      }),
+    (FunctionIdentifier("regex_hash_replace"),
+      new ExpressionInfo(classOf[RegexHashReplace].getName,
+        "regex_hash_replace"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "regex_hash_replace expects (string, pattern literal, prefix literal)")
+        def strLit(e: Expression, what: String): String = e match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.StringType &&
+                lit.value != null => lit.value.toString
+          case other => throw new IllegalArgumentException(
+            s"regex_hash_replace $what must be a string literal, got $other")
+        }
+        RegexHashReplace(args.head, strLit(args(1), "pattern"),
+          strLit(args(2), "prefix"))
       }))
 
   /** Imperative registration for sessions built without the extension. */

@@ -371,6 +371,75 @@ object R4Queries {
             FROM comp)
       SELECT vec_id, cluster_id, cluster_size FROM j WHERE rn = 1"""))
 
+  /** Deterministic score-proportional sampling: keep-probability rises
+    * with document length; the md5 draw is an exact binary fraction both
+    * engines reproduce bit-for-bit. */
+  private val q99 = QueryDef(
+    "q99_sample_by_score",
+    (s, d) => operators.Corpus.sampleByScore(Tables.documents(s, d),
+        "doc_id", least(lit(1.0), col("n_chars") / lit(400.0)), seed = "r4")
+      .select(col("doc_id"), col("n_chars"), col("sample_u")),
+    Some {
+      val nib = (j: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1)"
+      val hash48 = (0 until 12)
+        .map(k => s"${BigInt(16).pow(11 - k)}*${nib(k + 1)}")
+        .mkString(" + ")
+      s"""
+      WITH t AS (SELECT doc_id, n_chars,
+                   md5('r4:' || CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents),
+      u AS (SELECT doc_id, n_chars,
+              CAST(CAST($hash48 AS BIGINT) AS DOUBLE) / 281474976710656.0
+                AS sample_u
+            FROM t)
+      SELECT doc_id, n_chars, sample_u
+      FROM u WHERE sample_u < least(1.0, n_chars / 400.0)"""
+    })
+
+  /** PII pseudonymization with stable per-match tokens: the oracle
+    * reconstructs each token from the fixture's known email/phone values
+    * (construction-based differential check of the RegexHashReplace
+    * expression — same-value matches must collapse to the same token). */
+  private val q100 = QueryDef(
+    "q100_pseudonymize_pii",
+    (s, d) => {
+      val phone = format_string("%02d-%03d-%03d-%04d",
+        col("c_custkey") % 90 + 10, col("c_custkey") % 900 + 100,
+        (col("c_custkey") * 7) % 900 + 100,
+        (col("c_custkey") * 13) % 9000 + 1000)
+      val contact = concat(
+        lit("contact "), lower(regexp_replace(col("c_name"), "#", "-")),
+        lit("@example.com or call "), phone,
+        when(col("c_custkey") % 3 === 0,
+          concat(lit(" alt "), phone)).otherwise(lit("")),
+        lit(" re "), col("c_mktsegment"))
+      operators.Corpus.pseudonymizePii(
+        Tables.customer(s, d).select(col("c_custkey"),
+          contact.as("contact_text")),
+        "c_custkey", "contact_text", Seq(
+          ("email", "[a-z0-9-]+@[a-z]+[.][a-z]+", "EM_"),
+          ("phone", "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "PH_")))
+    },
+    Some("""
+      WITH t AS (SELECT c_custkey,
+             lower(replace(c_name, '#', '-')) || '@example.com' AS em,
+             printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10,
+               c_custkey % 900 + 100, (c_custkey * 7) % 900 + 100,
+               (c_custkey * 13) % 9000 + 1000) AS ph,
+             c_mktsegment AS seg
+             FROM customer)
+      SELECT c_custkey,
+             'contact EM_' || substr(md5(em), 1, 8) ||
+             ' or call PH_' || substr(md5(ph), 1, 8) ||
+             (CASE WHEN c_custkey % 3 = 0
+               THEN ' alt PH_' || substr(md5(ph), 1, 8) ELSE '' END) ||
+             ' re ' || seg AS pseudonymized,
+             CAST(1 AS INT) AS n_email,
+             CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS INT)
+               AS n_phone
+      FROM t"""))
+
   val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98)
+    q96, q97, q98, q99, q100)
 }

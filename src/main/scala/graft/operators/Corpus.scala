@@ -100,6 +100,31 @@ object Corpus {
     df.select(col(idCol) +: scrubbed.as("scrubbed") +: counts: _*)
   }
 
+  /** PII pseudonymization: the linkage-preserving alternative to
+    * [[scrubPii]] — every match of each rule's pattern is replaced by
+    * `prefix + md5(match)[0..8)` (graft.expressions.RegexHashReplace), so
+    * the same email/phone maps to the same token across the whole corpus
+    * and joins/group-bys on entities still work, while the raw value is
+    * gone. Rules are (name, pattern, tokenPrefix), applied in order
+    * (earlier rules win on overlaps, like scrubPii); emits the id column,
+    * `pseudonymized` text, and an `n_<name>` pre-replacement count per
+    * rule.
+    *
+    * Scale: pure scalar projection — one matcher pass per rule per row,
+    * inside whole-stage codegen, no shuffle. */
+  def pseudonymizePii(df: DataFrame, idCol: String, textCol: String,
+                      rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "pseudonymizePii needs at least one rule")
+    graft.GraftExtensions.register(df.sparkSession)
+    val replaced = rules.foldLeft(col(textCol)) { case (acc, (_, pat, pre)) =>
+      call_function("regex_hash_replace", acc, lit(pat), lit(pre))
+    }
+    val counts = rules.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("int").as(s"n_$name")
+    }
+    df.select(col(idCol) +: replaced.as("pseudonymized") +: counts: _*)
+  }
+
   /** Incremental (day-2 crawl) near-dup gate: drop new-batch documents
     * that are within `maxHamming` SimHash distance of ANY existing corpus
     * document. The batch side is the small side; both sides are banded
@@ -557,6 +582,27 @@ object Corpus {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_occurrences").desc, col("token"))).cast("int"))
       .filter(col("rank") <= topK)
+  }
+
+  /** Deterministic score-proportional sampling (soft filtering): each
+    * document is kept iff its md5-derived uniform draw `sample_u` ∈ [0,1)
+    * falls below `keepProb` (any per-row probability expression — a
+    * quality score, a source weight, a length curve). Unlike
+    * `df.sample`, the draw is a pure function of (seed, id): re-runs,
+    * retries, and other engines keep EXACTLY the same rows, and changing
+    * the probability column re-uses the same draws (monotone: raising a
+    * doc's keepProb can only add it, never drop it).
+    *
+    * The draw is the first 48 digest bits over 2^48 — an exact binary
+    * fraction, so the `<` comparison is reproducible across engines.
+    *
+    * Scale: pure scalar projection; fuses into the scan. */
+  def sampleByScore(docs: DataFrame, idCol: String, keepProb: Column,
+                    seed: String = ""): DataFrame = {
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val u = conv(substring(h, 1, 12), 16, 10).cast("double") /
+      lit(281474976710656.0) // 2^48
+    docs.withColumn("sample_u", u).filter(col("sample_u") < keepProb)
   }
 
   /** BPE merge-candidate statistics: the `topK` most frequent ADJACENT

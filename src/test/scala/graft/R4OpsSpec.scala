@@ -147,6 +147,57 @@ class R4OpsSpec extends SparkSpec {
     out shouldBe Array(("ab", 2L, 1), ("ba", 1L, 2), ("cd", 1L, 3))
   }
 
+  // ---- sampleByScore ------------------------------------------------------
+
+  test("sampleByScore: deterministic, monotone in keepProb, p=0/1 edges") {
+    val docs = (0L until 500L).toDF("id")
+    def kept(p: Double) = Corpus.sampleByScore(docs, "id", lit(p), "s")
+      .select($"id").as[Long].collect().toSet
+    kept(0.0) shouldBe empty
+    kept(1.0) should have size 500
+    val half = kept(0.5)
+    half.size.toDouble shouldBe 250.0 +- 60.0 // uniform draw sanity
+    // monotone: raising p only ADDS documents
+    half.subsetOf(kept(0.8)) shouldBe true
+    kept(0.2).subsetOf(half) shouldBe true
+    // re-run identical
+    kept(0.5) shouldBe half
+  }
+
+  // ---- pseudonymizePii ----------------------------------------------------
+
+  test("pseudonymizePii: same value → same token, different → different, " +
+      "linkage survives where scrubPii destroys it") {
+    val docs = Seq(
+      (1L, "mail a@x.com then b@x.com then a@x.com again"),
+      (2L, "reply to a@x.com please")
+    ).toDF("id", "text")
+    val out = Corpus.pseudonymizePii(docs, "id", "text",
+        Seq(("email", "[a-z]+@[a-z]+[.][a-z]+", "EM_")))
+      .select($"id", $"pseudonymized", $"n_email")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    out(1L)._3 shouldBe 3
+    val toks = "EM_[0-9a-f]{8}".r.findAllIn(out(1L)._2).toSeq
+    toks should have size 3
+    toks.head shouldBe toks(2)          // a@x.com twice → same token
+    toks.head should not be toks(1)     // b@x.com → different token
+    // cross-document linkage: a@x.com in doc 2 gets doc 1's token
+    "EM_[0-9a-f]{8}".r.findFirstIn(out(2L)._2).get shouldBe toks.head
+    // raw values are gone
+    out(1L)._2 should not include "a@x.com"
+  }
+
+  test("pseudonymizePii: no matches returns text unchanged; nulls stay null") {
+    val docs = Seq((1L, "nothing here"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = Corpus.pseudonymizePii(docs, "id", "text",
+        Seq(("email", "[a-z]+@[a-z]+[.][a-z]+", "EM_")))
+      .select($"id", $"pseudonymized").as[(Long, Option[String])]
+      .collect().toMap
+    out(1L) shouldBe Some("nothing here")
+    out(2L) shouldBe None
+  }
+
   // ---- semanticDedup ------------------------------------------------------
 
   private def vec(xs: Double*) = xs.map(_.toFloat).toArray
