@@ -605,6 +605,117 @@ object Corpus {
     docs.withColumn("sample_u", u).filter(col("sample_u") < keepProb)
   }
 
+  /** Unigram-commonness quality buckets — the CCNet head/middle/tail
+    * split, log-free. Each document is scored by the mean RELATIVE corpus
+    * document frequency of its token instances: a doc of everyday words
+    * scores near the corpus ceiling, one full of typos / boilerplate
+    * markup / rare garbage tokens scores low. `rel_mean_df` is
+    * scale-invariant (divided by corpus doc count), so the same
+    * thresholds hold from sf0.001 to 100 TB.
+    *
+    * Deliberately integer-exact (the repo-wide no-ln discipline, same
+    * route as q57's idf): the score is one BIGINT sum over token
+    * instances followed by two exactly-rounded divisions, so any engine
+    * reproduces the buckets bit-for-bit. A production CCNet pipeline
+    * would wrap a log around exactly this ratio; the bucket boundaries
+    * are monotone either way.
+    *
+    * Scale: one explode to (doc, token); the token→df table is an
+    * aggregate bounded by vocabulary size; the lookup join shuffles on
+    * token (AQE broadcasts it while the vocab fits) and the per-doc
+    * aggregate shuffles on doc id — the TF-IDF posture (q57). */
+  def commonnessBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        headMinRelDf: Double,
+                        tailMaxRelDf: Double): DataFrame = {
+    require(headMinRelDf >= tailMaxRelDf,
+      s"head threshold $headMinRelDf must be >= tail threshold $tailMaxRelDf")
+    val toks = spread(docs).select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val df = toks.groupBy(col("token"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+    val nDocs = toks.agg(count_distinct(col(idCol)).as("__n_docs"))
+    val scored = toks.join(df, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("__df")).as("sum_df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rel_mean_df",
+        col("sum_df").cast("double") / col("n_tokens") / col("__n_docs"))
+    scored
+      .withColumn("bucket",
+        when(col("rel_mean_df") >= headMinRelDf, lit("head"))
+          .when(col("rel_mean_df") < tailMaxRelDf, lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col(idCol), col("n_tokens"), col("sum_df"),
+        col("rel_mean_df"), col("bucket"))
+  }
+
+  /** Scheme-authority domain of a URL column (lowercased, port/path/query
+    * stripped). Pure scalar regex — fuses into the scan. */
+  def domainOf(url: Column): Column =
+    regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Web-curation domain gate: derive each document's domain from
+    * `urlCol`, drop documents whose domain is in `blocklist` (exact,
+    * case-insensitive), and annotate survivors with their domain's
+    * corpus-wide document count (the crawl-frequency signal downstream
+    * per-domain caps consume).
+    *
+    * Scale: blocklists are small curated lists (KBs), so the gate is a
+    * BROADCAST LeftAnti join — the corpus never shuffles for it. The
+    * domain count is a two-phase aggregate on domain (bounded by distinct
+    * domains) joined back by domain; a pathological single-domain crawl
+    * concentrates the count join on one key, but the count table is tiny
+    * so AQE broadcasts it back. */
+  def domainGate(docs: DataFrame, idCol: String, urlCol: String,
+                 blocklist: DataFrame, blockCol: String): DataFrame = {
+    val withDomain = docs.withColumn("domain", domainOf(col(urlCol)))
+    val blocked = blocklist
+      .select(lower(col(blockCol)).as("domain")).distinct()
+    val kept = withDomain.join(broadcast(blocked), Seq("domain"), "left_anti")
+    val counts = kept.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_domain_docs"))
+    kept.join(counts, Seq("domain"))
+  }
+
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many DISTINCT word n-gram shingle types they share, plus each side's
+    * shingle-type total and the resulting Jaccard overlap. The standard
+    * "is subcorpus A secretly a re-crawl of subcorpus B" audit before
+    * mixing sources into a training run.
+    *
+    * Scale: the corpus collapses to distinct (source, shingle) rows
+    * FIRST, so posting lists are per-source — a shingle's row count is
+    * bounded by the number of sources (dozens), not by document count;
+    * the self-join on shingle therefore emits at most C(sources, 2) rows
+    * per shingle, never a quadratic-in-docs blowup. Everything after the
+    * first distinct is proportional to vocabulary, not corpus, size. */
+  def crossSourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, shingleN: Int): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val sh = spread(docs)
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.wordShingles(
+          TextFunctions.tokens(col(textCol)), shingleN)).as("shingle"))
+      .distinct()
+    val totals = sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val shared = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(totals.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_shingles", "n_shingles_a"), "source_a")
+      .join(totals.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_shingles", "n_shingles_b"), "source_b")
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_shingles_a") + col("n_shingles_b") - col("n_shared")))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_shingles_a"), col("n_shingles_b"), col("jaccard"))
+  }
+
   /** BPE merge-candidate statistics: the `topK` most frequent ADJACENT
     * CHARACTER PAIRS inside words across the corpus — the counts the
     * first merge round of byte-pair-encoding tokenizer training consumes

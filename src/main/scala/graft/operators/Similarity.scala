@@ -300,4 +300,88 @@ object Similarity {
     Corpus.resolveDuplicates(embeddings, idCol,
       pairs.select(col("a_id"), col("b_id")), "a_id", "b_id", prefer)
   }
+
+  // ---- k-means (Lloyd) centroid training, cross-engine exact ------------
+
+  /** Strict left-fold double dot product of an int8-code array against a
+    * double centroid array — the only float summation in the k-means
+    * loop, and it folds in array order so any engine reproduces it. */
+  private def qcDot(q8: Column, cen: Column): Column =
+    aggregate(zip_with(q8, cen, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** sqrt of the exact integer self-dot of an int8 code array. */
+  private def qNorm(q8: Column): Column =
+    sqrt(aggregate(transform(q8, x => x * x), lit(0L), (acc, v) => acc + v)
+      .cast("double"))
+
+  /** sqrt of the in-order double self-dot of a centroid array. */
+  private def cNorm(cen: Column): Column =
+    sqrt(aggregate(transform(cen, y => y * y), lit(0.0), (acc, v) => acc + v))
+
+  /** Lloyd k-means over int8-QUANTIZED embeddings, engine-exact — the
+    * trained-centroid refinement [[ivfCentroids]]'s docstring deliberately
+    * skips for raw floats. Quantizing first makes every per-cluster
+    * centroid component an exact rational (a BIGINT sum over member codes
+    * divided by the member count: one correctly-rounded division), and
+    * assignment scores are strict in-order folds — so the full train →
+    * assign loop is bit-reproducible across engines and restarts, and a
+    * DuckDB oracle replays it iteration by iteration (q104).
+    *
+    * Seeds: the k smallest-md5(id) codes (the [[ivfCentroids]] draw).
+    * Each round assigns every vector to its max-cosine centroid
+    * (tie-break: lowest centroid id) and recomputes centroids as
+    * element-wise member means; a cluster that loses all members keeps
+    * its previous centroid. Returns the final assignment
+    * (id, cluster_id, cluster_cos) against the trained centroids.
+    *
+    * Scale: per round, the corpus is scanned once against a BROADCAST of
+    * k centroids (k is dozens-to-thousands — the IVF regime), and the
+    * update is a two-phase (cluster, dim) aggregate: shuffle volume is
+    * O(k × dim), not O(corpus). Rounds are a fixed small count driven
+    * from the plan (no driver-side data), so the whole training run is
+    * `iters + 1` corpus scans. */
+  def kmeansAssignQuantized(embeddings: DataFrame, idCol: String,
+                            embCol: String, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val codes = embeddings
+      .select(col(idCol), quantizeInt8(col(embCol)).as("__q8"))
+      .filter(col("__q8").isNotNull)
+      .withColumn("__qn", qNorm(col("__q8")))
+    // seed draw: k smallest md5(id), centroid_id = 0..k-1 in draw order
+    val seeds = codes
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .withColumn("cluster_id", (row_number().over(
+        Window.orderBy(col("__h"), col(idCol))) - 1).cast("int"))
+      .select(col("cluster_id"),
+        transform(col("__q8"), x => x.cast("double")).as("__cen"))
+    def assign(centroids: DataFrame): DataFrame =
+      codes.crossJoin(broadcast(
+          centroids.withColumn("__cn", cNorm(col("__cen")))))
+        .withColumn("cluster_cos",
+          qcDot(col("__q8"), col("__cen")) / (col("__qn") * col("__cn")))
+        .withColumn("__rn", row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("cluster_cos").desc, col("cluster_id"))))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__cen", "__cn")
+    val trained = (0 until iters).foldLeft(seeds) { (cens, _) =>
+      val means = assign(cens)
+        .select(col("cluster_id"), posexplode(col("__q8")).as(Seq("__d", "__v")))
+        .groupBy(col("cluster_id"), col("__d"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy(col("cluster_id"))
+        .agg(transform(array_sort(collect_list(struct(col("__d"), col("__s"),
+            col("__n")))),
+          e => e.getField("__s").cast("double") / e.getField("__n"))
+          .as("__newcen"))
+      // a cluster that lost every member keeps its previous centroid
+      cens.join(means, Seq("cluster_id"), "left")
+        .select(col("cluster_id"),
+          coalesce(col("__newcen"), col("__cen")).as("__cen"))
+    }
+    assign(trained).select(col(idCol), col("cluster_id"), col("cluster_cos"))
+  }
 }
