@@ -91,6 +91,63 @@ object Scale {
       .agg(min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi"))
       .orderBy(col("lo"))
 
+  /** 32-bit Morton (Z-order) key over two numeric columns: each column is
+    * min/max-scaled to 16 bits and the bits are interleaved. Rows close in
+    * Z-key are close in BOTH dimensions, which is what makes the key a
+    * multi-column clustering order. Linear min/max scaling is
+    * skew-sensitive (a production layout would use sampled quantile
+    * bounds per column); bounds are parameters so callers scale however
+    * they like. */
+  def zorderKey(a: Column, b: Column,
+                aMin: Column, aMax: Column,
+                bMin: Column, bMax: Column): Column = {
+    def scale16(x: Column, lo: Column, hi: Column): Column =
+      when(hi > lo, floor((x - lo).cast("double") / (hi - lo) * 65535.0)
+        .cast("long")).otherwise(lit(0L))
+    val sa = scale16(a, aMin, aMax)
+    val sb = scale16(b, bMin, bMax)
+    (0 until 16).map { i =>
+      shiftleft(shiftright(sa, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(sb, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order-clustered parquet layout: [[writeRangeLayout]] generalized to
+    * TWO cluster columns. Files hold compact Z-ranges, i.e. rectangles in
+    * (colA, colB) space, so parquet min/max statistics prune selective
+    * scans on EITHER column — a single-column range layout can only prune
+    * one. The multi-column answer to "analysts filter this table by user
+    * OR by time, and we can only sort it one way".
+    *
+    * Cost/scale: one cheap global min/max agg, then exactly the
+    * writeRangeLayout plan (range exchange + in-partition sort) — nothing
+    * here is per-row driver work, and the write parallelism is
+    * numFiles. */
+  def writeZorderLayout(df: DataFrame, path: String, colA: String,
+                        colB: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val b = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).collect()(0)
+    val (aMin, aMax, bMin, bMax) =
+      (lit(b.get(0)), lit(b.get(1)), lit(b.get(2)), lit(b.get(3)))
+    df.withColumn("__z",
+        zorderKey(col(colA), col(colB), aMin, aMax, bMin, bMax))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Layout audit for [[writeZorderLayout]]: per-file min/max RECTANGLE
+    * over both cluster columns. Pruning power on a predicate is "how many
+    * rectangles intersect it" (tested against the one-column layout). */
+  def fileRectangles(spark: org.apache.spark.sql.SparkSession, path: String,
+                     colA: String, colB: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("a_lo"), max(col(colA)).as("a_hi"),
+        min(col(colB)).as("b_lo"), max(col(colB)).as("b_hi"))
+
   /** Bloom-pruned equi-join: a manual runtime filter for the regime where
     * the small side is too big to BROADCAST but its key FINGERPRINT still
     * fits in memory. The small side's join keys feed a bloom filter

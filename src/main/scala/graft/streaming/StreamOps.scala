@@ -141,6 +141,19 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming exact dedup with BOUNDED state: Spark's
+    * dropDuplicatesWithinWatermark keyed on `keys`. Unlike
+    * [[dedupFirstSeen]] (whose per-key state lives forever without a
+    * TTL), state here is evicted once a key's event time ages past the
+    * watermark — the right trade for high-cardinality keys where exact
+    * forever-dedup would hold one entry per key ever seen. Re-emission of
+    * a key after the watermark gap is the documented, accepted
+    * difference vs the all-time batch dedup. */
+  def dedupWithinWatermark(records: DataFrame, tsCol: String,
+                           watermark: String, keys: Seq[String]): DataFrame =
+    records.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   // ---- incremental ELT: foreachBatch reusing the batch builders ----------
 
   /** Run `batchFn` once per micro-batch (the reference's re-runnable

@@ -35,6 +35,31 @@ class StreamOpsSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("dedupWithinWatermark: in-watermark duplicates dropped across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val out = StreamOps.dedupWithinWatermark(
+      mem.toDF.toDF("key", "ts"), "ts", "10 minutes", Seq("key"))
+    val name = s"dedup_wm_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    mem.addData(("a", ts("2024-01-01 00:00:00")),
+      ("a", ts("2024-01-01 00:01:00")), // same-batch dup
+      ("b", ts("2024-01-01 00:02:00")))
+    q.processAllAvailable()
+    mem.addData(("a", ts("2024-01-01 00:03:00")), // cross-batch dup, in wm
+      ("c", ts("2024-01-01 00:04:00")))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table(name).select($"key").as[String]
+      .collect().sorted.toList
+    keys shouldBe List("a", "b", "c") // each key exactly once
+    // parity with the all-time batch dedup on the same fixture
+    keys shouldBe Seq(("a"), ("a"), ("b"), ("a"), ("c"))
+      .toDF("key").dropDuplicates("key")
+      .as[String].collect().sorted.toList
+  }
+
   test("streaming tumbling agg equals batch EventOps on the same grid") {
     val streamed = runStream(df => StreamOps.tumblingAgg(df, "ts", 3600,
       "10 minutes", Seq($"user_id"),
