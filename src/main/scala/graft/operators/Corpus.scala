@@ -740,4 +740,42 @@ object Corpus {
         Window.orderBy(col("n_occurrences").desc, col("pair"))).cast("int"))
       .filter(col("rank") <= topK)
   }
+
+  /** Per-document exact-span duplication profile: the fraction of a
+    * document's distinct `spanLen`-token spans that also occur verbatim in
+    * at least one OTHER document. This is the span-granular form of exact
+    * substring deduplication for training corpora — docs with a high
+    * `dup_fraction` are mostly stitched from text that exists elsewhere
+    * (mirrors, quotes, boilerplate) even when no single whole-doc
+    * near-dup test fires.
+    *
+    * Emits (doc_id, n_spans, n_shared_spans, dup_fraction) for every doc
+    * with >= spanLen tokens.
+    *
+    * Scale: postings shuffle (doc_id, span-hash) — 16 bytes per posting,
+    * never the span text; cross-doc support is ONE window over the span
+    * hash (postings are span-distinct per doc, so `count over (partition
+    * by hash)` IS the distinct-doc count); the per-doc rollup is the only
+    * other exchange. No joins, no pair explosion: cost is linear in total
+    * postings regardless of how hot a span is. */
+  def spanDuplication(docs: DataFrame, idCol: String, textCol: String,
+                      spanLen: Int): DataFrame = {
+    val spans = spread(docs)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.wordShingles(
+          TextFunctions.tokens(col(textCol)), spanLen)).as("__sp"))
+      .filter(size(col("__sp")) > 0)
+    val posting = spans
+      .select(col("doc_id"), size(col("__sp")).as("n_spans"),
+        explode(col("__sp")).as("__s"))
+      .select(col("doc_id"), col("n_spans"), xxhash64(col("__s")).as("__h"))
+    val support = Window.partitionBy(col("__h"))
+    posting
+      .withColumn("__docs", count(lit(1)).over(support))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_spans")).as("n_spans"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("n_shared_spans"))
+      .withColumn("dup_fraction",
+        col("n_shared_spans").cast("double") / col("n_spans").cast("double"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -179,5 +180,107 @@ object NearDup {
       .filter(size(col("__t")) > 0)
       .select(col("doc_id"),
         call_function("simhash_pack", col("__t"), lit(bits)).as("simhash"))
+  }
+
+  /** Exact token-set-similarity self-join via PREFIX FILTERING (the
+    * SSJoin/PPJoin family): emits every pair with Jaccard >= `minJaccard`
+    * over DISTINCT whitespace tokens — exactly the all-pairs answer, found
+    * without an all-pairs comparison.
+    *
+    * Why it is lossless: order tokens by a global total order (rarest
+    * first: ascending document frequency, then token). A pair with
+    * J >= t shares at least ceil(t * max(|A|,|B|)) tokens, so by
+    * pigeonhole each side's PREFIX of length |X| - ceil(t*|X|) + 1
+    * contains at least one shared token — and because both sides sort by
+    * the SAME order, the smallest shared token sits in BOTH prefixes.
+    * Candidates are therefore an equi-join on prefix tokens only; the
+    * exact Jaccard check runs on candidates alone.
+    *
+    * Contrast with [[minHashLshCandidates]]: LSH is probabilistic
+    * (recall < 1), this is exact — the right tool when missed duplicates
+    * are unacceptable (eval-set hygiene, legal dedup). Cost: prefix
+    * postings are a (1-t) fraction of all postings, and rare-first
+    * ordering makes prefix buckets the SMALLEST buckets, so the join's
+    * Σ bucket² stays near-linear; the length filter |B| >= t*|A| prunes
+    * candidates before verification. Emits
+    * (a_id, b_id, n_common, jaccard). */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                       minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val tokenSets = spread(docs)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.tokens(col(textCol))).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col("doc_id"), col("__tk"), size(col("__tk")).as("m"))
+    val posting = tokenSets
+      .select(col("doc_id"), col("m"), explode(col("__tk")).as("__t"))
+    // global rare-first order; the df aggregate output is vocabulary-sized
+    val posWin = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df").asc, col("__t"))
+    val prefix = posting
+      .join(posting.groupBy(col("__t"))
+        .agg(count(lit(1)).as("__df")), Seq("__t"))
+      .withColumn("__pos", row_number().over(posWin))
+      // prefix length |X| - ceil(t*|X|) + 1
+      .filter(col("__pos") <= col("m") - ceil(lit(minJaccard) * col("m")) + 1)
+      .select(col("__t"), col("doc_id"), col("m"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__t") === col("b.__t") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // J >= t forces t*max <= min (size filter, lossless)
+          col("b.m").cast("double") * lit(minJaccard) <= col("a.m") &&
+          col("a.m").cast("double") * lit(minJaccard) <= col("b.m"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact verification on candidates only: fetch both token sets and
+    // intersect scalar-side (codegen'd array_intersect, no explode)
+    cand
+      .join(tokenSets.select(col("doc_id").as("a_id"),
+        col("__tk").as("__ta"), col("m").as("__ma")), Seq("a_id"))
+      .join(tokenSets.select(col("doc_id").as("b_id"),
+        col("__tk").as("__tb"), col("m").as("__mb")), Seq("b_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("__ma") + col("__mb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
+  }
+
+  /** Blocked edit-distance record linkage: pairs of values whose
+    * Levenshtein distance is <= `maxDist`, compared only WITHIN blocks
+    * keyed by the lower-cased first character (classic record-linkage
+    * blocking — approximate BY DESIGN: a typo in position 1 crosses
+    * blocks and is missed, the documented trade for never comparing
+    * across the full cross product). A length filter
+    * |len(a) - len(b)| <= maxDist is applied inside blocks (lossless:
+    * edit distance is bounded below by the length difference).
+    *
+    * Emits (a_id, b_id, a_value, b_value, distance), a_id < b_id.
+    *
+    * Scale: the equi-join on the block key is the only shuffle; per-block
+    * cost is bucket², so blocks must stay small relative to the corpus —
+    * for natural-language name data a first-character block is ~1/26 of
+    * rows; refine the key (first char + soundex, or char + length band)
+    * before running this against heavier distributions. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = df
+      .select(col(idCol).as("id"), col(strCol).as("v"))
+      .filter(col("v").isNotNull && length(col("v")) > 0)
+      .withColumn("__blk", lower(substring(col("v"), 1, 1)))
+    base.as("a")
+      .join(base.as("b"),
+        col("a.__blk") === col("b.__blk") &&
+          col("a.id") < col("b.id") &&
+          abs(length(col("a.v")) - length(col("b.v"))) <= maxDist)
+      .withColumn("distance", levenshtein(col("a.v"), col("b.v")))
+      .filter(col("distance") <= maxDist)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.v").as("a_value"), col("b.v").as("b_value"),
+        col("distance"))
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-quality rule engine (SURVEY §2.2 P4, §2.7 U2; SQLproject1.sql:213-240).
   *
@@ -77,4 +78,52 @@ object Quality {
   /** FK integrity: rows in `fact` whose `fk` has no match in `dim.pk`. */
   def orphanCount(fact: DataFrame, fk: String, dim: DataFrame, pk: String): Long =
     fact.join(dim.select(col(pk)), fact(fk) === dim(pk), "left_anti").count()
+
+  /** Exact-moment descriptive statistics per group: n, mean, sample
+    * stddev, skewness of `x`, and Pearson corr(x, y) — all derived from
+    * EXACT decimal power sums (Σx, Σx², Σx³, Σy, Σy², Σxy) rather than
+    * the engine's streaming moment aggregates.
+    *
+    * Why: built-in var/corr/skewness merge partial moments in partition
+    * order, so their float results differ run-to-run and engine-to-engine.
+    * Decimal sums are associative and exact (x is capped at DECIMAL(12,2),
+    * so x³ fits DECIMAL(38,6) with no precision-loss rescale in either
+    * Spark or DuckDB), and the closed-form double arithmetic BELOW the
+    * sums is a fixed expression tree — bit-identical everywhere. This is
+    * also the 100 TB shape: one map-side-combined aggregation pass, six
+    * decimal sums per group, zero extra shuffles. */
+  def exactMoments(df: DataFrame, groupCols: Seq[String], xCol: String,
+                   yCol: String): DataFrame = {
+    val D = DecimalType(12, 2)
+    val x = col(xCol).cast(D)
+    val y = col(yCol).cast(D)
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(x * x).as("__sxx"),
+      sum(x * x * x).as("__sxxx"),
+      sum(y).as("__sy"), sum(y * y).as("__syy"),
+      sum(x * y).as("__sxy"))
+    val nd = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val sxxx = col("__sxxx").cast("double")
+    val sy = col("__sy").cast("double")
+    val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val meanX = sx / nd
+    // sample variance via the computational formula, one fixed tree
+    val varX = (nd * sxx - sx * sx) / (nd * (nd - lit(1.0)))
+    // population central moments for Fisher skewness g1 = m3 / m2^(3/2)
+    val m2 = sxx / nd - meanX * meanX
+    val m3 = sxxx / nd - lit(3.0) * meanX * (sxx / nd) +
+      lit(2.0) * meanX * meanX * meanX
+    val corr = (nd * sxy - sx * sy) /
+      (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+    agg.select((groupCols.map(col) ++ Seq(
+      col("n"),
+      meanX.as("mean_x"),
+      sqrt(varX).as("stddev_x"),
+      (m3 / (m2 * sqrt(m2))).as("skewness_x"),
+      corr.as("corr_xy"))): _*)
+  }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Ranked keyword retrieval over a document corpus (SURVEY §7.7 extension:
+  * the query side of a training-data / RAG pipeline).
+  *
+  * Scoring is BM25-shaped but with the RATIONAL idf `(N - df + 0.5) /
+  * (df + 0.5)` instead of its logarithm: ln() is the one transcendental
+  * whose last-bit rounding is not guaranteed identical across engines, and
+  * the ranking it induces is unchanged for a fixed query (log is
+  * monotone). Every other term is IEEE +,*,/ in a FIXED fold order over
+  * the literal query-term list, so scores are bit-identical across
+  * engines and the differential oracle can hash-compare them.
+  *
+  * Scale posture: the per-term term frequencies are computed SCALAR-side
+  * (`size(filter(tokens, _ == term))` — codegen'd, no explode), so the
+  * corpus is scanned exactly ONCE with no shuffle of document data. The
+  * only aggregations are a single 1-row global-stats reduction (N, avgdl,
+  * per-term df) that is broadcast back, and the final top-k, which Spark
+  * plans as TakeOrderedAndProject — per-partition partial top-k, then a
+  * k-row merge on the driver. Nothing grows with corpus size except the
+  * one scan.
+  */
+object Retrieval {
+
+  /** BM25 (rational-idf) top-k: score every document against the fixed
+    * `terms` list and keep the `topK` best, ranked with a deterministic
+    * (score desc, doc_id) tie-break. Emits
+    * (doc_id, dl, score, rank) — dl is the document token count. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query term list must be non-empty")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = TextFunctions.tokens(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).as(s"__tf_$i")
+    }
+    val base = docs.select(
+      (col(idCol).as("doc_id") +: size(toks).as("dl") +: tfCols): _*)
+    // one 1-row global-stats aggregate, broadcast back onto every doc row
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val stats = base.agg(count(lit(1)).as("__n_docs"),
+      ((sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl") +:
+        dfCols): _*)
+    val scored = base.crossJoin(broadcast(stats))
+    // in-order fold over the literal term list: term 0 first, then 1, ...
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val idf = (col("__n_docs") - col(s"__df_$i") + lit(0.5)) /
+        (col(s"__df_$i") + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    }.reduceLeft(_ + _)
+    scored
+      .select(col("doc_id"), col("dl"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+  }
+}

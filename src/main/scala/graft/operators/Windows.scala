@@ -50,4 +50,41 @@ object Windows {
   /** W5: share of the whole-partition total, NULL when the total is 0. */
   def shareOfTotal(measure: Column, partition: Seq[Column]): Column =
     measure / nullif(sum(measure).over(Window.partitionBy(partition: _*)), lit(0))
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE days per key. The
+    * classic anchor trick — `date - row_number() days` is constant within
+    * a consecutive run — turns island detection into a plain groupBy.
+    * Emits (key, streak_start, streak_end, n_days), one row per island.
+    *
+    * Scale: the distinct-date prep, the window, and the island groupBy all
+    * hash on `keyCol`, so Spark plans ONE exchange and reuses it; islands
+    * per key are bounded by dates per key, never materialized as lists. */
+  def gapsAndIslands(df: DataFrame, keyCol: String, dateCol: String): DataFrame = {
+    val days = df
+      .select(col(keyCol).as("k"), to_date(col(dateCol)).as("d"))
+      .filter(col("d").isNotNull).distinct()
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+    days
+      .withColumn("__anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("k"), col("__anchor"))
+      .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+        count(lit(1)).as("n_days"))
+      .drop("__anchor")
+      .withColumnRenamed("k", keyCol)
+  }
+
+  /** T3/T4 distribution-rank suite in one window pass: ntile quartile,
+    * percent_rank, cume_dist, dense_rank over `ordering` within
+    * `partition`. The ordering should be a TOTAL order (include tiebreak
+    * key columns in both `ordering` and the emitted projection): ntile
+    * splits ties across buckets, so rows identical under the ordering must
+    * also be identical in the output for the result to be well-defined. */
+  def rankSuite(df: DataFrame, partition: Seq[Column],
+                ordering: Seq[Column], buckets: Int): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(ordering: _*)
+    df.withColumn("bucket", ntile(buckets).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .withColumn("dense_rank", dense_rank().over(w))
+  }
 }
