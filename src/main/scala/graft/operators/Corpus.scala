@@ -778,4 +778,82 @@ object Corpus {
       .withColumn("dup_fraction",
         col("n_shared_spans").cast("double") / col("n_spans").cast("double"))
   }
+
+  /** Crawl-URL canonicalization: the normal form under which two fetches
+    * of the same page compare equal. Lower-cases scheme and host, strips
+    * a leading `www.`, drops default ports (:80 for http, :443 for
+    * https), removes the fragment and the query string, and trims a
+    * trailing slash from a non-root path. Pure string expressions —
+    * codegen'd, fuses into the scan. */
+  def canonicalUrl(url: Column): Column = {
+    // scheme://host[:port]  — lower-cased; path/query/fragment untouched
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    val port = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val bareHost = regexp_replace(host, "^www\\.", "")
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val path = when(rest === "" || rest === "/", lit(""))
+      .otherwise(regexp_replace(rest, "/$", ""))
+    concat(scheme, lit("://"), bareHost, portPart, path)
+  }
+
+  /** URL-level duplicate resolution: group crawl records by canonical URL
+    * and keep the smallest id per group (mirror/variant collapse — the
+    * step before any content-based dedup runs). Emits one row per
+    * canonical URL: (canonical_url, n_variants, keeper_id).
+    *
+    * Scale: one groupBy on the canonical-url string; no joins, no windows
+    * over raw rows. */
+  def urlResolve(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol).as("id"), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .filter(col("canonical_url").isNotNull && col("canonical_url") =!= "")
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("id")).as("keeper_id"))
+
+  /** Temperature-scaled source mixing with LARGEST-REMAINDER
+    * apportionment: allocate an integer `budget` of training slots across
+    * sources proportionally to count^alpha (alpha > 1 up-weights big
+    * sources, alpha = 1 is proportional; the classic sampling-temperature
+    * knob), then hand the floor remainders out one by one to the largest
+    * fractional parts so the quotas sum EXACTLY to the budget.
+    *
+    * All-integer arithmetic (weight = count^alpha by repeated
+    * multiplication; remainder = (budget*w) mod W) — no float
+    * apportionment drift, bit-identical everywhere. Bounds: needs
+    * budget * max(weight) < 2^63; for alpha=2 that holds through
+    * billions of docs per source with million-slot budgets. Ties on the
+    * remainder break by source name.
+    *
+    * Scale: per-source counts are one map-side-combined aggregation; the
+    * apportionment runs over the SOURCE list (tiny) in two windows.
+    * Emits (source, n_docs, weight, quota), Σ quota = budget. */
+  def temperatureMix(docs: DataFrame, sourceCol: String, alpha: Int,
+                     budget: Long): DataFrame = {
+    require(alpha >= 1, s"alpha must be >= 1, got $alpha")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val weight = (1 until alpha)
+      .foldLeft(col("n_docs"))((acc, _) => acc * col("n_docs"))
+    val wTot = Window.partitionBy()
+    val byRemainder = Window.partitionBy()
+      .orderBy(col("__rem").desc, col("source").asc)
+    counts
+      .withColumn("weight", weight)
+      .withColumn("__w_sum", sum(col("weight")).over(wTot))
+      .withColumn("__num", lit(budget) * col("weight"))
+      // SQL `div`: exact integral division (a double round-trip loses
+      // exactness past 2^53)
+      .withColumn("__floor", expr("__num div __w_sum"))
+      .withColumn("__rem", pmod(col("__num"), col("__w_sum")))
+      .withColumn("__left", lit(budget) - sum(col("__floor")).over(wTot))
+      .withColumn("__rk", row_number().over(byRemainder))
+      .withColumn("quota",
+        col("__floor") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("weight"), col("quota"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -125,5 +126,70 @@ object Quality {
       sqrt(varX).as("stddev_x"),
       (m3 / (m2 * sqrt(m2))).as("skewness_x"),
       corr.as("corr_xy"))): _*)
+  }
+
+  /** Winsorized + trimmed aggregates per group: cut values at the
+    * `pLow`/`pHigh` rank quantiles (cutoff = value at rank
+    * ceil(p * n) under the value ordering), CLAMP for the winsorized
+    * mean, DROP for the trimmed mean. Robust location estimates that
+    * outlier rows (price glitches, token-count explosions) cannot move.
+    *
+    * Determinism under ties: rank boundaries may split tied rows
+    * arbitrarily, but tied rows carry EQUAL values, so the clamped and
+    * trimmed SUMS — and therefore the emitted means — are invariant to
+    * the tie order. Means come from exact decimal sums over a single
+    * division.
+    *
+    * Scale: one window pass (rank + count + conditional cutoff maxima
+    * share the partition) and one groupBy on the same key — Spark plans
+    * ONE exchange. No per-group sorting beyond the window's, no
+    * approximate percentile sketches. */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String], valCol: String,
+                      pLow: Double, pHigh: Double): DataFrame = {
+    require(0 <= pLow && pLow < pHigh && pHigh <= 1,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val D = DecimalType(18, 2)
+    val v = col(valCol)
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val ordered = part.orderBy(v.asc)
+    val ranked = df
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__klo", ceil(lit(pLow) * col("__n")))
+      .withColumn("__khi", ceil(lit(pHigh) * col("__n")))
+    val cut = ranked
+      .withColumn("__lo", max(when(col("__rn") <= col("__klo"), v)).over(part))
+      .withColumn("__hi", max(when(col("__rn") <= col("__khi"), v)).over(part))
+      // empty low tail (klo = 0): clamp only from above
+      .withColumn("__w",
+        least(greatest(v, coalesce(col("__lo"), v)), col("__hi")))
+    cut.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      first(col("__lo")).as("low_cut"),
+      first(col("__hi")).as("high_cut"),
+      (sum(col("__w").cast(D)).cast("double") / count(lit(1)))
+        .as("winsorized_mean"),
+      (sum(when(col("__rn") > col("__klo") && col("__rn") <= col("__khi"),
+        v.cast(D))).cast("double") /
+        sum(when(col("__rn") > col("__klo") && col("__rn") <= col("__khi"),
+          1L).otherwise(0L))).as("trimmed_mean"))
+  }
+
+  /** Fixed-range equi-width histogram per group: `nBuckets` buckets over
+    * [lo, hi); values below clamp to bucket 0, at-or-above to the last
+    * bucket. Emits (group..., bucket, bucket_lo, n_rows) for non-empty
+    * buckets. Bounds are explicit parameters (at scale, bounds come from
+    * a prior cheap min/max pass or domain knowledge) so the histogram is
+    * ONE map-side-combined aggregation — no sort, no sketch. */
+  def histogram(df: DataFrame, groupCols: Seq[String], valCol: String,
+                nBuckets: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBuckets >= 1 && lo < hi, "need nBuckets >= 1 and lo < hi")
+    val width = (hi - lo) / nBuckets
+    val raw = floor((col(valCol).cast("double") - lit(lo)) / lit(width))
+    val bucket = least(greatest(raw, lit(0L)), lit(nBuckets - 1L)).cast("int")
+    df.filter(col(valCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(width))
   }
 }
