@@ -635,7 +635,8 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25) ++
     ExtQueries.all ++ MoreQueries.all ++ R2Queries.all ++ R3Queries.all ++
-    R4Queries.all ++ R4bQueries.all ++ R4cQueries.all ++ R4dQueries.all
+    R4Queries.all ++ R4bQueries.all ++ R4cQueries.all ++ R4dQueries.all ++
+    R4eQueries.all
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
