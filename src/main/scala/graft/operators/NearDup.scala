@@ -208,30 +208,48 @@ object NearDup {
                        minJaccard: Double): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0, 1], got $minJaccard")
+    // every stage downstream of tokenization works on 64-BIT TOKEN HASHES:
+    // the global order, the candidate join key, and the verification
+    // arrays never carry token text (8 bytes/token through every exchange
+    // instead of the string). Any total order is a valid prefix order, so
+    // ordering by (df, hash) preserves losslessness; exactness is modulo
+    // 64-bit hash collisions (~n²/2⁶⁵ — absent in practice).
     val tokenSets = spread(docs)
       .select(col(idCol).as("doc_id"),
-        array_distinct(TextFunctions.tokens(col(textCol))).as("__tk"))
+        transform(array_distinct(TextFunctions.tokens(col(textCol))),
+          t => xxhash64(t)).as("__tk"))
       .filter(size(col("__tk")) > 0)
       .select(col("doc_id"), col("__tk"), size(col("__tk")).as("m"))
     val posting = tokenSets
-      .select(col("doc_id"), col("m"), explode(col("__tk")).as("__t"))
-    // global rare-first order; the df aggregate output is vocabulary-sized
+      .select(col("doc_id"), col("m"), explode(col("__tk")).as("__h"))
+    // global rare-first order via ONE window over the hash (postings are
+    // token-distinct per doc, so count-over-hash IS document frequency —
+    // no separate df aggregate + join-back shuffle)
     val posWin = Window.partitionBy(col("doc_id"))
-      .orderBy(col("__df").asc, col("__t"))
+      .orderBy(col("__df").asc, col("__h"))
     val prefix = posting
-      .join(posting.groupBy(col("__t"))
-        .agg(count(lit(1)).as("__df")), Seq("__t"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .withColumn("__pos", row_number().over(posWin))
       // prefix length |X| - ceil(t*|X|) + 1
       .filter(col("__pos") <= col("m") - ceil(lit(minJaccard) * col("m")) + 1)
-      .select(col("__t"), col("doc_id"), col("m"))
+      .select(col("__h"), col("doc_id"), col("m"), col("__pos"))
+    // PPJoin positional filter (lossless): for the FIRST common prefix
+    // token, overlap <= 1 + min(remaining suffix lengths); a qualifying
+    // pair needs overlap >= ceil(t/(1+t) * (mA+mB)), and the first-common-
+    // token match always satisfies the bound — so filtering every match
+    // and then de-duplicating pairs loses nothing while discarding the
+    // (dominant, in dense corpora) matches on deep-prefix tokens
+    val alpha = ceil(lit(minJaccard / (1.0 + minJaccard)) *
+      (col("a.m") + col("b.m")))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.__t") === col("b.__t") &&
+        col("a.__h") === col("b.__h") &&
           col("a.doc_id") < col("b.doc_id") &&
           // J >= t forces t*max <= min (size filter, lossless)
           col("b.m").cast("double") * lit(minJaccard) <= col("a.m") &&
-          col("a.m").cast("double") * lit(minJaccard) <= col("b.m"))
+          col("a.m").cast("double") * lit(minJaccard) <= col("b.m") &&
+          lit(1) + least(col("a.m") - col("a.__pos"),
+            col("b.m") - col("b.__pos")) >= alpha)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     // exact verification on candidates only: fetch both token sets and
