@@ -29,7 +29,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter, same contract as Verify: SPARK_GRAFT_ONLY=
+    // q78,q79 benches just those (prefix match); unset/empty = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
       val w1 = once(fn)
       val w2 = once(fn)
