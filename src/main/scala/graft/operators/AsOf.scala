@@ -21,11 +21,21 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** @param payload right-side columns to carry onto each left row as
-    *                `asof_<name>` (NULL when no earlier right row exists). */
+    *                `asof_<name>` (NULL when no earlier right row exists).
+    * @param maxStalenessSec when set, a matched right row OLDER than this
+    *                many seconds before the left timestamp is treated as
+    *                no match (payload NULL) — the "tolerance" every
+    *                point-in-time feature join needs so a years-stale
+    *                quote is not silently joined onto today's trade.
+    *                Applied AFTER the window carry, so it adds zero
+    *                shuffle. */
   def join(left: DataFrame, right: DataFrame, on: Seq[String],
            leftTs: Column, rightTs: Column, tiebreak: Column,
-           payload: Seq[String], strict: Boolean = false): DataFrame = {
-    val reserved = Set("__ts", "__side", "__tb", "__rv", "__match")
+           payload: Seq[String], strict: Boolean = false,
+           maxStalenessSec: Option[Long] = None): DataFrame = {
+    maxStalenessSec.foreach(t =>
+      require(t >= 0, s"maxStalenessSec must be >= 0, got $t"))
+    val reserved = Set("__ts", "__side", "__tb", "__rv", "__match", "__mts")
     require(!left.columns.exists(reserved), s"left side must not contain ${reserved.mkString(", ")}")
     val leftSideRank = if (strict) 0 else 1 // smaller sorts first
     val rightSideRank = 1 - leftSideRank
@@ -58,10 +68,21 @@ object AsOf {
 
     // null-ts LEFT rows sort first, see no prior right rows, and correctly
     // emit a NULL payload — they are preserved, as a left join would
-    l.unionByName(r, allowMissingColumns = true)
+    val carried = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__mts",
+        last(when(col("__side") === rightSideRank, col("__ts")),
+          ignoreNulls = true).over(w))
       .filter(col("__side") === leftSideRank)
-      .select(leftCols.toIndexedSeq.map(col) ++
-        payload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
+    // microsecond integer arithmetic: a seconds-granularity cast would
+    // truncate sub-second parts and flip boundary comparisons
+    val gated = maxStalenessSec match {
+      case Some(t) => carried.withColumn("__match",
+        when(unix_micros(col("__ts")) - unix_micros(col("__mts")) <=
+          t * 1000000L, col("__match")))
+      case None => carried
+    }
+    gated.select(leftCols.toIndexedSeq.map(col) ++
+      payload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
   }
 }

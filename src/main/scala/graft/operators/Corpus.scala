@@ -856,4 +856,28 @@ object Corpus {
         col("__floor") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
       .select(col("source"), col("n_docs"), col("weight"), col("quota"))
   }
+
+  /** Per-group top-k terms by occurrence count — [[vocabulary]]'s grouped
+    * form (per-source vocabulary drift is a standard corpus-quality
+    * signal). Emits (group, token, n_occurrences, rank), rank 1..k by
+    * (count desc, token).
+    *
+    * Scale: the token count aggregates map-side on (group, token); the
+    * rank window partitions BY GROUP, and Spark's WindowGroupLimit pushes
+    * the k-cap below the exchange, so no task ever sorts a full per-group
+    * vocabulary. */
+  def topTermsPerGroup(docs: DataFrame, textCol: String, groupCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = spread(docs)
+      .select(col(groupCol).as("group"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("group"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("group"))
+          .orderBy(col("n_occurrences").desc, col("token"))).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -158,4 +158,44 @@ object EventOps {
       .groupBy("cohort_day", "day_offset")
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
+
+  /** Daily-volume anomaly detection per event type: each (type, day)
+    * count is z-scored against that type's own across-days mean and
+    * sample stddev, computed from EXACT integer/decimal power sums (the
+    * exactMoments discipline — hash-stable across engines, one
+    * aggregation pass). The monitoring primitive for a crawl/ingest
+    * pipeline: a collapsed source or a runaway duplicate storm shows up
+    * as |z| > threshold on its daily curve.
+    *
+    * Emits (event_type, day, n_events, mean_daily, stddev_daily, z,
+    * is_anomaly). Scale: counts aggregate map-side on (type, day); the
+    * per-type moment pass runs over ONE ROW PER (type, day) — bounded by
+    * the calendar, not the event volume. */
+  def dailyVolumeAnomaly(events: DataFrame, tsCol: String, typeCol: String,
+                         zThreshold: Double): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 0)
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val c = col("n_events").cast(D)
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("__n"),
+      sum(c).as("__sc"), sum(c * c).as("__scc"))
+    val nd = col("__n").cast("double")
+    val sc = col("__sc").cast("double")
+    val scc = col("__scc").cast("double")
+    val mean = sc / nd
+    val varS = (nd * scc - sc * sc) / (nd * (nd - lit(1.0)))
+    daily.join(stats, Seq("event_type"))
+      .withColumn("mean_daily", mean)
+      .withColumn("stddev_daily", sqrt(varS))
+      .withColumn("z",
+        (col("n_events").cast("double") - col("mean_daily")) /
+          col("stddev_daily"))
+      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("mean_daily"), col("stddev_daily"), col("z"), col("is_anomaly"))
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Corpus, EventOps}
+
+/** Round-4 wave-7 operators: daily anomaly z-scores, per-group top
+  * terms, staleness-bounded as-of join. */
+class R4fOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- dailyVolumeAnomaly -------------------------------------------------
+
+  test("dailyVolumeAnomaly: a spike day is flagged, steady days are not") {
+    // type A: 5 days at 10 events, one day at 100 -> that day is anomalous
+    val rows =
+      (for {
+        d <- 1 to 5; i <- 1 to 10
+      } yield (ts(f"2024-01-0$d%d 12:00:00"), "A", i)) ++
+        (1 to 100).map(i => (ts("2024-01-06 12:00:00"), "A", i))
+    val out = EventOps.dailyVolumeAnomaly(
+      rows.toDF("ts", "etype", "i"), "ts", "etype", zThreshold = 2.0)
+      .select($"day".cast("string"), $"n_events", $"is_anomaly")
+      .as[(String, Long, Boolean)].collect()
+      .map { case (d, n, a) => d -> ((n, a)) }.toMap
+    out("2024-01-06")._1 shouldBe 100L
+    out("2024-01-06")._2 shouldBe true
+    (1 to 5).foreach { d =>
+      out(f"2024-01-0$d%d")._2 shouldBe false
+    }
+  }
+
+  test("dailyVolumeAnomaly is partitioning-invariant (exact moments)") {
+    val rows = (1 to 500).map(i =>
+      (ts(f"2024-01-${i % 28 + 1}%02d 0${i % 9}%d:00:00"),
+        if (i % 2 == 0) "A" else "B", i))
+    val one = EventOps.dailyVolumeAnomaly(
+      rows.toDF("ts", "etype", "i").repartition(1), "ts", "etype", 2.0)
+      .as[(String, java.sql.Date, Long, Double, Double, Double, Boolean)]
+      .collect().toSet
+    val many = EventOps.dailyVolumeAnomaly(
+      rows.toDF("ts", "etype", "i").repartition(13), "ts", "etype", 2.0)
+      .as[(String, java.sql.Date, Long, Double, Double, Double, Boolean)]
+      .collect().toSet
+    one shouldBe many
+  }
+
+  // ---- topTermsPerGroup ---------------------------------------------------
+
+  test("topTermsPerGroup: per-group counts, rank caps at k, tie by token") {
+    val docs = Seq(
+      ("s1", "a a a b b c"),
+      ("s1", "a b"),
+      ("s2", "x y y")
+    ).toDF("src", "text")
+    val out = Corpus.topTermsPerGroup(docs, "text", "src", k = 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    out shouldBe Set(
+      ("s1", "a", 4L, 1), ("s1", "b", 3L, 2),
+      ("s2", "y", 2L, 1), ("s2", "x", 1L, 2))
+  }
+
+  test("topTermsPerGroup: rank cap stays below the exchange (group limit)") {
+    val docs = Seq(("s1", "a b c d e f g h i j")).toDF("src", "text")
+    val plan = Corpus.topTermsPerGroup(docs, "text", "src", k = 3)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+
+  // ---- AsOf.join with maxStalenessSec -------------------------------------
+
+  test("asof tolerance: stale matches are nulled, fresh ones survive") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // view 5 min earlier: fresh
+      (2L, 10L, ts("2024-01-01 12:00:00")),  // latest view 2h old: stale
+      (3L, 20L, ts("2024-01-01 10:00:00"))   // no view at all
+    ).toDF("id", "user", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:55:00"), 1.5)
+    ).toDF("rid", "user", "ts", "v")
+    val out = AsOf.join(left, right, Seq("user"),
+        leftTs = col("ts"), rightTs = col("ts"), tiebreak = col("rid"),
+        payload = Seq("rid", "v"), strict = false,
+        maxStalenessSec = Some(600L))
+      .select($"id", $"asof_rid", $"asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out(1L) shouldBe ((Some(100L), Some(1.5)))
+    out(2L) shouldBe ((None, None))
+    out(3L) shouldBe ((None, None))
+  }
+
+  test("asof tolerance: boundary is inclusive at exactly maxStaleness") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:10:00"))).toDF("id", "user", "ts")
+    val right = Seq((100L, 10L, ts("2024-01-01 10:00:00"), 2.0))
+      .toDF("rid", "user", "ts", "v")
+    val out = AsOf.join(left, right, Seq("user"),
+        col("ts"), col("ts"), col("rid"), Seq("rid"),
+        strict = false, maxStalenessSec = Some(600L))
+      .select($"asof_rid").as[Option[Long]].collect().head
+    out shouldBe Some(100L)
+  }
+
+  test("asof without tolerance keeps arbitrarily stale matches (unchanged)") {
+    val left = Seq((1L, 10L, ts("2024-06-01 00:00:00"))).toDF("id", "user", "ts")
+    val right = Seq((100L, 10L, ts("2020-01-01 00:00:00"), 7.0))
+      .toDF("rid", "user", "ts", "v")
+    AsOf.join(left, right, Seq("user"), col("ts"), col("ts"), col("rid"),
+        Seq("rid"), strict = false)
+      .select($"asof_rid").as[Option[Long]].collect()
+      .head shouldBe Some(100L)
+  }
+}
