@@ -345,10 +345,15 @@ object Similarity {
                             embCol: String, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // every Lloyd iteration (and the seed draw, and the final assign)
+    // re-reads the quantized codes: materialize them ONCE — the int8
+    // codes are 4× smaller than the float input, so the cache is cheap
+    // and saves (iters + 2) re-quantization scans
     val codes = embeddings
       .select(col(idCol), quantizeInt8(col(embCol)).as("__q8"))
       .filter(col("__q8").isNotNull)
       .withColumn("__qn", qNorm(col("__q8")))
+      .cache()
     // seed draw: k smallest md5(id), centroid_id = 0..k-1 in draw order
     val seeds = codes
       .withColumn("__h", md5(col(idCol).cast("string")))
