@@ -91,6 +91,47 @@ object Scale {
       .agg(min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi"))
       .orderBy(col("lo"))
 
+  /** Day-partitioned parquet sink with DYNAMIC partition overwrite: a
+    * re-run replaces ONLY the day directories present in `df`, leaving
+    * every other day untouched — the idempotent daily-load contract
+    * (re-processing yesterday must not truncate the year). Spark's
+    * default overwrite mode drops the whole table; the dynamic setting
+    * is per-write here, not a session-wide toggle.
+    *
+    * Scale: `partitionBy` routes rows by day directory; pair with
+    * `repartition(dayCol)` upstream if a load spans many days, so each
+    * day is written by the tasks that own it rather than every task
+    * writing a sliver of every day (the small-file explosion). */
+  def writeDayPartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("day", to_date(col(tsCol)))
+      .repartition(col("day"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(rows / targetRowsPerFile) files. Streaming sinks and
+    * per-batch appends leave thousands of KB-sized files whose open/seek
+    * overhead dominates scans at scale; periodic compaction is the
+    * standard fix. Returns (filesBefore, filesAfter). Writes to
+    * `destPath` (compact-then-swap — compacting in place would race
+    * readers). */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+              destPath: String, targetRowsPerFile: Long): (Long, Long) = {
+    require(targetRowsPerFile >= 1,
+      s"targetRowsPerFile must be >= 1, got $targetRowsPerFile")
+    val src = spark.read.parquet(srcPath)
+    val filesBefore = src.select(input_file_name()).distinct().count()
+    val rows = src.count()
+    val numFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    src.repartition(numFiles).write.mode("overwrite").parquet(destPath)
+    val filesAfter = spark.read.parquet(destPath)
+      .select(input_file_name()).distinct().count()
+    (filesBefore, filesAfter)
+  }
+
   /** 32-bit Morton (Z-order) key over two numeric columns: each column is
     * min/max-scaled to 16 bits and the bits are interleaved. Rows close in
     * Z-key are close in BOTH dimensions, which is what makes the key a

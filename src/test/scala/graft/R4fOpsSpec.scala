@@ -49,6 +49,34 @@ class R4fOpsSpec extends SparkSpec {
     one shouldBe many
   }
 
+  test("daily counts: streaming 1-day tumbling == the anomaly batch grain") {
+    // the daily grain feeding dailyVolumeAnomaly equals a streaming
+    // 86400 s epoch-aligned tumbling count over the same events
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      ("A", ts("2024-01-01 00:10:00")), ("A", ts("2024-01-01 23:59:59")),
+      ("A", ts("2024-01-02 00:00:00")), ("B", ts("2024-01-01 12:00:00")))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Timestamp)]
+    mem.addData(rows: _*)
+    val out = graft.streaming.StreamOps.tumblingAgg(
+      mem.toDF.toDF("etype", "ts"), "ts", sizeSec = 86400,
+      watermark = "0 seconds", keys = Seq(col("etype")),
+      aggs = Seq(count(lit(1)).as("n_events")))
+    val name = s"daily_parity_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name)
+      .select(to_date($"window_start").cast("string"), $"etype", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    val batch = rows.toDF("etype", "ts")
+      .groupBy(to_date($"ts").cast("string").as("day"), $"etype")
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    streamed shouldBe batch
+  }
+
   // ---- topTermsPerGroup ---------------------------------------------------
 
   test("topTermsPerGroup: per-group counts, rank caps at k, tie by token") {
