@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.QueryDef
+import graft.operators.{EventOps, Quality}
+
+/** Round-4 wave 8: snapshot reconciliation (the post-reload drift report)
+  * and time-weighted averages over irregularly-sampled event values. */
+object R4gQueries {
+
+  /** Snapshot diff between the customer table and a deterministically
+    * perturbed copy: removals (custkey % 97 = 0), segment changes
+    * (% 31 = 0), and synthetic additions (% 53 = 0, offset keys). String
+    * perturbation only — arithmetic on doubles would make the hashed
+    * string form engine-sensitive. */
+  private val q124 = QueryDef(
+    "q124_snapshot_diff",
+    (s, d) => {
+      val old = Tables.customer(s, d)
+      val changed = old
+        .filter(pmod(col("c_custkey"), lit(97)) =!= 0)
+        .withColumn("c_mktsegment",
+          when(pmod(col("c_custkey"), lit(31)) === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")))
+      val added = old.filter(pmod(col("c_custkey"), lit(53)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(10000000L))
+      Quality.snapshotDiff(old, changed.unionByName(added),
+        keys = Seq("c_custkey"),
+        compareCols = Seq("c_name", "c_mktsegment", "c_acctbal"))
+    },
+    Some("""
+      WITH oldv AS (SELECT c_custkey,
+              sha256(concat_ws('|',
+                upper(coalesce(CAST(c_name AS VARCHAR), '')),
+                upper(coalesce(CAST(c_mktsegment AS VARCHAR), '')),
+                upper(coalesce(CAST(c_acctbal AS VARCHAR), ''))))
+                AS old_hash
+            FROM customer),
+      pert AS (SELECT c_custkey, c_name,
+              CASE WHEN c_custkey % 31 = 0 THEN 'CHANGED'
+                   ELSE c_mktsegment END AS c_mktsegment, c_acctbal
+            FROM customer WHERE c_custkey % 97 <> 0
+            UNION ALL
+            SELECT c_custkey + 10000000, c_name, c_mktsegment, c_acctbal
+            FROM customer WHERE c_custkey % 53 = 0),
+      newv AS (SELECT c_custkey,
+              sha256(concat_ws('|',
+                upper(coalesce(CAST(c_name AS VARCHAR), '')),
+                upper(coalesce(CAST(c_mktsegment AS VARCHAR), '')),
+                upper(coalesce(CAST(c_acctbal AS VARCHAR), ''))))
+                AS new_hash
+            FROM pert)
+      SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.old_hash IS NULL THEN 'added'
+                  WHEN n.new_hash IS NULL THEN 'removed'
+                  WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                  ELSE 'changed' END AS change_type,
+             o.old_hash, n.new_hash
+      FROM oldv o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey"""))
+
+  /** Time-weighted mean of the view-event gauge per user (micros-exact
+    * durations, decimal-exact weighted sum, one final division). */
+  private val q125 = QueryDef(
+    "q125_time_weighted_avg",
+    (s, d) => EventOps.timeWeightedAvg(
+      Tables.events(s, d).filter(col("event_type") === "view"),
+      keyCol = "user_id", tsCol = "ts", valCol = "value",
+      tiebreak = "event_id"),
+    Some("""
+      WITH spans AS (SELECT user_id, value,
+              epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+            FROM events WHERE event_type = 'view' AND ts IS NOT NULL),
+      agg AS (SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_intervals,
+              CAST(sum(dur) AS BIGINT) AS total_dur_us,
+              SUM(CAST(value AS DECIMAL(18,2)) * dur) AS wsum
+            FROM spans WHERE dur IS NOT NULL GROUP BY user_id)
+      SELECT user_id, n_intervals, total_dur_us,
+             CAST(CAST(wsum AS VARCHAR) AS DOUBLE) /
+               CAST(total_dur_us AS DOUBLE) AS twa
+      FROM agg"""))
+
+  val all: Seq[QueryDef] = Seq(q124, q125)
+}

@@ -171,6 +171,38 @@ object EventOps {
     * is_anomaly). Scale: counts aggregate map-side on (type, day); the
     * per-type moment pass runs over ONE ROW PER (type, day) — bounded by
     * the calendar, not the event volume. */
+  /** Time-weighted average of a sampled value per key: each observation
+    * holds until the NEXT observation, so its weight is that interval's
+    * length (the right mean for irregularly-sampled gauges — prices,
+    * queue depths, temperatures — where the arithmetic mean over-weights
+    * bursts). The last observation per key carries no interval and drops
+    * out, the standard open-ended convention.
+    *
+    * Exactness: durations are integer MICROSECONDS, values go through an
+    * exact decimal product/sum, and the average is ONE final double
+    * division — hash-stable across engines. Emits
+    * (key, n_intervals, total_dur_us, twa) for keys with >= 2
+    * observations. Scale: one window (lead) + one groupBy on the same
+    * key — one exchange. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, tiebreak: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreak))
+    val spans = events
+      .filter(col(tsCol).isNotNull)
+      .withColumn("__dur",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .filter(col("__dur").isNotNull)
+    spans.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dur")).as("total_dur_us"),
+        sum(col(valCol).cast(D) * col("__dur")).as("__wsum"))
+      .withColumn("twa",
+        col("__wsum").cast("double") / col("total_dur_us").cast("double"))
+      .drop("__wsum")
+  }
+
   def dailyVolumeAnomaly(events: DataFrame, tsCol: String, typeCol: String,
                          zThreshold: Double): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(18, 0)

@@ -175,6 +175,34 @@ object Quality {
           1L).otherwise(0L))).as("trimmed_mean"))
   }
 
+  /** Snapshot reconciliation: classify every natural key across two table
+    * versions as `added`, `removed`, `changed`, or `unchanged` by a
+    * full-outer join on the key and a hash compare of the tracked
+    * attribute columns — the drift report run after every reload to prove
+    * an idempotent pipeline actually was (the engine-side form of the
+    * reference's post-load QA counts).
+    *
+    * Emits (keys..., change_type, old_hash, new_hash). Scale: one
+    * full-outer shuffle join on the key; attribute payloads reduce to one
+    * 64-hex hash per side before the join, so wide tables do not widen
+    * the exchange. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    def hashed(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+
+        graft.functions.Hashing.hashDiff(compareCols.map(col)).as(as): _*)
+    hashed(oldDf, "old_hash")
+      .join(hashed(newDf, "new_hash"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed"))
+      .select((keys.map(col) :+ col("change_type") :+ col("old_hash") :+
+        col("new_hash")): _*)
+  }
+
   /** Fixed-range equi-width histogram per group: `nBuckets` buckets over
     * [lo, hi); values below clamp to bucket 0, at-or-above to the last
     * bucket. Emits (group..., bucket, bucket_lo, n_rows) for non-empty

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventOps, Quality}
+
+/** Round-4 wave-8 operators: snapshot reconciliation and time-weighted
+  * averages. */
+class R4gOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- snapshotDiff -------------------------------------------------------
+
+  test("snapshotDiff: added/removed/changed/unchanged all classified") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val neu = Seq((1L, "a", 10.0),     // unchanged
+      (2L, "B2", 20.0),                // changed
+      (4L, "d", 40.0))                 // added; 3 removed
+      .toDF("k", "name", "bal")
+    val out = Quality.snapshotDiff(old, neu, Seq("k"), Seq("name", "bal"))
+      .select($"k", $"change_type").as[(Long, String)].collect().toMap
+    out shouldBe Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added")
+  }
+
+  test("snapshotDiff: canonicalization is case-insensitive, NULL-safe") {
+    val old = Seq((1L, Some("abc")), (2L, None: Option[String]))
+      .toDF("k", "name")
+    val neu = Seq((1L, Some("ABC")), (2L, Some("")))
+      .toDF("k", "name")
+    val out = Quality.snapshotDiff(old, neu, Seq("k"), Seq("name"))
+      .select($"k", $"change_type").as[(Long, String)].collect().toMap
+    // upper-case fold: abc == ABC; NULL canonicalizes to '' == empty
+    out shouldBe Map(1L -> "unchanged", 2L -> "unchanged")
+  }
+
+  // ---- timeWeightedAvg ----------------------------------------------------
+
+  test("timeWeightedAvg: interval weighting, last observation dropped") {
+    // value 10 held 60 s, value 40 held 180 s, value 99 has no interval
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), 10.0),
+      (2L, 10L, ts("2024-01-01 00:01:00"), 40.0),
+      (3L, 10L, ts("2024-01-01 00:04:00"), 99.0)
+    ).toDF("eid", "user", "ts", "v")
+    val r = EventOps.timeWeightedAvg(ev, "user", "ts", "v", "eid")
+      .as[(Long, Long, Long, Double)].collect().head
+    r._2 shouldBe 2L                       // two closed intervals
+    r._3 shouldBe 240L * 1000000L          // 4 minutes in micros
+    r._4 shouldBe (10.0 * 60 + 40.0 * 180) / 240.0
+  }
+
+  test("timeWeightedAvg: single-observation keys emit no row") {
+    val ev = Seq((1L, 10L, ts("2024-01-01 00:00:00"), 5.0))
+      .toDF("eid", "user", "ts", "v")
+    EventOps.timeWeightedAvg(ev, "user", "ts", "v", "eid")
+      .count() shouldBe 0L
+  }
+
+  test("timeWeightedAvg differs from arithmetic mean under burst sampling") {
+    // burst of cheap samples then one long expensive interval: the
+    // arithmetic mean is dragged down by the burst, the TWA is not
+    val ev = (0 until 10).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:00:0$i%d"), 1.0)) :+
+      ((10L, 1L, ts("2024-01-01 00:00:10"), 100.0)) :+
+      ((11L, 1L, ts("2024-01-01 01:00:10"), 0.0))
+    val twa = EventOps.timeWeightedAvg(ev.toDF("eid", "user", "ts", "v"),
+        "user", "ts", "v", "eid")
+      .select($"twa").as[Double].collect().head
+    val mean = ev.map(_._4).sum / ev.size
+    twa should be > 90.0
+    mean should be < 15.0
+  }
+}
