@@ -72,7 +72,7 @@ object R4cQueries {
                  FROM documents),
       base AS (SELECT doc_id, CAST(len(w) AS INT) AS dl,
               $tfCols
-            FROM t),
+            FROM t WHERE len(w) > 0),
       st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
               $dfCols
@@ -195,15 +195,16 @@ object R4cQueries {
             FROM a)
       SELECT l_returnflag, n,
              (sx / nd) AS mean_x,
-             sqrt((nd * sxx - sx * sx) / (nd * (nd - 1.0))) AS stddev_x,
+             sqrt((nd * sxx - sx * sx) / nullif(nd * (nd - 1.0), 0.0))
+               AS stddev_x,
              ((((sxxx / nd) - ((3.0 * (sx / nd)) * (sxx / nd))) +
                (((2.0 * (sx / nd)) * (sx / nd)) * (sx / nd))) /
-              (((sxx / nd) - ((sx / nd) * (sx / nd))) *
-               sqrt((sxx / nd) - ((sx / nd) * (sx / nd)))))
+              nullif((((sxx / nd) - ((sx / nd) * (sx / nd))) *
+               sqrt((sxx / nd) - ((sx / nd) * (sx / nd)))), 0.0))
                AS skewness_x,
              ((nd * sxy - sx * sy) /
-              (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
-               AS corr_xy
+              nullif(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy),
+                0.0)) AS corr_xy
       FROM f"""))
 
   /** Distribution-rank window suite: quartile ntile + percent_rank +

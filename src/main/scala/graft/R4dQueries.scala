@@ -44,7 +44,8 @@ object R4dQueries {
                AS winsorized_mean,
              CAST(SUM(CASE WHEN rn > klo AND rn <= khi
                  THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE) /
-               SUM(CASE WHEN rn > klo AND rn <= khi THEN 1 ELSE 0 END)
+               nullif(SUM(CASE WHEN rn > klo AND rn <= khi
+                 THEN 1 ELSE 0 END), 0)
                AS trimmed_mean
       FROM c GROUP BY l_returnflag"""))
 

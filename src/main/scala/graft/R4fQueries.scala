@@ -36,12 +36,14 @@ object R4fQueries {
             FROM st)
       SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
              (scd / nd) AS mean_daily,
-             sqrt((nd * sccd - scd * scd) / (nd * (nd - 1.0)))
+             sqrt((nd * sccd - scd * scd) / nullif(nd * (nd - 1.0), 0.0))
                AS stddev_daily,
              ((CAST(d.n_events AS DOUBLE) - (scd / nd)) /
-              sqrt((nd * sccd - scd * scd) / (nd * (nd - 1.0)))) AS z,
+              nullif(sqrt((nd * sccd - scd * scd) /
+                nullif(nd * (nd - 1.0), 0.0)), 0.0)) AS z,
              (abs((CAST(d.n_events AS DOUBLE) - (scd / nd)) /
-              sqrt((nd * sccd - scd * scd) / (nd * (nd - 1.0)))) >
+              nullif(sqrt((nd * sccd - scd * scd) /
+                nullif(nd * (nd - 1.0), 0.0)), 0.0)) >
               CAST($ZThresh AS DOUBLE)) AS is_anomaly
       FROM d JOIN f USING (event_type)"""))
 

@@ -79,7 +79,7 @@ object R4gQueries {
             FROM spans WHERE dur IS NOT NULL GROUP BY user_id)
       SELECT user_id, n_intervals, total_dur_us,
              CAST(CAST(wsum AS VARCHAR) AS DOUBLE) /
-               CAST(total_dur_us AS DOUBLE) AS twa
+               CAST(nullif(total_dur_us, 0) AS DOUBLE) AS twa
       FROM agg"""))
 
   val all: Seq[QueryDef] = Seq(q124, q125)

@@ -159,18 +159,6 @@ object EventOps {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
-  /** Daily-volume anomaly detection per event type: each (type, day)
-    * count is z-scored against that type's own across-days mean and
-    * sample stddev, computed from EXACT integer/decimal power sums (the
-    * exactMoments discipline — hash-stable across engines, one
-    * aggregation pass). The monitoring primitive for a crawl/ingest
-    * pipeline: a collapsed source or a runaway duplicate storm shows up
-    * as |z| > threshold on its daily curve.
-    *
-    * Emits (event_type, day, n_events, mean_daily, stddev_daily, z,
-    * is_anomaly). Scale: counts aggregate map-side on (type, day); the
-    * per-type moment pass runs over ONE ROW PER (type, day) — bounded by
-    * the calendar, not the event volume. */
   /** Time-weighted average of a sampled value per key: each observation
     * holds until the NEXT observation, so its weight is that interval's
     * length (the right mean for irregularly-sampled gauges — prices,
@@ -198,11 +186,28 @@ object EventOps {
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("__dur")).as("total_dur_us"),
         sum(col(valCol).cast(D) * col("__dur")).as("__wsum"))
-      .withColumn("twa",
-        col("__wsum").cast("double") / col("total_dur_us").cast("double"))
+      // nullif: a key whose observations all share one timestamp has
+      // total_dur_us = 0 — NULL twa, not an ANSI divide-by-zero abort
+      .withColumn("twa", col("__wsum").cast("double") /
+        nullif(col("total_dur_us"), lit(0L)).cast("double"))
       .drop("__wsum")
   }
 
+  /** Daily-volume anomaly detection per event type: each (type, day)
+    * count is z-scored against that type's own across-days mean and
+    * sample stddev, computed from EXACT integer/decimal power sums (the
+    * exactMoments discipline — hash-stable across engines, one
+    * aggregation pass). The monitoring primitive for a crawl/ingest
+    * pipeline: a collapsed source or a runaway duplicate storm shows up
+    * as |z| > threshold on its daily curve.
+    *
+    * Emits (event_type, day, n_events, mean_daily, stddev_daily, z,
+    * is_anomaly) — stddev/z/is_anomaly are NULL for a type with a single
+    * day or a perfectly constant daily curve (nullif guards: Spark 4
+    * ANSI mode would otherwise abort on the zero divisor). Scale: counts
+    * aggregate map-side on (type, day); the per-type moment pass runs
+    * over ONE ROW PER (type, day) — bounded by the calendar, not the
+    * event volume. */
   def dailyVolumeAnomaly(events: DataFrame, tsCol: String, typeCol: String,
                          zThreshold: Double): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(18, 0)
@@ -219,13 +224,13 @@ object EventOps {
     val sc = col("__sc").cast("double")
     val scc = col("__scc").cast("double")
     val mean = sc / nd
-    val varS = (nd * scc - sc * sc) / (nd * (nd - lit(1.0)))
+    val varS = (nd * scc - sc * sc) / nullif(nd * (nd - lit(1.0)), lit(0.0))
     daily.join(stats, Seq("event_type"))
       .withColumn("mean_daily", mean)
       .withColumn("stddev_daily", sqrt(varS))
       .withColumn("z",
         (col("n_events").cast("double") - col("mean_daily")) /
-          col("stddev_daily"))
+          nullif(col("stddev_daily"), lit(0.0)))
       .withColumn("is_anomaly", abs(col("z")) > zThreshold)
       .select(col("event_type"), col("day"), col("n_events"),
         col("mean_daily"), col("stddev_daily"), col("z"), col("is_anomaly"))

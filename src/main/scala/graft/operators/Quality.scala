@@ -112,19 +112,23 @@ object Quality {
     val syy = col("__syy").cast("double")
     val sxy = col("__sxy").cast("double")
     val meanX = sx / nd
-    // sample variance via the computational formula, one fixed tree
-    val varX = (nd * sxx - sx * sx) / (nd * (nd - lit(1.0)))
+    // sample variance via the computational formula, one fixed tree.
+    // Every data-dependent divisor goes through nullif: Spark 4 runs ANSI
+    // mode by default, where x/0.0 THROWS instead of yielding NULL — a
+    // singleton group or a constant column must degrade to NULL stats,
+    // not kill the whole aggregation
+    val varX = (nd * sxx - sx * sx) / nullif(nd * (nd - lit(1.0)), lit(0.0))
     // population central moments for Fisher skewness g1 = m3 / m2^(3/2)
     val m2 = sxx / nd - meanX * meanX
     val m3 = sxxx / nd - lit(3.0) * meanX * (sxx / nd) +
       lit(2.0) * meanX * meanX * meanX
     val corr = (nd * sxy - sx * sy) /
-      (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+      nullif(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy), lit(0.0))
     agg.select((groupCols.map(col) ++ Seq(
       col("n"),
       meanX.as("mean_x"),
       sqrt(varX).as("stddev_x"),
-      (m3 / (m2 * sqrt(m2))).as("skewness_x"),
+      (m3 / nullif(m2 * sqrt(m2), lit(0.0))).as("skewness_x"),
       corr.as("corr_xy"))): _*)
   }
 
@@ -169,10 +173,13 @@ object Quality {
       first(col("__hi")).as("high_cut"),
       (sum(col("__w").cast(D)).cast("double") / count(lit(1)))
         .as("winsorized_mean"),
+      // nullif: a group whose trim window is empty (klo == khi, e.g. a
+      // singleton) must yield NULL, not an ANSI divide-by-zero error
       (sum(when(col("__rn") > col("__klo") && col("__rn") <= col("__khi"),
         v.cast(D))).cast("double") /
-        sum(when(col("__rn") > col("__klo") && col("__rn") <= col("__khi"),
-          1L).otherwise(0L))).as("trimmed_mean"))
+        nullif(sum(when(
+          col("__rn") > col("__klo") && col("__rn") <= col("__khi"),
+          1L).otherwise(0L)), lit(0L))).as("trimmed_mean"))
   }
 
   /** Snapshot reconciliation: classify every natural key across two table
@@ -181,6 +188,14 @@ object Quality {
     * attribute columns — the drift report run after every reload to prove
     * an idempotent pipeline actually was (the engine-side form of the
     * reference's post-load QA counts).
+    *
+    * Equality is the SCD2 canonical form (Hashing.canonical): values are
+    * upper-cased, NULL folds to '', and columns join on '|'. So
+    * case-only edits, NULL↔'' flips, and '|'-boundary shifts across
+    * adjacent compareCols all read as `unchanged` — the same change
+    * sensitivity the reference's HASHBYTES pipeline has. Pass
+    * pre-escaped/cased columns if those distinctions must count as
+    * drift.
     *
     * Emits (keys..., change_type, old_hash, new_hash). Scale: one
     * full-outer shuffle join on the key; attribute payloads reduce to one

@@ -41,8 +41,12 @@ object Retrieval {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).as(s"__tf_$i")
     }
-    val base = docs.select(
-      (col(idCol).as("doc_id") +: size(toks).as("dl") +: tfCols): _*)
+    // token-less docs (NULL or whitespace-only text) can never score and
+    // must not dilute n_docs/avgdl/df — and an all-empty corpus would
+    // otherwise reach the b*dl/avgdl division with avgdl = 0 (ANSI abort)
+    val base = docs
+      .select((col(idCol).as("doc_id") +: size(toks).as("dl") +: tfCols): _*)
+      .filter(col("dl") > 0)
     // one 1-row global-stats aggregate, broadcast back onto every doc row
     val dfCols = terms.indices.map(i =>
       sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))

@@ -123,12 +123,15 @@ object Scale {
     require(targetRowsPerFile >= 1,
       s"targetRowsPerFile must be >= 1, got $targetRowsPerFile")
     val src = spark.read.parquet(srcPath)
-    val filesBefore = src.select(input_file_name()).distinct().count()
-    val rows = src.count()
-    val numFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    // file counts come from the file index (free), not a data scan —
+    // input_file_name() per row would read the table just to count files
+    val filesBefore = src.inputFiles.length.toLong
+    val rows = src.count() // metadata-only for parquet
+    val numFiles = math.min(
+      math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile),
+      Int.MaxValue.toLong).toInt
     src.repartition(numFiles).write.mode("overwrite").parquet(destPath)
-    val filesAfter = spark.read.parquet(destPath)
-      .select(input_file_name()).distinct().count()
+    val filesAfter = spark.read.parquet(destPath).inputFiles.length.toLong
     (filesBefore, filesAfter)
   }
 

@@ -372,21 +372,34 @@ object Similarity {
           .orderBy(col("cluster_cos").desc, col("cluster_id"))))
         .filter(col("__rn") === 1)
         .drop("__rn", "__cen", "__cn")
+    // each Lloyd iteration COLLECTS the k×dim centroid table (a few
+    // hundred doubles — the hyperplane-literal pattern, not a data
+    // collect): per-iteration actions run against the cached codes, the
+    // next iteration's centroids re-enter as a broadcast literal instead
+    // of a nested lazy join tree, and the cache can be RELEASED before
+    // returning (the one final re-scan is bounded; an unreleased cache
+    // would pin a copy of the corpus per call for the session lifetime).
+    // Numerics are unchanged: the mean is the same long-sum / count
+    // division, now performed on the driver.
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val trained = (0 until iters).foldLeft(seeds) { (cens, _) =>
-      val means = assign(cens)
+      val sums = assign(cens)
         .select(col("cluster_id"), posexplode(col("__q8")).as(Seq("__d", "__v")))
         .groupBy(col("cluster_id"), col("__d"))
         .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
-        .groupBy(col("cluster_id"))
-        .agg(transform(array_sort(collect_list(struct(col("__d"), col("__s"),
-            col("__n")))),
-          e => e.getField("__s").cast("double") / e.getField("__n"))
-          .as("__newcen"))
+        .as[(Int, Int, Long, Long)].collect()
+      val means = sums.groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(r => r._3.toDouble / r._4).toSeq
+      }
+      val prev = cens.as[(Int, Seq[Double])].collect()
       // a cluster that lost every member keeps its previous centroid
-      cens.join(means, Seq("cluster_id"), "left")
-        .select(col("cluster_id"),
-          coalesce(col("__newcen"), col("__cen")).as("__cen"))
+      prev.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+        .toSeq.toDF("cluster_id", "__cen")
     }
-    assign(trained).select(col(idCol), col("cluster_id"), col("cluster_cos"))
+    val result = assign(trained)
+      .select(col(idCol), col("cluster_id"), col("cluster_cos"))
+    codes.unpersist(blocking = false)
+    result
   }
 }

@@ -80,6 +80,20 @@ class R4cOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: NULL/empty-text docs are excluded from the corpus stats") {
+    val docs = Seq((1L, "spark engine"), (2L, null.asInstanceOf[String]),
+      (3L, "   "), (4L, "other text"))
+      .toDF("id", "text")
+    val out = Retrieval.bm25TopK(docs, "id", "text", Seq("spark"), topK = 10)
+    // token-less docs emit no row AND do not count in N/df/avgdl
+    out.count() shouldBe 2L
+    // N=2, df=1 -> idf = (2-1+0.5)/(1+0.5) = 1.0; doc 1 scores, doc 4 zero
+    val scores = out.select($"doc_id", $"score").as[(Long, Double)]
+      .collect().toMap
+    scores(4L) shouldBe 0.0
+    scores(1L) should be > 0.0
+  }
+
   test("bm25TopK: topK truncates with deterministic doc_id tie-break") {
     val docs = (1L to 10L).map(i => (i, "same text every time"))
       .toDF("id", "text")

@@ -83,6 +83,20 @@ class R4dOpsSpec extends SparkSpec {
       .select($"skewness_x").as[Double].head() should be < 0.0
   }
 
+  test("exactMoments: singleton and constant groups degrade to NULL stats") {
+    // ANSI mode would abort on the zero divisors without the nullif guards
+    val df = Seq(("solo", 5.0, 1.0),
+      ("const", 7.0, 2.0), ("const", 7.0, 3.0)).toDF("g", "x", "y")
+    val rows = Quality.exactMoments(df, Seq("g"), "x", "y")
+      .select($"g", $"stddev_x".isNull, $"skewness_x".isNull,
+        $"corr_xy".isNull)
+      .as[(String, Boolean, Boolean, Boolean)].collect()
+      .map { case (g, a, b, c) => g -> ((a, b, c)) }.toMap
+    rows("solo") shouldBe ((true, true, true))   // n = 1
+    rows("const")._2 shouldBe true                // m2 = 0 -> NULL skew
+    rows("const")._3 shouldBe true                // zero x-variance -> NULL corr
+  }
+
   test("exactMoments is partitioning-invariant (exact decimal sums)") {
     val data = (1 to 1000).map(i => ("G", (i * 37 % 991) + 0.25, i * 3 % 17))
     val one = Quality.exactMoments(

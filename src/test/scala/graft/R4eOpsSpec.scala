@@ -37,6 +37,16 @@ class R4eOpsSpec extends SparkSpec {
     ra shouldBe rb
   }
 
+  test("winsorizedStats: singleton group yields NULL trimmed mean, no abort") {
+    val df = Seq(("a", 5.0), ("b", 1.0), ("b", 2.0), ("b", 3.0),
+      ("b", 4.0), ("b", 5.0)).toDF("g", "v")
+    val out = Quality.winsorizedStats(df, Seq("g"), "v", 0.2, 0.8)
+      .select($"g", $"trimmed_mean").as[(String, Option[Double])]
+      .collect().toMap
+    out("a") shouldBe None // klo == khi == 1: empty trim window
+    out("b").isDefined shouldBe true
+  }
+
   // ---- canonicalUrl / urlResolve ------------------------------------------
 
   test("canonicalUrl: scheme/host case, www, default ports, junk stripped") {

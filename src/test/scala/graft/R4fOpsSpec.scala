@@ -49,6 +49,21 @@ class R4fOpsSpec extends SparkSpec {
     one shouldBe many
   }
 
+  test("dailyVolumeAnomaly: single-day and constant-curve types give NULL z") {
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), "oneday", 1),
+      // constant 2-a-day curve: stddev 0 -> NULL z, not an abort
+      (ts("2024-01-01 10:00:00"), "flat", 1),
+      (ts("2024-01-01 11:00:00"), "flat", 2),
+      (ts("2024-01-02 10:00:00"), "flat", 3),
+      (ts("2024-01-02 11:00:00"), "flat", 4))
+    val out = EventOps.dailyVolumeAnomaly(
+      rows.toDF("ts", "etype", "i"), "ts", "etype", 2.0)
+      .select($"event_type", $"z".isNull).as[(String, Boolean)]
+      .collect().toSet
+    out shouldBe Set(("oneday", true), ("flat", true))
+  }
+
   test("daily counts: streaming 1-day tumbling == the anomaly batch grain") {
     // the daily grain feeding dailyVolumeAnomaly equals a streaming
     // 86400 s epoch-aligned tumbling count over the same events

@@ -62,6 +62,18 @@ class R4gOpsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("timeWeightedAvg: all-same-timestamp key yields NULL twa, no abort") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), 5.0),
+      (2L, 10L, ts("2024-01-01 00:00:00"), 9.0)
+    ).toDF("eid", "user", "ts", "v")
+    val r = EventOps.timeWeightedAvg(ev, "user", "ts", "v", "eid")
+      .select($"total_dur_us", $"twa").as[(Long, Option[Double])]
+      .collect().head
+    r._1 shouldBe 0L
+    r._2 shouldBe None
+  }
+
   test("timeWeightedAvg differs from arithmetic mean under burst sampling") {
     // burst of cheap samples then one long expensive interval: the
     // arithmetic mean is dragged down by the burst, the TWA is not
