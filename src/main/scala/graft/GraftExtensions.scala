@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVecCosine, NormalizeUnicode, RegexHashReplace, SimHashPack}
+import graft.expressions.{FloatVecCosine, NormalizeUnicode, QuantizedDot, RegexHashReplace, SimHashPack}
 
 /** Session extensions: registers the library's native expressions as SQL
   * functions so both `spark.sql("vec_cosine(a, b)")` and
@@ -31,6 +31,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_cosine expects (array<float>, array<float>)")
         FloatVecCosine(args.head, args(1))
+      }),
+    (FunctionIdentifier("q8_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "q8_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "q8_dot expects (array<bigint>, array<double>)")
+        QuantizedDot(args.head, args(1))
       }),
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[NormalizeUnicode].getName, "unicode_normalize"),

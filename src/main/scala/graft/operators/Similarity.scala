@@ -240,11 +240,13 @@ object Similarity {
   def quantizedCosineTopK(embeddings: DataFrame, idCol: String,
                           embCol: String, queryPredicate: Column,
                           k: Int): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
     val quantized = embeddings
       .select(col(idCol), quantizeInt8(col(embCol)).as("__q8"))
       .filter(col("__q8").isNotNull)
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    // exact integer dot, codegen'd (graft.expressions.QuantizedDot) — the
+    // n×queries scoring loop must not run interpreted HOF lambdas
+    def idot(a: Column, b: Column): Column = call_function("q8_dot", a, b)
     // norms once per VECTOR (before the pair join), not once per pair
     val q = requireBroadcastable(
       quantized.filter(queryPredicate)
@@ -305,10 +307,11 @@ object Similarity {
 
   /** Strict left-fold double dot product of an int8-code array against a
     * double centroid array — the only float summation in the k-means
-    * loop, and it folds in array order so any engine reproduces it. */
+    * loop, and it folds in array order so any engine reproduces it.
+    * Codegen'd (graft.expressions.QuantizedDot): the HOF formulation it
+    * replaces ran interpreted per element on the n×k assignment path. */
   private def qcDot(q8: Column, cen: Column): Column =
-    aggregate(zip_with(q8, cen, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("q8_dot", q8, cen)
 
   /** sqrt of the exact integer self-dot of an int8 code array. */
   private def qNorm(q8: Column): Column =
@@ -345,6 +348,7 @@ object Similarity {
                             embCol: String, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    graft.GraftExtensions.register(embeddings.sparkSession)
     // every Lloyd iteration (and the seed draw, and the final assign)
     // re-reads the quantized codes: materialize them ONCE — the int8
     // codes are 4× smaller than the float input, so the cache is cheap
