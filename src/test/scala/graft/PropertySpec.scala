@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
-import graft.operators.{Clusters, Corpus, Dedup, Scd2, Windows}
+import graft.operators.{Clusters, Corpus, Dedup, NearDup, Scd2, Windows}
 
 /** Property-based invariants (SURVEY §5.2.4), plain ScalaCheck `Properties`
   * (runs under sbt's native ScalaCheck framework; no scalatestplus bridge in
@@ -111,5 +111,69 @@ object PropertySpec extends Properties("graft") {
           edges.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
       got == expected
+    }
+
+  // random docs over a small vocabulary — dense similarity, the prefix
+  // filter's hardest regime
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 12)
+    docs <- Gen.listOfN(n, Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("prefixFilterJoin equals brute-force all-pairs Jaccard") =
+    Prop.forAll(docsGen, Gen.oneOf(0.3, 0.5, 0.75, 0.9)) { (docs, tau) =>
+      val sets = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSet
+      }.filter(_._2.nonEmpty)
+      val expected = (for {
+        (ai, as) <- sets; (bi, bs) <- sets if ai < bi
+        inter = (as intersect bs).size
+        j = inter.toDouble / (as.size + bs.size - inter)
+        if j >= tau
+      } yield (ai, bi)).toSet
+      val got = NearDup.prefixFilterJoin(docs.toDF("id", "text"),
+          "id", "text", tau)
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      got == expected
+    }
+
+  property("temperatureMix quotas always sum exactly to the budget") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(1, 40)),
+      Gen.choose(0L, 500L)) { (sizes, budget) =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (1 to n).map(i => (s.toLong * 1000 + i, s"src$s"))
+      }.toDF("id", "source")
+      val quotas = Corpus.temperatureMix(docs, "source", alpha = 2,
+          budget = budget)
+        .select(col("quota")).as[Long].collect()
+      quotas.sum == budget && quotas.forall(_ >= 0)
+    }
+
+  property("gapsAndIslands partitions each key's distinct days exactly") =
+    Prop.forAll(Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 3)
+      day <- Gen.choose(0, 25)
+    } yield (k, day))) { rows =>
+      val df = rows.map { case (k, d) =>
+        (k.toLong, java.sql.Date.valueOf(f"2024-01-${d % 28 + 1}%02d"))
+      }.toDF("k", "d")
+      val islands = Windows.gapsAndIslands(df, "k", "d")
+        .select(col("k"), col("streak_start").cast("string"),
+          col("streak_end").cast("string"), col("n_days"))
+        .as[(Long, String, String, Long)].collect()
+      val byKey = rows.map { case (k, d) => (k.toLong, d % 28 + 1) }
+        .distinct.groupBy(_._1)
+      // island day-counts per key sum to the key's distinct days, and
+      // every island's span length equals its day count (consecutive)
+      byKey.forall { case (k, ds) =>
+        val mine = islands.filter(_._1 == k)
+        mine.map(_._4).sum == ds.size &&
+        mine.forall { case (_, s, e, n) =>
+          java.time.temporal.ChronoUnit.DAYS.between(
+            java.time.LocalDate.parse(s), java.time.LocalDate.parse(e)) + 1 == n
+        }
+      }
     }
 }
