@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.QueryDef
-import graft.operators.{EventOps, Quality}
+import graft.operators.{Baskets, EventOps, Quality}
 
-/** Round-4 wave 8: snapshot reconciliation (the post-reload drift report)
-  * and time-weighted averages over irregularly-sampled event values. */
+/** Round-4 wave 8: snapshot reconciliation (the post-reload drift report),
+  * time-weighted averages over irregularly-sampled event values, and
+  * market-basket co-occurrence. */
 object R4gQueries {
 
   /** Snapshot diff between the customer table and a deterministically
@@ -82,5 +83,39 @@ object R4gQueries {
                CAST(nullif(total_dur_us, 0) AS DOUBLE) AS twa
       FROM agg"""))
 
-  val all: Seq[QueryDef] = Seq(q124, q125)
+  private val BasketCap = 20
+  private val BasketK = 25
+
+  /** Brand co-occurrence across orders (lineitem joined to the part dim
+    * for a low-cardinality item space; the group cap bounds the pair
+    * join — see Baskets scaladoc). */
+  private val q126 = QueryDef(
+    "q126_basket_pairs",
+    (s, d) => {
+      val branded = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      Baskets.coOccurrence(branded, "l_orderkey", "p_brand",
+        maxItemsPerGroup = BasketCap, topK = BasketK)
+    },
+    Some(s"""
+      WITH items AS (SELECT DISTINCT l.l_orderkey AS g, p.p_brand AS item
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand IS NOT NULL),
+      sized AS (SELECT g, item FROM (
+              SELECT g, item, count(*) OVER (PARTITION BY g) AS n
+              FROM items) WHERE n <= $BasketCap),
+      pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+              CAST(count(*) AS BIGINT) AS n_groups
+            FROM sized a JOIN sized b
+              ON a.g = b.g AND a.item < b.item
+            GROUP BY 1, 2)
+      SELECT item_a, item_b, n_groups,
+             CAST(row_number() OVER (
+               ORDER BY n_groups DESC, item_a, item_b) AS INT) AS rank
+      FROM pairs
+      QUALIFY rank <= $BasketK"""))
+
+  val all: Seq[QueryDef] = Seq(q124, q125, q126)
 }

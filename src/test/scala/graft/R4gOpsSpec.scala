@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, Quality}
+import graft.operators.{Baskets, EventOps, Quality}
 
 /** Round-4 wave-8 operators: snapshot reconciliation and time-weighted
   * averages. */
@@ -37,6 +37,31 @@ class R4gOpsSpec extends SparkSpec {
       .select($"k", $"change_type").as[(Long, String)].collect().toMap
     // upper-case fold: abc == ABC; NULL canonicalizes to '' == empty
     out shouldBe Map(1L -> "unchanged", 2L -> "unchanged")
+  }
+
+  // ---- coOccurrence -------------------------------------------------------
+
+  test("coOccurrence: pair counts across groups, duplicates collapse") {
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "y"),   // dup item in one group: once
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x")                           // singleton: no pairs
+    ).toDF("g", "item")
+    val out = Baskets.coOccurrence(df, "g", "item",
+        maxItemsPerGroup = 10, topK = 10)
+      .select($"item_a", $"item_b", $"n_groups")
+      .as[(String, String, Long)].collect().toSet
+    out shouldBe Set(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 1L))
+  }
+
+  test("coOccurrence: over-cap groups are dropped entirely") {
+    val big = (1 to 5).map(i => (1L, s"i$i"))
+    val small = Seq((2L, "a"), (2L, "b"))
+    val out = Baskets.coOccurrence((big ++ small).toDF("g", "item"),
+        "g", "item", maxItemsPerGroup = 4, topK = 10)
+      .select($"item_a", $"item_b").as[(String, String)].collect().toSet
+    // group 1 exceeds the cap: none of its 10 pairs appear
+    out shouldBe Set(("a", "b"))
   }
 
   // ---- timeWeightedAvg ----------------------------------------------------
