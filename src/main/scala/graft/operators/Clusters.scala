@@ -49,19 +49,44 @@ object Clusters {
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val snapshot: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        vertices.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+    val sc = vertices.sparkSession.sparkContext
+    // reliable-checkpoint bookkeeping: Spark never deletes reliable
+    // checkpoint files on its own (cleanCheckpoints defaults to false),
+    // so an iterative loop must prune its own rounds or every daily run
+    // leaves behind maxIter corpus-sized snapshots. Each snapshot gets
+    // its own step_N subdir; dirs are deleted as soon as no live frame
+    // reads them, and the session's prior checkpoint dir is restored.
+    val prevCpDir = checkpointDir.flatMap(_ => sc.getCheckpointDir)
+    var step = 0
+    var liveSnaps = List.empty[(DataFrame, String)] // snapshot -> its dir
+    def rmDir(d: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
+    def snapshot(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(root) =>
+        val d = s"$root/step_$step"
+        step += 1
+        sc.setCheckpointDir(d)
+        val out = df.checkpoint() // eager: files complete on return
+        liveSnaps ::= (out, d)
+        out
+      case None => df.localCheckpoint()
+    }
+    def prune(keep: DataFrame*): Unit = if (checkpointDir.isDefined) {
+      val (kept, dead) = liveSnaps.partition { case (f, _) =>
+        keep.exists(_ eq f) }
+      dead.foreach { case (_, d) => rmDir(d) }
+      liveSnaps = kept
     }
     val edges = snapshot(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct())
 
-    var labels = snapshot(vertices.select(col(idCol).as("id"))
+    var lastSnap = snapshot(vertices.select(col(idCol).as("id"))
       .distinct().withColumn("label", col("id")))
+    var labels = lastSnap
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -86,9 +111,16 @@ object Clusters {
             .as("label")))
       val changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.select(col("id"), col("label"))
-      converged = changed == 0L
+      // next is materialized: this round's prop snapshot and the
+      // PREVIOUS round's labels snapshot are no longer read by anything
+      lastSnap = next
+      prune(edges, lastSnap)
       it += 1
+      converged = changed == 0L
     }
+    // the returned frame reads only the final snapshot — keep only it
+    prune(lastSnap)
+    prevCpDir.foreach(sc.setCheckpointDir)
     // unconverged labels are silently WRONG (not the component minimum) —
     // downstream dedup would keep several "canonical" docs per group with
     // no signal. Fail loudly; convergence is already measured, so this

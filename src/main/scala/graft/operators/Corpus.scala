@@ -633,11 +633,17 @@ object Corpus {
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val df = toks.groupBy(col("token"))
       .agg(count_distinct(col(idCol)).as("__df"))
-    val nDocs = toks.agg(count_distinct(col(idCol)).as("__n_docs"))
-    val scored = toks.join(df, "token")
+    val perDoc = toks.join(df, "token")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_tokens"),
         sum(col("__df")).as("sum_df"))
+    // the per-doc aggregate has one row per doc-with-tokens, so the
+    // corpus doc count is a count over IT — the previous formulation
+    // re-tokenized and re-exploded the whole corpus a third time just to
+    // count distinct ids (and its exchange, unlike this one, could not
+    // be reused against the main branch)
+    val nDocs = perDoc.agg(count(lit(1)).as("__n_docs"))
+    val scored = perDoc
       .crossJoin(broadcast(nDocs))
       .withColumn("rel_mean_df",
         col("sum_df").cast("double") / col("n_tokens") / col("__n_docs"))
@@ -669,7 +675,12 @@ object Corpus {
     * so AQE broadcasts it back. */
   def domainGate(docs: DataFrame, idCol: String, urlCol: String,
                  blocklist: DataFrame, blockCol: String): DataFrame = {
-    val withDomain = docs.withColumn("domain", domainOf(col(urlCol)))
+    // NULL/unparseable urls fold to domain '' rather than NULL: they are
+    // not blocklisted (the contract is "drop only blocklisted domains"),
+    // and a NULL domain would silently vanish in the non-null-safe count
+    // join below
+    val withDomain = docs.withColumn("domain",
+      coalesce(domainOf(col(urlCol)), lit("")))
     val blocked = blocklist
       .select(lower(col(blockCol)).as("domain")).distinct()
     val kept = withDomain.join(broadcast(blocked), Seq("domain"), "left_anti")

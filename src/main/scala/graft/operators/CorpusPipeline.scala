@@ -98,17 +98,29 @@ object CorpusPipeline {
       "normalize" -> normalized, "length_gate" -> lengthGated,
       "quality_gate" -> qualityGated, "exact_dedup" -> exactDeduped,
       "near_dedup" -> nearDeduped, "decontaminate" -> clean)
-    // cache the stage outputs that get scanned twice (once as the next
-    // stage's source, once for the report counts if those are read)
-    stages.foreach(_._2.cache())
-    // count each boundary once, deferred until the report is read
+    // cache ONLY the genuinely multi-consumer frames in the corpus path:
+    // exactDeduped feeds both the fingerprint pass and the duplicate
+    // resolution; nearDeduped feeds both the decontamination scan and the
+    // final anti-join. The early stages are single-consumer unless the
+    // report is read — caching all six pinned four corpus-sized copies of
+    // normalized text for the session lifetime even for corpus-only calls
+    val hot = Seq(exactDeduped, nearDeduped)
+    hot.foreach(_.cache())
+    // count each boundary once, deferred until the report is read; the
+    // single-consumer stages are cached only AROUND the count pass (each
+    // is counted twice: as its own n_out and as the next stage's n_in)
+    // and released immediately after
     def report(): DataFrame = {
-      val nIn = docs.count() +: stages.init.map(_._2.count())
-      val nOut = stages.map(_._2.count())
-      spark.createDataFrame(
-        stages.map(_._1).zip(nIn).zip(nOut).zipWithIndex.map {
-          case (((name, in), out), i) => (i + 1, name, in, out, in - out)
-        }).toDF("stage", "stage_name", "n_in", "n_out", "n_dropped")
+      val transient = stages.map(_._2).filterNot(s => hot.exists(_ eq s))
+      transient.foreach(_.cache())
+      try {
+        val nIn = docs.count() +: stages.init.map(_._2.count())
+        val nOut = stages.map(_._2.count())
+        spark.createDataFrame(
+          stages.map(_._1).zip(nIn).zip(nOut).zipWithIndex.map {
+            case (((name, in), out), i) => (i + 1, name, in, out, in - out)
+          }).toDF("stage", "stage_name", "n_in", "n_out", "n_dropped")
+      } finally transient.foreach(_.unpersist(false))
     }
     Result(clean, report _)
   }

@@ -33,8 +33,13 @@ object Dims {
     val cap = src.sparkSession.conf
       .get(MaxSingleTaskKeysKey, DefaultMaxSingleTaskKeys.toString).toLong
     val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
-    if (d.limit(probe).count() > cap) buildDimDistributed(src, naturalKey, keyCol)
-    else d.withColumn(keyCol,
+    // materialize the (bounded) probe once: when the dim fits under the
+    // cap the limited frame IS the complete distinct set, so the
+    // single-window path numbers the pinned rows instead of re-running
+    // the distinct shuffle (the probe previously cost a second distinct)
+    val limited = d.limit(probe).localCheckpoint(true)
+    if (limited.count() > cap) buildDimDistributed(src, naturalKey, keyCol)
+    else limited.withColumn(keyCol,
       row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
   }
 

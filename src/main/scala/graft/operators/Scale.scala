@@ -145,9 +145,15 @@ object Scale {
   def zorderKey(a: Column, b: Column,
                 aMin: Column, aMax: Column,
                 bMin: Column, bMax: Column): Column = {
+    // clamp to the 16-bit range: with SAMPLED bounds (the documented
+    // production mode) out-of-range rows exist by construction, and an
+    // unclamped negative scale would sign-extend 1-bits into every
+    // interleave position while a >16-bit value would corrupt the other
+    // column's bit lanes
     def scale16(x: Column, lo: Column, hi: Column): Column =
-      when(hi > lo, floor((x - lo).cast("double") / (hi - lo) * 65535.0)
-        .cast("long")).otherwise(lit(0L))
+      when(hi > lo, greatest(lit(0L), least(lit(65535L),
+        floor((x - lo).cast("double") / (hi - lo) * 65535.0).cast("long"))))
+        .otherwise(lit(0L))
     val sa = scale16(a, aMin, aMax)
     val sb = scale16(b, bMin, bMax)
     (0 until 16).map { i =>

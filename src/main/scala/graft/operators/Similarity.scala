@@ -35,20 +35,24 @@ object Similarity {
       .get(MaxBroadcastRowsKey, DefaultMaxBroadcastRows.toString).toLong
 
   /** Fail-fast guard on a side that is about to be driver-broadcast.
-    * Counts at most cap+1 rows — `limit` short-circuits the scan, so the
-    * probe stays cheap even when the guarded side turns out to be a large
-    * fraction of a 100 TB corpus (exactly the failure mode this catches).
+    * Materializes at most cap+1 rows ONCE (limit short-circuits the scan;
+    * localCheckpoint pins the bounded result), counts them, and — when
+    * the side fits — returns the MATERIALIZED frame: a limit that did not
+    * truncate is the complete side, so the subsequent broadcast build
+    * reuses the probe's work instead of re-running the predicate scan
+    * (the guard previously cost two full scans of the guarded side).
     * Throws before any broadcast is constructed. */
   private def requireBroadcastable(df: DataFrame, what: String,
                                    hint: String): DataFrame = {
     val cap = broadcastCap(df)
     val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
-    val observed = df.limit(probe).count()
+    val limited = df.limit(probe).localCheckpoint(true)
+    val observed = limited.count() // counts the pinned rows — no rescan
     require(observed <= cap,
       s"$what matched more than $cap rows " +
         s"(conf $MaxBroadcastRowsKey=$cap); broadcasting it would OOM the " +
         s"driver at scale. $hint")
-    df
+    limited
   }
 
   /** Strict left-fold dot product in double precision. */
@@ -338,12 +342,14 @@ object Similarity {
     * its previous centroid. Returns the final assignment
     * (id, cluster_id, cluster_cos) against the trained centroids.
     *
-    * Scale: per round, the corpus is scanned once against a BROADCAST of
-    * k centroids (k is dozens-to-thousands — the IVF regime), and the
-    * update is a two-phase (cluster, dim) aggregate: shuffle volume is
-    * O(k × dim), not O(corpus). Rounds are a fixed small count driven
-    * from the plan (no driver-side data), so the whole training run is
-    * `iters + 1` corpus scans. */
+    * Scale: per round, the CACHED int8 codes are scanned once against a
+    * BROADCAST of k centroids (k is dozens-to-thousands — the IVF
+    * regime), and the update is a two-phase (cluster, dim) aggregate:
+    * shuffle volume is O(k × dim), not O(corpus). Each round runs as an
+    * eager action that collects only the k×dim centroid table (a few KB —
+    * data never reaches the driver), so the training run is exactly
+    * `iters` cached scans plus one raw scan to build the cache and one
+    * for the final assignment after the cache is released. */
   def kmeansAssignQuantized(embeddings: DataFrame, idCol: String,
                             embCol: String, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

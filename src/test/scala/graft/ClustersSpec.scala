@@ -58,10 +58,16 @@ class ClustersSpec extends SparkSpec {
         maxIter = 20, checkpointDir = Some(dir.toString))
       .as[(Long, Long)].collect().toMap
     durable shouldBe local
-    // the rounds actually wrote reliable checkpoint data
+    // the final round's reliable checkpoint remains readable...
     def filesUnder(f: java.io.File): Long =
       if (f.isFile) 1L else Option(f.listFiles()).fold(0L)(_.map(filesUnder).sum)
     filesUnder(dir.toFile) should be > 0L
+    // ...and every INTERMEDIATE round's snapshot was pruned: Spark never
+    // deletes reliable checkpoints itself, so without pruning each run
+    // leaves ~2 corpus-sized snapshots per round behind
+    val stepDirs = Option(dir.toFile.listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("step_"))
+    stepDirs.length shouldBe 1
   }
 
   test("clusterSummary: size and canonical representative per cluster") {

@@ -55,6 +55,21 @@ class R4bOpsSpec extends SparkSpec {
       List("sub.example.com", "example.org", "files.example.net", "")
   }
 
+  test("domainGate: NULL/unparseable urls survive as domain '' (not dropped)") {
+    val docs = Seq((1L, "https://ok.example.com/x"),
+      (2L, null.asInstanceOf[String]), (3L, "not a url at all"))
+      .toDF("id", "url")
+    val block = Seq(Tuple1("blocked.example.com")).toDF("dom")
+    val out = Corpus.domainGate(docs, "id", "url", block, "dom")
+      .select($"id", $"domain", $"n_domain_docs")
+      .as[(Long, String, Long)].collect()
+      .map { case (i, d, n) => i -> ((d, n)) }.toMap
+    out(1L) shouldBe (("ok.example.com", 1L))
+    // NULL url and unparseable url fold to '' and are counted together
+    out(2L) shouldBe (("", 2L))
+    out(3L) shouldBe (("", 2L))
+  }
+
   test("domainGate: blocklist drops whole domains; counts cover survivors") {
     val docs = Seq(
       (1L, "https://keep.example.com/a"), (2L, "https://keep.example.com/b"),

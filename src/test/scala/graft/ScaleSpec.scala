@@ -14,6 +14,24 @@ class ScaleSpec extends SparkSpec {
     (hot ++ tail).toDF("k", "id", "v")
   }
 
+  test("zorderKey: out-of-bounds values clamp to the 16-bit range") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // bounds [0, 100]: in-range, below-range, above-range
+    val df = Seq((0.0, 0.0), (-50.0, 0.0), (250.0, 0.0),
+      (100.0, 100.0), (0.0, 1e9)).toDF("x", "y")
+    val keys = df.select(Scale.zorderKey(col("x"), col("y"),
+        lit(0.0), lit(100.0), lit(0.0), lit(100.0)).as("z"))
+      .as[Long].collect()
+    // every key fits in 32 interleaved bits — no sign-extension garbage
+    keys.foreach { k => k should be >= 0L; k should be < (1L << 32) }
+    // below-range clamps to the lo corner, above-range to the hi corner
+    keys(1) shouldBe keys(0)
+    keys(2) should be > keys(0)
+    keys(4) shouldBe df.select(Scale.zorderKey(col("x"), lit(100.0),
+      lit(0.0), lit(100.0), lit(0.0), lit(100.0)).as("z"))
+      .as[Long].collect()(0)
+  }
+
   test("saltedSum equals the plain grouped sum") {
     val plain = skewed.groupBy("k").agg(sum($"v").as("sv"))
     val salted = Scale.saltedSum(skewed, Seq("k"), $"v",
