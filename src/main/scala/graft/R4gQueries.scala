@@ -117,5 +117,41 @@ object R4gQueries {
       FROM pairs
       QUALIFY rank <= $BasketK"""))
 
-  val all: Seq[QueryDef] = Seq(q124, q125, q126)
+  /** Exact per-source length percentiles (nearest-rank; see
+    * Quality.exactPercentiles for why sketches can't be oracle-checked). */
+  private val q127 = QueryDef(
+    "q127_group_percentiles",
+    (s, d) => Quality.exactPercentiles(Tables.documents(s, d),
+      Seq("source"), "n_chars", Seq(0.5, 0.9, 0.99)),
+    Some("""
+      WITH r AS (SELECT source, n_chars,
+              row_number() OVER (PARTITION BY source ORDER BY n_chars)
+                AS rn,
+              count(*) OVER (PARTITION BY source) AS n
+            FROM documents WHERE n_chars IS NOT NULL)
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             max(CASE WHEN rn <= ceil(CAST(0.5 AS DOUBLE) * n)
+                 THEN n_chars END) AS p50,
+             max(CASE WHEN rn <= ceil(CAST(0.9 AS DOUBLE) * n)
+                 THEN n_chars END) AS p90,
+             max(CASE WHEN rn <= ceil(CAST(0.99 AS DOUBLE) * n)
+                 THEN n_chars END) AS p99
+      FROM r GROUP BY source"""))
+
+  /** Deterministic mode of the order-priority per order status. */
+  private val q128 = QueryDef(
+    "q128_grouped_mode",
+    (s, d) => Quality.groupedMode(Tables.orders(s, d),
+      Seq("o_orderstatus"), "o_orderpriority"),
+    Some("""
+      WITH c AS (SELECT o_orderstatus, o_orderpriority AS mode_value,
+              CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM orders WHERE o_orderpriority IS NOT NULL
+            GROUP BY 1, 2)
+      SELECT o_orderstatus, mode_value, n_occurrences
+      FROM c
+      QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        ORDER BY n_occurrences DESC, mode_value) = 1"""))
+
+  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128)
 }

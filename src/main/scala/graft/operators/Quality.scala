@@ -218,6 +218,47 @@ object Quality {
         col("new_hash")): _*)
   }
 
+  /** Exact rank-based percentiles per group: for each p, the value at
+    * rank ceil(p * n) under the value ordering (the nearest-rank
+    * definition — always an actual data value, deterministic under ties,
+    * and identical across engines, unlike interpolating or sketched
+    * percentiles). One window pass + one conditional aggregation sharing
+    * the same exchange. Emits (group..., n, p<pp> per requested p). */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String],
+                       valCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must be in (0, 1], got $ps")
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .filter(col(valCol).isNotNull)
+      .withColumn("__rn", row_number().over(part.orderBy(col(valCol).asc)))
+      .withColumn("__n", count(lit(1)).over(part))
+    val aggs = count(lit(1)).as("n") +: ps.map { p =>
+      val label = "p" + math.round(p * 100)
+      max(when(col("__rn") <= ceil(lit(p) * col("__n")), col(valCol)))
+        .as(label)
+    }
+    ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Deterministic grouped mode: the most frequent value per group, ties
+    * broken by the smaller value — two map-side-combined aggregations and
+    * a WindowGroupLimit-capped rank, never a per-group sort of raw rows.
+    * Emits (group..., mode_value, n_occurrences). */
+  def groupedMode(df: DataFrame, groupCols: Seq[String],
+                  valCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ col(valCol).as("mode_value")): _*)
+      .agg(count(lit(1)).as("n_occurrences"))
+    counts
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("n_occurrences").desc, col("mode_value").asc)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** Fixed-range equi-width histogram per group: `nBuckets` buckets over
     * [lo, hi); values below clamp to bucket 0, at-or-above to the last
     * bucket. Emits (group..., bucket, bucket_lo, n_rows) for non-empty

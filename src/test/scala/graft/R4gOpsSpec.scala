@@ -39,6 +39,33 @@ class R4gOpsSpec extends SparkSpec {
     out shouldBe Map(1L -> "unchanged", 2L -> "unchanged")
   }
 
+  // ---- exactPercentiles / groupedMode -------------------------------------
+
+  test("exactPercentiles: nearest-rank values per group") {
+    val df = (1 to 100).map(i => ("A", i.toLong)) ++ Seq(("B", 7L))
+    val out = Quality.exactPercentiles(df.toDF("g", "v"), Seq("g"), "v",
+        Seq(0.5, 0.9, 0.99))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    out("A") shouldBe (("A", 100L, 50L, 90L, 99L))
+    // singleton group: every percentile is the single value
+    out("B") shouldBe (("B", 1L, 7L, 7L, 7L))
+  }
+
+  test("groupedMode: most frequent wins, ties break to the smaller value") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"),
+      ("h", "z")).toDF("g", "v")
+    val out = Quality.groupedMode(df, Seq("g"), "v")
+      .as[(String, String, Long)].collect().toSet
+    out shouldBe Set(("g", "a", 2L), ("h", "z", 1L))
+  }
+
+  test("groupedMode: rank cap stays below the exchange") {
+    val df = Seq(("g", "a"), ("g", "b")).toDF("g", "v")
+    Quality.groupedMode(df, Seq("g"), "v")
+      .queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+
   // ---- coOccurrence -------------------------------------------------------
 
   test("coOccurrence: pair counts across groups, duplicates collapse") {
