@@ -28,8 +28,10 @@ object R4dQueries {
       -- CAST the p literals to DOUBLE: a decimal 0.05*n rounds ceil()
       -- differently from the engine's double multiply at exact boundaries
       k AS (SELECT *,
-              CAST(ceil(CAST($PLow AS DOUBLE) * n) AS BIGINT) AS klo,
-              CAST(ceil(CAST($PHigh AS DOUBLE) * n) AS BIGINT) AS khi
+              CAST(ceil(CAST($PLow AS DOUBLE) * n
+                - CAST(1e-9 AS DOUBLE)) AS BIGINT) AS klo,
+              CAST(ceil(CAST($PHigh AS DOUBLE) * n
+                - CAST(1e-9 AS DOUBLE)) AS BIGINT) AS khi
             FROM r),
       c AS (SELECT *,
               max(CASE WHEN rn <= klo THEN v END)

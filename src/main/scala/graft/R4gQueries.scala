@@ -130,12 +130,12 @@ object R4gQueries {
               count(*) OVER (PARTITION BY source) AS n
             FROM documents WHERE n_chars IS NOT NULL)
       SELECT source, CAST(count(*) AS BIGINT) AS n,
-             max(CASE WHEN rn <= ceil(CAST(0.5 AS DOUBLE) * n)
-                 THEN n_chars END) AS p50,
-             max(CASE WHEN rn <= ceil(CAST(0.9 AS DOUBLE) * n)
-                 THEN n_chars END) AS p90,
-             max(CASE WHEN rn <= ceil(CAST(0.99 AS DOUBLE) * n)
-                 THEN n_chars END) AS p99
+             max(CASE WHEN rn <= ceil(CAST(0.5 AS DOUBLE) * n
+                 - CAST(1e-9 AS DOUBLE)) THEN n_chars END) AS p50,
+             max(CASE WHEN rn <= ceil(CAST(0.9 AS DOUBLE) * n
+                 - CAST(1e-9 AS DOUBLE)) THEN n_chars END) AS p90,
+             max(CASE WHEN rn <= ceil(CAST(0.99 AS DOUBLE) * n
+                 - CAST(1e-9 AS DOUBLE)) THEN n_chars END) AS p99
       FROM r GROUP BY source"""))
 
   /** Deterministic mode of the order-priority per order status. */

@@ -46,11 +46,21 @@ case class QuantizedDot(left: Expression, right: Expression)
     if (centroidMode) DoubleType else LongType
   override def prettyName: String = "q8_dot"
 
+  // a NULL ELEMENT poisons the whole product, matching the HOF fold
+  // (x*y = NULL propagates through the aggregate) — reading a null slot
+  // as 0 would return a wrong non-NULL dot for containsNull inputs
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      i += 1
+    }
+    i = 0
     if (centroidMode) {
       var acc = 0.0
       while (i < n) {
@@ -73,25 +83,22 @@ case class QuantizedDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
-      val body =
+      val (decl, add) =
         if (centroidMode)
-          s"""
-            |double $acc = 0.0;
-            |for (int $i = 0; $i < $n; $i++) {
-            |  $acc += ((double) $a.getLong($i)) * $b.getDouble($i);
-            |}
-          """.stripMargin
+          (s"double $acc = 0.0;",
+            s"$acc += ((double) $a.getLong($i)) * $b.getDouble($i);")
         else
-          s"""
-            |long $acc = 0L;
-            |for (int $i = 0; $i < $n; $i++) {
-            |  $acc += $a.getLong($i) * $b.getLong($i);
-            |}
-          """.stripMargin
+          (s"long $acc = 0L;", s"$acc += $a.getLong($i) * $b.getLong($i);")
       s"""
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |$body
-        |${ev.value} = $acc;
+        |$decl
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |  $add
+        |}
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $acc;
+        |}
       """.stripMargin
     })
 

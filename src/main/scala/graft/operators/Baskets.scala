@@ -38,10 +38,17 @@ object Baskets {
         col("a.g") === col("b.g") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("n_groups"))
+    // top-k as orderBy + limit (TakeOrderedAndProject: per-partition
+    // partial top-k, k-row driver merge), NOT a global row_number window
+    // — with a high-cardinality item column the pair aggregate is
+    // items²-sized and a single-task window sort over it is the exact
+    // hazard the group cap exists to avoid; the rank window then runs
+    // over only the k surviving rows
     pairs
+      .orderBy(col("n_groups").desc, col("item_a"), col("item_b"))
+      .limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_groups").desc, col("item_a"), col("item_b")))
         .cast("int"))
-      .filter(col("rank") <= topK)
   }
 }

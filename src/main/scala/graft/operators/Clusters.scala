@@ -49,15 +49,19 @@ object Clusters {
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val sc = vertices.sparkSession.sparkContext
-    // reliable-checkpoint bookkeeping: Spark never deletes reliable
-    // checkpoint files on its own (cleanCheckpoints defaults to false),
-    // so an iterative loop must prune its own rounds or every daily run
-    // leaves behind maxIter corpus-sized snapshots. Each snapshot gets
-    // its own step_N subdir; dirs are deleted as soon as no live frame
-    // reads them, and the session's prior checkpoint dir is restored.
-    val prevCpDir = checkpointDir.flatMap(_ => sc.getCheckpointDir)
+    val spark = vertices.sparkSession
+    val sc = spark.sparkContext
+    // reliable-snapshot bookkeeping: durable rounds are parquet
+    // round-trips into per-step subdirs — same durability as
+    // df.checkpoint() (reliable storage, lineage truncated) WITHOUT
+    // mutating the SparkContext-global checkpoint dir (concurrent
+    // callers would otherwise write into each other's directories) and
+    // with deletable per-step locations: Spark never deletes reliable
+    // checkpoints on its own, so an iterative loop must prune its own
+    // rounds or every daily run leaves maxIter corpus-sized snapshots.
     var step = 0
+    // per-invocation unique run id: concurrent calls may share a root
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     var liveSnaps = List.empty[(DataFrame, String)] // snapshot -> its dir
     def rmDir(d: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(d)
@@ -65,10 +69,10 @@ object Clusters {
     }
     def snapshot(df: DataFrame): DataFrame = checkpointDir match {
       case Some(root) =>
-        val d = s"$root/step_$step"
+        val d = s"$root/run_$runId/step_$step"
         step += 1
-        sc.setCheckpointDir(d)
-        val out = df.checkpoint() // eager: files complete on return
+        df.write.mode("overwrite").parquet(d)
+        val out = spark.read.parquet(d)
         liveSnaps ::= (out, d)
         out
       case None => df.localCheckpoint()
@@ -120,7 +124,6 @@ object Clusters {
     }
     // the returned frame reads only the final snapshot — keep only it
     prune(lastSnap)
-    prevCpDir.foreach(sc.setCheckpointDir)
     // unconverged labels are silently WRONG (not the component minimum) —
     // downstream dedup would keep several "canonical" docs per group with
     // no signal. Fail loudly; convergence is already measured, so this

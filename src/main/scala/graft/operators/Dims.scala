@@ -35,11 +35,16 @@ object Dims {
     val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
     // materialize the (bounded) probe once: when the dim fits under the
     // cap the limited frame IS the complete distinct set, so the
-    // single-window path numbers the pinned rows instead of re-running
-    // the distinct shuffle (the probe previously cost a second distinct)
-    val limited = d.limit(probe).localCheckpoint(true)
-    if (limited.count() > cap) buildDimDistributed(src, naturalKey, keyCol)
-    else limited.withColumn(keyCol,
+    // single-window path numbers the cached rows instead of re-running
+    // the distinct shuffle (the probe previously cost a second distinct).
+    // cache (not localCheckpoint): the over-cap path must RELEASE the
+    // probe rows, and an evicted re-compute is safe — under the cap the
+    // limit returns the complete (deterministic) set
+    val limited = d.limit(probe).cache()
+    if (limited.count() > cap) {
+      limited.unpersist(false)
+      buildDimDistributed(src, naturalKey, keyCol)
+    } else limited.withColumn(keyCol,
       row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
   }
 

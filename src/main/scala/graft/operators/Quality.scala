@@ -159,8 +159,10 @@ object Quality {
     val ranked = df
       .withColumn("__rn", row_number().over(ordered))
       .withColumn("__n", count(lit(1)).over(part))
-      .withColumn("__klo", ceil(lit(pLow) * col("__n")))
-      .withColumn("__khi", ceil(lit(pHigh) * col("__n")))
+      // 1e-9 shim: see exactPercentiles — keeps ceil() on the exact rank
+      // when the IEEE product lands just above an integer
+      .withColumn("__klo", ceil(lit(pLow) * col("__n") - lit(1e-9)))
+      .withColumn("__khi", ceil(lit(pHigh) * col("__n") - lit(1e-9)))
     val cut = ranked
       .withColumn("__lo", max(when(col("__rn") <= col("__klo"), v)).over(part))
       .withColumn("__hi", max(when(col("__rn") <= col("__khi"), v)).over(part))
@@ -235,7 +237,11 @@ object Quality {
       .withColumn("__n", count(lit(1)).over(part))
     val aggs = count(lit(1)).as("n") +: ps.map { p =>
       val label = "p" + math.round(p * 100)
-      max(when(col("__rn") <= ceil(lit(p) * col("__n")), col(valCol)))
+      // the 1e-9 shim keeps ceil() on the documented nearest-rank: the
+      // IEEE product p*n can land a hair ABOVE an exact integer
+      // (0.07*100 = 7.000000000000001) and ceil would skip to rank+1
+      max(when(col("__rn") <=
+          ceil(lit(p) * col("__n") - lit(1e-9)), col(valCol)))
         .as(label)
     }
     ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)

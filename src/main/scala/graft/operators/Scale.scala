@@ -149,10 +149,14 @@ object Scale {
     // production mode) out-of-range rows exist by construction, and an
     // unclamped negative scale would sign-extend 1-bits into every
     // interleave position while a >16-bit value would corrupt the other
-    // column's bit lanes
+    // column's bit lanes. NULL coordinates propagate to a NULL key (the
+    // bare greatest/least SKIP nulls and would silently conflate NULL
+    // with the max corner): NULL-key rows then cluster together under
+    // nulls-first range partitioning instead of scattering.
     def scale16(x: Column, lo: Column, hi: Column): Column =
-      when(hi > lo, greatest(lit(0L), least(lit(65535L),
-        floor((x - lo).cast("double") / (hi - lo) * 65535.0).cast("long"))))
+      when(x.isNull, lit(null).cast("long"))
+        .when(hi > lo, greatest(lit(0L), least(lit(65535L),
+          floor((x - lo).cast("double") / (hi - lo) * 65535.0).cast("long"))))
         .otherwise(lit(0L))
     val sa = scale16(a, aMin, aMax)
     val sb = scale16(b, bMin, bMax)

@@ -46,12 +46,18 @@ object Similarity {
                                    hint: String): DataFrame = {
     val cap = broadcastCap(df)
     val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
-    val limited = df.limit(probe).localCheckpoint(true)
-    val observed = limited.count() // counts the pinned rows — no rescan
-    require(observed <= cap,
-      s"$what matched more than $cap rows " +
-        s"(conf $MaxBroadcastRowsKey=$cap); broadcasting it would OOM the " +
-        s"driver at scale. $hint")
+    // cache (not localCheckpoint): the failure path must RELEASE the
+    // probe rows before throwing, and an evicted re-compute is safe —
+    // under the cap the limit returns the complete (deterministic) set
+    val limited = df.limit(probe).cache()
+    val observed = limited.count() // counts the cached rows — no rescan
+    if (observed > cap) {
+      limited.unpersist(false)
+      throw new IllegalArgumentException(
+        s"$what matched more than $cap rows " +
+          s"(conf $MaxBroadcastRowsKey=$cap); broadcasting it would OOM " +
+          s"the driver at scale. $hint")
+    }
     limited
   }
 

@@ -21,11 +21,15 @@ import graft.operators.Scd2
   * run the nightly batch on time every night (Scd2StreamSpec pins
   * stream == batch).
   *
-  * Durability: the merged dim is frozen with `localCheckpoint` BEFORE the
-  * overwrite (the merge plan reads the very files being replaced), then
-  * written with a plain idempotent overwrite. A crash between freeze and
-  * write re-processes the batch on restart — merges are idempotent per
-  * (snapshot, runDate), so the dim converges.
+  * Durability: ALL of a batch's per-day merges happen on in-memory frames
+  * and the dim directory is overwritten exactly ONCE per batch, after the
+  * final day's merge is frozen with `localCheckpoint` (the merge plan
+  * reads the very files being replaced). That makes a replayed batch
+  * idempotent: a crash before the single write leaves the pre-batch dim
+  * intact, so the restart re-runs every day of the batch from the same
+  * starting state. (Writing after EACH day would break this — a replay
+  * of day 1 against a dim already containing day 2 would register the
+  * d2→d1 hash drift as a new backward version.)
   */
 object Scd2Stream {
 
@@ -43,18 +47,24 @@ object Scd2Stream {
           .select(col(runDateCol).cast("string").as("d"))
           .distinct().orderBy(col("d"))
           .collect().map(_.getString(0))
-        dates.foreach { d =>
-          val snap = batch
-            .filter(col(runDateCol).cast("string") === d)
-            .drop(runDateCol)
-          val merged = existingDim(spark, dimDir) match {
-            case Some(dim) => Scd2.merge(dim, snap, naturalKey, tracked, d)
-            case None => Scd2.initialLoad(snap, tracked)
-          }
-          // freeze before overwriting the files the plan reads
-          merged.localCheckpoint()
-            .write.mode("overwrite").parquet(dimDir)
+        // fold every day's merge in memory; ONE write per batch (see
+        // Durability in the object scaladoc — per-day writes would make
+        // a replayed catch-up batch corrupt history)
+        val finalDim = dates.foldLeft(existingDim(spark, dimDir)) {
+          (dim, d) =>
+            val snap = batch
+              .filter(col(runDateCol).cast("string") === d)
+              .drop(runDateCol)
+            val merged = dim match {
+              case Some(cur) => Scd2.merge(cur, snap, naturalKey, tracked, d)
+              case None => Scd2.initialLoad(snap, tracked)
+            }
+            // truncate lineage per day so a long catch-up doesn't stack
+            // merge plans; the last day's checkpoint also frees the
+            // write from reading the files it replaces
+            Some(merged.localCheckpoint())
         }
+        finalDim.foreach(_.write.mode("overwrite").parquet(dimDir))
       }
     }
     q.awaitTermination()

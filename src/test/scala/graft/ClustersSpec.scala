@@ -65,7 +65,10 @@ class ClustersSpec extends SparkSpec {
     // ...and every INTERMEDIATE round's snapshot was pruned: Spark never
     // deletes reliable checkpoints itself, so without pruning each run
     // leaves ~2 corpus-sized snapshots per round behind
-    val stepDirs = Option(dir.toFile.listFiles()).get
+    val runDirs = Option(dir.toFile.listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("run_"))
+    runDirs.length shouldBe 1
+    val stepDirs = Option(runDirs.head.listFiles()).get
       .filter(f => f.isDirectory && f.getName.startsWith("step_"))
     stepDirs.length shouldBe 1
   }

@@ -46,6 +46,19 @@ class QuantizedDotSpec extends SparkSpec {
     rows(1)._1 shouldBe 2000000000000L
   }
 
+  test("a NULL ELEMENT poisons the dot to NULL (HOF parity), both modes") {
+    val centroid = Seq((Seq(Some(1L), None), Seq(2.0, 5.0)))
+      .toDF("a", "b")
+      .select(call_function("q8_dot", $"a", $"b"))
+      .as[Option[Double]].collect().head
+    centroid shouldBe None
+    val integer = Seq((Seq(Some(1L), None), Seq(Some(2L), Some(5L))))
+      .toDF("a", "b")
+      .select(call_function("q8_dot", $"a", $"b"))
+      .as[Option[Long]].collect().head
+    integer shouldBe None
+  }
+
   test("null propagation: NULL array on either side yields NULL") {
     val df = Seq((Some(Seq(1L)), None: Option[Seq[Double]]),
       (None: Option[Seq[Long]], Some(Seq(1.0))))
