@@ -153,5 +153,42 @@ object R4gQueries {
       QUALIFY row_number() OVER (PARTITION BY o_orderstatus
         ORDER BY n_occurrences DESC, mode_value) = 1"""))
 
-  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128)
+  /** Pairwise distinct-user overlap between event types. */
+  private val q129 = QueryDef(
+    "q129_audience_overlap",
+    (s, d) => EventOps.audienceOverlap(Tables.events(s, d),
+      "event_type", "user_id"),
+    Some("""
+      WITH a AS (SELECT DISTINCT event_type AS t, user_id AS u
+                 FROM events
+                 WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY t),
+      b AS (SELECT x.t AS type_a, y.t AS type_b,
+              CAST(count(*) AS BIGINT) AS n_both
+            FROM a x JOIN a y ON x.u = y.u AND x.t < y.t
+            GROUP BY 1, 2)
+      SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+             CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) AS jaccard
+      FROM b
+      JOIN sz sa ON sa.t = b.type_a
+      JOIN sz sb ON sb.t = b.type_b"""))
+
+  /** First-order clickstream transition matrix (Markov counts). */
+  private val q130 = QueryDef(
+    "q130_transition_matrix",
+    (s, d) => EventOps.transitionMatrix(Tables.events(s, d),
+      "user_id", "ts", "event_type", "event_id"),
+    Some("""
+      WITH seq AS (SELECT event_type,
+              lead(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS next_type
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q124, q125, q126, q127, q128, q129, q130)
 }

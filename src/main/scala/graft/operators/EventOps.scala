@@ -159,6 +159,56 @@ object EventOps {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Pairwise audience overlap between event types: for every pair of
+    * types, how many DISTINCT users did both, each side's audience size,
+    * and the Jaccard overlap — the behavioral form of the cross-source
+    * contamination audit.
+    *
+    * Scale: the stream collapses to distinct (type, user) rows FIRST, so
+    * the self-join key is the user and each user's row count is bounded
+    * by the number of types (a handful) — the pair explosion is
+    * users × types², never events². */
+  def audienceOverlap(events: DataFrame, typeCol: String,
+                      userCol: String): DataFrame = {
+    val audience = events
+      .select(col(typeCol).as("t"), col(userCol).as("u"))
+      .filter(col("t").isNotNull && col("u").isNotNull)
+      .distinct()
+    val sizes = audience.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"))
+    val both = audience.as("a")
+      .join(audience.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes).withColumnRenamed("t", "type_a")
+        .withColumnRenamed("n", "n_a"), "type_a")
+      .join(broadcast(sizes).withColumnRenamed("t", "type_b")
+        .withColumnRenamed("n", "n_b"), "type_b")
+      .withColumn("jaccard", col("n_both").cast("double") /
+        (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
+  /** First-order transition matrix over each user's event sequence:
+    * counts of (event type → next event type) steps, the Markov view of
+    * a clickstream. One lead window + one map-combined count — both on
+    * the user key, one exchange. The ordering must be totalized by
+    * `tiebreakCol` so same-timestamp events transition deterministically. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Time-weighted average of a sampled value per key: each observation
     * holds until the NEXT observation, so its weight is that interval's
     * length (the right mean for irregularly-sampled gauges — prices,

@@ -92,6 +92,41 @@ class R4fOpsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  // ---- audienceOverlap / transitionMatrix ----------------------------------
+
+  test("audienceOverlap: distinct-user jaccard per type pair") {
+    val ev = Seq(
+      (1L, "view"), (1L, "click"), (1L, "view"), // dup row collapses
+      (2L, "view"), (3L, "click"))
+      .toDF("user_id", "etype")
+    val out = EventOps.audienceOverlap(ev, "etype", "user_id")
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    out shouldBe List(("click", "view", 1L, 2L, 2L, 1.0 / 3))
+  }
+
+  test("transitionMatrix: per-user sequences, last event has no row") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 10L, ts("2024-01-01 10:01:00"), "click"),
+      (3L, 10L, ts("2024-01-01 10:02:00"), "view"),
+      (4L, 20L, ts("2024-01-01 10:00:00"), "view")) // singleton user
+      .toDF("event_id", "user_id", "ts", "etype")
+    val out = EventOps.transitionMatrix(ev, "user_id", "ts", "etype",
+        "event_id")
+      .as[(String, String, Long)].collect().toSet
+    out shouldBe Set(("view", "click", 1L), ("click", "view", 1L))
+  }
+
+  test("transitionMatrix: same-timestamp events order by the tiebreak") {
+    val ev = Seq(
+      (2L, 10L, ts("2024-01-01 10:00:00"), "b"),
+      (1L, 10L, ts("2024-01-01 10:00:00"), "a"))
+      .toDF("event_id", "user_id", "ts", "etype")
+    EventOps.transitionMatrix(ev, "user_id", "ts", "etype", "event_id")
+      .as[(String, String, Long)].collect().toList shouldBe
+      List(("a", "b", 1L))
+  }
+
   // ---- topTermsPerGroup ---------------------------------------------------
 
   test("topTermsPerGroup: per-group counts, rank caps at k, tie by token") {
