@@ -189,6 +189,31 @@ object R4gQueries {
       FROM seq WHERE next_type IS NOT NULL
       GROUP BY 1, 2"""))
 
+  /** Unpivot (melt): the inverse of the serving-layer pivot (A7/q26) —
+    * wide measure columns back to tall (measure, value) rows, the shape
+    * every generic metrics store ingests. Uses Spark's native unpivot
+    * (codegen'd Expand, one pass, no joins). */
+  private val q131 = QueryDef(
+    "q131_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount")),
+        variableColumnName = "measure",
+        valueColumnName = "value"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             'l_discount', l_discount FROM lineitem"""))
+
   val all: Seq[QueryDef] =
-    Seq(q124, q125, q126, q127, q128, q129, q130)
+    Seq(q124, q125, q126, q127, q128, q129, q130, q131)
 }

@@ -39,6 +39,21 @@ class R4gOpsSpec extends SparkSpec {
     out shouldBe Map(1L -> "unchanged", 2L -> "unchanged")
   }
 
+  // ---- unpivot round-trip -------------------------------------------------
+
+  test("unpivot is pivot's inverse: wide -> tall -> wide round-trips") {
+    val wide = Seq((1L, 10.0, 0.5), (2L, 20.0, 0.7))
+      .toDF("k", "qty", "disc")
+    val tall = wide.unpivot(Array($"k"), Array($"qty", $"disc"),
+      "measure", "value")
+    tall.count() shouldBe 4L
+    val back = tall.groupBy($"k").pivot("measure", Seq("qty", "disc"))
+      .agg(first($"value"))
+      .select($"k", $"qty", $"disc")
+      .as[(Long, Double, Double)].collect().toSet
+    back shouldBe wide.as[(Long, Double, Double)].collect().toSet
+  }
+
   // ---- exactPercentiles / groupedMode -------------------------------------
 
   test("exactPercentiles: nearest-rank values per group") {
