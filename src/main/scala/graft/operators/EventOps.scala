@@ -285,4 +285,76 @@ object EventOps {
       .select(col("event_type"), col("day"), col("n_events"),
         col("mean_daily"), col("stddev_daily"), col("z"), col("is_anomaly"))
   }
+
+  /** Trailing `windowDays`-day distinct-entity counts per key (e.g. 7-day
+    * rolling active customers per segment): for each (key, day) the number
+    * of distinct entities active on at least one day in
+    * [day - windowDays + 1, day]. Days with no activity in the window
+    * emit nothing.
+    *
+    * A COUNT(DISTINCT) over a range window is unsupported (and would hold
+    * per-day sets); a self-range-join scans each day's trailing history.
+    * Instead each (key, entity, active day) COVERS the next windowDays
+    * days: explode that bounded fan-out, dedupe, count. Shuffle volume is
+    * windowDays × |distinct (key, entity, day)| — linear in activity with
+    * a fixed small constant, no joins, all aggregations map-side
+    * combined. */
+  def rollingDistinct(df: DataFrame, keyCols: Seq[String], entityCol: String,
+                      dateCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val active = df
+      .filter(col(entityCol).isNotNull && col(dateCol).isNotNull)
+      .select(keyCols.map(col) :+ col(entityCol).as("__e") :+
+        to_date(col(dateCol)).as("__d"): _*)
+      .distinct()
+    active
+      .select(keyCols.map(col) :+ col("__e") :+
+        explode(sequence(col("__d"),
+          date_add(col("__d"), windowDays - 1))).as("day"): _*)
+      .distinct()
+      .groupBy(keyCols.map(col) :+ col("day"): _*)
+      .agg(count(lit(1)).as("distinct_entities"))
+  }
+
+  /** Daily peak concurrency of [start, end) spans via a DISTRIBUTED
+    * sweep line. Each span contributes +1 at `startCol` and -1 at
+    * `endCol`; concurrency at a boundary is the running sum under the
+    * total order (t, delta, tiebreak) — delta ascending, so a span ending
+    * exactly when another starts never counts as overlap. Emits
+    * (day, peak_concurrency, n_boundaries) per day with ≥1 boundary.
+    *
+    * The textbook single ORDER BY over all boundaries is one task. This
+    * runs the sweep in two levels: per-day local running sums (window
+    * PARTITIONED by day — parallel), plus a day-level offset = the sum of
+    * all prior days' deltas (window over one row per day — thousands of
+    * rows at century scale, broadcast back). local + offset telescopes to
+    * exactly the global running sum. Spans crossing midnight are handled
+    * by construction: their +1/-1 land in different days and flow into
+    * every later day's offset. */
+  def peakConcurrencyDaily(spans: DataFrame, startCol: String,
+                           endCol: String, tieCol: String): DataFrame = {
+    val deltas = spans
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(col(startCol).as("__t"), lit(1).as("__delta"),
+        col(tieCol).as("__tb"))
+      .unionByName(spans
+        .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+        .select(col(endCol).as("__t"), lit(-1).as("__delta"),
+          col(tieCol).as("__tb")))
+      .withColumn("__day", to_date(col("__t")))
+    val wLocal = Window.partitionBy(col("__day"))
+      .orderBy(col("__t").asc, col("__delta").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("__local", sum(col("__delta")).over(wLocal))
+    val offsets = deltas.groupBy(col("__day"))
+      .agg(sum(col("__delta")).as("__tot"))
+      .withColumn("__offset",
+        coalesce(sum(col("__tot")).over(Window.orderBy(col("__day").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__day"), col("__offset"))
+    local.join(broadcast(offsets), Seq("__day"))
+      .groupBy(col("__day").as("day"))
+      .agg(max(col("__local") + col("__offset")).as("peak_concurrency"),
+        count(lit(1)).as("n_boundaries"))
+  }
 }
