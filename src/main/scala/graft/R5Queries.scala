@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.QueryDef
-import graft.operators.{Cdc, EventOps, Sketches}
+import graft.operators.{Cdc, Corpus, EventOps, NearDup, Quality, Scale, Sketches}
 
 /** Round-5 wave 1: mergeable distinct sketches, trailing-window distinct
   * counts, a distributed sweep-line, and change-log compaction — the
@@ -143,5 +143,115 @@ object R5Queries {
              CAST(n_changes AS BIGINT) AS n_changes
       FROM r WHERE rn = 1 AND op <> 'D'"""))
 
-  val all: Seq[QueryDef] = Seq(q132, q133, q134, q135)
+  /** Asymmetric (containment) near-dup pairs: |A∩B| / min(|A|,|B|) —
+    * catches a short doc embedded in a long one, which Jaccard dilutes
+    * below any usable threshold. Uncapped (maxDf=0) because this oracle
+    * states the uncapped semantics, like q34. */
+  private val q136 = QueryDef(
+    "q136_containment_neardup",
+    (s, d) => NearDup.ngramContainmentPairs(Tables.documents(s, d),
+      "doc_id", "text", n = 3, threshold = 0.4, maxDf = 0),
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
+            FROM documents),
+      ws AS (SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)})
+                AS sh
+             FROM t WHERE len(w) >= 3),
+      sh AS (SELECT doc_id, unnest(sh) AS s FROM ws),
+      sz AS (SELECT doc_id, len(sh) AS n_sh FROM ws),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  COUNT(*) AS intersection
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT a_id, b_id, intersection,
+             CAST(intersection AS DOUBLE) /
+               CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+      FROM pairs
+      JOIN sz sa ON a_id = sa.doc_id
+      JOIN sz sb ON b_id = sb.doc_id
+      WHERE CAST(intersection AS DOUBLE) /
+              CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.4"""))
+
+  /** Rows-per-key log2 histogram of the lineitem part key — the skew
+    * diagnostic run before choosing a join strategy. */
+  private val q137 = QueryDef(
+    "q137_skew_profile",
+    (s, d) => Scale.keySkewProfile(Tables.lineitem(s, d), Seq("l_partkey")),
+    Some("""
+      WITH c AS (SELECT l_partkey, count(*) AS cnt
+            FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+      SELECT CAST(length(bin(cnt)) - 1 AS INT) AS log2_bucket,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(min(cnt) AS BIGINT) AS min_rows_per_key,
+             CAST(max(cnt) AS BIGINT) AS max_rows_per_key
+      FROM c GROUP BY 1"""))
+
+  /** Per-document type-token and hapax ratios (global vocabulary
+    * concentration — the complement of q63's local repetition loops). */
+  private val q138 = QueryDef(
+    "q138_lexical_diversity",
+    (s, d) => Corpus.lexicalDiversity(Tables.documents(s, d),
+      "doc_id", "text"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, unnest(${ExtQueries.oToks("text")}) AS token
+            FROM documents),
+      c AS (SELECT doc_id, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+      a AS (SELECT doc_id,
+              CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_types,
+              CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax
+            FROM c GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_types, n_hapax,
+             CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+             CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio
+      FROM a"""))
+
+  /** Robust account-balance outliers per market segment: nearest-rank
+    * median ± 3 MAD fences (immune to the outliers themselves, unlike
+    * the z-score fence of q120). The synthetic balances are uniform —
+    * a distribution whose max deviation is ~2 MAD, so nothing would ever
+    * flag; every 211th customer's balance is scaled ×25 to give the
+    * fence something real to catch (and to demonstrate the fence is NOT
+    * dragged by the planted tail, the way a stddev fence would be). */
+  private val q139 = QueryDef(
+    "q139_mad_outliers",
+    (s, d) => Quality.madOutliers(
+      Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        when(pmod(col("c_custkey"), lit(211)) === 0,
+          col("c_acctbal") * lit(25.0))
+          .otherwise(col("c_acctbal")).as("value")),
+      Seq("segment"), "value", nMads = 3.0),
+    Some("""
+      WITH b AS (SELECT c_custkey, c_mktsegment AS segment,
+              CASE WHEN c_custkey % 211 = 0 THEN c_acctbal * 25.0
+                   ELSE c_acctbal END AS v
+            FROM customer WHERE c_acctbal IS NOT NULL),
+      r AS (SELECT *, row_number() OVER (PARTITION BY segment ORDER BY v)
+                AS rn,
+              count(*) OVER (PARTITION BY segment) AS n
+            FROM b),
+      med AS (SELECT segment,
+              max(CASE WHEN rn <= ceil(CAST(0.5 AS DOUBLE) * n
+                  - CAST(1e-9 AS DOUBLE)) THEN v END) AS group_median
+            FROM r GROUP BY segment),
+      d AS (SELECT b.c_custkey, b.segment, b.v, med.group_median,
+              abs(b.v - med.group_median) AS deviation
+            FROM b JOIN med USING (segment)),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY segment
+                ORDER BY deviation) AS rn,
+              count(*) OVER (PARTITION BY segment) AS n
+            FROM d),
+      mad AS (SELECT segment,
+              max(CASE WHEN rn <= ceil(CAST(0.5 AS DOUBLE) * n
+                  - CAST(1e-9 AS DOUBLE)) THEN deviation END) AS group_mad
+            FROM r2 GROUP BY segment)
+      SELECT d.c_custkey, d.segment, d.v AS value, d.group_median,
+             d.deviation, mad.group_mad
+      FROM d JOIN mad USING (segment)
+      WHERE d.deviation > 3.0 * mad.group_mad"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q132, q133, q134, q135, q136, q137, q138, q139)
 }

@@ -891,4 +891,34 @@ object Corpus {
           .orderBy(col("n_occurrences").desc, col("token"))).cast("int"))
       .filter(col("rank") <= k)
   }
+
+  /** Per-document lexical-diversity signals: type-token ratio (distinct
+    * tokens / tokens) and hapax ratio (once-only tokens / distinct
+    * tokens). Low TTR catches keyword-stuffed and template pages that
+    * pass length/stopword gates; a near-zero hapax ratio marks the
+    * pathological "same 50 words shuffled" spam family. Complements the
+    * window-based repetition signals (q63): those find LOCAL loops, this
+    * measures GLOBAL vocabulary concentration.
+    *
+    * Documents with no tokens emit nothing (no diversity to measure).
+    * Scale: explode to (doc, token), count map-side, then per-doc
+    * aggregation — two combiner-friendly aggs keyed on the doc id, no
+    * windows, no joins. */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val counts = spread(docs)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    counts
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("__cnt") === 1, 1)).as("n_hapax"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("hapax_ratio",
+        col("n_hapax").cast("double") / col("n_types").cast("double"))
+  }
 }

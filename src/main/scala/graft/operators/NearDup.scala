@@ -51,7 +51,35 @@ object NearDup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Int = 10000,
-                        candidates: Option[DataFrame] = None): DataFrame = {
+                        candidates: Option[DataFrame] = None): DataFrame =
+    ngramPairStats(docs, idCol, textCol, n, maxDf, candidates)
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("n_a") + col("n_b") - col("intersection")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("intersection"), col("jaccard"))
+
+  /** Max-containment near-dup pairs: containment = |A∩B| / min(|A|,|B|) —
+    * 1.0 whenever the smaller shingle set is a SUBSET of the larger.
+    * Jaccard misses exactly these: a paragraph quoted inside a 100×
+    * longer page scores jaccard ≈ 0.01 but containment 1.0, and that
+    * asymmetric duplication (quotes, syndication, boilerplate wrappers)
+    * is the dominant dup mode in web corpora. Same shingle-join engine
+    * and maxDf/candidates scale posture as [[ngramJaccardPairs]]. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double, maxDf: Int = 10000,
+                            candidates: Option[DataFrame] = None): DataFrame =
+    ngramPairStats(docs, idCol, textCol, n, maxDf, candidates)
+      .withColumn("containment", col("intersection").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("intersection"),
+        col("containment"))
+
+  /** Shared shingle-self-join engine: candidate pairs sharing ≥1 shingle
+    * with (intersection, n_a, n_b) set statistics attached. */
+  private def ngramPairStats(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, maxDf: Int,
+                             candidates: Option[DataFrame]): DataFrame = {
     val words = TextFunctions.tokens(col(textCol))
     val withSh = spread(docs)
       .select(col(idCol).as("doc_id"),
@@ -107,10 +135,6 @@ object NearDup {
             "b_id")
       }
     pairs
-      .withColumn("jaccard", col("intersection").cast("double") /
-        (col("n_a") + col("n_b") - col("intersection")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("intersection"), col("jaccard"))
   }
 
   /** Per-doc MinHash signature columns sig_0..sig_{numHashes-1}. */

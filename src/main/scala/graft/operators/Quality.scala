@@ -282,4 +282,33 @@ object Quality {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(width))
   }
+
+  /** Robust per-group outliers via median absolute deviation: flag rows
+    * where |value - median| > nMads × MAD. Unlike z-scores, both the
+    * center and the spread estimate are immune to the outliers being
+    * hunted (a single 10⁹ value drags a mean/stddev fence but moves the
+    * median fence not at all). Medians are nearest-rank
+    * ([[exactPercentiles]]) so the fence is an actual data value,
+    * deterministic and engine-portable.
+    *
+    * Emits the OUTLIER rows with (group_median, group_mad, deviation)
+    * attached. Caveat: a group where >50% of values are identical has
+    * MAD = 0 and every other value flags; gate on group_mad > 0
+    * downstream if that degenerates. Scale: two [[exactPercentiles]]
+    * passes (each one window + one agg on the group key) and two
+    * broadcast-size joins of per-group scalars back onto the rows. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valCol: String,
+                  nMads: Double): DataFrame = {
+    require(nMads > 0, s"nMads must be > 0, got $nMads")
+    val base = df.filter(col(valCol).isNotNull)
+    val med = exactPercentiles(base, groupCols, valCol, Seq(0.5))
+      .select(groupCols.map(col) :+ col("p50").as("group_median"): _*)
+    val dev = base.join(med, groupCols)
+      .withColumn("deviation",
+        abs(col(valCol).cast("double") - col("group_median").cast("double")))
+    val mad = exactPercentiles(dev, groupCols, "deviation", Seq(0.5))
+      .select(groupCols.map(col) :+ col("p50").as("group_mad"): _*)
+    dev.join(mad, groupCols)
+      .filter(col("deviation") > lit(nMads) * col("group_mad"))
+  }
 }

@@ -233,4 +233,31 @@ object Scale {
       k != null && bc.value.mightContainLong(k))
     big.filter(mightContain(col(key))).join(small, key)
   }
+
+  /** Key-skew profile: a log2 histogram of rows-per-key — the diagnostic
+    * you run BEFORE choosing a join/agg strategy at scale. Each key's row
+    * count lands in bucket floor(log2(count)); the output is one row per
+    * non-empty bucket with key and row totals plus the bucket's min/max
+    * count. A healthy equi-join key shows mass in low buckets; a
+    * `saltedJoin` candidate shows a lone key in bucket 20.
+    *
+    * floor(log2(n)) is computed as length(bin(n)) - 1 — pure integer
+    * arithmetic, because float log2 on exact powers of two can land a
+    * hair under the integer and floor to the wrong bucket. Scale: the
+    * per-key count is one map-side-combined aggregation; the bucket
+    * rollup then runs over one row per DISTINCT key, and the final
+    * histogram is ≤ 64 rows. */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
+    val counts = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    counts
+      .groupBy((length(bin(col("__cnt"))) - 1).cast("int").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__cnt")).as("n_rows"),
+        min(col("__cnt")).as("min_rows_per_key"),
+        max(col("__cnt")).as("max_rows_per_key"))
+  }
 }

@@ -4,7 +4,7 @@ import java.sql.{Date, Timestamp}
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, EventOps, Sketches}
+import graft.operators.{Cdc, Corpus, EventOps, NearDup, Quality, Scale, Sketches}
 
 /** Round-5 wave-1 operators: KMV sketches, rolling distinct, the
   * distributed sweep line, and change-log compaction. */
@@ -134,6 +134,78 @@ class R5OpsSpec extends SparkSpec {
   }
 
   // ---- mergePartials ------------------------------------------------------
+
+  // ---- ngramContainmentPairs ----------------------------------------------
+
+  test("containment flags a subset doc that jaccard would miss") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = ("alpha beta gamma delta epsilon " +
+      (1 to 60).map(i => s"filler$i").mkString(" "))
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cont = NearDup.ngramContainmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9, maxDf = 0).collect()
+    cont.length shouldBe 1
+    cont(0).getDouble(3) shouldBe 1.0 // all 3 shingles of doc1 inside doc2
+    // jaccard on the same pair is ~3/63 — far below any usable threshold
+    val jac = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.2, maxDf = 0)
+    jac.count() shouldBe 0L
+  }
+
+  // ---- keySkewProfile -----------------------------------------------------
+
+  test("keySkewProfile buckets counts at exact powers of two") {
+    // keys with 1, 2, 3, 4, 8 rows -> buckets 0, 1, 1, 2, 3
+    val df = Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(4)("d") ++ Seq.fill(8)("e")
+    val out = Scale.keySkewProfile(df.toDF("k"), Seq("k"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out(0) shouldBe ((1L, 1L, 1L, 1L))
+    out(1) shouldBe ((2L, 5L, 2L, 3L)) // keys b,c; 5 rows; counts 2..3
+    out(2) shouldBe ((1L, 4L, 4L, 4L))
+    out(3) shouldBe ((1L, 8L, 8L, 8L))
+  }
+
+  // ---- lexicalDiversity ---------------------------------------------------
+
+  test("lexicalDiversity: TTR and hapax ratio on a known distribution") {
+    val docs = Seq(
+      (1L, "a a a b b c"),      // 6 tokens, 3 types, 1 hapax (c)
+      (2L, "x y z"),            // all distinct, all hapax
+      (3L, ""))                 // no tokens -> no row
+      .toDF("doc_id", "text")
+    val out = Corpus.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    out(1L) shouldBe ((6L, 3L, 1L, 0.5, 1.0 / 3.0))
+    out(2L) shouldBe ((3L, 3L, 3L, 1.0, 1.0))
+    out.keySet should not contain 3L
+  }
+
+  // ---- madOutliers --------------------------------------------------------
+
+  test("madOutliers: fence is not dragged by the planted outlier") {
+    // 8 tight values + one monster; median/MAD ignore the monster
+    val vals = (1 to 8).map(i => ("g", i.toDouble)) :+ (("g", 1e6))
+    val out = Quality.madOutliers(vals.toDF("g", "v"), Seq("g"), "v", 3.0)
+    out.count() shouldBe 1L
+    out.select($"v").as[Double].collect() shouldBe Array(1e6)
+    // a 3-sigma mean/stddev fence on the same data flags NOTHING: with
+    // n = 9 points the largest achievable sample z is (n-1)/sqrt(n) ≈
+    // 2.67 < 3 — the monster inflates the stddev past its own deviation
+    val stats = vals.toDF("g", "v")
+      .agg(avg($"v").as("m"), stddev($"v").as("s")).collect()(0)
+    val fenced = vals.count(_._2 > stats.getDouble(0) + 3 * stats.getDouble(1))
+    fenced shouldBe 0
+  }
+
+  test("madOutliers: all-identical group (MAD=0) flags only deviants") {
+    val vals = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 7.0))
+    val out = Quality.madOutliers(vals.toDF("g", "v"), Seq("g"), "v", 3.0)
+    out.select($"v").as[Double].collect() shouldBe Array(7.0)
+  }
 
   test("mergePartials == re-aggregating the union of raw data") {
     val raw1 = Seq(("a", 1L, 10.0), ("a", 1L, 5.0), ("b", 1L, 2.0))
