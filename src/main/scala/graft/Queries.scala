@@ -636,7 +636,8 @@ object Queries {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25) ++
     ExtQueries.all ++ MoreQueries.all ++ R2Queries.all ++ R3Queries.all ++
     R4Queries.all ++ R4bQueries.all ++ R4cQueries.all ++ R4dQueries.all ++
-    R4eQueries.all ++ R4fQueries.all ++ R4gQueries.all ++ R5Queries.all
+    R4eQueries.all ++ R4fQueries.all ++ R4gQueries.all ++ R5Queries.all ++
+    R5bQueries.all
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

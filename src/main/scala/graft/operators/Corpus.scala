@@ -892,6 +892,59 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Per-document unigram cross-entropy against the corpus's own unigram
+    * distribution — the classic LM-based quality score (CCNet ranks web
+    * text by LM perplexity; a self-trained unigram model is its cheapest
+    * honest cousin). Documents full of globally-rare tokens score HIGH
+    * (gibberish, boilerplate hashes, OCR noise); documents of common
+    * words score low. Emits (id, n_tokens, cross_entropy_nats) — rank or
+    * gate on the score downstream; perplexity is exp(score) if wanted.
+    *
+    * Determinism contract (the reason for the scaled-integer sum): each
+    * token's ln p is a full-precision irrational double, and a SUM of
+    * such doubles is rounding-order-dependent — two engines (or two
+    * partitionings of the same engine!) may differ in the last ulp.
+    * Instead each ln p is floored to a 2^-30-nat integer grid
+    * (`floor(ln_p * 2^30)` — the ×2^30 is an exact power-of-two scaling
+    * and floor is exact), and the per-doc sum runs over BIGINTs: exact,
+    * associative, partition-order-free. The final unscale divides by
+    * 2^30 (exact) and by n_tokens (one correctly-rounded division). The
+    * 2^-30 quantization error (≤ 1e-9 nat/token) is far below any
+    * gating threshold anyone would use.
+    *
+    * Scale: token counting is two map-side-combined aggregations
+    * ((doc, token) then token); the vocabulary total is a 1-row
+    * broadcast; log-probs join back to per-doc token counts on the
+    * token key — the (doc, token) side is already aggregated, so the
+    * join input is bounded by Σ per-doc vocabulary, not raw corpus
+    * length. No windows. */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val Scale = 1073741824L // 2^30
+    val docTok = spread(docs)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    val vocab = docTok.groupBy(col("__tok"))
+      .agg(sum(col("__cnt")).as("__gcnt"))
+    val total = vocab.agg(sum(col("__gcnt")).as("__total"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .withColumn("__lp_scaled",
+        floor(log(col("__gcnt").cast("double") /
+          col("__total").cast("double")) * lit(Scale.toDouble))
+          .cast("long"))
+      .select(col("__tok"), col("__lp_scaled"))
+    docTok.join(logp, "__tok")
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum(col("__cnt") * col("__lp_scaled")).as("__sum_scaled"))
+      .withColumn("cross_entropy_nats",
+        -(col("__sum_scaled").cast("double") / lit(Scale.toDouble)) /
+          col("n_tokens").cast("double"))
+      .drop("__sum_scaled")
+  }
+
   /** Per-document lexical-diversity signals: type-token ratio (distinct
     * tokens / tokens) and hapax ratio (once-only tokens / distinct
     * tokens). Low TTR catches keyword-stuffed and template pages that

@@ -357,4 +357,140 @@ object EventOps {
       .agg(max(col("__local") + col("__offset")).as("peak_concurrency"),
         count(lit(1)).as("n_boundaries"))
   }
+
+  /** Daily growth accounting: every active user-day classified as NEW
+    * (first day ever), RETAINED (also active the previous day) or
+    * RESURRECTED (active before, but not yesterday), plus CHURNED
+    * attributed to the day after a user's last consecutive active day
+    * (active on d, not on d+1 → one churn on d+1). The product-analytics
+    * identity active(d) = new + retained + resurrected holds by
+    * construction, and churn rows only exist for days ≤ the corpus's
+    * last day (a user can't be observed churning past the data).
+    *
+    * Emits (day, n_active, n_new, n_retained, n_resurrected, n_churned)
+    * — one row per day with ≥1 active user; a day with only churn also
+    * appears (active counts 0).
+    *
+    * Scale: activity collapses to distinct (user, day) first — the raw
+    * event volume is gone after one map-side-combined distinct; the two
+    * lag/lead windows run on user-days (≤ users × days rows), and the
+    * final rollup is day-grain. The global last-day bound is a 1-row
+    * broadcast. */
+  def growthAccounting(events: DataFrame, userCol: Column,
+                       ts: Column): DataFrame = {
+    val days = events.select(userCol.as("__u"), to_date(ts).as("__d"))
+      .filter(col("__u").isNotNull && col("__d").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("__u")).orderBy(col("__d").asc)
+    val flagged = days
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .withColumn("__next", lead(col("__d"), 1).over(w))
+    val active = flagged
+      .withColumn("__status",
+        when(col("__prev").isNull, "new")
+          .when(datediff(col("__d"), col("__prev")) === 1, "retained")
+          .otherwise("resurrected"))
+      .groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("__status") === "new", 1)).as("n_new"),
+        count(when(col("__status") === "retained", 1)).as("n_retained"),
+        count(when(col("__status") === "resurrected", 1))
+          .as("n_resurrected"))
+    val lastDay = days.agg(max(col("__d")).as("__last"))
+    val churn = flagged
+      .filter(col("__next").isNull ||
+        datediff(col("__next"), col("__d")) > 1)
+      .withColumn("day", date_add(col("__d"), 1))
+      .crossJoin(broadcast(lastDay))
+      .filter(col("day") <= col("__last"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churn, Seq("day"), "full_outer")
+      .na.fill(0L, Seq("n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned"))
+  }
+
+  /** Last-touch conversion attribution: each conversion event is credited
+    * to the user's most recent touch event within `windowSec` before it
+    * (ties on the same microsecond broken by the tiebreak column);
+    * conversions with no touch in the window credit the "direct" channel.
+    * Emits per-channel (n_conversions, attributed_value).
+    *
+    * The touch lookup is the union-trick as-of join (the same shape as
+    * the as-of operators): touches and conversions union into one
+    * stream, a single per-user window carries the latest touch forward,
+    * and no per-conversion probe join ever happens — one shuffle on the
+    * user key for any number of conversions.
+    *
+    * Value sums run in DECIMAL(18,2) (exact, associative) and emit as
+    * double — float accumulation order can never change the result. */
+  def lastTouchAttribution(events: DataFrame, userCol: Column, ts: Column,
+                           tiebreak: Column, typeCol: Column,
+                           touchTypes: Seq[String], convType: String,
+                           valueCol: Column,
+                           windowSec: Long): DataFrame = {
+    val us = unix_micros(ts)
+    val tagged = events
+      .filter(typeCol.isin(touchTypes :+ convType: _*))
+      .select(userCol.as("__u"), us.as("__us"), tiebreak.as("__tb"),
+        typeCol.as("__ty"), valueCol.cast("decimal(18,2)").as("__v"),
+        // touches sort BEFORE a conversion at the same microsecond, so a
+        // same-instant touch is visible to the conversion
+        when(typeCol === convType, 1).otherwise(0).as("__isconv"))
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__us").asc, col("__isconv").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = tagged
+      .withColumn("__touch_ty",
+        last(when(col("__isconv") === 0, col("__ty")), ignoreNulls = true)
+          .over(w))
+      .withColumn("__touch_us",
+        last(when(col("__isconv") === 0, col("__us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("__isconv") === 1)
+      .withColumn("channel",
+        when(col("__touch_us").isNotNull &&
+          col("__us") - col("__touch_us") <= windowSec * 1000000L,
+          col("__touch_ty")).otherwise(lit("direct")))
+    attributed
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__v")).cast("double").as("attributed_value"))
+  }
+
+  /** Top-k user journeys: sessionize, take each session's first
+    * `maxSteps` event types in time order, join them into a path string
+    * ("view>click>purchase"), and rank paths by session count (ties by
+    * path text — deterministic). Emits (path, n_sessions, rank ≤ k).
+    *
+    * Ordered-path assembly uses sort-then-join on (timestamp, tiebreak)
+    * structs — array_sort of a collected struct array, NOT collect_list
+    * order (which is partition-dependent). The per-session array is
+    * bounded by `maxSteps`, so no session ever materializes unbounded
+    * state; the path vocabulary after the session rollup is at most
+    * |types|^maxSteps distinct strings, and the final top-k is a k-row
+    * TakeOrdered merge. */
+  def topPaths(events: DataFrame, userCol: Column, ts: Column,
+               tiebreak: Column, typeCol: Column, gapSec: Int,
+               maxSteps: Int, k: Int): DataFrame = {
+    require(maxSteps >= 1 && k >= 1, "maxSteps and k must be >= 1")
+    val sess = sessionize(events, userCol, ts, tiebreak, gapSec)
+    val w = Window.partitionBy(userCol, col("session_id"))
+      .orderBy(unix_micros(ts).asc, tiebreak.asc)
+    val firstSteps = sess
+      .withColumn("__step", row_number().over(w))
+      .filter(col("__step") <= maxSteps)
+      .select(userCol.as("__u"), col("session_id"),
+        struct(col("__step"), typeCol.as("__ty")).as("__s"))
+    val paths = firstSteps
+      .groupBy(col("__u"), col("session_id"))
+      .agg(array_sort(collect_list(col("__s"))).as("__steps"))
+      .select(concat_ws(">",
+        transform(col("__steps"), s => s.getField("__ty"))).as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

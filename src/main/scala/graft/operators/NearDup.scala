@@ -173,6 +173,48 @@ object NearDup {
       .distinct()
   }
 
+  /** Recall/precision report of MinHash-LSH candidate generation against
+    * the EXACT near-dup answer — "measure, don't guess" for the one knob
+    * every dedup pipeline argues about (bands × rows tradeoff). Emits a
+    * single row: (threshold, n_true_pairs, n_candidate_pairs, n_hits,
+    * recall, precision). recall < 1 quantifies what LSH at this banding
+    * misses at `threshold`; precision says how much verification work
+    * the candidates imply.
+    *
+    * This is an OFFLINE CALIBRATION query: the exact side is the
+    * uncapped shingle self-join (verification-only by the same contract
+    * as the q34 twin) — run it on a SAMPLE at 100 TB, then apply the
+    * chosen banding corpus-wide. Counts are integers and the two ratios
+    * are single int/int divisions — deterministic.
+    *
+    * Scale: truth and candidates are each one banded/bucketed join; the
+    * hit join runs on pair ids only. The three 1-row counts cross-join
+    * broadcast-style into the report row. */
+  def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, numHashes: Int, bandSize: Int,
+                      threshold: Double): DataFrame = {
+    val truth = ngramJaccardPairs(docs, idCol, textCol, shingleN,
+      threshold, maxDf = 0).select(col("a_id"), col("b_id"))
+    val cand = minHashLshCandidates(docs, idCol, textCol, shingleN,
+      numHashes, bandSize).select(col("a_id"), col("b_id"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidate_pairs"))
+    val nHit = truth.join(cand, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    nTrue.crossJoin(nCand).crossJoin(nHit)
+      .withColumn("threshold", lit(threshold))
+      .withColumn("recall",
+        when(col("n_true_pairs") > 0,
+          col("n_hits").cast("double") / col("n_true_pairs").cast("double")))
+      .withColumn("precision",
+        when(col("n_candidate_pairs") > 0,
+          col("n_hits").cast("double") /
+            col("n_candidate_pairs").cast("double")))
+      .select(col("threshold"), col("n_true_pairs"),
+        col("n_candidate_pairs"), col("n_hits"), col("recall"),
+        col("precision"))
+  }
+
   /** SimHash per document (up to 64 bits): per-token md5 nibble bits vote
     * ±1 per bit position; the sign of each bit-sum sets the fingerprint
     * bit. 32 bits is plenty for fingerprint equality/compact storage; use

@@ -66,4 +66,66 @@ object Sketches {
           .otherwise(col("n_distinct_exact").cast("double")))
       .drop("__kf")
   }
+
+  /** Pairwise Jaccard ESTIMATES between groups from bottom-k sketches —
+    * "how much do my sources overlap?" answered without ever joining the
+    * raw value sets pairwise. Per group, keep the k smallest md5 hashes
+    * of its distinct values (the same sketch as [[kmvDistinct]]); for a
+    * pair (A, B), take the k smallest hashes of the sketch UNION and
+    * count how many sit in both sketches: J ≈ that count / k (the
+    * standard bottom-k estimator — the union's bottom-k is a uniform
+    * sample of A∪B, computable from the two sketches alone because the
+    * union's k smallest are a subset of the sketches' 2k hashes).
+    *
+    * Sketches are mergeable state: at 100 TB each source's sketch is
+    * maintained incrementally (k hashes, a few KB), and every pairwise
+    * overlap across P sources costs P²/2 sketch merges of k rows each —
+    * the raw data is scanned ONCE, ever, vs once per pair for the exact
+    * join ([[graft.operators.Corpus.crossSourceOverlap]] scans both
+    * sides of every pair). Emits (group_a, group_b, k_used,
+    * n_shared_in_union_k, jaccard_est). `k_used` = min(k, |union bottom
+    * set|) keeps the estimator honest for tiny groups (est = shared /
+    * k_used is then EXACT: below k the sketch IS the value set).
+    *
+    * Determinism: md5 hashes, integer counts, one final int/int
+    * division — no float accumulation anywhere.
+    *
+    * Scale: one shuffle of distinct (group, hash) pairs builds the
+    * sketches (shared with [[kmvDistinct]]'s shape); everything pairwise
+    * runs on P × k rows — broadcastable for any real P. */
+  def kmvPairwiseOverlap(df: DataFrame, groupCol: String, valCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 2, s"sketch size k must be >= 2, got $k")
+    val part = Window.partitionBy(col(groupCol))
+    val sketch = df
+      .filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        md5(col(valCol).cast("string")).as("__h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__h").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("__g"), col("__h"))
+    val groups = sketch.select(col("__g")).distinct()
+    val pairs = groups.select(col("__g").as("ga"))
+      .join(groups.select(col("__g").as("gb")), col("ga") < col("gb"))
+    // per pair: union the two sketches (dedup hashes present in both),
+    // rank ascending, keep the union's k smallest, count the shared ones
+    val unioned = pairs
+      .join(sketch, col("__g") === col("ga") || col("__g") === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("__h"))
+      .agg(max(when(col("__g") === col("ga"), 1).otherwise(0)).as("__inA"),
+        max(when(col("__g") === col("gb"), 1).otherwise(0)).as("__inB"))
+      .withColumn("__urn", row_number().over(
+        Window.partitionBy(col("ga"), col("gb")).orderBy(col("__h").asc)))
+      .filter(col("__urn") <= k)
+    unioned
+      .groupBy(col("ga").as("group_a"), col("gb").as("group_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum((col("__inA") * col("__inB")).cast("long"))
+          .as("n_shared_in_union_k"))
+      .withColumn("jaccard_est",
+        col("n_shared_in_union_k").cast("double") /
+          col("k_used").cast("double"))
+  }
 }

@@ -87,4 +87,46 @@ object Windows {
       .withColumn("cume_dist", cume_dist().over(w))
       .withColumn("dense_rank", dense_rank().over(w))
   }
+
+  /** Trailing OLS trend slope per key: for each (key, day) row, the
+    * least-squares slope of `y` against the day number over the trailing
+    * `windowDays`-day RANGE window (calendar-ranged, so gaps count as
+    * absent, not as zero rows). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) —
+    * the closed form, with every accumulation EXACT: x is an integer
+    * epoch-day, y is DECIMAL(18,2), so Σx/Σx² are integer sums and
+    * Σy/Σxy are decimal sums — both associative, no float
+    * rounding-order dependence anywhere. The one inexact step is the
+    * final division, performed once on two exactly-determined doubles.
+    * NULL slope when the window holds a single day (denominator 0).
+    *
+    * `df` must already be at (key, day) grain with one row per key+day
+    * (pre-aggregate first — that is also the 100 TB posture: the window
+    * then runs over keys × days rows, not raw facts).
+    *
+    * Emits the input grain plus (x, slope). Scale: one range window per
+    * key — the same single-shuffle shape as every helper above. */
+  def trailingSlope(df: DataFrame, keyCols: Seq[String], dayCol: String,
+                    yCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2, got $windowDays")
+    val x = datediff(col(dayCol), to_date(lit("1970-01-01"))).cast("long")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("x"))
+      .rangeBetween(-(windowDays - 1).toLong, Window.currentRow)
+    val prepped = df
+      .withColumn("x", x)
+      .withColumn("__y", col(yCol).cast("decimal(18,2)"))
+    val withSums = prepped
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("x")).over(w))
+      .withColumn("__sx2", sum(col("x") * col("x")).over(w))
+      .withColumn("__sy", sum(col("__y")).over(w))
+      .withColumn("__sxy", sum(col("__y") * col("x")).over(w))
+    withSums
+      .withColumn("__den", col("__n") * col("__sx2") - col("__sx") * col("__sx"))
+      .withColumn("slope",
+        when(col("__den") > 0,
+          (col("__n").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            col("__den").cast("double")))
+      .drop("__y", "__n", "__sx", "__sx2", "__sy", "__sxy", "__den")
+  }
 }
