@@ -247,6 +247,51 @@ object Scale {
     * per-key count is one map-side-combined aggregation; the bucket
     * rollup then runs over one row per DISTINCT key, and the final
     * histogram is ≤ 64 rows. */
+  /** Dirty-partition incremental rollup refresh (the warehouse
+    * `insert_overwrite` pattern, and the complement of
+    * [[Cdc.mergePartials]]): late-arriving facts touch a handful of day
+    * partitions; rebuild ONLY those days from facts, and keep every
+    * clean day's rows straight from the stored rollup — the fact table
+    * is scanned once filtered to dirty days (partition-pruned at 100 TB:
+    * the filter is on the partition column), and clean days cost one
+    * scan of the (tiny) aggregate table. mergePartials handles
+    * insert-only deltas cheaper; this shape is the one that stays
+    * correct when late data REWRITES history (updates/deletes within a
+    * day, reprocessed files), because dirty days are recomputed from
+    * scratch, not patched.
+    *
+    * `baseAgg` must carry (dayCol, groupCols..., n_rows, sum_measure)
+    * — the layout this function's full-recompute twin `rollup` emits.
+    * Returns the refreshed rollup in the same layout; differential
+    * equality with a from-scratch rollup over (baseFacts ∪ lateFacts)
+    * is the operator's contract (spec + q148 oracle).
+    *
+    * Sums run in DECIMAL(18,2): exact and associative, so incremental
+    * and full recompute agree to the BIT, not within float noise. */
+  def incrementalRollup(baseAgg: DataFrame, baseFacts: DataFrame,
+                        lateFacts: DataFrame, dayCol: String,
+                        groupCols: Seq[String],
+                        measureCol: String): DataFrame = {
+    val dirtyDays = lateFacts.select(col(dayCol)).distinct()
+    val clean = baseAgg.join(broadcast(dirtyDays), Seq(dayCol), "left_anti")
+    val dirty = rollup(
+      baseFacts.join(broadcast(dirtyDays), Seq(dayCol), "left_semi")
+        .unionByName(lateFacts
+          .join(broadcast(dirtyDays), Seq(dayCol), "left_semi")),
+      dayCol, groupCols, measureCol)
+    clean.unionByName(dirty)
+  }
+
+  /** The full-recompute twin of [[incrementalRollup]]: day + group grain,
+    * exact decimal sums. Use it to seed `baseAgg` and as the equality
+    * oracle. */
+  def rollup(facts: DataFrame, dayCol: String, groupCols: Seq[String],
+             measureCol: String): DataFrame =
+    facts
+      .groupBy((dayCol +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(measureCol).cast("decimal(18,2)")).as("sum_measure"))
+
   def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
     val counts = df

@@ -128,4 +128,56 @@ object Sketches {
         col("n_shared_in_union_k").cast("double") /
           col("k_used").cast("double"))
   }
+
+  /** EXACT frequent items above the N/k support threshold, found without
+    * a full-cardinality aggregation: a per-partition Misra-Gries sketch
+    * (k counters, the classic increment-or-decrement-all stream summary)
+    * nominates candidates, then one exact counting pass over just those
+    * candidates filters to the true answer. Lossless by pigeonhole: an
+    * item with global count > N/k = Σ(N_p)/k must exceed N_p/k in at
+    * least one partition p, and Misra-Gries with k counters never evicts
+    * an item whose partition count exceeds N_p/k — so every true heavy
+    * hitter is nominated somewhere. (The same approximate-candidates +
+    * exact-verify shape as the prefix-filter join.)
+    *
+    * Emits (value, n_occurrences) — exact counts, only rows with
+    * n_occurrences > N/k. Scale: the sketch pass keeps k counters per
+    * partition and shuffles ≤ k × partitions candidate values; the
+    * verify pass is one broadcast semi-join + map-side-combined count.
+    * Contrast a plain groupBy-count-filter: that shuffles one row per
+    * DISTINCT value — the full vocabulary — where this shuffles O(k·P).
+    * mapPartitions is justified here: the decrement step is inherently
+    * sequential per partition and has no Catalyst expression form. */
+  def heavyHitters(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values = df.select(col(valCol).cast("string").as("v"))
+      .filter(col("v").isNotNull).as[String]
+    val candidates = values.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        if (counters.contains(v)) counters(v) += 1L
+        else if (counters.size < k) counters(v) = 1L
+        else {
+          // decrement all; drop zeros (the O(k) amortized step)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { key =>
+            val n = counters(key) - 1L
+            if (n == 0L) dead += key else counters(key) = n
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("v").distinct()
+    val total = values.toDF("v").agg(count(lit(1)).as("__n"))
+    values.toDF("v")
+      .join(broadcast(candidates), Seq("v"), "left_semi")
+      .groupBy(col("v").as("value"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * lit(k.toLong) > col("__n"))
+      .drop("__n")
+  }
 }
