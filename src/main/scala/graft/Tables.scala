@@ -38,10 +38,24 @@ object Tables {
     require(s.conf.getOption(NanosConf).contains("true"),
       s"reading events.parquet requires $NanosConf=true, set at session " +
         "build (it gates how the TIMESTAMP(NANOS) column is surfaced)")
-    // integer division: ns epochs (~1.7e18) exceed double precision, so
-    // `ts / 1000` (double div) would round some values by ±1 microsecond
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // Writer-robust: the driver's testdata stores TIMESTAMP(NANOS)
+    // (surfaced as a raw long under NanosConf), but files rewritten by
+    // other engines (probe fixtures, downstream tools) carry plain
+    // TIMESTAMP micros. Dispatch on the surfaced type.
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: ns epochs (~1.7e18) exceed double precision,
+        // so `ts / 1000` (double div) would round some values by ±1 µs
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive timestamps reinterpret in the session zone — UTC by this
+        // repo's session discipline, so the instant is unchanged
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
