@@ -892,6 +892,40 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Train/val/test SPLIT LEAKAGE audit: counts near-duplicate document
+    * pairs that STRADDLE split boundaries — the pairs that silently turn
+    * held-out evaluation into memorization measurement. Random (or
+    * hash-) splitting guarantees leakage wherever the corpus has
+    * near-dups: every cross-split dup is an eval answer present in
+    * train. Run this after any split; a nonzero row says "dedup BEFORE
+    * splitting" (or re-split by dup-cluster, not by document).
+    *
+    * Emits (split_a, split_b, n_leaky_pairs) with the split pair
+    * canonicalized (least/greatest) so train→test and test→train merge.
+    *
+    * Scale: pair generation is [[NearDup.ngramJaccardPairs]] with its
+    * maxDf/candidates posture (banded, never all-pairs on the scale
+    * path); the split lookups are two joins on the doc id — co-keyed
+    * with the pair output, and the split side carries two columns. */
+  def splitLeakageAudit(docs: DataFrame, idCol: String, textCol: String,
+                        splitCol: String, n: Int, threshold: Double,
+                        maxDf: Int = 10000,
+                        candidates: Option[DataFrame] = None): DataFrame = {
+    val pairs = NearDup.ngramJaccardPairs(docs, idCol, textCol, n,
+      threshold, maxDf, candidates)
+    val splits = docs.select(col(idCol), col(splitCol))
+    pairs
+      .join(splits.select(col(idCol).as("a_id"),
+        col(splitCol).as("__sa")), Seq("a_id"))
+      .join(splits.select(col(idCol).as("b_id"),
+        col(splitCol).as("__sb")), Seq("b_id"))
+      .filter(col("__sa") =!= col("__sb"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_leaky_pairs"))
+  }
+
   /** Per-document unigram cross-entropy against the corpus's own unigram
     * distribution — the classic LM-based quality score (CCNet ranks web
     * text by LM perplexity; a self-trained unigram model is its cheapest

@@ -105,6 +105,53 @@ object Windows {
     *
     * Emits the input grain plus (x, slope). Scale: one range window per
     * key — the same single-shuffle shape as every helper above. */
+  /** Linear gap interpolation on a daily series: for each key, emit one
+    * row per calendar day from its first to its last observation; missing
+    * days get prev + (next − prev) × elapsed/gap (the straight line
+    * between the surrounding observations), flagged `is_interpolated`.
+    * Observed days pass through bit-identically (the interpolation
+    * expression is exact at frac = 0 and never applied past the last
+    * observation).
+    *
+    * `df` must be at (key, day) grain (one row per key+day — pre-
+    * aggregate first). The value is handled as DOUBLE; the interpolation
+    * arithmetic is a FIXED expression tree (sub, int/int div, mul, add —
+    * each IEEE-correctly-rounded), so any engine replaying the same tree
+    * gets the same bits; there is no accumulation anywhere.
+    *
+    * Scale: one lead() window per key, then a per-gap sequence explode —
+    * output rows = calendar days covered, the inherent cost of gap
+    * filling (a key silent for years materializes those days; gate
+    * upstream if that is not wanted). No joins against a spine table:
+    * the spine is generated in-partition from each gap. */
+  def interpolateDaily(df: DataFrame, keyCols: Seq[String], dayCol: String,
+                       valCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(dayCol).asc)
+    val withNext = df
+      .filter(col(dayCol).isNotNull)
+      // "__obs" shields against the common case dayCol == "day": the
+      // generated spine column below is NAMED "day" and would otherwise
+      // silently replace the observation day it is compared against
+      .withColumn("__obs", col(dayCol))
+      .withColumn("__v", col(valCol).cast("double"))
+      .withColumn("__nd", lead(col("__obs"), 1).over(w))
+      .withColumn("__nv", lead(col("__v"), 1).over(w))
+    val exploded = withNext
+      .withColumn("day",
+        explode(sequence(col("__obs"),
+          coalesce(date_sub(col("__nd"), 1), col("__obs")))))
+    val frac = datediff(col("day"), col("__obs")).cast("double") /
+      datediff(col("__nd"), col("__obs")).cast("double")
+    exploded
+      .withColumn("value",
+        when(col("day") === col("__obs"), col("__v"))
+          .otherwise(col("__v") + (col("__nv") - col("__v")) * frac))
+      .withColumn("is_interpolated", col("day") =!= col("__obs"))
+      .select(keyCols.map(col) :+ col("day") :+ col("value") :+
+        col("is_interpolated"): _*)
+  }
+
   def trailingSlope(df: DataFrame, keyCols: Seq[String], dayCol: String,
                     yCol: String, windowDays: Int): DataFrame = {
     require(windowDays >= 2, s"windowDays must be >= 2, got $windowDays")
