@@ -311,4 +311,43 @@ object Quality {
     dev.join(mad, groupCols)
       .filter(col("deviation") > lit(nMads) * col("group_mad"))
   }
+
+  /** WEIGHTED percentiles per group: the smallest value whose cumulative
+    * weight reaches p of the group's total weight (the weighted
+    * nearest-rank; with unit weights it degenerates to
+    * [[exactPercentiles]]). The p threshold is a RATIONAL num/den pair
+    * and the crossing test is `den·cumw >= num·totw` in exact DECIMAL —
+    * no float product ever sits on the boundary, so engines can't
+    * disagree on which side a row falls (the failure mode of
+    * `cumw >= p*totw` with p irrational in binary).
+    *
+    * Tie safety: rows tying on the value may accumulate in any order,
+    * but the emitted MIN value that crosses the threshold is the same
+    * whichever tied row crosses — output is deterministic without a
+    * tiebreak column.
+    *
+    * Emits (group..., total_weight, <label>...). One window + one agg,
+    * both on the group key — single exchange. */
+  def weightedPercentiles(df: DataFrame, groupCols: Seq[String],
+                          valCol: String, weightCol: String,
+                          ps: Seq[(String, Int, Int)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one (label, num, den) percentile")
+    ps.foreach { case (_, n, dEn) =>
+      require(n > 0 && dEn > 0 && n <= dEn, s"need 0 < num <= den, got $n/$dEn")
+    }
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .filter(col(valCol).isNotNull && col(weightCol).isNotNull)
+      .withColumn("__w", col(weightCol).cast("decimal(18,2)"))
+      .withColumn("__cumw", sum(col("__w")).over(
+        part.orderBy(col(valCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__totw", sum(col("__w")).over(part))
+    val aggs = max(col("__totw")).cast("double").as("total_weight") +:
+      ps.map { case (label, num, den) =>
+        min(when(col("__cumw") * lit(den) >= col("__totw") * lit(num),
+          col(valCol))).as(label)
+      }
+    ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -75,6 +75,37 @@ class R5dOpsSpec extends SparkSpec {
     out.filter($"g" === "b").count() shouldBe 1L
   }
 
+  // ---- weightedPercentiles ------------------------------------------------
+
+  test("weightedPercentiles: weight mass, not row count, picks the value") {
+    // values 1..4 with weights 1,1,1,7: total 10 — the weighted median
+    // is 4 (cum 3 < 5 until the heavy row), though the ROW median is 2
+    val rows = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+      ("g", 4.0, 7.0)).toDF("g", "v", "w")
+    val out = graft.operators.Quality.weightedPercentiles(rows, Seq("g"),
+      "v", "w", Seq(("wp50", 1, 2))).collect()(0)
+    out.getDouble(1) shouldBe 10.0
+    out.getDouble(2) shouldBe 4.0
+  }
+
+  test("weightedPercentiles with unit weights == nearest-rank percentile") {
+    val vals = (1 to 100).map(i => ("g", i.toDouble, 1.0))
+    val out = graft.operators.Quality.weightedPercentiles(
+      vals.toDF("g", "v", "w"), Seq("g"), "v", "w",
+      Seq(("wp50", 1, 2), ("wp90", 9, 10), ("wp100", 1, 1))).collect()(0)
+    out.getDouble(2) shouldBe 50.0  // cum 50 >= 100/2
+    out.getDouble(3) shouldBe 90.0
+    out.getDouble(4) shouldBe 100.0
+  }
+
+  test("weightedPercentiles: exact boundary crossing is inclusive") {
+    // two equal weights: wp50 crosses exactly at the first value
+    val rows = Seq(("g", 10.0, 5.0), ("g", 20.0, 5.0)).toDF("g", "v", "w")
+    val out = graft.operators.Quality.weightedPercentiles(rows, Seq("g"),
+      "v", "w", Seq(("wp50", 1, 2))).collect()(0)
+    out.getDouble(2) shouldBe 10.0 // 2*5 >= 10 exactly — inclusive
+  }
+
   test("interpolateDaily works when the day column is not named 'day'") {
     // regression: the generated spine column is named "day" and must not
     // clobber (or be confused with) an observation column of any name
