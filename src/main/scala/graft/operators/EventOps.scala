@@ -358,6 +358,45 @@ object EventOps {
         count(lit(1)).as("n_boundaries"))
   }
 
+  /** Per-key interval-union coverage: total time covered by ≥1 span,
+    * with overlaps counted once (the sweep-line union length — think
+    * "billable busy time from overlapping job spans"). Per row the
+    * contribution is max(0, end − max(start, max prior end)); summed per
+    * key this telescopes to exactly the union length for ANY
+    * non-decreasing-by-start order, ties included (same-start spans
+    * permute individual contributions but not the per-key sum — the
+    * output is a set quantity). All arithmetic is integer microseconds.
+    *
+    * Emits (key..., n_spans, covered_us, span_us_sum); `span_us_sum` is
+    * the naive Σ(end−start), so `covered_us / span_us_sum` < 1 measures
+    * overlap density. Zero/negative-length spans contribute nothing to
+    * coverage but count in n_spans.
+    *
+    * Scale: one window + one groupBy on the key exchange. Contrast
+    * [[peakConcurrencyDaily]]: that one needs a GLOBAL sweep (its
+    * per-day decomposition exists for that reason); per-key coverage is
+    * embarrassingly key-parallel. */
+  def intervalCoverage(spans: DataFrame, keyCols: Seq[String],
+                       startCol: String, endCol: String): DataFrame = {
+    val su = unix_micros(col(startCol))
+    val eu = unix_micros(col(endCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__su").asc, col("__eu").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spans
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(keyCols.map(col) :+ su.as("__su") :+ eu.as("__eu"): _*)
+      .withColumn("__prev_max", max(col("__eu")).over(w))
+      .withColumn("__cov",
+        greatest(lit(0L), col("__eu") -
+          greatest(col("__su"), coalesce(col("__prev_max"), col("__su")))))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__cov")).as("covered_us"),
+        sum(greatest(lit(0L), col("__eu") - col("__su")))
+          .as("span_us_sum"))
+  }
+
   /** Daily growth accounting: every active user-day classified as NEW
     * (first day ever), RETAINED (also active the previous day) or
     * RESURRECTED (active before, but not yesterday), plus CHURNED

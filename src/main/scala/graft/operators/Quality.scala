@@ -312,6 +312,38 @@ object Quality {
       .filter(col("deviation") > lit(nMads) * col("group_mad"))
   }
 
+  /** One foreign-key relation for [[fkConformance]]: a display name, the
+    * child table + FK column, and the parent table + PK column. */
+  final case class FkRelation(name: String, child: DataFrame, fkCol: String,
+                              parent: DataFrame, pkCol: String)
+
+  /** Referential-integrity audit across a star schema: for each declared
+    * FK relation, the child row count, NULL-FK count, and ORPHAN count
+    * (non-null FK with no matching parent key). One row per relation —
+    * the first dashboard a warehouse loads after ingest, and the gate
+    * before dimension joins silently drop fact rows (inner) or emit
+    * nulls (left).
+    *
+    * Scale: each relation costs one left-anti join against the DISTINCT
+    * parent keys — a dim-sized (usually broadcast) build side; the child
+    * side is a counting scan. Relations are independent — Spark runs the
+    * unioned branches concurrently. */
+  def fkConformance(relations: Seq[FkRelation]): DataFrame = {
+    require(relations.nonEmpty, "need at least one FK relation")
+    relations.map { r =>
+      val fk = col(r.fkCol)
+      val keys = r.parent.select(col(r.pkCol).as(r.fkCol)).distinct()
+      val counts = r.child.agg(
+        count(lit(1)).as("n_child_rows"),
+        count(when(fk.isNull, 1)).as("n_null_fk"))
+      val orphans = r.child.filter(fk.isNotNull)
+        .join(broadcast(keys), Seq(r.fkCol), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      counts.crossJoin(orphans).select(lit(r.name).as("relation"),
+        col("n_child_rows"), col("n_null_fk"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
   /** WEIGHTED percentiles per group: the smallest value whose cumulative
     * weight reaches p of the group's total weight (the weighted
     * nearest-rank; with unit weights it degenerates to

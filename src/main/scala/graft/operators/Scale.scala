@@ -292,6 +292,38 @@ object Scale {
       .agg(count(lit(1)).as("n_rows"),
         sum(col(measureCol).cast("decimal(18,2)")).as("sum_measure"))
 
+  /** Relabel every entity outside the global top-`n` (by total of
+    * `valueCol`, exact decimal, ties broken by entity string) as
+    * "other" — the leaderboard-plus-other serving pattern that keeps a
+    * dashboard's category axis bounded no matter how many entities
+    * exist. Returns the input with an added `entity_label` column;
+    * group by it downstream.
+    *
+    * Scale: one map-side-combined total per entity, a k-row
+    * TakeOrdered for the top set, and a broadcast join back — the
+    * full data is scanned once and never shuffled on the entity key a
+    * second time. */
+  def topNOther(df: DataFrame, entityCol: String, valueCol: String,
+                n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val totals = df
+      .filter(col(entityCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__tot"))
+    // orderBy+limit plans as TakeOrderedAndProject: partial top-n per
+    // partition, n-row merge — no single-task global window over the
+    // entity totals
+    val top = totals
+      .orderBy(col("__tot").desc, col(entityCol).asc)
+      .limit(n)
+      .select(col(entityCol), lit(true).as("__is_top"))
+    df.join(broadcast(top), Seq(entityCol), "left_outer")
+      .withColumn("entity_label",
+        when(col("__is_top"), col(entityCol).cast("string"))
+          .otherwise(lit("other")))
+      .drop("__is_top")
+  }
+
   def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
     val counts = df
