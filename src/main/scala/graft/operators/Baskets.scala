@@ -17,22 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Baskets {
 
+  /** Distinct (group, item) rows with over-cap groups dropped whole —
+    * the shared prep for [[coOccurrence]] and [[associationRules]]. */
+  private def sizedItems(df: DataFrame, groupCol: String, itemCol: String,
+                         maxItemsPerGroup: Int): DataFrame = {
+    require(maxItemsPerGroup >= 2,
+      s"maxItemsPerGroup must be >= 2, got $maxItemsPerGroup")
+    df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("__n") <= maxItemsPerGroup)
+      .select(col("g"), col("item"))
+  }
+
   /** Top-k co-occurring item pairs across groups. Emits
     * (item_a, item_b, n_groups, rank), item_a < item_b, rank by
     * (n_groups desc, item_a, item_b). */
   def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
                    maxItemsPerGroup: Int, topK: Int): DataFrame = {
-    require(maxItemsPerGroup >= 2,
-      s"maxItemsPerGroup must be >= 2, got $maxItemsPerGroup")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val items = df
-      .select(col(groupCol).as("g"), col(itemCol).as("item"))
-      .filter(col("item").isNotNull)
-      .distinct()
-    val sized = items
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("__n") <= maxItemsPerGroup)
-      .select(col("g"), col("item"))
+    val sized = sizedItems(df, groupCol, itemCol, maxItemsPerGroup)
     val pairs = sized.as("a")
       .join(sized.as("b"),
         col("a.g") === col("b.g") && col("a.item") < col("b.item"))
@@ -50,5 +55,54 @@ object Baskets {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_groups").desc, col("item_a"), col("item_b")))
         .cast("int"))
+  }
+
+  /** Directed association rules antecedent→consequent over the same
+    * capped-basket universe: support = P(both), confidence =
+    * P(consequent | antecedent), lift = confidence / P(consequent). Both
+    * directions of every co-occurring pair are emitted (confidence is
+    * asymmetric), filtered to rules seen in at least `minPairGroups`
+    * baskets. All three metrics are single divisions over exact integer
+    * products — deterministic.
+    *
+    * Scale: the pair join is the [[coOccurrence]] bounded self-join; the
+    * basket total is a 1-row broadcast and item supports join back on
+    * the (small) item key. */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+                       maxItemsPerGroup: Int,
+                       minPairGroups: Long = 1L): DataFrame = {
+    require(minPairGroups >= 1, s"minPairGroups must be >= 1")
+    val sized = sizedItems(df, groupCol, itemCol, maxItemsPerGroup)
+    val total = sized.select(col("g")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = sized.groupBy(col("item"))
+      .agg(count(lit(1)).as("__ni"))
+    val pairs = sized.as("a")
+      .join(sized.as("b"),
+        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("__ia"), col("b.item").as("__ib"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minPairGroups)
+    val directed = pairs
+      .select(col("__ia").as("antecedent"), col("__ib").as("consequent"),
+        col("n_both"))
+      .unionByName(pairs.select(col("__ib").as("antecedent"),
+        col("__ia").as("consequent"), col("n_both")))
+    directed
+      .join(itemCounts.select(col("item").as("antecedent"),
+        col("__ni").as("n_antecedent")), Seq("antecedent"))
+      .join(itemCounts.select(col("item").as("consequent"),
+        col("__ni").as("n_consequent")), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .withColumn("support",
+        col("n_both").cast("double") / col("n_baskets").cast("double"))
+      .withColumn("confidence",
+        col("n_both").cast("double") / col("n_antecedent").cast("double"))
+      .withColumn("lift",
+        (col("n_both") * col("n_baskets")).cast("double") /
+          (col("n_antecedent") * col("n_consequent")).cast("double"))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_antecedent"), col("n_consequent"), col("n_baskets"),
+        col("support"), col("confidence"), col("lift"))
   }
 }

@@ -72,6 +72,37 @@ class R5fOpsSpec extends SparkSpec {
       .count() shouldBe 2L
   }
 
+  // ---- associationRules ---------------------------------------------------
+
+  test("associationRules computes support/confidence/lift by hand") {
+    // baskets: {a,b}, {a,b}, {a}, {b,c}  -> N=4, n_a=3, n_b=3, n_c=1
+    val rows = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+      (4, "b"), (4, "c")).toDF("g", "item")
+    val out = graft.operators.Baskets.associationRules(rows, "g", "item",
+      maxItemsPerGroup = 10)
+      .collect().map(r => (r.getString(1), r.getString(0)) ->
+        (r.getLong(2), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+    // a->b: n_both=2, support 0.5, confidence 2/3, lift 2*4/(3*3)
+    out(("b", "a")) shouldBe ((2L, 0.5, 2.0 / 3.0, 8.0 / 9.0))
+    // c->b: confidence 1.0, lift 4/3
+    out(("b", "c")) shouldBe ((1L, 0.25, 1.0, 4.0 / 3.0))
+    // both directions emitted
+    out.keySet should contain(("a", "b"))
+    out.size shouldBe 4 // a↔b and b↔c; NOT a↔c (never co-occur)
+  }
+
+  test("associationRules drops over-cap baskets entirely") {
+    val rows = Seq((1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"))
+      .toDF("g", "item")
+    val out = graft.operators.Baskets.associationRules(rows, "g", "item",
+      maxItemsPerGroup = 2)
+    // basket 1 (3 items) dropped: only {a,b} remains, N=1
+    out.count() shouldBe 2L
+    out.filter($"antecedent" === "a").collect()(0)
+      .getAs[Long]("n_baskets") shouldBe 1L
+  }
+
   // ---- topNOther ----------------------------------------------------------
 
   test("topNOther keeps the global top n and relabels the rest") {
