@@ -271,13 +271,21 @@ object Scale {
   def incrementalRollup(baseAgg: DataFrame, baseFacts: DataFrame,
                         lateFacts: DataFrame, dayCol: String,
                         groupCols: Seq[String],
-                        measureCol: String): DataFrame = {
-    val dirtyDays = lateFacts.select(col(dayCol)).distinct()
+                        measureCol: String): DataFrame =
+    refreshDays(baseAgg, baseFacts.unionByName(lateFacts),
+      lateFacts.select(col(dayCol)).distinct(), dayCol, groupCols,
+      measureCol)
+
+  /** The dirty-day core of [[incrementalRollup]], for callers whose fact
+    * store ALREADY contains the late rows (e.g. an append-then-refresh
+    * stream): rebuild exactly `dirtyDays` from `facts`, keep every other
+    * day's rows from `baseAgg`. */
+  def refreshDays(baseAgg: DataFrame, facts: DataFrame,
+                  dirtyDays: DataFrame, dayCol: String,
+                  groupCols: Seq[String], measureCol: String): DataFrame = {
     val clean = baseAgg.join(broadcast(dirtyDays), Seq(dayCol), "left_anti")
     val dirty = rollup(
-      baseFacts.join(broadcast(dirtyDays), Seq(dayCol), "left_semi")
-        .unionByName(lateFacts
-          .join(broadcast(dirtyDays), Seq(dayCol), "left_semi")),
+      facts.join(broadcast(dirtyDays), Seq(dayCol), "left_semi"),
       dayCol, groupCols, measureCol)
     clean.unionByName(dirty)
   }
