@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Near-dup cluster resolution: candidate PAIRS (from MinHash-LSH, SimHash
   * bands, or embedding buckets) are only half the dedup story — keeping one
@@ -43,11 +46,24 @@ object Clusters {
     * job unrecoverably. Pass `checkpointDir` (HDFS/S3 path) to switch the
     * round snapshots to reliable `checkpoint()` storage: each round then
     * costs a distributed write, and a lost executor only recomputes from
-    * the last durable round. */
+    * the last durable round.
+    *
+    * Size dispatch: after materializing the edge list, graphs with at
+    * most `smallGraphMaxEdges` directed edges resolve in ONE task by
+    * union-find over the EDGES ALONE (the candidate-pair graph after
+    * banding is typically a tiny fraction of the corpus, and an
+    * iterative loop pays ~0.5 s of job overhead PER ROUND that a
+    * million-edge union-find solves outright). The vertex side — the
+    * corpus, with all its singletons — never funnels through that task:
+    * edge-vertex labels join back to the distinct vertex ids
+    * (broadcast-sized under AQE whenever the fast path fires). Both
+    * paths emit the identical min-id fixpoint; pass
+    * `smallGraphMaxEdges = 0` to force the iterative loop. */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          smallGraphMaxEdges: Long = 4000000L): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val spark = vertices.sparkSession
     val sc = spark.sparkContext
@@ -87,6 +103,16 @@ object Clusters {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct())
+
+    if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
+      // the returned frame lazily reads the edges snapshot — keep it live
+      prune(edges)
+      val labels = smallGraphLabels(edges)
+      return vertices.select(col(idCol)).distinct()
+        .join(labels, col(idCol) === col("__uf_id"), "left")
+        .select(col(idCol),
+          coalesce(col("__uf_label"), col(idCol)).as("cluster_id"))
+    }
 
     var lastSnap = snapshot(vertices.select(col(idCol).as("id"))
       .distinct().withColumn("label", col("id")))
@@ -135,6 +161,61 @@ object Clusters {
           "diameter under pointer jumping)")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
+
+  /** Single-task union-find over a (src, dst) edge frame: emits
+    * (__uf_id, __uf_label) for every vertex THAT APPEARS IN AN EDGE,
+    * label = component minimum. Union-by-min + path compression; the
+    * whole edge list flows through one task, which is exactly why the
+    * caller gates it on edge count. */
+  private def smallGraphLabels(edges: DataFrame): DataFrame = {
+    val idType = edges.schema("src").dataType
+    val ord = orderingFor(idType)
+    val rows = edges.repartition(1).rdd.mapPartitions { it =>
+      val parent = mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var root = x
+        while (parent(root) != root) root = parent(root)
+        var cur = x // path compression
+        while (parent(cur) != root) {
+          val nxt = parent(cur); parent(cur) = root; cur = nxt
+        }
+        root
+      }
+      it.foreach { r =>
+        val a = r.get(0)
+        val b = r.get(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keysIterator.map(k => Row(k, find(k)))
+    }
+    edges.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("__uf_id", idType), StructField("__uf_label", idType))))
+  }
+
+  private def orderingFor(dt: DataType): Ordering[Any] = (dt match {
+    case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+    case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+    case ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
+    case ByteType => Ordering.Byte.on[Any](_.asInstanceOf[Byte])
+    // Spark's string min/ordering is binary UTF-8; Java String.compareTo
+    // is UTF-16-unit order — they disagree on supplementary characters,
+    // so compare the UTF-8 bytes to reproduce the iterative path exactly
+    case StringType => new Ordering[Any] {
+      override def compare(x: Any, y: Any): Int =
+        java.util.Arrays.compareUnsigned(
+          x.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    case other => throw new IllegalArgumentException(
+      s"connectedComponents ids must be integral or string, got " +
+        s"${other.catalogString}")
+  })
 
   /** Cluster summary: size and canonical (minimum-id) representative per
     * cluster — the "keep one per duplicate group" decision table. */

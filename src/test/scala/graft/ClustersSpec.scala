@@ -31,7 +31,36 @@ class ClustersSpec extends SparkSpec {
     val chain = (1L to 64L).sliding(2).map(s => (s(1), s.head)).toSeq
     an[IllegalStateException] should be thrownBy
       Clusters.connectedComponents((1L to 64L).toDF("id"), "id",
-        chain.toDF("a", "b"), "a", "b", maxIter = 2).collect()
+        chain.toDF("a", "b"), "a", "b", maxIter = 2,
+        smallGraphMaxEdges = 0L).collect()
+  }
+
+  test("small-graph fast path == iterative loop (longs, random graph)") {
+    val rnd = new scala.util.Random(7)
+    val verts = 0L until 400L
+    val pairs = Seq.fill(300)((rnd.nextInt(400).toLong,
+      rnd.nextInt(400).toLong)).filter(p => p._1 != p._2)
+    val fast = cc(verts, pairs)
+    val slow = Clusters.connectedComponents(verts.toDF("id"), "id",
+        pairs.toDF("a", "b"), "a", "b", smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    fast shouldBe slow
+  }
+
+  test("small-graph fast path: string ids use Spark's binary UTF-8 order") {
+    // "😀" (a supplementary char) sorts ABOVE "�" in
+    // UTF-8 binary order but BELOW it in Java UTF-16 order — the label
+    // must match the iterative path's Spark min() on both fixtures
+    val ids = Seq("😀", "�")
+    val pairs = Seq(("😀", "�"))
+    val fast = Clusters.connectedComponents(ids.toDF("id"), "id",
+        pairs.toDF("a", "b"), "a", "b")
+      .as[(String, String)].collect().toMap
+    val slow = Clusters.connectedComponents(ids.toDF("id"), "id",
+        pairs.toDF("a", "b"), "a", "b", smallGraphMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    fast shouldBe slow
+    fast.values.toSet shouldBe Set("�") // UTF-8 min, not UTF-16 min
   }
 
   test("hub-skew: a 10k-spoke star converges in O(1) rounds despite one " +
