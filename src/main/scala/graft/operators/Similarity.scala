@@ -328,10 +328,6 @@ object Similarity {
     sqrt(aggregate(transform(q8, x => x * x), lit(0L), (acc, v) => acc + v)
       .cast("double"))
 
-  /** sqrt of the in-order double self-dot of a centroid array. */
-  private def cNorm(cen: Column): Column =
-    sqrt(aggregate(transform(cen, y => y * y), lit(0.0), (acc, v) => acc + v))
-
   /** Lloyd k-means over int8-QUANTIZED embeddings, engine-exact — the
     * trained-centroid refinement [[ivfCentroids]]'s docstring deliberately
     * skips for raw floats. Quantizing first makes every per-cluster
@@ -348,14 +344,20 @@ object Similarity {
     * its previous centroid. Returns the final assignment
     * (id, cluster_id, cluster_cos) against the trained centroids.
     *
-    * Scale: per round, the CACHED int8 codes are scanned once against a
-    * BROADCAST of k centroids (k is dozens-to-thousands — the IVF
-    * regime), and the update is a two-phase (cluster, dim) aggregate:
-    * shuffle volume is O(k × dim), not O(corpus). Each round runs as an
-    * eager action that collects only the k×dim centroid table (a few KB —
-    * data never reaches the driver), so the training run is exactly
-    * `iters` cached scans plus one raw scan to build the cache and one
-    * for the final assignment after the cache is released. */
+    * Scale: per round, the CACHED int8 codes are scanned once with the k
+    * centroids compiled INTO THE PROJECTION as literals — assignment is
+    * `array_max` over k scored structs, a pure scalar expression: no
+    * cross join, no per-id window, ZERO shuffle (the previous
+    * crossJoin + row_number formulation shuffled codes × k rows per
+    * round). The update is a two-phase (cluster, dim) aggregate: shuffle
+    * volume is O(k × dim), not O(corpus). Each round runs as an eager
+    * action that collects only the k×dim centroid table (a few KB — data
+    * never reaches the driver), so the training run is exactly `iters`
+    * cached scans plus one raw scan to build the cache and one for the
+    * final assignment after the cache is released. k is dozens-to-
+    * thousands (the IVF regime): k×dim literals stay well under codegen
+    * limits at dim ≲ 100, and the struct-max compare is k-1 double
+    * compares per row. */
   def kmeansAssignQuantized(embeddings: DataFrame, idCol: String,
                             embCol: String, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -371,7 +373,9 @@ object Similarity {
       .withColumn("__qn", qNorm(col("__q8")))
       .cache()
     // seed draw: k smallest md5(id), centroid_id = 0..k-1 in draw order
-    val seeds = codes
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val seedCens: Seq[(Int, Seq[Double])] = codes
       .withColumn("__h", md5(col(idCol).cast("string")))
       .orderBy(col("__h"), col(idCol))
       .limit(k)
@@ -379,27 +383,37 @@ object Similarity {
         Window.orderBy(col("__h"), col(idCol))) - 1).cast("int"))
       .select(col("cluster_id"),
         transform(col("__q8"), x => x.cast("double")).as("__cen"))
-    def assign(centroids: DataFrame): DataFrame =
-      codes.crossJoin(broadcast(
-          centroids.withColumn("__cn", cNorm(col("__cen")))))
-        .withColumn("cluster_cos",
-          qcDot(col("__q8"), col("__cen")) / (col("__qn") * col("__cn")))
-        .withColumn("__rn", row_number().over(Window.partitionBy(col(idCol))
-          .orderBy(col("cluster_cos").desc, col("cluster_id"))))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "__cen", "__cn")
-    // each Lloyd iteration COLLECTS the k×dim centroid table (a few
-    // hundred doubles — the hyperplane-literal pattern, not a data
-    // collect): per-iteration actions run against the cached codes, the
-    // next iteration's centroids re-enter as a broadcast literal instead
-    // of a nested lazy join tree, and the cache can be RELEASED before
-    // returning (the one final re-scan is bounded; an unreleased cache
-    // would pin a copy of the corpus per call for the session lifetime).
-    // Numerics are unchanged: the mean is the same long-sum / count
-    // division, now performed on the driver.
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val trained = (0 until iters).foldLeft(seeds) { (cens, _) =>
+      .as[(Int, Seq[Double])].collect().toSeq
+    // centroids live on the DRIVER (k×dim doubles — the hyperplane-
+    // literal pattern, not a data collect) and are compiled into the
+    // assignment projection each round. Numerics are unchanged from the
+    // crossJoin formulation: the same in-order double self-dot for the
+    // centroid norm (now folded on the driver), the same q8_dot score
+    // fold, the same single division — and the struct-max tie-break
+    // (cos, then LOWEST cluster_id) reproduces the old
+    // `row_number over (order by cos desc, cluster_id)` pick exactly.
+    def assign(cens: Seq[(Int, Seq[Double])]): DataFrame = {
+      val scored = cens.map { case (cid, cen) =>
+        var acc = 0.0
+        cen.foreach(y => acc += y * y)
+        val cn = math.sqrt(acc)
+        struct(
+          (qcDot(col("__q8"), typedLit(cen)) / (col("__qn") * lit(cn)))
+            .as("cos"),
+          lit(-cid).as("ncid"))
+      }
+      codes.withColumn("__best", array_max(array(scored: _*)))
+        .withColumn("cluster_id", (-col("__best.ncid")).cast("int"))
+        .withColumn("cluster_cos", col("__best.cos"))
+        .drop("__best")
+    }
+    // each Lloyd iteration COLLECTS the k×dim centroid table: per-
+    // iteration actions run against the cached codes, and the cache can
+    // be RELEASED before returning (the one final re-scan is bounded; an
+    // unreleased cache would pin a copy of the corpus per call for the
+    // session lifetime). The mean is the same long-sum / count division,
+    // performed on the driver.
+    val trained = (0 until iters).foldLeft(seedCens) { (cens, _) =>
       val sums = assign(cens)
         .select(col("cluster_id"), posexplode(col("__q8")).as(Seq("__d", "__v")))
         .groupBy(col("cluster_id"), col("__d"))
@@ -408,10 +422,8 @@ object Similarity {
       val means = sums.groupBy(_._1).map { case (cid, rows) =>
         cid -> rows.sortBy(_._2).map(r => r._3.toDouble / r._4).toSeq
       }
-      val prev = cens.as[(Int, Seq[Double])].collect()
       // a cluster that lost every member keeps its previous centroid
-      prev.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-        .toSeq.toDF("cluster_id", "__cen")
+      cens.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
     val result = assign(trained)
       .select(col(idCol), col("cluster_id"), col("cluster_cos"))
