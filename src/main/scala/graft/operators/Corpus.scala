@@ -1019,4 +1019,155 @@ object Corpus {
       .withColumn("hapax_ratio",
         col("n_hapax").cast("double") / col("n_types").cast("double"))
   }
+
+  /** Best-documents-first token-budget selection: order the corpus by
+    * (score DESC, id ASC) and keep documents while the running token
+    * total stays within `budget` — the curriculum/budget cut ("take the
+    * top-quality N-billion tokens") expressed WITHOUT the single-task
+    * global window a naive `sum over (order by score)` plans.
+    *
+    * The global running sum telescopes over score buckets (the
+    * q134 sweep-line trick): scores map monotonically onto `buckets`
+    * equal-width bins between the corpus min/max, per-bucket token
+    * totals (≤ `buckets` rows) accumulate on the driver-free tiny
+    * frame, and each bucket's rows then only need a WITHIN-bucket
+    * running sum — a window partitioned by bucket, parallel across
+    * buckets — added to its exclusive cross-bucket offset. Equal scores
+    * always land in the same bucket, so bucket-major, within-bucket
+    * (score DESC, id) order IS the global order and the result is
+    * bit-identical to the naive form.
+    *
+    * Emits the input row plus (n_tokens, cum_tokens) for every kept
+    * document. NULL scores are rejected (no position in the order).
+    *
+    * Scale: one scan for min/max (2-value broadcast), one scan for
+    * bucket totals (map-side combined), one bucket-partitioned window.
+    * A pathological score distribution (all mass in one bucket) degrades
+    * to one window partition — the same contract as any keyed window. */
+  def takeGlobalTokenBudget(docs: DataFrame, idCol: String, score: Column,
+                            tokenCount: Column, budget: Long,
+                            buckets: Int = 4096): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = docs
+      .withColumn("__score", score.cast("double"))
+      .withColumn("n_tokens", tokenCount.cast("bigint"))
+      .filter(col("__score").isNotNull && col("n_tokens").isNotNull)
+    val bounds = base.agg(min(col("__score")).as("__lo"),
+      max(col("__score")).as("__hi"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .withColumn("__bucket",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("__score") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / lit(buckets.toDouble)))
+              .cast("int"))))
+      .drop("__lo", "__hi")
+    // exclusive running total of the buckets ABOVE each bucket
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btok"))
+      .withColumn("__offset",
+        coalesce(sum(col("__btok")).over(
+          Window.orderBy(col("__bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("cum_tokens", col("__offset") + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__bucket", "__offset", "__score")
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`topK` token vocabulary (see [[vocabulary]]): the fraction of
+    * token OCCURRENCES not covered by the vocabulary. The direct signal
+    * for "will a fixed-vocab tokenizer shred this document into bytes"
+    * — high OOV marks boilerplate code, foreign-script spillover, and
+    * encoding damage that per-rule quality gates miss.
+    *
+    * Emits (id, n_tokens, n_oov, oov_rate); documents with no tokens
+    * emit nothing (no coverage to measure).
+    *
+    * Scale: doc-token counts are one map-side-combined groupBy; the
+    * vocabulary derives from the SAME doc-token frame (identical
+    * subplan → Spark reuses the exchange instead of re-scanning the
+    * corpus), ranks like [[vocabulary]] (count DESC, token ASC), and is
+    * topK rows broadcast — coverage is a scan-side hash probe, no
+    * second shuffle beyond the per-doc rollup. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val docTok = spread(docs)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    val vocab = docTok.groupBy(col("__tok"))
+      .agg(sum(col("__cnt")).as("__gcnt"))
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__gcnt").desc, col("__tok"))))
+      .filter(col("__rank") <= topK)
+      .select(col("__tok"), lit(1).as("__in_vocab"))
+    docTok
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, col("__cnt")).otherwise(0L))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Per-document cross-entropy under the corpus's own BIGRAM model —
+    * the conditional upgrade of [[unigramCrossEntropy]]: each transition
+    * w_{i-1} → w_i scores −ln P(w_i | w_{i-1}) with P = c(w_{i-1} w_i) /
+    * c_prefix(w_{i-1}), where c_prefix sums the bigram counts starting
+    * with w_{i-1} (so probabilities condition on exactly the observed
+    * transition mass and sum to 1 per prefix). Bigram perplexity
+    * separates fluent text from shuffled-word spam that a unigram model
+    * scores identically — the cheap proxy for the model-based perplexity
+    * filters production pipelines run.
+    *
+    * Same hash-reproducibility discipline as the unigram form: log
+    * probabilities become floor(ln·2³⁰) scaled integers, sums are exact,
+    * and one double division lands the final nats value. Documents with
+    * < 2 tokens emit nothing (no transitions to score).
+    *
+    * Scale: bigram extraction is the codegen'd shifted-slice zip (one
+    * pass over the text); doc-bigram counts and the two model aggs are
+    * map-side combined; the model join keys on the bigram string. */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val Scale = 1073741824L // 2^30
+    val docBg = spread(docs)
+      .select(col(idCol),
+        explode(TextFunctions.wordShingles(
+          TextFunctions.tokens(col(textCol)), 2)).as("__bg"))
+      .groupBy(col(idCol), col("__bg"))
+      .agg(count(lit(1)).as("__cnt"))
+    val model = docBg.groupBy(col("__bg"))
+      .agg(sum(col("__cnt")).as("__gcnt"))
+    val prefix = model
+      .groupBy(substring_index(col("__bg"), " ", 1).as("__w"))
+      .agg(sum(col("__gcnt")).as("__pcnt"))
+    val logp = model
+      .withColumn("__w", substring_index(col("__bg"), " ", 1))
+      .join(prefix, "__w")
+      .withColumn("__lp_scaled",
+        floor(log(col("__gcnt").cast("double") /
+          col("__pcnt").cast("double")) * lit(Scale.toDouble))
+          .cast("long"))
+      .select(col("__bg"), col("__lp_scaled"))
+    docBg.join(logp, "__bg")
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_transitions"),
+        sum(col("__cnt") * col("__lp_scaled")).as("__sum_scaled"))
+      .withColumn("cross_entropy_nats",
+        -(col("__sum_scaled").cast("double") / lit(Scale.toDouble)) /
+          col("n_transitions").cast("double"))
+      .drop("__sum_scaled")
+  }
 }

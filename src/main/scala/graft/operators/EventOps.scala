@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators, batch form (SURVEY §2.10 extension; the
   * Structured Streaming variants live in graft.streaming.StreamOps and
@@ -531,5 +532,53 @@ object EventOps {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("int"))
       .filter(col("rank") <= k)
+  }
+
+  /** Cohort lifetime-value matrix: customers cohorted by their FIRST
+    * purchase month, revenue rolled up by (cohort month, months since
+    * cohort) and accumulated across offsets — the classic LTV triangle,
+    * plus cumulative revenue per cohort user so curves are comparable
+    * across cohort sizes. Revenue accumulates in DECIMAL (exact,
+    * order-free); the per-user division is the single inexact step.
+    *
+    * Emits (cohort_month, month_offset, n_cohort_users, n_active_users,
+    * revenue, cum_revenue, cum_ltv_per_user) — one row per cohort ×
+    * offset that has ≥1 purchase.
+    *
+    * Scale: the first-purchase month is a map-side-combined min per
+    * customer; joining it back is the one customer-keyed shuffle. The
+    * rollup grain is cohorts × offsets (tiny), so the cumulative window
+    * partitioned by cohort is driver-free and trivially parallel. */
+  def cohortLtv(orders: DataFrame, custCol: String, dateCol: String,
+                valueCol: String): DataFrame = {
+    val D = DecimalType(18, 2)
+    val month = date_trunc("month", col(dateCol)).cast("date")
+    val base = orders
+      .filter(col(custCol).isNotNull && col(dateCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(custCol).as("__cust"), month.as("__month"),
+        col(valueCol).cast(D).as("__value"))
+    val cohorts = base.groupBy(col("__cust"))
+      .agg(min(col("__month")).as("cohort_month"))
+    val sized = cohorts.groupBy(col("cohort_month"))
+      .agg(count(lit(1)).as("n_cohort_users"))
+    val byOffset = base.join(cohorts, "__cust")
+      .withColumn("month_offset",
+        months_between(col("__month"), col("cohort_month")).cast("int"))
+      .groupBy(col("cohort_month"), col("month_offset"))
+      .agg(count_distinct(col("__cust")).as("n_active_users"),
+        sum(col("__value")).as("revenue"))
+    val w = Window.partitionBy(col("cohort_month"))
+      .orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byOffset
+      .withColumn("cum_revenue", sum(col("revenue")).over(w))
+      .join(broadcast(sized), Seq("cohort_month"))
+      .withColumn("cum_ltv_per_user",
+        col("cum_revenue").cast("double") /
+          col("n_cohort_users").cast("double"))
+      .select(col("cohort_month"), col("month_offset"),
+        col("n_cohort_users"), col("n_active_users"),
+        col("revenue"), col("cum_revenue"), col("cum_ltv_per_user"))
   }
 }

@@ -382,4 +382,56 @@ object Quality {
       }
     ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Pearson chi-square statistic for a two-variant binary experiment
+    * (the significance companion to a hash-split A/B report): one row
+    * per unit with a variant label and a 0/1 success flag in, one row
+    * out with the 2×2 counts and χ² (1 d.f., no continuity correction).
+    *
+    * χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — the closed form, with
+    * every product computed in DECIMAL(38,0) from exact BIGINT counts
+    * and ONE final double division, so the statistic is bit-reproducible
+    * across engines (the q140/q146 discipline: exact accumulation, one
+    * inexact step). NULL when any margin is 0 (the statistic is
+    * undefined — a one-sided table can't evidence anything).
+    *
+    * The two variants are pinned by NAME (min label = variant_a) so the
+    * output is deterministic regardless of input order; requires exactly
+    * two distinct variant labels.
+    *
+    * Scale: one map-side-combined groupBy on the variant label (2 rows
+    * out), then scalar math on a 1-row frame. */
+  def chi2TwoByTwo(df: DataFrame, variantCol: String,
+                   successCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val perVariant = df
+      .filter(col(variantCol).isNotNull)
+      .groupBy(col(variantCol).as("__v"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(successCol).cast("long")).as("__s"))
+    val wide = perVariant.agg(
+      count(lit(1)).as("__nv"),
+      min(col("__v")).as("variant_a"),
+      max(col("__v")).as("variant_b"),
+      min(struct(col("__v"), col("__n"), col("__s"))).as("__fa"),
+      max(struct(col("__v"), col("__n"), col("__s"))).as("__fb"))
+    val a = col("__fa.__s").cast(D)                      // A successes
+    val b = (col("__fa.__n") - col("__fa.__s")).cast(D)  // A failures
+    val c = col("__fb.__s").cast(D)                      // B successes
+    val d = (col("__fb.__n") - col("__fb.__s")).cast(D)  // B failures
+    val n = (col("__fa.__n") + col("__fb.__n")).cast(D)
+    val det = a * d - b * c
+    val denom = (a + b) * (c + d) * (a + c) * (b + d)
+    wide
+      .filter(col("__nv") === 2)
+      .select(col("variant_a"), col("variant_b"),
+        col("__fa.__n").as("n_a"), col("__fa.__s").as("success_a"),
+        col("__fb.__n").as("n_b"), col("__fb.__s").as("success_b"),
+        (col("__fa.__s").cast("double") / col("__fa.__n").cast("double"))
+          .as("rate_a"),
+        (col("__fb.__s").cast("double") / col("__fb.__n").cast("double"))
+          .as("rate_b"),
+        ((n * det * det).cast("double") /
+          nullif(denom.cast("double"), lit(0.0))).as("chi2"))
+  }
 }
