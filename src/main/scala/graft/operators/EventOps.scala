@@ -534,6 +534,61 @@ object EventOps {
       .filter(col("rank") <= k)
   }
 
+  /** Per-user event-cadence profile — the bot/abuse screen on an event
+    * stream: event volume, active days, the MEDIAN inter-event gap
+    * (nearest-rank over exact integer microseconds, so it hash-matches
+    * across engines), and the fraction of gaps shorter than `burstUs`
+    * (scripted clients fire at machine cadence; humans don't).
+    * `bot_like` flags users with ≥ `minEvents` events whose burst
+    * fraction exceeds `burstFracThreshold`.
+    *
+    * Ties in the timestamp order are harmless: equal timestamps sort
+    * adjacent under ANY tiebreak, so the gap MULTISET — and every stat
+    * over it — is deterministic.
+    *
+    * Emits (user, n_events, n_active_days, n_gaps, median_gap_us,
+    * burst_frac, bot_like); single-event users carry NULL gap stats and
+    * `bot_like` false.
+    *
+    * Scale: one user-keyed sort for the lag, a rank over the same
+    * partitioning (sort-only, no second exchange), and two per-user
+    * aggs joined on the user key — state per user is O(1). */
+  def cadenceProfile(events: DataFrame, userCol: String, tsCol: String,
+                     burstUs: Long = 1000000L, minEvents: Int = 20,
+                     burstFracThreshold: Double = 0.5): DataFrame = {
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user"),
+        unix_micros(col(tsCol)).as("__t"),
+        to_date(col(tsCol)).as("__day"))
+    val perUser = base.groupBy(col("user"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("__day")).as("n_active_days"))
+    val gaps = base
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(
+        Window.partitionBy(col("user")).orderBy(col("__t"))))
+      .filter(col("__gap").isNotNull)
+    val part = Window.partitionBy(col("user"))
+    val gapStats = gaps
+      .withColumn("__rn", row_number().over(part.orderBy(col("__gap").asc)))
+      .withColumn("__n", count(lit(1)).over(part))
+      .groupBy(col("user"))
+      .agg(count(lit(1)).as("n_gaps"),
+        // nearest-rank p50 with the exactPercentiles 1e-9 ceil shim
+        max(when(col("__rn") <=
+          ceil(lit(0.5) * col("__n") - lit(1e-9)), col("__gap")))
+          .as("median_gap_us"),
+        sum(when(col("__gap") < burstUs, 1L).otherwise(0L)).as("__n_burst"))
+      .withColumn("burst_frac",
+        col("__n_burst").cast("double") / col("n_gaps").cast("double"))
+      .drop("__n_burst")
+    perUser
+      .join(gapStats, Seq("user"), "left")
+      .withColumn("bot_like",
+        coalesce(col("burst_frac") > burstFracThreshold &&
+          col("n_events") >= minEvents, lit(false)))
+  }
+
   /** Cohort lifetime-value matrix: customers cohorted by their FIRST
     * purchase month, revenue rolled up by (cohort month, months since
     * cohort) and accumulated across offsets — the classic LTV triangle,

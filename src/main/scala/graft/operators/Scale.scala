@@ -345,4 +345,37 @@ object Scale {
         min(col("__cnt")).as("min_rows_per_key"),
         max(col("__cnt")).as("max_rows_per_key"))
   }
+
+  /** Serving-layer nested export: children collapsed into a
+    * DETERMINISTICALLY ORDERED `array<struct>` per parent row — the
+    * denormalized document shape an API or search index serves, built
+    * without a per-request join. Ordering matters: `collect_list` order
+    * is partition-arrival nondeterminism, so the collected structs are
+    * `array_sort`ed (struct compare = field by field over `itemCols`,
+    * which must therefore form a total order — include a unique child
+    * key). Parents with no children get an EMPTY array, not NULL (the
+    * serving contract: every document has an items field).
+    *
+    * Emits every parent column plus (items, n_items).
+    *
+    * Scale: one child-side groupBy on the parent key (map-side combined
+    * into array state), one key-equi join; the array is bounded by the
+    * real children-per-parent fanout — the same bound any nested
+    * document store carries. */
+  def nestedChildren(parent: DataFrame, child: DataFrame, key: String,
+                     itemCols: Seq[String]): DataFrame = {
+    val items = child
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(itemCols.map(col): _*)))
+        .as("items"))
+    val emptyArr = array().cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(
+          itemCols.map(c => org.apache.spark.sql.types.StructField(c,
+            child.schema(c).dataType, child.schema(c).nullable)))))
+    parent
+      .join(items, Seq(key), "left")
+      .withColumn("items", coalesce(col("items"), emptyArr))
+      .withColumn("n_items", size(col("items")))
+  }
 }

@@ -176,4 +176,32 @@ object Windows {
             col("__den").cast("double")))
       .drop("__y", "__n", "__sx", "__sx2", "__sy", "__sxy", "__den")
   }
+
+  /** One-sided CUSUM change-point statistic per key: the classic
+    * recurrence S_t = max(0, S_{t-1} + (x_t − target)) flags a sustained
+    * upward shift in a series (a traffic surge, a cost regression) while
+    * a single spiky day decays back to 0. The recurrence LOOKS
+    * inherently sequential, but reflects into associative window math:
+    * with C_t the running sum of (x_t − target),
+    * S_t = C_t − min(0, min_{j≤t} C_j) — a running sum and a running min
+    * over the SAME (key, order) frame, which Spark computes in one sort
+    * of one exchange. No iteration, no UDAF, no driver loop.
+    *
+    * `x` and `target` should be integer/decimal for exact accumulation
+    * (the alarm comparison is then exact too). Emits the input grain
+    * plus (cusum, alarm). `df` must have one row per (key, order) tick —
+    * pre-aggregate to the tick grain first (also the 100 TB posture:
+    * the window runs over keys × ticks, not raw events). */
+  def cusum(df: DataFrame, keyCols: Seq[String], orderCol: String,
+            x: Column, target: Column, threshold: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__c", sum(x - target).over(w))
+      .withColumn("__m", least(lit(0), min(col("__c")).over(w)))
+      .withColumn("cusum", col("__c") - col("__m"))
+      .withColumn("alarm", col("cusum") > threshold)
+      .drop("__c", "__m")
+  }
 }
