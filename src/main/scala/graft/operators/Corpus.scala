@@ -1043,16 +1043,33 @@ object Corpus {
     * Scale: one scan for min/max (2-value broadcast), one scan for
     * bucket totals (map-side combined), one bucket-partitioned window.
     * A pathological score distribution (all mass in one bucket) degrades
-    * to one window partition — the same contract as any keyed window. */
+    * to one window partition — the same contract as any keyed window.
+    *
+    * SIZE-DISPATCHED like [[Scale.globalRowNumber]]: at or under
+    * `smallInputMaxRows` rows the plain one-shuffle global running sum
+    * wins over the telescoped plan's job overhead; both paths are
+    * output-identical (R5hOpsSpec pins the telescoped form against the
+    * naive one). */
   def takeGlobalTokenBudget(docs: DataFrame, idCol: String, score: Column,
                             tokenCount: Column, budget: Long,
-                            buckets: Int = 4096): DataFrame = {
+                            buckets: Int = 4096,
+                            smallInputMaxRows: Long = 2000000L): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val base = docs
       .withColumn("__score", score.cast("double"))
       .withColumn("n_tokens", tokenCount.cast("bigint"))
       .filter(col("__score").isNotNull && col("n_tokens").isNotNull)
+    // dispatch on the UN-projected input count — an upper bound on the
+    // base rows that skips evaluating tokenCount (often the expensive
+    // part) and stays a metadata-only count on a bare parquet scan
+    if (smallInputMaxRows > 0 && docs.count() <= smallInputMaxRows)
+      return base
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.orderBy(col("__score").desc, col(idCol).asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_tokens") <= budget)
+        .drop("__score")
     val bounds = base.agg(min(col("__score")).as("__lo"),
       max(col("__score")).as("__hi"))
     val bucketed = base.crossJoin(broadcast(bounds))
@@ -1119,6 +1136,84 @@ object Corpus {
           .as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Quantile normalization of per-source scores: each document's score
+    * is replaced by the POOLED corpus score at the same within-source
+    * rank position — after it, every source has the same score
+    * distribution, so a single global threshold (or the q162 budget cut)
+    * stops favoring sources whose raw scorer runs hot (the classic
+    * cross-source calibration step before a corpus-wide quality gate).
+    *
+    * The mapping is pure integer math — rank r of n_s maps to pooled
+    * index 1 + ((r−1)·(N−1)) div (n_s−1) — so results hash-match across
+    * engines; a single-document source maps to the pooled median index
+    * 1 + (N−1) div 2. The pooled numbering uses the telescoped
+    * [[Scale.globalRowNumber]], never a single-task global window.
+    *
+    * Emits (id, source, score, normalized_score).
+    *
+    * Scale: one per-source window (keys × docs rows), the bucketed
+    * global numbering, and one integer-keyed join back to pooled
+    * values. */
+  def quantileNormalizeScores(docs: DataFrame, idCol: String,
+                              sourceCol: String, score: Column): DataFrame = {
+    val base = docs
+      .withColumn("score", score)
+      .filter(col(sourceCol).isNotNull && col("score").isNotNull)
+      .select(col(idCol), col(sourceCol), col("score"))
+    val wS = Window.partitionBy(col(sourceCol))
+    val ranked = base
+      .withColumn("__rs", row_number().over(
+        wS.orderBy(col("score").asc, col(idCol).asc)))
+      .withColumn("__ns", count(lit(1)).over(wS))
+    val pooled = Scale.globalRowNumber(base, "score", idCol)
+      .select(col("score").as("normalized_score"),
+        col("global_rn").as("__idx"))
+    val n = base.agg(count(lit(1)).as("__N"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("__idx",
+        when(col("__ns") > 1,
+          expr("1 + ((__rs - 1) * (__N - 1)) div (__ns - 1)"))
+          .otherwise(expr("1 + (__N - 1) div 2")))
+      .join(pooled, Seq("__idx"))
+      .select(col(idCol), col(sourceCol), col("score"),
+        col("normalized_score"))
+  }
+
+  /** Deterministic weighted sample of exactly `k` documents per group —
+    * the Efraimidis–Spirakis A-ES scheme (key = u^(1/w), keep the top k)
+    * with the randomness replaced by the md5 draw [[sampleByScore]]
+    * uses, so every engine and every re-run keeps the SAME rows.
+    * Maximizing u^(1/w) is maximizing ln(u)/w: ln(u) becomes a
+    * floor(ln·2³⁰) scaled integer (exact in both engines), and the key
+    * is the one correctly-rounded double division lp/w — reproducible,
+    * with ties broken by id. Weights must be positive; heavier rows are
+    * proportionally more likely to be kept, and changing `k` only
+    * extends/truncates the kept prefix (the draw never changes).
+    *
+    * Emits the input rows plus `wkey`, filtered to the per-group top-k.
+    *
+    * Scale: a pure scalar projection plus one per-group top-k window —
+    * WindowGroupLimit prunes to k rows per group before the exchange. */
+  def weightedSampleK(docs: DataFrame, idCol: String, groupCol: String,
+                      weight: Column, k: Int,
+                      seed: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    // (0,1] so ln is finite; exact binary fraction in both engines
+    val u = (conv(substring(h, 1, 12), 16, 10).cast("double") + lit(1.0)) /
+      lit(281474976710656.0) // 2^48
+    val lp = floor(log(u) * lit(1073741824.0)).cast("long") // <= 0
+    val keyed = docs
+      .filter(weight.isNotNull && weight > 0)
+      .withColumn("wkey", lp.cast("double") / weight.cast("double"))
+    keyed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("wkey").desc, col(idCol).asc)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 
   /** Per-document cross-entropy under the corpus's own BIGRAM model —

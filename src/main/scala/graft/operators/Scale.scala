@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew and co-location tools for the 100 TB posture (SURVEY §7.6).
@@ -362,6 +363,65 @@ object Scale {
     * into array state), one key-equi join; the array is bounded by the
     * real children-per-parent fanout — the same bound any nested
     * document store carries. */
+  /** Distributed GLOBAL row numbering under (value ASC, tiebreak ASC) —
+    * the primitive that replaces `row_number() over (order by v)`'s
+    * single-task global sort. Same telescoping as the token-budget cut:
+    * values range-bucket onto `buckets` equal-width bins (monotone, so
+    * bucket-major + within-bucket order IS the global order), per-bucket
+    * counts (≤ `buckets` rows) prefix-sum into exclusive offsets, and
+    * each row's number is its bucket offset plus a WITHIN-bucket
+    * `row_number` — windows parallel across buckets.
+    *
+    * `tiebreakCol` must be unique (it totalizes the order); NULL values
+    * are rejected (no position in the order). Emits the input plus
+    * `global_rn` (1-based). Skewed value distributions degrade toward
+    * one window partition — the usual keyed-window contract; raise
+    * `buckets` or pre-spread if a single value dominates.
+    *
+    * SIZE-DISPATCHED (the connectedComponents/buildDim discipline):
+    * inputs at or under `smallInputMaxRows` take the plain one-shuffle
+    * global window — a single sorted partition of ≤ that many rows beats
+    * the telescoped plan's ~6 stages of job overhead. Above the cap (or
+    * with the cap set to 0) the telescoped form runs; both paths are
+    * output-identical (pinned in R5jOpsSpec). The dispatch count is one
+    * column-pruned scan. */
+  def globalRowNumber(df: DataFrame, valueCol: String, tiebreakCol: String,
+                      buckets: Int = 4096,
+                      smallInputMaxRows: Long = 2000000L): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+    // upper-bound dispatch count on the unfiltered input: metadata-only
+    // for a bare scan, and never evaluates a derived value column
+    if (smallInputMaxRows > 0 && df.count() <= smallInputMaxRows)
+      return base.withColumn("global_rn",
+        row_number().over(
+          Window.orderBy(col(valueCol).asc, col(tiebreakCol).asc))
+          .cast("long"))
+    val bounds = base.agg(min(v).as("__lo"), max(v).as("__hi"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .withColumn("__bucket",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((v - col("__lo")) /
+              ((col("__hi") - col("__lo")) / lit(buckets.toDouble)))
+              .cast("int"))))
+      .drop("__lo", "__hi")
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bn")).over(
+          Window.orderBy(col("__bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col(valueCol).asc, col(tiebreakCol).asc)
+    bucketed
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("global_rn", col("__offset") + row_number().over(w))
+      .drop("__bucket", "__offset")
+  }
+
   def nestedChildren(parent: DataFrame, child: DataFrame, key: String,
                      itemCols: Seq[String]): DataFrame = {
     val items = child

@@ -93,7 +93,7 @@ class R5hOpsSpec extends SparkSpec {
     for (budget <- Seq(0L, 39L, 40L, 90L, 114L, 115L, 1000L);
          buckets <- Seq(1, 2, 4096)) {
       val fast = Corpus.takeGlobalTokenBudget(budgetDocs, "doc_id",
-        col("score"), col("toks"), budget, buckets)
+        col("score"), col("toks"), budget, buckets, smallInputMaxRows = 0L)
         .select("doc_id", "cum_tokens").orderBy("cum_tokens")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val naive = budgetDocs
