@@ -223,4 +223,71 @@ object Clusters {
     components.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         min(col(idCol)).as("canonical_id"))
+
+  /** Integer-exact PageRank over an UNDIRECTED graph given as (src, dst)
+    * pairs — entity-importance scoring for graphs like the
+    * customer↔supplier trade network, with every arithmetic step in
+    * 64-bit integer math so two engines produce bit-identical ranks
+    * (doubles would accumulate in shuffle order and never hash-match a
+    * differential oracle).
+    *
+    * Semantics (damping d = 85/100, all divisions floor/integer):
+    *   - vertex set   = endpoints of the symmetrized, deduplicated edges
+    *   - deg(v)       = number of distinct neighbors
+    *   - r0           = scale div N               (same for every vertex)
+    *   - base         = (15 * r0) div 100
+    *   - r_{k+1}(v)   = base + Σ_{u∈nbrs(v)} (85 * r_k(u)) div (100 * deg(u))
+    *
+    * Every vertex has deg ≥ 1 by construction, so there is no dangling
+    * mass. With scale = 1e12 the per-iteration products stay ≤ 8.5e13 —
+    * far inside Long range at any graph size (rank mass is conserved
+    * minus floor truncation, so ranks never exceed ~scale).
+    *
+    * Scale posture: the input pairs are deduplicated BEFORE symmetrizing
+    * (half the dedup shuffle), then per round one edges⋈ranks join, one
+    * map-side-combined sum shuffled by dst, and one join back to deg.
+    * The rank table is only |V| rows but its per-round `localCheckpoint`
+    * snapshot erases size stats, so AQE would never pick a broadcast
+    * join on its own — when |V| ≤ `smallVertexMaxRows` the rank/inflow
+    * sides are broadcast EXPLICITLY and the cached edge list never
+    * re-shuffles; above the cap the joins shuffle on the vertex key
+    * (pre-partitioned by the persist). Rank snapshots keep lineage flat
+    * (the [[connectedComponents]] discipline); only N (one long)
+    * reaches the driver. Vertex ids keep the caller's column type —
+    * compact integer ids shuffle several times faster than strings, so
+    * encode composite entities as longs where possible. */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                  iters: Int = 3,
+                  scale: Long = 1000000000000L,
+                  smallVertexMaxRows: Long = 5000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(scale >= 1000L, s"scale must be >= 1000, got $scale")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct() // only collapses pairs the input held in both directions
+      .persist()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count() // materializes both caches; N is the only driver value
+    require(n > 0, "pageRankInt: empty edge set")
+    val bcast = n <= smallVertexMaxRows
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var ranks = deg.withColumn("rank", lit(r0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = sym.join(side(ranks), Seq("src"))
+        .select(col("dst"), expr("(85 * rank) div (100 * deg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        .withColumnRenamed("dst", "src")
+      ranks = deg.join(side(inflow), Seq("src"))
+        .select(col("src"), col("deg"),
+          (lit(base) + col("inflow")).as("rank"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    deg.unpersist()
+    ranks.select(col("src").as("vertex"), col("deg"), col("rank"))
+  }
 }

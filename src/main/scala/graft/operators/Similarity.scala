@@ -430,4 +430,63 @@ object Similarity {
     codes.unpersist(blocking = false)
     result
   }
+
+  /** Pairwise cosine similarity between PER-LABEL CENTROIDS of an
+    * embedding column, in exact scaled-integer arithmetic — "how close
+    * are the class prototypes" for stratified-corpus audits (two labels
+    * whose centroids are near-parallel are candidates for merging or for
+    * leakage checks).
+    *
+    * Exactness contract: each component is quantized q = floor(x ·
+    * qScale) (float→double is exact, qScale is a power of two so the
+    * product is exact, floor is exact), the centroid is kept as the
+    * integer component-SUM (never divided — cosine is invariant to the
+    * 1/n scaling), and dot/norms are exact Long sums. The only floating
+    * ops are the final int64→double conversions, sqrt, multiply, divide
+    * — each IEEE-correctly-rounded, hence bit-identical across engines.
+    *
+    * Bounds: |q| ≤ qScale for unit-normalized inputs, so a component sum
+    * over n vectors is ≤ n·qScale and dot/norm terms are ≤ dim·(n·
+    * qScale)²; with the default qScale 1024 that stays inside Long up to
+    * ~1.4 M vectors per label at dim 64 — past that, lower qScale (the
+    * doc-level knob) or widen to decimal.
+    *
+    * Scale posture: one posexplode + map-side-combined sum shuffled by
+    * (label, pos) — the only pass over the data; everything after runs
+    * on labels×dim rows (tiny, broadcast-joined). */
+  def labelCentroidCosine(embeddings: DataFrame, idCol: String,
+                          embCol: String, labelCol: String,
+                          qScale: Int = 1024): DataFrame = {
+    require(qScale > 0 && (qScale & (qScale - 1)) == 0,
+      s"qScale must be a positive power of two, got $qScale")
+    val comp = embeddings
+      .filter(col(labelCol).isNotNull && col(embCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col(embCol)).as(Seq("pos", "x")))
+      .withColumn("q",
+        floor(col("x").cast("double") * lit(qScale.toDouble)).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("c"))
+    val norms = comp.groupBy(col("label"))
+      .agg(sum(col("c") * col("c")).as("nn"))
+    val a = comp.select(col("label").as("label_a"), col("pos"),
+      col("c").as("ca"))
+    val b = comp.select(col("label").as("label_b"), col("pos"),
+      col("c").as("cb"))
+    val dots = a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("nn").as("__na")),
+        Seq("label_a"))
+      .join(norms.select(col("label").as("label_b"), col("nn").as("__nb")),
+        Seq("label_b"))
+      .withColumn("cos",
+        when(col("__na") === 0L || col("__nb") === 0L, lit(null))
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("__na").cast("double")) *
+              sqrt(col("__nb").cast("double")))))
+      .select(col("label_a"), col("label_b"), col("dot"), col("cos"))
+  }
 }
