@@ -434,4 +434,99 @@ object Quality {
         ((n * det * det).cast("double") /
           nullif(denom.cast("double"), lit(0.0))).as("chi2"))
   }
+
+  /** CUPED variance reduction for an A/B experiment: the post-period
+    * metric y is adjusted by the pre-period covariate x via
+    * y' = y − θ·(x − E[x]), θ = cov(x,y)/var(x) estimated on the POOLED
+    * population (the standard one-θ CUPED). The adjustment is linear,
+    * so the per-variant adjusted mean needs only variant-level sums:
+    *   mean_adj_v = mean_y_v − θ·(mean_x_v − mean_x_pooled)
+    * — ONE aggregation pass over the units, no per-unit output.
+    *
+    * Determinism contract: y and x must be exact decimals; sums and
+    * cross-product sums accumulate in decimal (exact, order-free), and
+    * θ/means come from the exact sums through correctly-rounded double
+    * ops only. θ is NULL (and mean_adj = mean_y) when var(x) = 0.
+    *
+    * Emits one row per variant: n, mean_y, mean_x, theta, mean_adj. */
+  def cupedAdjust(units: DataFrame, variantCol: String,
+                  y: Column, x: Column): DataFrame = {
+    val g = units
+      .filter(y.isNotNull && x.isNotNull)
+      .groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(y).as("sy"), sum(x).as("sx"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val tot = g.agg(sum(col("n")).as("tn"),
+      sum(col("sy")).cast("double").as("tsy"),
+      sum(col("sx")).cast("double").as("tsx"),
+      sum(col("sxy")).cast("double").as("tsxy"),
+      sum(col("sxx")).cast("double").as("tsxx"))
+    val nD = col("tn").cast("double")
+    val varX = col("tsxx") - col("tsx") * col("tsx") / nD
+    val covXY = col("tsxy") - col("tsx") * col("tsy") / nD
+    g.crossJoin(broadcast(tot))
+      .withColumn("theta", covXY / nullif(varX, lit(0.0)))
+      .withColumn("mean_y", col("sy").cast("double") / col("n").cast("double"))
+      .withColumn("mean_x", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("mean_adj",
+        col("mean_y") - coalesce(col("theta"), lit(0.0)) *
+          (col("mean_x") - col("tsx") / nD))
+      .select(col("variant"), col("n"), col("mean_y"), col("mean_x"),
+        col("theta"), col("mean_adj"))
+  }
+
+  /** Population stability index of an integer-valued score per source
+    * against the POOLED corpus distribution (source included — a
+    * monitoring baseline, not a holdout): fixed equal-width buckets from
+    * the global [min, max] by integer math, add-one smoothing so empty
+    * buckets stay finite, and
+    *   PSI_s = Σ_b (p_b − q_b) · ln(p_b / q_b)
+    * with p the pooled and q the source proportions.
+    *
+    * Determinism contract (the unigramCrossEntropy discipline): bucket
+    * assignment and counts are exact integers; p, q, p/q and ln run as
+    * correctly-rounded double ops from those integers; each bucket term
+    * is floored onto the 2⁻³⁰ grid and the cross-bucket sum accumulates
+    * in BIGINT — exact, associative, partition-order-free. The ≤ 2⁻³⁰
+    * per-bucket quantization is far below any alerting threshold.
+    *
+    * Scale: one scan to count (source, bucket) with map-side combine;
+    * the dense source × bucket grid, pooled counts, and PSI all run on
+    * sources×buckets rows. */
+  def psiDrift(df: DataFrame, sourceCol: String, value: Column,
+               buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val Scale = 1073741824L // 2^30
+    val base = df
+      .filter(col(sourceCol).isNotNull && value.isNotNull)
+      .select(col(sourceCol).as("source"), value.cast("long").as("v"))
+    val bounds = base.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val counts = base.crossJoin(broadcast(bounds))
+      .withColumn("b",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(expr(s"cast(((v - mn) * $buckets) div (mx - mn + 1) as int)")))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val spine = counts.select(col("source")).distinct()
+      .crossJoin(counts.sparkSession.range(buckets).toDF("b")
+        .select(col("b").cast("int").as("b")))
+    val dense = spine.join(counts, Seq("source", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val pooled = dense.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val nS = dense.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val nR = pooled.agg(sum(col("cr")).as("nr"))
+    val p = (col("cr") + 1).cast("double") /
+      (col("nr") + buckets).cast("double")
+    val q = (col("c") + 1).cast("double") /
+      (col("ns") + buckets).cast("double")
+    dense
+      .join(broadcast(pooled), Seq("b"))
+      .join(broadcast(nS), Seq("source"))
+      .crossJoin(broadcast(nR))
+      .withColumn("__term",
+        floor((p - q) * floor(log(p / q) * lit(Scale.toDouble)))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_rows"),
+        (sum(col("__term")).cast("double") / lit(Scale.toDouble)).as("psi"))
+  }
 }

@@ -489,4 +489,52 @@ object Similarity {
               sqrt(col("__nb").cast("double")))))
       .select(col("label_a"), col("label_b"), col("dot"), col("cos"))
   }
+
+  /** Per-vector cosine to its OWN label centroid, with a low-similarity
+    * outlier flag — the mislabel/noise detector for a labeled embedding
+    * corpus. Same exactness contract as [[labelCentroidCosine]]: the
+    * centroid is the scaled-integer component sum (the vector itself
+    * included — a leave-one-out centroid would need per-vector
+    * subtraction; at corpus sizes the self-term is negligible and the
+    * flag threshold absorbs it), dots and norms are exact Long sums,
+    * and only the final sqrt/divide run in floating point. A vector or
+    * centroid with zero norm gets a NULL cosine and is flagged.
+    *
+    * Scale posture: one posexplode pass feeds BOTH the centroid sums
+    * (map-side combine on label×dim) and the per-vector join — the join
+    * side is broadcast (labels×dim rows), so the corpus never
+    * re-shuffles; the per-vector aggregation combines map-side on the
+    * id. */
+  def embeddingOutliers(embeddings: DataFrame, idCol: String,
+                        embCol: String, labelCol: String,
+                        qScale: Int = 1024,
+                        cosThreshold: Double = 0.5): DataFrame = {
+    require(qScale > 0 && (qScale & (qScale - 1)) == 0,
+      s"qScale must be a positive power of two, got $qScale")
+    val quant = embeddings
+      .filter(col(labelCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).as("label"),
+        posexplode(col(embCol)).as(Seq("pos", "x")))
+      .withColumn("q",
+        floor(col("x").cast("double") * lit(qScale.toDouble)).cast("long"))
+    val comp = quant.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("c"))
+    val cnorm = comp.groupBy(col("label"))
+      .agg(sum(col("c") * col("c")).as("cn"))
+    quant
+      .join(broadcast(comp), Seq("label", "pos"))
+      .groupBy(col("__id"), col("label"))
+      .agg(sum(col("q") * col("c")).as("dot"),
+        sum(col("q") * col("q")).as("vn"))
+      .join(broadcast(cnorm), Seq("label"))
+      .withColumn("cos",
+        when(col("vn") === 0L || col("cn") === 0L, lit(null))
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("vn").cast("double")) *
+              sqrt(col("cn").cast("double")))))
+      .withColumn("is_outlier",
+        coalesce(col("cos") < lit(cosThreshold), lit(true)))
+      .select(col("__id").as(idCol), col("label"), col("dot"), col("cos"),
+        col("is_outlier"))
+  }
 }
