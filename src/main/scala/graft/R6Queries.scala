@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.QueryDef
+import graft.functions.TextFunctions
+import graft.operators.Eval
+
+/** Round-6 wave 1: evaluation & label QA — retrieval ranking metrics,
+  * inter-annotator agreement, nearest-centroid classifier eval.
+  *
+  * The reference closes its loop with dashboard KPIs over the curated
+  * data (SQLproject1.sql:680-736); the LLM-pipeline analog is scoring
+  * the corpus's labels, embeddings, and retrieval quality. All three
+  * queries follow the exact-integer discipline: quantized dots,
+  * confusion counts, and literal discount tables accumulate as
+  * BIGINT; doubles appear only in final single divisions.
+  */
+object R6Queries {
+
+  /** MRR / hit@k / NDCG@10 for same-label retrieval over the embeddings
+    * table, query set = every 25th vector (see Eval.rankingMetrics). */
+  private val q177 = QueryDef(
+    "q177_ranking_metrics",
+    (s, d) => Eval.rankingMetrics(Tables.embeddings(s, d),
+      "vec_id", "embedding", "label", col("id") % 25 === 0, k = 10),
+    Some {
+      val dlits = Eval.discountTable(10).mkString(", ")
+      s"""
+      WITH x AS (SELECT vec_id, label,
+              unnest(embedding) AS e,
+              unnest(generate_series(0, len(embedding) - 1)) AS pos
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL),
+      b AS (SELECT vec_id, label, pos,
+              CAST(floor(CAST(e AS DOUBLE) * 1024) AS BIGINT) AS q FROM x),
+      nrm AS (SELECT vec_id, MIN(label) AS label,
+              CAST(SUM(q * q) AS BIGINT) AS nn
+            FROM b GROUP BY 1 HAVING SUM(q * q) > 0),
+      lc AS (SELECT label, COUNT(*) AS cnt FROM nrm GROUP BY 1),
+      qs AS (SELECT n.vec_id AS q_id, n.label AS q_lbl, n.nn AS na,
+              CAST(lc.cnt - 1 AS BIGINT) AS n_rel
+            FROM nrm n JOIN lc ON lc.label = n.label
+            WHERE n.vec_id % 25 = 0),
+      dots AS (SELECT qs.q_id, cc.vec_id AS id,
+              CAST(SUM(qc.q * cc.q) AS BIGINT) AS dot
+            FROM qs
+            JOIN b qc ON qc.vec_id = qs.q_id
+            JOIN b cc ON cc.pos = qc.pos AND cc.vec_id <> qs.q_id
+            GROUP BY 1, 2),
+      scored AS (SELECT d.q_id, qs.q_lbl, qs.n_rel, d.id, n2.label AS lbl,
+              CAST(d.dot AS DOUBLE)
+                / (sqrt(CAST(n2.nn AS DOUBLE)) * sqrt(CAST(qs.na AS DOUBLE)))
+                AS cos
+            FROM dots d
+            JOIN nrm n2 ON n2.vec_id = d.id
+            JOIN qs ON qs.q_id = d.q_id),
+      topk AS (SELECT *, CASE WHEN lbl = q_lbl THEN 1 ELSE 0 END AS rel
+            FROM (SELECT *, CAST(row_number() OVER
+                    (PARTITION BY q_id ORDER BY cos DESC, id) AS INT) AS rank
+                  FROM scored)
+            WHERE rank <= 10),
+      pq AS (SELECT q_id, MIN(q_lbl) AS label, MIN(n_rel) AS n_rel,
+              MAX(CASE WHEN rank = 1 THEN rel ELSE 0 END) AS hit1,
+              CAST(SUM(rel) AS BIGINT) AS hits_k,
+              MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+              CAST(SUM(CASE WHEN rel = 1
+                THEN [$dlits][rank] ELSE 0 END) AS BIGINT) AS dcg
+            FROM topk GROUP BY 1),
+      idcg AS (SELECT q_id,
+              CAST(SUM([$dlits][i]) AS BIGINT) AS idcg
+            FROM pq, LATERAL (SELECT unnest(generate_series(
+                1, CAST(least(pq.n_rel, 10) AS INT))) AS i) s
+            GROUP BY 1)
+      SELECT pq.q_id, pq.label, pq.n_rel, pq.hit1, pq.hits_k,
+        pq.first_rel_rank,
+        coalesce(CAST(1 AS DOUBLE) / pq.first_rel_rank, CAST(0 AS DOUBLE))
+          AS rr,
+        pq.dcg,
+        CASE WHEN idcg.idcg IS NULL THEN NULL
+          ELSE CAST(pq.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE) END AS ndcg
+      FROM pq LEFT JOIN idcg ON idcg.q_id = pq.q_id"""
+    })
+
+  /** Cohen's kappa between two length-tier "annotators" over documents:
+    * rater A buckets by characters, rater B by whitespace tokens — the
+    * agreement audit a labeling pipeline runs on redundant annotations
+    * (see Eval.cohenKappa). */
+  private val q178 = QueryDef(
+    "q178_annotator_kappa",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val nc = length(col("text"))
+      val nt = size(TextFunctions.tokens(col("text")))
+      Eval.cohenKappa(docs,
+        when(nc < 150, "short").when(nc < 400, "medium").otherwise("long"),
+        when(nt < 28, "short").when(nt < 73, "medium").otherwise("long"))
+    },
+    Some("""
+      WITH r AS (SELECT
+              CASE WHEN length(text) < 150 THEN 'short'
+                WHEN length(text) < 400 THEN 'medium'
+                ELSE 'long' END AS rating_a,
+              CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) < 28 THEN 'short'
+                WHEN len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) < 73 THEN 'medium'
+                ELSE 'long' END AS rating_b
+            FROM documents WHERE text IS NOT NULL),
+      cells AS (SELECT rating_a, rating_b, COUNT(*) AS n FROM r GROUP BY 1, 2),
+      ma AS (SELECT rating_a, CAST(SUM(n) AS BIGINT) AS n_a
+            FROM cells GROUP BY 1),
+      mb AS (SELECT rating_b, CAST(SUM(n) AS BIGINT) AS n_b
+            FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+              CAST(SUM(CASE WHEN rating_a = rating_b THEN n ELSE 0 END)
+                AS BIGINT) AS diag
+            FROM cells),
+      pe AS (SELECT CAST(SUM(ma.n_a * mb.n_b) AS BIGINT) AS pe_num
+            FROM ma JOIN mb ON ma.rating_a = mb.rating_b)
+      SELECT c.rating_a, c.rating_b, c.n, ma.n_a, mb.n_b,
+        CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE) AS observed_agreement,
+        CAST(pe_num AS DOUBLE) / CAST(nn * nn AS DOUBLE)
+          AS expected_agreement,
+        CASE WHEN CAST(pe_num AS DOUBLE) / CAST(nn * nn AS DOUBLE)
+              = CAST(1 AS DOUBLE) THEN NULL
+          ELSE (CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE)
+                 - CAST(pe_num AS DOUBLE) / CAST(nn * nn AS DOUBLE))
+            / (CAST(1 AS DOUBLE)
+                 - CAST(pe_num AS DOUBLE) / CAST(nn * nn AS DOUBLE)) END
+          AS kappa
+      FROM cells c
+      JOIN ma USING (rating_a)
+      JOIN mb USING (rating_b)
+      CROSS JOIN tot CROSS JOIN pe"""))
+
+  /** Nearest-centroid classification of every embedding against its own
+    * label space, scored as per-class precision / recall / F1 (see
+    * Eval.nearestCentroidEval) — the embedding-quality report card. */
+  private val q179 = QueryDef(
+    "q179_classifier_eval",
+    (s, d) => Eval.nearestCentroidEval(Tables.embeddings(s, d),
+      "vec_id", "embedding", "label"),
+    Some("""
+      WITH x AS (SELECT vec_id, label,
+              unnest(embedding) AS e,
+              unnest(generate_series(0, len(embedding) - 1)) AS pos
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL),
+      b AS (SELECT vec_id, label, pos,
+              CAST(floor(CAST(e AS DOUBLE) * 1024) AS BIGINT) AS q FROM x),
+      comp AS (SELECT label AS cand, pos, CAST(SUM(q) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2),
+      cn AS (SELECT cand, CAST(SUM(c * c) AS BIGINT) AS cnn
+            FROM comp GROUP BY 1),
+      vn AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS vnn
+            FROM b GROUP BY 1),
+      dots AS (SELECT b.vec_id, MIN(b.label) AS truth, comp.cand,
+              CAST(SUM(b.q * comp.c) AS BIGINT) AS dot
+            FROM b JOIN comp ON comp.pos = b.pos
+            GROUP BY b.vec_id, comp.cand),
+      scored AS (SELECT d.vec_id, d.truth, d.cand,
+              CAST(d.dot AS DOUBLE)
+                / (sqrt(CAST(vn.vnn AS DOUBLE)) * sqrt(CAST(cn.cnn AS DOUBLE)))
+                AS cos
+            FROM dots d
+            JOIN vn ON vn.vec_id = d.vec_id
+            JOIN cn ON cn.cand = d.cand
+            WHERE vn.vnn > 0 AND cn.cnn > 0),
+      pred AS (SELECT vec_id, truth, cand AS pred FROM (
+              SELECT *, row_number() OVER
+                (PARTITION BY vec_id ORDER BY cos DESC, cand) AS rk
+              FROM scored) WHERE rk = 1),
+      cls AS (SELECT DISTINCT truth AS label FROM pred
+            UNION SELECT DISTINCT pred FROM pred),
+      t AS (SELECT truth AS label, COUNT(*) AS support,
+              CAST(SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+                AS tp,
+              CAST(SUM(CASE WHEN pred <> truth THEN 1 ELSE 0 END) AS BIGINT)
+                AS fn
+            FROM pred GROUP BY 1),
+      p AS (SELECT pred AS label,
+              CAST(SUM(CASE WHEN pred <> truth THEN 1 ELSE 0 END) AS BIGINT)
+                AS fp
+            FROM pred GROUP BY 1)
+      SELECT cls.label,
+        COALESCE(t.support, 0) AS support,
+        COALESCE(t.tp, 0) AS tp,
+        COALESCE(p.fp, 0) AS fp,
+        COALESCE(t.fn, 0) AS fn,
+        CASE WHEN COALESCE(t.tp, 0) + COALESCE(p.fp, 0) = 0 THEN NULL
+          ELSE CAST(COALESCE(t.tp, 0) AS DOUBLE)
+            / CAST(COALESCE(t.tp, 0) + COALESCE(p.fp, 0) AS DOUBLE) END
+          AS "precision",
+        CASE WHEN COALESCE(t.tp, 0) + COALESCE(t.fn, 0) = 0 THEN NULL
+          ELSE CAST(COALESCE(t.tp, 0) AS DOUBLE)
+            / CAST(COALESCE(t.tp, 0) + COALESCE(t.fn, 0) AS DOUBLE) END
+          AS recall,
+        CASE WHEN 2 * COALESCE(t.tp, 0) + COALESCE(p.fp, 0)
+              + COALESCE(t.fn, 0) = 0 THEN NULL
+          ELSE CAST(2 * COALESCE(t.tp, 0) AS DOUBLE)
+            / CAST(2 * COALESCE(t.tp, 0) + COALESCE(p.fp, 0)
+                + COALESCE(t.fn, 0) AS DOUBLE) END AS f1
+      FROM cls
+      LEFT JOIN t USING (label)
+      LEFT JOIN p USING (label)"""))
+
+  val all: Seq[QueryDef] = Seq(q177, q178, q179)
+}

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation / label-QA operators for training-data pipelines: retrieval
+  * ranking metrics (MRR / hit@k / NDCG@k), inter-annotator agreement
+  * (Cohen's kappa), and nearest-centroid classifier evaluation
+  * (per-class precision / recall / F1).
+  *
+  * These close the loop the reference's dashboard closes for sales data
+  * (reference: KPI views, SQLproject1.sql:680-736): once a corpus has
+  * labels, embeddings, and retrieval indexes, the pipeline needs
+  * first-class queries that measure how good they are.
+  *
+  * Numeric discipline (the psiDrift/labelCentroidCosine contract): every
+  * accumulated quantity is an exact integer (quantized dots, confusion
+  * counts, floor-scaled log discounts); doubles appear only in final
+  * single divisions / sqrt of those integers, which IEEE rounds
+  * identically in any engine — so results hash-match DuckDB bit-for-bit.
+  */
+object Eval {
+
+  /** floor(x * qScale) per slot — the labelCentroidCosine quantization. */
+  private def quantize(emb: Column, qScale: Int): Column =
+    transform(emb, x => floor(x.cast("double") * lit(qScale.toDouble)).cast("long"))
+
+  /** Binary-gain DCG discount constants for ranks 1..k (2^30-scaled).
+    * Exposed so query oracles can embed the identical literals. */
+  def discountTable(k: Int): Array[Long] =
+    (1 to k).map(r =>
+      math.floor(1073741824.0 / (math.log(r + 1.0) / math.log(2.0))).toLong).toArray
+
+  /** Retrieval eval: rank the corpus for each query vector by exact
+    * quantized cosine and score the ranking against same-label relevance.
+    *
+    * Emits one row per query: `q_id, label, n_rel, hit1, hits_k,
+    * first_rel_rank, rr, dcg, ndcg` where relevance = "corpus vector has
+    * the query's label", `rr` is the within-top-k reciprocal rank (0 when
+    * no relevant vector ranks <= k), and `ndcg` uses binary-gain DCG with
+    * the discount table D(r) = floor(2^30 / log2(r+1)) accumulated as
+    * BIGINT (null when the query's label has no other members).
+    *
+    * Scale: the corpus is scanned once and never re-shuffled; the query
+    * side is guarded by the similarity broadcast cap, so the join is a
+    * broadcast hash join producing |corpus| x |queries| scored rows that
+    * immediately collapse through a WindowGroupLimit top-k (rank <= k is
+    * pushed below the exchange); label counts and the rank spine are
+    * label-cardinality / k-sized broadcasts.
+    */
+  def rankingMetrics(embeddings: DataFrame, idCol: String, embCol: String,
+                     labelCol: String, queryPredicate: Column, k: Int = 10,
+                     qScale: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    def idot(a: Column, b: Column): Column = call_function("q8_dot", a, b)
+    // discount table D(r) = floor(2^30 / log2(r+1)), materialized as Long
+    // LITERALS so both engines index the same constants instead of racing
+    // their libm log2 implementations at a floor boundary
+    val discounts = discountTable(k)
+    def discount(rank: Column): Column =
+      element_at(lit(discounts), rank.cast("int"))
+
+    val corpus = embeddings
+      .filter(col(labelCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        quantize(col(embCol), qScale).as("__q"))
+      .withColumn("__nn", idot(col("__q"), col("__q")))
+      .filter(col("__nn") > 0)
+
+    val queries = Similarity.requireBroadcastable(
+      corpus.filter(queryPredicate)
+        .select(col("id").as("q_id"), col("lbl").as("q_lbl"),
+          col("__q").as("__qa"), col("__nn").as("__na")),
+      "rankingMetrics query side (queryPredicate)",
+      "Tighten the predicate; ranking metrics are defined per query, so " +
+        "sample the query set rather than ranking for every vector.")
+
+    // n_rel from label counts (self excluded) — no second corpus pass at
+    // the pair grain
+    val labelCounts = corpus.groupBy(col("lbl")).agg(count(lit(1)).as("__c"))
+    val withRel = queries
+      .join(broadcast(labelCounts), col("q_lbl") === col("lbl"))
+      .select(col("q_id"), col("q_lbl"), col("__qa"), col("__na"),
+        (col("__c") - 1).as("n_rel"))
+
+    val scored = corpus
+      .join(broadcast(withRel), col("id") =!= col("q_id"))
+      .select(col("q_id"), col("q_lbl"), col("n_rel"), col("id"), col("lbl"),
+        (idot(col("__q"), col("__qa")).cast("double") /
+          (sqrt(col("__nn").cast("double")) * sqrt(col("__na").cast("double"))))
+          .as("cos"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .withColumn("rel", (col("lbl") === col("q_lbl")).cast("int"))
+
+    val perQuery = ranked.groupBy(col("q_id"))
+      .agg(
+        first(col("q_lbl")).as("label"),
+        first(col("n_rel")).as("n_rel"),
+        max(when(col("rank") === 1, col("rel")).otherwise(lit(0))).as("hit1"),
+        sum(col("rel")).cast("long").as("hits_k"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(when(col("rel") === 1, discount(col("rank")))
+          .otherwise(lit(0L))).as("dcg"))
+
+    // ideal DCG: all relevant stacked at ranks 1..min(n_rel, k)
+    val spine = embeddings.sparkSession.range(1, k + 1L)
+      .select(col("id").cast("int").as("i"))
+    val idcg = perQuery.select(col("q_id"), col("n_rel"))
+      .join(broadcast(spine), col("i") <= least(col("n_rel"), lit(k)))
+      .groupBy(col("q_id"))
+      .agg(sum(discount(col("i"))).as("__idcg"))
+
+    perQuery.join(idcg, Seq("q_id"), "left")
+      .select(
+        col("q_id"), col("label"), col("n_rel"), col("hit1"), col("hits_k"),
+        col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0))
+          .as("rr"),
+        col("dcg"),
+        when(col("__idcg").isNull, lit(null).cast("double"))
+          .otherwise(col("dcg").cast("double") / col("__idcg").cast("double"))
+          .as("ndcg"))
+  }
+
+  /** Cohen's kappa between two categorical rating columns, with the full
+    * confusion surface: one row per observed (rating_a, rating_b) cell
+    * carrying the cell count, both marginals, and the dataset-level
+    * observed agreement / expected agreement / kappa (constant across
+    * rows — emitted per cell so the oracle hashes the whole surface).
+    *
+    * po = sum(diag)/N; pe = sum_c(rowMarg_c * colMarg_c)/N^2 accumulated
+    * as exact BIGINT products; kappa = (po - pe) / (1 - pe), NULL at the
+    * pe = 1 degeneracy (both raters constant). Rows where either rating
+    * is NULL are excluded (an unrated item is not a disagreement).
+    *
+    * Scale: one groupBy at the cell grain (|A| x |B| cells), then all
+    * arithmetic runs on the tiny cell frame; marginals and totals are
+    * broadcast joins back onto it.
+    */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df
+      .select(aCol.as("rating_a"), bCol.as("rating_b"))
+      .filter(col("rating_a").isNotNull && col("rating_b").isNotNull)
+      .groupBy(col("rating_a"), col("rating_b"))
+      .agg(count(lit(1)).as("n"))
+    val margA = cells.groupBy(col("rating_a")).agg(sum(col("n")).as("n_a"))
+    val margB = cells.groupBy(col("rating_b")).agg(sum(col("n")).as("n_b"))
+    val withMarg = cells
+      .join(broadcast(margA), Seq("rating_a"))
+      .join(broadcast(margB), Seq("rating_b"))
+    val totals = withMarg.agg(
+      sum(col("n")).as("__N"),
+      sum(when(col("rating_a") === col("rating_b"), col("n"))
+        .otherwise(lit(0L))).as("__diag"))
+    // pe numerator needs every (a,b) marginal product exactly once:
+    // join the two marginal frames directly (cells may be sparse)
+    val peNum = margA.crossJoin(margB)
+      .filter(col("rating_a") === col("rating_b"))
+      .agg(sum(col("n_a") * col("n_b")).as("__pe_num"))
+    val po = col("__diag").cast("double") / col("__N").cast("double")
+    val pe = col("__pe_num").cast("double") /
+      (col("__N") * col("__N")).cast("double")
+    withMarg
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(peNum))
+      .select(
+        col("rating_a"), col("rating_b"), col("n"), col("n_a"), col("n_b"),
+        po.as("observed_agreement"),
+        pe.as("expected_agreement"),
+        when(pe === 1.0, lit(null).cast("double"))
+          .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Nearest-centroid classifier eval: assign every vector to the label
+    * centroid with the highest exact quantized cosine, then score the
+    * assignment against the true labels — one row per class with
+    * `label, support, tp, fp, fn, precision, recall, f1`.
+    *
+    * F1 uses the single-division form 2*tp / (2*tp + fp + fn) (equal to
+    * the harmonic mean when defined, and well-defined whenever the class
+    * appears in truth or predictions); precision / recall are NULL when
+    * their denominator is 0.
+    *
+    * Scale: centroids derive from one posexplode pass (the
+    * labelCentroidCosine component frame, labels x dim rows, broadcast);
+    * per-vector scoring re-explodes the corpus once and combines at the
+    * (vector, label) grain, so the corpus is never shuffled at the pair
+    * grain and the argmax window partitions by vector id.
+    */
+  def nearestCentroidEval(embeddings: DataFrame, idCol: String,
+                          embCol: String, labelCol: String,
+                          qScale: Int = 1024): DataFrame = {
+    require(qScale > 0 && (qScale & (qScale - 1)) == 0,
+      s"qScale must be a positive power of two, got $qScale")
+    val base = embeddings
+      .filter(col(labelCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        posexplode(quantize(col(embCol), qScale)).as(Seq("pos", "q")))
+    val comp = base.groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("q")).as("c"))
+    val cnorm = comp.groupBy(col("lbl")).agg(sum(col("c") * col("c")).as("cnn"))
+    val vnorm = base.groupBy(col("id")).agg(sum(col("q") * col("q")).as("vnn"))
+
+    val dots = base
+      .join(broadcast(comp.select(col("lbl").as("cand"), col("pos"), col("c"))),
+        Seq("pos"))
+      .groupBy(col("id"), col("cand"))
+      .agg(first(col("lbl")).as("truth"), sum(col("q") * col("c")).as("dot"))
+    val scoredRaw = dots
+      .join(broadcast(cnorm.select(col("lbl").as("cand"), col("cnn"))),
+        Seq("cand"))
+      .join(vnorm, Seq("id"))
+      .filter(col("vnn") > 0 && col("cnn") > 0)
+    val predicted = scoredRaw
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("vnn").cast("double")) * sqrt(col("cnn").cast("double"))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cand").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("truth"), col("cand").as("pred"))
+
+    val classes = predicted.select(col("truth").as("label")).distinct()
+      .union(predicted.select(col("pred").as("label")).distinct())
+      .distinct()
+    val truthSide = predicted.groupBy(col("truth").as("label"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("pred") === col("truth"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") =!= col("truth"), 1L).otherwise(0L)).as("fn"))
+    val predSide = predicted.groupBy(col("pred").as("label"))
+      .agg(sum(when(col("pred") =!= col("truth"), 1L).otherwise(0L)).as("fp"))
+    classes
+      .join(truthSide, Seq("label"), "left")
+      .join(predSide, Seq("label"), "left")
+      .select(
+        col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0,
+          lit(null).cast("double"))
+          .otherwise((lit(2) * col("tp")).cast("double") /
+            (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")))
+  }
+}

@@ -42,8 +42,8 @@ object Similarity {
     * reuses the probe's work instead of re-running the predicate scan
     * (the guard previously cost two full scans of the guarded side).
     * Throws before any broadcast is constructed. */
-  private def requireBroadcastable(df: DataFrame, what: String,
-                                   hint: String): DataFrame = {
+  private[operators] def requireBroadcastable(df: DataFrame, what: String,
+                                              hint: String): DataFrame = {
     val cap = broadcastCap(df)
     val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
     // cache (not localCheckpoint): the failure path must RELEASE the
