@@ -205,5 +205,77 @@ object R6Queries {
       LEFT JOIN t USING (label)
       LEFT JOIN p USING (label)"""))
 
-  val all: Seq[QueryDef] = Seq(q177, q178, q179)
+  /** DuckDB CTEs producing the q72 near-dup edge list `prs(a_id, b_id)`
+    * from the shared SimHash fingerprints. */
+  private def oDupEdgeCtes: String =
+    s"""${ExtQueries.oSimHashCtes},
+      prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"""
+
+  /** Triangle / clustering-coefficient cohesion audit of the q72
+    * near-dup graph (see Clusters.triangleStats): cliquish components
+    * are true duplicate groups; chain-shaped ones are banding artifacts
+    * that transitive closure would over-merge. */
+  private val q180 = QueryDef(
+    "q180_dupgraph_triangles",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Clusters.triangleStats(docs, "doc_id",
+        operators.Corpus.simHashHammingPairs(docs, "doc_id", "text",
+          maxHamming = 3),
+        "a_id", "b_id")
+    },
+    Some(s"""
+      WITH $oDupEdgeCtes,
+      sym AS (SELECT a_id AS u, b_id AS v FROM prs
+            UNION ALL SELECT b_id, a_id FROM prs),
+      deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+      tri AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+            FROM prs e1
+            JOIN prs e2 ON e2.a_id = e1.b_id
+            JOIN prs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+      tc AS (SELECT vtx, COUNT(*) AS triangles FROM (
+              SELECT x AS vtx FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri) GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(deg.deg, 0) AS deg,
+        COALESCE(tc.triangles, 0) AS triangles,
+        CASE WHEN COALESCE(deg.deg, 0) < 2 THEN NULL
+          ELSE CAST(2 * COALESCE(tc.triangles, 0) AS DOUBLE)
+            / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) END AS lcc
+      FROM documents d
+      LEFT JOIN deg ON deg.u = d.doc_id
+      LEFT JOIN tc ON tc.vtx = d.doc_id"""))
+
+  /** Common-neighbor link prediction on the q72 near-dup graph (see
+    * Clusters.commonNeighborCandidates): non-adjacent pairs with >= 2
+    * shared neighbors — duplicate pairs the banding never compared but
+    * the graph says it should have. */
+  private val q181 = QueryDef(
+    "q181_dupgraph_link_pred",
+    (s, d) => operators.Clusters.commonNeighborCandidates(
+      operators.Corpus.simHashHammingPairs(Tables.documents(s, d),
+        "doc_id", "text", maxHamming = 3),
+      "a_id", "b_id", minCommon = 2),
+    Some(s"""
+      WITH $oDupEdgeCtes,
+      sym AS (SELECT a_id AS u, b_id AS v FROM prs
+            UNION ALL SELECT b_id, a_id FROM prs),
+      deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+      cn AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS common
+            FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+            GROUP BY 1, 2)
+      SELECT cn.a AS a_id, cn.b AS b_id, cn.common,
+        CAST(cn.common AS DOUBLE)
+          / CAST(da.deg + db.deg - cn.common AS DOUBLE) AS jaccard
+      FROM cn
+      JOIN deg da ON da.u = cn.a
+      JOIN deg db ON db.u = cn.b
+      WHERE cn.common >= 2
+        AND NOT EXISTS (SELECT 1 FROM prs
+              WHERE prs.a_id = cn.a AND prs.b_id = cn.b)"""))
+
+  val all: Seq[QueryDef] = Seq(q177, q178, q179, q180, q181)
 }

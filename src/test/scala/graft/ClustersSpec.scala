@@ -133,4 +133,66 @@ class ClustersSpec extends SparkSpec {
     val recall = (exact intersect quant).size.toDouble / exact.size
     recall should be >= 0.8 // int8 keeps ~all of the float ranking
   }
+
+  // ---- triangleStats ------------------------------------------------------
+
+  private def triStats(verts: Seq[Long], pairs: Seq[(Long, Long)]) =
+    Clusters.triangleStats(verts.toDF("id"), "id",
+        pairs.toDF("a", "b"), "a", "b")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("triangles"),
+          Option(r.getAs[java.lang.Double]("lcc")).map(_.doubleValue))))
+      .toMap
+
+  test("triangleStats counts a 4-clique and leaves chains at zero") {
+    // 4-clique {1,2,3,4} (4 triangles, each vertex in 3) + chain 5-6-7
+    val clique = for {
+      i <- 1L to 4L; j <- 1L to 4L if i < j
+    } yield (i, j)
+    val out = triStats(1L to 8L,
+      clique ++ Seq((5L, 6L), (6L, 7L)))
+    (1L to 4L).foreach { v =>
+      out(v)._1 shouldBe 3L
+      out(v)._2 shouldBe 3L
+      out(v)._3.get shouldBe 1.0 // 2*3 / (3*2)
+    }
+    out(6L) shouldBe ((2L, 0L, Some(0.0)))
+    out(5L)._3 shouldBe None // deg 1 -> lcc undefined
+    out(8L) shouldBe ((0L, 0L, None)) // isolated vertex
+  }
+
+  test("triangleStats is invariant to edge direction and duplicates") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val noisy = base ++ base.map(_.swap) ++ Seq((2L, 1L), (1L, 1L))
+    triStats(1L to 3L, noisy) shouldBe triStats(1L to 3L, base)
+  }
+
+  // ---- commonNeighborCandidates -------------------------------------------
+
+  test("commonNeighborCandidates scores non-adjacent wedge endpoints") {
+    // 1 and 3 share neighbors {2, 4}; 1-3 not adjacent -> candidate.
+    // 1 and 5: one common neighbor (4) -> below minCommon.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L), (4L, 5L))
+    val out = Clusters.commonNeighborCandidates(
+        edges.toDF("a", "b"), "a", "b", minCommon = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        ((r.getAs[Long]("common"), r.getAs[Double]("jaccard"))))
+      .toMap
+    // (2,4) qualifies symmetrically: shared neighbors {1, 3}
+    out.keySet shouldBe Set((1L, 3L), (2L, 4L))
+    out((1L, 3L))._1 shouldBe 2L
+    // deg(1) = 2, deg(3) = 2, union = 2 + 2 - 2 = 2 -> jaccard 1.0
+    out((1L, 3L))._2 shouldBe 1.0
+    // deg(2) = 2, deg(4) = 3 -> jaccard 2 / 3
+    out((2L, 4L))._2 shouldBe (2.0 / 3.0) +- 1e-15
+  }
+
+  test("commonNeighborCandidates drops adjacent pairs") {
+    // triangle: every pair adjacent -> no candidates at all
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    Clusters.commonNeighborCandidates(edges.toDF("a", "b"), "a", "b",
+      minCommon = 1).count() shouldBe 0L
+  }
 }
