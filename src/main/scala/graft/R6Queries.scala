@@ -252,7 +252,8 @@ object R6Queries {
   /** Common-neighbor link prediction on the q72 near-dup graph (see
     * Clusters.commonNeighborCandidates): non-adjacent pairs with >= 2
     * shared neighbors — duplicate pairs the banding never compared but
-    * the graph says it should have. */
+    * the graph says it should have. Hub vertices above the default
+    * center-degree cap contribute no wedges (mirrored in the oracle). */
   private val q181 = QueryDef(
     "q181_dupgraph_link_pred",
     (s, d) => operators.Clusters.commonNeighborCandidates(
@@ -264,8 +265,10 @@ object R6Queries {
       sym AS (SELECT a_id AS u, b_id AS v FROM prs
             UNION ALL SELECT b_id, a_id FROM prs),
       deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+      ctr AS (SELECT sym.u, sym.v FROM sym
+            JOIN deg ON deg.u = sym.u AND deg.deg <= 256),
       cn AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS common
-            FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+            FROM ctr s1 JOIN ctr s2 ON s1.u = s2.u AND s1.v < s2.v
             GROUP BY 1, 2)
       SELECT cn.a AS a_id, cn.b AS b_id, cn.common,
         CAST(cn.common AS DOUBLE)

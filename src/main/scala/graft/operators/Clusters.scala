@@ -357,14 +357,24 @@ object Clusters {
     * "missed duplicate" suspects: pairs the banding never compared but
     * whose neighborhoods say should have matched.
     *
-    * Cost is the wedge join (sum over vertices of deg^2) — inherently
-    * sparse on banded similarity graphs; the adjacency frame is reused
-    * for both wedge sides so the corpus contributes one shuffle. The
-    * pair grain is grouped before the degree joins, and the adjacency
-    * anti-join removes existing edges.
+    * Cost is the wedge join (sum over CENTER vertices of deg^2), which a
+    * hub vertex makes quadratic: a boilerplate/template clique of c
+    * near-identical docs yields a deg-(c-1) hub and c^2 wedges — and a
+    * neighbor-of-everything hub is also the weakest possible evidence
+    * (it "predicts" every pair). `maxCenterDegree` therefore drops
+    * vertices above the cap from serving as wedge CENTERS — standard
+    * link-prediction hub suppression, bounding the join at
+    * cap * 2E rows — while endpoint degrees (the Jaccard denominator)
+    * stay exact. The 10x duplicated-corpus probe is the motivating
+    * case: sum(deg^2) 16.9G uncapped vs 362M at the default cap. As
+    * with q108, the production rule stands: exact-dedup before any
+    * similarity graph — replica cliques saturate banding.
     */
   def commonNeighborCandidates(edges: DataFrame, aCol: String, bCol: String,
-                               minCommon: Int = 2): DataFrame = {
+                               minCommon: Int = 2,
+                               maxCenterDegree: Int = 256): DataFrame = {
+    require(maxCenterDegree >= 1,
+      s"maxCenterDegree must be >= 1, got $maxCenterDegree")
     val e = edges
       .filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"),
@@ -373,8 +383,11 @@ object Clusters {
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val common = sym.select(col("u").as("mid"), col("v").as("a"))
-      .join(sym.select(col("u").as("mid"), col("v").as("b")), Seq("mid"))
+    val centers = sym
+      .join(deg.filter(col("deg") <= maxCenterDegree).select(col("u")),
+        Seq("u"))
+    val common = centers.select(col("u").as("mid"), col("v").as("a"))
+      .join(centers.select(col("u").as("mid"), col("v").as("b")), Seq("mid"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))

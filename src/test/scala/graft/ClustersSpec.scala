@@ -189,6 +189,16 @@ class ClustersSpec extends SparkSpec {
     out((2L, 4L))._2 shouldBe (2.0 / 3.0) +- 1e-15
   }
 
+  test("commonNeighborCandidates suppresses over-cap hub centers") {
+    // star: hub 100 adjacent to 1..4 -> every leaf pair shares the hub.
+    // With the hub over the center cap, no wedges survive.
+    val star = (1L to 4L).map(v => (100L, v))
+    Clusters.commonNeighborCandidates(star.toDF("a", "b"), "a", "b",
+      minCommon = 1, maxCenterDegree = 3).count() shouldBe 0L
+    Clusters.commonNeighborCandidates(star.toDF("a", "b"), "a", "b",
+      minCommon = 1, maxCenterDegree = 4).count() shouldBe 6L // C(4,2)
+  }
+
   test("commonNeighborCandidates drops adjacent pairs") {
     // triangle: every pair adjacent -> no candidates at all
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
