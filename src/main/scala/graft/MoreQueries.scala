@@ -422,19 +422,21 @@ object MoreQueries {
     * once, HUGEINT arithmetic emulates 64-bit wraparound (seed split into
     * 32-bit halves keeps a^t·seed inside the signed-128 range), and the
     * moments are exact integers so the final doubles are bit-identical. */
-  private val q55 = QueryDef(
-    "q55_media_features",
-    (s, d) => operators.Multimodal.extractFeatures(
-      operators.Multimodal.spreadForDecode(
-        operators.Multimodal.mediaFromDocuments(Tables.documents(s, d)))).toDF(),
-    Some("""
-      WITH RECURSIVE
+  /** Shared oracle CTE chain replaying FakeCodec.decode in HUGEINT SQL:
+    * ends at `bytes(media_id, kind, n, j, v)` — the j-th (1-based)
+    * decoded unsigned byte of each media stream. Used by q55 (moments)
+    * and R6Queries' q182/q183 (perceptual hash); `payload` lets callers
+    * derive the seed bytes from a text transform (q183 header media). */
+  private[graft] def oMediaBytesCtes(
+      payload: String = "encode(text)",
+      nExpr: String =
+        "GREATEST(1, (doc_id % 16 + 8) * (doc_id % 12 + 8) * 3)"): String = s"""
       media AS (
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-               encode(text) AS payload,
-               octet_length(encode(text)) AS plen,
-               CAST(GREATEST(1, (doc_id % 16 + 8) * (doc_id % 12 + 8) * 3) AS INT) AS n
+               $payload AS payload,
+               octet_length($payload) AS plen,
+               CAST($nExpr AS INT) AS n
         FROM documents),
       bounds AS (SELECT GREATEST(MAX(plen), MAX(n)) AS mx FROM media),
       pw AS (
@@ -467,7 +469,7 @@ object MoreQueries {
         LEFT JOIN (SELECT media_id, SUM(term) AS tsum FROM seedterm GROUP BY 1) st
           USING (media_id)),
       bytes AS (
-        SELECT m.media_id, m.n,
+        SELECT m.media_id, m.kind, m.n, p.j AS j,
                CAST((((p.ap * (s.seed % 4294967296::HUGEINT))
                       + ((p.ap * (s.seed // 4294967296::HUGEINT)) % 4294967296::HUGEINT)
                         * 4294967296::HUGEINT
@@ -476,7 +478,15 @@ object MoreQueries {
                     // 72057594037927936::HUGEINT AS BIGINT) AS v
         FROM media m
         JOIN seeds s USING (media_id)
-        JOIN pw p ON p.j BETWEEN 1 AND m.n),
+        JOIN pw p ON p.j BETWEEN 1 AND m.n)"""
+
+  private val q55 = QueryDef(
+    "q55_media_features",
+    (s, d) => operators.Multimodal.extractFeatures(
+      operators.Multimodal.spreadForDecode(
+        operators.Multimodal.mediaFromDocuments(Tables.documents(s, d)))).toDF(),
+    Some(s"""
+      WITH RECURSIVE ${oMediaBytesCtes()},
       agg AS (
         SELECT media_id, CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v*v) AS BIGINT) AS sq,
                CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS z,

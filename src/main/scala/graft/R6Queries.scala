@@ -280,5 +280,71 @@ object R6Queries {
         AND NOT EXISTS (SELECT 1 FROM prs
               WHERE prs.a_id = cn.a AND prs.b_id = cn.b)"""))
 
-  val all: Seq[QueryDef] = Seq(q177, q178, q179, q180, q181)
+  /** Oracle CTE computing the 64-block average-hash from the shared
+    * decoded-byte CTE chain (MoreQueries.oMediaBytesCtes): bit b set iff
+    * blockSum * n > totalSum * blockLen, accumulated in HUGEINT with the
+    * sign bit as the explicit min-long term. */
+  private def oPhashCtes(
+      payload: String = "encode(text)",
+      nExpr: String =
+        "GREATEST(1, (doc_id % 16 + 8) * (doc_id % 12 + 8) * 3)"): String = {
+    val weights = (0 until 64).map(b =>
+      s"WHEN $b THEN ${if (b == 63) "(-9223372036854775807::HUGEINT - 1)"
+        else s"${1L << b}::HUGEINT"}").mkString("\n              ")
+    s"""${MoreQueries.oMediaBytesCtes(payload, nExpr)},
+      blk AS (SELECT media_id, kind, n, ((j - 1) * 64) // n AS b, v
+            FROM bytes),
+      bs AS (SELECT media_id, ANY_VALUE(kind) AS kind, ANY_VALUE(n) AS n,
+              b, CAST(SUM(v) AS BIGINT) AS bsum, COUNT(*) AS blen
+            FROM blk GROUP BY media_id, b),
+      tot AS (SELECT media_id, CAST(SUM(v) AS BIGINT) AS tv
+            FROM blk GROUP BY 1),
+      ph AS (SELECT bs.media_id, ANY_VALUE(bs.kind) AS kind,
+              CAST(ANY_VALUE(bs.n) AS INT) AS n_bytes,
+              CAST(SUM(CASE WHEN bs.bsum * bs.n > t.tv * bs.blen THEN
+                  CASE bs.b $weights ELSE 0::HUGEINT END
+                ELSE 0::HUGEINT END) AS BIGINT) AS phash
+            FROM bs JOIN tot t USING (media_id)
+            GROUP BY bs.media_id)"""
+  }
+
+  /** Perceptual average-hash fingerprints over the decoded media byte
+    * streams (see Multimodal.perceptualHash) — the multimodal analogue
+    * of q36's text SimHash, exact against the stub-codec LCG replay. */
+  private val q182 = QueryDef(
+    "q182_media_phash",
+    (s, d) => operators.Multimodal.perceptualHash(
+      operators.Multimodal.spreadForDecode(
+        operators.Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+    Some(s"""
+      WITH RECURSIVE ${oPhashCtes()}
+      SELECT media_id, kind, n_bytes, phash FROM ph"""))
+
+  /** Banded Hamming pairs over perceptual hashes of the media STREAM
+    * HEADERS (payload = first 128 chars — thumbnail/header-bytes dedup,
+    * the form perceptual media dedup usually takes). The oracle is the
+    * full O(n^2) comparison, so equality proves the banding loses no
+    * pairs. With the stub codec only identical headers collide (LCG
+    * avalanche); a real codec makes the same plumbing visual near-dup. */
+  private val q183 = QueryDef(
+    "q183_media_phash_pairs",
+    (s, d) => {
+      import s.implicits._
+      val media = operators.Multimodal.mediaFromDocuments(
+        Tables.documents(s, d)
+          .withColumn("text", substring(col("text"), 1, 128)))
+        .map(r => r.copy(meta = r.meta.copy(width = 16, height = 16)))
+      operators.Corpus.bandedHammingPairs(
+        operators.Multimodal.perceptualHash(
+          operators.Multimodal.spreadForDecode(media)),
+        "media_id", "phash", maxHamming = 3, bits = 64, numBands = 4)
+    },
+    Some(s"""
+      WITH RECURSIVE ${oPhashCtes("encode(substr(text, 1, 128))", "768")}
+      SELECT a.media_id AS a_id, b.media_id AS b_id,
+        CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      FROM ph a JOIN ph b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3"""))
+
+  val all: Seq[QueryDef] = Seq(q177, q178, q179, q180, q181, q182, q183)
 }

@@ -300,9 +300,25 @@ object Corpus {
     require(maxHamming <= numBands - 1,
       s"pigeonhole completeness needs maxHamming <= numBands - 1 " +
         s"(got $maxHamming vs $numBands bands)")
+    bandedHammingPairs(NearDup.simHash(docs, idCol, textCol, bits),
+      "doc_id", "simhash", maxHamming, bits, numBands)
+  }
+
+  /** Pigeonhole-banded Hamming pairs over an EXISTING fingerprint column
+    * (any 64-bit-or-narrower signature: SimHash, a perceptual media hash,
+    * a rolling document fingerprint). The banding contract and scale
+    * posture are [[simHashHammingPairs]]'s; this is the reusable core it
+    * delegates to. Emits `(a_id, b_id, hamming)`. */
+  def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                         maxHamming: Int, bits: Int,
+                         numBands: Int): DataFrame = {
+    require(bits % numBands == 0, "bits must divide into equal bands")
+    require(maxHamming <= numBands - 1,
+      s"pigeonhole completeness needs maxHamming <= numBands - 1 " +
+        s"(got $maxHamming vs $numBands bands)")
     val bandBits = bits / numBands
     val mask = bandMask(bandBits)
-    val sig = NearDup.simHash(docs, idCol, textCol, bits)
+    val sig = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band_id"),

@@ -126,6 +126,49 @@ object Multimodal {
     }
   }
 
+  /** Average-hash perceptual fingerprint over the decoded byte stream:
+    * the stream is cut into `blocks` equal-ish runs (block b = positions
+    * with (i * blocks) div n = b) and bit b is set iff the block mean
+    * exceeds the stream mean — compared in exact integer cross-products
+    * (blockSum * n > totalSum * blockLen), so any engine that can replay
+    * the codec reproduces the hash bit-for-bit. Identical payloads hash
+    * identically; with a REAL codec, visually-near media land within a
+    * small Hamming radius and [[Corpus.bandedHammingPairs]] over this
+    * column is image/audio near-dup at corpus scale. The stub codec's
+    * LCG avalanche means only exact payload duplicates collide here —
+    * the plumbing, banding, and oracle are what this proves (the
+    * q54/q55 stance).
+    *
+    * Emits `(media_id, kind, n_bytes, phash)`; runs at the codec
+    * boundary (partition-batched, like [[extractFeatures]]). */
+  def perceptualHash(media: Dataset[MediaRow], blocks: Int = 64): DataFrame = {
+    require(blocks >= 1 && blocks <= 64, s"blocks must be in 1..64, got $blocks")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = FakeCodec.decode(r.payload, r.meta)
+        val n = bytes.length
+        val bSum = new Array[Long](blocks)
+        val bLen = new Array[Long](blocks)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val v = (bytes(i) & 0xff).toLong
+          val b = (i.toLong * blocks / n).toInt
+          bSum(b) += v; bLen(b) += 1L; total += v
+          i += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < blocks) {
+          if (bLen(b) > 0 && bSum(b) * n > total * bLen(b)) hash |= 1L << b
+          b += 1
+        }
+        (r.media_id, r.kind, n, hash)
+      }
+    }.toDF("media_id", "kind", "n_bytes", "phash")
+  }
+
   /** Resize images to a thumbnail; non-images pass through untouched. */
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

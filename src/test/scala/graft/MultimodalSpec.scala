@@ -75,4 +75,35 @@ class MultimodalSpec extends SparkSpec {
     FakeCodec.decode("abc".getBytes, meta).toSeq shouldBe d.toSeq // deterministic
     FakeCodec.resize(d, meta, 4, 4).length shouldBe (4 * 4 * 3)
   }
+
+  test("perceptualHash: deterministic, payload-sensitive, duplicate-stable") {
+    assume(available)
+    val m = Multimodal.spreadForDecode(media.limit(50))
+    val h1 = Multimodal.perceptualHash(m).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash")).toMap
+    val h2 = Multimodal.perceptualHash(m).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash")).toMap
+    h1 shouldBe h2 // bit-stable across runs
+    h1.values.toSet.size should be > 1 // payload-sensitive, not constant
+  }
+
+  test("perceptualHash: identical payload+meta hash identically") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "same-bytes".getBytes,
+        MediaMeta(16, 16, 3, 0, 0, "jpeg")),
+      Multimodal.MediaRow(2L, "image", "same-bytes".getBytes,
+        MediaMeta(16, 16, 3, 0, 0, "jpeg")),
+      Multimodal.MediaRow(3L, "image", "other-bytes".getBytes,
+        MediaMeta(16, 16, 3, 0, 0, "jpeg"))).toDS()
+    val h = Multimodal.perceptualHash(rows).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash")).toMap
+    h(1L) shouldBe h(2L)
+    h(1L) should not be h(3L)
+    // banding over the hashes finds exactly the duplicate pair at Hamming 0
+    val pairs = graft.operators.Corpus.bandedHammingPairs(
+      Multimodal.perceptualHash(rows), "media_id", "phash",
+      maxHamming = 0, bits = 64, numBands = 4).collect()
+    pairs.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+      r.getAs[Int]("hamming"))).toSeq shouldBe Seq((1L, 2L, 0))
+  }
 }
