@@ -346,5 +346,107 @@ object R6Queries {
       FROM ph a JOIN ph b ON a.media_id < b.media_id
       WHERE bit_count(xor(a.phash, b.phash)) <= 3"""))
 
-  val all: Seq[QueryDef] = Seq(q177, q178, q179, q180, q181, q182, q183)
+  /** The SNM sort key: normalized alphanumeric prefix. */
+  private def snmKey = substring(
+    regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24)
+  private val oSnmKey =
+    "substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)"
+
+  /** Sorted-neighborhood blocking candidates over the normalized text
+    * prefix (see NearDup.sortedNeighborhoodPairs): the record-linkage
+    * blocking pass whose blind spot is complementary to banding's. */
+  private val q184 = QueryDef(
+    "q184_sorted_neighborhood",
+    (s, d) => operators.NearDup.sortedNeighborhoodPairs(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      "doc_id", snmKey, window = 5),
+    Some(s"""
+      WITH k AS (SELECT doc_id AS id, $oSnmKey AS k
+            FROM documents WHERE text IS NOT NULL),
+      r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rn FROM k)
+      SELECT a.id AS a_id, b.id AS b_id,
+        CAST(b.rn - a.rn AS INT) AS rank_gap
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4"""))
+
+  /** Blocking-quality report: candidates, truth coverage
+    * (pairs-completeness), and reduction ratio for the two blocking
+    * strategies — SimHash banding vs sorted-neighborhood — against the
+    * exact Hamming<=3 ground truth. The eval a linkage pipeline runs
+    * before committing to a blocking scheme. */
+  private val q185 = QueryDef(
+    "q185_blocking_quality",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val truth = operators.Corpus.simHashHammingPairs(docs, "doc_id",
+        "text", maxHamming = 3).select(col("a_id"), col("b_id"))
+      // band candidates BEFORE the Hamming filter (the blocking output)
+      val sig = operators.NearDup.simHash(docs, "doc_id", "text", 32)
+      val banded = sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))
+            .as("band_val"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band_id"), col("b.band_val"))
+      val bandCands = banded.as("x").join(banded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val snm = operators.NearDup.sortedNeighborhoodPairs(docs, "doc_id",
+          snmKey, window = 5)
+        .select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"))
+        .distinct()
+      val methods = bandCands.withColumn("method", lit("simhash_bands"))
+        .union(snm.withColumn("method", lit("snm")))
+      val stats = methods
+        .join(truth.withColumn("__t", lit(1)), Seq("a_id", "b_id"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("__t"), lit(0))).cast("long").as("covered"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val total = docs.agg(count(lit(1)).as("__nd"))
+        .select(expr("__nd * (__nd - 1) div 2").as("__total"))
+      stats.crossJoin(broadcast(nTruth)).crossJoin(broadcast(total))
+        .select(col("method"), col("n_candidates"), col("n_truth"),
+          col("covered"),
+          (col("covered").cast("double") / col("n_truth").cast("double"))
+            .as("pairs_completeness"),
+          (lit(1.0) - col("n_candidates").cast("double") /
+            col("__total").cast("double")).as("reduction_ratio"))
+    },
+    Some(s"""
+      WITH $oDupEdgeCtes,
+      banded AS (SELECT doc_id, b AS band_id,
+              (simhash >> (b * 8)) & 255 AS band_val
+            FROM sims, LATERAL (SELECT unnest(generate_series(0, 3)) AS b)),
+      cand_b AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+            FROM banded x JOIN banded y
+              ON x.band_id = y.band_id AND x.band_val = y.band_val
+                AND x.doc_id < y.doc_id),
+      k AS (SELECT doc_id AS id, $oSnmKey AS k
+            FROM documents WHERE text IS NOT NULL),
+      r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rn FROM k),
+      cand_s AS (SELECT DISTINCT least(a.id, b.id) AS a_id,
+              greatest(a.id, b.id) AS b_id
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+      m AS (SELECT 'simhash_bands' AS method, a_id, b_id FROM cand_b
+            UNION ALL SELECT 'snm', a_id, b_id FROM cand_s),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM prs),
+      nd AS (SELECT COUNT(*) AS c FROM documents WHERE text IS NOT NULL),
+      total AS (SELECT CAST(c * (c - 1) // 2 AS BIGINT) AS t FROM nd),
+      st AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+              CAST(SUM(CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered
+            FROM m LEFT JOIN prs p USING (a_id, b_id)
+            GROUP BY method)
+      SELECT method, n_candidates, n_truth, covered,
+        CAST(covered AS DOUBLE) / CAST(n_truth AS DOUBLE)
+          AS pairs_completeness,
+        CAST(1 AS DOUBLE) - CAST(n_candidates AS DOUBLE) / CAST(t AS DOUBLE)
+          AS reduction_ratio
+      FROM st CROSS JOIN tot CROSS JOIN total"""))
+
+  val all: Seq[QueryDef] = Seq(q177, q178, q179, q180, q181, q182, q183,
+    q184, q185)
 }

@@ -373,4 +373,49 @@ object NearDup {
         col("a.v").as("a_value"), col("b.v").as("b_value"),
         col("distance"))
   }
+
+  /** Sorted-neighborhood blocking (the classic record-linkage
+    * alternative to hash/band blocking): rows are globally ordered by a
+    * domain `key` and every pair within `window` positions becomes a
+    * candidate — catches near-dups whose edits fall OUTSIDE the key
+    * (banding's blind spot is edits inside every band; SNM's is edits
+    * inside the key prefix), which is why production linkage runs
+    * several blocking passes and unions candidates.
+    *
+    * Emits `(a_id, b_id, rank_gap)` with a_id the lower-RANKED row and
+    * rank_gap in 1..window-1 — candidates = N * (window - 1) exactly.
+    *
+    * Scale: the global order comes from a range partition + per-bucket
+    * numbering + bucket-count prefix offsets (the globalRowNumber
+    * telescoping, string-key-safe; no single-task global window). The
+    * neighbor join is an equi-join on the dense rank, so the whole
+    * operator is two bounded shuffles regardless of key skew; the
+    * prefix-offset frame is one row per bucket. Range-partitioner
+    * sampling only moves BUCKET BOUNDARIES — every rank, and therefore
+    * the output, is a pure function of the (key, id) order. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, key: Column,
+                              window: Int, buckets: Int = 64): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(col(idCol).as("id"), key.as("__k"))
+      .filter(col("__k").isNotNull)
+    val parted = base.repartitionByRange(buckets, col("__k"), col("id"))
+      .withColumn("__p", spark_partition_id())
+    val local = parted.withColumn("__lrn",
+      row_number().over(
+        Window.partitionBy(col("__p")).orderBy(col("__k"), col("id"))))
+    val offsets = local.groupBy(col("__p")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(Window.orderBy(col("__p"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__p"), col("__off"))
+    val ranked = local.join(broadcast(offsets), Seq("__p"))
+      .select(col("id"), (col("__off") + col("__lrn")).as("__rn"))
+    val left = ranked.select(col("id").as("a_id"), col("__rn"),
+        explode(sequence(lit(1), lit(window - 1))).as("rank_gap"))
+      .withColumn("__rn2", col("__rn") + col("rank_gap"))
+    left.join(ranked.select(col("id").as("b_id"), col("__rn").as("__rn2")),
+        Seq("__rn2"))
+      .select(col("a_id"), col("b_id"), col("rank_gap"))
+  }
 }

@@ -178,4 +178,33 @@ class NearDupSimilaritySpec extends SparkSpec {
     plan should not include "HashAggregate"
     "Exchange".r.findAllIn(plan).size shouldBe 1 // the spread only
   }
+
+  // ---- sortedNeighborhoodPairs --------------------------------------------
+
+  test("sortedNeighborhoodPairs: exactly the window-adjacent rank pairs") {
+    // keys sort as b1 < b2 < b3 < z9 regardless of the id order
+    val df = Seq((10L, "b2"), (20L, "z9"), (30L, "b1"), (40L, "b3"))
+      .toDF("id", "k")
+    val out = NearDup.sortedNeighborhoodPairs(df, "id", col("k"), window = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("rank_gap"))).toSet
+    // sorted order: 30(b1), 10(b2), 40(b3), 20(z9); gap-1 pairs only
+    out shouldBe Set((30L, 10L, 1), (10L, 40L, 1), (40L, 20L, 1))
+  }
+
+  test("sortedNeighborhoodPairs: window spans bucket boundaries") {
+    val df = (1L to 100L).map(i => (i, f"k$i%03d")).toDF("id", "k")
+    val out = NearDup.sortedNeighborhoodPairs(df, "id", col("k"),
+      window = 3, buckets = 7)
+    // N*(w-1) - sum_{g<w} (w-g-1)... = exact candidate count: for each of
+    // the 100 ranked rows, gaps 1..2 where the partner exists
+    out.count() shouldBe (99L + 98L)
+    // candidates are invariant to the bucket count (boundaries move,
+    // ranks do not)
+    val one = NearDup.sortedNeighborhoodPairs(df, "id", col("k"),
+      window = 3, buckets = 1)
+    rowsAsStrings(out.orderBy("a_id", "b_id")) shouldBe
+      rowsAsStrings(one.orderBy("a_id", "b_id"))
+  }
 }
