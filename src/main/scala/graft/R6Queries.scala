@@ -447,6 +447,76 @@ object R6Queries {
           AS reduction_ratio
       FROM st CROSS JOIN tot CROSS JOIN total"""))
 
+  /** Cross-source duplication matrix: the q72 near-dup pairs rolled up
+    * by (source_a, source_b) — which sources copy which (mirrors,
+    * scraped re-posts, within-source templates). The provenance signal
+    * a corpus owner reads before deciding survivor-preference order in
+    * dedup resolution. */
+  private val q186 = QueryDef(
+    "q186_cross_source_dups",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = operators.Corpus.simHashHammingPairs(docs, "doc_id",
+        "text", maxHamming = 3)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("__sa")),
+          Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("__sb")),
+          Seq("b_id"))
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("within_source", col("source_a") === col("source_b"))
+    },
+    Some(s"""
+      WITH $oDupEdgeCtes,
+      j AS (SELECT least(sa.source, sb.source) AS source_a,
+              greatest(sa.source, sb.source) AS source_b
+            FROM prs
+            JOIN documents sa ON sa.doc_id = prs.a_id
+            JOIN documents sb ON sb.doc_id = prs.b_id)
+      SELECT source_a, source_b, COUNT(*) AS n_pairs,
+        source_a = source_b AS within_source
+      FROM j GROUP BY 1, 2"""))
+
+  private val CoreK = 3
+  private val CoreRounds = 10 // fixpoint measured at 5 rounds; 2x margin
+
+  // each round MATERIALIZED: un-materialized CTEs inline per reference,
+  // and a 10-round chain referencing its predecessor 3x would expand
+  // 3^10 scans of the base table
+  private def oPeelRound(i: Int): String = s"""
+      k$i AS MATERIALIZED (SELECT u FROM (
+              SELECT u, COUNT(*) AS dg FROM (
+                SELECT a_id AS u FROM e${i - 1}
+                UNION ALL SELECT b_id FROM e${i - 1}) GROUP BY 1)
+            WHERE dg >= $CoreK),
+      e$i AS MATERIALIZED (SELECT e.a_id, e.b_id FROM e${i - 1} e
+            JOIN k$i ka ON ka.u = e.a_id
+            JOIN k$i kb ON kb.u = e.b_id)"""
+
+  /** 3-core of the near-dup graph (see Clusters.kCore): the saturated
+    * duplicate neighborhoods — template farms and boilerplate clusters —
+    * that plain degree or triangle counts under-select. The oracle
+    * unrolls the peel to a fixed round count past the measured
+    * fixpoint (peeling is monotone, so extra rounds are no-ops). */
+  private val q187 = QueryDef(
+    "q187_dupgraph_kcore",
+    (s, d) => operators.Clusters.kCore(
+      operators.Corpus.simHashHammingPairs(Tables.documents(s, d),
+        "doc_id", "text", maxHamming = 3),
+      "a_id", "b_id", k = CoreK),
+    Some(s"""
+      WITH $oDupEdgeCtes,
+      e0 AS MATERIALIZED (SELECT a_id, b_id FROM prs),
+      ${(1 to CoreRounds).map(oPeelRound).mkString(",\n      ")}
+      SELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+        SELECT a_id AS u FROM e$CoreRounds
+        UNION ALL SELECT b_id FROM e$CoreRounds)
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q177, q178, q179, q180, q181, q182, q183,
-    q184, q185)
+    q184, q185, q186, q187)
 }

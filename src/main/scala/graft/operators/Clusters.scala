@@ -350,6 +350,52 @@ object Clusters {
             (col("deg") * (col("deg") - 1)).cast("double")))
   }
 
+  /** k-core decomposition membership: iteratively peel vertices of
+    * degree < k until the remaining subgraph is stable; emits the
+    * surviving vertices with their core-subgraph degree
+    * `(vertex, core_deg)`. On a near-dup graph the k-core isolates the
+    * saturated duplicate neighborhoods (template farms, boilerplate
+    * clusters) that degree or triangle counts alone under-select.
+    *
+    * Each round is one degree aggregation + two semi-joins, snapshotted
+    * with `localCheckpoint` (the connectedComponents discipline — the
+    * round count is bounded by the peeling depth, which is small on
+    * bounded-degeneracy graphs; the loop stops as soon as a round
+    * removes nothing). Deterministic: the surviving set is the unique
+    * maximal k-core, independent of peel order.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val canon = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    var cur = canon.localCheckpoint()
+    var n = cur.count()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val deg = cur.select(col("a").as("u")).union(cur.select(col("b")))
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("u"))
+      val next = cur
+        .join(keep.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val m = next.count()
+      stable = m == n
+      cur = next
+      n = m
+      rounds += 1
+    }
+    cur.select(col("a").as("vertex")).union(cur.select(col("b")))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Common-neighbor link prediction over an undirected edge list: for
     * every NON-adjacent pair sharing at least `minCommon` neighbors,
     * the shared-neighbor count and neighborhood Jaccard

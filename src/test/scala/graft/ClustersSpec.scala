@@ -168,6 +168,27 @@ class ClustersSpec extends SparkSpec {
     triStats(1L to 3L, noisy) shouldBe triStats(1L to 3L, base)
   }
 
+  // ---- kCore --------------------------------------------------------------
+
+  private def core(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Clusters.kCore(pairs.toDF("a", "b"), "a", "b", k)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore keeps the clique and peels chains transitively") {
+    val clique = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
+    // pendant chain hanging off the clique: 4-5-6; 6 peels first, then 5
+    val edges = clique ++ Seq((4L, 5L), (5L, 6L))
+    val c3 = core(edges, 3)
+    c3.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    c3.values.toSet shouldBe Set(3L) // every clique vertex has core deg 3
+    // k=1 keeps every non-isolated vertex
+    core(edges, 1).keySet shouldBe (1L to 6L).toSet
+  }
+
+  test("kCore is empty when no subgraph reaches k") {
+    core(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 3) shouldBe Map.empty
+  }
+
   // ---- commonNeighborCandidates -------------------------------------------
 
   test("commonNeighborCandidates scores non-adjacent wedge endpoints") {
