@@ -517,6 +517,116 @@ object R6Queries {
         UNION ALL SELECT b_id FROM e$CoreRounds)
       GROUP BY 1"""))
 
+  /** Shard-rebalance cost of growing a corpus layout from 8 to 10
+    * shards, mod-hashing vs rendezvous (highest-random-weight) hashing:
+    * mod reshuffles ~everything, rendezvous moves ~2/10 of rows — the
+    * quantitative case for consistent placement before a 100 TB
+    * re-layout. Both schemes are pure per-row md5 expressions (no
+    * shuffle at all until the 2-row rollup). */
+  private val q188 = QueryDef(
+    "q188_shard_rebalance",
+    (s, d) => {
+      def modShard(n: Int) = conv(substring(
+        md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % n
+      def rdvShard(n: Int) =
+        operators.Scale.rendezvousShard(col("doc_id"), n)
+      val moves = Tables.documents(s, d).select(
+        (modShard(8) =!= modShard(10)).cast("int").as("mod_moved"),
+        (rdvShard(8) =!= rdvShard(10)).cast("int").as("rdv_moved"))
+      val agg = moves.agg(count(lit(1)).as("n_docs"),
+        sum(col("mod_moved")).cast("long").as("__mm"),
+        sum(col("rdv_moved")).cast("long").as("__rm"))
+      agg.select(lit("mod").as("method"), col("n_docs"),
+          col("__mm").as("moved"),
+          (col("__mm").cast("double") / col("n_docs").cast("double"))
+            .as("moved_fraction"))
+        .union(agg.select(lit("rendezvous"), col("n_docs"), col("__rm"),
+          col("__rm").cast("double") / col("n_docs").cast("double")))
+    },
+    Some {
+      val nib = (j: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $j, 1)) - 1)"
+      val mod = s"CAST(4096*${nib(1)} + 256*${nib(2)} + 16*${nib(3)} + ${nib(4)} AS INT)"
+      s"""
+      WITH rdv AS (SELECT doc_id, s,
+              md5(CAST(doc_id AS VARCHAR) || '#' || s) AS h
+            FROM documents,
+            LATERAL (SELECT unnest(generate_series(0, 9)) AS s)),
+      r8 AS (SELECT doc_id, arg_max(s, h) AS sh FROM rdv WHERE s < 8
+            GROUP BY 1),
+      r10 AS (SELECT doc_id, arg_max(s, h) AS sh FROM rdv GROUP BY 1),
+      m AS (SELECT doc_id,
+              CASE WHEN $mod % 8 <> $mod % 10 THEN 1 ELSE 0 END AS mod_moved,
+              CASE WHEN r8.sh <> r10.sh THEN 1 ELSE 0 END AS rdv_moved
+            FROM documents JOIN r8 USING (doc_id) JOIN r10 USING (doc_id)),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(mod_moved) AS BIGINT) AS mm,
+              CAST(SUM(rdv_moved) AS BIGINT) AS rm FROM m)
+      SELECT 'mod' AS method, n_docs, mm AS moved,
+        CAST(mm AS DOUBLE) / CAST(n_docs AS DOUBLE) AS moved_fraction
+      FROM a
+      UNION ALL
+      SELECT 'rendezvous', n_docs, rm,
+        CAST(rm AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM a"""
+    })
+
+  /** IVF index maintenance: vectors assigned to centroids seeded from
+    * the EXISTING corpus (vec_id % 10 < 8), with per-centroid old/new
+    * occupancy and a drift alert when a bucket's share of new vectors
+    * strays > 0.15 from the global share — the report that tells an
+    * ANN-index owner when to re-train centroids instead of appending. */
+  private val q189 = QueryDef(
+    "q189_ivf_maintenance",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = (col("vec_id") % 10) >= 8
+      val cents = operators.Similarity.ivfCentroids(
+        e.filter(!isNew), "vec_id", "embedding", 8)
+      val asg = operators.Similarity.ivfAssign(e, "vec_id", "embedding",
+        cents)
+      val flagged = asg.join(
+        e.select(col("vec_id"), isNew.cast("int").as("__new")), Seq("vec_id"))
+      val per = flagged.groupBy(col("centroid_id"))
+        .agg(sum(lit(1) - col("__new")).cast("long").as("n_old"),
+          sum(col("__new")).cast("long").as("n_new"))
+      val tot = per.agg(sum(col("n_old")).as("__to"),
+        sum(col("n_new")).as("__tn"))
+      per.crossJoin(broadcast(tot))
+        .select(col("centroid_id"), col("n_old"), col("n_new"),
+          (col("n_new").cast("double") /
+            (col("n_old") + col("n_new")).cast("double")).as("new_share"),
+          (col("__tn").cast("double") /
+            (col("__to") + col("__tn")).cast("double")).as("global_share"))
+        .withColumn("drift_alert",
+          abs(col("new_share") - col("global_share")) > 0.15)
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cemb
+            FROM embeddings WHERE vec_id % 10 < 8
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      asg AS (SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${ExtQueries.oCos("e.embedding", "c.cemb")} DESC,
+                  c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+      f AS (SELECT centroid_id,
+              CASE WHEN vec_id % 10 >= 8 THEN 1 ELSE 0 END AS nw
+            FROM asg),
+      per AS (SELECT centroid_id,
+              CAST(SUM(1 - nw) AS BIGINT) AS n_old,
+              CAST(SUM(nw) AS BIGINT) AS n_new
+            FROM f GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS torig,
+              CAST(SUM(n_new) AS BIGINT) AS tnew FROM per)
+      SELECT centroid_id, n_old, n_new,
+        CAST(n_new AS DOUBLE) / CAST(n_old + n_new AS DOUBLE) AS new_share,
+        CAST(tnew AS DOUBLE) / CAST(torig + tnew AS DOUBLE) AS global_share,
+        abs(CAST(n_new AS DOUBLE) / CAST(n_old + n_new AS DOUBLE)
+          - CAST(tnew AS DOUBLE) / CAST(torig + tnew AS DOUBLE)) > 0.15
+          AS drift_alert
+      FROM per CROSS JOIN tot"""))
+
   val all: Seq[QueryDef] = Seq(q177, q178, q179, q180, q181, q182, q183,
-    q184, q185, q186, q187)
+    q184, q185, q186, q187, q188, q189)
 }

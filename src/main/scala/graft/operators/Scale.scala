@@ -438,4 +438,20 @@ object Scale {
       .withColumn("items", coalesce(col("items"), emptyArr))
       .withColumn("n_items", size(col("items")))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: the shard is
+    * argmax over s in 0..shards-1 of md5(key || '#' || s). Growing the
+    * shard count from n to m > n moves only the rows whose new winner is
+    * one of the ADDED shards (expected (m-n)/m of them), because the
+    * surviving candidates keep their hashes — vs mod hashing, which
+    * remaps ~(1 - 1/lcm) of all rows. Pure per-row expression: no
+    * shuffle, codegen'd, engine-reproducible (md5 + lexicographic
+    * argmax). */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 1024,
+      s"shards must be in 1..1024, got $shards")
+    array_max(array((0 until shards).map(s =>
+      struct(md5(concat(key.cast("string"), lit("#"), lit(s.toString)))
+        .as("h"), lit(s).as("s"))): _*)).getField("s")
+  }
 }

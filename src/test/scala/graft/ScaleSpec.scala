@@ -122,4 +122,21 @@ class ScaleSpec extends SparkSpec {
     plan should not include "Exchange hashpartitioning"
     joined.count() should be > 0L
   }
+
+  test("rendezvousShard: monotone growth moves only added-shard winners") {
+    val df = (1L to 2000L).toDF("id")
+      .select($"id",
+        Scale.rendezvousShard($"id", 8).as("s8"),
+        Scale.rendezvousShard($"id", 10).as("s10"))
+      .collect()
+    df.foreach { r =>
+      val (s8, s10) = (r.getInt(1), r.getInt(2))
+      s8 should (be >= 0 and be < 8)
+      s10 should (be >= 0 and be < 10)
+      // HRW property: a row moves iff its 10-shard winner is a NEW shard
+      if (s10 < 8) s10 shouldBe s8
+    }
+    val moved = df.count(r => r.getInt(1) != r.getInt(2)).toDouble / df.length
+    moved should (be > 0.1 and be < 0.3) // expected 2/10
+  }
 }
