@@ -418,4 +418,66 @@ object NearDup {
         Seq("__rn2"))
       .select(col("a_id"), col("b_id"), col("rank_gap"))
   }
+
+  /** Winnowing fingerprints per document (Schleimer/Wilkerson/Aiken):
+    * md5 each ordered `k`-word shingle, take the min hash of every
+    * sliding window of `w` consecutive shingle hashes, emit the distinct
+    * fingerprint set. Local edits perturb only the windows they touch,
+    * so two documents sharing a long verbatim span share most of the
+    * fingerprints selected inside it. Scalar-only (transform/slice over
+    * the shingle array — no explode until the final distinct set). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    val sh = TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), k)
+    spread(docs)
+      .select(col(idCol).as("doc_id"), transform(sh, x => md5(x)).as("__h"))
+      .filter(size(col("__h")) >= w)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("__h")) - (w - 1)),
+          i => array_min(slice(col("__h"), i, lit(w)))))).as("fingerprint"))
+  }
+
+  /** Cross-document verbatim span reuse: which document pairs share
+    * winnowed fingerprints, and how much. The attribution / contamination
+    * question a corpus owner asks that near-dup scoring does not answer —
+    * a 2% quoted span never clears a Jaccard threshold but lights up
+    * here as `shared` fingerprint hits.
+    *
+    * Emits (a_id, b_id, shared, n_a, n_b, reuse) with
+    * reuse = shared / min(n_a, n_b) over the df-capped fingerprint sets.
+    *
+    * Scale: identical posture to [[ngramJaccardPairs]] — fingerprints in
+    * more than `maxDf` documents are boilerplate (nav text, licenses) and
+    * are dropped from BOTH the pair join and the per-doc set sizes via a
+    * broadcast anti-join against the (tiny, ≤ postings/maxDf) hot list,
+    * bounding the self-join at Σ bucket² ≤ maxDf × postings. Winnowing
+    * already thins postings ~(w+1)/2× vs raw shingles, so this runs on a
+    * fraction of the q34/q68 join volume. */
+  def winnowReusePairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, w: Int = 4, maxDf: Int = 16,
+                       minShared: Int = 3): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val hot = fps.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("fingerprint"))
+    val kept = fps.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("__n", "n_a"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("__n", "n_b"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("shared"),
+        col("n_a"), col("n_b"),
+        (col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("reuse"))
+  }
 }
