@@ -447,4 +447,60 @@ object Clusters {
           (col("da") + col("db") - col("common")).cast("double"))
           .as("jaccard"))
   }
+
+  /** Incremental connected-component maintenance: fold a batch of NEW
+    * edges into an existing labeling without recomputing the corpus.
+    * The daily-crawl shape — yesterday's duplicate clusters are stored,
+    * today's near-dup pairs arrive, and only the components the new
+    * edges actually touch may change.
+    *
+    * Correctness: contracting each old component to its label and
+    * running components over (contracted new edges) yields exactly the
+    * components of the union graph, and since every stored label is the
+    * min vertex id of its old component, the merged min-label equals the
+    * from-scratch min-label — `incremental == recompute` (the q194
+    * oracle checks precisely this).
+    *
+    * Scale: everything except the final relabel join is proportional to
+    * the NEW batch, not the corpus: the touched label graph has at most
+    * 2·|newEdges| vertices, and the resolved remap (only labels that
+    * changed) broadcasts onto the stored labeling — the corpus is
+    * scanned once and never shuffled. */
+  def incrementalComponents(labels: DataFrame, idCol: String,
+                            labelCol: String, newEdges: DataFrame,
+                            aCol: String, bCol: String,
+                            maxIter: Int = 20,
+                            checkpointDir: Option[String] = None,
+                            smallGraphMaxEdges: Long = 4000000L): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__l"))
+    val e = newEdges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    // lift edge endpoints into label space (unknown vertices label=self)
+    val mapped = e
+      .join(lab.select(col("__id").as("__a"), col("__l").as("__la")),
+        Seq("__a"), "left")
+      .join(lab.select(col("__id").as("__b"), col("__l").as("__lb")),
+        Seq("__b"), "left")
+      .select(coalesce(col("__la"), col("__a")).as("a"),
+        coalesce(col("__lb"), col("__b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val touched = mapped.select(col("a").as("id"))
+      .unionByName(mapped.select(col("b").as("id"))).distinct()
+    val sup = connectedComponents(touched, "id", mapped, "a", "b",
+      maxIter, checkpointDir, smallGraphMaxEdges)
+    val remap = sup.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__l"), col("cluster_id").as("__nl"))
+    val relabeled = lab.join(broadcast(remap), Seq("__l"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__nl"), col("__l")).as(labelCol))
+    // vertices first seen in the new batch
+    val newVerts = e.select(col("__a").as("__id"))
+      .unionByName(e.select(col("__b").as("__id"))).distinct()
+      .join(lab.select(col("__id")), Seq("__id"), "left_anti")
+    val newLabeled = newVerts
+      .join(broadcast(remap.withColumnRenamed("__l", "__id")),
+        Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__nl"), col("__id")).as(labelCol))
+    relabeled.unionByName(newLabeled)
+  }
 }

@@ -256,4 +256,59 @@ object Eval {
           .otherwise((lit(2) * col("tp")).cast("double") /
             (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")))
   }
+
+  /** Margin-based uncertainty sampling: the `k` vectors whose top-2
+    * label-centroid cosines are closest — the annotation-priority queue
+    * of an active-learning loop (label what the model is least sure of).
+    *
+    * Emits (id, label, pred1, cos1, pred2, cos2, margin), ordered
+    * selection = bottom-k by (margin asc, id asc). Same exactness
+    * contract as [[nearestCentroidEval]]: integer dots/norms, one IEEE
+    * division per cosine; margin is the difference of two bit-identical
+    * doubles, so the selected set is engine-identical.
+    *
+    * Scale: the centroid frame (labels × dim) broadcasts; the corpus is
+    * exploded once; the per-vector top-2 is a rank-limited window
+    * (WindowGroupLimit prunes before the exchange); the global bottom-k
+    * is a TakeOrdered, never a full sort. */
+  def uncertaintySample(embeddings: DataFrame, idCol: String,
+                        embCol: String, labelCol: String, k: Int,
+                        qScale: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(qScale > 0 && (qScale & (qScale - 1)) == 0,
+      s"qScale must be a positive power of two, got $qScale")
+    val base = embeddings
+      .filter(col(labelCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        posexplode(quantize(col(embCol), qScale)).as(Seq("pos", "q")))
+    val comp = base.groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("q")).as("c"))
+    val cnorm = comp.groupBy(col("lbl")).agg(sum(col("c") * col("c")).as("cnn"))
+    val vnorm = base.groupBy(col("id")).agg(sum(col("q") * col("q")).as("vnn"))
+    val dots = base
+      .join(broadcast(comp.select(col("lbl").as("cand"), col("pos"), col("c"))),
+        Seq("pos"))
+      .groupBy(col("id"), col("cand"))
+      .agg(min(col("lbl")).as("truth"), sum(col("q") * col("c")).as("dot"))
+    val scored = dots
+      .join(broadcast(cnorm.select(col("lbl").as("cand"), col("cnn"))),
+        Seq("cand"))
+      .join(vnorm, Seq("id"))
+      .filter(col("vnn") > 0 && col("cnn") > 0)
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("vnn").cast("double")) * sqrt(col("cnn").cast("double"))))
+    val top2 = scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cand").asc)))
+      .filter(col("__rk") <= 2)
+      .groupBy(col("id"))
+      .agg(min(col("truth")).as("label"),
+        max(when(col("__rk") === 1, col("cand"))).as("pred1"),
+        max(when(col("__rk") === 1, col("cos"))).as("cos1"),
+        max(when(col("__rk") === 2, col("cand"))).as("pred2"),
+        max(when(col("__rk") === 2, col("cos"))).as("cos2"))
+      .filter(col("pred2").isNotNull)
+      .withColumn("margin", col("cos1") - col("cos2"))
+    top2.orderBy(col("margin").asc, col("id").asc).limit(k)
+  }
 }

@@ -537,4 +537,51 @@ object Similarity {
       .select(col("__id").as(idCol), col("label"), col("dot"), col("cos"),
         col("is_outlier"))
   }
+
+  /** Exact upper-triangle covariance matrix of the quantized embedding
+    * components — the foundation for PCA / feature-drift / whitening
+    * over an embedding corpus. Per pair (i <= j):
+    * cov = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / n², with every sum an exact BIGINT and
+    * the division the single IEEE op — bit-identical across engines.
+    *
+    * Scale: the cross-product expansion is SCALAR-side (one flattened
+    * d(d+1)/2 struct array per row — no self-join), and the explode
+    * feeds a hash aggregate with d(d+1)/2 distinct keys, so map-side
+    * partial aggregation reduces each task's output to one matrix
+    * regardless of row count. Component sums ride a d-row frame;
+    * both small frames broadcast onto the pair aggregate.
+    * Contract: |q| <= qScale and n·(qScale²·n) must stay in Int64 —
+    * beyond ~10⁹ rows at qScale=1024 move the sums to DECIMAL(38,0). */
+  def quantizedCovariance(embeddings: DataFrame, idCol: String,
+                          embCol: String, qScale: Int = 1024): DataFrame = {
+    require(qScale > 0 && (qScale & (qScale - 1)) == 0,
+      s"qScale must be a positive power of two, got $qScale")
+    val base = embeddings.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        transform(col(embCol), x =>
+          floor(x.cast("double") * lit(qScale.toDouble)).cast("long"))
+          .as("__q"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val sums = base.select(posexplode(col("__q")).as(Seq("pos", "q")))
+      .groupBy(col("pos")).agg(sum(col("q")).as("s"))
+    val d = size(col("__q"))
+    val pairs = base.select(explode(flatten(
+        transform(sequence(lit(0), d - 1), i =>
+          transform(sequence(i, d - 1), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              (element_at(col("__q"), i + 1) *
+                element_at(col("__q"), j + 1)).as("p")))))).as("__e"))
+      .select(col("__e.i").as("i"), col("__e.j").as("j"), col("__e.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s_ij"))
+    pairs
+      .join(broadcast(sums.select(col("pos").as("i"), col("s").as("s_i"))),
+        Seq("i"))
+      .join(broadcast(sums.select(col("pos").as("j"), col("s").as("s_j"))),
+        Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
+        col("s_ij"),
+        ((col("n") * col("s_ij") - col("s_i") * col("s_j")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("cov"))
+  }
 }
