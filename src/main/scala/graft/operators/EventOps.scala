@@ -636,4 +636,43 @@ object EventOps {
         col("n_cohort_users"), col("n_active_users"),
         col("revenue"), col("cum_revenue"), col("cum_ltv_per_user"))
   }
+
+  /** Event-time lateness profile: how far behind each stream key's
+    * high-water mark events arrive, bucketed into fixed delay tiers —
+    * the measurement that SIZES a streaming watermark (`withWatermark`
+    * delay = the tier covering the tail you're willing to wait for).
+    *
+    * Arrival order is `seq` (ingestion sequence); lateness of an event
+    * is max(event-time µs of all PRIOR arrivals on the same key) minus
+    * its own event time, floored at zero. Per-key (not global)
+    * high-water marks keep the window partitioned — no single-task
+    * global ordering; the global profile is the bucket rollup.
+    * Integer µs throughout; `share` is the single final division. */
+  def latenessProfile(events: DataFrame, key: Column, ts: Column,
+                      seq: Column): DataFrame = {
+    val base = events.select(key.as("__k"), seq.as("__s"),
+        unix_micros(ts).as("__us"))
+      .filter(col("__k").isNotNull && col("__us").isNotNull)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = base
+      .withColumn("__late",
+        greatest(coalesce(max(col("__us")).over(w) - col("__us"), lit(0L)),
+          lit(0L)))
+      .withColumn("bucket",
+        when(col("__late") === 0L, "on_time")
+          .when(col("__late") <= 1000000L, "within_1s")
+          .when(col("__late") <= 10000000L, "within_10s")
+          .when(col("__late") <= 60000000L, "within_1m")
+          .when(col("__late") <= 600000000L, "within_10m")
+          .when(col("__late") <= 3600000000L, "within_1h")
+          .otherwise("over_1h"))
+    val counts = late.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("__late")).as("max_late_us"))
+    val total = late.agg(count(lit(1)).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_events"), col("max_late_us"),
+        (col("n_events").cast("double") / col("__tot").cast("double"))
+          .as("share"))
+  }
 }

@@ -529,4 +529,64 @@ object Quality {
       .agg(max(col("ns")).as("n_rows"),
         (sum(col("__term")).cast("double") / lit(Scale.toDouble)).as("psi"))
   }
+
+  /** Per-group concentration profile: Gini coefficient and Herfindahl
+    * index over entity-level values — "how unequal / how concentrated
+    * is this market (or source, or shard)". The corpus-curation use is
+    * source-dominance monitoring; the BI use is revenue concentration.
+    *
+    * Exact-integer discipline: `value` must be exact (cast money to
+    * DECIMAL first) with at most `unitScale` fractional digits; it is
+    * scaled to integer units (×10^unitScale) and every sum — total,
+    * rank-weighted, squared — accumulates exactly in DECIMAL(38,0).
+    * gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) and hhi = Σx² / (Σx)² are
+    * emitted via the repo's 2³⁰-scaled integer-division discipline
+    * (floor(ratio·2³⁰) computed in exact integer arithmetic, then one
+    * exact-by-power-of-two division — a squared sum cast straight to
+    * double would double-round past 2⁵³). Metrics are quantized to
+    * 2⁻³⁰ ≈ 1e-9; groups with a zero total emit NULL metrics.
+    *
+    * Scale: one per-group rank window (partitioned — no global sort)
+    * feeding one map-combined aggregation; output is |groups| rows. */
+  def concentrationProfile(df: DataFrame, group: Column, id: Column,
+                           value: Column, unitScale: Int = 2): DataFrame = {
+    require(unitScale >= 0 && unitScale <= 9,
+      s"unitScale must be in [0, 9], got $unitScale")
+    val mult = math.pow(10, unitScale).toLong
+    val base = df.select(group.as("grp"), id.as("__id"),
+        (value * lit(mult)).cast(DecimalType(38, 0)).as("__u"))
+      .filter(col("__u").isNotNull)
+    val ranked = base.withColumn("__i", row_number().over(
+      Window.partitionBy(col("grp")).orderBy(col("__u"), col("__id"))))
+    val S = 1073741824L // 2^30
+    ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__u")).as("__sx"),
+        sum(col("__u") * col("__i")).as("__six"),
+        sum(col("__u") * col("__u")).as("__sxx"))
+      .select(col("grp"), col("n"),
+        (col("__sx").cast("double") / lit(mult.toDouble)).as("total"),
+        when(col("__sx") === 0, lit(null).cast("double"))
+          .otherwise(
+            expr(s"((2 * __six - (n + 1) * __sx) * $S) div (n * __sx)")
+              .cast("double") / lit(S.toDouble)).as("gini"),
+        when(col("__sx") === 0, lit(null).cast("double"))
+          .otherwise(
+            expr(s"(__sxx * $S) div (__sx * __sx)")
+              .cast("double") / lit(S.toDouble)).as("hhi"))
+  }
+
+  /** k-anonymity audit over quasi-identifier columns: every QI combo
+    * with its population and an `at_risk` flag (n < k). The privacy
+    * gate a training-data release runs before shipping user-derived
+    * rows — at-risk combos must be generalized or suppressed.
+    * One map-combined groupBy; output is |combos| rows. */
+  def kAnonymityAudit(df: DataFrame, qi: Seq[(String, Column)],
+                      k: Int): DataFrame = {
+    require(qi.nonEmpty, "qi must be non-empty")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(qi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
 }

@@ -584,4 +584,39 @@ object Similarity {
         ((col("n") * col("s_ij") - col("s_i") * col("s_j")).cast("double") /
           (col("n") * col("n")).cast("double")).as("cov"))
   }
+
+  /** Multi-probe LSH candidate pairs: vectors whose hyperplane buckets
+    * differ in AT MOST ONE bit. Single-bucket LSH (q38) misses every
+    * near-neighbor pair that straddles one hyperplane; the standard
+    * fixes are more tables (× storage) or multi-probe — also querying
+    * the buckets one bit-flip away. One flip costs `numPlanes` extra
+    * probe rows per vector but no extra tables.
+    *
+    * Emits (a_id, b_id, bucket_a, bucket_b, probe_dist) with
+    * probe_dist = popcount(bucket_a ⊕ bucket_b) ∈ {0, 1}; each
+    * qualifying pair appears exactly once (a given ⊕ matches exactly
+    * one probe).
+    *
+    * Scale: the probe explode is ×(numPlanes+1) on the id+bucket
+    * projection only (ints, not embeddings); the join is an equi-join
+    * on bucket keys. Candidate volume is Σ over bucket-pairs at
+    * Hamming ≤ 1 of |A|·|B| — the multi-probe tradeoff, still never
+    * all-pairs. */
+  def multiProbeCandidates(embeddings: DataFrame, idCol: String,
+                           embCol: String, numPlanes: Int,
+                           dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val b = embeddings.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("a_id"),
+        lshBucket(col(embCol), planes).as("bucket_a"))
+    val probes = b.select(col("a_id"), col("bucket_a"),
+      explode(array(col("bucket_a") +: (0 until numPlanes).map(j =>
+        col("bucket_a").bitwiseXOR(lit(1 << j))): _*)).as("__probe"))
+    probes.join(b.select(col("a_id").as("b_id"),
+        col("bucket_a").as("bucket_b")),
+        col("__probe") === col("bucket_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("bucket_a"), col("bucket_b"),
+        bit_count(col("bucket_a").bitwiseXOR(col("bucket_b")))
+          .cast("int").as("probe_dist"))
+  }
 }
