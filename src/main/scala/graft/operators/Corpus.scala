@@ -1281,4 +1281,40 @@ object Corpus {
           col("n_transitions").cast("double"))
       .drop("__sum_scaled")
   }
+
+  /** Interleaved curriculum ordering: band documents into `nBands`
+    * difficulty tiers by a score's GLOBAL rank, then emit a training
+    * order that cycles the bands — position r·nBands+b is the r-th
+    * (hash-shuffled) document of band b — so every contiguous slice of
+    * the training stream sees the full difficulty mix. The data-ordering
+    * step between curation and sharding: plain score-sorted order makes
+    * early training see only easy documents, fully shuffled order loses
+    * the band balance; round-robin banding gives both.
+    *
+    * Deterministic end to end: global score rank via the telescoped
+    * [[Scale.globalRowNumber]] (no single-task sort), band =
+    * (rank−1)·nBands div total, within-band round over the md5 hash
+    * order, final position = another telescoped numbering over the
+    * (round·nBands + band) composite — every step exact integer math. */
+  def curriculumOrder(df: DataFrame, idCol: String, score: Column,
+                      nBands: Int = 10): DataFrame = {
+    require(nBands >= 2, s"nBands must be >= 2, got $nBands")
+    val base = df.select(col(idCol).as("__id"), score.as("__score"))
+      .filter(col("__score").isNotNull)
+    val total = base.agg(count(lit(1)).as("__tot"))
+    val ranked = Scale.globalRowNumber(base, "__score", "__id")
+      .crossJoin(broadcast(total))
+      .withColumn("band",
+        expr(s"((global_rn - 1) * $nBands) div __tot").cast("int"))
+    val rounds = ranked
+      .withColumn("__h", md5(col("__id").cast("string")))
+      .withColumn("round", row_number().over(
+        Window.partitionBy(col("band")).orderBy(col("__h"), col("__id")))
+        .cast("long"))
+      .withColumn("__pos_key", col("round") * nBands + col("band"))
+    Scale.globalRowNumber(rounds, "__pos_key", "__id")
+      .select(col("__id").as(idCol), col("__score").as("score"),
+        col("band"), col("round"),
+        col("global_rn").as("curriculum_pos"))
+  }
 }

@@ -576,6 +576,76 @@ object Quality {
               .cast("double") / lit(S.toDouble)).as("hhi"))
   }
 
+  /** Poisson(1) cumulative probabilities P(X <= k), k = 0..6 — the
+    * inverse-CDF thresholds for the deterministic bootstrap draw.
+    * Literal constants shared verbatim with the SQL oracle, so both
+    * engines parse the identical doubles. */
+  val PoissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712)
+
+  /** Deterministic Poisson bootstrap confidence intervals per group:
+    * each (row, replicate) gets a Poisson(1) resample weight drawn by
+    * inverse-CDF from a 48-bit md5 hash uniform — the reproducible,
+    * engine-portable bootstrap (a real RNG would differ per engine and
+    * per partitioning). Emits the group mean, nearest-rank quantile
+    * bounds of the replicate means, and the replicate count.
+    *
+    * Exactness: the uniform is hash48 / 2^48 (exact integer → one exact
+    * power-of-two division); thresholds are shared literals; weighted
+    * sums accumulate exactly (weight · DECIMAL value); each replicate
+    * mean is one IEEE division of exact operands (weighted cents must
+    * stay under 2^53 per group-replicate — cast wider money upstream if
+    * not); quantile selection is integer index math over the sorted
+    * replicate means.
+    *
+    * Scale: one explode (× reps) into a map-combined (group, rep)
+    * aggregation — groups·reps rows out of the heavy stage; the
+    * quantile window runs on groups × reps rows only. */
+  def bootstrapCi(df: DataFrame, group: Column, id: Column, value: Column,
+                  reps: Int = 100, loQ: Double = 0.025,
+                  hiQ: Double = 0.975, seed: String = "bs"): DataFrame = {
+    require(reps >= 2, s"reps must be >= 2, got $reps")
+    require(loQ > 0 && hiQ < 1 && loQ < hiQ, "need 0 < loQ < hiQ < 1")
+    val base = df.select(group.as("grp"), id.as("__id"), value.as("__x"))
+      .filter(col("__x").isNotNull)
+    val rep = base.withColumn("rep",
+      explode(sequence(lit(0), lit(reps - 1))))
+    val u = (conv(substring(md5(concat_ws(":", lit(seed),
+        col("__id").cast("string"), col("rep").cast("string"))), 1, 12),
+      16, 10).cast("long").cast("double") / lit(281474976710656.0)) // 2^48
+    val w = PoissonCdf1.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (c, k)) =>
+        acc.when(u < c, k.toLong) }
+      .otherwise(7L)
+    val repMeans = rep.withColumn("__w", w)
+      .groupBy(col("grp"), col("rep"))
+      .agg(sum(col("__w") * col("__x")).as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select(col("grp"), col("rep"),
+        (col("__swx").cast("double") / col("__sw").cast("double"))
+          .as("__mean"))
+    val ordered = repMeans
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("__mean"), col("rep"))))
+      .withColumn("__nr", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .withColumn("__ilo",
+        floor(lit(loQ) * (col("__nr") - 1).cast("double")).cast("long") + 1)
+      .withColumn("__ihi",
+        floor(lit(hiQ) * (col("__nr") - 1).cast("double")).cast("long") + 1)
+    val bounds = ordered.groupBy(col("grp"))
+      .agg(max(when(col("__r") === col("__ilo"), col("__mean"))).as("ci_lo"),
+        max(when(col("__r") === col("__ihi"), col("__mean"))).as("ci_hi"),
+        max(col("__nr")).as("n_reps"))
+    val point = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__x")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean"))
+    point.join(bounds, Seq("grp"), "left")
+  }
+
   /** k-anonymity audit over quasi-identifier columns: every QI combo
     * with its population and an `at_risk` flag (n < k). The privacy
     * gate a training-data release runs before shipping user-derived

@@ -619,4 +619,28 @@ object Similarity {
         bit_count(col("bucket_a").bitwiseXOR(col("bucket_b")))
           .cast("int").as("probe_dist"))
   }
+
+  /** Coreset / distillation representatives: the `k` most central
+    * members of every IVF cell (highest cosine to the cell centroid,
+    * ties → min id), with the cell population. The "label a budgeted
+    * subset" and "summarize the corpus" selection — k · |cells| rows
+    * stand in for the whole corpus.
+    *
+    * Scale: rides [[ivfAssign]] (broadcast centroid frame, corpus
+    * scanned once); the per-cell top-k is a rank-limited window
+    * (WindowGroupLimit prunes before the exchange). */
+  def clusterRepresentatives(embeddings: DataFrame, idCol: String,
+                             embCol: String, centroids: DataFrame,
+                             k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val assigned = ivfAssign(embeddings, idCol, embCol, centroids)
+    val w = Window.partitionBy(col("centroid_id"))
+    assigned
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("rep_rank", row_number().over(
+        w.orderBy(col("centroid_cos").desc, col(idCol).asc)).cast("int"))
+      .filter(col("rep_rank") <= k)
+      .select(col("centroid_id"), col("rep_rank"), col(idCol),
+        col("centroid_cos"), col("n_members"))
+  }
 }
