@@ -640,7 +640,8 @@ object Queries {
     R5bQueries.all ++ R5cQueries.all ++ R5dQueries.all ++ R5eQueries.all ++
     R5fQueries.all ++ R5gQueries.all ++ R5hQueries.all ++ R5iQueries.all ++
     R5jQueries.all ++ R5kQueries.all ++ R5lQueries.all ++ R6Queries.all ++
-    R6bQueries.all ++ R6cQueries.all ++ R6dQueries.all ++ R6eQueries.all
+    R6bQueries.all ++ R6cQueries.all ++ R6dQueries.all ++ R6eQueries.all ++
+    R6fQueries.all
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

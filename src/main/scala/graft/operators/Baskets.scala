@@ -105,4 +105,45 @@ object Baskets {
         col("n_antecedent"), col("n_consequent"), col("n_baskets"),
         col("support"), col("confidence"), col("lift"))
   }
+
+  /** Item-item cosine similarity over the (group × item) incidence
+    * matrix — the item-based collaborative-filtering artifact:
+    * sim(a,b) = cooc(a,b) / √(n_a·n_b) where n_i counts groups holding
+    * item i. Emits each item's top-`k` neighbors (both directions of
+    * every pair, since neighbor lists are per-item).
+    *
+    * Exactness: cooc and the n_a·n_b product are exact BIGINTs; the
+    * cosine is one sqrt + one division of their doubles — engine-
+    * bit-identical. Ties → min neighbor id.
+    *
+    * Scale: same capped-basket posture as [[coOccurrence]] (Σ basket²
+    * bounded by the group cap); supports join back on the small item
+    * key; the per-item top-k is a rank-limited window. */
+  def itemSimilarity(df: DataFrame, groupCol: String, itemCol: String,
+                     maxItemsPerGroup: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sized = sizedItems(df, groupCol, itemCol, maxItemsPerGroup)
+    val supports = sized.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val half = sized.as("a")
+      .join(sized.as("b"),
+        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("cooc"))
+    val sym = half.unionByName(half.select(
+      col("item_b").as("item_a"), col("item_a").as("item_b"), col("cooc")))
+    sym
+      .join(supports.select(col("item").as("item_a"), col("n").as("n_item")),
+        Seq("item_a"))
+      .join(supports.select(col("item").as("item_b"),
+        col("n").as("n_neighbor")), Seq("item_b"))
+      .withColumn("cosine", col("cooc").cast("double") /
+        sqrt((col("n_item") * col("n_neighbor")).cast("double")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("item_a"))
+          .orderBy(col("cosine").desc, col("item_b"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("cooc"), col("n_item"), col("n_neighbor"), col("cosine"),
+        col("rank"))
+  }
 }

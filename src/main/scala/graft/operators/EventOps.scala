@@ -650,15 +650,8 @@ object EventOps {
     * Integer µs throughout; `share` is the single final division. */
   def latenessProfile(events: DataFrame, key: Column, ts: Column,
                       seq: Column): DataFrame = {
-    val base = events.select(key.as("__k"), seq.as("__s"),
-        unix_micros(ts).as("__us"))
-      .filter(col("__k").isNotNull && col("__us").isNotNull)
-    val w = Window.partitionBy(col("__k")).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val late = base
-      .withColumn("__late",
-        greatest(coalesce(max(col("__us")).over(w) - col("__us"), lit(0L)),
-          lit(0L)))
+    val late = latenessPerEvent(events, key, ts, seq)
+      .withColumnRenamed("late_us", "__late")
       .withColumn("bucket",
         when(col("__late") === 0L, "on_time")
           .when(col("__late") <= 1000000L, "within_1s")
@@ -674,5 +667,20 @@ object EventOps {
       .select(col("bucket"), col("n_events"), col("max_late_us"),
         (col("n_events").cast("double") / col("__tot").cast("double"))
           .as("share"))
+  }
+
+  /** Per-event lateness against the per-key high-water mark (the
+    * element-level half of [[latenessProfile]]; the streaming twin is
+    * `StreamOps.latenessStream`). Emits (key, seq, us, late_us). */
+  def latenessPerEvent(events: DataFrame, key: Column, ts: Column,
+                       seq: Column): DataFrame = {
+    val base = events.select(key.as("key"), seq.as("seq"),
+        unix_micros(ts).as("us"))
+      .filter(col("key").isNotNull && col("us").isNotNull)
+    val w = Window.partitionBy(col("key")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("late_us",
+      greatest(coalesce(max(col("us")).over(w) - col("us"), lit(0L)),
+        lit(0L)))
   }
 }

@@ -643,4 +643,44 @@ object Similarity {
       .select(col("centroid_id"), col("rep_rank"), col(idCol),
         col("centroid_cos"), col("n_members"))
   }
+
+  /** Contrastive hard-negative mining: per anchor, the `k` OTHER-label
+    * vectors with the highest quantized cosine — the semi-hard negatives
+    * a contrastive/embedding-training loop pairs with each anchor
+    * (random negatives are too easy; same-label top matches are
+    * positives). Same shape, int8 quantization, and broadcast-guarded
+    * query side as [[quantizedCosineTopK]]; rows with NULL labels are
+    * excluded from both sides. */
+  def hardNegatives(embeddings: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, queryPredicate: Column,
+                    k: Int): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val quantized = embeddings
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("__lbl"),
+        quantizeInt8(col(embCol)).as("__q8"))
+      .filter(col("__q8").isNotNull)
+    def idot(a: Column, b: Column): Column = call_function("q8_dot", a, b)
+    val q = requireBroadcastable(
+      quantized.filter(queryPredicate)
+        .select(col(idCol).as("q_id"), col("__lbl").as("q_label"),
+          col("__q8").as("__qa"), idot(col("__q8"), col("__q8")).as("__na")),
+      "hardNegatives query side (queryPredicate)",
+      "Narrow the predicate, or mine negatives inside LSH/IVF buckets " +
+        "for large anchor sets.")
+    val cand = quantized
+      .select(col(idCol).as("n_id"), col("__lbl").as("n_label"),
+        col("__q8").as("__qb"), idot(col("__q8"), col("__q8")).as("__nb"))
+    cand.crossJoin(broadcast(q))
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("q_cosine",
+        idot(col("__qa"), col("__qb")).cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("q_cosine").desc, col("n_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("q_cosine"), col("rank"))
+  }
 }

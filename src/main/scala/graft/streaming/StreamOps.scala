@@ -141,6 +141,49 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class TimedEvent(key: String, seq: String, us: Long)
+  final case class LateEvent(key: String, seq: String, us: Long,
+                             lateUs: Long)
+
+  /** Streaming lateness measurement: per-key event-time high-water mark
+    * in ValueState; every event is emitted with how far behind the mark
+    * it arrived — the live feed of the batch
+    * `EventOps.latenessPerEvent` / `latenessProfile` watermark-sizing
+    * measurement (parity asserted in the spec). State is ONE long per
+    * key. Within a micro-batch rows are processed in `seq` order so a
+    * batch boundary never changes a lateness value — stream == batch on
+    * any batch split that respects the arrival order. */
+  class LatenessProcessor
+      extends StatefulProcessor[String, TimedEvent, LateEvent] {
+    @transient private var hwm: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hwm = getHandle.getValueState[Long]("hwm",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TimedEvent],
+                                 timerValues: TimerValues): Iterator[LateEvent] = {
+      val ordered = rows.toSeq.sortBy(e => (e.seq, e.us))
+      val out = Seq.newBuilder[LateEvent]
+      var mark = if (hwm.exists()) hwm.get() else Long.MinValue
+      ordered.foreach { e =>
+        val late = if (mark == Long.MinValue) 0L
+          else math.max(0L, mark - e.us)
+        out += LateEvent(e.key, e.seq, e.us, late)
+        mark = math.max(mark, e.us)
+      }
+      if (mark != Long.MinValue) hwm.update(mark)
+      out.result().iterator
+    }
+  }
+
+  def latenessStream(events: Dataset[TimedEvent]): Dataset[LateEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new LatenessProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup with BOUNDED state: Spark's
     * dropDuplicatesWithinWatermark keyed on `keys`. Unlike
     * [[dedupFirstSeen]] (whose per-key state lives forever without a
