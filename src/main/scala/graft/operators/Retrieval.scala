@@ -69,4 +69,34 @@ object Retrieval {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
   }
+
+  /** Inverted-index build: per term (length >= `minTermLen`), document
+    * frequency, total term frequency, and an order-pinned fingerprint
+    * of the postings list (doc_id:tf:first_pos triples sorted by
+    * doc_id, md5'd) — the serving-index artifact behind [[bm25TopK]].
+    * The fingerprint stands in for the raw nested postings column
+    * because engines stringify arrays differently (the q166
+    * nested-export convention); it pins BOTH membership and order.
+    *
+    * Scale: one tokenize+posexplode pass; tf/first_pos is a
+    * (doc, term) map-combined aggregate; the per-term fold is a
+    * groupBy whose skew ceiling is the stop-word df — cap with
+    * `minTermLen` (and the caller's stopword policy), exactly like the
+    * q57/q68 df discipline. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minTermLen: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .filter(length(col("term")) >= minTermLen)
+    val perDoc = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), min(col("pos")).as("first_pos"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("tf"),
+            col("first_pos")))),
+          e => concat_ws(":", e.getField("doc_id"), e.getField("tf"),
+            e.getField("first_pos"))), "|")).as("postings_fp"))
+  }
 }

@@ -204,4 +204,62 @@ object Windows {
       .withColumn("alarm", col("cusum") > threshold)
       .drop("__c", "__m")
   }
+
+  /** Theil–Sen robust trend: per key, the MEDIAN of all pairwise
+    * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) over an ordered series — immune to the
+    * outlier days that drag an OLS slope (the q146 `trailingSlope`
+    * counterpart for dirty series). `x` must be integer-valued (e.g.
+    * epoch days), `y` exact (DECIMAL): each slope is one IEEE division
+    * of exactly-converted operands, and the median is the nearest-rank
+    * lower median picked by integer index — engine-bit-identical.
+    *
+    * Scale: the pair join is PER KEY over the key's series length —
+    * bounded by the time grain (days in range), not data volume; keys
+    * parallelize independently. Not for million-point series. */
+  def theilSenSlope(df: DataFrame, keys: Seq[String], xCol: String,
+                    yCol: String): DataFrame = {
+    val base = df.select((keys.map(col) :+ col(xCol).cast("long").as("__x")
+      :+ col(yCol).as("__y")): _*)
+    val a = base.as("a")
+    val b = base.as("b")
+    val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val slopes = a.join(b, keyCond && col("a.__x") < col("b.__x"))
+      .select((keys.map(k => col(s"a.$k")) :+
+        ((col("b.__y") - col("a.__y")).cast("double") /
+          (col("b.__x") - col("a.__x")).cast("double")).as("__slope") :+
+        col("a.__x").as("__xi") :+ col("b.__x").as("__xj")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val ranked = slopes
+      .withColumn("__r", row_number().over(
+        w.orderBy(col("__slope"), col("__xi"), col("__xj"))))
+      .withColumn("__m", count(lit(1)).over(w))
+    val npts = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_points"))
+    ranked.filter(col("__r") === expr("(__m + 1) div 2"))
+      .select((keys.map(col) :+ col("__m").as("n_pairs") :+
+        col("__slope").as("theil_sen_slope")): _*)
+      .join(npts, keys)
+  }
+
+  /** Day-of-week seasonal index per key: mean(value | dow) / mean(value)
+    * — the multiplicative seasonality profile that deseasonalizes daily
+    * series before anomaly detection (q120's z-scores assume it). The
+    * ratio is computed as (Σ_dow·n) / (n_dow·Σ) over exact sums — one
+    * IEEE division. `dow` is 0=Sunday..6 (Spark dayofweek−1 == DuckDB
+    * date_part('dow')). */
+  def seasonalIndex(daily: DataFrame, keys: Seq[String], dateCol: String,
+                    valueCol: String): DataFrame = {
+    val base = daily.select((keys.map(col) :+
+      (dayofweek(col(dateCol)) - 1).as("dow") :+
+      col(valueCol).as("__y")): _*)
+    val byDow = base.groupBy((keys.map(col) :+ col("dow")): _*)
+      .agg(count(lit(1)).as("n_days"), sum(col("__y")).as("__sd"))
+    val total = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"))
+    byDow.join(total, keys)
+      .select((keys.map(col) :+ col("dow") :+ col("n_days") :+
+        ((col("__sd") * col("__n")).cast("double") /
+          (col("n_days") * col("__s")).cast("double"))
+          .as("seasonal_index")): _*)
+  }
 }
