@@ -669,6 +669,54 @@ object EventOps {
           .as("share"))
   }
 
+  /** U-shaped (position-based) multi-touch attribution: each
+    * conversion's credit splits 40% / 20% / 40% across first touch /
+    * middles / last touch (the adtech standard between last-touch's
+    * recency bias and linear's dilution). Credits are integers scaled
+    * by 2³⁰ — first/last get (2·2³⁰) div 5, middles share the exact
+    * remainder by integer division — so per-channel credit sums are
+    * exact BIGINTs (double credit sums would be partition-order
+    * dependent); the emitted `credit` is one final ÷2³⁰. Floor
+    * remainders (< n·2⁻³⁰ per conversion) are the documented
+    * quantization, the same 2³⁰ discipline as PSI/Gini.
+    *
+    * Scale: the touch↔conversion join is keyed on the user (range
+    * predicate inside the key — per-user fan-out only); per-conversion
+    * ordering is a window over that conversion's touches. */
+  def positionBasedAttribution(events: DataFrame, userCol: Column,
+                               tsCol: Column, idCol: Column,
+                               typeCol: Column, touchTypes: Seq[String],
+                               convType: String,
+                               windowSec: Long): DataFrame = {
+    val S = 1073741824L // 2^30
+    val endCap = (2L * S) / 5L // 40% first + 40% last
+    val base = events.select(userCol.as("u"), idCol.as("eid"),
+      typeCol.as("etype"), unix_micros(tsCol).as("us"))
+    val convs = base.filter(col("etype") === convType)
+      .select(col("u"), col("eid").as("conv_id"), col("us").as("conv_us"))
+    val touches = base.filter(col("etype").isin(touchTypes: _*))
+    val joined = touches.join(convs, Seq("u"))
+      .filter(col("us") < col("conv_us") &&
+        col("us") >= col("conv_us") - windowSec * 1000000L)
+    val w = Window.partitionBy(col("conv_id"))
+    val ranked = joined
+      .withColumn("__r", row_number().over(
+        w.orderBy(col("us"), col("eid"))))
+      .withColumn("__n", count(lit(1)).over(w))
+    val credited = ranked.withColumn("__credit",
+      when(col("__n") === 1, lit(S))
+        .when(col("__n") === 2, lit(S / 2))
+        .when(col("__r") === 1 || col("__r") === col("__n"), lit(endCap))
+        .otherwise(expr(s"($S - 2 * $endCap) div (__n - 2)")))
+    credited.groupBy(col("etype").as("channel"))
+      .agg(countDistinct(col("conv_id")).as("n_conversions"),
+        count(lit(1)).as("n_touches"),
+        sum(col("__credit")).as("__cs"))
+      .withColumn("credit",
+        col("__cs").cast("double") / lit(S.toDouble))
+      .drop("__cs")
+  }
+
   /** Per-event lateness against the per-key high-water mark (the
     * element-level half of [[latenessProfile]]; the streaming twin is
     * `StreamOps.latenessStream`). Emits (key, seq, us, late_us). */

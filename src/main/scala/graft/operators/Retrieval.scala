@@ -99,4 +99,47 @@ object Retrieval {
           e => concat_ws(":", e.getField("doc_id"), e.getField("tf"),
             e.getField("first_pos"))), "|")).as("postings_fp"))
   }
+
+  /** PMI collocations: the top-`k` adjacent word bigrams by pointwise
+    * mutual information, emitted as the RAW ratio
+    * N·c(ab) / (c(a)·c(b)) — BM25's q57 idf convention: ln() is left
+    * to the caller because the ratio of exact BIGINTs under one IEEE
+    * division is bit-identical across engines and the log is
+    * monotone, so the ranking is unchanged. `minPair` is the classic
+    * PMI low-frequency guard (a hapax pair scores absurdly high).
+    *
+    * Scale: one tokenize pass for unigrams + one scalar shingle pass
+    * for bigrams, both map-combined; the top-k is a TakeOrdered, never
+    * a global sort. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minTermLen: Int = 3, minPair: Long = 5,
+                      k: Int = 100): DataFrame = {
+    val toksCol = TextFunctions.tokens(col(textCol))
+    val uni = docs.select(explode(toksCol).as("w"))
+      .filter(length(col("w")) >= minTermLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val allPairs = docs
+      .select(explode(TextFunctions.wordShingles(toksCol, 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .filter(length(col("w1")) >= minTermLen &&
+        length(col("w2")) >= minTermLen)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+    // N = ALL qualifying bigram events (counted before the frequency
+    // guard — the guard prunes candidates, not the event space)
+    val n = allPairs.agg(sum(col("c_pair")).as("__n"))
+    val pairs = allPairs.filter(col("c_pair") >= minPair)
+    val scored = pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_w2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"),
+        col("c_w2"),
+        ((col("__n") * col("c_pair")).cast("double") /
+          (col("c_w1") * col("c_w2")).cast("double")).as("pmi_ratio"))
+    scored.orderBy(col("pmi_ratio").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_ratio").desc, col("w1"), col("w2")))
+        .cast("int"))
+  }
 }
