@@ -641,7 +641,8 @@ object Queries {
     R5fQueries.all ++ R5gQueries.all ++ R5hQueries.all ++ R5iQueries.all ++
     R5jQueries.all ++ R5kQueries.all ++ R5lQueries.all ++ R6Queries.all ++
     R6bQueries.all ++ R6cQueries.all ++ R6dQueries.all ++ R6eQueries.all ++
-    R6fQueries.all ++ R6gQueries.all ++ R6hQueries.all ++ R6iQueries.all
+    R6fQueries.all ++ R6gQueries.all ++ R6hQueries.all ++ R6iQueries.all ++
+    R6jQueries.all
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

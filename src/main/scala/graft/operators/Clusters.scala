@@ -503,4 +503,58 @@ object Clusters {
         coalesce(col("__nl"), col("__id")).as(labelCol))
     relabeled.unionByName(newLabeled)
   }
+
+  /** Modularity of a GIVEN partition over an undirected edge list —
+    * "how much denser are intra-community edges than chance". Per
+    * community: member count, intra-community edges, degree sum; every
+    * row carries the global
+    * Q = (4m·Σe_c − Σd_c²) / (4m²) — the standard Newman modularity
+    * rearranged so numerator and denominator are exact BIGINTs and the
+    * emission is ONE division. The corpus use: membership = source
+    * turns the q186 cross-source dup matrix into a single
+    * "do duplicates concentrate within sources" score.
+    *
+    * Scale: two joins of the edge list against the (id → community)
+    * map plus map-combined aggregates; the community frame is small. */
+  def partitionModularity(edges: DataFrame, aCol: String, bCol: String,
+                          membership: DataFrame, idCol: String,
+                          communityCol: String): DataFrame = {
+    val mem = membership.select(col(idCol).as("__id"),
+      col(communityCol).as("community"))
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    val labeled = e
+      .join(mem.select(col("__id").as("__a"), col("community").as("__ca")),
+        Seq("__a"))
+      .join(mem.select(col("__id").as("__b"), col("community").as("__cb")),
+        Seq("__b"))
+    val m = labeled.agg(count(lit(1)).as("__m"))
+    val intra = labeled.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degrees = labeled.select(col("__a").as("__id"))
+      .unionByName(labeled.select(col("__b").as("__id")))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__d"))
+      .join(mem, Seq("__id"))
+      .groupBy(col("community"))
+      .agg(sum(col("__d")).as("degree_sum"),
+        count(lit(1)).as("n_active_nodes"))
+    val members = mem.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val perC = members
+      .join(degrees, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("n_active_nodes"), lit(0L)).as("n_active_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+    val globals = perC.agg(sum(col("intra_edges")).as("__se"),
+        sum(col("degree_sum") * col("degree_sum")).as("__sd2"))
+      .crossJoin(broadcast(m))
+      .select(((lit(4L) * col("__m") * col("__se") - col("__sd2"))
+        .cast("double") /
+        (lit(4L) * col("__m") * col("__m")).cast("double"))
+        .as("q_modularity"))
+    perC.crossJoin(broadcast(globals))
+  }
 }

@@ -62,4 +62,46 @@ object Linkage {
           ((col("n_match") + 2L) * (col("u_agree") + 1L)).cast("double"))
           .as("weight_ratio"))
   }
+
+  /** Score candidate pairs by the product of per-field agreement
+    * weights: score = Π (agree_f ? w_f : 1). The multiplicative FS
+    * score without logs — the fold is a fixed-order row expression, so
+    * the double product is deterministic and engine-identical (a
+    * log-sum AGGREGATION would not be). Weights come from
+    * [[fellegiSunterWeights]] (collect the |fields|-row frame) or
+    * domain priors. */
+  def scorePairs(pairs: DataFrame,
+                 weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val score = weights.foldLeft(lit(1.0)) { case (acc, (f, w)) =>
+      acc * when(coalesce(col(f), lit(false)), lit(w)).otherwise(lit(1.0)) }
+    pairs.withColumn("score", score)
+  }
+
+  /** End-to-end entity resolution: threshold the scored candidate
+    * pairs into match edges, resolve transitive match groups
+    * (A≈B≈C is one entity even if A,C never paired), and emit every
+    * record with its entity id (= min member id), entity size, and a
+    * canonical flag. The full linkage pipeline —
+    * block → score → threshold → cluster → survivorship — as one call.
+    *
+    * Scale: edges are the thresholded candidate set (blocking-bounded);
+    * component resolution runs over edges only; the records side
+    * shuffles once for the label join (Clusters.connectedComponents
+    * posture applies, including the reliable-checkpoint option). */
+  def resolveEntities(records: DataFrame, idCol: String,
+                      scoredPairs: DataFrame, threshold: Double,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val edges = scoredPairs.filter(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val labels = Clusters.connectedComponents(
+      records.select(col(idCol)), idCol, edges, "a_id", "b_id",
+      checkpointDir = checkpointDir)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("entity_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id").as("entity_id"),
+        col("entity_size"),
+        (col(idCol) === col("cluster_id")).as("is_canonical"))
+  }
 }
