@@ -646,6 +646,40 @@ object Quality {
     point.join(bounds, Seq("grp"), "left")
   }
 
+  /** A/B power analysis from pilot data: per group, the minimum
+    * detectable effect at alpha = 0.05 (two-sided), power = 0.8 —
+    * MDE = (z_{α/2} + z_{β})·√(2·s²/n) — the "how long must this test
+    * run" planning artifact. Variance accumulates exactly in integer
+    * units (DECIMAL(38,0) cents): s² = (n·Σu² − (Σu)²) div (n·(n−1))
+    * is an exact integer quotient (cents² resolution, the documented
+    * quantization), and every later step is the same IEEE op sequence
+    * in both engines. The z constant is a shared literal. */
+  def powerAnalysis(df: DataFrame, group: Column, value: Column,
+                    unitScale: Int = 2): DataFrame = {
+    require(unitScale >= 0 && unitScale <= 9,
+      s"unitScale must be in [0, 9], got $unitScale")
+    val mult = math.pow(10, unitScale).toLong
+    val zTotal = 2.8015852181129683 // z_{0.025} + z_{0.2}
+    val base = df.select(group.as("grp"),
+        (value * lit(mult)).cast(DecimalType(38, 0)).as("__u"))
+      .filter(col("__u").isNotNull)
+    base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("__u")).as("__s"),
+        sum(col("__u") * col("__u")).as("__q"))
+      .filter(col("n") >= 2)
+      .withColumn("__v2",
+        expr("(n * __q - __s * __s) div (n * (n - 1))"))
+      .select(col("grp"), col("n"),
+        (col("__s").cast("double") / (col("n") * mult).cast("double"))
+          .as("mean"),
+        (col("__v2").cast("double") / lit((mult * mult).toDouble))
+          .as("variance"))
+      .withColumn("mde_abs",
+        lit(zTotal) * sqrt(lit(2.0) * col("variance") /
+          col("n").cast("double")))
+      .withColumn("mde_rel", col("mde_abs") / col("mean"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns: every QI combo
     * with its population and an `at_risk` flag (n < k). The privacy
     * gate a training-data release runs before shipping user-derived

@@ -241,6 +241,55 @@ object Windows {
       .join(npts, keys)
   }
 
+  /** Sample autocorrelation of a keyed integer-indexed series at lags
+    * 1..maxLag — the periodicity detector (a weekly cycle peaks at
+    * lag 7) that chooses the seasonal grain for [[seasonalIndex]].
+    *
+    * Exactness: values scale to integer units (DECIMAL(38,0)); with
+    * n, S = Σu, Q = Σu², and per-lag pair sums (c_k, Σxy, Σx, Σy), the
+    * ACF rearranges to r_k = num/den with
+    * num = n²·Σxy − n·S·(Σx+Σy) + c_k·S², den = n·(n·Q − S²) — both
+    * exact integers — and emits through the 2³⁰-scaled integer
+    * division (both engines truncate integer division toward zero, so
+    * negative correlations round identically).
+    *
+    * Scale: the lag self-join fans each key row out ×maxLag and joins
+    * on (key, index) — per-key series length is time-grain bounded;
+    * aggregates are map-combined. */
+  def autocorrelation(df: DataFrame, keys: Seq[String], idxCol: String,
+                      valueCol: String, maxLag: Int,
+                      unitScale: Int = 2): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val mult = math.pow(10, unitScale).toLong
+    val S30 = 1073741824L
+    val base = df.select((keys.map(col) :+ col(idxCol).cast("long")
+      .as("__i") :+ (col(valueCol) * lit(mult))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__u")): _*)
+      .filter(col("__u").isNotNull)
+    val stats = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__u")).as("__s"),
+        sum(col("__u") * col("__u")).as("__q"))
+    val lagged = base.withColumn("lag",
+      explode(sequence(lit(1), lit(maxLag))))
+    val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _)
+    val pairs = lagged.as("a").join(base.as("b"),
+        keyCond && col("b.__i") === col("a.__i") + col("a.lag"))
+      .groupBy((keys.map(k => col(s"a.$k").as(k)) :+
+        col("a.lag").as("lag")): _*)
+      .agg(count(lit(1)).as("__ck"),
+        sum(col("a.__u") * col("b.__u")).as("__sxy"),
+        sum(col("a.__u")).as("__sx"), sum(col("b.__u")).as("__sy"))
+    pairs.join(stats, keys)
+      .withColumn("__num", expr(
+        "__n * __n * __sxy - __n * __s * (__sx + __sy) + __ck * __s * __s"))
+      .withColumn("__den", expr("__n * (__n * __q - __s * __s)"))
+      .select((keys.map(col) :+ col("lag") :+ col("__ck").as("n_pairs") :+
+        when(col("__den") > 0,
+          expr(s"(__num * $S30) div __den").cast("double") /
+            lit(S30.toDouble)).as("autocorr")): _*)
+  }
+
   /** Day-of-week seasonal index per key: mean(value | dow) / mean(value)
     * — the multiplicative seasonality profile that deseasonalizes daily
     * series before anomaly detection (q120's z-scores assume it). The
