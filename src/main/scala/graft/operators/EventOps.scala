@@ -731,4 +731,81 @@ object EventOps {
       greatest(coalesce(max(col("us")).over(w) - col("us"), lit(0L)),
         lit(0L)))
   }
+
+  /** Kaplan-Meier survival curve for time-to-event: per user, the first
+    * `startType` event opens the clock; the first `deathType` event at or
+    * after it closes it (an "event"); users with no qualifying death are
+    * right-censored at the global last observed day. One row per distinct
+    * duration day with the at-risk count, event/censor counts, and the
+    * KM survival estimate S(t) = prod (1 - d_i/n_i).
+    *
+    * Determinism contract: the cumulative product is a scaled-integer
+    * recurrence — s_0 = 2^30; s_k = (s_{k-1} * (n_k - d_k)) div n_k —
+    * replayed verbatim by the DuckDB oracle (truncating integer division,
+    * all-positive operands), with floats only at the final per-row
+    * division. A censor-only step has d = 0, so its factor is exactly 1
+    * and the recurrence is uniform over ALL steps.
+    *
+    * Scale: per-user reduction (two min-aggregations on the user key),
+    * then a groupBy on duration whose cardinality is bounded by the
+    * observation window in days. Only that bounded step table goes
+    * through the global order/fold (sort_array + O(k^2) prefix
+    * products, k = distinct days) — the event stream itself is never
+    * globally sorted. */
+  def kaplanMeier(events: DataFrame, userCol: Column, ts: Column,
+                  typeCol: Column, startType: String,
+                  deathType: String): DataFrame = {
+    val e = events.select(userCol.as("u"), to_date(ts).as("day"),
+        typeCol.as("t"))
+      .filter(col("u").isNotNull && col("day").isNotNull)
+    val horizon = e.agg(max(col("day")).as("__h"))
+    val starts = e.filter(col("t") === startType)
+      .groupBy(col("u")).agg(min(col("day")).as("start_day"))
+    val deaths = e.filter(col("t") === deathType)
+      .select(col("u"), col("day").as("death_day"))
+    val firstDeath = starts.join(deaths, Seq("u"))
+      .filter(col("death_day") >= col("start_day"))
+      .groupBy(col("u")).agg(min(col("death_day")).as("death_day"))
+    val subjects = starts.join(firstDeath, Seq("u"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("death_day").isNotNull,
+          datediff(col("death_day"), col("start_day")))
+          .otherwise(datediff(col("__h"), col("start_day")))
+          .cast("int").as("t_days"),
+        col("death_day").isNotNull.cast("long").as("ev"))
+    val steps = subjects.groupBy(col("t_days"))
+      .agg(count(lit(1)).as("leave"), sum(col("ev")).as("d"))
+    // bounded step table (<= observation-window-in-days rows): a global
+    // window + one fold here is a single small task, not a data-sized sort
+    val wBefore = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = subjects.agg(count(lit(1)).as("__n"))
+    val risked = steps
+      .withColumn("__removed",
+        coalesce(sum(col("leave")).over(wBefore), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("t_days"), (col("__n") - col("__removed")).as("n_risk"),
+        col("d"), (col("leave") - col("d")).as("c"))
+    val folded = risked
+      .agg(sort_array(collect_list(struct(col("t_days"), col("n_risk"),
+        col("d"), col("c")))).as("a"))
+      .select(explode(expr(
+        """transform(a, (x, i) ->
+             named_struct(
+               't_days', x.t_days,
+               'n_risk', x.n_risk,
+               'n_events', x.d,
+               'n_censored', x.c,
+               's_scaled', aggregate(slice(a, 1, i + 1),
+                   CAST(1073741824 AS BIGINT),
+                   (acc, y) -> (acc * (y.n_risk - y.d)) div y.n_risk)))"""))
+        .as("r"))
+    folded.select(col("r.t_days").as("t_days"),
+      col("r.n_risk").as("n_risk"),
+      col("r.n_events").as("n_events"),
+      col("r.n_censored").as("n_censored"),
+      (col("r.s_scaled").cast("double") / lit(1073741824.0))
+        .as("survival"))
+  }
 }

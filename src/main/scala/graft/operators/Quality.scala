@@ -693,4 +693,92 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .withColumn("at_risk", col("n") < k)
   }
+
+  /** First-significant-digit distribution of the cent values in `value`
+    * (log10(1+1/d) expected shares) — the Benford's-law anomaly screen
+    * run over financial facts before trusting them. One map-combined
+    * scan; the chi-square statistic is a FIXED-ORDER nine-term row
+    * expression over exact integer counts (never a float aggregation),
+    * so both engines produce bit-identical doubles.
+    *
+    * The first digit comes from the integer cents' decimal string, not
+    * from floor(log10(x)) — float log at power-of-ten boundaries is
+    * exactly the place two engines disagree. */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    // repr(log10(1 + 1/d)), d = 1..9 — identical literals in the oracle
+    val p = Array(0.3010299956639812, 0.17609125905568124,
+      0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+      0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+      0.04575749056067514)
+    val cents = (value.cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(20, 0)).cast("long")
+    val digit = substring(col("__cents").cast("string"), 1, 1).cast("int")
+    val obsAggs = Seq(count(lit(1)).cast("long").as("__n")) ++
+      (1 to 9).map(d => sum(when(digit === d, 1L).otherwise(0L))
+        .as(s"__o$d"))
+    val obs = df.select(cents.as("__cents")).filter(col("__cents") > 0)
+      .agg(obsAggs.head, obsAggs.tail: _*)
+    val chi2 = (1 to 9).map { d =>
+      val exp = col("__n").cast("double") * lit(p(d - 1))
+      (col(s"__o$d").cast("double") - exp) *
+        (col(s"__o$d").cast("double") - exp) / exp
+    }.reduceLeft(_ + _)
+    val spine = obs.withColumn("chi2", chi2)
+      .select(explode(expr(
+        "transform(sequence(1, 9), d -> named_struct('digit', d))"))
+        .as("r"), col("*"))
+    val digitCol = col("r.digit").cast("int")
+    val obsOfDigit = (1 to 9).foldRight(lit(0L)) { (d, acc) =>
+      when(digitCol === d, col(s"__o$d")).otherwise(acc)
+    }
+    val shareOfDigit = (1 to 9).foldRight(lit(0.0)) { (d, acc) =>
+      when(digitCol === d, lit(p(d - 1))).otherwise(acc)
+    }
+    spine.select(digitCol.as("digit"), obsOfDigit.as("observed"),
+      shareOfDigit.as("expected_share"),
+      (col("__n").cast("double") * shareOfDigit).as("expected_n"),
+      col("__n").as("n_total"), col("chi2"))
+  }
+
+  /** Difference-in-differences over a treated/control split and a
+    * pre/post cutoff: the four cell means (exact integer cents moments,
+    * the powerAnalysis discipline), the DiD point estimate
+    * (mT1 - mT0) - (mC1 - mC0), and its pooled standard error
+    * sqrt(sum v_i/n_i) — all fixed-order row expressions after ONE
+    * map-combined conditional-aggregation scan. Output is one row. */
+  def didEstimator(df: DataFrame, treated: Column, post: Column,
+                   value: Column): DataFrame = {
+    val cents = (value * lit(100L)).cast(DecimalType(38, 0))
+    val base = df.select(treated.as("__t"), post.as("__p"),
+        cents.as("__u"))
+      .filter(col("__u").isNotNull && col("__t").isNotNull &&
+        col("__p").isNotNull)
+    val cells = Seq(("t1", col("__t") && col("__p")),
+      ("t0", col("__t") && !col("__p")),
+      ("c1", !col("__t") && col("__p")),
+      ("c0", !col("__t") && !col("__p")))
+    val aggs = cells.flatMap { case (k, pred) =>
+      Seq(sum(when(pred, 1L).otherwise(0L)).as(s"__n_$k"),
+        sum(when(pred, col("__u")).otherwise(lit(0L).cast(DecimalType(38, 0))))
+          .as(s"__s_$k"),
+        sum(when(pred, col("__u") * col("__u"))
+          .otherwise(lit(0L).cast(DecimalType(38, 0)))).as(s"__q_$k"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    def mean(k: String) = col(s"__s_$k").cast("double") /
+      (col(s"__n_$k") * lit(100L)).cast("double")
+    def variance(k: String) = expr(
+      s"(__n_$k * __q_$k - __s_$k * __s_$k) div (__n_$k * (__n_$k - 1))")
+      .cast("double") / lit(10000.0)
+    def se2(k: String) = variance(k) / col(s"__n_$k").cast("double")
+    val outCols: Seq[Column] =
+      Seq(cells.map { case (k, _) => col(s"__n_$k") }
+        .reduceLeft(_ + _).as("n_total")) ++
+      cells.map { case (k, _) => col(s"__n_$k").as(s"n_$k") } ++
+      cells.map { case (k, _) => mean(k).as(s"mean_$k") } ++
+      Seq(((mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))).as("did"),
+        sqrt(se2("t1") + se2("t0") + se2("c1") + se2("c0")).as("se_did"))
+    one.select(outCols: _*)
+      .withColumn("t_stat", col("did") / col("se_did"))
+  }
 }
