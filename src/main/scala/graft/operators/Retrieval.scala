@@ -142,4 +142,33 @@ object Retrieval {
         Window.orderBy(col("pmi_ratio").desc, col("w1"), col("w2")))
         .cast("int"))
   }
+
+  /** Reciprocal-rank fusion of two ranked lists (the hybrid-retrieval
+    * merge: lexical BM25 + vector ANN): rrf = 1/(k0 + rank_a)
+    * + 1/(k0 + rank_b), missing-side contribution 0. The sum is a
+    * fixed-order TWO-term row expression over integer ranks, so the
+    * fused scores (and the rank ordering they induce) are bit-identical
+    * across engines. k0 = 60 is the constant from Cormack et al.'s RRF.
+    *
+    * Scale: both inputs are top-k lists (k rows each) — the outer join
+    * and re-rank are k-sized no matter the corpus behind them. */
+  def rrfFuse(a: DataFrame, aId: String, aRank: String,
+              b: DataFrame, bId: String, bRank: String,
+              k0: Int = 60): DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val left = a.select(col(aId).cast("long").as("id"),
+      col(aRank).cast("int").as("rank_a"))
+    val right = b.select(col(bId).cast("long").as("id"),
+      col(bRank).cast("int").as("rank_b"))
+    val fused = left.join(right, Seq("id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_a").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_b").cast("double")),
+          lit(0.0)))
+    fused.withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("id"))).cast("int"))
+      .select(col("id"), col("rank_a"), col("rank_b"), col("rrf_score"),
+        col("fused_rank"))
+  }
 }

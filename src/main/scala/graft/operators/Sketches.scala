@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -179,5 +179,55 @@ object Sketches {
       .crossJoin(broadcast(total))
       .filter(col("n_occurrences") * lit(k.toLong) > col("__n"))
       .drop("__n")
+  }
+
+  /** 16-bit md5 slice of `row:value` — the per-row CMS hash (same
+    * conv-nibble trick as the hash-split family: reproducible in DuckDB
+    * from strpos over the hex digest). */
+  private def cmsBucket(row: Int, v: Column, width: Int) =
+    (conv(substring(md5(concat(lit(s"$row:"), v)), 1, 4), 16, 10)
+      .cast("int") % width).as(s"__b$row")
+
+  /** Count-min sketch frequency audit: build a depth x width CMS over
+    * `keyCol` in one pass, then compare its estimate against the exact
+    * count for the `topN` hottest keys. The overestimate column is the
+    * sketch's collision error — by construction >= 0, which the spec
+    * asserts (the one-sided CMS guarantee).
+    *
+    * Scale: the sketch build explodes each row into `depth` (row, bucket)
+    * pairs but map-side combine collapses every task to <= depth x width
+    * cells before the exchange — the shuffle is sketch-sized, not
+    * data-sized. That is the whole point of a CMS at 100 TB: the exact
+    * per-key groupBy here exists only to AUDIT the sketch at test scale;
+    * production consumers read the 4096-cell table. The estimate join
+    * explodes only the topN keys (broadcast) against the broadcast cell
+    * table. */
+  def countMinAudit(df: DataFrame, keyCol: String, depth: Int = 4,
+                    width: Int = 1024, topN: Int = 100): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val keyed = df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+    val cells = keyed
+      .select(posexplode(array((0 until depth)
+        .map(j => cmsBucket(j, col("key"), width)): _*))
+        .as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    val top = keyed.groupBy(col("key"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("key"))
+      .limit(topN)
+    val est = top
+      .select(col("key"), col("exact_n"),
+        posexplode(array((0 until depth)
+          .map(j => cmsBucket(j, col("key"), width)): _*))
+          .as(Seq("j", "bucket")))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("key"), col("exact_n"))
+      .agg(min(col("cell_n")).as("cms_n"))
+    est.select(col("key"), col("exact_n"), col("cms_n"),
+      (col("cms_n") - col("exact_n")).as("overestimate"))
   }
 }
