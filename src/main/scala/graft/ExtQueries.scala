@@ -35,6 +35,38 @@ object ExtQueries {
   private[graft] val stopList =
     TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB replay of Stats.cdfTable: per-distinct-value two-sample
+    * counts + inclusive cumulative sums + totals. `bSelect` must yield
+    * columns (v DOUBLE, a BOOLEAN) already filtered to non-NULL. */
+  private[graft] def oCdfFrom(bSelect: String): String = s"""
+      b AS ($bSelect),
+      pv AS (SELECT v,
+               CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+             FROM b GROUP BY 1),
+      c AS (SELECT v, n_a, n_b,
+              CAST(sum(n_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+              CAST(sum(n_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+            FROM pv),
+      t AS (SELECT CAST(sum(n_a) AS BIGINT) AS na,
+              CAST(sum(n_b) AS BIGINT) AS nb FROM pv)"""
+
+  /** DuckDB replay of Stats.mannWhitney's exact rank-sum aggregates on
+    * top of [[oCdfFrom]]'s CTE chain (emits CTEs `agg` and `z` with
+    * two_ua / ties / na / nb). */
+  private[graft] val oMannWhitneyAgg: String = """
+      agg AS (SELECT
+               CAST(sum(n_a * (2 * (cum_a + cum_b - (n_a + n_b))
+                 + (n_a + n_b) + 1)) AS HUGEINT) AS two_ra,
+               CAST(sum((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                 - (n_a + n_b)) AS HUGEINT) AS ties
+             FROM c),
+      z AS (SELECT na, nb, ties,
+              two_ra - CAST(na AS HUGEINT) * (na + 1) AS two_ua
+            FROM agg CROSS JOIN t)"""
+
   private[graft] val OracleEmbDim = 64
   private[graft] def oDot(a: String, b: String) = "0.0 + " + (1 to OracleEmbDim)
     .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")

@@ -20,22 +20,11 @@ object R6nQueries {
 
   private val DriftCut = "1998-01-01"
 
-  // DuckDB replay of the shared CDF substrate (per-distinct-value
-  // counts + inclusive cumulative sums); `aExpr` marks sample A.
-  private def oCdf(fromWhere: String, vExpr: String, aExpr: String) = s"""
-      b AS (SELECT CAST($vExpr AS DOUBLE) AS v, ($aExpr) AS a $fromWhere),
-      pv AS (SELECT v,
-               CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-               CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-             FROM b GROUP BY 1),
-      c AS (SELECT v, n_a, n_b,
-              CAST(sum(n_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
-                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
-              CAST(sum(n_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
-                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
-            FROM pv),
-      t AS (SELECT CAST(sum(n_a) AS BIGINT) AS na,
-              CAST(sum(n_b) AS BIGINT) AS nb FROM pv)"""
+  // DuckDB replay of the shared CDF substrate (ExtQueries.oCdfFrom);
+  // `aExpr` marks sample A.
+  private def oCdf(fromWhere: String, vExpr: String, aExpr: String) =
+    ExtQueries.oCdfFrom(
+      s"SELECT CAST($vExpr AS DOUBLE) AS v, ($aExpr) AS a $fromWhere")
 
   /** Two-sample KS drift test: order totals before vs after the cut
     * date. Eight-term Kolmogorov series, left-to-right (shared shape
@@ -89,15 +78,7 @@ object R6nQueries {
              AND o_totalprice IS NOT NULL""",
         "o_totalprice",
         "o_orderpriority = '1-URGENT'")},
-      agg AS (SELECT
-               CAST(sum(n_a * (2 * (cum_a + cum_b - (n_a + n_b))
-                 + (n_a + n_b) + 1)) AS HUGEINT) AS two_ra,
-               CAST(sum((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
-                 - (n_a + n_b)) AS HUGEINT) AS ties
-             FROM c),
-      z AS (SELECT na, nb, ties,
-              two_ra - CAST(na AS HUGEINT) * (na + 1) AS two_ua
-            FROM agg CROSS JOIN t)
+      ${ExtQueries.oMannWhitneyAgg}
       SELECT na AS n_a, nb AS n_b,
         CAST(two_ua AS DOUBLE) / CAST(2 AS DOUBLE) AS u_a,
         CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)

@@ -180,6 +180,130 @@ object Stats {
           .as("z"))
   }
 
+  /** ROC AUC from ranks (the Mann–Whitney identity AUC = U⁺/(n⁺·n⁻)
+    * with average-rank tie handling — exact, not trapezoid-on-a-grid),
+    * plus the Gini coefficient 2·AUC − 1. The classifier-threshold-free
+    * counterpart of q179's argmax confusion report: how well does this
+    * score ORDER positives above negatives.
+    *
+    * Scale: inherits [[mannWhitney]]'s posture — one groupBy on the
+    * score, telescoped cumulative, exact DECIMAL rank sums. Emits ONE
+    * row: (n_pos, n_neg, auc, gini). */
+  def rocAuc(df: DataFrame, score: Column, isPositive: Column,
+             smallInputMaxRows: Long = 2000000L): DataFrame =
+    mannWhitney(df, score, isPositive, smallInputMaxRows)
+      .select(
+        col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        (col("u_a") / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("auc"))
+      .withColumn("gini", lit(2.0) * col("auc") - lit(1.0))
+
+  /** Weight-of-evidence / information-value profile of a numeric
+    * feature against a binary outcome, on `bins` equal-width bins over
+    * the observed [min, max] — the feature-screening artifact a risk
+    * or labeling pipeline reads before admitting a column. Per bin:
+    * WOE = ln((good_i/G)/(bad_i/B)); IV = Σ (good_i/G − bad_i/B)·WOE_i
+    * (computed over bins where both sides are nonzero; one-sided bins
+    * get NULL WOE and are excluded from IV — the standard treatment).
+    *
+    * Determinism: bin populations are exact counts; WOE/IV are
+    * fixed-shape doubles on those counts — and because the IV sum runs
+    * over ≤ `bins` rows in a single unpartitioned window, the addition
+    * order is the bin order on BOTH engines.
+    *
+    * Scale: one min/max agg + one map-combined groupBy onto ≤ `bins`
+    * cells; everything after is bins-sized. */
+  def woeIv(df: DataFrame, feature: Column, isGood: Column,
+            bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val base = df.select(feature.cast("double").as("v"),
+        isGood.cast("boolean").as("g"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val bounds = base.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val binned = base.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col("v") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / lit(bins.toDouble)))
+              .cast("int"))))
+    val cells = binned.groupBy(col("bin"))
+      .agg(
+        min(col("__lo")).as("__lo"), min(col("__hi")).as("__hi"),
+        sum(when(col("g"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("n_bad"))
+    val totals = cells.agg(sum(col("n_good")).as("__tg"),
+      sum(col("n_bad")).as("__tb"))
+    val w = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val pg = col("n_good").cast("double") / col("__tg").cast("double")
+    val pb = col("n_bad").cast("double") / col("__tb").cast("double")
+    val woe = when(col("n_good") > 0 && col("n_bad") > 0, log(pg / pb))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("bin_lo", col("__lo") + col("bin").cast("double") * w)
+      .withColumn("bin_hi",
+        when(col("bin") === bins - 1, col("__hi"))
+          .otherwise(col("__lo") + (col("bin") + 1).cast("double") * w))
+      .withColumn("woe", woe)
+      .withColumn("iv_term", when(woe.isNotNull, (pg - pb) * woe))
+      .withColumn("iv_total",
+        sum(coalesce(col("iv_term"), lit(0.0)))
+          .over(Window.orderBy(col("bin").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bin"), col("bin_lo"), col("bin_hi"),
+        col("n_good"), col("n_bad"), col("woe"), col("iv_term"),
+        col("iv_total"))
+  }
+
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies and √-normalized NMI — the "is my corpus
+    * metadata actually independent" audit (e.g. language × source:
+    * high NMI means per-source language skew a mixture design must
+    * correct for). All in bits.
+    *
+    * Determinism: every per-cell/per-margin −p·ln p and p·ln(pn/(px·py))
+    * term is one fixed-shape double snapped to the floor(·2^30) grid and
+    * summed exactly (the q140 discipline), then divided once.
+    *
+    * Scale: one map-combined groupBy onto the (x, y) contingency cells,
+    * two margin groupBys over the cells, broadcast joins back — shuffle
+    * is cell-count-sized, never row-sized. Emits ONE row. */
+  def mutualInfo(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.cast("string").as("x"), y.cast("string").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val cells = base.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val n = cells.agg(sum(col("c")).as("__n"))
+    val cD = col("c").cast("double");  val nD = col("__n").cast("double")
+    val cxD = col("cx").cast("double"); val cyD = col("cy").cast("double")
+    val miTerm = (cD / nD) * log((cD * nD) / (cxD * cyD))
+    val joined = cells
+      .join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(n))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        max(col("__n")).as("n_rows"),
+        sum(floor(miTerm * lit(LogGrid)).cast("long")).as("__mi"))
+    def entropyScaled(margin: DataFrame, cnt: String): DataFrame = {
+      val p = col(cnt).cast("double") / col("__n").cast("double")
+      margin.crossJoin(broadcast(n))
+        .agg(sum(floor(-(p * log(p)) * lit(LogGrid)).cast("long")).as("__h"))
+    }
+    val hx = entropyScaled(mx, "cx").withColumnRenamed("__h", "__hx")
+    val hy = entropyScaled(my, "cy").withColumnRenamed("__h", "__hy")
+    val miNats = col("__mi").cast("double") / lit(LogGrid)
+    val hxNats = col("__hx").cast("double") / lit(LogGrid)
+    val hyNats = col("__hy").cast("double") / lit(LogGrid)
+    joined.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(
+        col("n_rows"), col("n_cells"),
+        (miNats / lit(Ln2)).as("mi_bits"),
+        (hxNats / lit(Ln2)).as("h_x_bits"),
+        (hyNats / lit(Ln2)).as("h_y_bits"),
+        when(hxNats > 0.0 && hyNats > 0.0,
+          miNats / sqrt(hxNats * hyNats)).as("nmi"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-group unigram
     * distributions — the "how different are these corpus sources
     * really" number a mixture designer reads next to the q141 overlap
