@@ -683,4 +683,122 @@ object Similarity {
       .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
         col("q_cosine"), col("rank"))
   }
+
+  // ---- Product quantization (PQ): subspace codebooks + ADC search -------
+
+  /** Deterministic PQ codebook: the `k` corpus vectors with the smallest
+    * md5(id) (the [[ivfCentroids]] draw), carrying dense codes 0..k−1 in
+    * that order. One table serves every subspace — subspace `m` uses the
+    * code vector's m-th slice. (A production PQ refines per-subspace
+    * codebooks with Lloyd iterations; data-drawn codewords keep the
+    * construction engine-portable, same rationale as ivfCentroids.) */
+  def pqCodebook(embeddings: DataFrame, idCol: String, embCol: String,
+                 k: Int): DataFrame = {
+    val drawn = embeddings
+      .filter(col(embCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(embCol).as("code_emb"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"), col("__cid"))
+      .limit(k)
+    // k-row frame: the numbering window is trivially single-task
+    drawn
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("__h"), col("__cid"))) - 1)
+          .cast("int"))
+      .select(col("code"), col("code_emb"))
+  }
+
+  /** Squared L2 distance between subspace `m` (0-based) of two vectors:
+    * a strict left-fold double sum over the m-th `subDim`-wide slice —
+    * bit-reproducible across engines (the [[dot]] discipline). */
+  private def subDist(a: Column, b: Column, m: Column,
+                      subDim: Int): Column = {
+    val sa = slice(a, m * subDim + 1, lit(subDim))
+    val sb = slice(b, m * subDim + 1, lit(subDim))
+    aggregate(
+      zip_with(sa, sb, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** PQ code assignment: for every vector and every subspace, the code
+    * of the codebook entry whose slice is L2-nearest (ties → smallest
+    * code). Emits (idCol, subspace, code, dist) — the M-byte-per-vector
+    * compressed representation ADC search then scans instead of the
+    * full float vectors (a dim·4/M storage cut; 64× at dim 64, M 4).
+    *
+    * Scale: codebook is broadcast (k rows); the argmin is a map-side-
+    * combinable min(struct) groupBy, so the shuffle carries one narrow
+    * row per (vector, subspace) — never the k-way candidate fanout and
+    * never the embedding payload. */
+  def pqAssign(embeddings: DataFrame, idCol: String, embCol: String,
+               codebook: DataFrame, embDim: Int,
+               numSubspaces: Int): DataFrame = {
+    require(numSubspaces >= 1 && embDim % numSubspaces == 0,
+      s"numSubspaces must divide embDim, got $embDim / $numSubspaces")
+    val subDim = embDim / numSubspaces
+    embeddings
+      .filter(col(embCol).isNotNull)
+      .select(col(idCol), col(embCol))
+      .crossJoin(broadcast(codebook))
+      .withColumn("subspace",
+        explode(array((0 until numSubspaces).map(lit): _*)))
+      .withColumn("__cand",
+        struct(subDist(col(embCol), col("code_emb"), col("subspace"), subDim)
+          .as("dist"), col("code")))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(col("__cand")).as("__best"))
+      .select(col(idCol), col("subspace"),
+        col("__best.code").as("code"), col("__best.dist").as("dist"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: the query keeps full precision,
+    * the corpus is its PQ codes; the approximate distance is the sum of
+    * per-subspace query→codeword distances looked up from a tiny
+    * (queries × k × M) table. The per-subspace partials are re-widened
+    * into fixed columns before the final sum so the M-term addition has
+    * ONE order on every engine.
+    *
+    * Scale: the corpus-sized work is the [[pqAssign]] pass plus a
+    * broadcast-joined groupBy on narrow (query, neighbor) rows; the
+    * ranking window prunes to k per query before the exchange
+    * (WindowGroupLimit). Query side is broadcast-guarded. */
+  def pqAdcTopK(embeddings: DataFrame, idCol: String, embCol: String,
+                codebook: DataFrame, embDim: Int, numSubspaces: Int,
+                queryPredicate: Column, k: Int): DataFrame = {
+    val subDim = embDim / numSubspaces
+    val q = requireBroadcastable(
+      embeddings.filter(queryPredicate)
+        .filter(col(embCol).isNotNull)
+        .select(col(idCol).as("q_id"), col(embCol).as("__q_emb")),
+      "pqAdcTopK query side (queryPredicate)",
+      "Narrow the predicate; PQ-ADC serves small query sets against a " +
+        "compressed corpus.")
+    val adc = q.crossJoin(broadcast(codebook))
+      .withColumn("subspace",
+        explode(array((0 until numSubspaces).map(lit): _*)))
+      .select(col("q_id"), col("subspace"), col("code"),
+        subDist(col("__q_emb"), col("code_emb"), col("subspace"), subDim)
+          .as("__qdist"))
+    val assigned = pqAssign(embeddings, idCol, embCol, codebook, embDim,
+      numSubspaces)
+      .select(col(idCol).as("n_id"), col("subspace"), col("code"))
+    val aggs = (0 until numSubspaces).map(m =>
+      sum(when(col("subspace") === m, col("__qdist"))).as(s"__d$m"))
+    val wide = assigned
+      .join(broadcast(adc), Seq("subspace", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val approx = (0 until numSubspaces).map(m => col(s"__d$m"))
+      .reduceLeft(_ + _)
+    wide
+      .withColumn("approx_dist", approx)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("approx_dist").asc, col("n_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("approx_dist"), col("rank"))
+  }
 }

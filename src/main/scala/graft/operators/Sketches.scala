@@ -230,4 +230,84 @@ object Sketches {
     est.select(col("key"), col("exact_n"), col("cms_n"),
       (col("cms_n") - col("exact_n")).as("overestimate"))
   }
+
+  /** HyperLogLog registers + estimate per group, AUDITED against the
+    * exact distinct count (the [[countMinAudit]] discipline: the sketch
+    * is the production artifact, the exact side exists to measure it).
+    * A merged `__all__` row demonstrates the property that makes HLL the
+    * 100 TB tool: registers union by per-bucket MAX, so per-source
+    * sketches roll up to the global estimate without re-scanning — the
+    * same max-merge serves partitions, days, or clusters.
+    *
+    * Register grid: md5's first 2 hex digits pick one of m = 256
+    * buckets; the next 5 hex digits form a 20-bit window w whose
+    * leading-zero rank ρ = 21 − bitlength(w) (w = 0 → 21) feeds the
+    * register via max. The estimator's Σ 2^(−M_j) is computed EXACTLY as
+    * integer Σ 2^(21−M_j) (scaled by 2^21), so the only rounded steps
+    * are the final fixed-shape divisions — cross-engine deterministic,
+    * approximation and all (the q132 differential discipline). Linear
+    * counting below 2.5·m with empty registers, per the published HLL
+    * correction.
+    *
+    * Scale: one map-combined groupBy onto ≤ m cells per group; the
+    * merged row reuses the per-group registers. The exact-count audit
+    * column is the only data-sized aggregate — drop it in production. */
+  def hllDistinctAudit(df: DataFrame, groupCol: String,
+                       valCol: String): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // published alpha_m, m >= 128
+    val estNumerator = alpha * m * m * 2097152.0 // alpha·m²·2^21
+    val base = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("string").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val h = md5(col("v"))
+    val w = conv(substring(h, 3, 5), 16, 10).cast("long")
+    // ρ ladder on exact integer thresholds (no float log; same CASE
+    // chain is generated for the oracle)
+    val rho = (2 to 20).foldLeft(when(w >= (1L << 19), 1)) { (acc, r) =>
+      acc.when(w >= (1L << (20 - r)), r)
+    }.otherwise(21)
+    val perGroup = base
+      .select(col("g"),
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val merged = perGroup.groupBy(col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .withColumn("g", lit("__all__"))
+      .select(col("g"), col("bucket"), col("r"))
+    val regs = perGroup.unionByName(merged)
+    val stats = regs.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("__present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 21 - r)")).as("__zsum"))
+      .withColumn("v_zero", lit(m.toLong) - col("__present"))
+      .withColumn("__zscaled",
+        col("__zsum") + col("v_zero") * lit(2097152L))
+      .withColumn("raw_est",
+        lit(estNumerator) / col("__zscaled").cast("double"))
+      .withColumn("est",
+        // ln is not correctly rounded and differs by 1 ulp across
+        // engines: snap it to the floor(·2^30) grid (the q140
+        // discipline) before the exact power-of-two unscale
+        when(col("raw_est") <= lit(2.5 * m) && col("v_zero") > 0,
+          lit(m.toDouble) *
+            (floor(log(lit(m.toDouble) / col("v_zero").cast("double"))
+              * lit(1073741824.0)).cast("long").cast("double")
+              / lit(1073741824.0)))
+          .otherwise(col("raw_est")))
+    val exactPer = base.groupBy(col("g"))
+      .agg(countDistinct(col("v")).as("n_exact"))
+    val exactAll = base.agg(countDistinct(col("v")).as("n_exact"))
+      .withColumn("g", lit("__all__"))
+    stats
+      .join(exactPer.unionByName(exactAll.select(col("g"), col("n_exact"))),
+        Seq("g"))
+      .select(col("g").as("group"), col("n_exact"), lit(m).as("m"),
+        col("v_zero"), col("est"),
+        ((col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double")).as("rel_err"))
+  }
 }
