@@ -56,6 +56,21 @@ object TextFunctions {
     size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") /
       nullif(size(toks), lit(0)).cast("double")
 
+  /** Non-blank sentence segments (split on ./!/? runs). */
+  def sentences(text: Column): Column =
+    filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)
+
+  /** Heuristic syllable count for one word: vowel-group runs (the
+    * standard dictionary-free approximation; y counts as a vowel). */
+  def syllablesPerWord(word: Column): Column =
+    size(regexp_extract_all(lower(word), lit("[aeiouy]+"), lit(0)))
+
+  /** Total heuristic syllables over a token array — an exact integer
+    * fold, so cross-engine safe. */
+  def syllableCount(toks: Column): Column =
+    aggregate(transform(toks, w => syllablesPerWord(w)),
+      lit(0), (acc, v) => acc + v)
+
   /** BPE-ish token count: alpha runs, digit runs, single other non-space. */
   val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))

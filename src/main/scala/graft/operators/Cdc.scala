@@ -64,4 +64,38 @@ object Cdc {
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
   }
+
+  /** Incremental maintenance of a materialized inner join under
+    * INSERT-ONLY deltas — the delta-rule identity
+    *
+    *   (F ∪ ΔF) ⋈ (D ∪ ΔD)
+    *     = (F ⋈ D) ∪ (ΔF ⋈ D) ∪ (F ⋈ ΔD) ∪ (ΔF ⋈ ΔD)
+    *
+    * where `materialized` IS the stored F ⋈ D — the whole point is that
+    * the old-fact × old-dim join (the 100 TB × dim term) is NEVER
+    * recomputed; the three delta terms each involve at least one
+    * (small) delta side. Inputs must be disjoint splits (F ∩ ΔF = ∅,
+    * D ∩ ΔD = ∅) and `materialized` must carry exactly the columns the
+    * delta joins produce, or the union mis-aligns.
+    *
+    * Updates/deletes need retraction records (see [[compactLog]]) —
+    * out of scope for the insert-only identity.
+    *
+    * Scale: ΔD is broadcast in both its terms (a day's new dimension
+    * members); ΔF ⋈ D is the one shuffle, keyed on the join key and
+    * sized by the DELTA, not the corpus. */
+  def deltaJoinMaintain(materialized: DataFrame,
+                        factOld: DataFrame, factDelta: DataFrame,
+                        dimOld: DataFrame, dimDelta: DataFrame,
+                        joinCond: (DataFrame, DataFrame) => Column,
+                        project: Seq[String]): DataFrame = {
+    def j(f: DataFrame, d: DataFrame, bcastDim: Boolean): DataFrame = {
+      val dim = if (bcastDim) broadcast(d) else d
+      f.join(dim, joinCond(f, d)).select(project.map(col): _*)
+    }
+    materialized
+      .unionByName(j(factDelta, dimOld, bcastDim = false))
+      .unionByName(j(factOld, dimDelta, bcastDim = true))
+      .unionByName(j(factDelta, dimDelta, bcastDim = true))
+  }
 }

@@ -304,6 +304,58 @@ object Stats {
           miNats / sqrt(hxNats * hyNats)).as("nmi"))
   }
 
+  /** Zipf-law fit over the corpus term-frequency head: OLS slope of
+    * ln(freq) on ln(rank) for the `topN` most frequent terms (the
+    * standard head fit — the tail is finite-sample noise). A healthy
+    * natural-language corpus sits near slope −1; a flat slope flags
+    * boilerplate/template floods, a cliff flags vocabulary collapse —
+    * the one-number corpus-shape diagnostic next to q138's lexical
+    * diversity.
+    *
+    * Determinism: ln(rank)/ln(freq) snap to the floor(·2^20) grid
+    * (1-ulp transcendental hazard), all OLS sums are exact integers, and
+    * the slope is an exact integer ratio floor-scaled by 2^30 before ONE
+    * power-of-two division (the q217/q197 discipline; `div` truncates
+    * toward zero on both engines). Emits ONE row:
+    * (n_terms, slope, intercept).
+    *
+    * Scale: one tokenize groupBy (map-combined) and a TakeOrdered
+    * top-N; the fit runs on ≤ topN rows. */
+  def zipfFit(docs: DataFrame, textCol: String,
+              topN: Int = 2000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val grid = 1048576.0 // 2^20: keeps Σ(lx·ly) inside exact long range
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = counts.orderBy(col("freq").desc, col("term").asc).limit(topN)
+    // topN-row frame: the numbering window is trivially single-task
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("term").asc))
+        .cast("long"))
+    val lx = floor(log(col("rank").cast("double")) * lit(grid)).cast("long")
+    val ly = floor(log(col("freq").cast("double")) * lit(grid)).cast("long")
+    val dec = DecimalType(38, 0)
+    val agg = ranked.select(lx.as("__lx"), ly.as("__ly"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__lx")).as("__sx"), sum(col("__ly")).as("__sy"),
+        sum(col("__lx") * col("__ly")).as("__sxy"),
+        sum(col("__lx") * col("__lx")).as("__sxx"))
+      .withColumn("__num",
+        col("n").cast(dec) * col("__sxy").cast(dec)
+          - col("__sx").cast(dec) * col("__sy").cast(dec))
+      .withColumn("__den",
+        col("n").cast(dec) * col("__sxx").cast(dec)
+          - col("__sx").cast(dec) * col("__sx").cast(dec))
+      .withColumn("__slope_scaled",
+        expr("CAST((__num * 1073741824) div __den AS BIGINT)"))
+    val slope = col("__slope_scaled").cast("double") / lit(1073741824.0)
+    agg.select(col("n").as("n_terms"), slope.as("slope"),
+      ((col("__sy").cast("double") / lit(grid)
+        - slope * (col("__sx").cast("double") / lit(grid)))
+        / col("n").cast("double")).as("intercept"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-group unigram
     * distributions — the "how different are these corpus sources
     * really" number a mixture designer reads next to the q141 overlap
