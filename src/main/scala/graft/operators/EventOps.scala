@@ -808,4 +808,111 @@ object EventOps {
       (col("r.s_scaled").cast("double") / lit(1073741824.0))
         .as("survival"))
   }
+
+  /** Markov removal-effect attribution: model user journeys as a
+    * first-order absorbing Markov chain (__start → channels → __conv /
+    * __null), then credit each channel by how much total conversion
+    * probability DISAPPEARS when that channel is removed from the chain
+    * — the data-driven alternative to last-touch (q144) and position
+    * rules (q212), which both hard-code the credit curve.
+    *
+    * Journeys cut at the FIRST `convType` event; removal redirects all
+    * mass through the removed channel to __null (rows from/to it are
+    * dropped). Conversion probability is `iters` rounds of mass
+    * propagation from __start (residual transient mass after that is
+    * the documented truncation, identical on every engine).
+    *
+    * Determinism (exact-grid arithmetic, stronger than the floor-snap
+    * discipline): transition probabilities are exact 2^−20 rationals
+    * (integer floor-division), mass vectors re-snap to the 2^−30 grid
+    * each round, so every product lies on the 2^−50 grid with partial
+    * sums < 8 — additions are EXACT in a 53-bit mantissa and therefore
+    * order-free; the DuckDB oracle unrolls the same iterations and
+    * matches bit for bit.
+    *
+    * Scale: the data-sized work is one user-keyed window pass (the q130
+    * transition shape); everything after runs on the ≤ (|channels|+1)²
+    * transition MATRIX — a model, not data — which is collected (the
+    * Dims-counts class of driver transfer: bounded by the type
+    * vocabulary, independent of corpus size) and iterated in exact
+    * scalar arithmetic. Emits one row per channel:
+    * (channel, p_full, p_removed, removal_effect, attribution_share). */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tiebreakCol: String,
+                        convType: String, channels: Seq[String],
+                        iters: Int = 50): DataFrame = {
+    require(channels.nonEmpty && !channels.contains(convType),
+      "channels must be non-empty and exclude the conversion type")
+    val Conv = "__conv"; val Null_ = "__null"; val Start = "__start"
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val evs = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .filter(col(typeCol).isin((convType +: channels).map(lit): _*))
+      .withColumn("__rn", row_number().over(w))
+    val convRn = evs.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col("__rn")).as("__crn"))
+    val journey = evs.join(convRn, Seq(userCol), "left")
+      .filter(col("__crn").isNull || col("__rn") <= col("__crn"))
+    val wj = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val stepped = journey
+      .withColumn("__next", lead(col(typeCol), 1).over(wj))
+      .withColumn("__maxrn", max(col("__rn")).over(
+        Window.partitionBy(col(userCol))))
+    def toState(c: Column): Column =
+      when(c === convType, Conv).otherwise(c)
+    val starts = stepped.filter(col("__rn") === 1)
+      .select(lit(Start).as("fr"), toState(col(typeCol)).as("to_s"))
+    val mids = stepped.filter(col("__next").isNotNull)
+      .select(col(typeCol).as("fr"), toState(col("__next")).as("to_s"))
+    val ends = stepped
+      .filter(col("__crn").isNull && col("__rn") === col("__maxrn"))
+      .select(col(typeCol).as("fr"), lit(Null_).as("to_s"))
+    val counts = starts.unionByName(mids).unionByName(ends)
+      .groupBy(col("fr"), col("to_s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // exact 2^-20 transition rationals
+    val rowSums = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val grid20 = 1048576L; val grid30 = 1073741824.0
+    val t: Map[(String, String), Double] = counts.map { case (k, n) =>
+      // BigInt: n·2^20 can pass Long range when a from-state carries
+      // more than ~8.8e12 transitions
+      k -> (BigInt(n) * grid20 / rowSums(k._1)).toDouble / grid20.toDouble
+    }
+    def p(fr: String, to: String, removed: Option[String]): Double =
+      if (removed.contains(fr) || removed.contains(to)) 0.0
+      else t.getOrElse((fr, to), 0.0)
+    def converge(removed: Option[String]): Double = {
+      val transient = Start +: channels.filterNot(removed.contains)
+      var mass: Map[String, Double] =
+        transient.map(s => s -> (if (s == Start) 1.0 else 0.0)).toMap
+      var conv = 0.0
+      for (_ <- 1 to iters) {
+        conv += transient.map(s => mass(s) * p(s, Conv, removed)).sum
+        mass = transient.map { to =>
+          val x = transient.map(s => mass(s) * p(s, to, removed)).sum
+          to -> math.floor(x * grid30) / grid30
+        }.toMap
+      }
+      conv
+    }
+    val pFull = converge(None)
+    val perChannel = channels.sorted.map { c =>
+      val pc = converge(Some(c))
+      val re = if (pFull > 0) (pFull - pc) / pFull else 0.0
+      (c, pc, re)
+    }
+    val reScaledSum = perChannel.map(x => math.floor(x._3 * grid30).toLong).sum
+    val rows = perChannel.map { case (c, pc, re) =>
+      val share =
+        if (reScaledSum > 0) math.floor(re * grid30) / reScaledSum.toDouble
+        else 0.0
+      (c, pFull, pc, re, share)
+    }
+    events.sparkSession.createDataFrame(rows)
+      .toDF("channel", "p_full", "p_removed", "removal_effect",
+        "attribution_share")
+  }
 }

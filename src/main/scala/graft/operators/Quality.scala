@@ -781,4 +781,73 @@ object Quality {
     one.select(outCols: _*)
       .withColumn("t_stat", col("did") / col("se_did"))
   }
+
+  /** Per-group composition-drift screen with Benjamini–Hochberg FDR
+    * control: each group's distribution over the literal `cats` is
+    * chi-square-tested against the pooled composition, the p-values are
+    * BH-ranked, and `drifted` marks every group at or below the largest
+    * rank i with p_(i) ≤ (i/m)·fdrQ — the multiple-testing-safe answer
+    * to "which sources shifted", where per-source α=0.05 tests would
+    * false-alarm ~1 source in 20 by construction.
+    *
+    * `cats` must have EVEN degrees of freedom (odd length): the
+    * chi-square survival function then has the closed form
+    * exp(−x/2)·Σ_{j<k}(x/2)^j/j! (dof = 2k) — polynomial + one exp, no
+    * incomplete-gamma dependency. The exp is snapped to the floor(·2^30)
+    * grid (1-ulp cross-engine hazard, the q140 discipline).
+    *
+    * Scale: one map-combined conditional-aggregation groupBy onto
+    * |groups| rows; the chi-square is a fixed-order |cats|-term row
+    * expression (the q221 Benford shape); ranking windows run on the
+    * groups frame. */
+  def bhDriftScreen(df: DataFrame, groupCol: String, catCol: String,
+                    cats: Seq[String], fdrQ: Double = 0.10): DataFrame = {
+    require(cats.size >= 3 && (cats.size - 1) % 2 == 0,
+      s"need odd |cats| >= 3 (even dof), got ${cats.size}")
+    require(fdrQ > 0.0 && fdrQ < 1.0, s"fdrQ must be in (0,1): $fdrQ")
+    val k = (cats.size - 1) / 2
+    val base = df
+      .filter(col(groupCol).isNotNull && col(catCol).isin(cats.map(lit): _*))
+      .select(col(groupCol).as("g"), col(catCol).as("c"))
+    val perGroup = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        cats.map(c0 =>
+          sum(when(col("c") === c0, 1L).otherwise(0L)).as(s"__n_$c0")): _*)
+    val totals = perGroup.agg(
+      sum(col("n")).as("__nn"),
+      cats.map(c0 => sum(col(s"__n_$c0")).as(s"__t_$c0")): _*)
+    val withTot = perGroup.crossJoin(broadcast(totals))
+    val chi2 = cats.map { c0 =>
+      val obs = col(s"__n_$c0").cast("double")
+      val e = (col("n").cast("double") * col(s"__t_$c0").cast("double")) /
+        col("__nn").cast("double")
+      when(col(s"__t_$c0") > 0, (obs - e) * (obs - e) / e).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    // survival function for dof = 2k: exp(−x/2)·Σ_{j<k}(x/2)^j/j!,
+    // powers by explicit multiplication chains (Math.pow is not
+    // cross-engine exact), the whole p snapped to the 2^30 grid
+    val xh = col("chi2") / lit(2.0)
+    val series = (0 until k).map { j =>
+      val p0 = (1 to j).map(_ => xh).foldLeft(lit(1.0): Column)(_ * _)
+      p0 * lit(1.0 / (1 to j).map(_.toDouble).product)
+    }.reduceLeft(_ + _)
+    val scored = withTot.withColumn("chi2", chi2)
+      .withColumn("p_value",
+        floor(exp(lit(0.0) - xh) * series * lit(1073741824.0))
+          .cast("long").cast("double") / lit(1073741824.0))
+    val wRank = Window.orderBy(col("p_value").asc, col("g").asc)
+    val wAll = Window.orderBy(col("p_value").asc, col("g").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("p_rank", row_number().over(wRank).cast("int"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__pass",
+        col("p_value") <=
+          (col("p_rank").cast("double") / col("__m").cast("double"))
+            * lit(fdrQ))
+      .withColumn("__cut", max(when(col("__pass"), col("p_rank"))).over(wAll))
+      .select(col("g").as("group"), col("n"), col("chi2"), col("p_value"),
+        col("p_rank"),
+        coalesce(col("p_rank") <= col("__cut"), lit(false)).as("drifted"))
+  }
 }

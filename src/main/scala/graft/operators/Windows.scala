@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Window-function operators (SURVEY §2.5 W2-W5, §2.6 T1-T2).
   *
@@ -310,5 +311,60 @@ object Windows {
         ((col("__sd") * col("__n")).cast("double") /
           (col("n_days") * col("__s")).cast("double"))
           .as("seasonal_index")): _*)
+  }
+
+  /** Truncated exponentially-weighted moving average per key: over the
+    * last `span` OBSERVED rows (row-lag, not calendar-lag),
+    * S = Σⱼ wⱼ·x₋ⱼ / Σⱼ wⱼ with wⱼ = (1−α)ʲ and the sums running over
+    * the lags that exist — the adjusted-EWM convention, so early rows
+    * are proper averages of what is available rather than biased toward
+    * the seed. Truncation at `span` lags (weight (1−α)^span is the
+    * documented cutoff) is what makes the recurrence a WINDOW instead
+    * of a sequential scan: the exact recursive EWMA needs S_{t−1},
+    * which no engine parallelizes; the truncated form is `span` lag()
+    * taps over one sorted window pass.
+    *
+    * Determinism: a fixed-shape 30-term DOUBLE chain is NOT portable —
+    * DuckDB reassociates long addition chains (measured: 2-ulp drift vs
+    * the left fold) — so the whole smoother is exact integer
+    * arithmetic: α = alphaNum/alphaDen (a rational), each weight is the
+    * integer coefficient (alphaDen−alphaNum)ʲ·alphaDen^(span−1−j), the
+    * value is scaled to 10^unitScale integer units, both sums
+    * accumulate in DECIMAL(38,0), and the result is ONE integer
+    * division — the output is quantized to the unit scale (cents by
+    * default), the documented contract.
+    *
+    * Scale: one keyed window (single exchange); per-row cost O(span).
+    * Emits the input plus `ewma`. */
+  def truncatedEwma(df: DataFrame, keys: Seq[String], orderCol: String,
+                    valueCol: String, alphaNum: Int, alphaDen: Int,
+                    span: Int = 30, unitScale: Int = 2): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    require(span >= 1 && span <= 64, s"span must be in [1,64]: $span")
+    require(unitScale >= 0 && unitScale <= 9,
+      s"unitScale must be in [0,9]: $unitScale")
+    // coefficient magnitude bound: alphaDen^span·Σvalues must fit 38
+    // digits; span 64 at den 5 is ~5^64 ≈ 5e44 — reject loudly
+    require(BigInt(alphaDen).pow(span) < BigInt(10).pow(28),
+      s"alphaDen^span too large for exact DECIMAL(38,0) accumulation")
+    val dec = DecimalType(38, 0)
+    val mult = math.pow(10, unitScale).toLong
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val u = (col(valueCol) * lit(mult)).cast(dec)
+    val terms = (0 until span).map { j =>
+      val coeff = BigInt(alphaDen - alphaNum).pow(j) *
+        BigInt(alphaDen).pow(span - 1 - j)
+      val c = lit(new java.math.BigDecimal(coeff.bigInteger)).cast(dec)
+      val x = if (j == 0) u else lag(u, j).over(w)
+      (when(x.isNotNull, c * x).otherwise(lit(0).cast(dec)),
+        when(x.isNotNull, c).otherwise(lit(0).cast(dec)))
+    }
+    val num = terms.map(_._1).reduceLeft(_ + _)
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    df.withColumn("__ewma_n", num).withColumn("__ewma_d", den)
+      .withColumn("ewma",
+        expr("__ewma_n div __ewma_d").cast("double") / lit(mult.toDouble))
+      .drop("__ewma_n", "__ewma_d")
   }
 }
