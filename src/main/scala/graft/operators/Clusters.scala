@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
@@ -556,5 +557,63 @@ object Clusters {
         (lit(4L) * col("__m") * col("__m")).cast("double"))
         .as("q_modularity"))
     perC.crossJoin(broadcast(globals))
+  }
+
+  /** Synchronous label propagation (`rounds` fixed iterations): every
+    * node adopts the most frequent label among its neighbors AND
+    * itself (ties → smallest label) — the self-vote is what breaks the
+    * classic two-node synchronous oscillation (pure neighbor votes
+    * make adjacent nodes swap labels forever). Isolated or unanimous
+    * nodes keep theirs. Where
+    * [[connectedComponents]] answers "what is transitively connected",
+    * LPA finds DENSELY connected communities — a bridge edge joins two
+    * components but rarely flips a community, so it's the right
+    * granularity for near-dup neighborhoods glued by a few chance
+    * collisions.
+    *
+    * Determinism: votes are integer counts, the winner is a total-order
+    * argmax, and the round count is fixed — no float, no convergence
+    * race; synchronous updates make round k a pure function of round
+    * k−1 (the oracle unrolls the same rounds).
+    *
+    * Scale: per round, one join of the (localCheckpointed) symmetric
+    * edge list against the label frame and one map-combined vote
+    * groupBy — all keyed on node ids; O(rounds · E) total, the q194
+    * posture. The per-node vote window is bounded by that node's
+    * degree. */
+  def labelPropagation(nodes: DataFrame, idCol: String, edges: DataFrame,
+                       aCol: String, bCol: String,
+                       rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1,50]: $rounds")
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round: cut the banding lineage
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    for (_ <- 1 to rounds) {
+      val msgs = sym
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(labels) // self-vote (oscillation breaker)
+      val best = msgs.groupBy(col("id"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("id"))
+            .orderBy(col("__n").desc, col("label").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("label").as("__new"))
+      // snapshot each round: the label frame is referenced twice per
+      // round (vote join + carry-forward), so an unmaterialized lineage
+      // re-executes all prior rounds at every reference — 2^rounds work
+      // (measured: 13 s -> ~1 s at sf0.1 for 5 rounds)
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as(idCol), col("label"), col("community_size"))
   }
 }

@@ -171,4 +171,37 @@ object Retrieval {
       .select(col("id"), col("rank_a"), col("rank_b"), col("rrf_score"),
         col("fused_rank"))
   }
+
+  /** Exact phrase search over the corpus via positional postings:
+    * documents containing `phrase` as CONSECUTIVE tokens, with the
+    * match count and first position — what a bag-of-words ranker (q107
+    * BM25) structurally cannot express ("table scan" ≠ "scan table").
+    *
+    * Scale: postings are pruned to the phrase's terms BEFORE any join
+    * (the selective-term postings lists, not the corpus), then chained
+    * as (doc, position)-keyed equi-joins — position adjacency is an
+    * equality (pos_i = pos_0 + i), so Catalyst plans hash joins, never
+    * a theta join. Shuffle is bounded by the phrase terms' posting
+    * sizes; a stop-word-only phrase degrades toward the full corpus,
+    * the usual positional-index caveat. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two tokens")
+    val postings = docs
+      .select(col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.map(lit): _*))
+    val p0 = postings.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos").as("pos0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(p0) { case (acc, (t, i)) =>
+      val pi = postings.filter(col("term") === t)
+        .select(col(idCol), col("pos").as(s"__p$i"))
+      acc.join(pi, Seq(idCol))
+        .filter(col(s"__p$i") === col("pos0") + i)
+        .drop(s"__p$i")
+    }
+    matched.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos0")).as("first_pos"))
+  }
 }

@@ -304,6 +304,74 @@ object Stats {
           miNats / sqrt(hxNats * hyNats)).as("nmi"))
   }
 
+  /** Doubled average pooled rank (2·r̄, an exact integer even under
+    * ties) per distinct value of `value` — the rank substrate of
+    * [[spearman]]. */
+  private def avgRank2Table(df: DataFrame, value: Column,
+                            upper: Long): DataFrame = {
+    val perValue = df.select(value.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_a"))
+      .withColumn("n_b", lit(0L))
+    cumulativeCounts(perValue, upper)
+      .select(col("v"),
+        (lit(2L) * (col("cum_a") - col("n_a")) + col("n_a") + 1).as("avg2"))
+  }
+
+  /** Spearman rank correlation with average-rank tie handling — the
+    * monotonic-association complement of Pearson (outlier-robust, sees
+    * any monotone relation, not just linear). Ranks are exact doubled
+    * integers; centering uses the identity mean(2·r̄) = n+1 (exact), so
+    * the correlation reduces to Σx'y'/√(Σx'²·Σy'²) over centered
+    * integer ranks with EXACT DECIMAL(38,0) sums. The two ratios
+    * |num|/denx and |num|/deny are exact integer floor-divisions scaled
+    * by 2^20, recombined as sign·√(a·b)/2^20 — so rho is quantized to
+    * ~2e−6 relative, identically on every engine (the sums themselves
+    * exceed 2^53 where decimal→double conversion double-rounds
+    * differently across engines; the div trick never converts them).
+    *
+    * Capacity: centered sums are ≤ n³ — exact to n ≈ 3e10 rows; beyond
+    * that the DECIMAL(38,0) accumulation overflows LOUDLY under ANSI
+    * (pre-aggregate or sample first, as any rank statistic at that
+    * scale should).
+    *
+    * Scale: two per-column rank passes (map-combined groupBy + the
+    * telescoped cumulative), two value-keyed joins back to the rows,
+    * one exact aggregate. Emits ONE row: (n, rho). */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val upper = df.count()
+    val base = df.select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val rx = avgRank2Table(base, col("__x"), upper)
+      .select(col("v").as("__x"), col("avg2").as("__ax"))
+    val ry = avgRank2Table(base, col("__y"), upper)
+      .select(col("v").as("__y"), col("avg2").as("__ay"))
+    val dec = DecimalType(38, 0)
+    val nRow = base.agg(count(lit(1)).as("__n"))
+    val joined = base.join(rx, Seq("__x")).join(ry, Seq("__y"))
+      .crossJoin(broadcast(nRow))
+      .select(
+        (col("__ax") - (col("__n") + 1)).cast(dec).as("__xc"),
+        (col("__ay") - (col("__n") + 1)).cast(dec).as("__yc"),
+        col("__n"))
+    val agg = joined.agg(
+      max(col("__n")).as("n"),
+      sum(col("__xc") * col("__yc")).as("__num"),
+      sum(col("__xc") * col("__xc")).as("__dx"),
+      sum(col("__yc") * col("__yc")).as("__dy"))
+    val grid = 1048576.0 // 2^20
+    agg
+      .withColumn("__a20", when(col("__dx") > 0,
+        expr("CAST((abs(__num) * 1048576) div __dx AS BIGINT)")))
+      .withColumn("__b20", when(col("__dy") > 0,
+        expr("CAST((abs(__num) * 1048576) div __dy AS BIGINT)")))
+      .select(col("n"),
+        when(col("__dx") > 0 && col("__dy") > 0,
+          when(col("__num") < 0, lit(-1.0)).otherwise(lit(1.0)) *
+            sqrt((col("__a20").cast("double") / lit(grid)) *
+              (col("__b20").cast("double") / lit(grid))))
+          .as("rho"))
+  }
+
   /** Zipf-law fit over the corpus term-frequency head: OLS slope of
     * ln(freq) on ln(rank) for the `topN` most frequent terms (the
     * standard head fit — the tail is finite-sample noise). A healthy
