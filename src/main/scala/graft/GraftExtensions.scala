@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVecCosine, NormalizeUnicode, QuantizedDot, RegexHashReplace, SimHashPack, SortedCommonCount}
+import graft.expressions.{FloatVecCosine, JaroWinklerPpm, NormalizeUnicode, QuantizedDot, RegexHashReplace, SimHashPack, SortedCommonCount}
 
 /** Session extensions: registers the library's native expressions as SQL
   * functions so both `spark.sql("vec_cosine(a, b)")` and
@@ -73,6 +73,13 @@ object GraftExtensions {
         require(args.length == 2,
           "sorted_common expects (array<bigint>, array<bigint>)")
         SortedCommonCount(args.head, args(1))
+      }),
+    (FunctionIdentifier("jaro_winkler_ppm"),
+      new ExpressionInfo(classOf[JaroWinklerPpm].getName, "jaro_winkler_ppm"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "jaro_winkler_ppm expects (string, string)")
+        JaroWinklerPpm(args.head, args(1))
       }),
     (FunctionIdentifier("regex_hash_replace"),
       new ExpressionInfo(classOf[RegexHashReplace].getName,

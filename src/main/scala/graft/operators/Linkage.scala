@@ -104,4 +104,61 @@ object Linkage {
         col("entity_size"),
         (col(idCol) === col("cluster_id")).as("is_canonical"))
   }
+
+  /** Blocked Jaro–Winkler pairing over a value column: pairs sharing a
+    * lowercased `blockLen`-char prefix with |len diff| ≤ `maxLenDiff`,
+    * scored by the codegen `jaro_winkler_ppm` expression (exact integer
+    * ppm — see [[graft.expressions.JaroWinklerPpm]]), kept at
+    * `>= minPpm`. Emits (a_value, b_value, jw_ppm) with a < b.
+    *
+    * Scale: the self-join is an equi-join on the prefix block key;
+    * per-block cost is bounded by the block's size², the standard
+    * blocked-linkage contract (choose blockLen so blocks stay small —
+    * the q185 blocking-quality report measures exactly that). */
+  def jaroWinklerPairs(df: DataFrame, valueCol: String,
+                       blockLen: Int = 2, maxLenDiff: Int = 2,
+                       minPpm: Long = 0L): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession)
+    val voc = df.filter(col(valueCol).isNotNull && length(col(valueCol)) > 0)
+      .select(col(valueCol).as("v")).distinct()
+      .withColumn("__blk", lower(substring(col("v"), 1, blockLen)))
+    val a = voc.select(col("v").as("a_value"), col("__blk"))
+    val b = voc.select(col("v").as("b_value"), col("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("a_value") < col("b_value") &&
+        abs(length(col("a_value")) - length(col("b_value"))) <= maxLenDiff)
+      .withColumn("jw_ppm",
+        call_function("jaro_winkler_ppm", col("a_value"), col("b_value")))
+      .filter(col("jw_ppm") >= minPpm)
+      .select(col("a_value"), col("b_value"), col("jw_ppm"))
+  }
+
+  /** Reciprocal best match: keep only pairs where each side is the
+    * other's highest-scoring partner (ties broken to the
+    * lexicographically smallest partner). The classic high-precision
+    * filter on a scored candidate set — a record can have many
+    * above-threshold partners, but mutual-argmax pairs are almost
+    * always true matches.
+    *
+    * Input: (a_value, b_value, score) with a < b (each undirected pair
+    * once). Output: the mutual pairs, same shape. Scale: one explode ×2
+    * to symmetrize, one window argmax per side — no joins beyond the
+    * final pair check. */
+  def reciprocalBestMatch(pairs: DataFrame, scoreCol: String = "jw_ppm")
+      : DataFrame = {
+    val sym = pairs.select(col("a_value").as("src"),
+        col("b_value").as("dst"), col(scoreCol))
+      .unionAll(pairs.select(col("b_value").as("src"),
+        col("a_value").as("dst"), col(scoreCol)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(col(scoreCol).desc, col("dst"))
+    val best = sym.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("src"), col("dst"), col(scoreCol))
+    best.alias("x").join(best.alias("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("a_value"), col("x.dst").as("b_value"),
+        col(s"x.$scoreCol").as(scoreCol))
+  }
 }
