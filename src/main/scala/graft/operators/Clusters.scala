@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
@@ -615,5 +615,40 @@ object Clusters {
       .agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))
       .select(col("id").as(idCol), col("label"), col("community_size"))
+  }
+
+  /** Bounded multi-source BFS: minimum hop distance from any source
+    * node, up to `maxHops`. The "how close is this doc to a known-bad
+    * seed set" primitive — contamination neighborhoods, takedown blast
+    * radius, cluster-proximity features.
+    *
+    * Returns (idCol, hops) for nodes reachable within `maxHops`
+    * (sources themselves at 0); unreachable nodes are absent.
+    *
+    * Scale: `maxHops` rounds of frontier-expand (equi-join on the edge
+    * key) + min-combine — the same data-parallel shape as
+    * [[connectedComponents]] without the pointer jumping (hop counts
+    * need true per-round expansion). Each round's distance table is
+    * `localCheckpoint`ed: it is referenced twice per round, and an
+    * unmaterialized lineage would re-execute all prior rounds at every
+    * reference (2^rounds work). */
+  def bfsHops(nodes: DataFrame, idCol: String, sources: Column,
+              edges: DataFrame, aCol: String, bCol: String,
+              maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var dist = nodes.filter(sources)
+      .select(col(idCol).as("id"), lit(0).as("hops")).localCheckpoint(true)
+    (1 to maxHops).foreach { _ =>
+      val expanded = dist.join(sym, dist("id") === sym("src"))
+        .select(sym("dst").as("id"), (col("hops") + 1).as("hops"))
+      dist = dist.unionAll(expanded)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(blocking = false)
+    dist.select(col("id").as(idCol), col("hops"))
   }
 }

@@ -487,4 +487,60 @@ object Stats {
         col("n_shared_terms"),
         (col("__nats") / lit(Ln2)).as("jsd_bits"))
   }
+
+  /** Single changepoint per series by binary segmentation: the split
+    * that maximizes the between-segment scatter
+    * `g(c) = S_l²/c + S_r²/(n−c)` (equivalently minimizes pooled SSE —
+    * the first step of the classic binary-segmentation recursion).
+    *
+    * Input: one row per (series, position) with an integer value
+    * (`valueCol`, e.g. revenue CENTS — integers make every prefix sum
+    * exact). Output per series: the 1-based split position `c` (left
+    * segment = positions 1..c), the ordering column's value at the
+    * split, segment means, and the scatter gain over the no-split
+    * baseline `S²/n`.
+    *
+    * Determinism: S_l, S_r, and their squares are exact
+    * DECIMAL(38,0)/HUGEINT products; `g` and the baseline become
+    * doubles via one correctly-rounded cast+division each, so the
+    * argmax ordering (gain DESC, then earliest c) is engine-identical.
+    *
+    * Scale: two windows over (series, order) — a prefix sum and the
+    * argmax row_number — both partitioned by series; no joins, no
+    * cross-candidate quadratic work. Series length is the per-task
+    * bound (daily grains: thousands of rows per series). */
+  def changepoint(df: DataFrame, seriesCols: Seq[String],
+                  orderCol: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+    val w = part.orderBy(col(orderCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df
+      .withColumn("__c", row_number().over(w))
+      .withColumn("__sl", sum(col(valueCol)).over(run).cast(dec))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__s", sum(col(valueCol)).over(part).cast(dec))
+    val cand = base.filter(col("__c") < col("__n"))
+      .withColumn("__sr", col("__s") - col("__sl"))
+      .withColumn("__g",
+        ((col("__sl") * col("__sl") * (col("__n") - col("__c")).cast(dec)
+          + col("__sr") * col("__sr") * col("__c").cast(dec)).cast("double"))
+          / (col("__c") * (col("__n") - col("__c"))).cast("double"))
+      .withColumn("__base",
+        (col("__s") * col("__s")).cast("double") / col("__n").cast("double"))
+      .withColumn("gain", col("__g") - col("__base"))
+    cand
+      .withColumn("__rn", row_number().over(
+        part.orderBy(col("gain").desc, col("__c"))))
+      .filter(col("__rn") === 1)
+      .select(seriesCols.map(col) ++ Seq(
+        col("__n").as("n_points"),
+        col("__c").cast("long").as("split_pos"),
+        col(orderCol).as("split_at"),
+        (col("__sl").cast("double") / col("__c").cast("double"))
+          .as("left_mean"),
+        (col("__sr").cast("double")
+          / (col("__n") - col("__c")).cast("double")).as("right_mean"),
+        col("gain")): _*)
+  }
 }
