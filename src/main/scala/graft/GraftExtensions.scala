@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVecCosine, JaroWinklerPpm, NormalizeUnicode, QuantizedDot, RegexHashReplace, SimHashPack, SortedCommonCount}
+import graft.expressions.{BpeEncode, FloatVecCosine, JaroWinklerPpm, NormalizeUnicode, QuantizedDot, RegexHashReplace, SimHashPack, SortedCommonCount}
 
 /** Session extensions: registers the library's native expressions as SQL
   * functions so both `spark.sql("vec_cosine(a, b)")` and
@@ -73,6 +73,23 @@ object GraftExtensions {
         require(args.length == 2,
           "sorted_common expects (array<bigint>, array<bigint>)")
         SortedCommonCount(args.head, args(1))
+      }),
+    (FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bpe_encode expects (string, array<string> merges literal)")
+        val merges = args(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.value != null =>
+            lit.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toArray[org.apache.spark.unsafe.types.UTF8String](
+                org.apache.spark.sql.types.StringType)
+              .map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"bpe_encode merges must be an array literal, got $other")
+        }
+        BpeEncode(args.head, merges)
       }),
     (FunctionIdentifier("jaro_winkler_ppm"),
       new ExpressionInfo(classOf[JaroWinklerPpm].getName, "jaro_winkler_ppm"),

@@ -1317,4 +1317,51 @@ object Corpus {
         col("band"), col("round"),
         col("global_rn").as("curriculum_pos"))
   }
+
+  /** BPE-encode the corpus VOCABULARY: learn the top-`topK` adjacent
+    * character-pair merges ([[bpePairStats]], rank = priority), then
+    * apply them per distinct token with the codegen `bpe_encode`
+    * expression (iterative lowest-rank merging — see
+    * [[graft.expressions.BpeEncode]]). Emits
+    * (token, encoded, n_symbols).
+    *
+    * Scale: this is the trick real tokenizer pipelines use — encoding
+    * is Zipf-amortized over the DISTINCT vocabulary (thousands of
+    * rows), never per token occurrence (billions); the merge table is
+    * topK strings collected once and compiled into the projection as a
+    * literal. */
+  def bpeEncodeVocab(docs: DataFrame, textCol: String,
+                     topK: Int): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val merges = bpePairStats(docs, textCol, topK)
+      .orderBy(col("rank"))
+      .select(col("pair")).collect().map(_.getString(0)).toSeq
+    spread(docs)
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("token"))
+      .distinct()
+      .withColumn("encoded",
+        call_function("bpe_encode", col("token"), typedLit(merges)))
+      .withColumn("n_symbols",
+        (size(split(col("encoded"), " ", -1))).cast("long"))
+  }
+
+  /** Per-document BPE symbol counts: token occurrences joined against
+    * the vocabulary-level encoding (broadcast — the vocabulary is the
+    * Zipf-small side), symbol counts summed per document. The
+    * "how many tokenizer tokens is this corpus" budgeting number,
+    * computed without encoding any token twice. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     topK: Int): DataFrame = {
+    val vocab = bpeEncodeVocab(docs, textCol, topK)
+      .select(col("token"), col("n_symbols"))
+    spread(docs)
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("token"))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_symbols")).as("n_bpe_symbols"))
+  }
 }
