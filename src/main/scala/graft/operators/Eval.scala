@@ -311,4 +311,71 @@ object Eval {
       .withColumn("margin", col("cos1") - col("cos2"))
     top2.orderBy(col("margin").asc, col("id").asc).limit(k)
   }
+
+  /** Split-conformal prediction intervals around a per-group mean
+    * predictor, with the guaranteed-coverage quantile rule
+    * `k = ⌈(100−alphaPct)·(n_cal+1)/100⌉` (clamped to n_cal).
+    *
+    * Rows split deterministically by md5 bucket of `keyCol`
+    * (train < trainPct ≤ calib < trainPct+calibPct ≤ test). The
+    * predictor is the train-split group mean; the conformal radius is
+    * the k-th smallest absolute calibration residual; reported
+    * coverage is the fraction of test rows inside ±radius.
+    *
+    * Exact-integer discipline: residuals are compared as
+    * `|n_tr·cents − S_tr|` (scaled by the train count, exact BIGINT —
+    * same ordering as the rational residual, no division until the
+    * final per-group output columns). The k-th order statistic and the
+    * coverage count are therefore engine-exact; `center`, `q_hat`, and
+    * `coverage` are each one correctly-rounded double division.
+    *
+    * Scale: one scan to split, one broadcast of the per-group train
+    * moments (|groups| rows), one per-group window for the order
+    * statistic, one aggregate for coverage. Nothing quadratic, nothing
+    * driver-side. */
+  def conformalIntervals(df: DataFrame, groupCols: Seq[String],
+                         keyCol: String, valueCents: Column,
+                         trainPct: Int = 60, calibPct: Int = 20,
+                         alphaPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && calibPct > 0 && trainPct + calibPct < 100,
+      s"bad split percentages ($trainPct, $calibPct)")
+    require(alphaPct > 0 && alphaPct < 100, s"bad alphaPct $alphaPct")
+    val groups = groupCols.map(col)
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 4),
+      16, 10).cast("int") % 100
+    val base = df.select(groups :+ col(keyCol) :+
+      valueCents.cast("long").as("__y") :+ bucket.as("__b"): _*)
+    val tr = base.filter(col("__b") < trainPct)
+      .groupBy(groups: _*)
+      .agg(count(lit(1)).as("n_train"), sum(col("__y")).as("__s"))
+    val rest = base.filter(col("__b") >= trainPct)
+      .join(broadcast(tr), groupCols)
+      .withColumn("__r", abs(col("n_train") * col("__y") - col("__s")))
+    val calW = Window.partitionBy(groups: _*)
+    val qhat = rest.filter(col("__b") < trainPct + calibPct)
+      .withColumn("__rn", row_number().over(
+        calW.orderBy(col("__r"), col(keyCol))))
+      .withColumn("n_calib", count(lit(1)).over(calW))
+      .withColumn("__k", least(col("n_calib"),
+        (((lit(100L - alphaPct) * (col("n_calib") + 1) + 99)
+          - pmod(lit(100L - alphaPct) * (col("n_calib") + 1) + 99, lit(100L)))
+          / 100).cast("long")))
+      .filter(col("__rn") === col("__k"))
+      .select(groups :+ col("n_calib") :+ col("__r").as("__q"): _*)
+    val cov = rest.filter(col("__b") >= trainPct + calibPct)
+      .join(broadcast(qhat.select(groups :+ col("__q"): _*)), groupCols)
+      .groupBy(groups: _*)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("__q"), 1L).otherwise(0L))
+          .as("__covered"))
+    tr.join(qhat, groupCols).join(cov, groupCols)
+      .select(groups ++ Seq(
+        col("n_train"), col("n_calib"), col("n_test"),
+        (col("__s").cast("double")
+          / (col("n_train") * 100).cast("double")).as("center"),
+        (col("__q").cast("double")
+          / (col("n_train") * 100).cast("double")).as("q_hat"),
+        (col("__covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage")): _*)
+  }
 }
