@@ -915,4 +915,90 @@ object EventOps {
       .toDF("channel", "p_full", "p_removed", "removal_effect",
         "attribution_share")
   }
+
+  /** Exact Shapley-value attribution over channel exposure SETS — the
+    * axiomatic complement to [[markovAttribution]]'s removal effects
+    * (Shapley is the unique credit split satisfying efficiency/symmetry/
+    * dummy; Markov measures path dynamics).
+    *
+    * Coalition value: `v(S)` = conversion rate among users whose
+    * pre-conversion channel-exposure set is CONTAINED in S (the standard
+    * exposure-subset value function — computable from data without
+    * counterfactuals). Credit:
+    * `φ_c = Σ_{S ⊆ C∖{c}} |S|!(|C|−|S|−1)!/|C|! · (v(S∪{c}) − v(S))`.
+    *
+    * Determinism: each `v(S)` is one exact BIGINT/BIGINT division to
+    * double; φ sums the weighted differences in ascending-subset order
+    * with the factorial weights themselves written as single double
+    * divisions — a fixed arithmetic shape the oracle replays literally.
+    *
+    * Scale: the data-sized work is one pass to per-user bitmasks (a
+    * window + bit_or aggregate) and one groupBy over ≤ 2^|C| masks; only
+    * that 2^|C|-row table is collected (|C| is small by contract —
+    * attribution over dozens of channels is not meaningful). */
+  def shapleyAttribution(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, convType: String,
+                         channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8,
+      s"channels must be 1..8 (2^|C| subsets), got ${channels.size}")
+    require(!channels.contains(convType),
+      "channels must exclude the conversion type")
+    val k = channels.size
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(typeCol))
+    val evs = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .filter(col(typeCol).isin((convType +: channels).map(lit): _*))
+      .withColumn("__rn", row_number().over(w))
+    val convRn = evs.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col("__rn")).as("__crn"))
+    // conversion events (and any other type) fall through to 0
+    val bit = channels.zipWithIndex.tail.foldLeft(
+      when(col(typeCol) === channels.head, lit(1L))) {
+        case (acc, (c, i)) => acc.when(col(typeCol) === c, lit(1L << i))
+      }.otherwise(lit(0L))
+    val masks = evs.join(convRn, Seq(userCol), "left")
+      .filter(col("__crn").isNull || col("__rn") < col("__crn"))
+      .groupBy(col(userCol))
+      .agg(bit_or(bit).as("mask"))
+      .join(convRn.select(col(userCol), lit(1L).as("conv")), Seq(userCol),
+        "left")
+      .na.fill(0L, Seq("conv"))
+    // users whose ONLY relevant event is the conversion itself never pass
+    // the pre-conversion filter; re-add them as mask 0, converted
+    val onlyConv = convRn.join(
+        masks.select(col(userCol)), Seq(userCol), "left_anti")
+      .select(col(userCol), lit(0L).as("mask"), lit(1L).as("conv"))
+    val grp = masks.select(col(userCol), col("mask"), col("conv"))
+      .unionAll(onlyConv)
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .collect().map(r => (r.getAs[Long]("mask"),
+        r.getAs[Long]("n"), r.getAs[Long]("c"))).toSeq
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val full = (1 << k) - 1
+    def ab(s: Int): (Long, Long) = {
+      val rows = grp.filter { case (m, _, _) => (m & ~s & full) == 0 }
+      (rows.map(_._3).sum, rows.map(_._2).sum)
+    }
+    def v(s: Int): Double = {
+      val (a, b) = ab(s)
+      if (b == 0L) 0.0 else a.toDouble / b.toDouble
+    }
+    val rows = channels.zipWithIndex.map { case (ch, i) =>
+      val c = 1 << i
+      val phi = (0 to full).filter(s => (s & c) == 0).foldLeft(0.0) {
+        (acc, s) =>
+          val setSize = java.lang.Long.bitCount(s.toLong)
+          val weight = (fact(setSize) * fact(k - 1 - setSize)).toDouble /
+            fact(k).toDouble
+          acc + weight * (v(s | c) - v(s))
+      }
+      val touched = grp.filter { case (m, _, _) => (m & c) != 0 }
+        .map(_._2).sum
+      (ch, touched, phi)
+    }
+    events.sparkSession.createDataFrame(rows)
+      .toDF("channel", "n_users_touched", "shapley")
+  }
 }
