@@ -617,6 +617,60 @@ object Clusters {
       .select(col("id").as(idCol), col("label"), col("community_size"))
   }
 
+  /** Bounded-round k-truss peeling: iteratively drop edges in fewer
+    * than `k − 2` triangles, `rounds` times, then report the survivors
+    * with their support (triangle count) in the surviving subgraph.
+    * On a near-dup graph the truss is the edge-level cohesion filter:
+    * [[kCore]] keeps well-connected VERTICES, the truss keeps edges
+    * that are corroborated by common neighbors — chains and banding
+    * artifacts (support 0) drop in round one.
+    *
+    * Bounded rounds are the operator's contract (a fixpoint loop is the
+    * `rounds → ∞` limit; each round only removes edges, so survivors
+    * after R rounds over-approximate the true truss and converge
+    * monotonically — callers wanting the fixpoint iterate until the
+    * edge count stops changing).
+    *
+    * Scale: triangles are enumerated once per round via the sorted-id
+    * wedge join (a<b<c — each triangle once; the degree-ordered
+    * orientation of [[triangleStats]] is the hub-robust upgrade if edge
+    * skew bites); support is a groupBy over exploded triangle edges.
+    * Each round's edge set is `localCheckpoint`ed — it feeds three join
+    * legs, and unmaterialized lineage would re-run all prior rounds per
+    * leg. */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+             rounds: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def support(e: DataFrame): DataFrame = {
+      val wedges = e.select(col("a"), col("b"))
+        .join(e.select(col("a"), col("b").as("c")), Seq("a"))
+        .filter(col("b") < col("c"))
+      val tris = wedges.join(
+        e.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+      val sup = tris.select(
+          array(struct(col("a"), col("b")),
+            struct(col("a").as("a"), col("c").as("b")),
+            struct(col("b").as("a"), col("c").as("b"))).as("__es"))
+        .select(explode(col("__es")).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      e.join(sup, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+    }
+    var e = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct().localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      e = support(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint(true)
+    }
+    support(e).select(col("a").as("a_id"), col("b").as("b_id"),
+      col("support"))
+  }
+
   /** Bounded multi-source BFS: minimum hop distance from any source
     * node, up to `maxHops`. The "how close is this doc to a known-bad
     * seed set" primitive — contamination neighborhoods, takedown blast

@@ -488,6 +488,46 @@ object Stats {
         (col("__nats") / lit(Ln2)).as("jsd_bits"))
   }
 
+  /** Simpson's-paradox screen: does the x→y association within each
+    * stratum point the same way as in the pooled data? Association is
+    * the exact covariance NUMERATOR `n·Σxy − Σx·Σy` (the slope/Pearson
+    * numerator — same sign, no division), computed per group and
+    * pooled; a group is `is_reversed` when the two signs strictly
+    * disagree. The one-scan aggregation-bias audit every per-segment
+    * dashboard metric needs before anyone trusts the pooled trend.
+    *
+    * Inputs must be exact integers (cents / basis points). All sums are
+    * DECIMAL(38,0)-exact; `cov_scale` is emitted as one
+    * correctly-rounded double division (÷ n²) for readability. */
+  def simpsonScreen(df: DataFrame, groupCols: Seq[String],
+                    x: Column, y: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(x.isNotNull && y.isNotNull)
+      .select(groupCols.map(col) :+ x.cast(dec).as("__x")
+        :+ y.cast(dec).as("__y"): _*)
+    def moments(g: DataFrame, by: Seq[Column]) = {
+      val agg = g.groupBy(by: _*).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      agg.withColumn("__num",
+        col("n").cast(dec) * col("__sxy") - col("__sx") * col("__sy"))
+    }
+    val grouped = moments(rows, groupCols.map(col))
+    val pooled = moments(rows.withColumn("__all", lit(1)), Seq(col("__all")))
+      .select(signum(col("__num").cast("double")).cast("int")
+        .as("pooled_sign"))
+    grouped.crossJoin(broadcast(pooled))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        signum(col("__num").cast("double")).cast("int").as("group_sign"),
+        col("pooled_sign"),
+        (signum(col("__num").cast("double")).cast("int") * col("pooled_sign")
+          === -1).as("is_reversed"),
+        (col("__num").cast("double")
+          / (col("n") * col("n")).cast("double")).as("cov_scale")): _*)
+  }
+
   /** Single changepoint per series by binary segmentation: the split
     * that maximizes the between-segment scatter
     * `g(c) = S_l²/c + S_r²/(n−c)` (equivalently minimizes pooled SSE —
