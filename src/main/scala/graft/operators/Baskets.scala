@@ -146,4 +146,58 @@ object Baskets {
         col("cooc"), col("n_item"), col("n_neighbor"), col("cosine"),
         col("rank"))
   }
+
+  /** Frequent item TRIPLES with A-priori candidate pruning: a triple is
+    * counted only when all three of its pairs are themselves frequent
+    * (the downward-closure property), so the 3-way extension join runs
+    * over frequent-pair survivors instead of all cap³ combinations —
+    * the property that makes level-wise mining feasible at scale.
+    *
+    * Emits (item_a, item_b, item_c, n_groups, support) with
+    * a < b < c, n_groups ≥ minSupport, support = n_groups / total
+    * retained baskets (one exact division).
+    *
+    * Scale: pair counting is the bounded [[coOccurrence]] self-join;
+    * candidate extension joins frequent pairs (a,b)×(a,c) — quadratic
+    * only in the FREQUENT pair list — and both prune semi-joins and the
+    * final count join are equi-joins on (group/item) keys. */
+  def frequentTriples(df: DataFrame, groupCol: String, itemCol: String,
+                      maxItemsPerGroup: Int, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val sized = sizedItems(df, groupCol, itemCol, maxItemsPerGroup)
+    val nBaskets = sized.select(col("g")).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val gp = sized.as("a")
+      .join(sized.as("b"),
+        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+      .select(col("a.g").as("g"), col("a.item").as("ia"),
+        col("b.item").as("ib"))
+    val freqPairs = gp.groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("ia"), col("ib"))
+    // A-priori closure: (a,b,c) is a candidate iff (a,b), (a,c), (b,c)
+    // are all frequent
+    val cand = freqPairs.select(col("ia").as("a"), col("ib").as("b"))
+      .join(freqPairs.select(col("ia").as("a"), col("ib").as("c")),
+        Seq("a"))
+      .filter(col("b") < col("c"))
+      .join(freqPairs.select(col("ia").as("b"), col("ib").as("c")),
+        Seq("b", "c"), "left_semi")
+    gp.join(freqPairs.select(col("ia"), col("ib")), Seq("ia", "ib"),
+        "left_semi")
+      .join(sized.select(col("g"), col("item").as("ic")), Seq("g"))
+      .filter(col("ib") < col("ic"))
+      .select(col("g"), col("ia").as("a"), col("ib").as("b"),
+        col("ic").as("c"))
+      .join(cand, Seq("a", "b", "c"), "left_semi")
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("item_c"))
+      .agg(count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") >= minSupport)
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("support",
+        col("n_groups").cast("double") / col("__nb").cast("double"))
+      .drop("__nb")
+  }
 }
