@@ -639,9 +639,10 @@ object Clusters {
     * legs, and unmaterialized lineage would re-run all prior rounds per
     * leg. */
   def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
-             rounds: Int): DataFrame = {
+             rounds: Int, maxDegree: Option[Int] = None): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxDegree.forall(_ >= 2), s"maxDegree must be >= 2: $maxDegree")
     def support(e: DataFrame): DataFrame = {
       val wedges = e.select(col("a"), col("b"))
         .join(e.select(col("a"), col("b").as("c")), Seq("a"))
@@ -663,6 +664,23 @@ object Clusters {
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .distinct().localCheckpoint(true)
+    // Degree cap — the 100-TB guard. A c-vertex near-dup clique (mirror
+    // farm, mass-replicated boilerplate) contains Θ(c³) triangles, so
+    // ENUMERATION cost is output-bound and no join strategy avoids it.
+    // Pipelines should exact-dedup before banding (which collapses
+    // replica cliques at the source); when raw graphs must be trussed,
+    // the cap drops vertices with more than `maxDegree` neighbors —
+    // saturated vertices whose membership in a dense cluster is already
+    // certain — bounding wedge work at |V|·cap².
+    maxDegree.foreach { cap =>
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("__deg"))
+      val hot = deg.filter(col("__deg") > cap).select(col("v"))
+      e = e.join(hot.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
+        .join(hot.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
+        .select(col("a"), col("b")).localCheckpoint(true)
+    }
     (1 to rounds).foreach { _ =>
       e = support(e).filter(col("support") >= k - 2)
         .select(col("a"), col("b")).localCheckpoint(true)

@@ -36,14 +36,16 @@ object Pca {
   private def floorDiv(a: BigInt, m: BigInt): BigInt = (a - a.mod(m)) / m
 
   /** Distributed moment sums → driver-side integer power iteration.
-    * Returns (v on the 2^20 grid, n, per-position sums s). Empty vector
-    * when the scatter matrix is identically zero (degenerate input). */
+    * Returns (v on the 2^20 grid, n, per-position sums s, scatter
+    * matrix M) — M is returned so callers never pay the distributed
+    * pair-sum pass twice. Empty vector when the scatter matrix is
+    * identically zero (degenerate input). */
   private[operators] def iterate(embeddings: DataFrame, idCol: String,
-                                 embCol: String, qScale: Int,
-                                 iters: Int): (Array[Long], Long, Array[Long]) = {
+                                 embCol: String, qScale: Int, iters: Int)
+      : (Array[Long], Long, Array[Long], Array[Array[BigInt]]) = {
     val cells = Similarity.quantizedCovariance(embeddings, idCol, embCol,
       qScale).select("i", "j", "n", "s_i", "s_j", "s_ij").collect()
-    if (cells.isEmpty) return (Array.empty, 0L, Array.empty)
+    if (cells.isEmpty) return (Array.empty, 0L, Array.empty, Array.empty)
     val n = cells.head.getAs[Long]("n")
     val dim = cells.map(_.getAs[Int]("j")).max + 1
     val m = Array.ofDim[BigInt](dim, dim)
@@ -63,14 +65,14 @@ object Pca {
       val w = Array.tabulate(dim)(i =>
         (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + m(i)(j) * v(j)))
       val mx = w.map(_.abs).max
-      if (mx == 0) return (Array.empty, n, s) // degenerate: zero scatter
+      if (mx == 0) return (Array.empty, n, s, m) // degenerate: zero scatter
       v = w.map(wi => floorDiv(wi * Grid, mx))
       it += 1
     }
     // sign convention: largest |v| (lowest pos on ties) points positive
     val anchor = v.zipWithIndex.maxBy { case (x, p) => (x.abs, -p) }._1
     if (anchor < 0) v = v.map(-_)
-    (v.map(_.toLong), n, s)
+    (v.map(_.toLong), n, s, m)
   }
 
   /** (pos, v20, rayleigh): the top-eigenvector components on the 2^20
@@ -80,20 +82,12 @@ object Pca {
                    qScale: Int = 1024, iters: Int = 20): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (v, n, _) = iterate(embeddings, idCol, embCol, qScale, iters)
+    val (v, _, _, m) = iterate(embeddings, idCol, embCol, qScale, iters)
     if (v.isEmpty)
       return Seq.empty[(Int, Long, Double)].toDF("pos", "v20", "rayleigh")
-    // one more exact matvec for the Rayleigh quotient
-    val cells = Similarity.quantizedCovariance(embeddings, idCol, embCol,
-      qScale).select("i", "j", "n", "s_i", "s_j", "s_ij").collect()
+    // one more exact matvec (driver-side, on the already-collected M)
+    // for the Rayleigh quotient
     val dim = v.length
-    val m = Array.ofDim[BigInt](dim, dim)
-    cells.foreach { r =>
-      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-      val x = BigInt(n) * BigInt(r.getAs[Long]("s_ij")) -
-        BigInt(r.getAs[Long]("s_i")) * BigInt(r.getAs[Long]("s_j"))
-      m(i)(j) = x; m(j)(i) = x
-    }
     val num = (0 until dim).foldLeft(BigInt(0)) { (acc, i) =>
       acc + BigInt(v(i)) * (0 until dim).foldLeft(BigInt(0))((a, j) =>
         a + m(i)(j) * BigInt(v(j)))
@@ -111,7 +105,7 @@ object Pca {
                     qScale: Int = 1024, iters: Int = 20): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (v, n, s) = iterate(embeddings, idCol, embCol, qScale, iters)
+    val (v, n, s, _) = iterate(embeddings, idCol, embCol, qScale, iters)
     if (v.isEmpty) return Seq.empty[(Long, Double)].toDF(idCol, "score")
     val vArr = array(v.map(lit): _*)
     val sv = s.zip(v).foldLeft(BigInt(0)) { case (a, (si, vi)) =>

@@ -71,6 +71,19 @@ class SimpsonTrussSpec extends SparkSpec {
       .count() shouldBe 6L
   }
 
+  test("kTruss degree cap drops saturated vertices before enumeration") {
+    // star hub 0 with 40 spokes (degree 40) + a clean 4-clique
+    val star = (1L to 40L).map(i => (0L, i))
+    val clique = Seq((101L, 102L), (101L, 103L), (101L, 104L),
+      (102L, 103L), (102L, 104L), (103L, 104L))
+    val edges = (star ++ clique).toDF("a_id", "b_id")
+    val got = Clusters.kTruss(edges, "a_id", "b_id", k = 4, rounds = 1,
+      maxDegree = Some(30)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hub edges vanish pre-enumeration; the clique survives untouched
+    got shouldBe clique.toSet
+  }
+
   test("kTruss normalizes direction and duplicate edges") {
     val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (2L, 3L), (3L, 2L))
       .toDF("a_id", "b_id")
