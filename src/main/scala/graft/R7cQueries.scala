@@ -20,7 +20,7 @@ object R7cQueries {
     * b-positions), transpositions via the sorted matched-position list,
     * Winkler prefix boost as an exact rational. Validated cell-for-cell
     * against an independent reference implementation. */
-  private val oJwCtes = """
+  private[graft] val oJwCtes = """
       voc AS (SELECT DISTINCT p_name AS v FROM part
               WHERE p_name IS NOT NULL AND len(p_name) > 0),
       pairs AS MATERIALIZED (

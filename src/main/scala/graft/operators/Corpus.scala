@@ -1346,6 +1346,60 @@ object Corpus {
         (size(split(col("encoded"), " ", -1))).cast("long"))
   }
 
+  /** Greedy set-cover source selection: `rounds` rounds of "pick the
+    * source adding the most still-uncovered distinct shingles" — the
+    * classic (1 − 1/e)-approximate coverage maximizer, used to choose a
+    * data-mixture subset that spans the corpus vocabulary instead of
+    * duplicating it. Ties break to the lexicographically smallest
+    * source; rounds with zero marginal gain stop the selection.
+    * Emits (round, source, new_elements, covered_total).
+    *
+    * Scale: per round one anti-join (corpus shingles vs covered set,
+    * keyed on the shingle hash) and one map-combined groupBy over
+    * |sources| rows; only the 1-row argmax is collected. The covered
+    * set is `localCheckpoint`ed per round — it is both the anti-join
+    * side and the union base. */
+  def greedySourceCover(docs: DataFrame, sourceCol: String,
+                        textCol: String, shingleN: Int,
+                        rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val st = spread(docs)
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.wordShingles(
+          TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
+      .distinct().localCheckpoint(true)
+    var covered = st.select(col("sh")).limit(0).localCheckpoint(true)
+    var coveredTotal = 0L
+    var picked = List.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    var done = false
+    (1 to rounds).foreach { r =>
+      if (!done) {
+        val uncov = st.join(covered, Seq("sh"), "left_anti")
+        val gains = (if (picked.isEmpty) uncov
+          else uncov.filter(!col("source").isInCollection(picked)))
+          .groupBy(col("source")).agg(count(lit(1)).as("gain"))
+          .filter(col("gain") > 0)
+          .orderBy(col("gain").desc, col("source"))
+          .limit(1).collect()
+        if (gains.isEmpty) done = true
+        else {
+          val best = gains.head.getString(0)
+          val gain = gains.head.getLong(1)
+          coveredTotal += gain
+          picked ::= best
+          out += ((r, best, gain, coveredTotal))
+          covered = covered
+            .unionAll(st.filter(col("source") === best).select(col("sh")))
+            .distinct().localCheckpoint(true)
+        }
+      }
+    }
+    out.toSeq.toDF("round", "source", "new_elements", "covered_total")
+  }
+
   /** Per-document BPE symbol counts: token occurrences joined against
     * the vocabulary-level encoding (broadcast — the vocabulary is the
     * Zipf-small side), symbol counts summed per document. The

@@ -161,4 +161,41 @@ object Linkage {
       .select(col("x.src").as("a_value"), col("x.dst").as("b_value"),
         col(s"x.$scoreCol").as(scoreCol))
   }
+
+  /** Iterated mutual-best matching: repeat [[reciprocalBestMatch]] over
+    * the still-unmatched records, `rounds` times. Round 1 is the
+    * high-precision mutual-argmax set; each later round matches records
+    * whose best partner was taken earlier — the distributed analogue of
+    * greedy score-descending assignment (which is inherently
+    * sequential), converging to a maximal matching as rounds grow.
+    * Emits (a_value, b_value, score, round).
+    *
+    * Scale: per round, two windows and two anti-joins — all keyed, no
+    * quadratic step beyond the input candidate set; the shrinking pair
+    * frame is `localCheckpoint`ed per round (it feeds the next round
+    * twice). */
+  def iterativeMatching(pairs: DataFrame, scoreCol: String = "jw_ppm",
+                        rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var remaining = pairs
+      .select(col("a_value"), col("b_value"), col(scoreCol))
+      .localCheckpoint(true)
+    var acc: Option[DataFrame] = None
+    (1 to rounds).foreach { r =>
+      val matched = reciprocalBestMatch(remaining, scoreCol)
+        .withColumn("round", lit(r))
+        .localCheckpoint(true)
+      acc = Some(acc.fold(matched)(_.unionByName(matched)))
+      val used = matched.select(col("a_value").as("v"))
+        .unionAll(matched.select(col("b_value").as("v")))
+      remaining = remaining
+        .join(used.withColumnRenamed("v", "a_value"), Seq("a_value"),
+          "left_anti")
+        .join(used.withColumnRenamed("v", "b_value"), Seq("b_value"),
+          "left_anti")
+        .select(col("a_value"), col("b_value"), col(scoreCol))
+        .localCheckpoint(true)
+    }
+    acc.get
+  }
 }
