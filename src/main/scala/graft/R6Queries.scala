@@ -284,7 +284,7 @@ object R6Queries {
     * decoded-byte CTE chain (MoreQueries.oMediaBytesCtes): bit b set iff
     * blockSum * n > totalSum * blockLen, accumulated in HUGEINT with the
     * sign bit as the explicit min-long term. */
-  private def oPhashCtes(
+  private[graft] def oPhashCtes(
       payload: String = "encode(text)",
       nExpr: String =
         "GREATEST(1, (doc_id % 16 + 8) * (doc_id % 12 + 8) * 3)"): String = {

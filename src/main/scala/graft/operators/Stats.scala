@@ -424,6 +424,64 @@ object Stats {
         / col("n").cast("double")).as("intercept"))
   }
 
+  /** Heaps'-law fit: vocabulary growth `V(N) ≈ K·N^β` from the per-
+    * document cumulative (token count, distinct-vocabulary) curve —
+    * the complement of [[zipfFit]] (Zipf describes the frequency HEAD,
+    * Heaps the vocabulary GROWTH a crawler/mixture planner extrapolates
+    * to budget dedup and tokenizer coverage). β well below 1 means new
+    * data stops adding vocabulary — more of the same.
+    *
+    * Points are per-doc (in `idCol` order): cumN = running token count,
+    * cumV = running first-occurrence count (a term counts at its
+    * MIN-doc). Log points snap to the floor(·2^20) grid and the OLS is
+    * the exact-integer div-trick fit shared with [[zipfFit]].
+    *
+    * Scale: tokenize + two groupBys (per-doc counts, per-term first
+    * doc) are the data-sized passes; the cumulative window runs on the
+    * per-DOC frame (corpus/1000s of rows — for billion-doc frames swap
+    * in the [[Scale.globalRowNumber]] telescoped prefix sum). */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grid = 1048576.0
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+    val perDoc = toks.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__ntok"))
+    val newV = toks.groupBy(col("__t"))
+      .agg(min(col("__id")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__newv"))
+    val w = Window.orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perDoc.join(newV, Seq("__id"), "left")
+      .na.fill(0L, Seq("__newv"))
+      .withColumn("__cumn", sum(col("__ntok")).over(w))
+      .withColumn("__cumv", sum(col("__newv")).over(w))
+      .filter(col("__cumv") > 0 && col("__cumn") > 0)
+    val lx = floor(log(col("__cumn").cast("double")) * lit(grid))
+      .cast("long")
+    val ly = floor(log(col("__cumv").cast("double")) * lit(grid))
+      .cast("long")
+    val dec = DecimalType(38, 0)
+    val agg = pts.select(lx.as("__lx"), ly.as("__ly"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__lx")).as("__sx"), sum(col("__ly")).as("__sy"),
+        sum(col("__lx") * col("__ly")).as("__sxy"),
+        sum(col("__lx") * col("__lx")).as("__sxx"))
+      .withColumn("__num",
+        col("n").cast(dec) * col("__sxy").cast(dec)
+          - col("__sx").cast(dec) * col("__sy").cast(dec))
+      .withColumn("__den",
+        col("n").cast(dec) * col("__sxx").cast(dec)
+          - col("__sx").cast(dec) * col("__sx").cast(dec))
+      .withColumn("__slope_scaled",
+        expr("CAST((__num * 1073741824) div __den AS BIGINT)"))
+    val slope = col("__slope_scaled").cast("double") / lit(1073741824.0)
+    agg.select(col("n").as("n_points"), slope.as("beta"),
+      ((col("__sy").cast("double") / lit(grid)
+        - slope * (col("__sx").cast("double") / lit(grid)))
+        / col("n").cast("double")).as("ln_k"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-group unigram
     * distributions — the "how different are these corpus sources
     * really" number a mixture designer reads next to the q141 overlap
