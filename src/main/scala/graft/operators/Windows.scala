@@ -367,4 +367,62 @@ object Windows {
         expr("__ewma_n div __ewma_d").cast("double") / lit(mult.toDouble))
       .drop("__ewma_n", "__ewma_d")
   }
+
+  /** Gap-capped LOCF (last observation carried forward) over a daily
+    * spine: per key, expand min..max observed day, carry the last
+    * observed value forward, and NULL the fill once the observation is
+    * more than `maxGapDays` old — q152's linear interpolation answers
+    * "what was it probably", this answers "what did we last know, and
+    * is that knowledge still fresh". Emits (keys…, day, value,
+    * is_filled, gap_days); `value` is NULL beyond the gap cap.
+    *
+    * Scale: the spine explode is bounded by key-span days; one window
+    * per key carries both the value and its observation day — no
+    * joins beyond the spine left-join. */
+  def locfFill(df: DataFrame, keys: Seq[String], dayCol: String,
+               valueCol: String, maxGapDays: Int): DataFrame = {
+    require(maxGapDays >= 0, s"maxGapDays must be >= 0, got $maxGapDays")
+    val keyCols = keys.map(col)
+    val spine = df.groupBy(keyCols: _*)
+      .agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+      .select(keyCols :+
+        explode(sequence(col("__lo"), col("__hi"))).as("day"): _*)
+    val obs = df.select(keyCols :+ col(dayCol).as("day") :+
+      col(valueCol).as("__obs"): _*)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, keys :+ "day", "left")
+      .withColumn("__carried", last(col("__obs"), ignoreNulls = true).over(w))
+      .withColumn("__obs_day",
+        last(when(col("__obs").isNotNull, col("day")), ignoreNulls = true)
+          .over(w))
+      .withColumn("gap_days", datediff(col("day"), col("__obs_day")))
+      .select(keyCols ++ Seq(
+        col("day"),
+        when(col("gap_days") <= maxGapDays, col("__carried")).as("value"),
+        (col("__obs").isNull && col("gap_days") <= maxGapDays
+          && col("__carried").isNotNull).as("is_filled"),
+        col("gap_days")): _*)
+  }
+
+  /** Clamped (floor-at-zero) running balance — inventory/stock
+    * semantics `b_t = max(b_{t-1} + x_t, 0)`, which LOOKS inherently
+    * sequential but has the exact window form
+    * `b_t = p_t − min(0, min_{s≤t} p_s)` over prefix sums p (the
+    * reflection identity). Two running windows, zero iteration —
+    * the shape that keeps it distributable at any scale. Integer
+    * deltas in, exact integer balances out. */
+  def clampedRunningBalance(df: DataFrame, keys: Seq[String],
+                            orderCols: Seq[Column],
+                            delta: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__delta", delta)
+      .withColumn("__p", sum(col("__delta")).over(w))
+      .withColumn("__pm", min(col("__p")).over(w))
+      .withColumn("balance",
+        col("__p") - least(col("__pm"), lit(0L)))
+      .drop("__p", "__pm")
+  }
 }
