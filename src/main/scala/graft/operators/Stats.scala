@@ -424,6 +424,64 @@ object Stats {
         / col("n").cast("double")).as("intercept"))
   }
 
+  /** Neyman-optimal stratified sample allocation: split a sampling
+    * budget across strata proportional to `N_h·σ_h` (minimum-variance
+    * allocation for a stratified mean), next to the naive
+    * size-proportional split. The sampling-plan operator a curation
+    * pipeline runs before drawing the q64/q170 samples.
+    *
+    * Exactness: `N_h·σ_h = sqrt(N_h·Σy² − (Σy)²)` — one sqrt of an
+    * exact DECIMAL difference; weights then snap to a floor(·2^20)
+    * integer grid so BOTH largest-remainder roundings (Neyman and
+    * proportional) are pure integer arithmetic — allocations sum to
+    * the budget exactly and ties resolve by stratum name. Float sums
+    * across strata never happen (they would make the remainder ranking
+    * order-dependent).
+    *
+    * Scale: one map-combined groupBy to |strata| rows; everything
+    * after runs on that frame. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCents: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val dec = DecimalType(38, 0)
+    val grid = 1048576.0 // 2^20
+    val g = df.filter(valueCents.isNotNull)
+      .select(col(stratumCol).as("stratum"), valueCents.as("__y"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
+      .withColumn("__varnum",
+        col("n_pop").cast(dec) * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("sigma",
+        sqrt(col("__varnum").cast("double")) / col("n_pop").cast("double"))
+      .withColumn("__wq",
+        floor(sqrt(col("__varnum").cast("double")) * lit(grid))
+          .cast(dec))
+    def largestRemainder(weight: Column, outCol: String)(in: DataFrame)
+        : DataFrame = {
+      val all = Window.partitionBy(lit(1))
+      val withTot = in
+        .withColumn("__w", weight.cast(dec))
+        .withColumn("__tot", sum(col("__w")).over(all))
+        .withColumn("__bn", col("__w") * lit(budget).cast(dec))
+        .withColumn("__floor", expr("__bn div __tot"))
+        .withColumn("__rem", col("__bn") - col("__floor") * col("__tot"))
+        .withColumn("__left",
+          lit(budget) - sum(col("__floor")).over(all))
+        .withColumn("__rk", row_number().over(
+          all.orderBy(col("__rem").desc, col("stratum"))))
+      withTot.withColumn(outCol,
+        (col("__floor") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L)).cast("long"))
+        .drop("__w", "__tot", "__bn", "__floor", "__rem", "__left", "__rk")
+    }
+    val out = largestRemainder(col("n_pop"), "alloc_proportional")(
+      largestRemainder(col("__wq"), "alloc_neyman")(g))
+    out.select(col("stratum"), col("n_pop"), col("sigma"),
+      col("alloc_neyman"), col("alloc_proportional"))
+  }
+
   /** Heaps'-law fit: vocabulary growth `V(N) ≈ K·N^β` from the per-
     * document cumulative (token count, distinct-vocabulary) curve —
     * the complement of [[zipfFit]] (Zipf describes the frequency HEAD,
