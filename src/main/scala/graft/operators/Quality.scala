@@ -850,4 +850,43 @@ object Quality {
         col("p_rank"),
         coalesce(col("p_rank") <= col("__cut"), lit(false)).as("drifted"))
   }
+
+  /** Functional-dependency audit: does `detCol → depCol` hold, and
+    * where does it break? For each determinant value with MORE than one
+    * distinct dependent, reports the row count, the number of distinct
+    * dependents, and the confidence of the majority mapping
+    * (`max dependent count / rows` — 1.0 means the FD holds). The
+    * data-profiling primitive behind "is this column a reliable lookup
+    * key", ranked worst-first and capped at `topK` (rank by distinct
+    * dependents desc, then rows desc, then determinant — a total
+    * order).
+    *
+    * Scale: two map-combined groupBys — (det, dep) counts, then per-det
+    * aggregation — and a TakeOrdered top-K; nothing wider than the
+    * (det, dep) pair frame shuffles. */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String,
+                   topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val pair = df
+      .filter(col(detCol).isNotNull)
+      .groupBy(col(detCol).as("determinant"), col(depCol).as("__dep"))
+      .agg(count(lit(1)).as("__n"))
+    val per = pair.groupBy(col("determinant"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_dependents"),
+        max(col("__n")).as("__maxn"))
+      .filter(col("n_dependents") > 1)
+      .withColumn("majority_confidence",
+        col("__maxn").cast("double") / col("n_rows").cast("double"))
+    per
+      .orderBy(col("n_dependents").desc, col("n_rows").desc,
+        col("determinant"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("n_dependents").desc, col("n_rows").desc,
+          col("determinant"))).cast("int"))
+      .select(col("determinant"), col("n_rows"), col("n_dependents"),
+        col("majority_confidence"), col("rank"))
+  }
 }

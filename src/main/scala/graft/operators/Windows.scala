@@ -405,6 +405,30 @@ object Windows {
         col("gap_days")): _*)
   }
 
+  /** MATCH_RECOGNIZE-lite: strict V-bottom detection per series — rows
+    * where the value fell for two consecutive steps and then rose for
+    * two (`v₋₂ > v₋₁ > v < v₊₁ < v₊₂`). Emits the bottom rows with
+    * `depth = min(v₋₂, v₊₂) − v` (how far the dip recovered on its
+    * shallower shoulder). The row-pattern primitive behind dip/recovery
+    * alerts; wider patterns compose the same lag/lead bands.
+    *
+    * Scale: one per-series window with four lag/lead taps — a single
+    * keyed sort, no joins. Integer values in, exact depths out. */
+  def vBottoms(df: DataFrame, keys: Seq[String], order: Column,
+               value: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+    df.withColumn("__v", value)
+      .withColumn("__l2", lag(col("__v"), 2).over(w))
+      .withColumn("__l1", lag(col("__v"), 1).over(w))
+      .withColumn("__n1", lead(col("__v"), 1).over(w))
+      .withColumn("__n2", lead(col("__v"), 2).over(w))
+      .filter(col("__l2") > col("__l1") && col("__l1") > col("__v") &&
+        col("__v") < col("__n1") && col("__n1") < col("__n2"))
+      .withColumn("depth", least(col("__l2"), col("__n2")) - col("__v"))
+      .drop("__l2", "__l1", "__n1", "__n2")
+      .withColumnRenamed("__v", "bottom_value")
+  }
+
   /** Clamped (floor-at-zero) running balance — inventory/stock
     * semantics `b_t = max(b_{t-1} + x_t, 0)`, which LOOKS inherently
     * sequential but has the exact window form
