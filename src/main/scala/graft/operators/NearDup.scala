@@ -480,4 +480,46 @@ object NearDup {
         (col("shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("reuse"))
   }
+
+  /** Longest common shingle RUN per candidate pair — the dedup
+    * EXPLANATION operator: bag-overlap scores (Jaccard, containment)
+    * say two docs share material; the longest run says whether it is
+    * one contiguous lifted passage or scattered phrases. This is
+    * longest-common-substring at shingle granularity, computed
+    * distributed via the diagonal trick: a positional match (i, j)
+    * belongs to diagonal i−j, and consecutive i on one diagonal ARE a
+    * contiguous common run — so runs fall out of a gaps-and-islands
+    * pass, no dynamic programming.
+    *
+    * Emits (a_id, b_id, n_matches, max_run) — run lengths in shingles
+    * (tokens ≈ run + n − 1). Pairs with no shared shingle are absent.
+    *
+    * Scale: candidates must be a banded/blocked pair set (q72-style) —
+    * the match join is per-pair Σ cnt_a·cnt_b over shared shingle
+    * values, and the islands window is keyed on (pair, diagonal). */
+  def commonRunLengths(docs: DataFrame, idCol: String, textCol: String,
+                       candidates: DataFrame, shingleN: Int = 3)
+      : DataFrame = {
+    val sh = spread(docs).select(col(idCol),
+        posexplode(TextFunctions.wordShingles(
+          TextFunctions.tokens(col(textCol)), shingleN))
+          .as(Seq("__pos", "__sh")))
+    val a = sh.select(col(idCol).as("a_id"), col("__pos").as("__i"),
+      col("__sh"))
+    val b = sh.select(col(idCol).as("b_id"), col("__pos").as("__j"),
+      col("__sh"))
+    val matches = candidates.select(col("a_id"), col("b_id"))
+      .join(a, Seq("a_id"))
+      .join(b, Seq("b_id", "__sh"))
+      .withColumn("__diag", col("__i") - col("__j"))
+    val wIsl = Window.partitionBy(col("a_id"), col("b_id"), col("__diag"))
+      .orderBy(col("__i"))
+    matches
+      .withColumn("__isl", col("__i") - row_number().over(wIsl))
+      .groupBy(col("a_id"), col("b_id"), col("__diag"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("__run")).as("n_matches"),
+        max(col("__run")).as("max_run"))
+  }
 }
