@@ -424,6 +424,107 @@ object Stats {
         / col("n").cast("double")).as("intercept"))
   }
 
+  /** V-optimal histogram: the `buckets`-bucket partition of the value
+    * range minimizing total within-bucket SSE — the optimal summary
+    * structure equi-width/equi-depth histograms approximate, and the
+    * bin layout an optimizer's selectivity estimates want.
+    *
+    * Two-level plan: values first land in `preBins` equi-width integer
+    * pre-bins (one distributed map-combined groupBy — the only
+    * data-sized pass); the O(preBins²·buckets) dynamic program then
+    * runs on the collected prefix table (preBins rows — a driver-side
+    * MODEL, not data). Exactness: pre-bin ids, counts, sums, and
+    * sums-of-squares are exact integers; every DP cost is the fixed
+    * expression `ΔQ − ΔS²/ΔC` evaluated on doubles cast from those
+    * exact integers, so the argmin trajectory (ties → smallest split)
+    * reproduces across engines — the oracle unrolls the same DP as
+    * chained CTEs.
+    *
+    * Emits one row per bucket: (bucket, lo_bin, hi_bin, n, mean, sse);
+    * buckets can be empty (n = 0, NULL mean) when fewer than `buckets`
+    * pre-bins are occupied. */
+  def vOptimalHistogram(df: DataFrame, valueCents: Column,
+                        preBins: Int = 64, buckets: Int = 8): DataFrame = {
+    require(preBins >= 2 && preBins <= 4096, s"bad preBins $preBins")
+    require(buckets >= 1 && buckets <= preBins, s"bad buckets $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(valueCents.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bounds = vals.agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+      .collect().headOption
+      .filter(!_.isNullAt(0))
+    if (bounds.isEmpty)
+      return Seq.empty[(Int, Int, Int, Long, Option[Double], Double)]
+        .toDF("bucket", "lo_bin", "hi_bin", "n", "mean", "sse")
+    val (lo, hi) = (bounds.get.getLong(0), bounds.get.getLong(1))
+    val span = hi - lo + 1
+    val dec = DecimalType(38, 0)
+    // 1-based pre-bin id; exact integer floor division
+    val bin = (((col("__v") - lo) * preBins
+      - pmod((col("__v") - lo) * preBins, lit(span))) / lit(span))
+      .cast("long") + 1
+    val perBin = vals.withColumn("__b", bin)
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("c"), sum(col("__v").cast(dec)).as("s"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("q"))
+      .collect()
+      .map(r => (r.getAs[Long]("__b").toInt,
+        (r.getAs[Long]("c"), BigInt(r.getAs[java.math.BigDecimal]("s")
+          .toBigInteger), BigInt(r.getAs[java.math.BigDecimal]("q")
+          .toBigInteger))))
+      .toMap
+    // prefix arrays over 0..preBins (0 = empty prefix)
+    val pc = new Array[Long](preBins + 1)
+    val ps = new Array[BigInt](preBins + 1)
+    val pq = new Array[BigInt](preBins + 1)
+    ps(0) = BigInt(0); pq(0) = BigInt(0)
+    (1 to preBins).foreach { i =>
+      val (c, s, q) = perBin.getOrElse(i, (0L, BigInt(0), BigInt(0)))
+      pc(i) = pc(i - 1) + c
+      ps(i) = ps(i - 1) + s
+      pq(i) = pq(i - 1) + q
+    }
+    def sse(j: Int, i: Int): Double = {
+      val dc = pc(i) - pc(j)
+      if (dc == 0) 0.0
+      else {
+        val dsT = ps(i) - ps(j)
+        (pq(i) - pq(j)).toDouble - (dsT * dsT).toDouble / dc.toDouble
+      }
+    }
+    // DP: e(i)(b) over split j ∈ 0..i-1 (empty buckets allowed);
+    // argmin ties resolve to the SMALLEST j — mirrored by the oracle's
+    // ORDER BY (cost, j)
+    val e = Array.ofDim[Double](preBins + 1, buckets + 1)
+    val arg = Array.ofDim[Int](preBins + 1, buckets + 1)
+    (1 to preBins).foreach(i => e(i)(1) = sse(0, i))
+    (2 to buckets).foreach { b =>
+      (1 to preBins).foreach { i =>
+        var bestJ = 0
+        var best = Double.MaxValue
+        (0 until i).foreach { j =>
+          val cost = e(j)(b - 1) + sse(j, i)
+          if (cost < best) { best = cost; bestJ = j }
+        }
+        e(i)(b) = best
+        arg(i)(b) = bestJ
+      }
+    }
+    // backtrack boundaries
+    val his = new Array[Int](buckets + 1)
+    his(buckets) = preBins
+    (buckets to 2 by -1).foreach(b => his(b - 1) = arg(his(b))(b))
+    val rows = (1 to buckets).map { b =>
+      val (j, i) = (his(b - 1), his(b))
+      val dc = pc(i) - pc(j)
+      val mean = if (dc == 0) None
+        else Some((ps(i) - ps(j)).toDouble / dc.toDouble)
+      (b, j + 1, i, dc, mean, sse(j, i))
+    }
+    rows.toDF("bucket", "lo_bin", "hi_bin", "n", "mean", "sse")
+  }
+
   /** Neyman-optimal stratified sample allocation: split a sampling
     * budget across strata proportional to `N_h·σ_h` (minimum-variance
     * allocation for a stratified mean), next to the naive
