@@ -496,7 +496,11 @@ object NearDup {
     *
     * Scale: candidates must be a banded/blocked pair set (q72-style) —
     * the match join is per-pair Σ cnt_a·cnt_b over shared shingle
-    * values, and the islands window is keyed on (pair, diagonal). */
+    * values, and the islands window is keyed on (pair, diagonal). Cost
+    * is proportional to the CANDIDATE PAIR count, so run this after
+    * exact dedup (replica corpora otherwise multiply pairs
+    * quadratically — the same pathology as uncapped k-truss, removed
+    * by the same upstream step). */
   def commonRunLengths(docs: DataFrame, idCol: String, textCol: String,
                        candidates: DataFrame, shingleN: Int = 3)
       : DataFrame = {
