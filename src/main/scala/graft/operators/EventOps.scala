@@ -916,6 +916,58 @@ object EventOps {
         "attribution_share")
   }
 
+  /** Duration-weighted concurrency profile: from interval spans, the
+    * fraction-of-TIME distribution of concurrency per group — "what
+    * concurrency are we at, 95% of the time", the capacity-planning
+    * number [[peakConcurrencyDaily]]'s max alone overstates.
+    *
+    * Sweep: ±1 boundary deltas ordered (t, delta, tiebreak) — ends
+    * before starts at the same instant, the q134 convention — running
+    * concurrency, interval length to the next boundary in exact
+    * MICROSECONDS. Percentiles are nearest-rank on cumulative time over
+    * per-concurrency totals (exact integer micros; the p·total product
+    * carries the same 1e-9 ceil shim as Quality.exactPercentiles).
+    *
+    * Scale: one per-group boundary sort (the sweep window) + one
+    * |distinct concurrency|-sized cumulative pass. */
+  def concurrencyTimeProfile(spans: DataFrame, groupCol: String,
+                             startCol: String, endCol: String,
+                             tiebreakCol: String,
+                             ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps $ps")
+    val deltas = spans.select(col(groupCol).as("g"),
+        col(startCol).as("t"), lit(1).as("d"), col(tiebreakCol).as("tb"))
+      .unionAll(spans.select(col(groupCol).as("g"),
+        col(endCol).as("t"), lit(-1).as("d"), col(tiebreakCol).as("tb")))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("t"), col("d"), col("tb"))
+    val intervals = deltas
+      .withColumn("__c", sum(col("d")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__dt",
+        coalesce(unix_micros(lead(col("t"), 1).over(w).cast("timestamp"))
+          - unix_micros(col("t").cast("timestamp")), lit(0L)))
+      .filter(col("__dt") > 0)
+    val perConc = intervals.groupBy(col("g"), col("__c"))
+      .agg(sum(col("__dt")).as("__w"))
+    val wg = Window.partitionBy(col("g"))
+    val cum = perConc
+      .withColumn("__total", sum(col("__w")).over(wg))
+      .withColumn("__cum", sum(col("__w")).over(
+        wg.orderBy(col("__c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val aggs = Seq(
+      sum(col("__w")).as("total_us"),
+      max(col("__c")).cast("long").as("peak")) ++ ps.map { p =>
+      val label = "p" + math.round(p * 100)
+      min(when(col("__cum") >=
+          ceil(lit(p) * col("__total") - lit(1e-9)), col("__c")))
+        .cast("long").as(label)
+    }
+    cum.groupBy(col("g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact Shapley-value attribution over channel exposure SETS — the
     * axiomatic complement to [[markovAttribution]]'s removal effects
     * (Shapley is the unique credit split satisfying efficiency/symmetry/

@@ -405,6 +405,41 @@ object Windows {
         col("gap_days")): _*)
   }
 
+  /** Rolling OLS slope over a trailing `windowDays`-day range: the
+    * local trend per (series, day) — [[graft.operators.Stats.zipfFit]]'s
+    * exact-sum OLS discipline applied inside a range window, so every
+    * day carries its own recent-slope reading (q146's global slope,
+    * localized). Inputs are integer (day ordinal, cents); the five
+    * windowed sums are exact, and the slope is one double division of
+    * exact DECIMAL numerator/denominator; NULL when the window holds a
+    * single distinct day.
+    *
+    * Scale: one range window per series over the day-grain frame. */
+  def rollingSlope(df: DataFrame, keys: Seq[String], dayOrdinal: Column,
+                   valueCents: Column, windowDays: Int): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2, got $windowDays")
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(dayOrdinal)
+      .rangeBetween(-(windowDays - 1).toLong, 0)
+    val x = dayOrdinal.cast(dec)
+    val y = valueCents.cast(dec)
+    df.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+      .withColumn("__num",
+        col("__n").cast(dec) * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__den",
+        col("__n").cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope",
+        when(col("__den") =!= 0,
+          col("__num").cast("double") / col("__den").cast("double")))
+      .withColumn("n_days", col("__n"))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__num", "__den")
+  }
+
   /** MATCH_RECOGNIZE-lite: strict V-bottom detection per series — rows
     * where the value fell for two consecutive steps and then rose for
     * two (`v₋₂ > v₋₁ > v < v₊₁ < v₊₂`). Emits the bottom rows with
