@@ -1400,6 +1400,46 @@ object Corpus {
     out.toSeq.toDF("round", "source", "new_elements", "covered_total")
   }
 
+  /** Stratified k-fold assignment: within every stratum, rank rows by
+    * md5(id) and take `rank mod k` — each class lands in every fold
+    * with counts balanced to ±1, unconditionally (hash-bucket splits
+    * only balance in expectation; rank-mod balances by construction).
+    * Emits (idCol, stratum, fold).
+    *
+    * Scale: one rank window per stratum — a single shuffle on the
+    * stratum key; the md5 order makes the assignment deterministic AND
+    * uncorrelated with any data column. */
+  def stratifiedFolds(df: DataFrame, idCol: String, stratumCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(stratumCol).as("stratum"))
+      .withColumn("fold",
+        pmod(row_number().over(w) - 1, lit(k)).cast("int"))
+  }
+
+  /** Cluster-respecting train/val/test split: documents are assigned by
+    * the md5 bucket of their NEAR-DUP CLUSTER id, so near-duplicates
+    * can never straddle splits — the constructive fix for the leakage
+    * q151 audits (a per-doc hash split puts ~(1−1/k) of every dup pair
+    * across a boundary). Emits (idCol, cluster_id, split).
+    *
+    * Scale: inherits the [[Clusters.connectedComponents]] posture for
+    * the labels; the split itself is one scalar expression. */
+  def clusterSplit(labels: DataFrame, idCol: String,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"bad split ($trainPct, $valPct)")
+    val bucket = conv(substring(md5(col("cluster_id").cast("string")), 1, 4),
+      16, 10).cast("int") % 100
+    labels.select(col(idCol), col("cluster_id"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Per-document BPE symbol counts: token occurrences joined against
     * the vocabulary-level encoding (broadcast — the vocabulary is the
     * Zipf-small side), symbol counts summed per document. The

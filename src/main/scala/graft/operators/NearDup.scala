@@ -501,6 +501,43 @@ object NearDup {
     * exact dedup (replica corpora otherwise multiply pairs
     * quadratically — the same pathology as uncapped k-truss, removed
     * by the same upstream step). */
+  /** Longest INTERNAL repeated shingle run per document — the
+    * self-plagiarism / template-stuffing signal: q63's repetition
+    * ratios say how much of a doc repeats; this says whether the
+    * repetition is one long copied block (navigation boilerplate, spun
+    * sections) or scattered phrases. Same diagonal + islands identity
+    * as [[commonRunLengths]], applied to the doc's self-matches with
+    * i < j (the main diagonal is excluded by construction).
+    *
+    * Emits (idCol, n_self_matches, max_run) for docs with at least one
+    * internal repeat. `maxTokens` truncates pathological docs before
+    * the per-doc self-join (cost is Σ per-shingle multiplicity² —
+    * exactly the docs this operator exists to flag). */
+  def selfRepeatRuns(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, maxTokens: Int = 2048): DataFrame = {
+    val sh = spread(docs).select(col(idCol),
+        posexplode(slice(TextFunctions.wordShingles(
+          TextFunctions.tokens(col(textCol)), shingleN), 1, maxTokens))
+          .as(Seq("__pos", "__sh")))
+    val matches = sh.as("a")
+      .join(sh.as("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") &&
+          col("a.__sh") === col("b.__sh") &&
+          col("a.__pos") < col("b.__pos"))
+      .select(col(s"a.$idCol").as("__id"), col("a.__pos").as("__i"),
+        col("b.__pos").as("__j"))
+      .withColumn("__diag", col("__j") - col("__i"))
+    val wIsl = Window.partitionBy(col("__id"), col("__diag"))
+      .orderBy(col("__i"))
+    matches
+      .withColumn("__isl", col("__i") - row_number().over(wIsl))
+      .groupBy(col("__id"), col("__diag"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum(col("__run")).as("n_self_matches"),
+        max(col("__run")).as("max_run"))
+  }
+
   def commonRunLengths(docs: DataFrame, idCol: String, textCol: String,
                        candidates: DataFrame, shingleN: Int = 3)
       : DataFrame = {
