@@ -424,6 +424,59 @@ object Stats {
         / col("n").cast("double")).as("intercept"))
   }
 
+  /** Scaled-integer SPRT constants for a Bernoulli simple-vs-simple
+    * test: per-success and per-failure log-likelihood increments and
+    * the Wald boundaries, all on the floor(·2^30) grid. Computed ONCE
+    * here and interpolated into oracle SQL as literals (the
+    * plane-weights pattern), so engine `ln` ulp differences cannot
+    * flip a floor. */
+  def sprtConstants(p0: Double, p1: Double,
+                    alphaPct: Int): (Long, Long, Long, Long) = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"bad hypotheses ($p0, $p1)")
+    require(alphaPct > 0 && alphaPct < 50, s"bad alphaPct $alphaPct")
+    val g = LogGrid
+    val a = alphaPct / 100.0
+    (math.floor(math.log(p1 / p0) * g).toLong,
+      math.floor(math.log((1 - p1) / (1 - p0)) * g).toLong,
+      math.floor(math.log((1 - a) / a) * g).toLong,
+      math.floor(math.log(a / (1 - a)) * g).toLong)
+  }
+
+  /** Sequential probability-ratio monitor over a daily increment
+    * stream: cumulative trials/successes, the exact scaled-integer LLR
+    * `c·L1 + (n−c)·L2`, the per-day Wald state, and whether the test
+    * had already DECIDED on an earlier day (sequential tests stop at
+    * first crossing — reading the statistic after that is the peeking
+    * error this operator exists to prevent). Input: one row per
+    * (day, n_new, c_new). Output adds n, c, llr (double, grid
+    * division), state ∈ continue/accept_h1/accept_h0, decided.
+    *
+    * Scale: two running windows over the day-grain frame. */
+  def sprtMonitor(daily: DataFrame, dayCol: String, nNew: Column,
+                  cNew: Column, p0: Double, p1: Double,
+                  alphaPct: Int): DataFrame = {
+    val (l1, l2, up, loB) = sprtConstants(p0, p1, alphaPct)
+    val w = Window.orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLlr = daily
+      .withColumn("n", sum(nNew).over(w))
+      .withColumn("c", sum(cNew).over(w))
+      .withColumn("__llr_s",
+        col("c") * lit(l1) + (col("n") - col("c")) * lit(l2))
+      .withColumn("llr", col("__llr_s").cast("double") / lit(LogGrid))
+      .withColumn("state",
+        when(col("__llr_s") >= up, "accept_h1")
+          .when(col("__llr_s") <= loB, "accept_h0")
+          .otherwise("continue"))
+    withLlr
+      .withColumn("decided",
+        max(when(col("state") =!= "continue", 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)) === 1)
+      .na.fill(Map("decided" -> false))
+      .drop("__llr_s")
+  }
+
   /** V-optimal histogram: the `buckets`-bucket partition of the value
     * range minimizing total within-bucket SSE — the optimal summary
     * structure equi-width/equi-depth histograms approximate, and the
