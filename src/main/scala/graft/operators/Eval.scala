@@ -312,6 +312,40 @@ object Eval {
     top2.orderBy(col("margin").asc, col("id").asc).limit(k)
   }
 
+  /** Cumulative gains / lift chart: rank by score descending, cut into
+    * `tiles` equal tiles (ntile semantics — identical in every engine
+    * given the deterministic (score, id) order), and report per tile
+    * the cumulative capture rate of positives and the lift over random
+    * targeting — the "top 20% of scores captures 64% of converters"
+    * table. Every ratio is one exact-integer double division.
+    *
+    * Scale: one global rank window over the scored-entity frame (swap
+    * in Scale.globalRowNumber's telescoped numbering for billion-row
+    * frames), then a tiles-sized aggregate. */
+  def gainsChart(scored: DataFrame, idCol: String, score: Column,
+                 label: Column, tiles: Int = 10): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    val w = Window.orderBy(score.desc, col(idCol))
+    val tiled = scored
+      .withColumn("__pos", when(label, 1L).otherwise(0L))
+      .withColumn("tile", ntile(tiles).over(w))
+    val perTile = tiled.groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("pos"))
+    val all = Window.partitionBy(lit(1))
+    val cumW = all.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTile
+      .withColumn("__cn", sum(col("n")).over(cumW))
+      .withColumn("__cp", sum(col("pos")).over(cumW))
+      .withColumn("__tn", sum(col("n")).over(all))
+      .withColumn("__tp", sum(col("pos")).over(all))
+      .select(col("tile"), col("n"), col("pos"),
+        (col("__cp").cast("double") / col("__tp").cast("double"))
+          .as("cum_capture"),
+        ((col("__cp") * col("__tn")).cast("double")
+          / (col("__cn") * col("__tp")).cast("double")).as("lift"))
+  }
+
   /** Split-conformal prediction intervals around a per-group mean
     * predictor, with the guaranteed-coverage quantile rule
     * `k = ⌈(100−alphaPct)·(n_cal+1)/100⌉` (clamped to n_cal).

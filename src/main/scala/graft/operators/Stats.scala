@@ -424,6 +424,73 @@ object Stats {
         / col("n").cast("double")).as("intercept"))
   }
 
+  /** Decision-stump feature screening: for each candidate feature, the
+    * best binary split of the target by that feature's value order and
+    * the scatter gain it buys — the one-level-tree screen that ranks
+    * features the way a GBDT's first split would, without training
+    * anything. [[changepoint]] generalized two ways: rows are WEIGHTED
+    * value groups (features repeat values; time series don't), and the
+    * scan melts many features in one pass.
+    *
+    * Input: `features` as (name, integer value expression) pairs over
+    * integer target `yCents`. Per feature: group by value, order by
+    * value, and maximize `S_l²/C_l + S_r²/C_r` over prefix cut points
+    * (exact DECIMAL sums; gains become doubles via single divisions;
+    * ties → smallest cut value). Output per feature: n_values,
+    * split_value (last value of the left side), left/right means, gain
+    * over the no-split baseline — ranked by gain.
+    *
+    * Scale: one melt pass (explode × |features|, map-combined groupBy
+    * on (feature, value)), then per-feature windows on the
+    * values-sized frame. */
+  def stumpScreen(df: DataFrame, features: Seq[(String, Column)],
+                  yCents: Column): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val dec = DecimalType(38, 0)
+    val melted = df
+      .withColumn("__y", yCents.cast("long"))
+      .filter(col("__y").isNotNull)
+      .select(explode(array(features.map { case (n, c) =>
+        struct(lit(n).as("feature"), c.cast("long").as("v"))
+      }: _*)).as("__f"), col("__y"))
+      .filter(col("__f.v").isNotNull)
+      .groupBy(col("__f.feature").as("feature"), col("__f.v").as("v"))
+      .agg(count(lit(1)).as("c"), sum(col("__y").cast(dec)).as("s"))
+    val part = Window.partitionBy(col("feature"))
+    val w = part.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = melted
+      .withColumn("__cl", sum(col("c")).over(w))
+      .withColumn("__sl", sum(col("s")).over(w))
+      .withColumn("__n", sum(col("c")).over(part))
+      .withColumn("__st", sum(col("s")).over(part))
+      .withColumn("__nv", count(lit(1)).over(part))
+      .withColumn("__rk", row_number().over(part.orderBy(col("v"))))
+    val cand = base.filter(col("__rk") < col("__nv"))
+      .withColumn("__sr", col("__st") - col("__sl"))
+      .withColumn("__cr", col("__n") - col("__cl"))
+      .withColumn("gain",
+        (col("__sl") * col("__sl")).cast("double")
+          / col("__cl").cast("double")
+          + (col("__sr") * col("__sr")).cast("double")
+            / col("__cr").cast("double")
+          - (col("__st") * col("__st")).cast("double")
+            / col("__n").cast("double"))
+    val best = cand
+      .withColumn("__brk", row_number().over(
+        part.orderBy(col("gain").desc, col("v"))))
+      .filter(col("__brk") === 1)
+      .select(col("feature"), col("__nv").as("n_values"),
+        col("v").as("split_value"),
+        (col("__sl").cast("double")
+          / (col("__cl") * 100).cast("double")).as("left_mean"),
+        (col("__sr").cast("double")
+          / (col("__cr") * 100).cast("double")).as("right_mean"),
+        col("gain"))
+    best.withColumn("rank", row_number().over(
+      Window.orderBy(col("gain").desc, col("feature"))).cast("int"))
+  }
+
   /** Scaled-integer SPRT constants for a Bernoulli simple-vs-simple
     * test: per-success and per-failure log-likelihood increments and
     * the Wald boundaries, all on the floor(·2^30) grid. Computed ONCE
