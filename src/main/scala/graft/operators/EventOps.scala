@@ -916,6 +916,38 @@ object EventOps {
         "attribution_share")
   }
 
+  /** Event-study alignment: per entity, anchor time zero at the first
+    * event matching `treatment`, then report mean daily activity at
+    * relative days −radius..+radius across entities — the pooled
+    * before/after curve whose FLAT pre-period is the visual
+    * parallel-trends check a two-period DiD (q222) just assumes.
+    * Entities without a treatment event are excluded (no anchor).
+    * Emits (rel_day, n_users, n_events, mean_events) with the mean as
+    * one exact integer division.
+    *
+    * Scale: one groupBy for anchors, one for daily activity, one
+    * broadcast-size join on the entity key, one ±radius filter —
+    * nothing beyond entity-keyed shuffles. */
+  def eventStudy(events: DataFrame, userCol: String, tsCol: String,
+                 treatment: Column, radius: Int): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val base = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val anchors = base.filter(treatment)
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("__t0"))
+    val daily = base
+      .groupBy(col(userCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    daily.join(anchors, Seq(userCol))
+      .withColumn("rel_day", datediff(col("__day"), col("__t0")))
+      .filter(abs(col("rel_day")) <= radius)
+      .groupBy(col("rel_day"))
+      .agg(countDistinct(col(userCol)).as("n_users"),
+        sum(col("__n")).as("n_events"))
+      .withColumn("mean_events",
+        col("n_events").cast("double") / col("n_users").cast("double"))
+  }
+
   /** Duration-weighted concurrency profile: from interval spans, the
     * fraction-of-TIME distribution of concurrency per group — "what
     * concurrency are we at, 95% of the time", the capacity-planning
