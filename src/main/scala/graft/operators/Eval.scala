@@ -312,6 +312,37 @@ object Eval {
     top2.orderBy(col("margin").asc, col("id").asc).limit(k)
   }
 
+  /** Leakage-free (out-of-fold) target encoding: each (feature value,
+    * fold) cell's encoding is the target mean over all OTHER folds —
+    * the K-fold trick that lets mean-encodings be used as features
+    * without the row's own label leaking into it. NULL when the value
+    * occurs only inside this fold (no out-of-fold evidence).
+    *
+    * Exactness: per-cell and per-value sums are DECIMAL(38,0) cents;
+    * each encoding is one double division. Scale: one map-combined
+    * groupBy to (value, fold) cells + one per-value window over the
+    * cells frame. */
+  def targetEncodeOof(df: DataFrame, value: Column, fold: Column,
+                      yCents: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .select(value.as("value"), fold.as("fold"),
+        yCents.cast("long").as("__y"))
+      .filter(col("value").isNotNull && col("__y").isNotNull)
+      .groupBy(col("value"), col("fold"))
+      .agg(count(lit(1)).as("n_in_fold"),
+        sum(col("__y").cast(dec)).as("__s"))
+    val w = Window.partitionBy(col("value"))
+    cells
+      .withColumn("__ct", sum(col("n_in_fold")).over(w))
+      .withColumn("__st", sum(col("__s")).over(w))
+      .withColumn("encoding",
+        when(col("__ct") > col("n_in_fold"),
+          (col("__st") - col("__s")).cast("double")
+            / ((col("__ct") - col("n_in_fold")) * 100).cast("double")))
+      .select(col("value"), col("fold"), col("n_in_fold"), col("encoding"))
+  }
+
   /** Cumulative gains / lift chart: rank by score descending, cut into
     * `tiles` equal tiles (ntile semantics — identical in every engine
     * given the deterministic (score, id) order), and report per tile

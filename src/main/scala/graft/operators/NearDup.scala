@@ -501,6 +501,78 @@ object NearDup {
     * exact dedup (replica corpora otherwise multiply pairs
     * quadratically — the same pathology as uncapped k-truss, removed
     * by the same upstream step). */
+  /** MinHash-LSH parameter planner: given the CORPUS'S OWN pair-
+    * similarity histogram, score every (bands, rowsPerBand) split of a
+    * signature budget by expected recall above `simThreshold` and
+    * expected false-candidate rate below it, using the S-curve
+    * `P(candidate | s) = 1 − (1 − s^r)^b`. "Pick b and r from the
+    * textbook" ignores the corpus; this reads the real similarity mass
+    * and prices each config against it.
+    *
+    * Determinism: similarities bin EXACTLY (`floor(bins·I/U)` on
+    * intersection/union integers); every S-curve probability is a
+    * CONSTANT evaluated once here (bin midpoint literals, integer
+    * exponents) and combined with the bin counts in fixed ascending-bin
+    * order — the oracle interpolates the same literals, so no engine
+    * `pow`/summation-order drift exists anywhere.
+    *
+    * The histogram only sees pairs with sim ≥ `minSim` (it comes from
+    * a thresholded pair join); recall is exact over that support, and
+    * the fp rate is measured among the near-miss band [minSim,
+    * simThreshold) — the only false candidates that cost real
+    * verification work.
+    *
+    * Scale: the histogram is the one data-sized pass (a thresholded
+    * pair join — use capped/banded pair sources at scale); everything
+    * after is a bins-sized model. */
+  def lshPlanner(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, minSim: Double = 0.2,
+                 simThreshold: Double = 0.7, budget: Int = 24,
+                 bins: Int = 20, maxDf: Int = 0): DataFrame = {
+    require(budget >= 2, s"budget must be >= 2, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = ngramPairStats(docs, idCol, textCol, n, maxDf, None)
+      .filter(col("intersection").cast("double") /
+        (col("n_a") + col("n_b") - col("intersection")).cast("double")
+        >= minSim)
+    // exact integer bin: floor(bins * I / U); clamp the sim == 1 edge
+    val u = col("n_a") + col("n_b") - col("intersection")
+    val bin = least(
+      (((col("intersection") * bins)
+        - pmod(col("intersection") * bins, u)) / u).cast("int"),
+      lit(bins - 1))
+    val hist = pairs.withColumn("__bin", bin)
+      .groupBy(col("__bin")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = (0 until bins).map(b => hist.getOrElse(b, 0L))
+    val tBin = math.ceil(simThreshold * bins).toInt
+    val configs = (1 to budget).filter(budget % _ == 0)
+      .map(b => (b, budget / b))
+    def pCurve(b: Int, r: Int, s: Double): Double = {
+      var sr = 1.0
+      (1 to r).foreach(_ => sr *= s) // repeated multiplication: no pow
+      var q = 1.0
+      (1 to b).foreach(_ => q *= (1.0 - sr))
+      1.0 - q
+    }
+    val rows = configs.map { case (b, r) =>
+      // fixed ascending-bin fold order — mirrored literally in the oracle
+      var caught = 0.0; var missedBase = 0L
+      var falseC = 0.0; var nearBase = 0L
+      (0 until bins).foreach { i =>
+        val p = pCurve(b, r, (i + 0.5) / bins)
+        if (i >= tBin) { caught += counts(i) * p; missedBase += counts(i) }
+        else { falseC += counts(i) * p; nearBase += counts(i) }
+      }
+      val recall = if (missedBase == 0) 0.0 else caught / missedBase
+      val fp = if (nearBase == 0) 0.0 else falseC / nearBase
+      (b, r, missedBase, nearBase, recall, fp)
+    }
+    rows.toDF("bands", "rows_per_band", "n_pairs_above", "n_pairs_near",
+      "exp_recall", "exp_fp_rate")
+  }
+
   /** Longest INTERNAL repeated shingle run per document — the
     * self-plagiarism / template-stuffing signal: q63's repetition
     * ratios say how much of a doc repeats; this says whether the
