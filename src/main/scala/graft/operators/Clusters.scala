@@ -617,6 +617,80 @@ object Clusters {
       .select(col("id").as(idCol), col("label"), col("community_size"))
   }
 
+  /** Graph Voronoi partition: assign every reachable node to its
+    * NEAREST seed (ties → smallest seed id) within `maxHops` — the
+    * "which landmark owns this node" refinement of [[bfsHops]] (which
+    * only reports the distance). The balanced-region primitive behind
+    * landmark-based sharding and takedown ownership.
+    *
+    * Same bounded frontier-expansion shape as [[bfsHops]], with the
+    * running state a (dist, seed) pair combined by lexicographic min —
+    * `min(struct(dist, seed))` both in the per-round combine and in the
+    * oracle's ORDER BY (dist, seed) pick. */
+  def graphVoronoi(nodes: DataFrame, idCol: String, sources: Column,
+                   edges: DataFrame, aCol: String, bCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var state = nodes.filter(sources)
+      .select(col(idCol).as("id"), lit(0).as("hops"),
+        col(idCol).as("seed")).localCheckpoint(true)
+    (1 to maxHops).foreach { _ =>
+      val expanded = state.join(sym, state("id") === sym("src"))
+        .select(sym("dst").as("id"), (col("hops") + 1).as("hops"),
+          col("seed"))
+      state = state.unionAll(expanded)
+        .groupBy(col("id"))
+        .agg(min(struct(col("hops"), col("seed"))).as("__best"))
+        .select(col("id"), col("__best.hops").as("hops"),
+          col("__best.seed").as("seed"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(blocking = false)
+    state.select(col("id").as(idCol), col("hops"), col("seed"))
+  }
+
+  /** Degree assortativity of an undirected graph: the Pearson
+    * correlation of endpoint degrees over edges — positive on
+    * hub-to-hub graphs (mirror farms linking mirror farms), negative
+    * on hub-and-spoke. Exact integer sums over the symmetrized edge
+    * list (each undirected edge contributes both orientations — the
+    * standard convention); the coefficient is assembled from three
+    * single integer→double casts.
+    *
+    * Scale: one degree groupBy + two key joins + one global aggregate. */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val e = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val joined = sym
+      .join(deg.select(col("u"), col("d").as("da")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("db")), Seq("v"))
+    joined.agg(
+        count(lit(1)).as("m2"), // 2 × edge count
+        sum(col("da").cast(dec)).as("__sa"),
+        sum(col("db").cast(dec)).as("__sb"),
+        sum(col("da").cast(dec) * col("db").cast(dec)).as("__sab"),
+        sum(col("da").cast(dec) * col("da").cast(dec)).as("__saa"),
+        sum(col("db").cast(dec) * col("db").cast(dec)).as("__sbb"))
+      .select(col("m2"),
+        ((col("m2").cast(dec) * col("__sab") - col("__sa") * col("__sb"))
+          .cast("double")
+          / sqrt((col("m2").cast(dec) * col("__saa")
+              - col("__sa") * col("__sa")).cast("double")
+            * (col("m2").cast(dec) * col("__sbb")
+              - col("__sb") * col("__sb")).cast("double")))
+          .as("assortativity"))
+  }
+
   /** Bounded-round k-truss peeling: iteratively drop edges in fewer
     * than `k − 2` triangles, `rounds` times, then report the survivors
     * with their support (triangle count) in the surviving subgraph.
