@@ -312,6 +312,46 @@ object Eval {
     top2.orderBy(col("margin").asc, col("id").asc).limit(k)
   }
 
+  /** Label-separability report: over LSH-bucketed candidate pairs, the
+    * histogram of pairwise cosines split by same-label vs cross-label —
+    * the "are my labels separable in this embedding space" readout a
+    * contrastive-training or mislabel audit starts from. Well-separated
+    * labels put same-label mass in high-cosine bins and cross-label
+    * mass low; heavy overlap means the space (or the labels) are noisy.
+    *
+    * Determinism: cosines come from the codegen `vec_cosine` expression
+    * (strict in-order fold, the q37/q98 oracle-proven path) and bin by
+    * `floor(cos·bins)` — identical doubles, identical floors.
+    * Scale: candidates are same-bucket LSH pairs (never all-pairs);
+    * the histogram is a map-combined groupBy over 2·2·bins cells. */
+  def labelSeparability(embeddings: DataFrame, idCol: String,
+                        embCol: String, labelCol: String, numPlanes: Int,
+                        dim: Int, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val b = Similarity.lshBucketed(embeddings, idCol, embCol, numPlanes,
+      dim)
+    val lab = embeddings.select(col(idCol), col(labelCol).as("__lab"),
+      col(embCol).as("__e"))
+    val pairs = b.as("x").join(b.as("y"),
+        col(s"x.bucket") === col(s"y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .join(lab.select(col(idCol).as("a_id"), col("__lab").as("__la"),
+        col("__e").as("__ea")), Seq("a_id"))
+      .join(lab.select(col(idCol).as("b_id"), col("__lab").as("__lb"),
+        col("__e").as("__eb")), Seq("b_id"))
+    pairs
+      .withColumn("__cos", call_function("vec_cosine",
+        col("__ea"), col("__eb")))
+      .filter(col("__cos").isNotNull)
+      .withColumn("cos_bin",
+        least(floor(col("__cos") * bins).cast("int"), lit(bins - 1)))
+      .withColumn("same_label", col("__la") === col("__lb"))
+      .groupBy(col("same_label"), col("cos_bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Leakage-free (out-of-fold) target encoding: each (feature value,
     * fold) cell's encoding is the target mean over all OTHER folds —
     * the K-fold trick that lets mean-encodings be used as features
