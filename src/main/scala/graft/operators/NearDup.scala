@@ -573,6 +573,61 @@ object NearDup {
       "exp_recall", "exp_fp_rate")
   }
 
+  /** Data-driven dedup threshold: near-dup similarity histograms are
+    * characteristically bimodal — a near-miss mode low and a true-dup
+    * mode high — and the principled cut is the VALLEY between them.
+    * This finds it deterministically: the modal bin below the midpoint,
+    * the modal bin above it (ties → lower bin), and the emptiest bin
+    * strictly between (ties → lower); threshold = that bin's midpoint.
+    * Replaces hand-picked 0.7s with the corpus's own structure, the
+    * same spirit as [[lshPlanner]].
+    *
+    * Emits one row: (low_mode_bin, high_mode_bin, valley_bin,
+    * threshold, n_pairs) — empty when the histogram lacks mass on
+    * either side of the midpoint (no bimodal structure to cut).
+    *
+    * Scale: the histogram pass is the thresholded pair join (banded/
+    * capped at scale); mode/valley selection runs on the bins-sized
+    * spine. */
+  def autoThreshold(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, minSim: Double = 0.2, bins: Int = 20,
+                    maxDf: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = ngramPairStats(docs, idCol, textCol, n, maxDf, None)
+      .filter(col("intersection").cast("double") /
+        (col("n_a") + col("n_b") - col("intersection")).cast("double")
+        >= minSim)
+    val u = col("n_a") + col("n_b") - col("intersection")
+    val bin = least(
+      (((col("intersection") * bins)
+        - pmod(col("intersection") * bins, u)) / u).cast("int"),
+      lit(bins - 1))
+    val hist = pairs.withColumn("__bin", bin)
+      .groupBy(col("__bin")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = (0 until bins).map(b => b -> hist.getOrElse(b, 0L))
+    val half = bins / 2
+    val lowSide = counts.filter { case (b, cn) => b < half && cn > 0 }
+    val highSide = counts.filter { case (b, cn) => b >= half && cn > 0 }
+    if (lowSide.isEmpty || highSide.isEmpty)
+      return Seq.empty[(Int, Int, Int, Double, Long)]
+        .toDF("low_mode_bin", "high_mode_bin", "valley_bin", "threshold",
+          "n_pairs")
+    def modal(side: Seq[(Int, Long)]): Int =
+      side.maxBy { case (b, cn) => (cn, -b) }._1
+    val lo = modal(lowSide)
+    val hi = modal(highSide)
+    val between = counts.filter { case (b, _) => b > lo && b < hi }
+    // adjacent modes leave no strict gap: cut at the high mode's bin
+    val valley = if (between.isEmpty) hi
+      else between.minBy { case (b, cn) => (cn, b) }._1
+    val total = counts.map(_._2).sum
+    Seq((lo, hi, valley, (2 * valley + 1).toDouble / (2 * bins), total))
+      .toDF("low_mode_bin", "high_mode_bin", "valley_bin", "threshold",
+        "n_pairs")
+  }
+
   /** Longest INTERNAL repeated shingle run per document — the
     * self-plagiarism / template-stuffing signal: q63's repetition
     * ratios say how much of a doc repeats; this says whether the
