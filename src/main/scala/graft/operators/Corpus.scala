@@ -1400,6 +1400,47 @@ object Corpus {
     out.toSeq.toDF("round", "source", "new_elements", "covered_total")
   }
 
+  /** Survivorship merge ("golden record"): per duplicate cluster, one
+    * merged record whose fields come from the BEST member under
+    * per-field rules — the MDM step after [[resolveDuplicates]], which
+    * keeps one whole row; real survivorship mixes fields (longest text
+    * from one member, majority language from another). Rules here:
+    * representative id = longest text (ties → lowest id), language =
+    * cluster mode (ties → lexicographically lowest), plus exact counts
+    * and totals. Every rule is a deterministic argmax/argmin.
+    *
+    * Scale: the labels join shuffles docs once on the id; field rules
+    * are two windows and one aggregate on the cluster key. */
+  def goldenRecords(docs: DataFrame, idCol: String, textCol: String,
+                    langCol: String, sourceCol: String,
+                    nCharsCol: String, labels: DataFrame): DataFrame = {
+    val joined = docs
+      .select(col(idCol), col(textCol), col(langCol), col(sourceCol),
+        col(nCharsCol))
+      .join(labels.select(col(idCol), col("cluster_id")), Seq(idCol))
+    val repW = Window.partitionBy(col("cluster_id"))
+      .orderBy(length(col(textCol)).desc, col(idCol))
+    val withRep = joined
+      .withColumn("__rep_rank", row_number().over(repW))
+    val langMode = joined.groupBy(col("cluster_id"), col(langCol))
+      .agg(count(lit(1)).as("__ln"))
+      .withColumn("__lrk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__ln").desc, col(langCol))))
+      .filter(col("__lrk") === 1)
+      .select(col("cluster_id"), col(langCol).as("golden_lang"))
+    withRep
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        sum(col(nCharsCol)).as("total_chars"),
+        max(when(col("__rep_rank") === 1, col(idCol)))
+          .as("representative_id"),
+        max(when(col("__rep_rank") === 1, length(col(textCol))))
+          .as("representative_len"))
+      .join(langMode, Seq("cluster_id"))
+  }
+
   /** Stratified k-fold assignment: within every stratum, rank rows by
     * md5(id) and take `rank mod k` — each class lands in every fold
     * with counts balanced to ±1, unconditionally (hash-bucket splits
