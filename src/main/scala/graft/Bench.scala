@@ -43,20 +43,31 @@ object Bench {
       val warm = if (w1 < 0 || w2 < 0) math.max(w1, w2) else math.min(w1, w2)
       (name, cold, warm)
     }
-    val qs = results.map { case (k, _, w) => s"\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
     val total = results.map(_._3).filter(_ >= 0).sum
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
-    // full-name, full-precision detail line (for humans reading the log)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
-    // LAST line: the same result compacted (qNN keys, ms precision) so the
-    // whole JSON object fits inside a ~2 KB log-tail capture window; its
-    // metric name is distinct so parsers matching "total" can't double-count
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    val qsShort = results.map { case (k, _, w) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(w)
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","cold_total_sec":${r3(coldTotal)},"queries":$qsShort,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a FILE artifact, not stdout: at ~300
+    // queries the per-query dict is >5 KB and overflows the driver's ~2 KB
+    // log-tail capture, truncating whatever precedes it on the line.
+    val qs = results.map { case (k, c, w) =>
+      s"""\"$k\":{"warm":${r3(w)},"cold":${r3(c)}}""" }.mkString("{", ",", "}")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total_sec":$coldTotal,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // stdout line below is the contract
+    // The ONLY stdout JSON line, printed LAST so it lands inside the tail
+    // window: totals plus a fixed headline subset (~15 heavy/representative
+    // queries), total size well under 1 KB. Exactly one "metric":"total"
+    // line exists so naive parsers can't double-count.
+    val headline = Seq("q01", "q05", "q13", "q34", "q35", "q68", "q73", "q88",
+      "q89", "q98", "q108", "q243", "q258", "q259", "q295")
+    val byName = results.map { case (k, _, w) => k.takeWhile(_ != '_') -> w }.toMap
+    val qsHead = headline.flatMap(h => byName.get(h).map(w => s"\"$h\":${r3(w)}"))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total_sec":${r3(coldTotal)},"n_queries":${results.size},"queries":$qsHead,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
