@@ -38,6 +38,55 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   */
 object Clusters {
 
+  /** Round-snapshot bookkeeping shared by every iterative op here.
+    *
+    * `snapshot` materializes a round's output and truncates lineage:
+    * `localCheckpoint` when `checkpointDir` is None (cheap, executor-local
+    * blocks — right for bench scale, but on a real cluster one lost
+    * executor aborts the whole iterative job unrecoverably), or a parquet
+    * round-trip into a per-run subdir of `checkpointDir` (HDFS/S3) — the
+    * same durability as `df.checkpoint()` (reliable storage, lineage
+    * truncated) WITHOUT mutating the SparkContext-global checkpoint dir
+    * (concurrent callers would otherwise write into each other's
+    * directories) and with deletable per-step locations: Spark never
+    * deletes reliable checkpoints on its own, so an iterative loop must
+    * prune its own rounds or every daily run leaves maxIter corpus-sized
+    * snapshots.
+    *
+    * `prune(keep*)` deletes every durable snapshot dir not referenced (by
+    * object identity) in `keep` — call it once per round with the frames
+    * still live, and once before returning with only the frame(s) the
+    * returned lazy plan reads. The final kept dirs intentionally outlive
+    * the call: the caller's returned DataFrame reads them. */
+  private[operators] final class RoundSnapshots(
+      checkpointDir: Option[String]) {
+    private var step = 0
+    // per-invocation unique run id: concurrent calls may share a root
+    private val runId = java.util.UUID.randomUUID().toString.take(8)
+    private var liveSnaps = List.empty[(DataFrame, String)]
+    def snapshot(df: DataFrame, eager: Boolean = true): DataFrame =
+      checkpointDir match {
+        case Some(root) =>
+          val d = s"$root/run_$runId/step_$step"
+          step += 1
+          df.write.mode("overwrite").parquet(d)
+          val out = df.sparkSession.read.parquet(d)
+          liveSnaps ::= (out, d)
+          out
+        case None => df.localCheckpoint(eager)
+      }
+    def prune(keep: DataFrame*): Unit = if (checkpointDir.isDefined) {
+      val (kept, dead) = liveSnaps.partition { case (f, _) =>
+        keep.exists(_ eq f) }
+      dead.foreach { case (out, d) =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(
+          out.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      liveSnaps = kept
+    }
+  }
+
   /** Resolve undirected candidate pairs (aCol, bCol) over `vertices`
     * (idCol) into components. Emits (idCol, cluster_id).
     *
@@ -66,40 +115,9 @@ object Clusters {
                           checkpointDir: Option[String] = None,
                           smallGraphMaxEdges: Long = 4000000L): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val spark = vertices.sparkSession
-    val sc = spark.sparkContext
-    // reliable-snapshot bookkeeping: durable rounds are parquet
-    // round-trips into per-step subdirs — same durability as
-    // df.checkpoint() (reliable storage, lineage truncated) WITHOUT
-    // mutating the SparkContext-global checkpoint dir (concurrent
-    // callers would otherwise write into each other's directories) and
-    // with deletable per-step locations: Spark never deletes reliable
-    // checkpoints on its own, so an iterative loop must prune its own
-    // rounds or every daily run leaves maxIter corpus-sized snapshots.
-    var step = 0
-    // per-invocation unique run id: concurrent calls may share a root
-    val runId = java.util.UUID.randomUUID().toString.take(8)
-    var liveSnaps = List.empty[(DataFrame, String)] // snapshot -> its dir
-    def rmDir(d: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
-    }
-    def snapshot(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(root) =>
-        val d = s"$root/run_$runId/step_$step"
-        step += 1
-        df.write.mode("overwrite").parquet(d)
-        val out = spark.read.parquet(d)
-        liveSnaps ::= (out, d)
-        out
-      case None => df.localCheckpoint()
-    }
-    def prune(keep: DataFrame*): Unit = if (checkpointDir.isDefined) {
-      val (kept, dead) = liveSnaps.partition { case (f, _) =>
-        keep.exists(_ eq f) }
-      dead.foreach { case (_, d) => rmDir(d) }
-      liveSnaps = kept
-    }
+    val snaps = new RoundSnapshots(checkpointDir)
+    def snapshot(df: DataFrame): DataFrame = snaps.snapshot(df)
+    def prune(keep: DataFrame*): Unit = snaps.prune(keep: _*)
     val edges = snapshot(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -247,7 +265,8 @@ object Clusters {
     * Scale posture: the input pairs are deduplicated BEFORE symmetrizing
     * (half the dedup shuffle), then per round one edges⋈ranks join, one
     * map-side-combined sum shuffled by dst, and one join back to deg.
-    * The rank table is only |V| rows but its per-round `localCheckpoint`
+    * The rank table is only |V| rows but its per-round snapshot
+    * (`localCheckpoint`, or reliable storage via `checkpointDir`)
     * snapshot erases size stats, so AQE would never pick a broadcast
     * join on its own — when |V| ≤ `smallVertexMaxRows` the rank/inflow
     * sides are broadcast EXPLICITLY and the cached edge list never
@@ -260,7 +279,9 @@ object Clusters {
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 3,
                   scale: Long = 1000000000000L,
-                  smallVertexMaxRows: Long = 5000000L): DataFrame = {
+                  smallVertexMaxRows: Long = 5000000L,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val snaps = new RoundSnapshots(checkpointDir)
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     require(scale >= 1000L, s"scale must be >= 1000, got $scale")
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -276,16 +297,16 @@ object Clusters {
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val r0 = scale / n
     val base = (15L * r0) / 100L
-    var ranks = deg.withColumn("rank", lit(r0)).localCheckpoint()
+    var ranks = snaps.snapshot(deg.withColumn("rank", lit(r0)))
     for (_ <- 1 to iters) {
       val inflow = sym.join(side(ranks), Seq("src"))
         .select(col("dst"), expr("(85 * rank) div (100 * deg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
         .withColumnRenamed("dst", "src")
-      ranks = deg.join(side(inflow), Seq("src"))
+      ranks = snaps.snapshot(deg.join(side(inflow), Seq("src"))
         .select(col("src"), col("deg"),
-          (lit(base) + col("inflow")).as("rank"))
-        .localCheckpoint()
+          (lit(base) + col("inflow")).as("rank")))
+      snaps.prune(ranks)
     }
     sym.unpersist()
     deg.unpersist()
@@ -359,22 +380,25 @@ object Clusters {
     * clusters) that degree or triangle counts alone under-select.
     *
     * Each round is one degree aggregation + two semi-joins, snapshotted
-    * with `localCheckpoint` (the connectedComponents discipline — the
+    * per round (`localCheckpoint`, or reliable storage via `checkpointDir`
+    * — the connectedComponents discipline; the
     * round count is bounded by the peeling depth, which is small on
     * bounded-degeneracy graphs; the loop stops as soon as a round
     * removes nothing). Deterministic: the surviving set is the unique
     * maximal k-core, independent of peel order.
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-            maxRounds: Int = 50): DataFrame = {
+            maxRounds: Int = 50,
+            checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val snaps = new RoundSnapshots(checkpointDir)
     val canon = edges
       .filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .distinct()
-    var cur = canon.localCheckpoint()
+    var cur = snaps.snapshot(canon)
     var n = cur.count()
     var rounds = 0
     var stable = false
@@ -382,16 +406,16 @@ object Clusters {
       val deg = cur.select(col("a").as("u")).union(cur.select(col("b")))
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("u"))
-      val next = cur
+      val next = snaps.snapshot(cur
         .join(keep.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint()
+        .select(col("a"), col("b")))
       val m = next.count()
       stable = m == n
       cur = next
       n = m
       rounds += 1
+      snaps.prune(cur)
     }
     cur.select(col("a").as("vertex")).union(cur.select(col("b")))
       .groupBy(col("vertex")).agg(count(lit(1)).as("core_deg"))
@@ -576,20 +600,22 @@ object Clusters {
     * race; synchronous updates make round k a pure function of round
     * k−1 (the oracle unrolls the same rounds).
     *
-    * Scale: per round, one join of the (localCheckpointed) symmetric
+    * Scale: per round, one join of the (snapshotted — `localCheckpoint`,
+    * or reliable via `checkpointDir`) symmetric
     * edge list against the label frame and one map-combined vote
     * groupBy — all keyed on node ids; O(rounds · E) total, the q194
     * posture. The per-node vote window is bounded by that node's
     * degree. */
   def labelPropagation(nodes: DataFrame, idCol: String, edges: DataFrame,
                        aCol: String, bCol: String,
-                       rounds: Int = 5): DataFrame = {
+                       rounds: Int = 5,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"rounds must be in [1,50]: $rounds")
-    val sym = edges
+    val snaps = new RoundSnapshots(checkpointDir)
+    val sym = snaps.snapshot(edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true) // reused every round: cut the banding lineage
+      .distinct()) // reused every round: cut the banding lineage
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
     for (_ <- 1 to rounds) {
       val msgs = sym
@@ -607,10 +633,11 @@ object Clusters {
       // round (vote join + carry-forward), so an unmaterialized lineage
       // re-executes all prior rounds at every reference — 2^rounds work
       // (measured: 13 s -> ~1 s at sf0.1 for 5 rounds)
-      labels = labels.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint(true)
+      labels = snaps.snapshot(labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label")))
+      snaps.prune(sym, labels)
     }
+    snaps.prune(labels) // the returned plan reads only the final labels
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))
@@ -629,24 +656,26 @@ object Clusters {
     * oracle's ORDER BY (dist, seed) pick. */
   def graphVoronoi(nodes: DataFrame, idCol: String, sources: Column,
                    edges: DataFrame, aCol: String, bCol: String,
-                   maxHops: Int): DataFrame = {
+                   maxHops: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val snaps = new RoundSnapshots(checkpointDir)
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var state = nodes.filter(sources)
+    var state = snaps.snapshot(nodes.filter(sources)
       .select(col(idCol).as("id"), lit(0).as("hops"),
-        col(idCol).as("seed")).localCheckpoint(true)
+        col(idCol).as("seed")))
     (1 to maxHops).foreach { _ =>
       val expanded = state.join(sym, state("id") === sym("src"))
         .select(sym("dst").as("id"), (col("hops") + 1).as("hops"),
           col("seed"))
-      state = state.unionAll(expanded)
+      state = snaps.snapshot(state.unionAll(expanded)
         .groupBy(col("id"))
         .agg(min(struct(col("hops"), col("seed"))).as("__best"))
         .select(col("id"), col("__best.hops").as("hops"),
-          col("__best.seed").as("seed"))
-        .localCheckpoint(true)
+          col("__best.seed").as("seed")))
+      snaps.prune(state)
     }
     sym.unpersist(blocking = false)
     state.select(col("id").as(idCol), col("hops"), col("seed"))
@@ -709,14 +738,17 @@ object Clusters {
     * wedge join (a<b<c — each triangle once; the degree-ordered
     * orientation of [[triangleStats]] is the hub-robust upgrade if edge
     * skew bites); support is a groupBy over exploded triangle edges.
-    * Each round's edge set is `localCheckpoint`ed — it feeds three join
+    * Each round's edge set is snapshotted (`localCheckpoint`, or reliable
+    * via `checkpointDir`) — it feeds three join
     * legs, and unmaterialized lineage would re-run all prior rounds per
     * leg. */
   def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
-             rounds: Int, maxDegree: Option[Int] = None): DataFrame = {
+             rounds: Int, maxDegree: Option[Int] = None,
+             checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxDegree.forall(_ >= 2), s"maxDegree must be >= 2: $maxDegree")
+    val snaps = new RoundSnapshots(checkpointDir)
     def support(e: DataFrame): DataFrame = {
       val wedges = e.select(col("a"), col("b"))
         .join(e.select(col("a"), col("b").as("c")), Seq("a"))
@@ -734,10 +766,10 @@ object Clusters {
         .select(col("a"), col("b"),
           coalesce(col("support"), lit(0L)).as("support"))
     }
-    var e = edges.filter(col(aCol) =!= col(bCol))
+    var e = snaps.snapshot(edges.filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     // Degree cap — the 100-TB guard. A c-vertex near-dup clique (mirror
     // farm, mass-replicated boilerplate) contains Θ(c³) triangles, so
     // ENUMERATION cost is output-bound and no join strategy avoids it.
@@ -751,13 +783,16 @@ object Clusters {
         .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("__deg"))
       val hot = deg.filter(col("__deg") > cap).select(col("v"))
-      e = e.join(hot.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
-        .join(hot.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
-        .select(col("a"), col("b")).localCheckpoint(true)
+      e = snaps.snapshot(
+        e.join(hot.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
+          .join(hot.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
+          .select(col("a"), col("b")))
+      snaps.prune(e)
     }
     (1 to rounds).foreach { _ =>
-      e = support(e).filter(col("support") >= k - 2)
-        .select(col("a"), col("b")).localCheckpoint(true)
+      e = snaps.snapshot(support(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b")))
+      snaps.prune(e)
     }
     support(e).select(col("a").as("a_id"), col("b").as("b_id"),
       col("support"))
@@ -775,24 +810,27 @@ object Clusters {
     * key) + min-combine — the same data-parallel shape as
     * [[connectedComponents]] without the pointer jumping (hop counts
     * need true per-round expansion). Each round's distance table is
-    * `localCheckpoint`ed: it is referenced twice per round, and an
+    * snapshotted (`localCheckpoint`, or reliable via `checkpointDir`): it
+    * is referenced twice per round, and an
     * unmaterialized lineage would re-execute all prior rounds at every
     * reference (2^rounds work). */
   def bfsHops(nodes: DataFrame, idCol: String, sources: Column,
               edges: DataFrame, aCol: String, bCol: String,
-              maxHops: Int): DataFrame = {
+              maxHops: Int,
+              checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val snaps = new RoundSnapshots(checkpointDir)
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var dist = nodes.filter(sources)
-      .select(col(idCol).as("id"), lit(0).as("hops")).localCheckpoint(true)
+    var dist = snaps.snapshot(nodes.filter(sources)
+      .select(col(idCol).as("id"), lit(0).as("hops")))
     (1 to maxHops).foreach { _ =>
       val expanded = dist.join(sym, dist("id") === sym("src"))
         .select(sym("dst").as("id"), (col("hops") + 1).as("hops"))
-      dist = dist.unionAll(expanded)
-        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+      dist = snaps.snapshot(dist.unionAll(expanded)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops")))
+      snaps.prune(dist)
     }
     sym.unpersist(blocking = false)
     dist.select(col("id").as(idCol), col("hops"))
