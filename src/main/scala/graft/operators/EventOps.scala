@@ -15,6 +15,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventOps {
 
+  /** Cap on the Markov state space collected to the driver by
+    * [[markovAttribution]]: the transition matrix is (|channels| + 3)²
+    * cells, a model not data, but a caller wiring a raw high-cardinality
+    * type vocabulary into `channels` would OOM the driver at |states|²
+    * — fail fast BEFORE any job runs (the similarity-broadcast-guard
+    * discipline). Default 1024 states ≈ 1M cells ≈ tens of MB. */
+  val MaxMarkovStatesKey = "spark.graft.events.maxMarkovStates"
+  val DefaultMaxMarkovStates: Int = 1024
+
   /** Epoch-second-aligned tumbling window start. */
   def tumblingStart(ts: Column, sizeSec: Int): Column = {
     val sec = unix_timestamp(ts)
@@ -843,6 +852,19 @@ object EventOps {
                         iters: Int = 50): DataFrame = {
     require(channels.nonEmpty && !channels.contains(convType),
       "channels must be non-empty and exclude the conversion type")
+    // driver-collect guard: the transition matrix is |states|² cells on
+    // the driver; throw before running ANY job when the caller's channel
+    // vocabulary is too large to collect (conf-overridable cap)
+    val maxStates = events.sparkSession.conf
+      .get(MaxMarkovStatesKey, DefaultMaxMarkovStates.toString).toInt
+    val nStates = channels.size + 3 // channels + __conv/__null/__start
+    if (nStates > maxStates)
+      throw new IllegalArgumentException(
+        s"markovAttribution: ${channels.size} channels -> $nStates Markov " +
+          s"states, over the cap of $maxStates (conf $MaxMarkovStatesKey); " +
+          "collecting a |states|² transition matrix this large would " +
+          "OOM the driver. Bucket the channel vocabulary (e.g. top-N by " +
+          "volume + 'other') before attribution.")
     val Conv = "__conv"; val Null_ = "__null"; val Start = "__start"
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tiebreakCol))

@@ -71,6 +71,24 @@ class R6rOpsSpec extends SparkSpec {
     got("b") shouldBe 0.0 // b only appears post-conversion
   }
 
+  test("markovAttribution fails fast on an over-cap channel vocabulary " +
+    "before running any job") {
+    val df = Seq((1L, ts(0), 1L, "a"), (1L, ts(1), 2L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    spark.conf.set(EventOps.MaxMarkovStatesKey, "16")
+    try {
+      val wide = (1 to 64).map(i => s"ch_$i")
+      val ex = the[IllegalArgumentException] thrownBy
+        EventOps.markovAttribution(df, "user_id", "ts", "event_type",
+          "event_id", "purchase", wide)
+      ex.getMessage should include(EventOps.MaxMarkovStatesKey)
+      // at the cap boundary the call still runs
+      EventOps.markovAttribution(df, "user_id", "ts", "event_type",
+        "event_id", "purchase", (1 to 13).map(i => s"ch_$i"))
+        .count() shouldBe 13L
+    } finally spark.conf.unset(EventOps.MaxMarkovStatesKey)
+  }
+
   // -------------------------------------------- truncated EWMA
 
   test("truncatedEwma of a constant series is the constant") {
