@@ -349,30 +349,33 @@ object Corpus {
     * included, size 1).
     *
     * Scale: component resolution is O(log diameter) rounds over the
-    * PAIRS (a tiny fraction of the corpus); the docs side shuffles once
-    * for the components join and once more for the single cluster_id
-    * window pass that computes cluster_size + the keeper row_number
-    * (full rows, text included, sorted within each cluster partition —
-    * a pathologically large duplicate cluster funnels through one
-    * task). */
+    * PAIRS (a tiny fraction of the corpus); the keeper decision runs on
+    * a NARROW (id, rank, cluster_id) projection — the per-cluster window
+    * sort funnels only those three columns through a hot task even for a
+    * pathologically large duplicate cluster, never the document text —
+    * and the surviving ids join back to the full rows on the id key (one
+    * extra id-keyed shuffle, the price of keeping text out of the
+    * sort). */
   def resolveDuplicates(docs: DataFrame, idCol: String,
                         pairs: DataFrame, aCol: String, bCol: String,
                         prefer: Option[Column] = None,
                         maxIter: Int = 20): DataFrame = {
     val components = Clusters.connectedComponents(
       docs.select(col(idCol)), idCol, pairs, aCol, bCol, maxIter)
-    val withCluster = docs.join(components, idCol)
     // keeper = first row under (prefer desc NULLS LAST, id asc) — a plain
     // sort order, so the id may be ANY orderable type (string URLs, content
     // hashes, numeric keys) rather than something negatable
     val rank = prefer.getOrElse(lit(0))
+    val narrow = docs.select(col(idCol), rank.as("__rank"))
+      .join(components, idCol)
     val wCluster = Window.partitionBy(col("cluster_id"))
-    withCluster
+    val keepers = narrow
       .withColumn("cluster_size", count(lit(1)).over(wCluster))
       .withColumn("__rn", row_number().over(
-        wCluster.orderBy(rank.desc, col(idCol).asc)))
+        wCluster.orderBy(col("__rank").desc, col(idCol).asc)))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+    docs.join(keepers, idCol)
   }
 
   /** Paragraph-level exact dedup (the CCNet formulation): across the

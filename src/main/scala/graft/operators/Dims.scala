@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Dims {
 
+  /** Backtick-quote a caller-supplied column NAME so dotted names
+    * ("addr.city") resolve as one column instead of a struct-field
+    * path — every `col()` over a name the caller hands us goes through
+    * this. */
+  private def qcol(n: String) = col(s"`$n`")
+
   /** Conf key: distinct-key count above which [[buildDim]] dispatches to
     * [[buildDimDistributed]] instead of the single-task global window.
     * 1M keys through one window task is the upper edge of comfortable;
@@ -29,7 +35,7 @@ object Dims {
     * rows; above the cap the numbering routes to the partition-offset
     * machinery of [[buildDimDistributed]] (output-identical, DimsSpec). */
   def buildDim(src: DataFrame, naturalKey: Seq[String], keyCol: String): DataFrame = {
-    val d = src.select(naturalKey.map(col): _*).distinct()
+    val d = src.select(naturalKey.map(qcol): _*).distinct()
     val cap = src.sparkSession.conf
       .get(MaxSingleTaskKeysKey, DefaultMaxSingleTaskKeys.toString).toLong
     val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
@@ -45,7 +51,7 @@ object Dims {
       limited.unpersist(false)
       buildDimDistributed(src, naturalKey, keyCol)
     } else limited.withColumn(keyCol,
-      row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
+      row_number().over(Window.orderBy(naturalKey.map(qcol): _*)).cast("long"))
   }
 
   /** Dense deterministic surrogate keys WITHOUT a single-task global
@@ -60,7 +66,7 @@ object Dims {
     import org.apache.spark.sql.functions.spark_partition_id
     val n = if (partitions > 0) partitions
       else src.sparkSession.sparkContext.defaultParallelism
-    val keys = naturalKey.map(col)
+    val keys = naturalKey.map(qcol)
     val sorted = src.select(keys: _*).distinct()
       .repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
@@ -93,7 +99,7 @@ object Dims {
     val fresh = freshKeys(existing, incoming, naturalKey)
     val keyed = fresh
       .withColumn("__rn",
-        row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
+        row_number().over(Window.orderBy(naturalKey.map(qcol): _*)).cast("long"))
     appendOffsetKeyed(existing, keyed, keyCol)
   }
 
@@ -119,8 +125,8 @@ object Dims {
     * `Hashing.hashKey` folds NULLs into one sentinel. */
   private def freshKeys(existing: DataFrame, incoming: DataFrame,
                         naturalKey: Seq[String]): DataFrame = {
-    val inc = incoming.select(naturalKey.map(col): _*).distinct().as("inc")
-    val ex = existing.select(naturalKey.map(col): _*).distinct().as("ex")
+    val inc = incoming.select(naturalKey.map(qcol): _*).distinct().as("inc")
+    val ex = existing.select(naturalKey.map(qcol): _*).distinct().as("ex")
     val cond = naturalKey.map(k => col(s"inc.`$k`") <=> col(s"ex.`$k`"))
       .reduce(_ && _)
     inc.join(ex, cond, "left_anti")
@@ -129,11 +135,11 @@ object Dims {
   /** Shift dense 1..n `__rn` keys past max(existing key) and append. */
   private def appendOffsetKeyed(existing: DataFrame, keyed: DataFrame,
                                 keyCol: String): DataFrame = {
-    val maxKey = existing.agg(coalesce(max(col(keyCol)), lit(0L)).as("__mx"))
+    val maxKey = existing.agg(coalesce(max(qcol(keyCol)), lit(0L)).as("__mx"))
     val shifted = keyed
       .crossJoin(broadcast(maxKey))
       .withColumn(keyCol, (col("__mx") + col("__rn")).cast("long"))
       .drop("__rn", "__mx")
-    existing.unionByName(shifted.select(existing.columns.toIndexedSeq.map(col): _*))
+    existing.unionByName(shifted.select(existing.columns.toIndexedSeq.map(qcol): _*))
   }
 }

@@ -102,4 +102,23 @@ class DimsSpec extends SparkSpec {
     run2d.count() shouldBe 2
     run2d.except(existing).count() shouldBe 0
   }
+
+  test("dotted natural-key column names work end-to-end (quoted, not " +
+    "parsed as struct-field paths)") {
+    // "addr.city" is a legal flat column name; unquoted col() would try
+    // to resolve it as struct field `city` inside column `addr` and throw
+    val incoming = Seq(("x", "1"), ("y", "2"))
+      .toDF("addr.city", "geo.postal")
+    val dim = Dims.buildDim(incoming, Seq("addr.city", "geo.postal"), "k")
+    dim.count() shouldBe 2
+    val existing = dim.localCheckpoint()
+    val withNew = Seq(("x", "1"), ("z", "3")).toDF("addr.city", "geo.postal")
+    val run2 = Dims.insertOnlyMerge(existing, withNew,
+      Seq("addr.city", "geo.postal"), "k")
+    run2.count() shouldBe 3
+    run2.except(existing).count() shouldBe 1 // only z is new
+    val run2d = Dims.insertOnlyMergeDistributed(existing, withNew,
+      Seq("addr.city", "geo.postal"), "k", partitions = 2)
+    run2d.select("k").except(run2.select("k")).count() shouldBe 0
+  }
 }
