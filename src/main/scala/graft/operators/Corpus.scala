@@ -295,23 +295,36 @@ object Corpus {
     * Residual hot-band skew beyond that is AQE skew-join territory. */
   def simHashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int, bits: Int = 32,
-                          numBands: Int = 4): DataFrame = {
+                          numBands: Int = 4,
+                          maxBucket: Int = 0): DataFrame = {
     require(bits % numBands == 0, "bits must divide into equal bands")
     require(maxHamming <= numBands - 1,
       s"pigeonhole completeness needs maxHamming <= numBands - 1 " +
         s"(got $maxHamming vs $numBands bands)")
     bandedHammingPairs(NearDup.simHash(docs, idCol, textCol, bits),
-      "doc_id", "simhash", maxHamming, bits, numBands)
+      "doc_id", "simhash", maxHamming, bits, numBands, maxBucket)
   }
 
   /** Pigeonhole-banded Hamming pairs over an EXISTING fingerprint column
     * (any 64-bit-or-narrower signature: SimHash, a perceptual media hash,
     * a rolling document fingerprint). The banding contract and scale
     * posture are [[simHashHammingPairs]]'s; this is the reusable core it
-    * delegates to. Emits `(a_id, b_id, hamming)`. */
+    * delegates to. Emits `(a_id, b_id, hamming)`.
+    *
+    * `maxBucket` (0 = off) drops (band_id, band_val) buckets holding more
+    * than `maxBucket` docs BEFORE the self-join — the band-space analogue
+    * of the hot-shingle `maxDf` cap: a saturated bucket is a replica/
+    * boilerplate clique contributing bucket²/2 candidate pairs, and its
+    * members' duplicate status is better established by exact dedup
+    * upstream. With the cap, Σ bucket² ≤ maxBucket × docs × numBands —
+    * linear in the corpus for fixed maxBucket. Pairs whose EVERY shared
+    * band is saturated are missed (the documented, deliberate trade);
+    * pairs sharing any surviving band are still found and still
+    * exact-distance-checked. */
   def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
                          maxHamming: Int, bits: Int,
-                         numBands: Int): DataFrame = {
+                         numBands: Int,
+                         maxBucket: Int = 0): DataFrame = {
     require(bits % numBands == 0, "bits must divide into equal bands")
     require(maxHamming <= numBands - 1,
       s"pigeonhole completeness needs maxHamming <= numBands - 1 " +
@@ -319,12 +332,22 @@ object Corpus {
     val bandBits = bits / numBands
     val mask = bandMask(bandBits)
     val sig = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val all = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
             .as("band_val"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_id"), col("b.band_val"))
+    val banded =
+      if (maxBucket <= 0) all
+      else {
+        // saturated-bucket list is tiny by construction (≤ postings /
+        // maxBucket entries) — broadcast anti-join, no posting re-shuffle
+        val hot = all.groupBy(col("band_id"), col("band_val"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select(col("band_id"), col("band_val"))
+        all.join(broadcast(hot), Seq("band_id", "band_val"), "left_anti")
+      }
     banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&

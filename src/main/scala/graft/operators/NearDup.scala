@@ -523,16 +523,19 @@ object NearDup {
     * verification work.
     *
     * Scale: the histogram is the one data-sized pass (a thresholded
-    * pair join — use capped/banded pair sources at scale); everything
-    * after is a bins-sized model. */
+    * pair join — `maxDf` caps hot shingles, `candidates` restricts the
+    * pass to pre-banded pairs, same levers as [[ngramJaccardPairs]];
+    * the default uncapped all-pairs form is verification-scale only);
+    * everything after is a bins-sized model. */
   def lshPlanner(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, minSim: Double = 0.2,
                  simThreshold: Double = 0.7, budget: Int = 24,
-                 bins: Int = 20, maxDf: Int = 0): DataFrame = {
+                 bins: Int = 20, maxDf: Int = 0,
+                 candidates: Option[DataFrame] = None): DataFrame = {
     require(budget >= 2, s"budget must be >= 2, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = ngramPairStats(docs, idCol, textCol, n, maxDf, None)
+    val pairs = ngramPairStats(docs, idCol, textCol, n, maxDf, candidates)
       .filter(col("intersection").cast("double") /
         (col("n_a") + col("n_b") - col("intersection")).cast("double")
         >= minSim)
@@ -586,15 +589,17 @@ object NearDup {
     * threshold, n_pairs) — empty when the histogram lacks mass on
     * either side of the midpoint (no bimodal structure to cut).
     *
-    * Scale: the histogram pass is the thresholded pair join (banded/
-    * capped at scale); mode/valley selection runs on the bins-sized
-    * spine. */
+    * Scale: the histogram pass is the thresholded pair join (`maxDf`
+    * caps hot shingles, `candidates` feeds pre-banded pairs — the
+    * 100 TB shape; uncapped all-pairs is verification-scale only);
+    * mode/valley selection runs on the bins-sized spine. */
   def autoThreshold(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, minSim: Double = 0.2, bins: Int = 20,
-                    maxDf: Int = 0): DataFrame = {
+                    maxDf: Int = 0,
+                    candidates: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = ngramPairStats(docs, idCol, textCol, n, maxDf, None)
+    val pairs = ngramPairStats(docs, idCol, textCol, n, maxDf, candidates)
       .filter(col("intersection").cast("double") /
         (col("n_a") + col("n_b") - col("intersection")).cast("double")
         >= minSim)
