@@ -1007,30 +1007,79 @@ object Corpus {
     * length. No windows. */
   def unigramCrossEntropy(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    val Scale = 1073741824L // 2^30
-    val docTok = spread(docs)
+    val docTok = docTokenCounts(docs, idCol, textCol)
+    val logp = unigramLogProbs(docs, idCol, textCol)
+      .select(col("token").as("__tok"), col("lp_scaled").as("__lp_scaled"))
+    // self-scoring: every token is in its own vocabulary — no OOV branch
+    scoreCrossEntropy(docTok.join(logp, "__tok"), idCol)
+  }
+
+  /** The unigram reference MODEL behind [[unigramCrossEntropy]], exposed
+    * so other collections can be scored against a FIXED vocabulary:
+    * `(token, lp_scaled)` with lp_scaled = floor(ln(count/total)·2^30)
+    * (the same exact-integer log grid — see the determinism contract
+    * above). Persist it (vocab-sized, tiny) and feed
+    * [[unigramCrossEntropyAgainst]] — the streaming-intake shape, where
+    * batch-relative probabilities would make scores depend on batch
+    * boundaries. */
+  def unigramLogProbs(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val vocab = docTokenCounts(docs, idCol, textCol)
+      .groupBy(col("__tok")).agg(sum(col("__cnt")).as("__gcnt"))
+    val total = vocab.agg(sum(col("__gcnt")).as("__total"))
+    vocab.crossJoin(broadcast(total))
+      .withColumn("lp_scaled",
+        floor(log(col("__gcnt").cast("double") /
+          col("__total").cast("double")) * lit(CeScale.toDouble))
+          .cast("long"))
+      .select(col("__tok").as("token"), col("lp_scaled"))
+  }
+
+  /** [[unigramCrossEntropy]] against a FIXED model from
+    * [[unigramLogProbs]] (or any `(token, lp_scaled)` table): the scored
+    * docs do NOT update the vocabulary, so a document's score is
+    * independent of what it arrives with — the property a streaming
+    * quality gate needs for stream == batch parity. Out-of-vocabulary
+    * tokens contribute a flat `oovPenaltyNats` (gibberish and OCR noise
+    * are mostly OOV mass — a fixed penalty keeps the score exact-integer
+    * and engine-independent). Emits (idCol, n_tokens,
+    * cross_entropy_nats); token-less docs emit nothing.
+    *
+    * Scale: per-doc token counts join the vocab-sized model on the token
+    * key; no windows, no corpus-wide state. */
+  def unigramCrossEntropyAgainst(docs: DataFrame, idCol: String,
+                                 textCol: String, model: DataFrame,
+                                 oovPenaltyNats: Double = 20.0): DataFrame = {
+    require(oovPenaltyNats >= 0, s"oovPenaltyNats must be >= 0: $oovPenaltyNats")
+    val oovScaled = -math.floor(oovPenaltyNats * CeScale.toDouble).toLong
+    val logp = model.select(col("token").as("__tok"),
+      col("lp_scaled").as("__lp_scaled"))
+    val joined = docTokenCounts(docs, idCol, textCol)
+      .join(logp, Seq("__tok"), "left")
+      .withColumn("__lp_scaled",
+        coalesce(col("__lp_scaled"), lit(oovScaled)))
+    scoreCrossEntropy(joined, idCol)
+  }
+
+  private val CeScale = 1073741824L // 2^30 — exact power-of-two log grid
+
+  private def docTokenCounts(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    spread(docs)
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
         .as("__tok"))
       .groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__cnt"))
-    val vocab = docTok.groupBy(col("__tok"))
-      .agg(sum(col("__cnt")).as("__gcnt"))
-    val total = vocab.agg(sum(col("__gcnt")).as("__total"))
-    val logp = vocab.crossJoin(broadcast(total))
-      .withColumn("__lp_scaled",
-        floor(log(col("__gcnt").cast("double") /
-          col("__total").cast("double")) * lit(Scale.toDouble))
-          .cast("long"))
-      .select(col("__tok"), col("__lp_scaled"))
-    docTok.join(logp, "__tok")
-      .groupBy(col(idCol))
+
+  private def scoreCrossEntropy(scored: DataFrame,
+                                idCol: String): DataFrame =
+    scored.groupBy(col(idCol))
       .agg(sum(col("__cnt")).as("n_tokens"),
         sum(col("__cnt") * col("__lp_scaled")).as("__sum_scaled"))
       .withColumn("cross_entropy_nats",
-        -(col("__sum_scaled").cast("double") / lit(Scale.toDouble)) /
+        -(col("__sum_scaled").cast("double") / lit(CeScale.toDouble)) /
           col("n_tokens").cast("double"))
       .drop("__sum_scaled")
-  }
 
   /** Per-document lexical-diversity signals: type-token ratio (distinct
     * tokens / tokens) and hapax ratio (once-only tokens / distinct

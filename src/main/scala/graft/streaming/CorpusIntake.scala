@@ -32,6 +32,25 @@ import graft.operators.{Corpus, NearDup}
   */
 object CorpusIntake {
 
+  /** Gopher-style per-document quality gate settings (the
+    * `Corpus.gopherQualityFlags` thresholds, applied per batch BEFORE
+    * dedup — the CorpusPipeline stage order). */
+  final case class GopherGate(minWords: Int = 50, maxWords: Int = 100000,
+                              minMeanWordLen: Double = 3.0,
+                              maxMeanWordLen: Double = 10.0,
+                              maxSymbolRatio: Double = 0.1,
+                              minAlphaRatio: Double = 0.8,
+                              minStopwordHits: Int = 2)
+
+  /** Unigram cross-entropy gate: score each arrival against a FIXED
+    * `(token, lp_scaled)` reference model (`Corpus.unigramLogProbs` of a
+    * trusted corpus) and drop docs scoring above `maxNats`. The model
+    * must be fixed — batch-relative probabilities would make a doc's
+    * fate depend on what it happened to arrive with. Token-less docs
+    * are unscorable and are dropped. */
+  final case class CeGate(model: DataFrame, maxNats: Double,
+                          oovPenaltyNats: Double = 20.0)
+
   /** Process all currently-available input files once and stop. Returns
     * after the corpus at `corpusDir` includes every accepted arrival.
     *
@@ -59,16 +78,35 @@ object CorpusIntake {
                      maxHamming: Int = 3, bits: Int = 32,
                      numBands: Int = 4,
                      signatureDir: Option[String] = None,
-                     quota: Option[(String, Int)] = None): Unit = {
+                     quota: Option[(String, Int)] = None,
+                     gopher: Option[GopherGate] = None,
+                     ce: Option[CeGate] = None): Unit = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)
     val q = StreamOps.incrementalLoad(stream, checkpointDir) { (batch, _) =>
       if (!batch.isEmpty) {
         val cols = batch.columns.toIndexedSeq.map(col)
-        // within-batch resolution first: arrivals in the same batch have
+        // quality gates FIRST (the CorpusPipeline stage order: a doc's
+        // gate fate is per-doc and model-fixed, so gating before dedup
+        // is batch-boundary-independent — stream == batch by
+        // construction)
+        val gophered = gopher.fold(batch) { g =>
+          Corpus.gopherQualityFlags(batch, idCol, textCol, g.minWords,
+              g.maxWords, g.minMeanWordLen, g.maxMeanWordLen,
+              g.maxSymbolRatio, g.minAlphaRatio, g.minStopwordHits)
+            .filter(col("keep")).select(cols: _*)
+        }
+        val gated0 = ce.fold(gophered) { c =>
+          val keep = Corpus.unigramCrossEntropyAgainst(gophered, idCol,
+              textCol, c.model, c.oovPenaltyNats)
+            .filter(col("cross_entropy_nats") <= c.maxNats)
+            .select(col(idCol))
+          gophered.join(keep, Seq(idCol), "left_semi")
+        }
+        // within-batch resolution next: arrivals in the same batch have
         // no order between them, so components + min-id keeper (hamming 0
         // exact dups are just the radius-0 case)
-        val withinDeduped = Corpus.resolveDuplicates(batch, idCol,
-            Corpus.simHashHammingPairs(batch, idCol, textCol, maxHamming,
+        val withinDeduped = Corpus.resolveDuplicates(gated0, idCol,
+            Corpus.simHashHammingPairs(gated0, idCol, textCol, maxHamming,
               bits, numBands),
             "a_id", "b_id")
           .select(cols: _*)

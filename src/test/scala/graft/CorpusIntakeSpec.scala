@@ -119,6 +119,63 @@ class CorpusIntakeSpec extends SparkSpec {
     bySource("a") shouldBe Set(1L, 2L, expected)
   }
 
+  test("quality gates (gopher + fixed-model cross-entropy) drop inside " +
+    "the stream exactly as in batch") {
+    val root = Files.createTempDirectory("graft_intake_gates").toString
+    val (in, corpus, ckpt) = (s"$root/in", s"$root/corpus", s"$root/ckpt")
+    // reference model: common-English prose — docs of these tokens score
+    // low CE; gibberish is all-OOV and scores the flat penalty
+    val refCorpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and the cat"),
+      (101L, "a document about the spark optimizer and the shuffle plans"))
+      .toDF("doc_id", "text")
+    val model = Corpus.unigramLogProbs(refCorpus, "doc_id", "text")
+      .localCheckpoint()
+    val gopher = CorpusIntake.GopherGate(minWords = 5, minMeanWordLen = 2.0,
+      maxMeanWordLen = 12.0, minStopwordHits = 1)
+    val ceMax = 10.0
+    // b1: 1 passes; 2 fails gopher (no stopwords, symbol-free gibberish
+    // is caught by CE anyway); 3 fails CE (all-OOV -> 20 nats)
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "zzz"),
+      (3L, "qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp"))
+    // b2: 11 near-dups accepted doc 1 (cross-batch gate); 12 passes all
+    val b2 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (12L, "a document about the spark optimizer and the lazy dog"))
+    val schema = b1.toDF("doc_id", "text").schema
+    def run(): Unit = CorpusIntake.runIncremental(spark, in, schema,
+      corpus, ckpt, "doc_id", "text",
+      gopher = Some(gopher), ce = Some(CorpusIntake.CeGate(model, ceMax)))
+
+    b1.toDF("doc_id", "text").write.mode("append").parquet(in); run()
+    b2.toDF("doc_id", "text").write.mode("append").parquet(in); run()
+
+    val streamed = spark.read.parquet(corpus)
+    streamed.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 12L)
+
+    // batch parity: the same gates applied one-shot (gates are per-doc
+    // against a FIXED model, so they commute with batching), then the
+    // same min-id duplicate resolution
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val gophered = Corpus.gopherQualityFlags(all, "doc_id", "text",
+        gopher.minWords, gopher.maxWords, gopher.minMeanWordLen,
+        gopher.maxMeanWordLen, gopher.maxSymbolRatio, gopher.minAlphaRatio,
+        gopher.minStopwordHits)
+      .filter($"keep").select("doc_id", "text")
+    val ceKept = Corpus.unigramCrossEntropyAgainst(gophered, "doc_id",
+        "text", model)
+      .filter($"cross_entropy_nats" <= ceMax).select($"doc_id")
+    val gated = gophered.join(ceKept, Seq("doc_id"), "left_semi")
+    val oneShot = Corpus.resolveDuplicates(gated, "doc_id",
+        Corpus.simHashHammingPairs(gated, "doc_id", "text", maxHamming = 3),
+        "a_id", "b_id")
+      .select("doc_id", "text")
+    oneShot.collect().map(_.toSeq).toSet shouldBe
+      streamed.select("doc_id", "text").collect().map(_.toSeq).toSet
+  }
+
   test("re-running with no new files appends nothing") {
     val root = Files.createTempDirectory("graft_intake2").toString
     val schema = batch1.toDF("doc_id", "text").schema
