@@ -1,0 +1,29 @@
+package graft
+
+/** OPERATORS.md is generated (tools/gen_operators_index.py) — this spec
+  * fails the build when the committed index drifts from the registry, so
+  * a query added without regenerating the index is caught in CI. */
+class OperatorIndexSpec extends SparkSpec {
+
+  private lazy val indexRows: Seq[String] = {
+    val src = scala.io.Source.fromFile("OPERATORS.md", "UTF-8")
+    try src.getLines().filter(_.matches("^\\| q\\d.*")).toVector
+    finally src.close()
+  }
+
+  test("index row count matches Queries.all") {
+    indexRows.size shouldBe Queries.all.size
+  }
+
+  test("every registered query has an index row, and no stale rows remain") {
+    val indexed = indexRows.map(_.split("\\|")(1).trim).toSet
+    val registered = Queries.all.map(_.name).toSet
+    (registered diff indexed) shouldBe Set.empty
+    (indexed diff registered) shouldBe Set.empty
+  }
+
+  test("registry names are unique (the index keys on them)") {
+    val names = Queries.all.map(_.name)
+    names.distinct.size shouldBe names.size
+  }
+}
