@@ -36,11 +36,18 @@ object Bench {
       .filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // SPARK_GRAFT_BENCH_RUNS: total executions per query (default 3 =
+    // cold + 2 warm, min-of-warm reported). 1 = cold only — for
+    // large-scale probe fixtures where a query runs minutes and the
+    // steady-state/JIT distinction stops mattering.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
-      val w1 = once(fn)
-      val w2 = once(fn)
-      val warm = if (w1 < 0 || w2 < 0) math.max(w1, w2) else math.min(w1, w2)
+      val warms = (2 to runs).map(_ => once(fn))
+      val warm =
+        if (warms.isEmpty) cold
+        else if (warms.exists(_ < 0)) warms.max
+        else warms.min
       (name, cold, warm)
     }
     val total = results.map(_._3).filter(_ >= 0).sum

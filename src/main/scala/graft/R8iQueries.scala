@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.QueryDef
-import graft.operators.Corpus
+import graft.operators.{Corpus, Similarity}
 
 /** Round-9 wave 2: fixed-model cross-entropy scoring.
   *
@@ -46,5 +46,41 @@ object R8iQueries {
                / CAST(sum(cnt) AS DOUBLE) AS cross_entropy_nats
       FROM sc GROUP BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q302)
+  private val MinMargin = 1.0
+
+  /** Margin-based bitext mining between the even- and odd-id embedding
+    * halves: mutual-best pairs whose cosine beats the average of the two
+    * sides' runner-up cosines (the parallel-corpus mining margin). The
+    * oracle replays the exact ranking and the one fixed two-term margin
+    * denominator, so doubles match bitwise. */
+  private val q303 = QueryDef(
+    "q303_bitext_margin",
+    (s, d) => Similarity.marginBitextMine(Tables.embeddings(s, d),
+      "vec_id", "embedding",
+      col("vec_id") % 2 === 0, col("vec_id") % 2 === 1, MinMargin),
+    Some(s"""
+      WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb
+                 FROM embeddings WHERE vec_id % 2 = 0),
+      b AS (SELECT vec_id AS b_id, embedding AS b_emb
+            FROM embeddings WHERE vec_id % 2 = 1),
+      sc AS (SELECT a_id, b_id,
+               ${ExtQueries.oCos("a_emb", "b_emb")} AS cosine
+             FROM a CROSS JOIN b),
+      r AS (SELECT a_id, b_id, cosine,
+              row_number() OVER (PARTITION BY a_id
+                ORDER BY cosine DESC, b_id) AS ra,
+              row_number() OVER (PARTITION BY b_id
+                ORDER BY cosine DESC, a_id) AS rb
+            FROM sc),
+      r2a AS (SELECT a_id, cosine AS s2a FROM r WHERE ra = 2),
+      r2b AS (SELECT b_id, cosine AS s2b FROM r WHERE rb = 2)
+      SELECT m.a_id, m.b_id, m.cosine,
+             m.cosine / ((COALESCE(s2a, s2b) + COALESCE(s2b, s2a)) / 2.0)
+               AS margin
+      FROM r m LEFT JOIN r2a USING (a_id) LEFT JOIN r2b USING (b_id)
+      WHERE m.ra = 1 AND m.rb = 1
+        AND m.cosine / ((COALESCE(s2a, s2b) + COALESCE(s2b, s2a)) / 2.0)
+          >= $MinMargin"""))
+
+  val all: Seq[QueryDef] = Seq(q302, q303)
 }

@@ -131,6 +131,79 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** Margin-based bitext mining: mutual-best cross-collection matches
+    * whose cosine clearly beats each side's runner-up — the
+    * margin-scoring idea behind large-scale parallel-corpus mining
+    * (a raw cosine threshold can't separate "true translation" from
+    * "hubness region where everything scores 0.8"; dividing by the
+    * local competition can).
+    *
+    * For x in A (rows matching `sideA`) and y in B: x's candidates are
+    * ALL of B, ranked by (cosine desc, id asc); y's symmetrically over
+    * A. A pair is mined iff x and y are each other's rank-1 AND
+    * `margin = cos(x,y) / ((runnerUp_x + runnerUp_y) / 2) >= minMargin`
+    * where runnerUp is each side's rank-2 cosine. The denominator is
+    * one fixed two-term sum of two order-free window maxima — no
+    * accumulation-order nondeterminism anywhere, so a differential
+    * oracle matches bitwise. A side with no runner-up (singleton
+    * competition — common under bucket-local candidates) falls back to
+    * the OTHER side's runner-up; when neither side has one, the margin
+    * is NULL and the pair is dropped — no-competition evidence is no
+    * evidence.
+    *
+    * Emits (a_id, b_id, cosine, margin), one row per mined pair.
+    *
+    * Scale: without `candidates`, B and A are broadcast in turn
+    * (guarded — verification scale only). With `candidates` (a_id,
+    * b_id) from [[lshBucketed]] bands or IVF buckets, only those pairs
+    * are scored and ranked — rank-1/rank-2 are then bucket-local, the
+    * standard ANN-mining approximation, and the whole pass is
+    * candidate-bound. */
+  def marginBitextMine(embeddings: DataFrame, idCol: String, embCol: String,
+                       sideA: Column, sideB: Column, minMargin: Double,
+                       candidates: Option[DataFrame] = None): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val a = embeddings.filter(sideA)
+      .select(col(idCol).as("a_id"), col(embCol).as("__a_emb"))
+    val b = embeddings.filter(sideB)
+      .select(col(idCol).as("b_id"), col(embCol).as("__b_emb"))
+    val pairs = candidates match {
+      case Some(c) => c.select(col("a_id"), col("b_id"))
+        .join(a, "a_id").join(b, "b_id")
+      case None =>
+        val spreadA = a.repartition(
+          embeddings.sparkSession.sparkContext.defaultParallelism)
+        spreadA.crossJoin(broadcast(requireBroadcastable(b,
+          "marginBitextMine side B (all-pairs cross join)",
+          "Pass candidates= (lshBucketed / IVF buckets) for collections " +
+            "above the cap; the no-candidates path is verification-scale " +
+            "only.")))
+    }
+    val scored = pairs.withColumn("cosine",
+      call_function("vec_cosine", col("__a_emb"), col("__b_emb")))
+      .select(col("a_id"), col("b_id"), col("cosine"))
+    val wA = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id"))
+    val wB = Window.partitionBy(col("b_id"))
+      .orderBy(col("cosine").desc, col("a_id"))
+    val ranked = scored
+      .withColumn("__ra", row_number().over(wA))
+      .withColumn("__rb", row_number().over(wB))
+    // runner-up cosine per side, joined back onto the mutual-best pairs
+    val r2a = ranked.filter(col("__ra") === 2)
+      .select(col("a_id"), col("cosine").as("__s2a"))
+    val r2b = ranked.filter(col("__rb") === 2)
+      .select(col("b_id"), col("cosine").as("__s2b"))
+    ranked.filter(col("__ra") === 1 && col("__rb") === 1)
+      .join(r2a, Seq("a_id"), "left")
+      .join(r2b, Seq("b_id"), "left")
+      .withColumn("margin",
+        col("cosine") / ((coalesce(col("__s2a"), col("__s2b"))
+          + coalesce(col("__s2b"), col("__s2a"))) / lit(2.0)))
+      .filter(col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), col("cosine"), col("margin"))
+  }
+
   // ---- IVF (inverted-file) ANN: the centroid-bucketed scale path --------
 
   /** Deterministic IVF seed centroids: the k vectors with the smallest
