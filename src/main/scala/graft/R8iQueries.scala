@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.QueryDef
-import graft.operators.{Corpus, Similarity}
+import graft.operators.{Corpus, Quality, Similarity}
 
 /** Round-9 wave 2: fixed-model cross-entropy scoring.
   *
@@ -82,5 +82,33 @@ object R8iQueries {
         AND m.cosine / ((COALESCE(s2a, s2b) + COALESCE(s2b, s2a)) / 2.0)
           >= $MinMargin"""))
 
-  val all: Seq[QueryDef] = Seq(q302, q303)
+  private val GoodChars = 300
+  private val PriorStrength = 50.0
+
+  /** Per-source quality rates shrunk toward the pooled rate with
+    * pseudo-counts — the crawl-prioritization ranking where raw rates
+    * would let a 3-for-3 micro-source outrank a large workhorse. */
+  private val q304 = QueryDef(
+    "q304_source_shrinkage",
+    (s, d) => Quality.sourceQualityShrinkage(Tables.documents(s, d),
+      "source", col("n_chars") >= GoodChars, PriorStrength),
+    Some(s"""
+      WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_chars >= $GoodChars THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_good
+             FROM documents GROUP BY source),
+      tot AS (SELECT sum(n_docs) AS tn, sum(n_good) AS tk FROM per)
+      SELECT source, n_docs, n_good,
+             CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) AS raw_rate,
+             (CAST(n_good AS DOUBLE)
+                + $PriorStrength * (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)))
+               / (CAST(n_docs AS DOUBLE) + $PriorStrength) AS shrunk_rate,
+             CAST(row_number() OVER (ORDER BY
+               (CAST(n_good AS DOUBLE)
+                  + $PriorStrength * (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)))
+                 / (CAST(n_docs AS DOUBLE) + $PriorStrength) DESC,
+               source ASC) AS INT) AS rank
+      FROM per CROSS JOIN tot"""))
+
+  val all: Seq[QueryDef] = Seq(q302, q303, q304)
 }

@@ -34,4 +34,26 @@ class QualitySpec extends SparkSpec {
     val dim = Seq(1, 2, 3).toDF("pk")
     Quality.orphanCount(fact, "fk", dim, "pk") shouldBe 1
   }
+
+  test("sourceQualityShrinkage: micro-source stops outranking the workhorse") {
+    import spark.implicits._
+    // tiny: 3/3 good (raw 1.0); big: 9400/10000 (raw 0.94);
+    // junk: 0/2000 — drags the pooled rate to ~0.78, so shrinkage pulls
+    // the unproven tiny source toward the pool while big barely moves
+    val docs = ((1 to 3).map(_ => ("tiny", 500L)) ++
+      (1 to 9400).map(_ => ("big", 500L)) ++
+      (1 to 600).map(_ => ("big", 10L)) ++
+      (1 to 2000).map(_ => ("junk", 10L))).toDF("source", "n_chars")
+    val out = graft.operators.Quality.sourceQualityShrinkage(
+        docs, "source", org.apache.spark.sql.functions.col("n_chars") >= 300,
+        priorStrength = 100.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("raw_rate"), r.getAs[Double]("shrunk_rate"),
+          r.getAs[Int]("rank")))).toMap
+    out("tiny")._1 shouldBe 1.0
+    out("tiny")._2 should be < out("big")._2 // shrunk toward pooled ~0.94
+    out("big")._3 shouldBe 1 // workhorse ranks first after shrinkage
+    // big barely moves: n >> priorStrength
+    out("big")._2 shouldBe out("big")._1 +- 0.005
+  }
 }
