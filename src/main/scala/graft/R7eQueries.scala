@@ -84,5 +84,29 @@ object R7eQueries {
       FROM occ JOIN fin f USING (tok)
       GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q253, q254)
+  /** Tokenizer fertility per source (BPE tokens/word, chars/BPE token):
+    * the tokenizer-fit report, Zipf-amortized over the distinct
+    * vocabulary like q253/q254. */
+  private val q305 = QueryDef(
+    "q305_tokenizer_fertility",
+    (s, d) => Corpus.tokenizerFertility(Tables.documents(s, d), "source",
+      "text", TopK),
+    Some(s"""
+      WITH RECURSIVE $oBpeCtes,
+      occ AS (SELECT source, unnest(${ExtQueries.oToks("text")}) AS tok
+              FROM documents),
+      so AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM occ GROUP BY 1, 2)
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS n_words,
+             CAST(sum(cnt * len(f.s)) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(cnt * length(tok)) AS BIGINT) AS n_chars,
+             CAST(sum(cnt * len(f.s)) AS DOUBLE)
+               / CAST(sum(cnt) AS DOUBLE) AS fertility,
+             CAST(sum(cnt * length(tok)) AS DOUBLE)
+               / CAST(sum(cnt * len(f.s)) AS DOUBLE) AS chars_per_bpe_token
+      FROM so JOIN fin f USING (tok)
+      GROUP BY source"""))
+
+  val all: Seq[QueryDef] = Seq(q253, q254, q305)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.QueryDef
-import graft.operators.{Corpus, Quality, Similarity}
+import graft.operators.{Corpus, Quality, Similarity, Stats}
 
 /** Round-9 wave 2: fixed-model cross-entropy scoring.
   *
@@ -110,5 +110,52 @@ object R8iQueries {
                source ASC) AS INT) AS rank
       FROM per CROSS JOIN tot"""))
 
-  val all: Seq[QueryDef] = Seq(q302, q303, q304)
+  private val SubBuckets = 16
+
+  /** Per-source p50/p90/p99 document length from the mergeable
+    * log-bucket sketch — quantiles without a per-group sort, the 100 TB
+    * shape; the oracle replays the exact integer bucketing and pick. */
+  private val q306 = QueryDef(
+    "q306_logbucket_quantiles",
+    (s, d) => Stats.logBucketQuantiles(Tables.documents(s, d),
+      Seq("source"), "n_chars", SubBuckets, Seq(0.5, 0.9, 0.99)),
+    Some(s"""
+      WITH v AS (SELECT source, n_chars AS x FROM documents
+                 WHERE n_chars IS NOT NULL),
+      b AS (SELECT source,
+              CASE WHEN x <= 0 THEN -1
+                   ELSE length(bin(x)) - 1 END AS e,
+              CASE WHEN x <= 0 THEN CAST(0 AS BIGINT)
+                   ELSE ((x - (CAST(1 AS BIGINT) << (length(bin(x)) - 1)))
+                          * $SubBuckets)
+                        // (CAST(1 AS BIGINT) << (length(bin(x)) - 1))
+                   END AS sub
+            FROM v),
+      sk AS (SELECT source, e, sub, CAST(count(*) AS BIGINT) AS cnt
+             FROM b GROUP BY 1, 2, 3),
+      c AS (SELECT source, e, sub, cnt,
+              sum(cnt) OVER (PARTITION BY source ORDER BY e, sub) AS cum,
+              sum(cnt) OVER (PARTITION BY source) AS tot
+            FROM sk),
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+               CAST(0.99 AS DOUBLE)]) AS q),
+      pick AS (SELECT source, q, tot, e, sub,
+                 row_number() OVER (PARTITION BY source, q
+                   ORDER BY e, sub) AS rn
+               FROM c CROSS JOIN qs
+               WHERE cum >= ceil(q * tot))
+      SELECT source, q, CAST(tot AS BIGINT) AS n,
+             CAST(CASE WHEN e < 0 THEN 0
+                  ELSE (CAST(1 AS BIGINT) << e)
+                    + (sub * (CAST(1 AS BIGINT) << e) + $SubBuckets - 1)
+                      // $SubBuckets
+                  END AS BIGINT) AS est_lo,
+             CAST(CASE WHEN e < 0 THEN 1
+                  ELSE (CAST(1 AS BIGINT) << e)
+                    + ((sub + 1) * (CAST(1 AS BIGINT) << e) + $SubBuckets - 1)
+                      // $SubBuckets
+                  END AS BIGINT) AS est_hi
+      FROM pick WHERE rn = 1"""))
+
+  val all: Seq[QueryDef] = Seq(q302, q303, q304, q306)
 }

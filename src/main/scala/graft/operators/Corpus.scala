@@ -1421,6 +1421,42 @@ object Corpus {
         (size(split(col("encoded"), " ", -1))).cast("long"))
   }
 
+  /** Tokenizer fertility per source: BPE tokens per word and characters
+    * per BPE token, the "how well does this tokenizer fit this slice"
+    * numbers a multilingual corpus report leads with (a fertility of 3+
+    * on one source means its text fragments into symbol soup — wasted
+    * context window and skewed per-source token budgets).
+    *
+    * Merges are learned from the WHOLE corpus ([[bpePairStats]], rank =
+    * priority), encoding is Zipf-amortized over the distinct vocabulary
+    * ([[bpeEncodeVocab]]), and per-source occurrence counts join that
+    * vocabulary on the token key — the join input is Σ per-source
+    * vocabulary, never raw corpus length. All aggregates are exact
+    * integer sums; the two ratios are one final division each, so a
+    * differential oracle matches bitwise.
+    *
+    * Emits (source, n_words, n_bpe_tokens, n_chars, fertility,
+    * chars_per_bpe_token). */
+  def tokenizerFertility(docs: DataFrame, sourceCol: String,
+                         textCol: String, topK: Int): DataFrame = {
+    val encoded = bpeEncodeVocab(docs, textCol, topK)
+      .select(col("token"), col("n_symbols"))
+    val occ = spread(docs)
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+    occ.join(encoded, Seq("token"))
+      .groupBy(col("source"))
+      .agg(sum(col("__cnt")).as("n_words"),
+        sum(col("__cnt") * col("n_symbols")).as("n_bpe_tokens"),
+        sum(col("__cnt") * length(col("token")).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("chars_per_bpe_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+  }
+
   /** Greedy set-cover source selection: `rounds` rounds of "pick the
     * source adding the most still-uncovered distinct shingles" — the
     * classic (1 − 1/e)-approximate coverage maximizer, used to choose a

@@ -920,4 +920,70 @@ object Stats {
           / (col("__n") - col("__c")).cast("double")).as("right_mean"),
         col("gain")): _*)
   }
+
+  /** Mergeable log-bucket quantile sketch (the HDR-histogram bucketing):
+    * per-group quantile estimates with bounded relative error, WITHOUT a
+    * per-group sort — the 100 TB path for "p50/p90/p99 length per
+    * source" where exact nearest-rank percentiles would shuffle and
+    * sort the corpus. Each non-positive value lands in one underflow
+    * bucket; each positive long lands in bucket (e, sub) with
+    * e = floor(log2(x)) (computed as length(bin(x)) − 1 — exact integer
+    * string math, no float log anywhere) and sub = the value's
+    * `subBuckets`-way linear split of [2^e, 2^(e+1)) — all integer
+    * arithmetic, so two engines bucket identically. The sketch is the
+    * (group, e, sub) → count table: ≤ 64·subBuckets + 1 rows per group,
+    * trivially mergeable by addition (combine shards/days by summing
+    * counts before the quantile pick).
+    *
+    * For each requested q, the estimate is the FIRST bucket (by (e,
+    * sub)) whose cumulative count reaches ceil(q·n) — reported as that
+    * bucket's [est_lo, est_hi) integer bounds, a relative-error band of
+    * 1/subBuckets. Emits one row per (group, q): (group…, q, n, est_lo,
+    * est_hi).
+    *
+    * Scale: one map-side-combined aggregation to the sketch, then
+    * windows over the sketch-sized spine only. */
+  def logBucketQuantiles(df: DataFrame, groupCols: Seq[String],
+                         valCol: String, subBuckets: Int = 16,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(subBuckets >= 1 && (subBuckets & (subBuckets - 1)) == 0,
+      s"subBuckets must be a power of two, got $subBuckets")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    val gs = groupCols.map(c => col(s"`$c`"))
+    val x = col(s"`$valCol`").cast("long")
+    val sk = df.filter(x.isNotNull)
+      .select(gs :+ x.as("__x"): _*)
+      .withColumn("__e",
+        when(col("__x") <= 0, lit(-1)).otherwise(length(bin(col("__x"))) - 1))
+      .withColumn("__base", expr(
+        "CASE WHEN __e < 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), __e) END"))
+      .withColumn("__sub", when(col("__e") < 0, lit(0L))
+        .otherwise(expr(s"((__x - __base) * $subBuckets) div __base")))
+      .groupBy(gs ++ Seq(col("__e"), col("__sub"), col("__base")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val wCum = Window.partitionBy(gs: _*).orderBy(col("__e"), col("__sub"))
+    val wTot = Window.partitionBy(gs: _*)
+    val wPick = Window.partitionBy(gs :+ col("q"): _*)
+      .orderBy(col("__e"), col("__sub"))
+    sk
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__tot", sum(col("__n")).over(wTot))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("__cum") >= ceil(col("q") * col("__tot")))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      // ceil-division bounds: sub(x) >= s iff x >= base + ceil(s·base/k),
+      // so [lo, hi) = [base + ceil(sub·base/k), base + ceil((sub+1)·base/k))
+      // — floor-div would collapse hi onto lo whenever 2^e < subBuckets
+      .withColumn("est_lo", expr(
+        s"CASE WHEN __e < 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE __base + (__sub * __base + $subBuckets - 1) div $subBuckets END"))
+      .withColumn("est_hi", expr(
+        s"CASE WHEN __e < 0 THEN CAST(1 AS BIGINT) " +
+          s"ELSE __base + ((__sub + 1) * __base + $subBuckets - 1) div $subBuckets END"))
+      .select(gs ++ Seq(col("q"), col("__tot").as("n"),
+        col("est_lo"), col("est_hi")): _*)
+  }
 }

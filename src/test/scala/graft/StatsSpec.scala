@@ -142,4 +142,39 @@ class StatsSpec extends SparkSpec {
     j1 should be > 0.0
     j1 should be < 1.0
   }
+
+  test("logBucketQuantiles: bucket bounds bracket the exact quantile " +
+    "and error is within 1/subBuckets") {
+    import spark.implicits._
+    // group a: 1..1000 (p50=500, p90=900, p99=990); group b: all 7s
+    val df = ((1L to 1000L).map(v => ("a", v)) ++
+      Seq.fill(10)(("b", 7L))).toDF("g", "v")
+    val out = graft.operators.Stats.logBucketQuantiles(df, Seq("g"), "v",
+        subBuckets = 16, qs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("q")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("est_lo"),
+          r.getAs[Long]("est_hi")))).toMap
+    val exact = Map(0.5 -> 500L, 0.9 -> 900L, 0.99 -> 990L)
+    exact.foreach { case (q, want) =>
+      val (n, lo, hi) = out(("a", q))
+      n shouldBe 1000L
+      assert(lo <= want && want < hi, s"q=$q: [$lo,$hi) misses $want")
+      // relative width of the bucket is bounded by 1/subBuckets
+      (hi - lo).toDouble / lo.toDouble should be <= (1.0 / 16 + 1e-9)
+    }
+    // a constant group: every quantile lands in 7's bucket
+    out(("b", 0.5))._2 should be <= 7L
+    out(("b", 0.5))._3 should be > 7L
+  }
+
+  test("logBucketQuantiles: non-positive values land in the underflow " +
+    "bucket [0, 1)") {
+    import spark.implicits._
+    val df = Seq(("z", 0L), ("z", 0L), ("z", 5L)).toDF("g", "v")
+    val out = graft.operators.Stats.logBucketQuantiles(df, Seq("g"), "v",
+        subBuckets = 16, qs = Seq(0.5))
+      .collect().head
+    out.getAs[Long]("est_lo") shouldBe 0L
+    out.getAs[Long]("est_hi") shouldBe 1L
+  }
 }
