@@ -818,8 +818,71 @@ object MoreQueries {
             FROM orders)
       WHERE rn <= 3"""))
 
+  private val RecallK = 3
+  private val MaxNprobe = 4
+
+  /** Measured IVF recall@k curve over nprobe = 1..4 against brute-force
+    * ground truth on the q37 query sample — the ANN analogue of the q290
+    * LSH planner; one candidate-scoring pass serves the whole curve. */
+  private val q307 = QueryDef(
+    "q307_ivf_recall_curve",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Similarity.ivfRecallCalibration(e, "vec_id",
+        "embedding", col("vec_id") < 10,
+        graft.operators.Similarity.ivfCentroids(e, "vec_id", "embedding",
+          IvfK),
+        k = RecallK, maxNprobe = MaxNprobe)
+    },
+    Some(s"""
+      WITH $oCentroids,
+      q AS (SELECT vec_id AS q_id, embedding AS qemb FROM embeddings
+            WHERE vec_id < 10),
+      ex AS (SELECT q_id, n_id FROM (
+             SELECT q.q_id, e.vec_id AS n_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.q_id
+                      ORDER BY ${oCos("q.qemb", "e.embedding")} DESC,
+                               e.vec_id) AS rn
+             FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+             WHERE rn <= $RecallK),
+      exn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+      asc_ AS (SELECT vec_id, centroid_id FROM (
+               SELECT e.vec_id, c.centroid_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${oCos("e.embedding", "c.cemb")} DESC,
+                                 c.centroid_id) AS rn
+               FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+      qc AS (SELECT q_id, qemb, centroid_id, rn AS probe_rank FROM (
+             SELECT q.q_id, q.qemb, c.centroid_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.q_id
+                      ORDER BY ${oCos("q.qemb", "c.cemb")} DESC,
+                               c.centroid_id) AS rn
+             FROM q CROSS JOIN cent c) WHERE rn <= $MaxNprobe),
+      cand AS (SELECT qc.q_id, e.vec_id AS n_id,
+                 ${oCos("qc.qemb", "e.embedding")} AS cosine,
+                 qc.probe_rank
+               FROM qc
+               JOIN asc_ a USING (centroid_id)
+               JOIN embeddings e ON e.vec_id = a.vec_id
+               WHERE qc.q_id <> e.vec_id),
+      pp AS (SELECT q_id, n_id, np,
+               ROW_NUMBER() OVER (PARTITION BY q_id, np
+                 ORDER BY cosine DESC, n_id) AS rk
+             FROM cand CROSS JOIN (SELECT unnest(generate_series(1,
+               $MaxNprobe)) AS np)
+             WHERE probe_rank <= np),
+      hit AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hit
+              FROM pp JOIN ex USING (q_id, n_id)
+              WHERE rk <= $RecallK GROUP BY np),
+      spine AS (SELECT unnest(generate_series(1, $MaxNprobe)) AS np)
+      SELECT CAST(s.np AS INT) AS nprobe, exn.n_exact,
+             CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+               / CAST(exn.n_exact AS DOUBLE) AS recall
+      FROM spine s LEFT JOIN hit h ON h.np = s.np CROSS JOIN exn"""))
+
   val all: Seq[QueryDef] = Seq(
     q26, q27, q28, q29, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66)
+    q66, q307)
 }

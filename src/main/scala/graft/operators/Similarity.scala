@@ -267,6 +267,76 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF recall calibration: the measured recall@k curve over
+    * nprobe = 1..maxNprobe, against exact brute-force top-k ground truth
+    * on a query sample — the ANN analogue of the LSH parameter planner
+    * ([[graft.operators.NearDup.lshPlanner]]): pick the cheapest nprobe
+    * whose measured recall clears the budget, instead of guessing from
+    * folklore.
+    *
+    * One scoring pass: candidates are scored once at `maxNprobe` with
+    * each candidate's PROBE RANK (the rank of its bucket among the
+    * query's nearest centroids) attached; the nprobe = p curve point
+    * re-ranks the candidates with probe rank ≤ p — a bounded explode
+    * (≤ maxNprobe copies of the candidate set), never a re-scan. Recall
+    * is hit-count / exact-pair-count — integer counts, one division, so
+    * a differential oracle matches bitwise.
+    *
+    * Emits one row per nprobe: (nprobe, n_exact, n_hit, recall).
+    *
+    * Scale: ground truth is [[cosineTopK]] (broadcast-guarded query
+    * side — calibration runs on a SAMPLE, the q142 posture); the IVF
+    * side joins on the bucket key like [[ivfTopK]]. */
+  def ivfRecallCalibration(embeddings: DataFrame, idCol: String,
+                           embCol: String, queryPredicate: Column,
+                           centroids: DataFrame, k: Int,
+                           maxNprobe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxNprobe >= 1, s"maxNprobe must be >= 1, got $maxNprobe")
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val exact = cosineTopK(embeddings, idCol, embCol, queryPredicate, k)
+      .select(col("q_id"), col("n_id"))
+    val exactCount = exact.agg(count(lit(1)).as("n_exact"))
+    val assigned = ivfAssign(embeddings, idCol, embCol, centroids)
+    val corpus = embeddings
+      .select(col(idCol).as("n_id"), col(embCol).as("__n_emb"))
+      .join(assigned.select(col(idCol).as("n_id"), col("centroid_id")),
+        "n_id")
+    val queries = embeddings.filter(queryPredicate)
+      .select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+    val qc = queries.crossJoin(broadcast(centroids))
+      .withColumn("cos",
+        call_function("vec_cosine", col("__q_emb"), col("centroid_emb")))
+      .withColumn("__probe_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("__probe_rank") <= maxNprobe)
+      .select(col("q_id"), col("__q_emb"), col("centroid_id"),
+        col("__probe_rank"))
+    val cand = qc.join(corpus, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        call_function("vec_cosine", col("__q_emb"), col("__n_emb")))
+      .select(col("q_id"), col("n_id"), col("cosine"), col("__probe_rank"))
+    val perProbe = cand
+      .withColumn("nprobe",
+        explode(sequence(col("__probe_rank").cast("int"), lit(maxNprobe))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"), col("nprobe"))
+          .orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+    val hits = perProbe.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    val spine = embeddings.sparkSession.range(1, maxNprobe + 1)
+      .select(col("id").cast("int").as("nprobe"))
+    spine.join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .crossJoin(broadcast(exactCount))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .select(col("nprobe"), col("n_exact"), col("n_hit"), col("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p, i) is derived
     * from an md5 nibble, shifted to be zero-centered (value − 7.5). Public
     * md5 arithmetic only, so any engine can reproduce the planes. */
