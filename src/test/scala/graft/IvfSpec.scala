@@ -54,4 +54,30 @@ class IvfSpec extends SparkSpec {
     recall should be >= 0.2 // nprobe=2/8 buckets; exactness isn't the point
     ivf.size should be <= brute.size
   }
+
+  test("ivfRecallCalibration: curve is non-decreasing, matches ivfTopK " +
+    "pointwise, and reaches 1.0 when every bucket is probed") {
+    assume(available)
+    val k = 3
+    val numCent = 8
+    val curve = Similarity.ivfRecallCalibration(embs, "vec_id", "embedding",
+        $"vec_id" < 10, cents, k = k, maxNprobe = numCent)
+      .orderBy("nprobe")
+      .collect().map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall")))
+    curve.map(_._1).toSeq shouldBe (1 to numCent)
+    curve.sliding(2).foreach { case Array(a, b) =>
+      b._3 should be >= a._3 // more probes never lose candidates
+    }
+    // probing all buckets IS brute force
+    curve.last._3 shouldBe 1.0
+    // the curve point at nprobe=2 equals an independent ivfTopK run
+    val brute = Similarity.cosineTopK(embs, "vec_id", "embedding",
+        $"vec_id" < 10, k = k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf2 = Similarity.ivfTopK(embs, "vec_id", "embedding",
+        $"vec_id" < 10, cents, k = k, nprobe = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    curve(1)._2 shouldBe (brute & ivf2).size.toLong
+  }
 }
