@@ -945,14 +945,24 @@ object Stats {
     * windows over the sketch-sized spine only. */
   def logBucketQuantiles(df: DataFrame, groupCols: Seq[String],
                          valCol: String, subBuckets: Int = 16,
-                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    logBucketQuantilesFromSketch(
+      logBucketSketch(df, groupCols, valCol, subBuckets),
+      groupCols, subBuckets, qs)
+
+  /** The sketch TABLE behind [[logBucketQuantiles]]: one row per
+    * (group, e, sub) bucket with its count. Persist per shard/day and
+    * MERGE by summing counts on (group, e, sub) —
+    * [[mergeLogBucketSketches]] — then finalize with
+    * [[logBucketQuantilesFromSketch]]; sketch(A ∪ B) ==
+    * merge(sketch(A), sketch(B)) exactly (asserted in StatsSpec). */
+  def logBucketSketch(df: DataFrame, groupCols: Seq[String],
+                      valCol: String, subBuckets: Int = 16): DataFrame = {
     require(subBuckets >= 1 && (subBuckets & (subBuckets - 1)) == 0,
       s"subBuckets must be a power of two, got $subBuckets")
-    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
-      s"quantiles must be in (0, 1], got $qs")
     val gs = groupCols.map(c => col(s"`$c`"))
     val x = col(s"`$valCol`").cast("long")
-    val sk = df.filter(x.isNotNull)
+    df.filter(x.isNotNull)
       .select(gs :+ x.as("__x"): _*)
       .withColumn("__e",
         when(col("__x") <= 0, lit(-1)).otherwise(length(bin(col("__x"))) - 1))
@@ -963,6 +973,27 @@ object Stats {
         .otherwise(expr(s"((__x - __base) * $subBuckets) div __base")))
       .groupBy(gs ++ Seq(col("__e"), col("__sub"), col("__base")): _*)
       .agg(count(lit(1)).as("__n"))
+  }
+
+  /** Merge two sketches from [[logBucketSketch]] (same groupCols and
+    * subBuckets): counts add on the bucket key. */
+  def mergeLogBucketSketches(a: DataFrame, b: DataFrame,
+                             groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(c => col(s"`$c`")) ++
+      Seq(col("__e"), col("__sub"), col("__base"))
+    a.unionByName(b)
+      .groupBy(keys: _*)
+      .agg(sum(col("__n")).as("__n"))
+  }
+
+  /** Finalize quantiles from a (merged) sketch — the windowed pick of
+    * [[logBucketQuantiles]], running on the sketch-sized spine only. */
+  def logBucketQuantilesFromSketch(sk: DataFrame, groupCols: Seq[String],
+                                   subBuckets: Int,
+                                   qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    val gs = groupCols.map(c => col(s"`$c`"))
     val wCum = Window.partitionBy(gs: _*).orderBy(col("__e"), col("__sub"))
     val wTot = Window.partitionBy(gs: _*)
     val wPick = Window.partitionBy(gs :+ col("q"): _*)

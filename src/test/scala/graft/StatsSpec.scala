@@ -177,4 +177,23 @@ class StatsSpec extends SparkSpec {
     out.getAs[Long]("est_lo") shouldBe 0L
     out.getAs[Long]("est_hi") shouldBe 1L
   }
+
+  test("logBucketSketch is exactly mergeable: sketch(A ++ B) == " +
+    "merge(sketch(A), sketch(B)), and quantiles agree") {
+    import spark.implicits._
+    val a = (1L to 400L).map(v => ("g", v)).toDF("g", "v")
+    val b = (300L to 1000L).map(v => ("g", v)).toDF("g", "v")
+    val S = graft.operators.Stats
+    val merged = S.mergeLogBucketSketches(
+      S.logBucketSketch(a, Seq("g"), "v"),
+      S.logBucketSketch(b, Seq("g"), "v"), Seq("g"))
+    val whole = S.logBucketSketch(a.unionByName(b), Seq("g"), "v")
+    merged.collect().map(_.toSeq).toSet shouldBe
+      whole.collect().map(_.toSeq).toSet
+    val qm = S.logBucketQuantilesFromSketch(merged, Seq("g"), 16, Seq(0.5))
+      .collect().map(_.toSeq)
+    val qw = S.logBucketQuantiles(a.unionByName(b), Seq("g"), "v",
+      16, Seq(0.5)).collect().map(_.toSeq)
+    qm shouldBe qw
+  }
 }
