@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.QueryDef
-import graft.operators.{Corpus, Quality, Similarity, Stats}
+import graft.operators.{Corpus, Quality, Scale, Similarity, Stats}
 
 /** Round-9 wave 2: fixed-model cross-entropy scoring.
   *
@@ -157,5 +157,21 @@ object R8iQueries {
                   END AS BIGINT) AS est_hi
       FROM pick WHERE rn = 1"""))
 
-  val all: Seq[QueryDef] = Seq(q302, q303, q304, q306)
+  private val TargetRows = 256L
+
+  /** Hot supplier keys with the salt factor that splits each back under
+    * the per-task row target — q137's skew diagnosis turned into the
+    * concrete saltedSum/saltedJoin remediation. */
+  private val q308 = QueryDef(
+    "q308_salt_planner",
+    (s, d) => Scale.saltPlanner(Tables.lineitem(s, d), Seq("l_suppkey"),
+      TargetRows),
+    Some(s"""
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST((count(*) + ${TargetRows - 1}) // $TargetRows AS INT)
+               AS salt_buckets
+      FROM lineitem WHERE l_suppkey IS NOT NULL
+      GROUP BY 1 HAVING count(*) > $TargetRows"""))
+
+  val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308)
 }

@@ -333,6 +333,34 @@ object Scale {
       .drop("__is_top")
   }
 
+  /** Salt planner: turn the skew diagnosis ([[keySkewProfile]]) into
+    * the concrete remediation — for every key whose row count exceeds
+    * `targetRowsPerKey`, the salt bucket count that splits it back
+    * under the target: `salt_buckets = ceil(n_rows / target)` (exact
+    * integer ceil-division). Feed the result into
+    * [[saltedSum]]/[[saltedJoin]] bucket choices, or broadcast it to
+    * salt ONLY the listed hot keys (cold keys keep the unsalted path
+    * and pay no fan-out). Emits (key…, n_rows, salt_buckets), hot keys
+    * only — at most rows/target of them, a bounded frame by
+    * construction.
+    *
+    * Scale: one map-side-combined count per key + a threshold filter;
+    * nothing leaves the executors. */
+  def saltPlanner(df: DataFrame, keyCols: Seq[String],
+                  targetRowsPerKey: Long): DataFrame = {
+    require(keyCols.nonEmpty, "saltPlanner needs at least one key column")
+    require(targetRowsPerKey >= 1,
+      s"targetRowsPerKey must be >= 1, got $targetRowsPerKey")
+    val ks = keyCols.map(c => col(s"`$c`"))
+    df.filter(ks.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ks: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > targetRowsPerKey)
+      .withColumn("salt_buckets",
+        expr(s"(n_rows + $targetRowsPerKey - 1) div $targetRowsPerKey")
+          .cast("int"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
     val counts = df

@@ -211,4 +211,41 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(batchFn)
       .start()
+
+  /** Maintain a persisted log-bucket quantile sketch
+    * ([[graft.operators.Stats.logBucketSketch]]) from a file-drop
+    * stream: each arriving batch is sketched and MERGED (count addition
+    * on the bucket key) into the store — never re-scanning history. The
+    * store stays ≤ 64·subBuckets + 1 rows per group regardless of how
+    * much data has flowed through, and
+    * `Stats.logBucketQuantilesFromSketch` finalizes p50/p90/p99 on it at
+    * any point; exact mergeability makes the maintained sketch
+    * IDENTICAL to a from-scratch batch sketch of everything ingested
+    * (StreamOpsSpec). The overwrite materializes the merged frame first
+    * (the store is sketch-sized) — the read-then-overwrite of the same
+    * directory would otherwise race its own scan. */
+  def maintainLogBucketSketch(spark: SparkSession, inputDir: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              sketchDir: String, checkpointDir: String,
+                              groupCols: Seq[String], valCol: String,
+                              subBuckets: Int = 16): Unit = {
+    import graft.operators.Stats
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val q = incrementalLoad(stream, checkpointDir) { (batch, _) =>
+      if (!batch.isEmpty) {
+        val batchSk = Stats.logBucketSketch(batch, groupCols, valCol,
+          subBuckets)
+        val p = new org.apache.hadoop.fs.Path(sketchDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(p) && fs.listStatus(p).exists(_.getLen > 0))
+            Stats.mergeLogBucketSketches(
+              spark.read.parquet(sketchDir), batchSk, groupCols)
+          else batchSk
+        merged.localCheckpoint()
+          .write.mode("overwrite").parquet(sketchDir)
+      }
+    }
+    q.awaitTermination()
+  }
 }

@@ -179,4 +179,28 @@ class StreamOpsSpec extends SparkSpec {
     q.awaitTermination(60000)
     seen shouldBe 4
   }
+
+  test("maintainLogBucketSketch: two-batch maintained sketch == " +
+    "from-scratch batch sketch, quantiles agree") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    val (in, store, ckpt) = (s"$root/in", s"$root/store", s"$root/ckpt")
+    val b1 = (1L to 400L).map(v => ("g", v))
+    val b2 = (300L to 1000L).map(v => ("g", v))
+    val schema = b1.toDF("g", "v").schema
+    def run(): Unit = StreamOps.maintainLogBucketSketch(spark, in, schema,
+      store, ckpt, Seq("g"), "v", subBuckets = 16)
+    b1.toDF("g", "v").write.mode("append").parquet(in); run()
+    b2.toDF("g", "v").write.mode("append").parquet(in); run()
+    val S = graft.operators.Stats
+    val maintained = spark.read.parquet(store)
+    val scratch = S.logBucketSketch((b1 ++ b2).toDF("g", "v"), Seq("g"), "v")
+    maintained.collect().map(_.toSeq).toSet shouldBe
+      scratch.collect().map(_.toSeq).toSet
+    val qm = S.logBucketQuantilesFromSketch(maintained, Seq("g"), 16,
+      Seq(0.5, 0.99)).collect().map(_.toSeq).toSet
+    val qs = S.logBucketQuantiles((b1 ++ b2).toDF("g", "v"), Seq("g"), "v",
+      16, Seq(0.5, 0.99)).collect().map(_.toSeq).toSet
+    qm shouldBe qs
+  }
 }
