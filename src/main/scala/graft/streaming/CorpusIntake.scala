@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.{Corpus, NearDup}
@@ -80,7 +80,8 @@ object CorpusIntake {
                      signatureDir: Option[String] = None,
                      quota: Option[(String, Int)] = None,
                      gopher: Option[GopherGate] = None,
-                     ce: Option[CeGate] = None): Unit = {
+                     ce: Option[CeGate] = None,
+                     quotaCountsDir: Option[String] = None): Unit = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)
     val q = StreamOps.incrementalLoad(stream, checkpointDir) { (batch, _) =>
       if (!batch.isEmpty) {
@@ -125,13 +126,21 @@ object CorpusIntake {
         val quotaed = quota match {
           case Some((srcCol, maxDocs)) =>
             // rank this batch's candidates 1..maxDocs per source, then
-            // admit only up to the source's remaining allowance
+            // admit only up to the source's remaining allowance. Used
+            // counts come from the persisted (source, used) table when
+            // `quotaCountsDir` is set — the production shape, the same
+            // decisions as re-aggregating the corpus (CorpusIntakeSpec
+            // parity) without scanning accepted text ever again —
+            // else from a pruned single-column corpus aggregation.
             val ranked = Corpus.capPerSource(gated, idCol, srcCol, maxDocs)
-            nonEmptyParquet(spark, corpusDir) match {
-              case Some(corpus) =>
-                val used = corpus.groupBy(col(srcCol))
-                  .agg(count(lit(1)).as("__used"))
-                ranked.join(broadcast(used), Seq(srcCol), "left")
+            val used = quotaCountsDir match {
+              case Some(qd) => nonEmptyParquet(spark, qd)
+              case None => nonEmptyParquet(spark, corpusDir)
+                .map(_.groupBy(col(srcCol)).agg(count(lit(1)).as("__used")))
+            }
+            used match {
+              case Some(u) =>
+                ranked.join(broadcast(u), Seq(srcCol), "left")
                   .filter(col("source_rank") +
                     coalesce(col("__used"), lit(0L)) <= maxDocs)
               case None => ranked
@@ -145,6 +154,20 @@ object CorpusIntake {
         signatureDir.foreach { sd =>
           NearDup.simHash(survivors, idCol, textCol, bits)
             .write.mode("append").parquet(sd)
+        }
+        // maintain the counts table AFTER the corpus append so a crash
+        // between the writes under-counts (quota re-admits at most one
+        // batch of excess — the same at-least-once caveat as the
+        // signature store, resolved by rebuilding counts from the corpus)
+        for ((srcCol, _) <- quota; qd <- quotaCountsDir) {
+          val batchCounts = survivors.groupBy(col(srcCol))
+            .agg(count(lit(1)).as("__used"))
+          val merged = nonEmptyParquet(spark, qd) match {
+            case Some(prev) => prev.unionByName(batchCounts)
+              .groupBy(col(srcCol)).agg(sum(col("__used")).as("__used"))
+            case None => batchCounts
+          }
+          merged.localCheckpoint().write.mode("overwrite").parquet(qd)
         }
       }
     }

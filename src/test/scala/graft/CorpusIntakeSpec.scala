@@ -187,4 +187,42 @@ class CorpusIntakeSpec extends SparkSpec {
     run() // idempotent: checkpoint already covers every input file
     spark.read.parquet(s"$root/corpus").count() shouldBe n1
   }
+
+  test("quota via the persisted counts table == quota via corpus " +
+    "re-aggregation, counts table tracks acceptances") {
+    val b1 = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel", "a"),
+      (2L, "completely different text about catalyst optimizer plans", "a"),
+      (3L, "unrelated prose concerning streaming watermarks and state", "b"))
+    val b2 = Seq(
+      (11L, "november oscar papa quebec romeo sierra tango uniform", "a"),
+      (12L, "a genuinely novel document about distributed joins", "a"),
+      (13L, "yet another singular text on parquet row group pruning", "a"),
+      (14L, "fresh content regarding broadcast hash join thresholds", "b"))
+    val schema = b1.toDF("doc_id", "text", "source").schema
+
+    def intake(root: String, countsDir: Option[String]): Set[Long] = {
+      def run(): Unit = CorpusIntake.runIncremental(spark, s"$root/in",
+        schema, s"$root/corpus", s"$root/ckpt", "doc_id", "text",
+        quota = Some(("source", 3)), quotaCountsDir = countsDir)
+      b1.toDF("doc_id", "text", "source").write.mode("append")
+        .parquet(s"$root/in"); run()
+      b2.toDF("doc_id", "text", "source").write.mode("append")
+        .parquet(s"$root/in"); run()
+      spark.read.parquet(s"$root/corpus").select("doc_id")
+        .as[Long].collect().toSet
+    }
+    val r1 = Files.createTempDirectory("graft_quota_agg").toString
+    val r2 = Files.createTempDirectory("graft_quota_store").toString
+    val viaAgg = intake(r1, None)
+    val viaStore = intake(r2, Some(s"$r2/counts"))
+    viaStore shouldBe viaAgg // identical admission decisions
+    // the counts table mirrors the accepted corpus exactly
+    val counts = spark.read.parquet(s"$r2/counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = spark.read.parquet(s"$r2/corpus")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts shouldBe bySource
+  }
 }
