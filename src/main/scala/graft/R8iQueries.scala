@@ -173,5 +173,79 @@ object R8iQueries {
       FROM lineitem WHERE l_suppkey IS NOT NULL
       GROUP BY 1 HAVING count(*) > $TargetRows"""))
 
-  val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308)
+  // four sources carry an explicit target; a phantom source ("src_new")
+  // exercises the planned-but-absent row, and the other 16 observed
+  // sources exercise unplanned mass (NULL target)
+  private val Targets = Seq("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.2,
+    "src_new" -> 0.2)
+
+  /** Achieved-vs-target token mixture per source — the post-sampling
+    * audit: did the quota/sampling stages actually hit the designed mix? */
+  private val q309 = QueryDef(
+    "q309_mixture_report",
+    (s, d) => Corpus.mixtureReport(Tables.documents(s, d), "source",
+      "text", Targets.toMap),
+    Some {
+      val tgt = Targets.map { case (src, w) => s"('$src', $w)" }
+        .mkString(", ")
+      s"""
+      WITH per AS (SELECT source,
+               CAST(sum(len(${ExtQueries.oToks("text")})) AS BIGINT)
+                 AS n_tokens
+             FROM documents GROUP BY source),
+      tgt(source, target_share) AS (VALUES $tgt),
+      tot AS (SELECT sum(n_tokens) AS total FROM per)
+      SELECT COALESCE(per.source, tgt.source) AS source,
+             COALESCE(per.n_tokens, 0) AS n_tokens,
+             CAST(COALESCE(per.n_tokens, 0) AS DOUBLE)
+               / CAST(tot.total AS DOUBLE) AS achieved_share,
+             CAST(tgt.target_share AS DOUBLE) AS target_share,
+             CAST(COALESCE(per.n_tokens, 0) AS DOUBLE)
+               / CAST(tot.total AS DOUBLE)
+               - COALESCE(CAST(tgt.target_share AS DOUBLE), 0.0) AS delta,
+             (CAST(COALESCE(per.n_tokens, 0) AS DOUBLE)
+               / CAST(tot.total AS DOUBLE))
+               / CAST(tgt.target_share AS DOUBLE) AS excess_ratio
+      FROM per FULL OUTER JOIN tgt ON per.source = tgt.source
+      CROSS JOIN tot"""
+    })
+
+  private val QlTerms = Seq("data", "pipeline", "spark")
+  private val QlTopK = 15
+  private val QlMu = 500.0
+
+  /** Dirichlet query-likelihood top-k — the LM ranker beside q107's
+    * BM25, on the exact 2^-30 log grid so both engines rank and score
+    * identically. */
+  private val q310 = QueryDef(
+    "q310_query_likelihood",
+    (s, d) => graft.operators.Retrieval.queryLikelihoodTopK(
+      Tables.documents(s, d), "doc_id", "text", QlTerms, QlTopK, QlMu),
+    Some {
+      val tf = (t: String) =>
+        s"len(list_filter(w, x -> x = '$t'))"
+      val termSql = QlTerms.map { t =>
+        s"""CASE WHEN (SELECT sum(${tf(t)}) FROM tok) = 0 THEN 0
+            ELSE CAST(floor(ln((CAST(${tf(t)} AS DOUBLE)
+              + $QlMu * (CAST((SELECT sum(${tf(t)}) FROM tok) AS DOUBLE)
+                / CAST((SELECT sum(len(w)) FROM tok) AS DOUBLE)))
+              / (CAST(len(w) AS DOUBLE) + $QlMu)) * 1073741824.0)
+              AS BIGINT) END"""
+      }.mkString(" + ")
+      s"""
+      WITH tok AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
+            FROM documents),
+      base AS (SELECT doc_id, CAST(len(w) AS INT) AS dl,
+                 $termSql AS score_scaled
+               FROM tok WHERE len(w) > 0),
+      top AS (SELECT doc_id, dl, score_scaled,
+                CAST(row_number() OVER (ORDER BY score_scaled DESC,
+                  doc_id) AS INT) AS rank
+              FROM base)
+      SELECT doc_id, dl, score_scaled,
+             CAST(score_scaled AS DOUBLE) / 1073741824.0 AS score, rank
+      FROM top WHERE rank <= $QlTopK"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308, q309, q310)
 }

@@ -1457,6 +1457,44 @@ object Corpus {
         col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
   }
 
+  /** Mixture-vs-target report: achieved token share per source against
+    * a declared target mixture — the "are we actually training on the
+    * mix we designed" audit run after sampling/quota stages. Emits one
+    * row per source present in the corpus or the target:
+    * (source, n_tokens, achieved_share, target_share, delta,
+    * excess_ratio) with excess_ratio = achieved/target (NULL for
+    * sources outside the target — unplanned contamination shows up as
+    * a non-NULL share with NULL ratio).
+    *
+    * Determinism: token counts are exact integer aggregates; shares and
+    * deltas are a fixed scalar chain on those integers and the target
+    * literals. Scale: one map-combined count per source + a 1-row total
+    * broadcast; the report is sources-sized. */
+  def mixtureReport(docs: DataFrame, sourceCol: String, textCol: String,
+                    targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perSource = spread(docs)
+      .select(col(sourceCol).as("source"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__t"))
+      .groupBy(col("source")).agg(sum(col("__t")).as("n_tokens"))
+    val targets = targetShares.toSeq.sortBy(_._1)
+      .toDF("source", "target_share")
+    val total = perSource.agg(sum(col("n_tokens")).as("__total"))
+    perSource.join(targets, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("achieved_share",
+        col("n_tokens").cast("double") / col("__total").cast("double"))
+      .withColumn("delta",
+        col("achieved_share") - coalesce(col("target_share"), lit(0.0)))
+      .withColumn("excess_ratio",
+        col("achieved_share") / col("target_share"))
+      .select(col("source"), col("n_tokens"), col("achieved_share"),
+        col("target_share"), col("delta"), col("excess_ratio"))
+  }
+
   /** Greedy set-cover source selection: `rounds` rounds of "pick the
     * source adding the most still-uncovered distinct shingles" — the
     * classic (1 − 1/e)-approximate coverage maximizer, used to choose a

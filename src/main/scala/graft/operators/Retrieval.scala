@@ -204,4 +204,59 @@ object Retrieval {
     matched.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"), min(col("pos0")).as("first_pos"))
   }
+
+  /** Dirichlet-smoothed query-likelihood ranking — the language-model
+    * complement of [[bm25TopK]] (the other classic lexical ranker; QL
+    * with Dirichlet smoothing is the standard strong baseline for long
+    * queries where BM25's saturation underweights repeated terms):
+    * score(d) = Σ_t ln((tf_t,d + µ·p(t|C)) / (|d| + µ)), with
+    * p(t|C) the collection unigram probability.
+    *
+    * Determinism (the q140 grid discipline): each term's log is floored
+    * to the 2^-30-nat integer grid and the per-doc sum runs over
+    * BIGINTs — exact, associative, partition-order-free; `score` is the
+    * exact unscale of `score_scaled`. The oracle replays the same grid.
+    *
+    * Scale: per-term tf columns fuse into one scan (terms is a small
+    * literal list); collection stats are a 1-row broadcast; top-k is a
+    * rank-limited sort, never a full-corpus ordering to the driver. */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+                          terms: Seq[String], topK: Int,
+                          mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty, "query term list must be non-empty")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(mu > 0, s"mu must be > 0, got $mu")
+    val Scale = 1073741824L // 2^30
+    val toks = TextFunctions.tokens(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).as(s"__tf_$i")
+    }
+    val base = docs
+      .select((col(idCol).as("doc_id") +: size(toks).as("dl") +: tfCols): _*)
+      .filter(col("dl") > 0)
+    val ctfCols = terms.indices.map(i =>
+      sum(col(s"__tf_$i")).cast("long").as(s"__ctf_$i"))
+    val aggCols = sum(col("dl")).cast("long").as("__clen") +: ctfCols
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    // a query term absent from the WHOLE collection has p(t|C) = 0 and
+    // would send ln to -inf for every doc equally — drop its term score
+    // (0 contribution) rather than poisoning the ranking
+    val termScores = terms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val pC = col(s"__ctf_$i").cast("double") / col("__clen").cast("double")
+      val ratio = (tf + lit(mu) * pC) / (col("dl").cast("double") + lit(mu))
+      when(col(s"__ctf_$i") === 0L, lit(0L))
+        .otherwise(floor(log(ratio) * lit(Scale.toDouble)).cast("long"))
+    }
+    val scoreScaled = termScores.reduceLeft(_ + _)
+    scored
+      .select(col("doc_id"), col("dl"), scoreScaled.as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("score",
+        col("score_scaled").cast("double") / lit(Scale.toDouble))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_scaled").desc, col("doc_id"))).cast("int"))
+  }
 }
