@@ -41,6 +41,15 @@ object Bench {
     // large-scale probe fixtures where a query runs minutes and the
     // steady-state/JIT distinction stops mattering.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // release cached frames and localCheckpoint blocks BETWEEN queries:
+    // a 300-query suite otherwise accumulates storage memory until GC
+    // pressure inflates late-suite timings by 5-10x (measured: q191/q192
+    // at ~0.9 s isolated vs ~6 s late in a full run)
+    def release(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
       val warms = (2 to runs).map(_ => once(fn))
@@ -48,6 +57,7 @@ object Bench {
         if (warms.isEmpty) cold
         else if (warms.exists(_ < 0)) warms.max
         else warms.min
+      release()
       (name, cold, warm)
     }
     val total = results.map(_._3).filter(_ >= 0).sum
