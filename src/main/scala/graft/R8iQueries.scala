@@ -247,5 +247,40 @@ object R8iQueries {
       FROM top WHERE rank <= $QlTopK"""
     })
 
-  val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308, q309, q310)
+  private val BurstGapSec = 600L
+
+  /** Keep the first event of every per-(user, type) burst — retry
+    * storms, double-clicks and crawler re-fires collapse to one event
+    * with the suppressed count attached. */
+  private val q311 = QueryDef(
+    "q311_burst_dedup",
+    (s, d) => graft.operators.EventOps.burstDedup(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", BurstGapSec)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"),
+        col("n_suppressed")),
+    Some(s"""
+      WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      m AS (SELECT *,
+              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > ${BurstGapSec * 1000000L}
+                   THEN 1 ELSE 0 END AS nb
+            FROM e
+            WINDOW w AS (PARTITION BY user_id, event_type
+              ORDER BY ts, event_id)),
+      b AS (SELECT *, sum(nb) OVER (PARTITION BY user_id, event_type
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst
+            FROM m),
+      g AS (SELECT *,
+              count(*) OVER (PARTITION BY user_id, event_type, burst) AS n,
+              row_number() OVER (PARTITION BY user_id, event_type, burst
+                ORDER BY ts, event_id) AS rn
+            FROM b)
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+             CAST(n - 1 AS BIGINT) AS n_suppressed
+      FROM g WHERE rn = 1"""))
+
+  val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308, q309, q310,
+    q311)
 }

@@ -219,6 +219,45 @@ object EventOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Burst dedup: keep only the FIRST event of every burst per key,
+    * where a burst chains events each within `gapSec` of the previous
+    * one (the gaps-and-islands session rule — the event-stream analogue
+    * of near-dup collapse, for retry storms, double-clicks, and
+    * crawler re-fires that would otherwise inflate counts downstream).
+    * Emits the kept rows with `n_suppressed` (burst size − 1) attached.
+    *
+    * Deterministic: the within-key order is totalized by
+    * (`tsCol`, `tiebreakCol`), so burst boundaries and the kept row are
+    * engine-exact. Scale: one key-partitioned window pass (lag) + one
+    * map-combined count on (key, burst) — both on the key exchange,
+    * the q41 sessionize posture. */
+  def burstDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                 tiebreakCol: String, gapSec: Long): DataFrame = {
+    require(keyCols.nonEmpty, "burstDedup needs at least one key column")
+    require(gapSec >= 1, s"gapSec must be >= 1, got $gapSec")
+    val ks = keyCols.map(c => col(s"`$c`"))
+    val w = Window.partitionBy(ks: _*)
+      .orderBy(col(tsCol), col(s"`$tiebreakCol`"))
+    val marked = events
+      .filter(col(tsCol).isNotNull)
+      .withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__new_burst",
+        (col("__prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("__prev_us") > gapSec * 1000000L)
+          .cast("int"))
+      .withColumn("__burst",
+        sum(col("__new_burst")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wB = Window.partitionBy(ks :+ col("__burst"): _*)
+    marked
+      .withColumn("__n", count(lit(1)).over(wB))
+      .withColumn("__rn", row_number().over(
+        wB.orderBy(col(tsCol), col(s"`$tiebreakCol`"))))
+      .filter(col("__rn") === 1)
+      .withColumn("n_suppressed", (col("__n") - 1L).cast("long"))
+      .drop("__prev_us", "__new_burst", "__burst", "__n", "__rn")
+  }
+
   /** Time-weighted average of a sampled value per key: each observation
     * holds until the NEXT observation, so its weight is that interval's
     * length (the right mean for irregularly-sampled gauges — prices,

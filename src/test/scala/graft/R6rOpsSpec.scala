@@ -154,4 +154,28 @@ class R6rOpsSpec extends SparkSpec {
     got.head.getAs[Double]("p_value") should be <
       got.last.getAs[Double]("p_value")
   }
+
+  // -------------------------------------------- burst dedup
+
+  test("burstDedup: chained bursts collapse to their first event with " +
+    "suppressed counts; a gap over the threshold starts a new burst") {
+    // u1/click: events at 0s, 50s, 110s (each within 60s of previous ->
+    // ONE burst although 0s..110s > 60s), then 300s (new burst)
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click"),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:50"), 1L, "click"),
+      (3L, Timestamp.valueOf("2024-01-01 00:01:50"), 1L, "click"),
+      (4L, Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "click"),
+      // different type: independent bursts
+      (5L, Timestamp.valueOf("2024-01-01 00:00:10"), 1L, "view"),
+      // same-timestamp tiebreak: lower event_id kept
+      (7L, Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "click"),
+      (6L, Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.burstDedup(df, Seq("user_id", "event_type"),
+        "ts", "event_id", gapSec = 60)
+      .select("event_id", "n_suppressed")
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 2L, 4L -> 0L, 5L -> 0L, 6L -> 1L)
+  }
 }
