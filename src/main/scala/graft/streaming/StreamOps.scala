@@ -184,6 +184,47 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming burst dedup — the live twin of
+    * `EventOps.burstDedup`: per key, emit only events that START a
+    * burst (more than `gapUs` after the previously-seen event); events
+    * inside a burst are suppressed but still EXTEND it (the chaining
+    * rule, so a retry storm longer than the gap span still collapses to
+    * one emission). State is ONE long (last seen event time) per key —
+    * bound it with a TTL in production. Within a micro-batch rows are
+    * processed in (us, seq) order, so batch boundaries on an
+    * in-order feed never change which events are emitted (stream ==
+    * batch, StreamOpsSpec parity). */
+  class BurstStartProcessor(gapUs: Long)
+      extends StatefulProcessor[String, TimedEvent, TimedEvent] {
+    @transient private var lastUs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastUs = getHandle.getValueState[Long]("lastUs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TimedEvent],
+                                 timerValues: TimerValues): Iterator[TimedEvent] = {
+      val ordered = rows.toSeq.sortBy(e => (e.us, e.seq))
+      val out = Seq.newBuilder[TimedEvent]
+      var last = if (lastUs.exists()) lastUs.get() else Long.MinValue
+      ordered.foreach { e =>
+        if (last == Long.MinValue || e.us - last > gapUs) out += e
+        last = e.us // suppressed events still extend the burst
+      }
+      if (last != Long.MinValue) lastUs.update(last)
+      out.result().iterator
+    }
+  }
+
+  def burstDedupStream(events: Dataset[TimedEvent],
+                       gapSec: Long): Dataset[TimedEvent] = {
+    require(gapSec >= 1, s"gapSec must be >= 1, got $gapSec")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new BurstStartProcessor(gapSec * 1000000L),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup with BOUNDED state: Spark's
     * dropDuplicatesWithinWatermark keyed on `keys`. Unlike
     * [[dedupFirstSeen]] (whose per-key state lives forever without a

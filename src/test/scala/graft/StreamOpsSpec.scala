@@ -203,4 +203,44 @@ class StreamOpsSpec extends SparkSpec {
       16, Seq(0.5, 0.99)).collect().map(_.toSeq).toSet
     qm shouldBe qs
   }
+
+  test("burstDedupStream == batch burstDedup on an in-order feed, " +
+    "across batch boundaries") {
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // k1: 0s, 50s, 110s chain one burst (gap 60s); 300s starts a new
+      // one — and the 300s event arrives in a LATER micro-batch, so the
+      // state handoff is exercised; k2: independent key
+      def ev(k: String, seq: String, sec: Long) =
+        StreamOps.TimedEvent(k, seq, sec * 1000000L)
+      val b1 = Seq(ev("k1", "e1", 0), ev("k1", "e2", 50),
+        ev("k1", "e3", 110), ev("k2", "f1", 10))
+      val b2 = Seq(ev("k1", "e4", 300), ev("k2", "f2", 500))
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[StreamOps.TimedEvent]
+      val q = StreamOps.burstDedupStream(mem.toDS(), gapSec = 60)
+        .writeStream.format("memory").queryName("tws_burst")
+        .outputMode("append").start()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("tws_burst")
+        .as[StreamOps.TimedEvent].collect().map(e => (e.key, e.seq)).toSet
+      streamed shouldBe Set(("k1", "e1"), ("k1", "e4"), ("k2", "f1"),
+        ("k2", "f2"))
+      // batch parity on the same rows
+      val all = (b1 ++ b2)
+        .map(e => (e.key, new Timestamp(e.us / 1000L), e.seq))
+        .toDF("k", "ts", "seq")
+      val batch = graft.operators.EventOps.burstDedup(all, Seq("k"),
+          "ts", "seq", gapSec = 60)
+        .select("k", "seq").as[(String, String)].collect().toSet
+      batch shouldBe streamed
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
