@@ -281,6 +281,67 @@ object R8iQueries {
              CAST(n - 1 AS BIGINT) AS n_suppressed
       FROM g WHERE rn = 1"""))
 
+  /** Leave-one-out source influence on eval cross-entropy (every 20th
+    * doc plays the eval set): which sources actually make eval-like
+    * text more predictable — the data-valuation number behind mixture
+    * reweighting, closed-form from one counting pass. */
+  private val q312 = QueryDef(
+    "q312_source_influence",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.sourceInfluenceOnEval(
+        docs.filter(col("doc_id") % 20 =!= 0), "source", "text",
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+    },
+    Some {
+      val oov = "CAST(-floor(20.0 * 1073741824.0) AS BIGINT)"
+      s"""
+      WITH ct AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT source, unnest(${ExtQueries.oToks("text")}) AS tok
+                  FROM documents WHERE doc_id % 20 <> 0)
+            GROUP BY 1, 2),
+      g AS (SELECT tok, sum(cnt) AS gc FROM ct GROUP BY tok),
+      ps AS (SELECT source, sum(cnt) AS tot_s FROM ct GROUP BY source),
+      tot AS (SELECT sum(gc) AS total FROM g),
+      ev AS (SELECT tok, CAST(count(*) AS BIGINT) AS ecnt
+             FROM (SELECT unnest(${ExtQueries.oToks("text")}) AS tok
+                   FROM documents WHERE doc_id % 20 = 0)
+             GROUP BY tok),
+      ne AS (SELECT sum(ecnt) AS n_eval FROM ev),
+      lpf AS (SELECT ev.tok, ev.ecnt, g.gc,
+                CASE WHEN g.gc IS NULL THEN $oov
+                     ELSE CAST(floor(ln(CAST(g.gc AS DOUBLE)
+                       / CAST(tot.total AS DOUBLE)) * 1073741824.0)
+                       AS BIGINT) END AS lp_full
+              FROM ev LEFT JOIN g USING (tok) CROSS JOIN tot),
+      x AS (SELECT ps.source, ps.tot_s, l.ecnt, l.lp_full,
+              COALESCE(l.gc, 0) - COALESCE(ct.cnt, 0) AS rem_g,
+              tot.total
+            FROM ps CROSS JOIN lpf l
+            LEFT JOIN ct ON ct.source = ps.source AND ct.tok = l.tok
+            CROSS JOIN tot),
+      x2 AS (SELECT source, tot_s, ecnt, lp_full,
+               CASE WHEN rem_g <= 0 THEN $oov
+                    ELSE CAST(floor(ln(CAST(rem_g AS DOUBLE)
+                      / CAST(total - tot_s AS DOUBLE)) * 1073741824.0)
+                      AS BIGINT) END AS lp_wo
+             FROM x),
+      agg AS (SELECT source, CAST(max(tot_s) AS BIGINT)
+                AS n_source_tokens,
+                sum(ecnt * lp_full) AS sf, sum(ecnt * lp_wo) AS sw
+              FROM x2 GROUP BY source)
+      SELECT source, n_source_tokens,
+             (-(CAST(sf AS DOUBLE) / 1073741824.0))
+               / CAST(ne.n_eval AS DOUBLE) AS ce_full,
+             (-(CAST(sw AS DOUBLE) / 1073741824.0))
+               / CAST(ne.n_eval AS DOUBLE) AS ce_without,
+             (-(CAST(sw AS DOUBLE) / 1073741824.0))
+               / CAST(ne.n_eval AS DOUBLE)
+               - (-(CAST(sf AS DOUBLE) / 1073741824.0))
+                 / CAST(ne.n_eval AS DOUBLE) AS influence_nats
+      FROM agg CROSS JOIN ne"""
+    })
+
   val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308, q309, q310,
-    q311)
+    q311, q312)
 }

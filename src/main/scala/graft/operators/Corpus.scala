@@ -1061,6 +1061,84 @@ object Corpus {
     scoreCrossEntropy(joined, idCol)
   }
 
+  /** Leave-one-out source influence on eval cross-entropy: for every
+    * source, the eval set's unigram CE under the model trained WITHOUT
+    * that source, minus the CE under the full-corpus model — positive
+    * influence = the source's tokens make the eval set more predictable
+    * (keep/upweight it), negative = the source pushes probability mass
+    * away from eval-like text. The one-number-per-source answer to
+    * "which sources actually help", computed WITHOUT training anything:
+    * the leave-one-out unigram model is a closed form over
+    * (token, source) counts — lp = ln((gcnt − cnt_s) / (total − tot_s))
+    * — so every source is scored from ONE counting pass.
+    *
+    * Same exact-integer 2^-30 log grid and flat OOV penalty as
+    * [[unigramCrossEntropyAgainst]] (a token whose every occurrence came
+    * from the removed source is OOV under that model). Emits one row per
+    * source: (source, n_source_tokens, ce_full, ce_without,
+    * influence_nats = ce_without − ce_full).
+    *
+    * Scale: corpus-sized work is the (token, source) count aggregation;
+    * scoring joins the EVAL token counts (a sample by contract) against
+    * sources × eval-vocab — sources are bounded (a mixture has tens,
+    * not millions). */
+  def sourceInfluenceOnEval(docs: DataFrame, sourceCol: String,
+                            textCol: String, evalDocs: DataFrame,
+                            evalIdCol: String, evalTextCol: String,
+                            oovPenaltyNats: Double = 20.0): DataFrame = {
+    val oovScaled = -math.floor(oovPenaltyNats * CeScale.toDouble).toLong
+    // (token, source) counts + per-token global counts + totals
+    val st = spread(docs)
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("source"), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    val gcnt = st.groupBy(col("__tok")).agg(sum(col("__cnt")).as("__g"))
+    val perSource = st.groupBy(col("source"))
+      .agg(sum(col("__cnt")).as("__tot_s"))
+    val total = gcnt.agg(sum(col("__g")).as("__total"))
+    // eval token counts (collapsed across eval docs — corpus-level CE)
+    val evalTok = spread(evalDocs)
+      .select(explode(TextFunctions.tokens(col(evalTextCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__ecnt"))
+    val nEval = evalTok.agg(sum(col("__ecnt")).as("__n_eval"))
+    // full-model scaled log-probs on the eval vocabulary
+    val lpFull = evalTok.join(gcnt, Seq("__tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp_full",
+        when(col("__g").isNull, lit(oovScaled))
+          .otherwise(floor(log(col("__g").cast("double") /
+            col("__total").cast("double")) * lit(CeScale.toDouble))
+            .cast("long")))
+      .select(col("__tok"), col("__ecnt"), col("__g"), col("__lp_full"),
+        col("__total"))
+    // per (source, eval-token): the removed source's count of that token
+    val crossed = perSource.crossJoin(lpFull)
+      .join(st.select(col("source"), col("__tok"),
+        col("__cnt").as("__cnt_s")), Seq("source", "__tok"), "left")
+      .withColumn("__rem_g",
+        coalesce(col("__g"), lit(0L)) - coalesce(col("__cnt_s"), lit(0L)))
+      .withColumn("__lp_wo",
+        when(col("__rem_g") <= 0L, lit(oovScaled))
+          .otherwise(floor(log(col("__rem_g").cast("double") /
+            (col("__total") - col("__tot_s")).cast("double"))
+            * lit(CeScale.toDouble)).cast("long")))
+    val perSourceCe = crossed.groupBy(col("source"))
+      .agg(first(col("__tot_s")).as("n_source_tokens"),
+        sum(col("__ecnt") * col("__lp_full")).as("__sum_full"),
+        sum(col("__ecnt") * col("__lp_wo")).as("__sum_wo"))
+    perSourceCe.crossJoin(broadcast(nEval))
+      .withColumn("ce_full",
+        -(col("__sum_full").cast("double") / lit(CeScale.toDouble)) /
+          col("__n_eval").cast("double"))
+      .withColumn("ce_without",
+        -(col("__sum_wo").cast("double") / lit(CeScale.toDouble)) /
+          col("__n_eval").cast("double"))
+      .withColumn("influence_nats", col("ce_without") - col("ce_full"))
+      .select(col("source"), col("n_source_tokens"), col("ce_full"),
+        col("ce_without"), col("influence_nats"))
+  }
+
   private val CeScale = 1073741824L // 2^30 — exact power-of-two log grid
 
   private def docTokenCounts(docs: DataFrame, idCol: String,
