@@ -342,6 +342,49 @@ object R8iQueries {
       FROM agg CROSS JOIN ne"""
     })
 
+  /** Cohesion audit of the q73 dedup clusters: cliques are true
+    * duplicate groups, chains (completeness < 1) were glued by
+    * transitive closure through banding collisions — the over-merge
+    * review run before trusting keep-one-per-cluster. */
+  private val q313 = QueryDef(
+    "q313_cluster_cohesion",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Clusters.clusterCohesionAudit(docs, "doc_id",
+        Corpus.simHashHammingPairs(docs, "doc_id", "text", maxHamming = 3),
+        "a_id", "b_id", "hamming")
+    },
+    Some(s"""
+      WITH RECURSIVE ${ExtQueries.oSimHashCtes},
+      prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                  AS hamming
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+                UNION SELECT b_id, a_id FROM prs),
+      reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+                UNION
+                SELECT e.src AS id, reach.r
+                FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+               FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+             FROM comp GROUP BY 1 HAVING count(*) >= 2),
+      pa AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               min(p.hamming) AS min_dist, max(p.hamming) AS max_dist
+             FROM prs p JOIN comp c ON c.doc_id = p.a_id
+             GROUP BY 1)
+      SELECT sz.cluster_id, sz.n_members, pa.n_pairs, pa.min_dist,
+             pa.max_dist,
+             CAST(pa.n_pairs * 2 AS DOUBLE)
+               / CAST(sz.n_members * (sz.n_members - 1) AS DOUBLE)
+               AS completeness,
+             (CAST(pa.n_pairs * 2 AS DOUBLE)
+               / CAST(sz.n_members * (sz.n_members - 1) AS DOUBLE)) < 1.0
+               AS is_chain
+      FROM sz JOIN pa USING (cluster_id)"""))
+
   val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308, q309, q310,
-    q311, q312)
+    q311, q312, q313)
 }

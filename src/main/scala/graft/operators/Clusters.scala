@@ -243,6 +243,43 @@ object Clusters {
       .agg(count(lit(1)).as("cluster_size"),
         min(col(idCol)).as("canonical_id"))
 
+  /** Dedup-cluster cohesion audit: for every resolved multi-member
+    * cluster, how complete its candidate-pair evidence is — a clique
+    * (completeness 1.0) is a true duplicate group; a chain
+    * (completeness « 1) was glued by transitive closure through a few
+    * banding collisions and may be over-merged. The review table a
+    * corpus owner reads before trusting "keep one per cluster" at scale.
+    *
+    * Emits one row per cluster with ≥ 2 members: (cluster_id,
+    * n_members, n_pairs, min_dist, max_dist, completeness = n_pairs /
+    * C(n_members, 2), is_chain = completeness < 1). All counts are
+    * exact integers; completeness is one division.
+    *
+    * Scale: component resolution is [[connectedComponents]]; the audit
+    * itself is one pairs→cluster join keyed on the vertex id and two
+    * cluster-keyed aggregations — pair-sized, never corpus². */
+  def clusterCohesionAudit(vertices: DataFrame, idCol: String,
+                           pairs: DataFrame, aCol: String, bCol: String,
+                           distCol: String,
+                           maxIter: Int = 20): DataFrame = {
+    val comps = connectedComponents(vertices, idCol,
+      pairs.select(col(aCol), col(bCol)), aCol, bCol, maxIter)
+    val sizes = comps.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val withC = pairs.join(
+      comps.select(col(idCol).as(aCol), col("cluster_id")), aCol)
+    val pairAgg = withC.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col(distCol)).as("min_dist"),
+        max(col(distCol)).as("max_dist"))
+    sizes.join(pairAgg, "cluster_id")
+      .withColumn("completeness",
+        (col("n_pairs") * 2L).cast("double") /
+          (col("n_members") * (col("n_members") - 1L)).cast("double"))
+      .withColumn("is_chain", col("completeness") < 1.0)
+  }
+
   /** Integer-exact PageRank over an UNDIRECTED graph given as (src, dst)
     * pairs — entity-importance scoring for graphs like the
     * customer↔supplier trade network, with every arithmetic step in
