@@ -385,6 +385,65 @@ object R8iQueries {
                AS is_chain
       FROM sz JOIN pa USING (cluster_id)"""))
 
+  /** Per-document character entropy — the compression-ratio proxy
+    * catching repeated-char junk (low tail) and base64/hex blobs (high
+    * tail) that token-level gates miss. */
+  private val q314 = QueryDef(
+    "q314_char_entropy",
+    (s, d) => Corpus.charEntropy(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""
+      WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+            FROM documents, unnest(generate_series(1, length(text)))
+              AS t(i)
+            WHERE text IS NOT NULL AND length(text) > 0),
+      cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+             FROM ch GROUP BY 1, 2),
+      pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars
+             FROM cc GROUP BY 1)
+      SELECT cc.doc_id, pd.n_chars, pd.n_distinct_chars,
+             -(CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE)
+                 / CAST(pd.n_chars AS DOUBLE)) * 1073741824.0) AS BIGINT))
+               AS DOUBLE) / 1073741824.0) / CAST(pd.n_chars AS DOUBLE)
+               AS char_entropy_nats
+      FROM cc JOIN pd USING (doc_id)
+      GROUP BY cc.doc_id, pd.n_chars, pd.n_distinct_chars"""))
+
+  private val DropPermille = 150
+  private val AugSalt = "aug0"
+
+  /** Deterministic word-dropout augmentation: md5-coin token dropping,
+    * reproducible across engines and partitionings. */
+  private val q315 = QueryDef(
+    "q315_word_dropout",
+    (s, d) => Corpus.wordDropout(Tables.documents(s, d), "doc_id", "text",
+      DropPermille, AugSalt),
+    Some {
+      val nib = (j: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1)"
+      val threshold = (DropPermille * 65536) / 1000
+      s"""
+      WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
+            FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS tok,
+                unnest(generate_series(0, len(w) - 1)) AS pos
+              FROM t WHERE len(w) > 0),
+      coin AS (SELECT doc_id, tok, pos,
+                 md5('$AugSalt:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(pos AS VARCHAR)) AS h
+               FROM tok),
+      marked AS (SELECT doc_id, tok, pos,
+                   (4096 * ${nib(1)} + 256 * ${nib(2)} + 16 * ${nib(3)}
+                     + ${nib(4)}) < $threshold AS dropped
+                 FROM coin)
+      SELECT doc_id,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE NOT dropped), '') AS text_aug,
+             CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) AS n_kept,
+             CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped
+      FROM marked GROUP BY doc_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308, q309, q310,
-    q311, q312, q313)
+    q311, q312, q313, q314, q315)
 }

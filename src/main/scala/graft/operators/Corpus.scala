@@ -1535,6 +1535,83 @@ object Corpus {
         col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
   }
 
+  /** Per-document character-entropy quality signal: the Shannon entropy
+    * (nats) of each doc's own character distribution — the
+    * compression-ratio proxy that catches what token-level gates miss:
+    * repeated-character junk, base64/hex blobs (HIGH entropy, near
+    * ln(alphabet)), and single-char spam (near 0). Gate on both tails.
+    *
+    * Exactness (the CE discipline): per-char log-probabilities are
+    * floored to the 2^-30-nat grid and summed as c·lp integers, so the
+    * entropy is engine-exact. Characters are enumerated by position
+    * (`substring(text, i, 1)`) — the one char-splitting formulation
+    * every engine agrees on. Emits (idCol, n_chars, n_distinct_chars,
+    * char_entropy_nats); empty/NULL texts emit nothing.
+    *
+    * Scale: one explode to (doc, char) + two map-combined aggregations
+    * keyed on the doc id — linear in corpus characters, no joins. */
+  def charEntropy(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val chars = spread(docs)
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)))).as("__i"))
+      .select(col(idCol), substring(col("__t"), col("__i"), lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__cnt"))
+    val perDoc = chars.groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"))
+    chars.join(perDoc, Seq(idCol))
+      .withColumn("__lp",
+        floor(log(col("__cnt").cast("double") /
+          col("n_chars").cast("double")) * lit(CeScale.toDouble))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(first(col("n_chars")).as("n_chars"),
+        first(col("n_distinct_chars")).as("n_distinct_chars"),
+        sum(col("__cnt") * col("__lp")).as("__sum"))
+      .withColumn("char_entropy_nats",
+        -(col("__sum").cast("double") / lit(CeScale.toDouble)) /
+          col("n_chars").cast("double"))
+      .drop("__sum")
+  }
+
+  /** Deterministic word-dropout augmentation: each token is dropped with
+    * probability ~`dropPermille`/1000, decided by an md5 coin over
+    * (doc id, token position) — fully reproducible across runs, engines
+    * and partitionings (the q58 hash-split discipline; no RNG state
+    * anywhere). The standard cheap text augmentation for embedding /
+    * classifier training; pair the output with the original for
+    * contrastive views.
+    *
+    * Emits (idCol, text_aug, n_kept, n_dropped); token order is
+    * preserved (kept tokens re-assemble by position). Scale: one
+    * posexplode + a position-keyed re-aggregation per doc — the
+    * paragraph-dedup shape, one doc-keyed exchange. */
+  def wordDropout(docs: DataFrame, idCol: String, textCol: String,
+                  dropPermille: Int, salt: String = "aug0"): DataFrame = {
+    require(dropPermille >= 0 && dropPermille < 1000,
+      s"dropPermille must be in [0, 1000), got $dropPermille")
+    val toks = spread(docs)
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("__pos", "__tok")))
+    // 4 hex nibbles -> integer in [0, 65536); drop iff < threshold
+    val coin = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast("string"), col("__pos").cast("string"))), 1, 4),
+      16, 10).cast("int")
+    val threshold = (dropPermille * 65536) / 1000
+    val marked = toks.withColumn("__drop", coin < lit(threshold))
+    marked.groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(
+          collect_list(when(!col("__drop"),
+            struct(col("__pos"), col("__tok"))))),
+          s => s.getField("__tok")), " ").as("text_aug"),
+        sum(when(col("__drop"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Mixture-vs-target report: achieved token share per source against
     * a declared target mixture — the "are we actually training on the
     * mix we designed" audit run after sampling/quota stages. Emits one
