@@ -246,4 +246,43 @@ class CorpusSpec extends SparkSpec {
         docs, "doc_id", "text", maxHamming = 0, bits = 64, numBands = 1)
       .select($"doc_id").as[Long].collect().toSeq shouldBe Seq(11L)
   }
+
+  test("charEntropy: uniform alphabet hits ln(k), single-char text " +
+    "scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd"),       // uniform over 4 chars -> ln 4
+      (2L, "aaaaaaaa"),   // single char -> 0
+      (3L, "")            // empty -> absent
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("char_entropy_nats")).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L) shouldBe math.log(4.0) +- 1e-6
+    out(2L) shouldBe 0.0 +- 1e-9
+  }
+
+  test("wordDropout: deterministic across evaluations, order preserved, " +
+    "rate in the right ballpark") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 400).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run() = graft.operators.Corpus.wordDropout(docs, "doc_id", "text",
+        dropPermille = 250)
+      .collect().map(r => (r.getAs[String]("text_aug"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).head
+    val (aug1, kept, dropped) = run()
+    run() shouldBe ((aug1, kept, dropped)) // md5 coin: no RNG state
+    kept + dropped shouldBe 400L
+    dropped.toDouble should (be > 400 * 0.15 and be < 400 * 0.35)
+    // kept tokens appear in original order
+    val keptToks = aug1.split(" ").toSeq
+    keptToks shouldBe keptToks.sortBy(t => t.drop(1).toInt)
+    // salt changes the coin
+    val other = graft.operators.Corpus.wordDropout(docs, "doc_id", "text",
+        dropPermille = 250, salt = "aug1")
+      .collect().head.getAs[String]("text_aug")
+    other should not be aug1
+  }
 }
