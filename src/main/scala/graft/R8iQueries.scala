@@ -444,6 +444,31 @@ object R8iQueries {
       FROM marked GROUP BY doc_id"""
     })
 
+  /** l-diversity over the q199 quasi-identifier groups: large (k-safe)
+    * groups whose sensitive balance band is near-constant still leak —
+    * the second privacy audit a release needs. */
+  private val q316 = QueryDef(
+    "q316_ldiversity_audit",
+    (s, d) => Quality.lDiversityAudit(Tables.customer(s, d), Seq(
+      ("nation_key", col("c_nationkey")),
+      ("segment", col("c_mktsegment"))),
+      org.apache.spark.sql.functions.floor(col("c_acctbal") / 1000)
+        .cast("long"),
+      l = 3),
+    Some("""
+      WITH cell AS (
+        SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS cn
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT nation_key, segment,
+             CAST(sum(cn) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_sensitive_values,
+             CAST(max(cn) AS DOUBLE) / CAST(sum(cn) AS DOUBLE)
+               AS majority_share,
+             count(*) < 3 AS at_risk
+      FROM cell GROUP BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308, q309, q310,
-    q311, q312, q313, q314, q315)
+    q311, q312, q313, q314, q315, q316)
 }

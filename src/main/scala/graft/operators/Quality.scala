@@ -694,6 +694,31 @@ object Quality {
       .withColumn("at_risk", col("n") < k)
   }
 
+  /** l-diversity audit — the k-anonymity complement: a quasi-identifier
+    * group can be large (k-safe) yet reveal everyone's sensitive value
+    * if that value is CONSTANT within it. Per group: row count, number
+    * of distinct sensitive values, the majority sensitive share, and
+    * `at_risk` when distinct values < l (distinct l-diversity, the
+    * standard first-line check). One grouped aggregation on
+    * (qi, sensitive) then a group rollup — two map-combined exchanges,
+    * no windows over the data. */
+  def lDiversityAudit(df: DataFrame, qi: Seq[(String, Column)],
+                      sensitive: Column, l: Int): DataFrame = {
+    require(qi.nonEmpty, "qi must be non-empty")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val cell = df.groupBy((qi.map { case (n, c) => c.as(n) } :+
+        sensitive.as("__s")): _*)
+      .agg(count(lit(1)).as("__n"))
+    cell.groupBy(qi.map { case (n, _) => col(s"`$n`") }: _*)
+      .agg(sum(col("__n")).as("n"),
+        count(lit(1)).as("n_sensitive_values"),
+        max(col("__n")).as("__maxn"))
+      .withColumn("majority_share",
+        col("__maxn").cast("double") / col("n").cast("double"))
+      .withColumn("at_risk", col("n_sensitive_values") < l)
+      .drop("__maxn")
+  }
+
   /** First-significant-digit distribution of the cent values in `value`
     * (log10(1+1/d) expected shares) — the Benford's-law anomaly screen
     * run over financial facts before trusting them. One map-combined
