@@ -263,10 +263,10 @@ object ExtQueries {
     val bits = (0 until SimHashBits).map(j =>
       s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     s"""tok AS (SELECT doc_id, md5(unnest(${oToks("text")})) AS h FROM documents),
-      sums AS (SELECT doc_id,
+      sums AS MATERIALIZED (SELECT doc_id,
              $sums
       FROM tok GROUP BY doc_id),
-      sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)"""
+      sims AS MATERIALIZED (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)"""
   }
 
   /** 32-bit SimHash fingerprints. */

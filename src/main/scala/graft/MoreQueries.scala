@@ -836,9 +836,9 @@ object MoreQueries {
     },
     Some(s"""
       WITH $oCentroids,
-      q AS (SELECT vec_id AS q_id, embedding AS qemb FROM embeddings
-            WHERE vec_id < 10),
-      ex AS (SELECT q_id, n_id FROM (
+      q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qemb
+            FROM embeddings WHERE vec_id < 10),
+      ex AS MATERIALIZED (SELECT q_id, n_id FROM (
              SELECT q.q_id, e.vec_id AS n_id,
                     ROW_NUMBER() OVER (PARTITION BY q.q_id
                       ORDER BY ${oCos("q.qemb", "e.embedding")} DESC,
@@ -846,26 +846,26 @@ object MoreQueries {
              FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
              WHERE rn <= $RecallK),
       exn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
-      asc_ AS (SELECT vec_id, centroid_id FROM (
+      asc_ AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
                SELECT e.vec_id, c.centroid_id,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
                         ORDER BY ${oCos("e.embedding", "c.cemb")} DESC,
                                  c.centroid_id) AS rn
                FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-      qc AS (SELECT q_id, qemb, centroid_id, rn AS probe_rank FROM (
+      qc AS MATERIALIZED (SELECT q_id, qemb, centroid_id, rn AS probe_rank FROM (
              SELECT q.q_id, q.qemb, c.centroid_id,
                     ROW_NUMBER() OVER (PARTITION BY q.q_id
                       ORDER BY ${oCos("q.qemb", "c.cemb")} DESC,
                                c.centroid_id) AS rn
              FROM q CROSS JOIN cent c) WHERE rn <= $MaxNprobe),
-      cand AS (SELECT qc.q_id, e.vec_id AS n_id,
+      cand AS MATERIALIZED (SELECT qc.q_id, e.vec_id AS n_id,
                  ${oCos("qc.qemb", "e.embedding")} AS cosine,
                  qc.probe_rank
                FROM qc
                JOIN asc_ a USING (centroid_id)
                JOIN embeddings e ON e.vec_id = a.vec_id
                WHERE qc.q_id <> e.vec_id),
-      pp AS (SELECT q_id, n_id, np,
+      pp AS MATERIALIZED (SELECT q_id, n_id, np,
                ROW_NUMBER() OVER (PARTITION BY q_id, np
                  ORDER BY cosine DESC, n_id) AS rk
              FROM cand CROSS JOIN (SELECT unnest(generate_series(1,

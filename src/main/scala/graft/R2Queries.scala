@@ -54,13 +54,13 @@ object R2Queries {
       "text", n = 3, threshold = 0.1, maxDf = CapDf),
     Some(s"""
       WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w FROM documents),
-      ws AS (SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)}) AS sh
+      ws AS MATERIALIZED (SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)}) AS sh
              FROM t WHERE len(w) >= 3),
-      posting AS (SELECT doc_id, unnest(sh) AS s FROM ws),
+      posting AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM ws),
       df AS (SELECT s, COUNT(*) AS c FROM posting GROUP BY s),
-      capped AS (SELECT p.doc_id, p.s FROM posting p JOIN df USING (s)
+      capped AS MATERIALIZED (SELECT p.doc_id, p.s FROM posting p JOIN df USING (s)
                  WHERE c <= $CapDf),
-      sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+      sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
       pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                        COUNT(*) AS intersection
                 FROM capped a JOIN capped b

@@ -102,11 +102,11 @@ object R6bQueries {
         Seq("source_eq", "lang_eq", "len_close", "prefix_eq"))
     },
     Some("""
-      WITH d AS (SELECT doc_id, source, lang, n_chars,
+      WITH d AS MATERIALIZED (SELECT doc_id, source, lang, n_chars,
               substr(text, 1, 20) AS pfx, md5(text) AS h,
               md5(CAST(doc_id AS VARCHAR)) AS rk
             FROM documents WHERE text IS NOT NULL),
-      m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, TRUE AS is_match
+      m AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id, TRUE AS is_match
             FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id),
       r AS (SELECT doc_id, row_number() OVER (ORDER BY rk, doc_id) AS rn
             FROM d),
@@ -117,7 +117,7 @@ object R6bQueries {
             WHERE NOT EXISTS (SELECT 1 FROM m
                               WHERE m.a_id = rp.a_id AND m.b_id = rp.b_id)),
       p AS (SELECT * FROM m UNION ALL SELECT * FROM u),
-      j AS (SELECT p.is_match,
+      j AS MATERIALIZED (SELECT p.is_match,
               (da.source IS NOT NULL AND db.source IS NOT NULL
                 AND da.source = db.source) AS source_eq,
               (da.lang IS NOT NULL AND db.lang IS NOT NULL

@@ -57,16 +57,17 @@ object R8iQueries {
     "q303_bitext_margin",
     (s, d) => Similarity.marginBitextMine(Tables.embeddings(s, d),
       "vec_id", "embedding",
-      col("vec_id") % 2 === 0, col("vec_id") % 2 === 1, MinMargin),
+      col("vec_id") % 2 === 0 && col("vec_id") < 100,
+      col("vec_id") % 2 === 1 && col("vec_id") < 100, MinMargin),
     Some(s"""
       WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb
-                 FROM embeddings WHERE vec_id % 2 = 0),
+                 FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 100),
       b AS (SELECT vec_id AS b_id, embedding AS b_emb
-            FROM embeddings WHERE vec_id % 2 = 1),
+            FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 100),
       sc AS (SELECT a_id, b_id,
                ${ExtQueries.oCos("a_emb", "b_emb")} AS cosine
              FROM a CROSS JOIN b),
-      r AS (SELECT a_id, b_id, cosine,
+      r AS MATERIALIZED (SELECT a_id, b_id, cosine,
               row_number() OVER (PARTITION BY a_id
                 ORDER BY cosine DESC, b_id) AS ra,
               row_number() OVER (PARTITION BY b_id
@@ -296,19 +297,19 @@ object R8iQueries {
     Some {
       val oov = "CAST(-floor(20.0 * 1073741824.0) AS BIGINT)"
       s"""
-      WITH ct AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      WITH ct AS MATERIALIZED (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT source, unnest(${ExtQueries.oToks("text")}) AS tok
                   FROM documents WHERE doc_id % 20 <> 0)
             GROUP BY 1, 2),
-      g AS (SELECT tok, sum(cnt) AS gc FROM ct GROUP BY tok),
+      g AS MATERIALIZED (SELECT tok, sum(cnt) AS gc FROM ct GROUP BY tok),
       ps AS (SELECT source, sum(cnt) AS tot_s FROM ct GROUP BY source),
       tot AS (SELECT sum(gc) AS total FROM g),
-      ev AS (SELECT tok, CAST(count(*) AS BIGINT) AS ecnt
+      ev AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS ecnt
              FROM (SELECT unnest(${ExtQueries.oToks("text")}) AS tok
                    FROM documents WHERE doc_id % 20 = 0)
              GROUP BY tok),
       ne AS (SELECT sum(ecnt) AS n_eval FROM ev),
-      lpf AS (SELECT ev.tok, ev.ecnt, g.gc,
+      lpf AS MATERIALIZED (SELECT ev.tok, ev.ecnt, g.gc,
                 CASE WHEN g.gc IS NULL THEN $oov
                      ELSE CAST(floor(ln(CAST(g.gc AS DOUBLE)
                        / CAST(tot.total AS DOUBLE)) * 1073741824.0)
@@ -356,7 +357,7 @@ object R8iQueries {
     },
     Some(s"""
       WITH RECURSIVE ${ExtQueries.oSimHashCtes},
-      prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      prs AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
                   AS hamming
               FROM sims a JOIN sims b ON a.doc_id < b.doc_id
@@ -367,7 +368,7 @@ object R8iQueries {
                 UNION
                 SELECT e.src AS id, reach.r
                 FROM edges e JOIN reach ON e.dst = reach.id),
-      comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+      comp AS MATERIALIZED (SELECT id AS doc_id, MIN(r) AS cluster_id
                FROM reach GROUP BY id),
       sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
              FROM comp GROUP BY 1 HAVING count(*) >= 2),
