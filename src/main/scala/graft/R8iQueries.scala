@@ -470,6 +470,35 @@ object R8iQueries {
              count(*) < 3 AS at_risk
       FROM cell GROUP BY 1, 2"""))
 
+  /** Dedup-radius survival sweep: cumulative candidate pairs and
+    * touched docs per Hamming radius — the aggressiveness calibration
+    * read before a corpus-wide near-dup run. */
+  private val q317 = QueryDef(
+    "q317_dedup_radius_sweep",
+    (s, d) => Corpus.dedupRadiusSweep(Tables.documents(s, d), "doc_id",
+      "text", maxHamming = 3),
+    Some(s"""
+      WITH ${ExtQueries.oSimHashCtes},
+      prs AS MATERIALIZED (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS h
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      ph AS (SELECT h, CAST(count(*) AS BIGINT) AS np FROM prs GROUP BY 1),
+      dm AS (SELECT id, min(h) AS h FROM (
+               SELECT a_id AS id, h FROM prs
+               UNION ALL SELECT b_id, h FROM prs) GROUP BY id),
+      dh AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM dm GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(0, 3)) AS radius)
+      SELECT CAST(s.radius AS INT) AS radius,
+             CAST(sum(COALESCE(ph.np, 0)) OVER (ORDER BY s.radius
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs,
+             CAST(sum(COALESCE(dh.nd, 0)) OVER (ORDER BY s.radius
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs_touched
+      FROM spine s
+      LEFT JOIN ph ON ph.h = s.radius
+      LEFT JOIN dh ON dh.h = s.radius"""))
+
   val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308, q309, q310,
-    q311, q312, q313, q314, q315, q316)
+    q311, q312, q313, q314, q315, q316, q317)
 }

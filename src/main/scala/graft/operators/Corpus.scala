@@ -1612,6 +1612,47 @@ object Corpus {
         sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Dedup-radius survival sweep: for every Hamming radius r up to
+    * `maxHamming`, how many candidate pairs exist at distance ≤ r and
+    * how many DISTINCT documents have at least one such pair — the
+    * "how aggressive should the near-dup radius be" calibration read
+    * before committing a corpus-wide [[resolveDuplicates]] run
+    * (touched-doc count is the sharp upper bound on documents a
+    * radius-r dedup could drop). Emits one row per radius:
+    * (radius, n_pairs, n_docs_touched), cumulative in r.
+    *
+    * Scale: ONE banded pair pass at the widest radius
+    * ([[simHashHammingPairs]] — never all-pairs), then a per-pair
+    * hamming histogram and a per-doc min-distance histogram, each
+    * cumulated over the ≤ maxHamming+1-row radius spine. */
+  def dedupRadiusSweep(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int, bits: Int = 32,
+                       numBands: Int = 4,
+                       maxBucket: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val pairs = simHashHammingPairs(docs, idCol, textCol, maxHamming,
+      bits, numBands, maxBucket)
+    val pairHist = pairs.groupBy(col("hamming").as("__h"))
+      .agg(count(lit(1)).as("__np"))
+    val docMin = pairs.select(col("a_id").as("__id"), col("hamming"))
+      .unionAll(pairs.select(col("b_id").as("__id"), col("hamming")))
+      .groupBy(col("__id")).agg(min(col("hamming")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+    val spine = spark.range(0, maxHamming + 1)
+      .select(col("id").cast("int").as("radius"))
+    val wCum = Window.orderBy(col("radius"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(pairHist.withColumnRenamed("__h", "radius"), Seq("radius"),
+        "left")
+      .join(docMin.withColumnRenamed("__h", "radius"), Seq("radius"),
+        "left")
+      .na.fill(0L, Seq("__np", "__nd"))
+      .withColumn("n_pairs", sum(col("__np")).over(wCum))
+      .withColumn("n_docs_touched", sum(col("__nd")).over(wCum))
+      .select(col("radius"), col("n_pairs"), col("n_docs_touched"))
+  }
+
   /** Mixture-vs-target report: achieved token share per source against
     * a declared target mixture — the "are we actually training on the
     * mix we designed" audit run after sampling/quota stages. Emits one
