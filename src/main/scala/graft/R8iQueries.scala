@@ -499,6 +499,67 @@ object R8iQueries {
       LEFT JOIN ph ON ph.h = s.radius
       LEFT JOIN dh ON dh.h = s.radius"""))
 
+  /** Auto length gate from the corpus's own p1/p99 token-count sketch
+    * buckets — measured bounds instead of hand-picked constants, with
+    * the would-be drop counts. */
+  private val q318 = QueryDef(
+    "q318_auto_length_gate",
+    (s, d) => Corpus.autoLengthGate(Tables.documents(s, d), "doc_id",
+      "text", pLo = 0.01, pHi = 0.99, subBuckets = 16),
+    Some(s"""
+      WITH v AS (SELECT doc_id,
+               CAST(len(${ExtQueries.oToks("text")}) AS BIGINT) AS x
+             FROM documents),
+      b AS (SELECT doc_id, x,
+              CASE WHEN x <= 0 THEN -1
+                   ELSE length(bin(x)) - 1 END AS e,
+              CASE WHEN x <= 0 THEN CAST(0 AS BIGINT)
+                   ELSE ((x - (CAST(1 AS BIGINT) << (length(bin(x)) - 1)))
+                          * 16)
+                        // (CAST(1 AS BIGINT) << (length(bin(x)) - 1))
+                   END AS sub
+            FROM v),
+      sk AS (SELECT e, sub, CAST(count(*) AS BIGINT) AS cnt
+             FROM b GROUP BY 1, 2),
+      c AS (SELECT e, sub, cnt,
+              sum(cnt) OVER (ORDER BY e, sub) AS cum,
+              sum(cnt) OVER () AS tot
+            FROM sk),
+      qs AS (SELECT unnest([CAST(0.01 AS DOUBLE), CAST(0.99 AS DOUBLE)])
+               AS q),
+      pick AS (SELECT q, e, sub,
+                 row_number() OVER (PARTITION BY q ORDER BY e, sub) AS rn
+               FROM c CROSS JOIN qs
+               WHERE cum >= ceil(q * tot)),
+      bounds AS (SELECT
+          max(CASE WHEN q = 0.01 THEN
+            CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << e)
+                   + (sub * (CAST(1 AS BIGINT) << e) + 15) // 16 END
+            END) AS lo_tokens,
+          max(CASE WHEN q = 0.99 THEN
+            CASE WHEN e < 0 THEN CAST(1 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << e)
+                   + ((sub + 1) * (CAST(1 AS BIGINT) << e) + 15) // 16 END
+            END) AS hi_tokens
+        FROM pick WHERE rn = 1)
+      SELECT bounds.lo_tokens, bounds.hi_tokens,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN x < lo_tokens THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_below,
+             CAST(sum(CASE WHEN x >= hi_tokens THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_above,
+             CAST(count(*)
+               - sum(CASE WHEN x < lo_tokens THEN 1 ELSE 0 END)
+               - sum(CASE WHEN x >= hi_tokens THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(count(*)
+               - sum(CASE WHEN x < lo_tokens THEN 1 ELSE 0 END)
+               - sum(CASE WHEN x >= hi_tokens THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_ratio
+      FROM v CROSS JOIN bounds
+      GROUP BY bounds.lo_tokens, bounds.hi_tokens"""))
+
   val all: Seq[QueryDef] = Seq(q302, q303, q304, q306, q308, q309, q310,
-    q311, q312, q313, q314, q315, q316, q317)
+    q311, q312, q313, q314, q315, q316, q317, q318)
 }

@@ -1612,6 +1612,46 @@ object Corpus {
         sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Sketch-driven auto length gate: pick the token-count bounds from
+    * the corpus's OWN length distribution — [lo, hi) = the
+    * [[Stats.logBucketSketch]] bucket bounds at `pLo`/`pHi` — and report
+    * what a gate at those bounds would do. Replaces hand-picked
+    * min/max-token constants with measured structure (the lshPlanner /
+    * autoThreshold spirit applied to the length gate). Emits ONE row:
+    * (lo_tokens, hi_tokens, n_docs, n_below, n_above, n_kept,
+    * keep_ratio); gate semantics are lo ≤ tokens < hi.
+    *
+    * Scale: one token-count scan feeds both the sketch (bounded rows)
+    * and the conditional counts; thresholds come from the sketch-sized
+    * quantile pick and are joined back as a broadcast 1-row frame. */
+  def autoLengthGate(docs: DataFrame, idCol: String, textCol: String,
+                     pLo: Double = 0.01, pHi: Double = 0.99,
+                     subBuckets: Int = 16): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1, got $pLo, $pHi")
+    val counted = spread(docs).select(col(idCol),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("__ntok"))
+    val qs = Stats.logBucketQuantiles(
+        counted.withColumn("__g", lit(1)), Seq("__g"), "__ntok",
+        subBuckets, Seq(pLo, pHi))
+      .groupBy(col("__g"))
+      .agg(min(when(col("q") === pLo, col("est_lo"))).as("lo_tokens"),
+        min(when(col("q") === pHi, col("est_hi"))).as("hi_tokens"))
+      .drop("__g")
+    counted.crossJoin(broadcast(qs))
+      .agg(first(col("lo_tokens")).as("lo_tokens"),
+        first(col("hi_tokens")).as("hi_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__ntok") < col("lo_tokens"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("__ntok") >= col("hi_tokens"), 1L).otherwise(0L))
+          .as("n_above"))
+      .withColumn("n_kept",
+        col("n_docs") - col("n_below") - col("n_above"))
+      .withColumn("keep_ratio",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Dedup-radius survival sweep: for every Hamming radius r up to
     * `maxHamming`, how many candidate pairs exist at distance ≤ r and
     * how many DISTINCT documents have at least one such pair — the
