@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // opt-in range-join acceleration (spark.graft.rangeJoin.binWidth > 0)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // physical planning for the grouped top-k logical node
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }
 
