@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.10).
   *
@@ -223,6 +223,58 @@ object StreamOps {
     events.groupByKey(_.key)
       .transformWithState(new BurstStartProcessor(gapSec * 1000000L),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class ScoredRecord(key: String, id: String, score: Double)
+  final case class RankedRecord(key: String, id: String, score: Double,
+                                rnk: Int, ver: Long)
+
+  /** Streaming maintenance twin of the grouped top-k physical operator
+    * (`graft.plans.GroupedTopKExec` / `TopK.perGroup`): per-key ListState
+    * holds the current k best rows under (score desc, id asc) — the same
+    * total order the batch operator needs for determinism. Whenever a
+    * batch changes a key's top-k membership or order, the FULL new top-k
+    * is re-emitted for that key, rank-numbered and tagged with a
+    * monotonically increasing per-key version — in Update mode a sink's
+    * max-version rows per key are that group's current top-k, and after
+    * any prefix of batches they equal the batch operator run on the data
+    * seen so far (spec-asserted). State per key is exactly the k
+    * survivors plus one version counter — the streaming face of the batch
+    * exec's bounded-heap contract; unchanged keys emit nothing. */
+  class TopKProcessor(k: Int)
+      extends StatefulProcessor[String, ScoredRecord, RankedRecord] {
+    @transient private var state: ListState[ScoredRecord] = _
+    @transient private var ver: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getListState[ScoredRecord]("topk",
+        org.apache.spark.sql.Encoders.product[ScoredRecord], TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[ScoredRecord],
+                                 timerValues: TimerValues): Iterator[RankedRecord] = {
+      val cur = state.get().toVector
+      val merged = (cur ++ rows).sortBy(r => (-r.score, r.id)).take(k)
+      if (merged == cur) Iterator.empty
+      else {
+        state.put(merged.toArray)
+        val v = (if (ver.exists()) ver.get() else 0L) + 1L
+        ver.update(v)
+        merged.iterator.zipWithIndex.map { case (r, i) =>
+          RankedRecord(r.key, r.id, r.score, i + 1, v)
+        }
+      }
+    }
+  }
+
+  def topKStream(records: Dataset[ScoredRecord], k: Int): Dataset[RankedRecord] = {
+    require(k > 0, s"k must be positive, got $k")
+    import records.sparkSession.implicits._
+    records.groupByKey(_.key)
+      .transformWithState(new TopKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming exact dedup with BOUNDED state: Spark's
