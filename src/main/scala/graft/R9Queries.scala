@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.QueryDef
+import graft.functions.TextFunctions
 import graft.operators.TopK
 
 /** Round-9 wave 7: the grouped top-k PHYSICAL operator
@@ -48,5 +49,34 @@ object R9Queries {
       SELECT l_suppkey, l_orderkey, l_partkey, l_linenumber, quantity, price
       FROM ranked WHERE rn <= 5"""))
 
-  val all: Seq[QueryDef] = Seq(q319)
+  /** The exec on the LLM-pipeline side: longest-3 documents per
+    * (source, lang) cell by whitespace token count — the "pick the best k
+    * exemplars per stratum" selection a curriculum or eval-set builder
+    * runs, where the window plan would sort the whole corpus per cell.
+    * Token count is the q30 tokenizer pair (tokens / oToks), so the score
+    * is integer-exact in both engines; doc_id breaks ties totally. */
+  private val q320 = QueryDef(
+    "q320_grouped_topk_docs",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("source"), col("lang"), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      TopK.perGroup(docs,
+        Seq(col("source"), col("lang")),
+        Seq(col("n_tokens").desc, col("doc_id")),
+        3)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT source, lang, doc_id,
+               CAST(len(${ExtQueries.oToks("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY source, lang
+          ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM t)
+      SELECT source, lang, doc_id, n_tokens FROM ranked WHERE rn <= 3"""))
+
+  val all: Seq[QueryDef] = Seq(q319, q320)
 }
