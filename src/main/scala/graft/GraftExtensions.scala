@@ -18,8 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // opt-in range-join acceleration (spark.graft.rangeJoin.binWidth > 0)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
-    // physical planning for the grouped top-k logical node
+    // physical planning for the grouped top-k logical node, plus
+    // group-key filter pushdown through it
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.GroupedTopKFilterPushdown)
   }
 }
 

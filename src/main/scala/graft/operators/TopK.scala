@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
 import org.apache.spark.sql.graftshim.PlanInjection
 
-import graft.plans.{GroupedTopKNode, GroupedTopKStrategy}
+import graft.plans.{GroupedTopKFilterPushdown, GroupedTopKNode, GroupedTopKStrategy}
 
 /** Grouped top-k via the custom physical operator
   * ([[graft.plans.GroupedTopKExec]]): per-group bounded heaps with a
@@ -37,7 +37,10 @@ object TopK {
   }
 
   /** Make the planner able to place [[GroupedTopKNode]] on this session
-    * (no-op when `GraftExtensions` already injected the strategy). */
-  def ensureRegistered(spark: SparkSession): Unit =
+    * and enable group-key filter pushdown through it (no-op when
+    * `GraftExtensions` already injected both). */
+  def ensureRegistered(spark: SparkSession): Unit = {
     PlanInjection.ensureStrategy(spark, GroupedTopKStrategy)
+    PlanInjection.ensureOptimization(spark, GroupedTopKFilterPushdown)
+  }
 }

@@ -74,6 +74,43 @@ object GroupedTopKStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: push a Filter through [[GroupedTopKNode]] when it only
+  * constrains the GROUP KEY. A deterministic predicate over the group-key
+  * attributes is constant within a group, so it selects whole groups and
+  * commutes with per-group top-k — pushing it below lets the normal
+  * pushdown machinery carry it all the way into the scan
+  * (`PushedFilters`), so a "top-k per key WHERE key IN (...)" never reads
+  * the other keys' rows at all. Only applies when every group expression
+  * is a bare attribute: a predicate on a column that merely FEEDS a
+  * computed group expression (e.g. grouping by `k % 2`, filtering `k`)
+  * would change group membership, not select whole groups. Conjuncts
+  * that touch non-group columns stay above the node.
+  *
+  * Registered by `GraftExtensions` (injectOptimizerRule) and
+  * self-registered by `TopK.perGroup` via `experimental.
+  * extraOptimizations` for plain sessions.
+  */
+object GroupedTopKFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, t: GroupedTopKNode)
+        if t.groupExprs.forall(_.isInstanceOf[Attribute]) =>
+      val groupAttrs = AttributeSet(t.groupExprs.map(_.asInstanceOf[Attribute]))
+      val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.nonEmpty &&
+          c.references.subsetOf(groupAttrs))
+      if (push.isEmpty) f
+      else {
+        val pushed = t.copy(child = Filter(push.reduce(And), t.child))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** One pass of per-group bounded heaps (see [[GroupedTopKNode]]).
   * `partial = true` runs before the exchange with the flush cap;
   * `partial = false` demands `ClusteredDistribution(groupExprs)` and is

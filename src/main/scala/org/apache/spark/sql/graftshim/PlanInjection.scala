@@ -43,4 +43,16 @@ object PlanInjection {
       }
     }
   }
+
+  /** Idempotently append an optimizer rule (runtime equivalent of
+    * `SparkSessionExtensions.injectOptimizerRule`). */
+  def ensureOptimization(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val ex = spark.asInstanceOf[classic.SparkSession].experimental
+    ex.synchronized {
+      if (!ex.extraOptimizations.contains(rule)) {
+        ex.extraOptimizations = ex.extraOptimizations :+ rule
+      }
+    }
+  }
 }

@@ -81,6 +81,42 @@ class GroupedTopKSpec extends SparkSpec {
     sortedRows(agg) shouldBe sortedRows(expect)
   }
 
+  test("group-key filters push through the node to the source") {
+    // filter AFTER top-k on a group column: with the pushdown rule the
+    // predicate lands below GroupedTopK (whole groups selected, same
+    // answer), instead of scanning every group and discarding
+    val topk = TopK.perGroup(data, Seq(col("g")),
+      Seq(col("v").desc, col("id")), 5)
+    val filtered = topk.filter(col("g") < 10)
+    sortedRows(filtered) shouldBe sortedRows(windowed(5).filter(col("g") < 10))
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the Filter must sit BELOW the GroupedTopKNode after optimization
+    val node = optimized.collectFirst {
+      case t: graft.plans.GroupedTopKNode => t }.get
+    node.child.toString should include("Filter")
+    optimized.toString.indexOf("graft.plans.GroupedTopKNode") // node present
+  }
+
+  test("filters on non-key or computed-key columns are NOT pushed") {
+    // predicate on the ORDER column must stay above (it would change
+    // each group's top-k if applied first)
+    val topk = TopK.perGroup(data, Seq(col("g")),
+      Seq(col("v").desc, col("id")), 5)
+    val byValue = topk.filter(col("v") > 50)
+    sortedRows(byValue) shouldBe sortedRows(windowed(5).filter(col("v") > 50))
+    val n1 = byValue.queryExecution.optimizedPlan.collectFirst {
+      case t: graft.plans.GroupedTopKNode => t }.get
+    n1.child.toString should not include "Filter"
+
+    // computed group key (g % 2): a filter on g feeds the key but does
+    // not select whole groups — must stay above
+    val computed = TopK.perGroup(data, Seq(col("g") % 2),
+      Seq(col("v").desc, col("id")), 5).filter(col("g") < 10)
+    val n2 = computed.queryExecution.optimizedPlan.collectFirst {
+      case t: graft.plans.GroupedTopKNode => t }.get
+    n2.child.toString should not include "Filter"
+  }
+
   test("rejects non-positive k and empty group list") {
     an[IllegalArgumentException] should be thrownBy
       TopK.perGroup(data, Seq(col("g")), Seq(col("v")), 0)
