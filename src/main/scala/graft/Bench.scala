@@ -23,7 +23,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosConf, "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: at 320 queries the WindowExec/DAGScheduler WARN flood
+    // (thousands of lines, all on bounded frames — see PLANS.md) drowns the
+    // single totals JSON line the round driver must find in its ~2 KB
+    // combined-output tail. Real failures surface via the -1.0 sentinel.
+    spark.sparkContext.setLogLevel("ERROR")
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -84,7 +88,9 @@ object Bench {
     val byName = results.map { case (k, _, w) => k.takeWhile(_ != '_') -> w }.toMap
     val qsHead = headline.flatMap(h => byName.get(h).map(w => s"\"$h\":${r3(w)}"))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total_sec":${r3(coldTotal)},"n_queries":${results.size},"queries":$qsHead,"full":"$fullPath","sf":"$sfDir"}""")
+    // stop() BEFORE the println: session shutdown can itself log lines, and
+    // the totals line must be the absolute last output the driver tails.
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total_sec":${r3(coldTotal)},"n_queries":${results.size},"queries":$qsHead,"full":"$fullPath","sf":"$sfDir"}""")
   }
 }
