@@ -16,9 +16,9 @@ run / fork := true
 // output is re-logged with an "[info] " prefix, (b) a "[success] Total time"
 // footer prints after our JSON line. StdoutOutput makes the forked JVM write
 // to the real stdout (bare lines); showSuccess drops the footer.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

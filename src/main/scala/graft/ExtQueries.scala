@@ -193,15 +193,18 @@ object ExtQueries {
              min(doc_id) AS keep_id, COUNT(*) AS dup_count
       FROM documents GROUP BY md5(lower(trim(text)))"""))
 
-  /** Exact n-gram Jaccard similarity pairs via shingle self-join. maxDf is
-    * pinned to 0 (uncapped) because THIS oracle states the uncapped
-    * semantics — relying on the default cap merely not biting at the
-    * fixture's size would prime a divergence on any larger corpus. The
-    * capped twin with a capped oracle is q68. */
+  /** EXACT n-gram Jaccard similarity pairs via the uncapped shingle
+    * self-join — a verification query by contract (the `_exact` suffix +
+    * `uncapped = true` opt-in): it states ground truth for the banded/
+    * capped production paths on verification-scale corpora. maxDf is
+    * pinned to 0 because THIS oracle states the uncapped semantics —
+    * relying on a default cap merely not biting at the fixture's size
+    * would prime a divergence on any larger corpus. The production twin
+    * with a capped oracle is q68. */
   private val q34 = QueryDef(
-    "q34_ngram_jaccard",
+    "q34_ngram_jaccard_exact",
     (s, d) => NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.2, maxDf = 0),
+      n = 3, threshold = 0.2, maxDf = 0, uncapped = true),
     Some(s"""
       WITH t AS (SELECT doc_id, ${oToks("text")} AS w FROM documents),
       ws AS (SELECT doc_id, list_distinct(${oShingles("w", 3)}) AS sh

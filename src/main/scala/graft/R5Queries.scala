@@ -145,12 +145,14 @@ object R5Queries {
 
   /** Asymmetric (containment) near-dup pairs: |A∩B| / min(|A|,|B|) —
     * catches a short doc embedded in a long one, which Jaccard dilutes
-    * below any usable threshold. Uncapped (maxDf=0) because this oracle
-    * states the uncapped semantics, like q34. */
+    * below any usable threshold. EXACT verification form (uncapped
+    * opt-in, `_exact` contract) because this oracle states the uncapped
+    * semantics, like q34; the capped production twin is q321. */
   private val q136 = QueryDef(
-    "q136_containment_neardup",
+    "q136_containment_exact",
     (s, d) => NearDup.ngramContainmentPairs(Tables.documents(s, d),
-      "doc_id", "text", n = 3, threshold = 0.4, maxDf = 0),
+      "doc_id", "text", n = 3, threshold = 0.4, maxDf = 0,
+      uncapped = true),
     Some(s"""
       WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
             FROM documents),

@@ -18,8 +18,13 @@ object R5dQueries {
 
   private val LeakTau = 0.5
 
+  private val LeakCapDf = 25
+
   /** Near-dup pairs straddling the q58 hash-split boundaries, counted
-    * per split pair — nonzero rows mean the held-out sets leak. */
+    * per split pair — nonzero rows mean the held-out sets leak. The
+    * hot-shingle cap (df ≤ 25, ACTUALLY exercised on this corpus) is
+    * mirrored in the oracle — the q68 posture; the uncapped exact form
+    * is the q322 verification twin. */
   private val q151 = QueryDef(
     "q151_split_leakage",
     (s, d) => {
@@ -30,7 +35,7 @@ object R5dQueries {
           when(bucket < 80, "train").when(bucket < 90, "val")
             .otherwise("test"))
       Corpus.splitLeakageAudit(docs, "doc_id", "text", "split",
-        n = 3, threshold = LeakTau)
+        n = 3, threshold = LeakTau, maxDf = LeakCapDf)
     },
     Some {
       val nib = (j: Int) =>
@@ -40,13 +45,18 @@ object R5dQueries {
       s"""
       WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
             FROM documents),
-      ws AS (SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)})
-               AS sh
+      ws AS MATERIALIZED (SELECT doc_id,
+               list_distinct(${ExtQueries.oShingles("w", 3)}) AS sh
              FROM t WHERE len(w) >= 3),
-      sh AS (SELECT doc_id, unnest(sh) AS s FROM ws),
-      sz AS (SELECT doc_id, len(sh) AS n_sh FROM ws),
+      posting AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM ws),
+      df AS (SELECT s, COUNT(*) AS c FROM posting GROUP BY s),
+      capped AS MATERIALIZED (SELECT p.doc_id, p.s FROM posting p
+                 JOIN df USING (s) WHERE c <= $LeakCapDf),
+      sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM capped
+             GROUP BY doc_id),
       ip AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
-             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             FROM capped a JOIN capped b
+               ON a.s = b.s AND a.doc_id < b.doc_id
              GROUP BY 1, 2),
       pairs AS (SELECT a_id, b_id FROM ip
                 JOIN sz sa ON a_id = sa.doc_id

@@ -55,13 +55,17 @@ object R7hQueries {
   private val TrussK = 4
   private val TrussRounds = 3
 
+  /** EXACT (uncapped) truss — verification twin by contract (`_exact`
+    * suffix + `uncapped = true` opt-in); the degree-capped production
+    * form is q260. */
   private val q258 = QueryDef(
-    "q258_ktruss",
+    "q258_ktruss_exact",
     (s, d) => {
       val docs = Tables.documents(s, d)
       Clusters.kTruss(
         Corpus.simHashHammingPairs(docs, "doc_id", "text", maxHamming = 3),
-        "a_id", "b_id", k = TrussK, rounds = TrussRounds)
+        "a_id", "b_id", k = TrussK, rounds = TrussRounds,
+        maxDegree = None, uncapped = true)
     },
     Some {
       def round(t: Int): String = s"""

@@ -14,8 +14,12 @@ import graft.operators.{Corpus, NearDup}
   */
 object R7qQueries {
 
+  /** EXACT form — verification twin by contract (`_exact` suffix): the
+    * candidate generator runs with no bucket cap, so replica cliques
+    * cost their full pair count. The bucket-capped production form is
+    * q299. */
   private val q274 = QueryDef(
-    "q274_common_runs",
+    "q274_common_runs_exact",
     (s, d) => {
       val docs = Tables.documents(s, d)
       NearDup.commonRunLengths(docs, "doc_id", "text",

@@ -69,11 +69,14 @@ object R7zQueries {
   private val MinSim = 0.2
   private val SimThreshold = 0.7
 
+  /** EXACT-histogram form — verification twin by contract (`_exact`
+    * suffix + `uncapped = true` opt-in); the hot-shingle-capped
+    * production form is q300. */
   private val q290 = QueryDef(
-    "q290_lsh_planner",
+    "q290_lsh_planner_exact",
     (s, d) => NearDup.lshPlanner(Tables.documents(s, d), "doc_id", "text",
       n = 3, minSim = MinSim, simThreshold = SimThreshold,
-      budget = Budget, bins = Bins),
+      budget = Budget, bins = Bins, maxDf = 0, uncapped = true),
     Some {
       val tBin = math.ceil(SimThreshold * Bins).toInt
       val configs = (1 to Budget).filter(Budget % _ == 0)

@@ -16,10 +16,14 @@ object R8cQueries {
   private val Bins = 20
   private val MinSim = 0.0
 
+  /** EXACT-histogram form — verification twin by contract (`_exact`
+    * suffix + `uncapped = true` opt-in); the hot-shingle-capped
+    * production form is q301. */
   private val q294 = QueryDef(
-    "q294_auto_threshold",
+    "q294_auto_threshold_exact",
     (s, d) => NearDup.autoThreshold(Tables.documents(s, d), "doc_id",
-      "text", n = 3, minSim = MinSim, bins = Bins),
+      "text", n = 3, minSim = MinSim, bins = Bins, maxDf = 0,
+      uncapped = true),
     Some(s"""
       WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
             FROM documents),

@@ -780,11 +780,18 @@ object Clusters {
     * legs, and unmaterialized lineage would re-run all prior rounds per
     * leg. */
   def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
-             rounds: Int, maxDegree: Option[Int] = None,
-             checkpointDir: Option[String] = None): DataFrame = {
+             rounds: Int, maxDegree: Option[Int] = Some(256),
+             checkpointDir: Option[String] = None,
+             uncapped: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxDegree.forall(_ >= 2), s"maxDegree must be >= 2: $maxDegree")
+    // Uncapped trussing is Θ(clique³) on replica cliques — verification
+    // scale only, so it is an explicit opt-in, never a default.
+    require(maxDegree.nonEmpty || uncapped,
+      "maxDegree = None enumerates every triangle of every clique " +
+        "(output-bound, Θ(c³) per c-clique); pass uncapped = true to opt " +
+        "into the exact verification-scale form")
     val snaps = new RoundSnapshots(checkpointDir)
     def support(e: DataFrame): DataFrame = {
       val wedges = e.select(col("a"), col("b"))

@@ -963,9 +963,10 @@ object Corpus {
   def splitLeakageAudit(docs: DataFrame, idCol: String, textCol: String,
                         splitCol: String, n: Int, threshold: Double,
                         maxDf: Int = 10000,
-                        candidates: Option[DataFrame] = None): DataFrame = {
+                        candidates: Option[DataFrame] = None,
+                        uncapped: Boolean = false): DataFrame = {
     val pairs = NearDup.ngramJaccardPairs(docs, idCol, textCol, n,
-      threshold, maxDf, candidates)
+      threshold, maxDf, candidates, uncapped)
     val splits = docs.select(col(idCol), col(splitCol))
     pairs
       .join(splits.select(col(idCol).as("a_id"),

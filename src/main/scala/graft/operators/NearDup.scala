@@ -45,18 +45,37 @@ object NearDup {
     * linear in the corpus for fixed maxDf. Near-dup semantics are
     * unchanged: a shingle in >maxDf docs carries no similarity signal
     * (it's a stop phrase), exactly like min-df pruning in IR practice.
-    * `maxDf = 0` disables the cap (verification-scale corpora only);
+    * `maxDf = 0` disables the cap (verification-scale corpora only) and
+    * must be paired with an explicit `uncapped = true` — the exact
+    * all-pairs form should never be the path of least resistance;
     * `candidates` (a_id, b_id) restricts scoring to precomputed pairs
     * (e.g. [[minHashLshCandidates]]) — the preferred 100 TB shape.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Int = 10000,
-                        candidates: Option[DataFrame] = None): DataFrame =
-    ngramPairStats(docs, idCol, textCol, n, maxDf, candidates)
+                        candidates: Option[DataFrame] = None,
+                        uncapped: Boolean = false): DataFrame =
+    ngramPairStats(docs, idCol, textCol, n,
+        requireCapOptIn(maxDf, candidates, uncapped), candidates)
       .withColumn("jaccard", col("intersection").cast("double") /
         (col("n_a") + col("n_b") - col("intersection")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("intersection"), col("jaccard"))
+
+  /** Guard shared by every shingle-pair-join entry point: the uncapped
+    * all-pairs form (maxDf = 0 with no candidate set) is a quadratic
+    * scale-killer on any corpus with hot shingles, so it is opt-in —
+    * callers must say `uncapped = true` to state they are running a
+    * verification-scale exact pass. Candidate-fed calls are already
+    * pair-bounded and pass through untouched. */
+  private def requireCapOptIn(maxDf: Int, candidates: Option[DataFrame],
+                              uncapped: Boolean): Int = {
+    require(maxDf > 0 || candidates.nonEmpty || uncapped,
+      "maxDf = 0 without a candidate set runs the exact all-pairs shingle " +
+        "join (verification-scale only); pass uncapped = true to opt in, " +
+        "or keep a hot-shingle cap / supply candidates")
+    maxDf
+  }
 
   /** Max-containment near-dup pairs: containment = |A∩B| / min(|A|,|B|) —
     * 1.0 whenever the smaller shingle set is a SUBSET of the larger.
@@ -67,8 +86,10 @@ object NearDup {
     * and maxDf/candidates scale posture as [[ngramJaccardPairs]]. */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
                             n: Int, threshold: Double, maxDf: Int = 10000,
-                            candidates: Option[DataFrame] = None): DataFrame =
-    ngramPairStats(docs, idCol, textCol, n, maxDf, candidates)
+                            candidates: Option[DataFrame] = None,
+                            uncapped: Boolean = false): DataFrame =
+    ngramPairStats(docs, idCol, textCol, n,
+        requireCapOptIn(maxDf, candidates, uncapped), candidates)
       .withColumn("containment", col("intersection").cast("double") /
         least(col("n_a"), col("n_b")).cast("double"))
       .filter(col("containment") >= threshold)
@@ -194,7 +215,8 @@ object NearDup {
                       shingleN: Int, numHashes: Int, bandSize: Int,
                       threshold: Double): DataFrame = {
     val truth = ngramJaccardPairs(docs, idCol, textCol, shingleN,
-      threshold, maxDf = 0).select(col("a_id"), col("b_id"))
+        threshold, maxDf = 0, uncapped = true) // exact truth IS the report
+      .select(col("a_id"), col("b_id"))
     val cand = minHashLshCandidates(docs, idCol, textCol, shingleN,
       numHashes, bandSize).select(col("a_id"), col("b_id"))
     val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
@@ -530,12 +552,14 @@ object NearDup {
   def lshPlanner(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, minSim: Double = 0.2,
                  simThreshold: Double = 0.7, budget: Int = 24,
-                 bins: Int = 20, maxDf: Int = 0,
-                 candidates: Option[DataFrame] = None): DataFrame = {
+                 bins: Int = 20, maxDf: Int = 10000,
+                 candidates: Option[DataFrame] = None,
+                 uncapped: Boolean = false): DataFrame = {
     require(budget >= 2, s"budget must be >= 2, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = ngramPairStats(docs, idCol, textCol, n, maxDf, candidates)
+    val pairs = ngramPairStats(docs, idCol, textCol, n,
+        requireCapOptIn(maxDf, candidates, uncapped), candidates)
       .filter(col("intersection").cast("double") /
         (col("n_a") + col("n_b") - col("intersection")).cast("double")
         >= minSim)
@@ -595,11 +619,13 @@ object NearDup {
     * mode/valley selection runs on the bins-sized spine. */
   def autoThreshold(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, minSim: Double = 0.2, bins: Int = 20,
-                    maxDf: Int = 0,
-                    candidates: Option[DataFrame] = None): DataFrame = {
+                    maxDf: Int = 10000,
+                    candidates: Option[DataFrame] = None,
+                    uncapped: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = ngramPairStats(docs, idCol, textCol, n, maxDf, candidates)
+    val pairs = ngramPairStats(docs, idCol, textCol, n,
+        requireCapOptIn(maxDf, candidates, uncapped), candidates)
       .filter(col("intersection").cast("double") /
         (col("n_a") + col("n_b") - col("intersection")).cast("double")
         >= minSim)

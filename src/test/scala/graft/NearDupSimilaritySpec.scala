@@ -33,7 +33,7 @@ class NearDupSimilaritySpec extends SparkSpec {
       (3, "alpha beta gamma theta iota kappa")
     ).toDF("id", "text")
     val uncapped = NearDup.ngramJaccardPairs(trio, "id", "text", n = 3,
-      threshold = 0.0, maxDf = 0)
+      threshold = 0.0, maxDf = 0, uncapped = true)
       .select("a_id", "b_id", "jaccard").as[(Int, Int, Double)]
       .collect().map(p => (p._1, p._2) -> p._3).toMap
     val capped = NearDup.ngramJaccardPairs(trio, "id", "text", n = 3,
@@ -59,7 +59,7 @@ class NearDupSimilaritySpec extends SparkSpec {
     pairs shouldBe Set((1, 2)) // (1,4)/(2,4) never scored
     // scores agree with the all-pairs path
     val full = NearDup.ngramJaccardPairs(docs, "id", "text", n = 3,
-      threshold = 0.0, maxDf = 0)
+      threshold = 0.0, maxDf = 0, uncapped = true)
       .filter($"a_id" === 1 && $"b_id" === 2)
       .select("jaccard").as[Double].head()
     NearDup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.0,

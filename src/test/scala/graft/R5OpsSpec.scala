@@ -143,12 +143,12 @@ class R5OpsSpec extends SparkSpec {
       (1 to 60).map(i => s"filler$i").mkString(" "))
     val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
     val cont = NearDup.ngramContainmentPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.9, maxDf = 0).collect()
+      n = 3, threshold = 0.9, maxDf = 0, uncapped = true).collect()
     cont.length shouldBe 1
     cont(0).getDouble(3) shouldBe 1.0 // all 3 shingles of doc1 inside doc2
     // jaccard on the same pair is ~3/63 — far below any usable threshold
     val jac = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.2, maxDf = 0)
+      n = 3, threshold = 0.2, maxDf = 0, uncapped = true)
     jac.count() shouldBe 0L
   }
 
