@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // group-key filter pushdown through it
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.GroupedTopKFilterPushdown)
+    // opt-in window-top-k rewrite (spark.graft.topk.rewriteWindow=true)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 

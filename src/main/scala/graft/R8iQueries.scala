@@ -80,6 +80,7 @@ object R8iQueries {
                AS margin
       FROM r m LEFT JOIN r2a USING (a_id) LEFT JOIN r2b USING (b_id)
       WHERE m.ra = 1 AND m.rb = 1
+        AND (COALESCE(s2a, s2b) + COALESCE(s2b, s2a)) / 2.0 > 0
         AND m.cosine / ((COALESCE(s2a, s2b) + COALESCE(s2b, s2a)) / 2.0)
           >= $MinMargin"""))
 

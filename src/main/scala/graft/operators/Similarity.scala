@@ -197,9 +197,15 @@ object Similarity {
     ranked.filter(col("__ra") === 1 && col("__rb") === 1)
       .join(r2a, Seq("a_id"), "left")
       .join(r2b, Seq("b_id"), "left")
-      .withColumn("margin",
-        col("cosine") / ((coalesce(col("__s2a"), col("__s2b"))
-          + coalesce(col("__s2b"), col("__s2a"))) / lit(2.0)))
+      .withColumn("__den", (coalesce(col("__s2a"), col("__s2b"))
+        + coalesce(col("__s2b"), col("__s2a"))) / lit(2.0))
+      // a zero/negative runner-up mean is no competition baseline at
+      // all — and a NEGATIVE denominator inverts the ratio, letting a
+      // negative-cosine pair with more-negative runner-ups pass; the
+      // margin contract only means something against positive runner-up
+      // mass (NULL __den — no runner-up on either side — drops here too)
+      .filter(col("__den") > 0)
+      .withColumn("margin", col("cosine") / col("__den"))
       .filter(col("margin") >= minMargin)
       .select(col("a_id"), col("b_id"), col("cosine"), col("margin"))
   }

@@ -969,8 +969,16 @@ object Stats {
       .withColumn("__base", expr(
         "CASE WHEN __e < 0 THEN CAST(0 AS BIGINT) " +
           "ELSE shiftleft(CAST(1 AS BIGINT), __e) END"))
+      // divide-first when __base >= subBuckets (both powers of two, so
+      // (x-base)·k div base == (x-base) div (base div k) EXACTLY): the
+      // multiply form wraps Long for e >= 63 - log2(k). The multiply
+      // branch only runs for tiny bases (< subBuckets) where it cannot
+      // overflow.
       .withColumn("__sub", when(col("__e") < 0, lit(0L))
-        .otherwise(expr(s"((__x - __base) * $subBuckets) div __base")))
+        .otherwise(expr(
+          s"CASE WHEN __base >= $subBuckets " +
+            s"THEN (__x - __base) div (__base div $subBuckets) " +
+            s"ELSE ((__x - __base) * $subBuckets) div __base END")))
       .groupBy(gs ++ Seq(col("__e"), col("__sub"), col("__base")): _*)
       .agg(count(lit(1)).as("__n"))
   }
@@ -1007,12 +1015,23 @@ object Stats {
       .filter(col("__rn") === 1)
       // ceil-division bounds: sub(x) >= s iff x >= base + ceil(s·base/k),
       // so [lo, hi) = [base + ceil(sub·base/k), base + ceil((sub+1)·base/k))
-      // — floor-div would collapse hi onto lo whenever 2^e < subBuckets
+      // — floor-div would collapse hi onto lo whenever 2^e < subBuckets.
+      // When base >= k the division is exact (powers of two), so the
+      // divide-first form replaces the multiply (which wraps Long for
+      // e >= 63 - log2(k)); the one unrepresentable bound — the top
+      // sub-bucket of e = 62, whose exclusive hi is 2^63 — clamps to
+      // Long.MaxValue (inclusive max, off the true bound by 1).
       .withColumn("est_lo", expr(
         s"CASE WHEN __e < 0 THEN CAST(0 AS BIGINT) " +
+          s"WHEN __base >= $subBuckets " +
+          s"THEN __base + __sub * (__base div $subBuckets) " +
           s"ELSE __base + (__sub * __base + $subBuckets - 1) div $subBuckets END"))
       .withColumn("est_hi", expr(
         s"CASE WHEN __e < 0 THEN CAST(1 AS BIGINT) " +
+          s"WHEN __e = 62 AND __sub + 1 = $subBuckets " +
+          s"THEN CAST(9223372036854775807 AS BIGINT) " +
+          s"WHEN __base >= $subBuckets " +
+          s"THEN __base + (__sub + 1) * (__base div $subBuckets) " +
           s"ELSE __base + ((__sub + 1) * __base + $subBuckets - 1) div $subBuckets END"))
       .select(gs ++ Seq(col("q"), col("__tot").as("n"),
         col("est_lo"), col("est_hi")): _*)

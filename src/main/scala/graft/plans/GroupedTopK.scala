@@ -4,11 +4,13 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BaseOrdering, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Whole-operator grouped top-k: the `ROW_NUMBER() OVER (PARTITION BY g
   * ORDER BY o) <= k` pattern (reference T2, SQLproject1.sql:689-699) as a
@@ -68,8 +70,11 @@ case class GroupedTopKNode(
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopKNode(g, o, k, child) =>
+      val sortFinal = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(GroupedTopKExec.SortFinalConf, "false").toBoolean
       GroupedTopKExec(g, o, k, partial = false,
-        GroupedTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+        GroupedTopKExec(g, o, k, partial = true, planLater(child)),
+        sortFinal = sortFinal) :: Nil
     case _ => Nil
   }
 }
@@ -77,10 +82,18 @@ object GroupedTopKStrategy extends SparkStrategy {
 /** Optimizer rule: push a Filter through [[GroupedTopKNode]] when it only
   * constrains the GROUP KEY. A deterministic predicate over the group-key
   * attributes is constant within a group, so it selects whole groups and
-  * commutes with per-group top-k — pushing it below lets the normal
-  * pushdown machinery carry it all the way into the scan
-  * (`PushedFilters`), so a "top-k per key WHERE key IN (...)" never reads
-  * the other keys' rows at all. Only applies when every group expression
+  * commutes with per-group top-k — pushing it below the node lets the
+  * normal pushdown machinery carry it toward the scan. How far it gets
+  * depends on registration order: via `GraftExtensions`
+  * (injectOptimizerRule) this rule runs inside the operator-optimization
+  * batch, so the standard Filter-pushdown + V1/V2 scan rules pick the
+  * pushed predicate up and it lands in `PushedFilters`; via the
+  * `TopK.perGroup` self-registration path (`experimental.
+  * extraOptimizations`, the "User Provided Optimizers" batch that runs
+  * AFTER the standard batches) the filter stops just below the node —
+  * still skipping the top-k work for filtered groups, but the scan
+  * reads them. Use the extension for scan-level pruning.
+  * Only applies when every group expression
   * is a bare attribute: a predicate on a column that merely FEEDS a
   * computed group expression (e.g. grouping by `k % 2`, filtering `k`)
   * would change group membership, not select whole groups. Conjuncts
@@ -117,19 +130,54 @@ object GroupedTopKFilterPushdown
   * exact. Runs between exchanges, outside whole-stage codegen — the
   * comparator and key projection are still codegen'd
   * (`RowOrdering.create` / `UnsafeProjection.create`).
+  *
+  * Float/double group keys are normalized (`NormalizeNaNAndZero`) in
+  * BOTH the required distribution and the key projection: Spark's
+  * `NormalizeFloatingNumbers` rule only rewrites the node types it
+  * knows (Aggregate/Window/Join), so without this a group key holding
+  * `-0.0` vs `0.0` would hash to different shuffle partitions and
+  * compare unequal bytewise, splitting a group the window formulation
+  * merges. (Nested floats inside struct/array keys keep Spark's
+  * UnsafeRow canonicalization only — group by the fields directly if
+  * that matters.)
+  *
+  * Spill posture: the hash final pass holds k rows per group of one
+  * shuffle partition in memory. That is the fast path for bounded group
+  * cardinality; for high-cardinality keys (top-k per document at
+  * 100 TB) either raise `spark.sql.shuffle.partitions` so groups ×
+  * k rows fit per reducer, or set [[GroupedTopKExec.SortFinalConf]]:
+  * the final pass then REQUIRES a sort by group key — Spark's external
+  * (spilling) sort — and streams one group at a time holding a single
+  * k-row heap, O(k) reducer memory regardless of group count.
   */
 case class GroupedTopKExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    sortFinal: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  // -0.0 → 0.0 and canonical NaN for float/double keys, so bytewise
+  // UnsafeRow group identity matches SQL equality (see class doc)
+  private lazy val normalizedGroupExprs: Seq[Expression] =
+    groupExprs.map { e =>
+      e.dataType match {
+        case FloatType | DoubleType => NormalizeNaNAndZero(e)
+        case _ => e
+      }
+    }
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
-    else ClusteredDistribution(groupExprs) :: Nil
+    else ClusteredDistribution(normalizedGroupExprs) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (!partial && sortFinal)
+      Seq(normalizedGroupExprs.map(SortOrder(_, Ascending)))
+    else Seq(Nil)
 
   override def outputPartitioning = child.outputPartitioning
 
@@ -142,17 +190,25 @@ case class GroupedTopKExec(
         conf.getConfString(GroupedTopKExec.MaxGroupsConf, "100000").toInt
       else Int.MaxValue
     val childOutput = child.output
-    val g = groupExprs
+    val g = normalizedGroupExprs
     val o = order
     val kk = k
+    val streamSorted = !partial && sortFinal
     val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions(
       iter =>
-        GroupedTopKExec.topKIterator(
-          iter,
-          UnsafeProjection.create(g, childOutput),
-          RowOrdering.create(o, childOutput),
-          kk, flushCap, numOutputRows),
+        if (streamSorted)
+          GroupedTopKExec.sortedTopKIterator(
+            iter,
+            UnsafeProjection.create(g, childOutput),
+            RowOrdering.create(o, childOutput),
+            kk, numOutputRows)
+        else
+          GroupedTopKExec.topKIterator(
+            iter,
+            UnsafeProjection.create(g, childOutput),
+            RowOrdering.create(o, childOutput),
+            kk, flushCap, numOutputRows),
       preservesPartitioning = true)
   }
 
@@ -168,6 +224,13 @@ object GroupedTopKExec {
   /** Partial-pass flush threshold: max distinct groups held per input
     * partition before the heap map is emitted and restarted. */
   val MaxGroupsConf = "spark.graft.topk.maxGroupsPerPartition"
+
+  /** When true, the FINAL pass requires a (spilling, external) sort by
+    * group key and streams one group's k-row heap at a time — O(k)
+    * reducer memory for any group cardinality, at the cost of sorting
+    * the partial-pass survivors. The hash final pass (default) is
+    * faster when k × groups-per-reducer fits in memory. */
+  val SortFinalConf = "spark.graft.topk.sortFinal"
 
   /** Streams `input` through per-group size-k min-heaps (scala
     * PriorityQueue is a max-heap under `ord`, so `head` is the worst
@@ -239,6 +302,62 @@ object GroupedTopKExec {
       }
       // drain each heap largest-first, reverse to ascending `order`
       heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+    }
+  }
+
+  /** Final pass over input SORTED by group key (the [[SortFinalConf]]
+    * path): each group's rows arrive contiguously, so a single size-k
+    * heap suffices — O(k) memory however many groups a partition holds;
+    * the spill burden lives in the upstream external sort. */
+  def sortedTopKIterator(
+      input: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ord: BaseOrdering,
+      k: Int,
+      numOutputRows: SQLMetric): Iterator[InternalRow] = new Iterator[InternalRow] {
+
+    private var curKey: UnsafeRow = _
+    private val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+    private var out: Iterator[InternalRow] = Iterator.empty
+
+    private def add(row: InternalRow): Unit =
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ord.compare(row, heap.head) < 0) {
+        heap.dequeue()
+        heap.enqueue(row.copy())
+      }
+
+    // largest-first drain, reversed to ascending `order` (same emit
+    // contract as the hash path); dequeueAll leaves the heap empty
+    private def drain(): Iterator[InternalRow] = heap.dequeueAll.reverseIterator
+
+    override def hasNext: Boolean = {
+      while (!out.hasNext && (input.hasNext || curKey != null)) {
+        if (!input.hasNext) {
+          out = drain()
+          curKey = null
+        } else {
+          val row = input.next()
+          val key = keyProj(row) // projection reuses its buffer
+          if (curKey == null) {
+            curKey = key.copy()
+            add(row)
+          } else if (key == curKey) { // bytewise UnsafeRow equality
+            add(row)
+          } else {
+            out = drain()
+            curKey = key.copy()
+            add(row)
+          }
+        }
+      }
+      out.hasNext
+    }
+
+    override def next(): InternalRow = {
+      if (!hasNext) throw new NoSuchElementException("empty iterator")
+      numOutputRows += 1
+      out.next()
     }
   }
 }

@@ -133,10 +133,18 @@ object CorpusIntake {
             // parity) without scanning accepted text ever again —
             // else from a pruned single-column corpus aggregation.
             val ranked = Corpus.capPerSource(gated, idCol, srcCol, maxDocs)
+            val usedFromCorpus = () => nonEmptyParquet(spark, corpusDir)
+              .map(_.groupBy(col(srcCol)).agg(count(lit(1)).as("__used")))
             val used = quotaCountsDir match {
-              case Some(qd) => nonEmptyParquet(spark, qd)
-              case None => nonEmptyParquet(spark, corpusDir)
-                .map(_.groupBy(col(srcCol)).agg(count(lit(1)).as("__used")))
+              // counts table missing (first batch after enabling it on an
+              // existing corpus, or the dir was lost): fall back to
+              // re-aggregating the corpus — skipping the allowance check
+              // would re-admit up to maxDocs per source on top of
+              // everything already accepted. The post-batch maintenance
+              // below then seeds the table from the corpus.
+              case Some(qd) =>
+                nonEmptyParquet(spark, qd).orElse(usedFromCorpus())
+              case None => usedFromCorpus()
             }
             used match {
               case Some(u) =>
@@ -165,7 +173,12 @@ object CorpusIntake {
           val merged = nonEmptyParquet(spark, qd) match {
             case Some(prev) => prev.unionByName(batchCounts)
               .groupBy(col(srcCol)).agg(sum(col("__used")).as("__used"))
-            case None => batchCounts
+            // seed a missing table from the corpus (which already
+            // includes this batch's append), not from the batch alone —
+            // batch-only seeding would erase every earlier source's usage
+            case None => nonEmptyParquet(spark, corpusDir)
+              .map(_.groupBy(col(srcCol)).agg(count(lit(1)).as("__used")))
+              .getOrElse(batchCounts)
           }
           merged.localCheckpoint().write.mode("overwrite").parquet(qd)
         }

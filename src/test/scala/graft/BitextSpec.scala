@@ -52,6 +52,34 @@ class BitextSpec extends SparkSpec {
       col("vec_id") === 0, col("vec_id") === 1, 0.0).count() shouldBe 0L
   }
 
+  test("negative runner-up mean never passes via an inverted ratio") {
+    // a at 0°; b1 at 60° (best, cos=.5 > 0); b2/b3 at ~180° so the
+    // runner-up mean is NEGATIVE. cosine/negative-denominator would be
+    // negative here — fine — but mirror-image geometries flip BOTH signs
+    // and sail over minMargin; the operator must drop non-positive
+    // denominators outright.
+    val neg = Seq(
+      (0L, vec(0)),   // A
+      (1L, vec(60)),  // B: best for a (cos 60° = .5)
+      (3L, vec(175)), // B: runner-up, cos < 0
+      (5L, vec(185))  // B: cos < 0
+    ).toDF("vec_id", "embedding")
+    Similarity.marginBitextMine(neg, "vec_id", "embedding",
+      col("vec_id") % 2 === 0, col("vec_id") % 2 === 1, 0.0)
+      .count() shouldBe 0L
+    // the fully mirrored case: best pair ALSO negative, runner-ups more
+    // negative — old math gave a large POSITIVE margin
+    val mirror = Seq(
+      (0L, vec(0)),
+      (1L, vec(170)), // best for a, cos ≈ -.98
+      (3L, vec(180)), // runner-up cos = -1
+      (5L, vec(179))
+    ).toDF("vec_id", "embedding")
+    Similarity.marginBitextMine(mirror, "vec_id", "embedding",
+      col("vec_id") % 2 === 0, col("vec_id") % 2 === 1, 1.0)
+      .count() shouldBe 0L
+  }
+
   test("candidates restrict scoring and localize the ranking") {
     val cands = Seq((0L, 1L), (0L, 5L), (2L, 3L), (2L, 5L))
       .toDF("a_id", "b_id")

@@ -225,4 +225,36 @@ class CorpusIntakeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     counts shouldBe bySource
   }
+
+  test("missing counts table falls back to corpus re-aggregation and " +
+    "re-seeds itself (enabling the store on an existing corpus)") {
+    val b1 = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel", "a"),
+      (2L, "completely different text about catalyst optimizer plans", "a"),
+      (3L, "unrelated prose concerning streaming watermarks and state", "a"))
+    val b2 = Seq(
+      (11L, "november oscar papa quebec romeo sierra tango uniform", "a"),
+      (12L, "a genuinely novel document about distributed joins", "a"))
+    val schema = b1.toDF("doc_id", "text", "source").schema
+    val root = Files.createTempDirectory("graft_quota_seed").toString
+    def run(countsDir: Option[String]): Unit =
+      CorpusIntake.runIncremental(spark, s"$root/in", schema,
+        s"$root/corpus", s"$root/ckpt", "doc_id", "text",
+        quota = Some(("source", 4)), quotaCountsDir = countsDir)
+    // batch 1 WITHOUT the counts store: 3 source-a docs accepted
+    b1.toDF("doc_id", "text", "source").write.mode("append")
+      .parquet(s"$root/in"); run(None)
+    // batch 2 turns the store ON with no table present: the allowance
+    // must still see the 3 already in the corpus (admit ONE of b2, not
+    // both), and the table must seed to the full corpus counts
+    b2.toDF("doc_id", "text", "source").write.mode("append")
+      .parquet(s"$root/in"); run(Some(s"$root/counts"))
+    val accepted = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    accepted should have size 4 // quota=4 held despite the fresh store
+    accepted should contain allOf (1L, 2L, 3L)
+    spark.read.parquet(s"$root/counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("a" -> 4L)
+  }
 }

@@ -117,6 +117,111 @@ class GroupedTopKSpec extends SparkSpec {
     n2.child.toString should not include "Filter"
   }
 
+  test("float group keys: -0.0/0.0 and NaN merge like the window plan") {
+    // -0.0 survives UnsafeRow writes (only NaN is canonicalized there);
+    // without NormalizeNaNAndZero in the key projection AND the required
+    // distribution, 0.0/-0.0 split into two groups on different shuffle
+    // partitions. The window plan merges them via Spark's
+    // NormalizeFloatingNumbers rule — we must match it.
+    val df = Seq(
+      (0.0d, 1L), (-0.0d, 2L), (Double.NaN, 3L), (Double.NaN, 4L),
+      (1.0d, 5L), (-0.0d, 6L)
+    ).toDF("gv", "id").repartition(4)
+    val topk = TopK.perGroup(df, Seq(col("gv")), Seq(col("id")), 1)
+    val expect = df.withColumn("rn", row_number().over(
+        Window.partitionBy("gv").orderBy(col("id"))))
+      .filter(col("rn") <= 1).drop("rn")
+    topk.count() shouldBe 3L // {0.0,-0.0}, {NaN}, {1.0}
+    sortedRows(topk.select("id")) shouldBe sortedRows(expect.select("id"))
+  }
+
+  test("sortFinal: streaming-sorted final pass matches the hash final") {
+    spark.conf.set(GroupedTopKExec.SortFinalConf, "true")
+    try {
+      val topk = TopK.perGroup(data, Seq(col("g")),
+        Seq(col("v").desc, col("id")), 5)
+      sortedRows(topk) shouldBe sortedRows(windowed(5))
+      topk.collect()
+      val plan = topk.queryExecution.executedPlan.toString
+      plan should include("GroupedTopKFinal")
+      // the external (spilling) sort the final pass demands
+      plan should include regex "Sort \\[g"
+    } finally spark.conf.unset(GroupedTopKExec.SortFinalConf)
+  }
+
+  test("sortFinal composes with the partial flush cap") {
+    spark.conf.set(GroupedTopKExec.SortFinalConf, "true")
+    spark.conf.set(GroupedTopKExec.MaxGroupsConf, "1")
+    try {
+      val topk = TopK.perGroup(data, Seq(col("g")),
+        Seq(col("v").desc, col("id")), 5)
+      sortedRows(topk) shouldBe sortedRows(windowed(5))
+    } finally {
+      spark.conf.unset(GroupedTopKExec.SortFinalConf)
+      spark.conf.unset(GroupedTopKExec.MaxGroupsConf)
+    }
+  }
+
+  test("opt-in rewrite: the window row_number shape plans to GroupedTopKExec") {
+    spark.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
+    try {
+      val viaWindow = windowed(5) // Project(drop rn) over Filter over Window
+      viaWindow.collect()
+      val plan = viaWindow.queryExecution.executedPlan.toString
+      plan should include("GroupedTopKPartial")
+      plan should include("GroupedTopKFinal")
+      plan should not include "Window"
+      // oracle parity with the un-rewritten plan
+      spark.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+      val expect = sortedRows(windowed(5))
+      spark.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
+      sortedRows(viaWindow) shouldBe expect
+    } finally spark.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+  }
+
+  test("rewrite leaves rn-consuming and unbounded shapes on the window plan") {
+    spark.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
+    try {
+      // rn kept in the output: must stay a window
+      val keepsRn = data.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= 5)
+        .select("g", "v", "id", "rn")
+      keepsRn.queryExecution.executedPlan.toString should include("Window")
+
+      // k above the rewrite cap: stays a window
+      spark.conf.set(graft.plans.WindowTopKRewrite.MaxKConf, "3")
+      val bigK = windowed(5)
+      bigK.queryExecution.executedPlan.toString should include("Window")
+      spark.conf.unset(graft.plans.WindowTopKRewrite.MaxKConf)
+
+      // rank() (not row_number) must not rewrite: tie semantics differ
+      val ranked = data.withColumn("rn", rank().over(
+          Window.partitionBy("g").orderBy(col("v").desc)))
+        .filter(col("rn") <= 5).drop("rn")
+      ranked.queryExecution.executedPlan.toString should include("Window")
+    } finally {
+      spark.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+      spark.conf.unset(graft.plans.WindowTopKRewrite.MaxKConf)
+    }
+  }
+
+  test("rewrite handles rn = 1 and mixed residual predicates") {
+    spark.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
+    try {
+      val latest = data.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") === 1 && col("v") > 10).drop("rn")
+      latest.collect()
+      val plan = latest.queryExecution.executedPlan.toString
+      plan should include("GroupedTopKFinal")
+      val expect = data.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") === 1).drop("rn").filter(col("v") > 10)
+      sortedRows(latest) shouldBe sortedRows(expect)
+    } finally spark.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+  }
+
   test("rejects non-positive k and empty group list") {
     an[IllegalArgumentException] should be thrownBy
       TopK.perGroup(data, Seq(col("g")), Seq(col("v")), 0)

@@ -178,6 +178,33 @@ class StatsSpec extends SparkSpec {
     out.getAs[Long]("est_hi") shouldBe 1L
   }
 
+  test("logBucketQuantiles: no Long overflow near Long.MaxValue " +
+    "(divide-first sub-bucket math)") {
+    import spark.implicits._
+    // e = 62 values: the old (x-base)*subBuckets form wraps negative for
+    // e >= 59 with subBuckets=16; the exact divide-first form must keep
+    // bucket ids in [0, 16) and bounds that bracket the value, with the
+    // top sub-bucket's exclusive 2^63 bound clamped to Long.MaxValue
+    val big = Seq(
+      ("h", Long.MaxValue), ("h", Long.MaxValue - 1),
+      ("h", (1L << 62) + 5L), ("h", 3L << 61) // 3·2^61 = mid of [2^62, 2^63)
+    ).toDF("g", "v")
+    val sk = graft.operators.Stats.logBucketSketch(big, Seq("g"), "v")
+      .collect()
+    sk.foreach { r =>
+      val sub = r.getAs[Long]("__sub")
+      assert(sub >= 0 && sub < 16, s"sub-bucket out of range: $r")
+      r.getAs[Int]("__e") shouldBe 62
+    }
+    val out = graft.operators.Stats.logBucketQuantiles(big, Seq("g"), "v",
+        subBuckets = 16, qs = Seq(0.99))
+      .collect().head
+    val (lo, hi) = (out.getAs[Long]("est_lo"), out.getAs[Long]("est_hi"))
+    assert(lo > 0 && hi > lo, s"overflowed bounds: [$lo, $hi)")
+    assert(lo <= Long.MaxValue && Long.MaxValue <= hi,
+      s"p99 bucket [$lo, $hi] misses Long.MaxValue")
+  }
+
   test("logBucketSketch is exactly mergeable: sketch(A ++ B) == " +
     "merge(sketch(A), sketch(B)), and quantiles agree") {
     import spark.implicits._

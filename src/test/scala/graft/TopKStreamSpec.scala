@@ -75,6 +75,41 @@ class TopKStreamSpec extends SparkSpec {
     } finally q.stop()
   }}
 
+  test("stream == batch when the partial flush cap forces mid-partition flushes") { withRocksDb {
+    // cap=1: the batch operator's partial pass can hold ONE group at a
+    // time, flushing k-row heaps mid-partition; the stream splits the
+    // same keys across two micro-batches. Both degradations must still
+    // agree on the exact per-key top-k.
+    val capKey = graft.plans.GroupedTopKExec.MaxGroupsConf
+    spark.conf.set(capKey, "1")
+    try {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[ScoredRecord]
+      val out = StreamOps.topKStream(mem.toDS(), 3)
+      val name = s"topk_capped_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        // interleaved keys so the cap=1 partial map flushes repeatedly
+        val b1 = Seq(
+          ScoredRecord("a", "a1", 5.0), ScoredRecord("b", "b1", 2.0),
+          ScoredRecord("a", "a2", 9.0), ScoredRecord("b", "b2", 6.0),
+          ScoredRecord("a", "a3", 1.0), ScoredRecord("b", "b3", 4.0),
+          ScoredRecord("a", "a4", 7.0))
+        // every key recurs across the batch split
+        val b2 = Seq(
+          ScoredRecord("b", "b4", 8.0), ScoredRecord("a", "a5", 8.0),
+          ScoredRecord("b", "b5", 5.0), ScoredRecord("a", "a6", 2.0))
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        currentTopK(name) shouldBe batchTopK(b1, 3)
+        mem.addData(b2: _*)
+        q.processAllAvailable()
+        currentTopK(name) shouldBe batchTopK(b1 ++ b2, 3)
+      } finally q.stop()
+    } finally spark.conf.unset(capKey)
+  }}
+
   test("unchanged keys emit nothing in later batches") { withRocksDb {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[ScoredRecord]
