@@ -46,6 +46,16 @@ class DurableCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: durable == local, rounds pruned (iterative path)") {
+    // smallGraphMaxEdges = 0 forces the iterative loop — the union-find
+    // fast path takes no snapshots at all, so it would vacuously pass
+    parity("cc", maxKept = 2) { ckpt =>
+      Clusters.connectedComponents(nodes, "id",
+        edges.select(col("a").as("a_id"), col("b").as("b_id")),
+        "a_id", "b_id", checkpointDir = ckpt, smallGraphMaxEdges = 0L)
+    }
+  }
+
   test("pageRankInt: durable == local, rounds pruned") {
     // returned plan reads the final ranks snapshot only
     parity("pagerank", maxKept = 1) { ckpt =>
