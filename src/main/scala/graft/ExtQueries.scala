@@ -207,10 +207,10 @@ object ExtQueries {
       n = 3, threshold = 0.2, maxDf = 0, uncapped = true),
     Some(s"""
       WITH t AS (SELECT doc_id, ${oToks("text")} AS w FROM documents),
-      ws AS (SELECT doc_id, list_distinct(${oShingles("w", 3)}) AS sh
+      ws AS MATERIALIZED (SELECT doc_id, list_distinct(${oShingles("w", 3)}) AS sh
              FROM t WHERE len(w) >= 3),
-      sh AS (SELECT doc_id, unnest(sh) AS s FROM ws),
-      sz AS (SELECT doc_id, len(sh) AS n_sh FROM ws),
+      sh AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM ws),
+      sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n_sh FROM ws),
       pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS intersection
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id)

@@ -80,12 +80,13 @@ object R9bQueries {
       s"""
       WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
             FROM documents),
-      ws AS (SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)})
-               AS sh
+      ws AS MATERIALIZED (SELECT doc_id,
+               list_distinct(${ExtQueries.oShingles("w", 3)}) AS sh
              FROM t WHERE len(w) >= 3),
-      sh AS (SELECT doc_id, unnest(sh) AS s FROM ws),
-      sz AS (SELECT doc_id, len(sh) AS n_sh FROM ws),
-      ip AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      sh AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM ws),
+      sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n_sh FROM ws),
+      ip AS MATERIALIZED (
+             SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
              GROUP BY 1, 2),
       pairs AS (SELECT a_id, b_id FROM ip
