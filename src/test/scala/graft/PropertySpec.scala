@@ -34,6 +34,47 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // grouped top-k: random rows, random k, every final-pass mode — the
+  // custom physical operator must equal a driver-side brute force under
+  // a TOTAL order (value desc, unique id asc)
+  private val topkGen: Gen[(List[(Int, Int)], Int)] = for {
+    rows <- Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 6)
+      v <- Gen.choose(-50, 50)
+    } yield (g, v))
+    k <- Gen.choose(1, 5)
+  } yield (rows, k)
+
+  private def bruteTopK(rows: List[(Int, Int, Long)], k: Int) =
+    rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(r => (-r._2, r._3)).take(k)
+    }.toSet
+
+  property("GroupedTopK == brute force (hash final)") =
+    Prop.forAll(topkGen) { case (raw, k) =>
+      val rows = raw.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      val out = graft.operators.TopK.perGroup(rows.toDF("g", "v", "id"),
+          Seq(col("g")), Seq(col("v").desc, col("id")), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      out == bruteTopK(rows, k)
+    }
+
+  property("GroupedTopK == brute force (sort final + flush cap 1)") =
+    Prop.forAll(topkGen) { case (raw, k) =>
+      val rows = raw.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      spark.conf.set(graft.plans.GroupedTopKExec.SortFinalConf, "true")
+      spark.conf.set(graft.plans.GroupedTopKExec.MaxGroupsConf, "1")
+      try {
+        val out = graft.operators.TopK.perGroup(rows.toDF("g", "v", "id"),
+            Seq(col("g")), Seq(col("v").desc, col("id")), k)
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+        out == bruteTopK(rows, k)
+      } finally {
+        spark.conf.unset(graft.plans.GroupedTopKExec.SortFinalConf)
+        spark.conf.unset(graft.plans.GroupedTopKExec.MaxGroupsConf)
+      }
+    }
+
   property("rolling ROWS sum equals brute-force recomputation") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100))) { vs =>
       val df = vs.zipWithIndex.map { case (v, i) => ("g", i, v.toLong) }
