@@ -110,6 +110,16 @@ object NearDup {
     // pair aggregation then has both set sizes in hand with no separate
     // `sizes` branch (which would recompute the shingle subtree) and no
     // post-join lookups
+    // deliberately NOT materialized: the plan below re-derives the
+    // posting set per branch (hot list, both self-join legs, sizes — up
+    // to 4 recomputes, 8 scans, no ReusedExchange), but an eager
+    // localCheckpoint here measured strictly WORSE at sf0.1 (q218
+    // 0.17→1.27 s, q136 1.49→1.84 s; suite-wide flat-to-negative): the
+    // snapshot pays a full materialize + block read per consumer and
+    // severs column pruning and whole-stage codegen across the branch,
+    // while the recompute is a pipelined scan+project that AQE overlaps.
+    // Callers that DO want one tokenization pass amortized across many
+    // pair queries should snapshot their docs' postings themselves.
     val posting = withSh.select(col("doc_id"), size(col("__sh")).as("n_sh"),
       explode(col("__sh")).as("s"))
     // capped: survivors keep only a broadcast anti-join on the hot-shingle
