@@ -222,6 +222,35 @@ class GroupedTopKSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
   }
 
+  test("rewrite fires from plain SQL text and composes with key pushdown") {
+    spark.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
+    data.createOrReplaceTempView("topk_src")
+    try {
+      // the reference's T2 shape as SQL: rn computed in a subquery,
+      // consumed by the outer WHERE, dropped by the outer SELECT — plus
+      // a group-key predicate that must end up BELOW the node
+      val sql = spark.sql("""
+        SELECT g, v, id FROM (
+          SELECT g, v, id,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id) rn
+          FROM topk_src) t
+        WHERE rn <= 5 AND g < 10""")
+      sql.collect()
+      val plan = sql.queryExecution.executedPlan.toString
+      plan should include("GroupedTopKFinal")
+      plan should not include "Window"
+      val node = sql.queryExecution.optimizedPlan.collectFirst {
+        case t: graft.plans.GroupedTopKNode => t }.get
+      node.child.toString should include("g#") // Filter(g < 10) pushed below
+      node.child.toString should include("Filter")
+      sortedRows(sql) shouldBe sortedRows(windowed(5).filter(col("g") < 10))
+    } finally {
+      spark.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+      spark.catalog.dropTempView("topk_src")
+      ()
+    }
+  }
+
   test("rejects non-positive k and empty group list") {
     an[IllegalArgumentException] should be thrownBy
       TopK.perGroup(data, Seq(col("g")), Seq(col("v")), 0)
