@@ -109,5 +109,35 @@ object R9bQueries {
       FROM leak GROUP BY 1, 2"""
     })
 
-  val all: Seq[QueryDef] = Seq(q321, q322)
+  /** The WINDOW-SHAPED top-k run through [[graft.plans.WindowTopKRewrite]]
+    * (opt-in conf set around an eager materialization, so the rewritten
+    * plan — GroupedTopKPartial/Final, no Window — is what executes):
+    * shortest 2 docs per source under a total order. The oracle states
+    * row_number semantics; hash parity IS the rewrite's correctness
+    * proof on real data, complementing GroupedTopKSpec's plan asserts. */
+  private val q323 = QueryDef(
+    "q323_window_rewrite_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.TopK.ensureRegistered(s)
+      s.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
+      try {
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("n_chars"), col("doc_id"))))
+          .filter(col("rn") <= 2).drop("rn")
+          .localCheckpoint() // materialize while the rewrite conf is on
+      } finally s.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS rn
+        FROM documents)
+      SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 2"""))
+
+  val all: Seq[QueryDef] = Seq(q321, q322, q323)
 }

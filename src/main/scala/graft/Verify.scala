@@ -14,7 +14,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosConf, "true")
       .getOrCreate()
+    // experiment knob: SPARK_GRAFT_EXTRA_CONF="k=v,k=v" (e.g. run the
+    // whole suite with spark.graft.topk.rewriteWindow=true to prove the
+    // rewrite's oracle parity across every registered query)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark.sparkContext.setLogLevel("WARN")
+    graft.operators.TopK.ensureRegistered(spark)
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_ONLY=q78,q79 runs just those
     // (prefix match); unset OR empty = all queries (what the driver

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
 import org.apache.spark.sql.graftshim.PlanInjection
 
-import graft.plans.{GroupedTopKFilterPushdown, GroupedTopKNode, GroupedTopKStrategy}
+import graft.plans.{GroupedTopKFilterPushdown, GroupedTopKNode, GroupedTopKStrategy, WindowTopKRewrite}
 
 /** Grouped top-k via the custom physical operator
   * ([[graft.plans.GroupedTopKExec]]): per-group bounded heaps with a
@@ -37,10 +37,13 @@ object TopK {
   }
 
   /** Make the planner able to place [[GroupedTopKNode]] on this session
-    * and enable group-key filter pushdown through it (no-op when
-    * `GraftExtensions` already injected both). */
+    * and enable group-key filter pushdown through it, plus the opt-in
+    * window rewrite (conf-gated, inert unless
+    * `spark.graft.topk.rewriteWindow=true`). No-op when
+    * `GraftExtensions` already injected them. */
   def ensureRegistered(spark: SparkSession): Unit = {
     PlanInjection.ensureStrategy(spark, GroupedTopKStrategy)
     PlanInjection.ensureOptimization(spark, GroupedTopKFilterPushdown)
+    PlanInjection.ensureOptimization(spark, WindowTopKRewrite)
   }
 }
