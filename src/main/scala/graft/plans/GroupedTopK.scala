@@ -182,7 +182,9 @@ case class GroupedTopKExec(
   override def outputPartitioning = child.outputPartitioning
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext,
+      "partial heap-map flushes (cap pressure)"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val flushCap =
@@ -195,6 +197,7 @@ case class GroupedTopKExec(
     val kk = k
     val streamSorted = !partial && sortFinal
     val numOutputRows = longMetric("numOutputRows")
+    val numFlushes = longMetric("numFlushes")
     child.execute().mapPartitions(
       iter =>
         if (streamSorted)
@@ -208,7 +211,7 @@ case class GroupedTopKExec(
             iter,
             UnsafeProjection.create(g, childOutput),
             RowOrdering.create(o, childOutput),
-            kk, flushCap, numOutputRows),
+            kk, flushCap, numOutputRows, numFlushes),
       preservesPartitioning = true)
   }
 
@@ -245,7 +248,8 @@ object GroupedTopKExec {
       ord: BaseOrdering,
       k: Int,
       flushCap: Int,
-      numOutputRows: SQLMetric): Iterator[InternalRow] = new Iterator[InternalRow] {
+      numOutputRows: SQLMetric,
+      numFlushes: SQLMetric = null): Iterator[InternalRow] = new Iterator[InternalRow] {
 
     // row of a group that didn't fit in the flushed map, held for the next batch
     private var pendingKey: UnsafeRow = _
@@ -298,6 +302,10 @@ object GroupedTopKExec {
           pendingKey = key.copy()
           pendingRow = row.copy()
           overflowed = true
+          // cap-pressure signal: nonzero means this partition saw more
+          // distinct groups than the flush cap — at cluster scale, the
+          // cue to raise shuffle partitions or switch to sortFinal
+          if (numFlushes != null) numFlushes += 1
         }
       }
       // drain each heap largest-first, reverse to ascending `order`
