@@ -51,13 +51,14 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def maxK: Int =
     conf.getConfString(MaxKConf, "1000").toInt
 
+  private def lit(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case _ => None
+  }
+
   /** rn's upper bound implied by one conjunct, if any. */
   private def bound(c: Expression, rn: Attribute): Option[Long] = {
-    def lit(e: Expression): Option[Long] = e match {
-      case Literal(v: Int, IntegerType) => Some(v.toLong)
-      case Literal(v: Long, LongType) => Some(v)
-      case _ => None
-    }
     def isRn(e: Expression): Boolean = e.semanticEquals(rn)
     c match {
       case LessThanOrEqual(r, l) if isRn(r) => lit(l)
@@ -67,6 +68,20 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case EqualTo(r, l) if isRn(r) && lit(l).contains(1L) => Some(1L)
       case EqualTo(l, r) if isRn(r) && lit(l).contains(1L) => Some(1L)
       case _ => None
+    }
+  }
+
+  /** True for conjuncts row_number makes vacuous (rn ≥ 1 and weaker) —
+    * the analyzer expands `rn BETWEEN 1 AND k` into exactly such a
+    * lower-bound conjunct, which must not block the rewrite. */
+  private def vacuous(c: Expression, rn: Attribute): Boolean = {
+    def isRn(e: Expression): Boolean = e.semanticEquals(rn)
+    c match {
+      case GreaterThanOrEqual(r, l) if isRn(r) => lit(l).exists(_ <= 1L)
+      case LessThanOrEqual(l, r) if isRn(r) => lit(l).exists(_ <= 1L)
+      case GreaterThan(r, l) if isRn(r) => lit(l).exists(_ <= 0L)
+      case LessThan(l, r) if isRn(r) => lit(l).exists(_ <= 0L)
+      case _ => false
     }
   }
 
@@ -84,6 +99,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             !plist.exists(_.references.contains(alias.toAttribute)) =>
         val rn = alias.toAttribute
         val conjuncts = splitConjunctivePredicates(cond)
+          .filterNot(vacuous(_, rn))
         val ks = conjuncts.flatMap(bound(_, rn))
         val rest = conjuncts.filter(bound(_, rn).isEmpty)
         if (ks.isEmpty || ks.min < 1 || ks.min > maxK ||

@@ -206,6 +206,36 @@ class GroupedTopKSpec extends SparkSpec {
     }
   }
 
+  test("rewrite handles rn BETWEEN 1 AND k (vacuous lower bound dropped)") {
+    spark.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
+    data.createOrReplaceTempView("topk_between_src")
+    try {
+      val sql = spark.sql("""
+        SELECT g, v, id FROM (
+          SELECT g, v, id,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id) rn
+          FROM topk_between_src) t
+        WHERE rn BETWEEN 1 AND 5""")
+      sql.collect()
+      val plan = sql.queryExecution.executedPlan.toString
+      plan should include("GroupedTopKFinal")
+      plan should not include "Window"
+      sortedRows(sql) shouldBe sortedRows(windowed(5))
+      // a REAL lower bound (pagination) must still block the rewrite
+      val page = spark.sql("""
+        SELECT g, v, id FROM (
+          SELECT g, v, id,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id) rn
+          FROM topk_between_src) t
+        WHERE rn BETWEEN 2 AND 5""")
+      page.queryExecution.executedPlan.toString should include("Window")
+    } finally {
+      spark.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+      spark.catalog.dropTempView("topk_between_src")
+      ()
+    }
+  }
+
   test("rewrite handles rn = 1 and mixed residual predicates") {
     spark.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
     try {
