@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.QueryDef
+import graft.operators.Dsir
+
+/** Round-10 wave: DSIR importance resampling (Xie et al. 2023,
+  * arXiv:2302.03169) over the documents corpus.
+  *
+  * q324 fits hashed unigram+bigram models on the `lang = 'en'` half
+  * (the "target" a curator wants more of) and on the rest of the corpus
+  * (the raw crawl pool), then Gumbel-top-k samples the pool docs whose
+  * feature profile is most en-target-like. The oracle replays the md5
+  * bucket hash, the add-one-smoothed 2^-30-grid log models, and the
+  * quantized Gumbel draw, so the selected set and both score columns
+  * hash-match bit-for-bit.
+  */
+object R10Queries {
+
+  private val B = 512      // hashed feature buckets
+  private val K = 60       // selected docs
+  private val Seed = "r10"
+
+  private val q324 = QueryDef(
+    "q324_dsir_select",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dsir.dsirSelect(
+        raw = docs.filter(col("lang") =!= "en"),
+        target = docs.filter(col("lang") === "en"),
+        idCol = "doc_id", textCol = "text", k = K, buckets = B,
+        seed = Seed, carryCols = Seq("lang", "source"))
+    },
+    Some {
+      val nib = (h: String, j: Int) =>
+        s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1)"
+      val hash24 = (0 until 6)
+        .map(j => s"${BigInt(16).pow(5 - j)}*${nib("h", j + 1)}")
+        .mkString(" + ")
+      val hash48 = (0 until 12)
+        .map(j => s"${BigInt(16).pow(11 - j)}*${nib("h", j + 1)}")
+        .mkString(" + ")
+      s"""
+      WITH tw AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
+            FROM documents),
+      gr AS (SELECT doc_id,
+               unnest(list_concat(w, ${ExtQueries.oShingles("w", 2)}))
+                 AS gram
+             FROM tw),
+      bh AS (SELECT doc_id, md5(gram) AS h FROM gr),
+      feat AS MATERIALIZED (SELECT doc_id,
+               CAST($hash24 AS BIGINT) % $B AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM bh GROUP BY 1, 2),
+      tgt AS (SELECT bucket, sum(cnt) AS tc
+              FROM feat JOIN documents USING (doc_id)
+              WHERE lang = 'en' GROUP BY 1),
+      rawf AS MATERIALIZED (SELECT feat.*
+              FROM feat JOIN documents USING (doc_id)
+              WHERE lang <> 'en'),
+      rawc AS (SELECT bucket, sum(cnt) AS qc FROM rawf GROUP BY 1),
+      tot AS (SELECT (SELECT sum(tc) FROM tgt) AS tt,
+                     (SELECT sum(qc) FROM rawc) AS tq),
+      lw AS (SELECT doc_id,
+               CAST(sum(cnt * (
+                 CAST(floor(ln((COALESCE(tc, 0) + 1.0)
+                   / (tt + $B.0)) * 1073741824.0) AS BIGINT)
+               - CAST(floor(ln((COALESCE(qc, 0) + 1.0)
+                   / (tq + $B.0)) * 1073741824.0) AS BIGINT)))
+                 AS BIGINT) AS lw_scaled
+             FROM rawf LEFT JOIN tgt USING (bucket)
+             LEFT JOIN rawc USING (bucket) CROSS JOIN tot
+             GROUP BY doc_id),
+      gm AS (SELECT doc_id,
+               md5('$Seed:' || CAST(doc_id AS VARCHAR)) AS h
+             FROM lw),
+      u AS (SELECT doc_id,
+              (CAST($hash48 AS BIGINT) + 1.0) / 281474976710656.0 AS uu
+            FROM gm),
+      e AS (SELECT doc_id,
+              GREATEST(CAST(-floor(ln(uu) * 1073741824.0) AS BIGINT),
+                       1) AS es
+            FROM u),
+      g AS (SELECT doc_id,
+              CAST(-floor(ln(CAST(es AS DOUBLE) / 1073741824.0)
+                * 1073741824.0) AS BIGINT) AS gs
+            FROM e),
+      keyed AS (SELECT lw.doc_id, lw_scaled, lw_scaled + gs AS ks
+                FROM lw JOIN g USING (doc_id))
+      SELECT d.doc_id, d.lang, d.source,
+             CAST(lw_scaled AS DOUBLE) / 1073741824.0 AS log_weight_nats,
+             CAST(ks AS DOUBLE) / 1073741824.0 AS sample_key_nats
+      FROM keyed JOIN documents d USING (doc_id)
+      ORDER BY ks DESC, doc_id LIMIT $K"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q324)
+}

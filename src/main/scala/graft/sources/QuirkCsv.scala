@@ -1,0 +1,435 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graftcsv` — a DataSourceV2 batch source for the reference's messy CSV
+  * dialect (SURVEY §1.4 / §2.1 S1-S2), the missing rung of the extension
+  * ladder below `Expression` / `Rule` / `Strategy`: a full
+  * `TableProvider → Table → ScanBuilder → Batch → PartitionReader` stack.
+  *
+  * Semantics match `graft.superstore.Ingest.readRaw` (the expression-chain
+  * formulation) line for line — `QuirkCsvSourceSpec` asserts set-equality
+  * on the real 9,994-row file in both modes:
+  *
+  *  - trailing `;` before the line break (incl. the header) stripped;
+  *  - rows wrapped whole in quotes with inner quotes doubled are
+  *    structurally detected and unwrapped (`excelCompat=true` instead
+  *    DROPS them, reproducing the workbook's lossy load);
+  *  - quoted fields with embedded commas / doubled quotes;
+  *  - bytes decoded as latin-1 (= cp1252 on this file's 0xA0), so chars
+  *    == bytes and offsets stay exact;
+  *  - all columns surface as nullable strings (the reference's
+  *    all-NVARCHAR raw layer); short rows pad with NULL, long rows drop
+  *    extras (PERMISSIVE).
+  *
+  * Why a DSv2 and not just `spark.read.csv` + expressions: the scan tier
+  * is where 100-TB ingest wins or loses.
+  *
+  *  - '''Byte-range splits''': each file is carved into
+  *    `maxSplitBytes`-sized `InputPartition`s aligned to line boundaries
+  *    by the classic contract — a record belongs to the split containing
+  *    its FIRST byte; a reader seeks in, discards the partial line, and
+  *    overreads its last record past the boundary. One 100 GB file scans
+  *    with 800 parallel tasks instead of 1.
+  *  - '''Column pruning''' (`SupportsPushDownRequiredColumns`): only the
+  *    requested columns are materialized into rows (`ReadSchema` in
+  *    `.explain` shrinks); the parser still splits the line once but
+  *    allocates nothing for unused fields.
+  *  - '''Filter pushdown''' (`SupportsPushDownFilters`): equality /
+  *    null / prefix / membership predicates on string columns are
+  *    evaluated inside the reader on the parsed fields — non-matching
+  *    rows never surface to Spark, and the post-scan `Filter` node
+  *    disappears for fully-consumed predicates. Filter-only columns are
+  *    parsed but not emitted.
+  *  - '''Statistics''' (`SupportsReportStatistics`): total byte size, so
+  *    AQE / join planning can see the table isn't broadcastable.
+  *
+  * Contract: records are single-line (the wrapped-row quirk doubles its
+  * embedded quotes rather than spanning lines) — the same contract
+  * Hadoop's TextInputFormat byte-splitting relies on. Files with quoted
+  * embedded newlines need a single-split read (`maxSplitBytes` ≥ file
+  * size), same as every splittable text reader.
+  */
+class QuirkCsvDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graftcsv"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = QuirkCsv.listFiles(options)
+    require(files.nonEmpty, "graftcsv: no input files under 'path'")
+    val header = QuirkCsv.readFirstLine(files.head._1, files.head._2)
+    // Header names normalize to identifier-safe form ("Row ID" -> RowID,
+    // "Sub-Category" -> SubCategory) — the raw layer's column names are
+    // code-facing (the same normalization Ingest.rawColumns hand-applies)
+    val names =
+      if (QuirkCsv.headerOpt(options))
+        QuirkCsv.splitCsv(QuirkCsv.stripLineQuirks(header))
+          .zipWithIndex.map { case (n0, i) =>
+            val n = n0.replaceAll("[^A-Za-z0-9_]", "")
+            if (n.isEmpty) s"_c$i" else n
+          }
+      else QuirkCsv.splitCsv(QuirkCsv.stripLineQuirks(header))
+        .indices.map(i => s"_c$i").toArray
+    StructType(names.map(StructField(_, StringType, nullable = true)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new QuirkCsvTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class QuirkCsvTable(tableSchema: StructType,
+                                     options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graftcsv(${options.getOrDefault("path", "?")})"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
+  : ScanBuilder = {
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new QuirkCsvScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
+                                           options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve only fields we actually have (defensive against metadata cols)
+    required = StructType(requiredSchema.fields.filter(f =>
+      fullSchema.fieldNames.contains(f.name)))
+
+  /** Accept predicates the reader can evaluate on parsed string fields;
+    * everything else is returned for Spark to evaluate post-scan. An
+    * accepted filter is FULLY consumed (not also re-evaluated) — the
+    * reader drops non-matching rows. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, theirs) = filters.partition(QuirkCsv.evaluable(fullSchema, _))
+    pushed = ours
+    theirs
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new QuirkCsvScan(fullSchema, required, pushed, options)
+}
+
+private[sources] class QuirkCsvScan(fullSchema: StructType,
+                                    required: StructType,
+                                    filters: Array[Filter],
+                                    options: CaseInsensitiveStringMap)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private val files: Seq[(String, Long)] = QuirkCsv.listFiles(options)
+  private val maxSplit: Long =
+    options.getLong("maxSplitBytes", 128L * 1024 * 1024)
+  private val header: Boolean = QuirkCsv.headerOpt(options)
+  private val excelCompat: Boolean =
+    options.getBoolean("excelCompat", false)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graftcsv ${files.size} file(s), " +
+      s"PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(maxSplit >= 1, s"maxSplitBytes must be >= 1, got $maxSplit")
+    files.flatMap { case (path, len) =>
+      if (len == 0) Nil
+      else (0L until len by maxSplit).map { start =>
+        QuirkCsvPartition(path, start, math.min(start + maxSplit, len))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
+      filters, header, excelCompat)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(files.map(_._2).sum)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+}
+
+private[sources] case class QuirkCsvPartition(path: String, start: Long,
+                                              end: Long)
+  extends InputPartition
+
+private[sources] class QuirkCsvReaderFactory(allColumns: Array[String],
+                                             requiredColumns: Array[String],
+                                             filters: Array[Filter],
+                                             header: Boolean,
+                                             excelCompat: Boolean)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[QuirkCsvPartition]
+    new QuirkCsvReader(p, allColumns, requiredColumns, filters, header,
+      excelCompat)
+  }
+}
+
+/** Streams `[start, end)` of one file: seeks to `start`, discards the
+  * partial line (it belongs to the previous split), then emits every line
+  * whose first byte lies in the range — overreading the final record past
+  * `end` per the split contract. latin-1 decode keeps 1 char == 1 byte so
+  * offsets need no transcoding bookkeeping. */
+private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
+                                      allColumns: Array[String],
+                                      requiredColumns: Array[String],
+                                      filters: Array[Filter],
+                                      header: Boolean,
+                                      excelCompat: Boolean)
+  extends PartitionReader[InternalRow] {
+
+  private val in = {
+    val path = new Path(part.path)
+    val fs = path.getFileSystem(new Configuration())
+    fs.open(path)
+  }
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(
+      { in.seek(part.start); in },
+      java.nio.charset.StandardCharsets.ISO_8859_1), 1 << 16)
+
+  // byte offset of the next unread char (chars == bytes under latin-1)
+  private var pos: Long = part.start
+  // discard the partial line at a mid-file split start
+  if (part.start > 0) readLine()
+
+  private val colIndex = allColumns.zipWithIndex.toMap
+  private val requiredIdx = requiredColumns.map(colIndex)
+  private val filterIdx: Array[(Filter, Int)] =
+    filters.map(f => f -> colIndex(QuirkCsv.filterColumn(f)))
+
+  private var current: InternalRow = _
+
+  /** Next raw line (terminator consumed, counted; '\r' kept for the
+    * quirk-strip step), or null at EOF. */
+  private def readLine(): String = {
+    val sb = new java.lang.StringBuilder(128)
+    var c = reader.read()
+    if (c == -1) return null
+    while (c != -1 && c != '\n') {
+      sb.append(c.toChar); pos += 1; c = reader.read()
+    }
+    if (c == '\n') pos += 1
+    sb.toString
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      val lineStart = pos
+      if (lineStart >= part.end) return false
+      val line = readLine()
+      if (line == null) return false
+      val stripped = QuirkCsv.stripLineQuirks(line)
+      val keep =
+        if (header && lineStart == 0) false // header line of the file
+        else if (excelCompat && line.startsWith("\"")) false
+        else stripped.nonEmpty // skip fully blank lines
+      if (keep) {
+        val fields = QuirkCsv.splitCsv(QuirkCsv.repairLine(stripped))
+        if (passesFilters(fields)) {
+          current = buildRow(fields)
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  private def field(fields: Array[String], i: Int): String =
+    if (i < fields.length) fields(i) else null
+
+  private def passesFilters(fields: Array[String]): Boolean =
+    filterIdx.forall { case (f, i) =>
+      QuirkCsv.eval(f, field(fields, i))
+    }
+
+  private def buildRow(fields: Array[String]): InternalRow = {
+    val values = new Array[Any](requiredIdx.length)
+    var j = 0
+    while (j < requiredIdx.length) {
+      val v = field(fields, requiredIdx(j))
+      values(j) = if (v == null) null else UTF8String.fromString(v)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+}
+
+private[sources] object QuirkCsv {
+
+  def headerOpt(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("header", true)
+
+  /** (path, length) of every regular file under the `path` option
+    * (a file, or a directory scanned non-recursively), sorted by path
+    * for deterministic partition planning. */
+  def listFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
+    val raw = options.get("path")
+    require(raw != null && raw.nonEmpty, "graftcsv requires a 'path' option")
+    val path = new Path(raw)
+    val fs: FileSystem = path.getFileSystem(new Configuration())
+    val st = fs.getFileStatus(path)
+    val statuses: Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(path).toIndexedSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+      else Seq(st)
+    statuses.map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+  }
+
+  def readFirstLine(path: String, len: Long): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](math.min(len, 1L << 16).toInt)
+      var read = 0
+      var eof = false
+      while (read < buf.length && !eof) {
+        val n = in.read(buf, read, buf.length - read)
+        if (n < 0) eof = true else read += n
+      }
+      val s = new String(buf, 0, read,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val nl = s.indexOf('\n')
+      if (nl >= 0) s.substring(0, nl) else s
+    } finally in.close()
+  }
+
+  /** Quirks 1+5: trailing '\r' (CRLF) and the spurious trailing ';'. */
+  def stripLineQuirks(line: String): String = {
+    val noCr = if (line.endsWith("\r")) line.dropRight(1) else line
+    if (noCr.endsWith(";")) noCr.dropRight(1) else noCr
+  }
+
+  /** Quirk 2: a row wrapped whole in quotes with inner quotes doubled.
+    * Structural detection — identical to Ingest.readRaw's expression
+    * form: after collapsing doubled quotes the line must be left with
+    * exactly its two OUTER quotes, first and last character, none
+    * interior. */
+  def repairLine(line: String): String = {
+    if (line.length < 2 || line.charAt(0) != '"' ||
+      line.charAt(line.length - 1) != '"') return line
+    val undoubled = line.replace("\"\"", "")
+    val wrapped = undoubled.length > 1 &&
+      undoubled.charAt(0) == '"' &&
+      undoubled.charAt(undoubled.length - 1) == '"' &&
+      !undoubled.substring(1, undoubled.length - 1).contains('"')
+    if (wrapped)
+      line.substring(1, line.length - 1).replace("\"\"", "\"")
+    else line
+  }
+
+  /** Comma-split honoring double-quoted fields with `""` escapes
+    * (PERMISSIVE: an unterminated quote runs to end of line). */
+  def splitCsv(line: String): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    var inQuotes = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+            sb.append('"'); i += 1
+          } else inQuotes = false
+        } else sb.append(c)
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += sb.toString; sb.setLength(0)
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toArray
+  }
+
+  /** Column a pushable filter references (call only after `evaluable`). */
+  def filterColumn(f: Filter): String = f match {
+    case EqualTo(a, _) => a
+    case IsNotNull(a) => a
+    case IsNull(a) => a
+    case In(a, _) => a
+    case StringStartsWith(a, _) => a
+    case StringEndsWith(a, _) => a
+    case StringContains(a, _) => a
+    case _ => throw new IllegalArgumentException(s"not pushable: $f")
+  }
+
+  /** Which filters the reader can fully evaluate: string-typed simple
+    * predicates on a known column. */
+  def evaluable(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v: String) => schema.fieldNames.contains(a) && v != null
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case In(a, vs) => schema.fieldNames.contains(a) &&
+      vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _) => schema.fieldNames.contains(a)
+    case StringEndsWith(a, _) => schema.fieldNames.contains(a)
+    case StringContains(a, _) => schema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  /** Evaluate an accepted filter against one parsed field value
+    * (null == missing / short row). */
+  def eval(f: Filter, v: String): Boolean = f match {
+    case EqualTo(_, expected: String) => v != null && v == expected
+    case IsNotNull(_) => v != null
+    case IsNull(_) => v == null
+    case In(_, vs) => v != null && vs.exists(x => x == v)
+    case StringStartsWith(_, p) => v != null && v.startsWith(p)
+    case StringEndsWith(_, p) => v != null && v.endsWith(p)
+    case StringContains(_, p) => v != null && v.contains(p)
+    case _ => false
+  }
+}
