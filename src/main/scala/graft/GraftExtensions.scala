@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BpeEncode, FloatVecCosine, JaroWinklerPpm, NormalizeUnicode, QuantizedDot, RegexHashReplace, SimHashPack, SortedCommonCount}
+import graft.expressions.{BpeEncode, FloatVecCosine, JaroWinklerPpm, NormalizeUnicode, PhraseMatchCount, QuantizedDot, RegexHashReplace, SimHashPack, SortedCommonCount}
 
 /** Session extensions: registers the library's native expressions as SQL
   * functions so both `spark.sql("vec_cosine(a, b)")` and
@@ -119,6 +119,27 @@ object GraftExtensions {
         }
         RegexHashReplace(args.head, strLit(args(1), "pattern"),
           strLit(args(2), "prefix"))
+      }),
+    (FunctionIdentifier("phrase_count"),
+      new ExpressionInfo(classOf[PhraseMatchCount].getName, "phrase_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "phrase_count expects (string, array<string> phrases literal)")
+        // accept both a Literal array and SQL's array('a','b') CreateArray
+        // (any foldable array expression evaluates at registration time)
+        val phrases = args(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType] =>
+            val v = e.eval()
+            require(v != null, "phrase_count phrases must not be NULL")
+            v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toArray[org.apache.spark.unsafe.types.UTF8String](
+                org.apache.spark.sql.types.StringType)
+              .map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"phrase_count phrases must be a foldable array, got $other")
+        }
+        PhraseMatchCount(args.head, phrases)
       }))
 
   /** Imperative registration for sessions built without the extension. */

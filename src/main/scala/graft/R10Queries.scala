@@ -95,5 +95,69 @@ object R10Queries {
       ORDER BY ks DESC, doc_id LIMIT $K"""
     })
 
-  val all: Seq[QueryDef] = Seq(q324)
+  private val SpanLen = 8
+
+  /** Exact-substring dedup with removal (Lee et al. 2022): every
+    * non-canonical occurrence of an 8-token span is deleted; one copy of
+    * every repeated span survives corpus-wide. The oracle replays the
+    * canonical pick (first by doc_id, then span position) and the
+    * position-level deletion exactly. */
+  private val q325 = QueryDef(
+    "q325_span_removal",
+    (s, d) => graft.operators.Corpus.removeDuplicatedSpans(
+      Tables.documents(s, d), "doc_id", "text", SpanLen),
+    Some(s"""
+      WITH t AS MATERIALIZED (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
+            FROM documents),
+      sp AS MATERIALIZED (
+        SELECT doc_id, generate_subscripts(sh, 1) - 1 AS spos,
+               unnest(sh) AS s
+        FROM (SELECT doc_id, ${ExtQueries.oShingles("w", SpanLen)} AS sh
+              FROM t WHERE len(w) >= $SpanLen)),
+      dups AS (SELECT doc_id, spos FROM (
+          SELECT doc_id, spos,
+                 row_number() OVER (PARTITION BY s
+                   ORDER BY doc_id, spos) AS rn
+          FROM sp) WHERE rn > 1),
+      offs AS (SELECT doc_id, spos, unnest(range(0, $SpanLen)) AS off
+               FROM dups),
+      rem AS (SELECT DISTINCT doc_id, spos + off AS pos FROM offs),
+      toks AS MATERIALIZED (
+        SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+               unnest(w) AS tok
+        FROM t),
+      kept AS (SELECT k.doc_id, k.pos, k.tok FROM toks k
+               WHERE NOT EXISTS (SELECT 1 FROM rem r
+                 WHERE r.doc_id = k.doc_id AND r.pos = k.pos)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned
+              FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+             CAST(len(w) - COALESCE(nk, 0) AS BIGINT) AS n_removed,
+             COALESCE(cleaned, '') AS cleaned_text
+      FROM t LEFT JOIN agg USING (doc_id)"""))
+
+  private val Blocklist =
+    Seq("hash value", "value table", "row scan", "scan slow", "a row")
+
+  /** Aho-Corasick blocklist gate: one automaton pass per document counts
+    * every occurrence of every phrase (overlapping included). The oracle
+    * replays each phrase as an all-start-positions substring scan —
+    * exactly the overlapping-count semantics the automaton produces. */
+  private val q326 = QueryDef(
+    "q326_blocklist_gate",
+    (s, d) => graft.operators.Corpus.blocklistHits(
+      Tables.documents(s, d), "doc_id", "text", Blocklist),
+    Some {
+      val terms = Blocklist.map { p =>
+        val k = p.length
+        s"len(list_filter(range(1, len(text) - $k + 2), i -> substr(text, i, $k) = '$p'))"
+      }.mkString("(", " + ", ")")
+      s"""
+      SELECT doc_id, CAST($terms AS BIGINT) AS n_hits,
+             CAST($terms AS BIGINT) > 0 AS blocked
+      FROM documents"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q324, q325, q326)
 }

@@ -843,6 +843,79 @@ object Corpus {
         col("n_shared_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Blocklist gate: per-document count of ALL occurrences (overlapping
+    * included) of any phrase in `phrases`, via ONE Aho-Corasick pass per
+    * document ([[graft.expressions.PhraseMatchCount]]) — the scan cost is
+    * independent of blocklist size, where a `contains` disjunction scans
+    * the text once per phrase. Emits (idCol, n_hits, blocked).
+    *
+    * Scale: a scalar projection fused into the scan; the automaton ships
+    * once as a codegen reference object, never per row. */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+                    phrases: Seq[String]): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      call_function("phrase_count", col(textCol),
+        array(phrases.map(lit): _*)).as("n_hits"))
+      .withColumn("blocked", col("n_hits") > 0)
+  }
+
+  /** Exact-substring deduplication with REMOVAL (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" move,
+    * at token-span granularity): every occurrence of a `spanLen`-token
+    * span that is not the span's CANONICAL occurrence — the globally
+    * first one by (doc_id, span position) — has its covered token
+    * positions deleted from the document. Unlike [[spanDuplication]]
+    * (which only profiles), this rewrites the corpus: one copy of every
+    * repeated span survives, including within-document repeats.
+    *
+    * Emits (doc_id, n_tokens, n_removed, cleaned_text) for EVERY input
+    * document (docs shorter than `spanLen` tokens pass through whole).
+    *
+    * Scale shape: the global canonical pick is one `groupBy(span)` with
+    * a `min(struct(doc_id, spos))` (map-side combined — hot spans
+    * collapse before the exchange); duplicate occurrences explode to at
+    * most `spanLen` positions each; the rebuild is a per-document
+    * `collect_list` bounded by document length (a document already fits
+    * in memory by the corpus contract). Spans shuffle as strings here so
+    * a SQL oracle can replay the grouping — a production variant would
+    * key on `xxhash64(span)` (8-byte postings, identical semantics
+    * modulo hash collisions) exactly as [[spanDuplication]] does. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            spanLen: Int): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val t = spread(docs).select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__w"))
+    val sp = t.filter(size(col("__w")) >= spanLen)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.wordShingles(col("__w"), spanLen))
+          .as(Seq("spos", "__s")))
+    val canon = sp.groupBy(col("__s"))
+      .agg(min(struct(col("doc_id"), col("spos"))).as("__c"))
+    val dups = sp.join(canon, Seq("__s"))
+      .filter(!(col("doc_id") === col("__c").getField("doc_id") &&
+        col("spos") === col("__c").getField("spos")))
+    val removedPos = dups
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + lit(spanLen - 1)))
+          .as("pos"))
+      .distinct()
+    val toks = t.select(col("doc_id"),
+      posexplode(col("__w")).as(Seq("pos", "__tok")))
+    val kept = toks.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("cleaned_text"))
+    t.select(col("doc_id"), size(col("__w")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens").cast("long") -
+          coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Crawl-URL canonicalization: the normal form under which two fetches
     * of the same page compare equal. Lower-cases scheme and host, strips
     * a leading `www.`, drops default ports (:80 for http, :443 for
