@@ -159,5 +159,31 @@ object R10Queries {
       FROM documents"""
     })
 
-  val all: Seq[QueryDef] = Seq(q324, q325, q326)
+  private val NovN = 5
+
+  /** Snapshot novelty curve: treating each source as a crawl dump (in
+    * source-name order), the fraction of its distinct 5-gram shingles
+    * first seen there — the ingest-the-next-dump decision metric. */
+  private val q327 = QueryDef(
+    "q327_snapshot_novelty",
+    (s, d) => graft.operators.Corpus.snapshotNovelty(
+      Tables.documents(s, d), "source", "text", NovN),
+    Some(s"""
+      WITH t AS (SELECT source, ${ExtQueries.oToks("text")} AS w
+            FROM documents),
+      sp AS MATERIALIZED (
+        SELECT DISTINCT source,
+               unnest(list_distinct(${ExtQueries.oShingles("w", NovN)}))
+                 AS s
+        FROM t WHERE len(w) >= $NovN),
+      f AS (SELECT s, min(source) AS fs FROM sp GROUP BY s)
+      SELECT source AS snapshot,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN source = fs THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             CAST(sum(CASE WHEN source = fs THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty
+      FROM sp JOIN f USING (s) GROUP BY source"""))
+
+  val all: Seq[QueryDef] = Seq(q324, q325, q326, q327)
 }

@@ -843,6 +843,38 @@ object Corpus {
         col("n_shared_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Snapshot-over-snapshot novelty: for every corpus snapshot (a crawl
+    * dump, a source partition), the fraction of its distinct `n`-token
+    * shingles that appear in NO earlier snapshot (earlier = smaller
+    * `snapshotCol` value — pass a sortable snapshot id). The curve a
+    * crawl-curation plan reads to decide whether ingesting the next dump
+    * is worth it: novelty falling toward zero means the marginal dump
+    * re-crawls what the corpus already has.
+    *
+    * Emits (snapshot, n_shingles, n_novel, novelty) — snapshots whose
+    * docs are all shorter than `n` tokens emit nothing.
+    *
+    * Scale: one distinct over (snapshot, shingle) postings, one
+    * map-combined `min(snapshot)` per shingle, one bounded
+    * per-snapshot aggregate — all linear in postings, no pair joins. */
+  def snapshotNovelty(docs: DataFrame, snapshotCol: String,
+                      textCol: String, n: Int): DataFrame = {
+    val sp = spread(docs)
+      .select(col(snapshotCol).as("snapshot"),
+        explode(array_distinct(TextFunctions.wordShingles(
+          TextFunctions.tokens(col(textCol)), n))).as("__s"))
+      .distinct()
+    val first = sp.groupBy(col("__s"))
+      .agg(min(col("snapshot")).as("__first"))
+    sp.join(first, Seq("__s"))
+      .groupBy(col("snapshot"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("snapshot") === col("__first"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Blocklist gate: per-document count of ALL occurrences (overlapping
     * included) of any phrase in `phrases`, via ONE Aho-Corasick pass per
     * document ([[graft.expressions.PhraseMatchCount]]) — the scan cost is

@@ -8,9 +8,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -71,8 +72,11 @@ class QuirkCsvDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // a missing/empty location infers an empty schema instead of failing:
+    // the write path (DataFrameWriter.save to a fresh directory) infers
+    // before LogicalWriteInfo supplies the query schema
     val files = QuirkCsv.listFiles(options)
-    require(files.nonEmpty, "graftcsv: no input files under 'path'")
+    if (files.isEmpty) return new StructType()
     val header = QuirkCsv.readFirstLine(files.head._1, files.head._2)
     // Header names normalize to identifier-safe form ("Row ID" -> RowID,
     // "Sub-Category" -> SubCategory) — the raw layer's column names are
@@ -81,7 +85,7 @@ class QuirkCsvDataSource extends TableProvider with DataSourceRegister {
       if (QuirkCsv.headerOpt(options))
         QuirkCsv.splitCsv(QuirkCsv.stripLineQuirks(header))
           .zipWithIndex.map { case (n0, i) =>
-            val n = n0.replaceAll("[^A-Za-z0-9_]", "")
+            val n = Option(n0).getOrElse("").replaceAll("[^A-Za-z0-9_]", "")
             if (n.isEmpty) s"_c$i" else n
           }
       else QuirkCsv.splitCsv(QuirkCsv.stripLineQuirks(header))
@@ -97,7 +101,7 @@ class QuirkCsvDataSource extends TableProvider with DataSourceRegister {
 
 private[sources] class QuirkCsvTable(tableSchema: StructType,
                                      options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     s"graftcsv(${options.getOrDefault("path", "?")})"
@@ -105,7 +109,15 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = info.options.getOrDefault("path", options.get("path"))
+    require(path != null && path.nonEmpty,
+      "graftcsv write requires a 'path' option")
+    new QuirkCsvWriteBuilder(path, info.schema(), info.options)
+  }
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
   : ScanBuilder = {
@@ -301,7 +313,144 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
   override def close(): Unit = reader.close()
 }
 
+// ---------------------------------------------------------------- sink
+
+/** Batch write path: one CSV part file per task, header per file (so any
+  * file subset — and the whole directory — reads back through the scan
+  * path), task-unique names committed via the standard
+  * `DataWriter.commit → BatchWrite.commit` protocol. `mode("overwrite")`
+  * maps to `SupportsTruncate`: files not written by the committing job
+  * are deleted AT COMMIT, after every task has succeeded — a failed job
+  * leaves the old data in place (same guarantee as Hadoop's non-atomic
+  * rename committers on object stores).
+  *
+  * The sink is the RAW layer's (all columns nullable strings, like the
+  * reference's NVARCHAR staging table): NULL writes as an empty unquoted
+  * field, the empty string as `""`, and fields containing commas /
+  * quotes / line breaks quote-and-double — the exact inverses the reader
+  * applies, so write → read round-trips bit-for-bit. */
+private[sources] class QuirkCsvWriteBuilder(path: String,
+                                            schema: StructType,
+                                            options: CaseInsensitiveStringMap)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = {
+    schema.fields.foreach { f =>
+      require(f.dataType == StringType,
+        s"graftcsv writes the all-string raw layer; column '${f.name}' " +
+          s"is ${f.dataType.catalogString} — cast to string first")
+    }
+    new QuirkCsvWrite(path, schema.fieldNames, truncateFirst,
+      QuirkCsv.headerOpt(options))
+  }
+}
+
+private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
+                                     truncateFirst: Boolean, header: Boolean)
+  extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+  : DataWriterFactory =
+    new QuirkCsvWriterFactory(path, columns, header,
+      java.util.UUID.randomUUID().toString)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val written = messages.collect {
+      case QuirkCsvCommit(file) => new Path(file).getName
+    }.toSet
+    if (truncateFirst) {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(new Configuration())
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !written.contains(n) && !n.startsWith("_") &&
+          !n.startsWith(".")) fs.delete(st.getPath, false)
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case QuirkCsvCommit(file) =>
+        val p = new Path(file)
+        val fs = p.getFileSystem(new Configuration())
+        fs.delete(p, false)
+      case _ =>
+    }
+}
+
+private[sources] case class QuirkCsvCommit(file: String)
+  extends WriterCommitMessage
+
+private[sources] class QuirkCsvWriterFactory(path: String,
+                                             columns: Array[String],
+                                             header: Boolean, jobId: String)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new QuirkCsvWriter(
+      s"$path/part-$jobId-$partitionId-$taskId.csv", columns, header)
+}
+
+private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
+                                      header: Boolean)
+  extends DataWriter[InternalRow] {
+
+  private val fsPath = new Path(file)
+  private val out = {
+    val fs = fsPath.getFileSystem(new Configuration())
+    val stream = fs.create(fsPath, true)
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      stream, java.nio.charset.StandardCharsets.ISO_8859_1), 1 << 16)
+    if (header) { w.write(columns.map(QuirkCsv.formatField).mkString(",")); w.write("\n") }
+    w
+  }
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    val sb = new java.lang.StringBuilder(128)
+    while (i < columns.length) {
+      if (i > 0) sb.append(',')
+      if (!row.isNullAt(i))
+        sb.append(QuirkCsv.formatField(row.getUTF8String(i).toString))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    QuirkCsvCommit(file)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    val fs = fsPath.getFileSystem(new Configuration())
+    fs.delete(fsPath, false)
+  }
+
+  override def close(): Unit = ()
+}
+
 private[sources] object QuirkCsv {
+
+  /** Inverse of [[splitCsv]]'s field decode: empty string → `""`;
+    * fields containing a comma, quote, or line break quote-and-double.
+    * (NULL is handled by the caller as a bare empty field.) */
+  def formatField(v: String): String =
+    if (v.isEmpty) "\"\""
+    else if (v.indexOf(',') >= 0 || v.indexOf('"') >= 0 ||
+      v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
 
   def headerOpt(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("header", true)
@@ -314,6 +463,7 @@ private[sources] object QuirkCsv {
     require(raw != null && raw.nonEmpty, "graftcsv requires a 'path' option")
     val path = new Path(raw)
     val fs: FileSystem = path.getFileSystem(new Configuration())
+    if (!fs.exists(path)) return Nil
     val st = fs.getFileStatus(path)
     val statuses: Seq[FileStatus] =
       if (st.isDirectory)
@@ -369,12 +519,20 @@ private[sources] object QuirkCsv {
   }
 
   /** Comma-split honoring double-quoted fields with `""` escapes
-    * (PERMISSIVE: an unterminated quote runs to end of line). */
+    * (PERMISSIVE: an unterminated quote runs to end of line). An EMPTY
+    * UNQUOTED field is NULL, a quoted empty field (`""`) is the empty
+    * string — Spark's CSV nullValue/emptyValue defaults, and the
+    * distinction [[QuirkCsvWriter]] relies on for exact round-trips. */
   def splitCsv(line: String): Array[String] = {
     val out = ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     var inQuotes = false
+    var sawQuote = false
+    def flush(): Unit = {
+      out += (if (sb.length == 0 && !sawQuote) null else sb.toString)
+      sb.setLength(0); sawQuote = false
+    }
     while (i < line.length) {
       val c = line.charAt(i)
       if (inQuotes) {
@@ -384,13 +542,13 @@ private[sources] object QuirkCsv {
           } else inQuotes = false
         } else sb.append(c)
       } else c match {
-        case '"' => inQuotes = true
-        case ',' => out += sb.toString; sb.setLength(0)
+        case '"' => inQuotes = true; sawQuote = true
+        case ',' => flush()
         case _ => sb.append(c)
       }
       i += 1
     }
-    out += sb.toString
+    flush()
     out.toArray
   }
 

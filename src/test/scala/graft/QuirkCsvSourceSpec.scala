@@ -86,6 +86,52 @@ class QuirkCsvSourceSpec extends SparkSpec {
       ingest().filter(col("ProductName").contains("\u00a0")).count()
   }
 
+  test("write path: superstore round-trips bit-for-bit through the sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv_w").toString
+    val src = ingest()
+    src.repartition(4).write.format("graftcsv").mode("append").save(dir)
+    new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv")) shouldBe 4
+    val back = spark.read.format("graftcsv").load(dir)
+    back.count() shouldBe 9994
+    back.except(src).count() shouldBe 0
+    src.except(back).count() shouldBe 0
+  }
+
+  test("write path: overwrite truncates previous files at commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv_o").toString
+    val a = ingest().limit(100).repartition(2)
+    a.write.format("graftcsv").mode("append").save(dir)
+    val b = ingest().limit(37).repartition(1)
+    b.write.format("graftcsv").mode("overwrite").save(dir)
+    spark.read.format("graftcsv").load(dir).count() shouldBe 37
+  }
+
+  test("write path: NULL vs empty-string fields survive the round-trip") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "plain", "x"),
+      ("2", null, "y"),
+      ("3", "", "z"),
+      ("4", "has,comma", "with \"quotes\""),
+      ("5", "sp nbsp", "")).toDF("id", "a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv_n").toString
+    df.write.format("graftcsv").mode("append").save(dir)
+    val back = spark.read.format("graftcsv").load(dir)
+    back.count() shouldBe 5
+    back.except(df).count() shouldBe 0
+    df.except(back).count() shouldBe 0
+  }
+
+  test("write path rejects non-string columns with a clear error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv_e").toString
+    val err = intercept[Exception] {
+      Seq((1, "a")).toDF("n", "s")
+        .write.format("graftcsv").mode("append").save(dir)
+    }
+    err.getMessage should include("cast to string first")
+  }
+
   test("SQL path: the source registers by short name with USING") {
     spark.sql(
       s"CREATE OR REPLACE TEMPORARY VIEW qcsv USING graftcsv OPTIONS (path '$csv')")
