@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -110,6 +111,7 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -178,6 +180,11 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
       s"ReadSchema: ${required.simpleString}"
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+  : MicroBatchStream =
+    new QuirkCsvMicroBatchStream(fullSchema, required, filters, options,
+      maxSplit, header, excelCompat)
 
   override def planInputPartitions(): Array[InputPartition] = {
     require(maxSplit >= 1, s"maxSplitBytes must be >= 1, got $maxSplit")
@@ -311,6 +318,72 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
   override def get(): InternalRow = current
 
   override def close(): Unit = reader.close()
+}
+
+// -------------------------------------------------------------- stream
+
+private[sources] case class QuirkCsvOffset(n: Int) extends Offset {
+  override def json(): String = s"""{"n":$n}"""
+}
+
+/** File-drop micro-batch stream over the quirk-CSV directory — the
+  * corpus-intake shape (`streaming/CorpusIntake.scala`) driven by a
+  * CUSTOM DSv2 streaming source instead of Spark's file source.
+  *
+  * Offset = count of files observed, in arrival order (newly listed
+  * files append in path-sorted order); each micro-batch plans the
+  * byte-range splits of exactly the files in `(start, end]`, through the
+  * same PartitionReader (and the same pruning/pushdown — the ScanBuilder
+  * ran before the stream was materialized) as the batch path. Files must
+  * be immutable once placed. Restart recovery replays by position in the
+  * path-sorted listing, so arrival order must match name order across a
+  * restart — the standard monotonic-naming contract for file streams
+  * (part-00001…); within one run, any names work. */
+private[sources] class QuirkCsvMicroBatchStream(
+    fullSchema: StructType, required: StructType, filters: Array[Filter],
+    options: CaseInsensitiveStringMap, maxSplit: Long, header: Boolean,
+    excelCompat: Boolean)
+  extends MicroBatchStream {
+
+  private val seen = ArrayBuffer.empty[(String, Long)] // arrival order
+  private val seenNames = scala.collection.mutable.HashSet.empty[String]
+
+  private def refresh(): Unit = synchronized {
+    QuirkCsv.listFiles(options).foreach { f =>
+      if (seenNames.add(f._1)) seen += f
+    }
+  }
+
+  override def initialOffset(): Offset = QuirkCsvOffset(0)
+
+  override def latestOffset(): Offset = {
+    refresh()
+    QuirkCsvOffset(seen.size)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    QuirkCsvOffset("""\d+""".r.findFirstIn(json).getOrElse("0").toInt)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    refresh()
+    val a = start.asInstanceOf[QuirkCsvOffset].n
+    val b = end.asInstanceOf[QuirkCsvOffset].n
+    seen.slice(a, b).flatMap { case (path, len) =>
+      if (len == 0) Nil
+      else (0L until len by maxSplit).map { s =>
+        QuirkCsvPartition(path, s, math.min(s + maxSplit, len))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
+      filters, header, excelCompat)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 // ---------------------------------------------------------------- sink
