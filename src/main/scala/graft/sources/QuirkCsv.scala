@@ -244,13 +244,21 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
     val fs = path.getFileSystem(new Configuration())
     fs.open(path)
   }
+  // Hadoop's split-start contract: seek to start-1 and discard one line.
+  // Reading from start (and discarding to the next newline) would LOSE a
+  // record whose first byte sits exactly at the boundary — the previous
+  // split stops at lineStart >= end and never reads it. From start-1, the
+  // discard consumes exactly the tail of the straddling line (or just the
+  // newline at start-1 when the boundary coincides with a line start),
+  // leaving pos at the first record this split owns.
+  private val seekTo = if (part.start > 0) part.start - 1 else 0L
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(
-      { in.seek(part.start); in },
+      { in.seek(seekTo); in },
       java.nio.charset.StandardCharsets.ISO_8859_1), 1 << 16)
 
   // byte offset of the next unread char (chars == bytes under latin-1)
-  private var pos: Long = part.start
+  private var pos: Long = seekTo
   // discard the partial line at a mid-file split start
   if (part.start > 0) readLine()
 

@@ -132,6 +132,25 @@ class QuirkCsvSourceSpec extends SparkSpec {
     err.getMessage should include("cast to string first")
   }
 
+  test("split boundary exactly at a line start loses and duplicates nothing") {
+    // every line is exactly 10 bytes ("dddddddd?\n"), so maxSplitBytes=10
+    // puts EVERY split boundary exactly on a line start — the case where
+    // a discard-from-start reader silently drops one record per split
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv_b").toString
+    val lines = ("id,colx".padTo(9, 'h') + "\n") +
+      (0 until 200).map(i => f"$i%04d,$i%04d" + "\n").mkString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.csv"),
+      lines.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    for (split <- Seq("10", "7", "13", "1000000")) {
+      val d = spark.read.format("graftcsv")
+        .option("maxSplitBytes", split).load(dir)
+      withClue(s"maxSplitBytes=$split: ") {
+        d.count() shouldBe 200
+        d.select(d.columns.head).distinct().count() shouldBe 200
+      }
+    }
+  }
+
   test("SQL path: the source registers by short name with USING") {
     spark.sql(
       s"CREATE OR REPLACE TEMPORARY VIEW qcsv USING graftcsv OPTIONS (path '$csv')")
