@@ -66,18 +66,29 @@ object Dsir {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Scaled log-weights for every raw-pool document:
+  /** Bag-of-hashed-ngrams model of a corpus: (bucket, cnt) — at most
+    * `buckets` rows whatever the corpus size. Fit once, persist, reuse:
+    * this is the artifact a streaming intake gate scores every batch
+    * against ([[scoreAgainst]]). */
+  def fitModel(corpus: DataFrame, idCol: String, textCol: String,
+               buckets: Int): DataFrame =
+    hashedFeatures(corpus, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Scaled log-weights of `docs` against PRE-FIT target/raw models
+    * (both (bucket, cnt) frames from [[fitModel]]):
     * (idCol, lw_scaled) where
     * `lw_scaled = Σ_b cnt_doc[b] · (lp_target[b] − lp_raw[b])` and
     * `lp_m[b] = floor(ln((cnt_m[b]+1) / (total_m + buckets)) · 2^30)`
-    * (add-one smoothing over the hashed vocabulary). */
-  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                        textCol: String, buckets: Int): DataFrame = {
-    val rawFeat = hashedFeatures(raw, idCol, textCol, buckets)
-    val tgtCnt = hashedFeatures(target, idCol, textCol, buckets)
-      .groupBy(col("bucket")).agg(sum(col("cnt")).as("__tc"))
-    val rawCnt = rawFeat
-      .groupBy(col("bucket")).agg(sum(col("cnt")).as("__qc"))
+    * (add-one smoothing over the hashed vocabulary). A doc's score does
+    * not depend on which batch it arrives in — the fixed-model property
+    * a streaming gate needs. */
+  def scoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+                   targetModel: DataFrame, rawModel: DataFrame,
+                   buckets: Int): DataFrame = {
+    val docFeat = hashedFeatures(docs, idCol, textCol, buckets)
+    val tgtCnt = targetModel.select(col("bucket"), col("cnt").as("__tc"))
+    val rawCnt = rawModel.select(col("bucket"), col("cnt").as("__qc"))
     val totals = tgtCnt.agg(sum(col("__tc")).as("__tt"))
       .crossJoin(rawCnt.agg(sum(col("__qc")).as("__tq")))
 
@@ -86,7 +97,7 @@ object Dsir {
         (tot.cast("double") + lit(buckets.toDouble))) * lit(ScaleD))
         .cast("long")
 
-    rawFeat
+    docFeat
       .join(broadcast(tgtCnt), Seq("bucket"), "left")
       .join(broadcast(rawCnt), Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
@@ -96,6 +107,15 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(sum(col("__d")).as("lw_scaled"))
   }
+
+  /** Log-weights of the raw pool against models fit in place — the
+    * one-shot batch form ([[dsirSelect]]'s first stage): target model
+    * from `target`, raw model from `raw` itself. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int): DataFrame =
+    scoreAgainst(raw, idCol, textCol,
+      fitModel(target, idCol, textCol, buckets),
+      fitModel(raw, idCol, textCol, buckets), buckets)
 
   /** Gumbel-top-k importance resampling: the k raw documents maximizing
     * `lw + G_i`, `G_i = −ln(−ln u_i)` with the md5-48-bit uniform, both
