@@ -185,5 +185,116 @@ object R10Queries {
                / CAST(count(*) AS DOUBLE) AS novelty
       FROM sp JOIN f USING (s) GROUP BY source"""))
 
-  val all: Seq[QueryDef] = Seq(q324, q325, q326, q327)
+  private val ZBits = 8
+  private val ZFiles = 16
+
+  /** Z-order (Morton) layout audit: the same lineitem rows clustered by
+    * the bit-interleaved (orderkey, partkey) key vs by orderkey alone,
+    * split into 16 equal-row files; per bucket-space quartile predicate
+    * on EACH dimension, how many files a min/max zone-map reader opens.
+    * Single-column sort prunes one dimension and reads ~all files for
+    * the other; z-order prunes both — the multi-dimensional
+    * sort-on-write case (Delta/Iceberg OPTIMIZE ZORDER). All bucket and
+    * interleave math is shift-exact (Scale.powerOfTwoBucket /
+    * zorderValue), so the oracle replays it with `>>`/`&`/`|`. */
+  private val q328 = QueryDef(
+    "q328_zorder_layout",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("pk"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("tb"))
+      val mm = li.agg(min(col("ok")).as("olo"), max(col("ok")).as("ohi"),
+        min(col("pk")).as("plo"), max(col("pk")).as("phi"))
+      val scaled = li.crossJoin(broadcast(mm))
+        .withColumn("oa", graft.operators.Scale.powerOfTwoBucket(
+          col("ok"), col("olo"), col("ohi"), ZBits))
+        .withColumn("pb", graft.operators.Scale.powerOfTwoBucket(
+          col("pk"), col("plo"), col("phi"), ZBits))
+        .withColumn("zv", graft.operators.Scale.zorderValue(
+          col("oa"), col("pb"), ZBits))
+        .select(col("oa"), col("pb"), col("zv"), col("tb"))
+      def fileStats(valueCol: String, layout: String) = {
+        val ranked = graft.operators.Scale.globalRowNumber(
+          scaled, valueCol, "tb")
+        val n = ranked.agg(count(lit(1)).as("__N"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn("file_id",
+            expr(s"cast(((global_rn - 1) * $ZFiles) div __N as int)"))
+          .groupBy(col("file_id"))
+          .agg(min(col("oa")).as("a_lo"), max(col("oa")).as("a_hi"),
+            min(col("pb")).as("b_lo"), max(col("pb")).as("b_hi"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("layout", lit(layout))
+      }
+      val files = fileStats("zv", "zorder").union(fileStats("oa", "sort_a"))
+      val quarter = 1L << (ZBits - 2)
+      val preds = (0 until 4).flatMap(k => Seq(
+          (s"a_q$k", "a", k * quarter, (k + 1) * quarter - 1),
+          (s"b_q$k", "b", k * quarter, (k + 1) * quarter - 1)))
+        .toDF("pred_id", "dim", "q_lo", "q_hi")
+      val hit = when(col("dim") === "a",
+        col("a_hi") >= col("q_lo") && col("a_lo") <= col("q_hi"))
+        .otherwise(col("b_hi") >= col("q_lo") && col("b_lo") <= col("q_hi"))
+      files.crossJoin(broadcast(preds))
+        .groupBy(col("layout"), col("pred_id"))
+        .agg(sum(when(hit, 1L).otherwise(0L)).as("files_read"),
+          sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_read"))
+        .withColumn("files_skipped", lit(ZFiles.toLong) - col("files_read"))
+    },
+    Some {
+      val z = (0 until ZBits).map(i =>
+        s"(((oa >> $i) & 1) << ${2 * i}) | (((pb >> $i) & 1) << ${2 * i + 1})")
+        .mkString("(", " | ", ")")
+      val quarter = 1L << (ZBits - 2)
+      val predRows = (0 until 4).flatMap(k => Seq(
+          s"('a_q$k', 'a', ${k * quarter}, ${(k + 1) * quarter - 1})",
+          s"('b_q$k', 'b', ${k * quarter}, ${(k + 1) * quarter - 1})"))
+        .mkString(", ")
+      def fileCte(src: String, layout: String) =
+        s"""SELECT '$layout' AS layout,
+              CAST(((rn - 1) * $ZFiles) // N AS INT) AS file_id,
+              min(oa) AS a_lo, max(oa) AS a_hi,
+              min(pb) AS b_lo, max(pb) AS b_hi,
+              CAST(count(*) AS BIGINT) AS n_rows
+            FROM $src CROSS JOIN n GROUP BY 1, 2"""
+      s"""
+      WITH li AS (SELECT CAST(l_orderkey AS BIGINT) AS ok,
+              CAST(l_partkey AS BIGINT) AS pk,
+              CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS tb
+            FROM lineitem),
+      mm AS (SELECT min(ok) AS olo, max(ok) AS ohi,
+                    min(pk) AS plo, max(pk) AS phi FROM li),
+      z AS MATERIALIZED (SELECT oa, pb, $z AS zv, tb FROM (
+        SELECT (ok - olo) >> GREATEST(length(bin(ohi - olo)) - $ZBits, 0)
+                 AS oa,
+               (pk - plo) >> GREATEST(length(bin(phi - plo)) - $ZBits, 0)
+                 AS pb,
+               tb
+        FROM li CROSS JOIN mm)),
+      n AS (SELECT count(*) AS N FROM z),
+      rz AS (SELECT oa, pb,
+               row_number() OVER (ORDER BY zv, tb) AS rn FROM z),
+      ra AS (SELECT oa, pb,
+               row_number() OVER (ORDER BY oa, tb) AS rn FROM z),
+      files AS (${fileCte("rz", "zorder")} UNION ALL
+                ${fileCte("ra", "sort_a")}),
+      preds(pred_id, dim, q_lo, q_hi) AS (VALUES $predRows),
+      h AS (SELECT layout, pred_id, n_rows,
+              CASE WHEN dim = 'a'
+                   THEN a_hi >= q_lo AND a_lo <= q_hi
+                   ELSE b_hi >= q_lo AND b_lo <= q_hi END AS hit
+            FROM files CROSS JOIN preds)
+      SELECT layout, pred_id,
+             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_read,
+             CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_read,
+             CAST($ZFiles - sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_skipped
+      FROM h GROUP BY layout, pred_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q324, q325, q326, q327, q328)
 }

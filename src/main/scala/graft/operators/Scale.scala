@@ -467,6 +467,37 @@ object Scale {
       .withColumn("n_items", size(col("items")))
   }
 
+  /** Top-`bits` bucket of `x` within the data range `[lo, hi]` by pure
+    * integer bit arithmetic: bucket = (x − lo) >> max(bitwidth(hi−lo) −
+    * bits, 0), where bitwidth comes from `length(bin(·))` — no floating
+    * division, so the mapping replays exactly in any engine with shifts
+    * (unlike `floor((x−lo)·2^bits / range)`, whose double rounding can
+    * disagree across engines at bucket edges). Monotonic in x; range
+    * predicates on x map to contiguous bucket ranges. */
+  def powerOfTwoBucket(x: Column, lo: Column, hi: Column,
+                       bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"bits must be in 1..62, got $bits")
+    val width = length(bin(hi.cast("long") - lo.cast("long")))
+    val shift = greatest(width - lit(bits), lit(0))
+    call_function("shiftright", x.cast("long") - lo.cast("long"), shift)
+  }
+
+  /** Morton / Z-order interleave of two `bits`-bit bucket values (the
+    * Delta/Iceberg OPTIMIZE ZORDER layout key): bit i of `a` lands at
+    * position 2i, bit i of `b` at 2i+1. Rows sorted by this key cluster
+    * in BOTH dimensions at once, so min/max zone maps prune range
+    * predicates on either column — the multi-dimensional answer to
+    * sort-on-write clustering on one column. Pure bit expressions,
+    * codegen'd, engine-replayable. */
+  def zorderValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in 1..31, got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(
+          shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: the shard is
     * argmax over s in 0..shards-1 of md5(key || '#' || s). Growing the
     * shard count from n to m > n moves only the rows whose new winner is
