@@ -40,11 +40,11 @@ def main():
               FROM read_parquet('{src}')""" for i in range(k))
         elif t == "lineitem":
             parts = " UNION ALL ".join(f"""
-              SELECT * REPLACE (l_orderkey + {i} * 100000000 AS l_orderkey)
+              SELECT * REPLACE (l_orderkey + {i} * CAST(100000000 AS BIGINT) AS l_orderkey)
               FROM read_parquet('{src}')""" for i in range(k))
         elif t == "orders":
             parts = " UNION ALL ".join(f"""
-              SELECT * REPLACE (o_orderkey + {i} * 100000000 AS o_orderkey)
+              SELECT * REPLACE (o_orderkey + {i} * CAST(100000000 AS BIGINT) AS o_orderkey)
               FROM read_parquet('{src}')""" for i in range(k))
         else:
             raise SystemExit(f"no growth rule for table {t}")
