@@ -9,7 +9,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -133,10 +134,12 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
 private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
                                            options: CaseInsensitiveStringMap)
   extends ScanBuilder
-  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[QuirkCsvAgg] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve only fields we actually have (defensive against metadata cols)
@@ -155,8 +158,25 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new QuirkCsvScan(fullSchema, required, pushed, options)
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays false —
+    * a multi-split scan can only pre-aggregate per split; Spark plans the
+    * final merge over the ≤-one-row-per-group-per-split partials). A
+    * 100 GB raw-layer profile (`COUNT(*)`/`COUNT(col)`/`MIN`/`MAX`,
+    * optionally grouped by dashboard-cardinality columns) then moves
+    * splits × groups rows instead of 6 B — the scan IS the aggregation.
+    * Composes with filter pushdown: accepted filters drop rows before
+    * they are counted. Distinct aggregates and non-column arguments stay
+    * in Spark. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val agg = QuirkCsvAgg.tryPlan(fullSchema, aggregation, options)
+    pushedAgg = agg
+    agg.isDefined
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new QuirkCsvAggScan(fullSchema, pushed, agg, options)
+    case None => new QuirkCsvScan(fullSchema, required, pushed, options)
+  }
 }
 
 private[sources] class QuirkCsvScan(fullSchema: StructType,
@@ -326,6 +346,268 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
   override def get(): InternalRow = current
 
   override def close(): Unit = reader.close()
+}
+
+// -------------------------------------------------- aggregate pushdown
+
+private[sources] sealed trait QuirkCsvAggFunc
+private[sources] case object QuirkCsvCountStar extends QuirkCsvAggFunc
+private[sources] case class QuirkCsvCountCol(name: String)
+  extends QuirkCsvAggFunc
+private[sources] case class QuirkCsvMinCol(name: String)
+  extends QuirkCsvAggFunc
+private[sources] case class QuirkCsvMaxCol(name: String)
+  extends QuirkCsvAggFunc
+
+/** A pushed aggregation the reader can compute per split: COUNT(*),
+  * COUNT(col), MIN(col), MAX(col) over the raw string layer, grouped by
+  * zero or more string columns. */
+private[sources] case class QuirkCsvAgg(groupNames: Array[String],
+                                        aggs: Array[QuirkCsvAggFunc],
+                                        maxGroupsPerSplit: Int) {
+
+  /** Scan output: group columns first, then one column per aggregate —
+    * the positional layout Spark's partial-pushdown rewrite expects. */
+  def schema: StructType = StructType(
+    groupNames.map(StructField(_, StringType, nullable = true)) ++
+      aggs.map {
+        case QuirkCsvCountStar =>
+          StructField("count(*)", org.apache.spark.sql.types.LongType,
+            nullable = false)
+        case QuirkCsvCountCol(n) =>
+          StructField(s"count($n)", org.apache.spark.sql.types.LongType,
+            nullable = false)
+        case QuirkCsvMinCol(n) => StructField(s"min($n)", StringType,
+          nullable = true)
+        case QuirkCsvMaxCol(n) => StructField(s"max($n)", StringType,
+          nullable = true)
+      })
+
+  /** Distinct parsed columns the aggregation reads. */
+  def neededColumns: Array[String] =
+    (groupNames ++ aggs.collect {
+      case QuirkCsvCountCol(n) => n
+      case QuirkCsvMinCol(n) => n
+      case QuirkCsvMaxCol(n) => n
+    }).distinct
+
+  override def toString: String = {
+    val fs = aggs.map {
+      case QuirkCsvCountStar => "COUNT(*)"
+      case QuirkCsvCountCol(n) => s"COUNT($n)"
+      case QuirkCsvMinCol(n) => s"MIN($n)"
+      case QuirkCsvMaxCol(n) => s"MAX($n)"
+    }.mkString(", ")
+    if (groupNames.isEmpty) fs
+    else s"$fs GROUP BY ${groupNames.mkString(", ")}"
+  }
+}
+
+private[sources] object QuirkCsvAgg {
+
+  private def colOf(
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      schema: StructType): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 &&
+      schema.fieldNames.contains(nr.fieldNames()(0)) =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Resolve a Catalyst [[Aggregation]] to reader form, or None when any
+    * group/aggregate expression is not computable on parsed string
+    * fields (distinct aggregates, nested refs, non-column args). */
+  def tryPlan(schema: StructType, aggregation: Aggregation,
+              options: CaseInsensitiveStringMap): Option[QuirkCsvAgg] = {
+    val groups = aggregation.groupByExpressions.map(colOf(_, schema))
+    val aggs: Array[Option[QuirkCsvAggFunc]] =
+      aggregation.aggregateExpressions.map {
+        case _: CountStar => Some(QuirkCsvCountStar)
+        case c: Count if !c.isDistinct =>
+          colOf(c.column, schema).map(QuirkCsvCountCol)
+        case m: Min => colOf(m.column, schema).map(QuirkCsvMinCol)
+        case m: Max => colOf(m.column, schema).map(QuirkCsvMaxCol)
+        case _: AggregateFunc => None
+      }
+    if (groups.forall(_.isDefined) && aggs.nonEmpty &&
+      aggs.forall(_.isDefined))
+      Some(QuirkCsvAgg(groups.map(_.get), aggs.map(_.get),
+        options.getInt("maxAggGroupsPerSplit", 100000)))
+    else None
+  }
+}
+
+/** Scan that returns per-split PARTIAL aggregates instead of rows. Same
+  * byte-range split planning as the row scan; each split contributes at
+  * most `groups` rows (exactly one for a global aggregate, even over an
+  * empty split — `SUM` over zero partial counts would merge to NULL, not
+  * 0). Batch-only: Spark does not push aggregates into streaming scans. */
+private[sources] class QuirkCsvAggScan(fullSchema: StructType,
+                                       filters: Array[Filter],
+                                       agg: QuirkCsvAgg,
+                                       options: CaseInsensitiveStringMap)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private val files: Seq[(String, Long)] = QuirkCsv.listFiles(options)
+  private val maxSplit: Long =
+    options.getLong("maxSplitBytes", 128L * 1024 * 1024)
+  private val header: Boolean = QuirkCsv.headerOpt(options)
+  private val excelCompat: Boolean = options.getBoolean("excelCompat", false)
+
+  override def readSchema(): StructType = agg.schema
+
+  override def description(): String =
+    s"graftcsv ${files.size} file(s), " +
+      s"PushedAggregation: [$agg], " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(maxSplit >= 1, s"maxSplitBytes must be >= 1, got $maxSplit")
+    files.flatMap { case (path, len) =>
+      if (len == 0) Nil
+      else (0L until len by maxSplit).map { start =>
+        QuirkCsvPartition(path, start, math.min(start + maxSplit, len))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QuirkCsvAggReaderFactory(fullSchema.fieldNames, agg, filters,
+      header, excelCompat)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(files.map(_._2).sum)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+}
+
+private[sources] class QuirkCsvAggReaderFactory(allColumns: Array[String],
+                                                agg: QuirkCsvAgg,
+                                                filters: Array[Filter],
+                                                header: Boolean,
+                                                excelCompat: Boolean)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] =
+    new QuirkCsvAggReader(partition.asInstanceOf[QuirkCsvPartition],
+      allColumns, agg, filters, header, excelCompat)
+}
+
+/** Aggregates one split through the ordinary row reader (same parse,
+  * same pushed filters), then replays the per-group partials. Group state
+  * is an in-memory map — the contract is dashboard-cardinality group
+  * keys; `maxAggGroupsPerSplit` (option, default 100k) fails fast with a
+  * clear error instead of OOMing a 100 GB scan when a caller groups by a
+  * unique key (which should be a plain scan + shuffle aggregate). */
+private[sources] class QuirkCsvAggReader(part: QuirkCsvPartition,
+                                         allColumns: Array[String],
+                                         agg: QuirkCsvAgg,
+                                         filters: Array[Filter],
+                                         header: Boolean,
+                                         excelCompat: Boolean)
+  extends PartitionReader[InternalRow] {
+
+  private val needed = agg.neededColumns
+  private val inner = new QuirkCsvReader(part, allColumns, needed, filters,
+    header, excelCompat)
+  private val idx = needed.zipWithIndex.toMap
+  private val groupIdx = agg.groupNames.map(idx)
+  private val aggIdx: Array[Int] = agg.aggs.map {
+    case QuirkCsvCountStar => -1
+    case QuirkCsvCountCol(n) => idx(n)
+    case QuirkCsvMinCol(n) => idx(n)
+    case QuirkCsvMaxCol(n) => idx(n)
+  }
+
+  private def accumulate(): Iterator[InternalRow] = {
+    // LinkedHashMap: deterministic (first-seen) emit order per split
+    val state = new java.util.LinkedHashMap[Seq[UTF8String], Array[Any]]()
+    while (inner.next()) {
+      val row = inner.get()
+      val key: Seq[UTF8String] = groupIdx.toIndexedSeq.map(i =>
+        if (row.isNullAt(i)) null else row.getUTF8String(i))
+      var acc = state.get(key)
+      if (acc == null) {
+        if (state.size() >= agg.maxGroupsPerSplit)
+          throw new IllegalStateException(
+            s"graftcsv pushed aggregation exceeded maxAggGroupsPerSplit=" +
+              s"${agg.maxGroupsPerSplit} distinct groups in one split — " +
+              "group-by keys this wide should aggregate post-scan " +
+              "(raise the option only if the keys are genuinely bounded)")
+        acc = new Array[Any](agg.aggs.length)
+        var j = 0
+        while (j < acc.length) {
+          acc(j) = agg.aggs(j) match {
+            case QuirkCsvCountStar | _: QuirkCsvCountCol => 0L
+            case _ => null
+          }
+          j += 1
+        }
+        state.put(key, acc)
+      }
+      var j = 0
+      while (j < agg.aggs.length) {
+        agg.aggs(j) match {
+          case QuirkCsvCountStar =>
+            acc(j) = acc(j).asInstanceOf[Long] + 1L
+          case _: QuirkCsvCountCol =>
+            if (!row.isNullAt(aggIdx(j)))
+              acc(j) = acc(j).asInstanceOf[Long] + 1L
+          case _: QuirkCsvMinCol =>
+            if (!row.isNullAt(aggIdx(j))) {
+              val v = row.getUTF8String(aggIdx(j))
+              val cur = acc(j).asInstanceOf[UTF8String]
+              if (cur == null || v.compareTo(cur) < 0) acc(j) = v.clone()
+            }
+          case _: QuirkCsvMaxCol =>
+            if (!row.isNullAt(aggIdx(j))) {
+              val v = row.getUTF8String(aggIdx(j))
+              val cur = acc(j).asInstanceOf[UTF8String]
+              if (cur == null || v.compareTo(cur) > 0) acc(j) = v.clone()
+            }
+        }
+        j += 1
+      }
+    }
+    // a GLOBAL aggregate must emit its zero-partial even for an empty
+    // split (see class doc); a grouped one emits nothing
+    if (agg.groupNames.isEmpty && state.isEmpty) {
+      val acc = agg.aggs.map {
+        case QuirkCsvCountStar | _: QuirkCsvCountCol => 0L: Any
+        case _ => null: Any
+      }
+      state.put(Seq.empty, acc)
+    }
+    state.entrySet().iterator().asScala.map { e =>
+      val values = new Array[Any](agg.groupNames.length + agg.aggs.length)
+      var j = 0
+      while (j < agg.groupNames.length) {
+        values(j) = e.getKey()(j); j += 1
+      }
+      var k = 0
+      while (k < agg.aggs.length) {
+        values(j + k) = e.getValue()(k); k += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(values): InternalRow
+    }
+  }
+
+  private var out: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (out == null) out = accumulate()
+    if (out.hasNext) { current = out.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = inner.close()
 }
 
 // -------------------------------------------------------------- stream
