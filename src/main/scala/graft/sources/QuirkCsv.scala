@@ -183,7 +183,8 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
                                     required: StructType,
                                     filters: Array[Filter],
                                     options: CaseInsensitiveStringMap)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
 
   private val files: Seq[(String, Long)] = QuirkCsv.listFiles(options)
   private val maxSplit: Long =
@@ -191,6 +192,23 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
   private val header: Boolean = QuirkCsv.headerOpt(options)
   private val excelCompat: Boolean =
     options.getBoolean("excelCompat", false)
+
+  /** Filters Spark derives AT RUNTIME (dynamic pruning: the join-key
+    * values actually present on the other side of a join, delivered as
+    * an `In` once the build side has executed) — applied in the reader
+    * exactly like compile-time pushed filters. A fact-to-dim join where
+    * the dim filter keeps 1% of keys then parses-and-drops 99% of rows
+    * inside the scan instead of shuffling them. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    fullSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(newFilters: Array[Filter]): Unit =
+    // anything not reader-evaluable is dropped — runtime filters are an
+    // optimization; Spark re-applies the join itself regardless
+    runtimeFilters = newFilters.filter(QuirkCsv.evaluable(fullSchema, _))
 
   override def readSchema(): StructType = required
 
@@ -218,7 +236,7 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
-      filters, header, excelCompat)
+      filters ++ runtimeFilters, header, excelCompat)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
