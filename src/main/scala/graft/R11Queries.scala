@@ -70,5 +70,82 @@ object R11Queries {
              CAST(COUNT(*) AS BIGINT) AS n_orders
       FROM per_order GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q329)
+  private val SbAlpha = 0.4
+  private val SbA2 = SbAlpha * SbAlpha
+  private val SbA3 = SbAlpha * SbAlpha * SbAlpha
+
+  /** Stupid Backoff trigram LM (Brants et al. 2007): model counted on
+    * the even-doc_id half, the odd half scored held-out — so all four
+    * backoff levels actually fire. The oracle replays the counts, the
+    * backoff CASE, and the floor(ln·2³⁰) grid bit-for-bit. */
+  private val q330 = QueryDef(
+    "q330_stupid_backoff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.stupidBackoffScore(
+        eval = docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        model = docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        idCol = "doc_id", textCol = "text", alpha = SbAlpha)
+    },
+    Some(s"""
+      WITH mt AS (SELECT ${ExtQueries.oToks("text")} AS w
+            FROM documents WHERE doc_id % 2 = 0),
+      m1 AS MATERIALIZED (
+        SELECT u, COUNT(*) AS c1
+        FROM (SELECT unnest(w) AS u FROM mt) GROUP BY 1),
+      m2 AS MATERIALIZED (
+        SELECT g2, COUNT(*) AS c2
+        FROM (SELECT unnest(${ExtQueries.oShingles("w", 2)}) AS g2
+              FROM mt WHERE len(w) >= 2) GROUP BY 1),
+      m3 AS MATERIALIZED (
+        SELECT g3, COUNT(*) AS c3
+        FROM (SELECT unnest(${ExtQueries.oShingles("w", 3)}) AS g3
+              FROM mt WHERE len(w) >= 3) GROUP BY 1),
+      n AS (SELECT CAST(SUM(c1) AS DOUBLE) AS N FROM m1),
+      et AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
+            FROM documents WHERE doc_id % 2 = 1),
+      dt AS MATERIALIZED (
+        SELECT doc_id, g3, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(${ExtQueries.oShingles("w", 3)}) AS g3
+              FROM et WHERE len(w) >= 3) GROUP BY 1, 2),
+      parts AS (SELECT doc_id, g3, cnt,
+          sp[1] || ' ' || sp[2] AS p2,
+          sp[2] || ' ' || sp[3] AS s2,
+          sp[2] AS wb, sp[3] AS wc
+        FROM (SELECT doc_id, g3, cnt, string_split(g3, ' ') AS sp FROM dt)),
+      scored AS (SELECT doc_id, cnt,
+          CASE WHEN m3.c3 IS NOT NULL THEN 0
+               WHEN bc.c2 IS NOT NULL THEN 1
+               WHEN uc.c1 IS NOT NULL THEN 2
+               ELSE 3 END AS level,
+          CAST(floor(CASE
+            WHEN m3.c3 IS NOT NULL THEN
+              ln(CAST(m3.c3 AS DOUBLE) / CAST(ab.c2 AS DOUBLE))
+            WHEN bc.c2 IS NOT NULL THEN
+              ln(($SbAlpha * CAST(bc.c2 AS DOUBLE)) / CAST(ub.c1 AS DOUBLE))
+            WHEN uc.c1 IS NOT NULL THEN
+              ln(($SbA2 * CAST(uc.c1 AS DOUBLE)) / N)
+            ELSE ln($SbA3 / N) END * 1073741824.0) AS BIGINT) AS lp_scaled
+        FROM parts
+        LEFT JOIN m3 ON parts.g3 = m3.g3
+        LEFT JOIN m2 ab ON parts.p2 = ab.g2
+        LEFT JOIN m2 bc ON parts.s2 = bc.g2
+        LEFT JOIN m1 ub ON parts.wb = ub.u
+        LEFT JOIN m1 uc ON parts.wc = uc.u
+        CROSS JOIN n)
+      SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS n_transitions,
+        CAST(SUM(CASE WHEN level = 0 THEN cnt ELSE 0 END) AS BIGINT)
+          AS n_seen,
+        CAST(SUM(CASE WHEN level = 1 THEN cnt ELSE 0 END) AS BIGINT)
+          AS n_bo1,
+        CAST(SUM(CASE WHEN level = 2 THEN cnt ELSE 0 END) AS BIGINT)
+          AS n_bo2,
+        CAST(SUM(CASE WHEN level = 3 THEN cnt ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        -(CAST(SUM(cnt * lp_scaled) AS DOUBLE) / 1073741824.0) /
+          CAST(SUM(cnt) AS DOUBLE) AS sb_nats
+      FROM scored GROUP BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q329, q330)
 }

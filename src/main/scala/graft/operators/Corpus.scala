@@ -1541,6 +1541,109 @@ object Corpus {
       .drop("__sum_scaled")
   }
 
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation", §4 — the distributed-counting LM
+    * that made web-scale n-gram models practical): score each `eval`
+    * document under a trigram model COUNTED on `model`, with the
+    * inexpensive non-normalized backoff Brants proposes instead of
+    * Kneser-Ney's held-out discounting:
+    *
+    *   S(c | a b) = c3(a b c) / c2(a b)   seen trigram (c2(a b) > 0 is
+    *                                      implied: every model trigram
+    *                                      contains its prefix bigram)
+    *              = α  · c2(b c) / c1(b)  else, seen bigram
+    *              = α² · c1(c) / N        else, seen unigram
+    *              = α³ / N                else (OOV floor — our
+    *                                      convention; Brants leaves OOV
+    *                                      to the decoder), α = 0.4
+    *
+    * Train/score separation is the caller's (a self-scored corpus never
+    * backs off — every observed trigram is in its own model). Emits one
+    * row per eval doc with ≥ 3 tokens: (id, n_transitions, n_seen,
+    * n_bo1, n_bo2, n_oov, sb_nats) where sb_nats = −Σ ln S / n — lower
+    * = more model-like, the rank key for fluency/quality gating.
+    *
+    * Hash-reproducible like the other CE scores: each transition's ln S
+    * lands on the floor(ln·2³⁰) integer grid, per-doc sums are exact,
+    * one double division finishes. The α/α²/α³ constants are computed
+    * once here and interpolated into the oracle as literals.
+    *
+    * Scale: counting IS the training (map-combined aggs — the paper's
+    * MapReduce shape); scoring is five linear key-joins from the eval
+    * trigram frame to the three count tables (trigram, two bigram
+    * roles, two unigram roles) — none broadcast, nothing quadratic. */
+  def stupidBackoffScore(eval: DataFrame, model: DataFrame, idCol: String,
+                         textCol: String,
+                         alpha: Double = 0.4): DataFrame = {
+    val Scale = 1073741824L // 2^30
+    val a1 = alpha
+    val a2 = alpha * alpha
+    val a3 = alpha * alpha * alpha
+    val mToks = spread(model)
+      .select(TextFunctions.tokens(col(textCol)).as("__w"))
+    val m1 = mToks.select(explode(col("__w")).as("__u"))
+      .groupBy(col("__u")).agg(count(lit(1)).as("__c1"))
+    val m2 = mToks
+      .select(explode(TextFunctions.wordShingles(col("__w"), 2)).as("__g2"))
+      .groupBy(col("__g2")).agg(count(lit(1)).as("__c2"))
+    val m3 = mToks
+      .select(explode(TextFunctions.wordShingles(col("__w"), 3)).as("__g3"))
+      .groupBy(col("__g3")).agg(count(lit(1)).as("__c3"))
+    val nRow = m1.agg(sum(col("__c1")).cast("double").as("__N"))
+    val docTg = spread(eval)
+      .select(col(idCol),
+        explode(TextFunctions.wordShingles(
+          TextFunctions.tokens(col(textCol)), 3)).as("__g3"))
+      .groupBy(col(idCol), col("__g3"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__p2", substring_index(col("__g3"), " ", 2))
+      .withColumn("__s2", substring_index(col("__g3"), " ", -2))
+      .withColumn("__wb",
+        substring_index(substring_index(col("__g3"), " ", 2), " ", -1))
+      .withColumn("__wc", substring_index(col("__g3"), " ", -1))
+    val scored = docTg
+      .join(m3, Seq("__g3"), "left")
+      .join(m2.select(col("__g2").as("__p2"), col("__c2").as("__c2ab")),
+        Seq("__p2"), "left")
+      .join(m2.select(col("__g2").as("__s2"), col("__c2").as("__c2bc")),
+        Seq("__s2"), "left")
+      .join(m1.select(col("__u").as("__wb"), col("__c1").as("__c1b")),
+        Seq("__wb"), "left")
+      .join(m1.select(col("__u").as("__wc"), col("__c1").as("__c1c")),
+        Seq("__wc"), "left")
+      .crossJoin(broadcast(nRow))
+      .withColumn("__level",
+        when(col("__c3").isNotNull, 0)
+          .when(col("__c2bc").isNotNull, 1)
+          .when(col("__c1c").isNotNull, 2)
+          .otherwise(3))
+      .withColumn("__lp_scaled", floor(
+        when(col("__level") === 0,
+          log(col("__c3").cast("double") / col("__c2ab").cast("double")))
+          .when(col("__level") === 1,
+            log((lit(a1) * col("__c2bc").cast("double")) /
+              col("__c1b").cast("double")))
+          .when(col("__level") === 2,
+            log((lit(a2) * col("__c1c").cast("double")) / col("__N")))
+          .otherwise(log(lit(a3) / col("__N")))
+          * lit(Scale.toDouble)).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_transitions"),
+        sum(when(col("__level") === 0, col("__cnt")).otherwise(0L))
+          .as("n_seen"),
+        sum(when(col("__level") === 1, col("__cnt")).otherwise(0L))
+          .as("n_bo1"),
+        sum(when(col("__level") === 2, col("__cnt")).otherwise(0L))
+          .as("n_bo2"),
+        sum(when(col("__level") === 3, col("__cnt")).otherwise(0L))
+          .as("n_oov"),
+        sum(col("__cnt") * col("__lp_scaled")).as("__sum_scaled"))
+      .withColumn("sb_nats",
+        -(col("__sum_scaled").cast("double") / lit(Scale.toDouble)) /
+          col("n_transitions").cast("double"))
+      .drop("__sum_scaled")
+  }
+
   /** Interleaved curriculum ordering: band documents into `nBands`
     * difficulty tiers by a score's GLOBAL rank, then emit a training
     * order that cycles the bands — position r·nBands+b is the r-th
