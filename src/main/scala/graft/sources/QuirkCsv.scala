@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -135,11 +136,22 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
                                            options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[QuirkCsvAgg] = None
+  private var limit: Int = -1
+
+  /** PARTIAL limit pushdown: each split's reader stops parsing after
+    * `limit` surviving rows (a `LIMIT 100` over a 100 GB file exits every
+    * split after 100 rows instead of parsing to the end). Returning
+    * false keeps Spark's own Limit node — a multi-split scan can emit up
+    * to splits × limit rows in total, so the push is never "complete". */
+  override def pushLimit(l: Int): Boolean = {
+    limit = l
+    false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve only fields we actually have (defensive against metadata cols)
@@ -175,14 +187,32 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new QuirkCsvAggScan(fullSchema, pushed, agg, options)
-    case None => new QuirkCsvScan(fullSchema, required, pushed, options)
+    case None =>
+      new QuirkCsvScan(fullSchema, required, pushed, options, limit)
   }
 }
+
+// ------------------------------------------------------- custom metrics
+
+private[sources] class QuirkCsvRowsEmittedMetric extends CustomSumMetric {
+  override def name(): String = "rowsEmitted"
+  override def description(): String = "rows emitted by the graftcsv reader"
+}
+
+private[sources] class QuirkCsvRowsFilteredMetric extends CustomSumMetric {
+  override def name(): String = "rowsFiltered"
+  override def description(): String =
+    "rows dropped inside the graftcsv reader by pushed/runtime filters"
+}
+
+private[sources] case class QuirkCsvTaskMetric(name: String, value: Long)
+  extends CustomTaskMetric
 
 private[sources] class QuirkCsvScan(fullSchema: StructType,
                                     required: StructType,
                                     filters: Array[Filter],
-                                    options: CaseInsensitiveStringMap)
+                                    options: CaseInsensitiveStringMap,
+                                    limit: Int = -1)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -215,6 +245,7 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
   override def description(): String =
     s"graftcsv ${files.size} file(s), " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit: LIMIT $limit (per split), " else "") +
       s"ReadSchema: ${required.simpleString}"
 
   override def toBatch: Batch = this
@@ -236,7 +267,10 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
-      filters ++ runtimeFilters, header, excelCompat)
+      filters ++ runtimeFilters, header, excelCompat, limit)
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new QuirkCsvRowsEmittedMetric, new QuirkCsvRowsFilteredMetric)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
@@ -253,14 +287,15 @@ private[sources] class QuirkCsvReaderFactory(allColumns: Array[String],
                                              requiredColumns: Array[String],
                                              filters: Array[Filter],
                                              header: Boolean,
-                                             excelCompat: Boolean)
+                                             excelCompat: Boolean,
+                                             limit: Int = -1)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[QuirkCsvPartition]
     new QuirkCsvReader(p, allColumns, requiredColumns, filters, header,
-      excelCompat)
+      excelCompat, limit)
   }
 }
 
@@ -274,8 +309,13 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
                                       requiredColumns: Array[String],
                                       filters: Array[Filter],
                                       header: Boolean,
-                                      excelCompat: Boolean)
+                                      excelCompat: Boolean,
+                                      limit: Int = -1)
   extends PartitionReader[InternalRow] {
+
+  // per-task observability (rowsEmitted / rowsFiltered custom metrics)
+  private var emitted = 0L
+  private var filteredOut = 0L
 
   private val in = {
     val path = new Path(part.path)
@@ -321,6 +361,7 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // pushed LIMIT
     while (true) {
       val lineStart = pos
       if (lineStart >= part.end) return false
@@ -335,12 +376,17 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
         val fields = QuirkCsv.splitCsv(QuirkCsv.repairLine(stripped))
         if (passesFilters(fields)) {
           current = buildRow(fields)
+          emitted += 1
           return true
-        }
+        } else filteredOut += 1
       }
     }
     false
   }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(QuirkCsvTaskMetric("rowsEmitted", emitted),
+      QuirkCsvTaskMetric("rowsFiltered", filteredOut))
 
   private def field(fields: Array[String], i: Int): String =
     if (i < fields.length) fields(i) else null
@@ -500,6 +546,9 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
       util.OptionalLong.of(files.map(_._2).sum)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new QuirkCsvRowsEmittedMetric, new QuirkCsvRowsFilteredMetric)
 }
 
 private[sources] class QuirkCsvAggReaderFactory(allColumns: Array[String],
@@ -624,6 +673,11 @@ private[sources] class QuirkCsvAggReader(part: QuirkCsvPartition,
   }
 
   override def get(): InternalRow = current
+
+  // rowsEmitted/rowsFiltered reflect the UNDERLYING row reader — what
+  // was parsed and what the pushed filters dropped, not the partial rows
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    inner.currentMetricsValues()
 
   override def close(): Unit = inner.close()
 }
