@@ -61,6 +61,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    parsed but not emitted.
   *  - '''Statistics''' (`SupportsReportStatistics`): total byte size, so
   *    AQE / join planning can see the table isn't broadcastable.
+  *  - '''Aggregate pushdown''' (`SupportsPushDownAggregates`):
+  *    COUNT/MIN/MAX (optionally grouped) computed per split inside the
+  *    reader — a 100 GB profile moves splits × groups rows, not 6 B;
+  *    COMPLETE pushdown (no Aggregate node at all) for one-split reads.
+  *  - '''Runtime filtering''' (`SupportsRuntimeFiltering`): the In-set a
+  *    broadcast join derives at runtime drops rows inside the reader
+  *    (and prunes whole files via the zone map below).
+  *  - '''Limit pushdown''' (`SupportsPushDownLimit`): per-split early
+  *    exit; Spark's own Limit node stays (multi-split ⇒ never complete).
+  *  - '''Zone-map file skipping''': the sink's commit writes a
+  *    `_graft_zonemap.tsv` sidecar (per-file min/max/null stats, keyed
+  *    by byte length as the staleness guard); partition planning prunes
+  *    whole files against pushed + runtime filters — min/max skipping
+  *    for a format that has no footer, Delta/Iceberg-style.
+  *  - '''Task metrics''' (`CustomMetric`): rowsEmitted / rowsFiltered
+  *    per scan on the Spark UI.
   *
   * Contract: records are single-line (the wrapped-row quirk doubles its
   * embedded quotes rather than spanning lines) — the same contract
@@ -185,6 +201,20 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     agg.isDefined
   }
 
+  /** COMPLETE pushdown — Spark plans no final aggregate at all — is
+    * claimable only when exactly ONE split will read the data (one
+    * reader sees every row, so its "partials" are already global).
+    * Multi-split scans stay partial. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    val files = QuirkCsv.listFiles(options)
+    val maxSplit = options.getLong("maxSplitBytes", 128L * 1024 * 1024)
+    files.map(_._2).filter(_ > 0) match {
+      case Seq(len) => len <= maxSplit &&
+        QuirkCsvAgg.tryPlan(fullSchema, aggregation, options).isDefined
+      case _ => false
+    }
+  }
+
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new QuirkCsvAggScan(fullSchema, pushed, agg, options)
     case None =>
@@ -257,12 +287,16 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     require(maxSplit >= 1, s"maxSplitBytes must be >= 1, got $maxSplit")
-    files.flatMap { case (path, len) =>
-      if (len == 0) Nil
-      else (0L until len by maxSplit).map { start =>
-        QuirkCsvPartition(path, start, math.min(start + maxSplit, len))
-      }
-    }.toArray
+    // zone-map file skipping: sidecar stats vs pushed AND runtime
+    // filters (runtime In-filters arrive before partition planning, so
+    // a dynamic-pruning join skips whole files here)
+    QuirkCsv.pruneFiles(options, files, filters ++ runtimeFilters)
+      .flatMap { case (path, len) =>
+        if (len == 0) Nil
+        else (0L until len by maxSplit).map { start =>
+          QuirkCsvPartition(path, start, math.min(start + maxSplit, len))
+        }
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -529,7 +563,15 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     require(maxSplit >= 1, s"maxSplitBytes must be >= 1, got $maxSplit")
-    files.flatMap { case (path, len) =>
+    val kept = QuirkCsv.pruneFiles(options, files, filters)
+    // a GLOBAL aggregate claimed as COMPLETE pushdown must still emit
+    // its one zero-row (count=0) — keep one split when pruning would
+    // otherwise empty the scan
+    val effective =
+      if (kept.exists(_._2 > 0) || agg.groupNames.nonEmpty ||
+        !files.exists(_._2 > 0)) kept
+      else files.filter(_._2 > 0).take(1)
+    effective.flatMap { case (path, len) =>
       if (len == 0) Nil
       else (0L until len by maxSplit).map { start =>
         QuirkCsvPartition(path, start, math.min(start + maxSplit, len))
@@ -796,31 +838,55 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
       java.util.UUID.randomUUID().toString)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val written = messages.collect {
-      case QuirkCsvCommit(file) => new Path(file).getName
-    }.toSet
+    val commits = messages.collect { case c: QuirkCsvCommit => c }
+    val written = commits.map(c => new Path(c.file).getName).toSet
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
     if (truncateFirst) {
-      val dir = new Path(path)
-      val fs = dir.getFileSystem(new Configuration())
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (st.isFile && !written.contains(n) && !n.startsWith("_") &&
           !n.startsWith(".")) fs.delete(st.getPath, false)
       }
     }
+    // zone-map sidecar: per-file min/max/null stats gathered by the
+    // writers, keyed by file name + length (the staleness guard). On
+    // append, surviving prior entries are carried over; truncate starts
+    // fresh. Written AFTER the data files are final so a reader never
+    // sees stats for half-written files.
+    val prior =
+      if (truncateFirst) Map.empty[String, QuirkCsvZoneEntry]
+      else QuirkCsv.loadZoneMap(path)
+        .filter { case (n, _) => !written.contains(n) &&
+          fs.exists(new Path(dir, n)) }
+    val fresh = commits.map { c =>
+      val p = new Path(c.file)
+      val name = p.getName
+      name -> QuirkCsvZoneEntry(fs.getFileStatus(p).getLen, c.rows,
+        columns.indices.map(i => columns(i) ->
+          ((Option(c.mins(i)), Option(c.maxs(i)), c.nulls(i)))).toMap)
+    }.toMap
+    QuirkCsv.writeZoneMap(path, prior ++ fresh)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case QuirkCsvCommit(file) =>
-        val p = new Path(file)
+      case c: QuirkCsvCommit =>
+        val p = new Path(c.file)
         val fs = p.getFileSystem(new Configuration())
         fs.delete(p, false)
       case _ =>
     }
 }
 
-private[sources] case class QuirkCsvCommit(file: String)
+/** Per-file write result: path plus the zone-map statistics the writer
+  * gathered row by row (per-column min/max over non-null values under
+  * plain String ordering — the same ordering the reader's filter
+  * evaluation uses — and null counts). */
+private[sources] case class QuirkCsvCommit(file: String, rows: Long,
+                                           mins: Array[String],
+                                           maxs: Array[String],
+                                           nulls: Array[Long])
   extends WriterCommitMessage
 
 private[sources] class QuirkCsvWriterFactory(path: String,
@@ -848,22 +914,33 @@ private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
     w
   }
 
+  // zone-map stats, updated per row (min/max over non-nulls, null count)
+  private var rows = 0L
+  private val mins = new Array[String](columns.length)
+  private val maxs = new Array[String](columns.length)
+  private val nulls = new Array[Long](columns.length)
+
   override def write(row: InternalRow): Unit = {
     var i = 0
     val sb = new java.lang.StringBuilder(128)
     while (i < columns.length) {
       if (i > 0) sb.append(',')
-      if (!row.isNullAt(i))
-        sb.append(QuirkCsv.formatField(row.getUTF8String(i).toString))
+      if (!row.isNullAt(i)) {
+        val v = row.getUTF8String(i).toString
+        sb.append(QuirkCsv.formatField(v))
+        if (mins(i) == null || v.compareTo(mins(i)) < 0) mins(i) = v
+        if (maxs(i) == null || v.compareTo(maxs(i)) > 0) maxs(i) = v
+      } else nulls(i) += 1
       i += 1
     }
     sb.append('\n')
     out.write(sb.toString)
+    rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    QuirkCsvCommit(file)
+    QuirkCsvCommit(file, rows, mins, maxs, nulls)
   }
 
   override def abort(): Unit = {
@@ -874,6 +951,12 @@ private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
 
   override def close(): Unit = ()
 }
+
+/** One data file's zone-map entry: byte length (staleness guard), row
+  * count, and per-column (min, max, nullCount) — min/max None when every
+  * value in the file is null. */
+private[sources] case class QuirkCsvZoneEntry(len: Long, rows: Long,
+    cols: Map[String, (Option[String], Option[String], Long)])
 
 private[sources] object QuirkCsv {
 
@@ -1011,6 +1094,129 @@ private[sources] object QuirkCsv {
     case StringEndsWith(a, _) => schema.fieldNames.contains(a)
     case StringContains(a, _) => schema.fieldNames.contains(a)
     case _ => false
+  }
+
+  // ------------------------------------------------- zone-map sidecar
+
+  val ZoneMapFile = "_graft_zonemap.tsv"
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "ISO-8859-1")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "ISO-8859-1")
+
+  /** Write the sidecar: one `F` line per data file (name, byte length,
+    * row count), one `C` line per column (min/max over non-null values —
+    * recoverable as absent when nulls == rows — and the null count).
+    * Values are URL-encoded so tabs/newlines in data can't corrupt the
+    * format. */
+  def writeZoneMap(dir: String,
+                   entries: Map[String, QuirkCsvZoneEntry]): Unit = {
+    val p = new Path(dir, ZoneMapFile)
+    val fs = p.getFileSystem(new Configuration())
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.ISO_8859_1))
+    try {
+      out.write("graft-zonemap-v1\n")
+      entries.toSeq.sortBy(_._1).foreach { case (name, e) =>
+        out.write(s"F\t${enc(name)}\t${e.len}\t${e.rows}\n")
+        e.cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx, nulls)) =>
+          out.write(s"C\t${enc(name)}\t${enc(c)}\t" +
+            s"${mn.map(enc).getOrElse("")}\t${mx.map(enc).getOrElse("")}\t" +
+            s"$nulls\n")
+        }
+      }
+    } finally out.close()
+  }
+
+  /** Load the sidecar for a directory (or a file's parent); empty map
+    * when absent or unparseable — pruning silently degrades to "read
+    * everything", never to wrong answers. */
+  def loadZoneMap(dirOrFile: String): Map[String, QuirkCsvZoneEntry] = try {
+    val base = new Path(dirOrFile)
+    val fs = base.getFileSystem(new Configuration())
+    val dir = if (fs.exists(base) && fs.getFileStatus(base).isDirectory) base
+      else base.getParent
+    val p = new Path(dir, ZoneMapFile)
+    if (!fs.exists(p)) return Map.empty
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.ISO_8859_1))
+    try {
+      if (in.readLine() != "graft-zonemap-v1") return Map.empty
+      val files = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val cols = scala.collection.mutable.Map
+        .empty[String, Map[String, (Option[String], Option[String], Long)]]
+      Iterator.continually(in.readLine()).takeWhile(_ != null).foreach {
+        line =>
+          val t = line.split("\t", -1)
+          t(0) match {
+            case "F" => files(dec(t(1))) = (t(2).toLong, t(3).toLong)
+            case "C" =>
+              val name = dec(t(1))
+              val rows = files.get(name).map(_._2).getOrElse(0L)
+              val nulls = t(5).toLong
+              val mn = if (nulls == rows) None else Some(dec(t(3)))
+              val mx = if (nulls == rows) None else Some(dec(t(4)))
+              cols(name) = cols.getOrElse(name, Map.empty) +
+                (dec(t(2)) -> ((mn, mx, nulls)))
+            case _ =>
+          }
+      }
+      files.map { case (n, (len, rows)) =>
+        n -> QuirkCsvZoneEntry(len, rows, cols.getOrElse(n, Map.empty))
+      }.toMap
+    } finally in.close()
+  } catch { case _: Exception => Map.empty }
+
+  /** Can this file possibly contain a row passing `f`? Conservative:
+    * unknown columns / un-prunable predicates answer true. */
+  private def zoneMayMatch(e: QuirkCsvZoneEntry, f: Filter): Boolean = {
+    def stats(c: String) = e.cols.get(c)
+    def nonNull(c: String): Boolean =
+      stats(c).forall { case (_, _, nulls) => nulls < e.rows }
+    def inRange(c: String, v: String): Boolean = stats(c) match {
+      case Some((Some(mn), Some(mx), _)) =>
+        v.compareTo(mn) >= 0 && v.compareTo(mx) <= 0
+      case Some((None, None, _)) => false // all-null column
+      case _ => true
+    }
+    f match {
+      case EqualTo(c, v: String) => nonNull(c) && inRange(c, v)
+      case In(c, vs) => nonNull(c) &&
+        vs.exists(v => inRange(c, v.asInstanceOf[String]))
+      case IsNull(c) =>
+        stats(c).forall { case (_, _, nulls) => nulls > 0 }
+      case IsNotNull(c) => nonNull(c)
+      case StringStartsWith(c, p) => stats(c) match {
+        case Some((Some(mn), Some(mx), nulls)) => nulls < e.rows &&
+          mx.compareTo(p) >= 0 &&
+          !(mn.compareTo(p) > 0 && !mn.startsWith(p))
+        case Some((None, None, _)) => false
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+
+  /** Files from `listFiles` that survive zone-map pruning under the
+    * given (pushed + runtime) filters. Files without a fresh sidecar
+    * entry (absent, or byte length drifted — someone rewrote the file
+    * outside the committing writer) are always read. */
+  def pruneFiles(options: CaseInsensitiveStringMap,
+                 files: Seq[(String, Long)],
+                 filters: Array[Filter]): Seq[(String, Long)] = {
+    if (filters.isEmpty || !options.getBoolean("zoneMapPruning", true))
+      return files
+    val raw = options.get("path")
+    if (raw == null || raw.isEmpty) return files
+    val zm = loadZoneMap(raw)
+    if (zm.isEmpty) return files
+    files.filter { case (path, len) =>
+      zm.get(new Path(path).getName) match {
+        case Some(e) if e.len == len => filters.forall(zoneMayMatch(e, _))
+        case _ => true
+      }
+    }
   }
 
   /** Evaluate an accepted filter against one parsed field value

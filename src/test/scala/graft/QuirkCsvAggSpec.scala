@@ -67,6 +67,21 @@ class QuirkCsvAggSpec extends SparkSpec {
     df.agg(count(lit(1))).collect().head.getLong(0) shouldBe 0L
   }
 
+  test("single split claims COMPLETE pushdown: no Aggregate node at all") {
+    // the whole file is one split -> the reader's result IS the answer
+    val agg = graft().groupBy(col("Region")).agg(count(lit(1)).as("n"))
+    val plan = planOf(agg)
+    plan should include("PushedAggregation")
+    plan should not include "Aggregate"
+    rowsAsStrings(agg) shouldBe rowsAsStrings(
+      graft().withColumn("Region", concat(col("Region")))
+        .groupBy(col("Region")).agg(count(lit(1)).as("n")))
+    // multi-split stays partial: a final merge aggregate remains
+    val partial = graft("maxSplitBytes" -> "65536")
+      .groupBy(col("Region")).agg(count(lit(1)).as("n"))
+    planOf(partial) should include("Aggregate")
+  }
+
   test("distinct and avg aggregates are NOT pushed; results unchanged") {
     val d = graft().agg(countDistinct(col("Region")).as("n"))
     planOf(d) should not include "PushedAggregation"

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Zone-map file skipping on the graftcsv source: the sink's commit
+  * writes a `_graft_zonemap.tsv` sidecar (per-file min/max/null stats,
+  * gathered row-by-row by the writers), and the scan prunes whole files
+  * against pushed + runtime filters before planning splits. Stats are
+  * keyed by (name, byte length) so a file rewritten outside the
+  * committing writer falls back to "read it" — stale stats can cost
+  * time, never correctness. */
+class QuirkCsvZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val csv = "/root/reference/Project1/superstore.csv"
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"zm_$tag").toString
+
+  private def readBack(dir: String, opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.read.format("graftcsv"))((r, kv) =>
+      r.option(kv._1, kv._2)).load(dir)
+
+  private val regions = Seq("Central", "East", "South", "West")
+
+  /** One single-region file per append — a deterministic clustered
+    * layout (range writes can leave empty partitions whose files are
+    * then legitimately pruned by the implied IsNotNull). */
+  private def writeClustered(dir: String): Unit =
+    regions.foreach { r =>
+      spark.read.format("graftcsv").load(csv)
+        .filter(col("Region") === r).coalesce(1)
+        .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    }
+
+  test("region-clustered write + equality filter skips whole files") {
+    val dir = freshDir("range")
+    writeClustered(dir)
+    new java.io.File(dir, "_graft_zonemap.tsv").exists() shouldBe true
+    val west = readBack(dir).filter(col("Region") === "West")
+    // 4 range files; only the one whose [min,max] covers "West" is read
+    west.rdd.getNumPartitions shouldBe 1
+    west.count() shouldBe spark.read.format("graftcsv").load(csv)
+      .filter(col("Region") === "West").count()
+    // un-prunable predicate shapes read everything
+    readBack(dir).filter(col("Region").contains("est"))
+      .rdd.getNumPartitions shouldBe 4
+    // pruning can be switched off
+    readBack(dir, "zoneMapPruning" -> "false")
+      .filter(col("Region") === "West").rdd.getNumPartitions shouldBe 4
+  }
+
+  test("length drift disables the stale entry, not the others") {
+    val dir = freshDir("stale")
+    writeClustered(dir)
+    // tamper with one non-West file: its stats must stop being trusted
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".csv"))
+      .find { f =>
+        val df = readBack(f.getPath)
+        df.filter(col("Region") === "West").isEmpty
+      }.get
+    val out = new java.io.FileOutputStream(victim, true)
+    out.write('\n'); out.close()
+    // drop Hadoop's local-FS checksum sidecar — out-of-band edits would
+    // otherwise fail the read for the wrong reason
+    new java.io.File(victim.getParentFile, s".${victim.getName}.crc")
+      .delete()
+    val west = readBack(dir).filter(col("Region") === "West")
+    west.rdd.getNumPartitions shouldBe 2 // the West file + the tampered one
+    west.count() shouldBe spark.read.format("graftcsv").load(csv)
+      .filter(col("Region") === "West").count()
+  }
+
+  test("null-count stats prune IsNotNull / IsNull; appends merge") {
+    val dir = freshDir("nulls")
+    val allNull = Seq(("k1", null: String), ("k2", null: String))
+      .toDF("k", "v")
+    val noNull = Seq(("k3", "x"), ("k4", "y")).toDF("k", "v")
+    allNull.coalesce(1).write.format("graftcsv")
+      .mode(SaveMode.Append).save(dir)
+    noNull.coalesce(1).write.format("graftcsv")
+      .mode(SaveMode.Append).save(dir) // second commit merges the sidecar
+    val back = readBack(dir)
+    back.count() shouldBe 4
+    val notNull = back.filter(col("v").isNotNull)
+    notNull.rdd.getNumPartitions shouldBe 1
+    notNull.count() shouldBe 2
+    val isNull = back.filter(col("v").isNull)
+    isNull.rdd.getNumPartitions shouldBe 1
+    isNull.count() shouldBe 2
+  }
+
+  test("global COUNT keeps one split when pruning empties the scan") {
+    val dir = freshDir("empty")
+    Seq(("a", "1"), ("b", "2")).toDF("k", "v").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    // single split + single file -> COMPLETE pushdown; the filter rules
+    // out every file, but count(*) must still return 0, not no-rows
+    val df = readBack(dir).filter(col("k") === "zzz")
+      .agg(count(lit(1)).as("n"))
+    df.collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+  }
+}
