@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graft_cat` — a directory-backed DSv2 catalog plugin over the
+  * graftcsv source: the last rung of the extension ladder (expression →
+  * rule → strategy → physical operator → source/sink → '''catalog'''),
+  * making the quirk-CSV raw layer addressable from pure SQL:
+  *
+  * {{{
+  *   SET spark.sql.catalog.graft_cat=graft.sources.QuirkCsvCatalog
+  *   SET spark.sql.catalog.graft_cat.root=/data/raw
+  *   CREATE TABLE graft_cat.staging.superstore (OrderID STRING, ...)
+  *   INSERT INTO graft_cat.staging.superstore SELECT ...
+  *   SELECT Region, count(*) FROM graft_cat.staging.superstore GROUP BY 1
+  * }}}
+  *
+  * Layout is the filesystem: a namespace is a directory under `root`, a
+  * table is a directory of CSV part files inside it. There is no
+  * metastore — `CREATE TABLE` materializes the schema as a header-only
+  * seed part file (the same header every data file carries), so
+  * `loadTable` recovers the schema through the source's normal header
+  * inference and an external tool dropping files into the directory
+  * needs no side channel. All reads/writes go through [[QuirkCsvTable]],
+  * so every scan optimization (splits, pruning, filter/aggregate/limit
+  * pushdown, runtime filtering, zone maps) applies to catalog tables
+  * unchanged.
+  *
+  * The raw layer is all-strings by contract (the reference's NVARCHAR
+  * staging, FIXTURES.md §1); `CREATE TABLE` rejects other column types
+  * with the same message as the write path. */
+class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+  private def fs = root.getFileSystem(new Configuration())
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"catalog '$name' requires spark.sql.catalog.$name.root")
+    root = new Path(r)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(root)(new Path(_, _))
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), ident.name)
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toIndexedSeq).toArray)
+    fs.listStatus(dir).filter(_.isDirectory)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    val options = new CaseInsensitiveStringMap(
+      util.Collections.singletonMap("path", dir.toString))
+    val schema = new QuirkCsvDataSource().inferSchema(options)
+    new QuirkCsvTable(schema, options)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graftcsv catalog tables are unpartitioned (bucket/sort at the " +
+        "engine layer instead)")
+    schema.fields.foreach { f =>
+      require(f.dataType == StringType,
+        s"graftcsv is the all-string raw layer; column '${f.name}' " +
+          s"is ${f.dataType.catalogString} — cast to string first")
+    }
+    val dir = tableDir(ident)
+    if (fs.exists(dir)) throw new TableAlreadyExistsException(ident)
+    fs.mkdirs(dir)
+    // the schema IS the seed header file (read back by inferSchema);
+    // header-only => zero rows
+    val seed = fs.create(new Path(dir, "part-seed-00000.csv"), true)
+    seed.write((schema.fieldNames.map(QuirkCsv.formatField)
+      .mkString(",") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    seed.close()
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftcsv catalog tables are schema-on-read; rewrite the files")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    fs.exists(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!fs.exists(tableDir(from))) throw new NoSuchTableException(from)
+    if (fs.exists(tableDir(to))) throw new TableAlreadyExistsException(to)
+    fs.mkdirs(tableDir(to).getParent)
+    require(fs.rename(tableDir(from), tableDir(to)),
+      s"rename $from -> $to failed")
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String])
+  : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toIndexedSeq).toArray)
+    fs.listStatus(dir).filter(_.isDirectory)
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+  : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toIndexedSeq).toArray)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(nsDir(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graftcsv namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(dir, true)
+  }
+}

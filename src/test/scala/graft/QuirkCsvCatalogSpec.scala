@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The graft_cat DSv2 catalog plugin: CREATE / INSERT / SELECT / RENAME /
+  * DROP on graftcsv tables from pure SQL, with the source's scan
+  * optimizations intact through the catalog path. */
+class QuirkCsvCatalogSpec extends SparkSpec {
+
+  private lazy val root = {
+    val r = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.QuirkCsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.root", r)
+    r
+  }
+
+  test("create / insert / select round-trip through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.staging")
+    spark.sql(
+      "CREATE TABLE graft_cat.staging.orders (id STRING, region STRING)")
+    // freshly created table is empty but fully typed
+    val empty = spark.sql("SELECT * FROM graft_cat.staging.orders")
+    empty.columns.toSeq shouldBe Seq("id", "region")
+    empty.count() shouldBe 0
+    spark.sql("""INSERT INTO graft_cat.staging.orders VALUES
+      ('1', 'West'), ('2', 'East'), ('3', NULL)""")
+    spark.sql("SELECT * FROM graft_cat.staging.orders").count() shouldBe 3
+    spark.sql("""SELECT region FROM graft_cat.staging.orders
+      WHERE region IS NOT NULL ORDER BY region""")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("East", "West")
+  }
+
+  test("scan optimizations survive the catalog path") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.opt")
+    spark.sql("CREATE TABLE graft_cat.opt.t (k STRING, v STRING)")
+    spark.sql("INSERT INTO graft_cat.opt.t VALUES ('a','1'), ('b','2')")
+    val agg = spark.sql("SELECT count(*) FROM graft_cat.opt.t")
+    agg.queryExecution.executedPlan.toString should
+      include("PushedAggregation: [COUNT(*)]")
+    agg.collect().head.getLong(0) shouldBe 2L
+    val filtered = spark.sql("SELECT * FROM graft_cat.opt.t WHERE k = 'a'")
+    filtered.queryExecution.executedPlan.toString should
+      include("EqualTo(k,a)")
+    filtered.count() shouldBe 1L
+  }
+
+  test("show tables / rename / drop") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.adm")
+    spark.sql("CREATE TABLE graft_cat.adm.t1 (a STRING)")
+    spark.sql("SHOW TABLES IN graft_cat.adm").collect()
+      .map(_.getString(1)).toSeq should contain("t1")
+    // the TO identifier resolves within the same catalog — repeating
+    // the catalog name would be parsed as a namespace level
+    spark.sql("ALTER TABLE graft_cat.adm.t1 RENAME TO adm.t2")
+    spark.sql("SHOW TABLES IN graft_cat.adm").collect()
+      .map(_.getString(1)).toSeq should contain("t2")
+    spark.sql("DROP TABLE graft_cat.adm.t2")
+    spark.sql("SHOW TABLES IN graft_cat.adm").collect() shouldBe empty
+  }
+
+  test("raw-layer contract: non-string columns rejected at CREATE") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.bad")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.bad.t (a STRING, n INT)")
+    }
+    e.getMessage should include("all-string raw layer")
+  }
+
+  test("files dropped into the directory are immediately queryable") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.drop_in")
+    spark.sql("CREATE TABLE graft_cat.drop_in.t (x STRING, y STRING)")
+    val dir = new java.io.File(new java.io.File(
+      new java.io.File(root), "drop_in"), "t")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-external.csv").toPath,
+      "x,y\nhello,world\n".getBytes("ISO-8859-1"))
+    spark.sql("SELECT * FROM graft_cat.drop_in.t").count() shouldBe 1
+  }
+}
