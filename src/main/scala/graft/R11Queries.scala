@@ -147,5 +147,36 @@ object R11Queries {
           CAST(SUM(cnt) AS DOUBLE) AS sb_nats
       FROM scored GROUP BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q329, q330)
+  /** The ENTIRE graftcsv DSv2 path inside the correctness gate: lineitem
+    * (string-cast, the raw-layer contract) written through the sink
+    * (truncate-overwrite commit + zone-map sidecar) clustered by return
+    * flag, read back through the scan with the equality filter pushed
+    * (and zone-pruned) and the grouped COUNT/MIN/MAX pushed into the
+    * readers. The oracle never sees the CSV — it replays the same
+    * aggregate over the parquet table, so the round-trip must be exact.
+    * String MIN/MAX compare binary in both engines. */
+  private val q331 = QueryDef(
+    "q331_graftcsv_roundtrip",
+    (s, d) => {
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q331_roundtrip").toString
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("string").as("ok"),
+          col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .repartition(4, col("rf"))
+        .write.format("graftcsv").mode("overwrite").save(dir)
+      s.read.format("graftcsv").load(dir)
+        .filter(col("rf") === "R")
+        .groupBy(col("ls"))
+        .agg(count(lit(1)).as("n_lines"),
+          min(col("ok")).as("min_ok"), max(col("ok")).as("max_ok"))
+    },
+    Some("""
+      SELECT l_linestatus AS ls,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             MIN(CAST(l_orderkey AS VARCHAR)) AS min_ok,
+             MAX(CAST(l_orderkey AS VARCHAR)) AS max_ok
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q329, q330, q331)
 }

@@ -940,7 +940,8 @@ private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    QuirkCsvCommit(file, rows, mins, maxs, nulls)
+    QuirkCsvCommit(file, rows,
+      mins.map(QuirkCsv.boundDown), maxs.map(QuirkCsv.boundUp), nulls)
   }
 
   override def abort(): Unit = {
@@ -1099,6 +1100,30 @@ private[sources] object QuirkCsv {
   // ------------------------------------------------- zone-map sidecar
 
   val ZoneMapFile = "_graft_zonemap.tsv"
+
+  /** Stats length cap: a multi-KB field (a whole wrapped row, a base64
+    * blob) must not bloat the sidecar. Bounds are made CONSERVATIVE the
+    * way Parquet truncates its min/max: a min truncates to a prefix
+    * (prefix <= value, still a valid lower bound); a max truncates and
+    * increments the last prefix char (> every string with that prefix,
+    * still a valid upper bound). Pruning with looser bounds skips less,
+    * never wrongly. */
+  private val StatsMaxLen = 256
+
+  def boundDown(v: String): String =
+    if (v == null || v.length <= StatsMaxLen) v
+    else v.substring(0, StatsMaxLen)
+
+  def boundUp(v: String): String = {
+    if (v == null || v.length <= StatsMaxLen) return v
+    val p = v.substring(0, StatsMaxLen).toCharArray
+    var i = p.length - 1
+    // latin-1 payload: chars <= 0xFF; bump the last bumpable char and
+    // cut there (standard Parquet/ORC bound truncation)
+    while (i >= 0 && p(i) >= '\uFFFF') i -= 1
+    if (i < 0) v // unbumpable (pathological) — keep the exact value
+    else new String(p, 0, i) + (p(i) + 1).toChar
+  }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "ISO-8859-1")

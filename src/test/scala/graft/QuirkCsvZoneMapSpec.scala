@@ -92,6 +92,25 @@ class QuirkCsvZoneMapSpec extends SparkSpec {
     isNull.count() shouldBe 2
   }
 
+  test("multi-KB values truncate to conservative bounds in the sidecar") {
+    val dir = freshDir("wide")
+    val big = "z" * 5000 // a blob-sized field
+    Seq(("a", big), ("b", "small")).toDF("k", "v").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    // the sidecar stays small: bounds are capped, not stored verbatim
+    val sidecar = java.nio.file.Files.readString(
+      new java.io.File(dir, "_graft_zonemap.tsv").toPath)
+    sidecar.length should be < 2000
+    // and bounds stay CONSERVATIVE: the equality probe for the big
+    // value must still read the file (truncated max was bumped past it)
+    val hit = readBack(dir).filter(col("v") === big)
+    hit.rdd.getNumPartitions shouldBe 1
+    hit.count() shouldBe 1
+    // something ABOVE the bumped bound ('~' > 'z'+1) is pruned
+    readBack(dir).filter(col("v") === ("~" + big))
+      .rdd.getNumPartitions shouldBe 0
+  }
+
   test("global COUNT keeps one split when pruning empties the scan") {
     val dir = freshDir("empty")
     Seq(("a", "1"), ("b", "2")).toDF("k", "v").coalesce(1)
