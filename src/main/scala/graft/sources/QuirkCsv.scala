@@ -285,19 +285,13 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
     new QuirkCsvMicroBatchStream(fullSchema, required, filters, options,
       maxSplit, header, excelCompat)
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    require(maxSplit >= 1, s"maxSplitBytes must be >= 1, got $maxSplit")
+  override def planInputPartitions(): Array[InputPartition] =
     // zone-map file skipping: sidecar stats vs pushed AND runtime
     // filters (runtime In-filters arrive before partition planning, so
     // a dynamic-pruning join skips whole files here)
-    QuirkCsv.pruneFiles(options, files, filters ++ runtimeFilters)
-      .flatMap { case (path, len) =>
-        if (len == 0) Nil
-        else (0L until len by maxSplit).map { start =>
-          QuirkCsvPartition(path, start, math.min(start + maxSplit, len))
-        }
-      }.toArray
-  }
+    QuirkCsv.planSplits(
+      QuirkCsv.pruneFiles(options, files, filters ++ runtimeFilters),
+      maxSplit)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
@@ -376,8 +370,18 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
 
   private val colIndex = allColumns.zipWithIndex.toMap
   private val requiredIdx = requiredColumns.map(colIndex)
-  private val filterIdx: Array[(Filter, Int)] =
-    filters.map(f => f -> colIndex(QuirkCsv.filterColumn(f)))
+  // filters compile ONCE per reader: In value lists become hash sets —
+  // a dynamic-pruning join can deliver thousands of keys, and a per-row
+  // linear `exists` would make the scan O(rows × |In-set|)
+  private val filterIdx: Array[(Int, String => Boolean)] = filters.map {
+    case In(a, vs) =>
+      val set = new java.util.HashSet[String](vs.length * 2)
+      vs.foreach(v => set.add(v.asInstanceOf[String]))
+      colIndex(a) -> ((v: String) => v != null && set.contains(v))
+    case f =>
+      colIndex(QuirkCsv.filterColumn(f)) -> ((v: String) =>
+        QuirkCsv.eval(f, v))
+  }
 
   private var current: InternalRow = _
 
@@ -405,7 +409,11 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
       val keep =
         if (header && lineStart == 0) false // header line of the file
         else if (excelCompat && line.startsWith("\"")) false
-        else stripped.nonEmpty // skip fully blank lines
+        // skip fully blank lines (dialect quirk P8) — EXCEPT under a
+        // single-column schema, where a blank line is exactly how the
+        // sink serializes a (NULL) row: splitCsv("") yields [null], so
+        // the round-trip keeps it instead of silently dropping it
+        else stripped.nonEmpty || allColumns.length == 1
       if (keep) {
         val fields = QuirkCsv.splitCsv(QuirkCsv.repairLine(stripped))
         if (passesFilters(fields)) {
@@ -426,9 +434,7 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
     if (i < fields.length) fields(i) else null
 
   private def passesFilters(fields: Array[String]): Boolean =
-    filterIdx.forall { case (f, i) =>
-      QuirkCsv.eval(f, field(fields, i))
-    }
+    filterIdx.forall { case (i, fn) => fn(field(fields, i)) }
 
   private def buildRow(fields: Array[String]): InternalRow = {
     val values = new Array[Any](requiredIdx.length)
@@ -562,21 +568,16 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    require(maxSplit >= 1, s"maxSplitBytes must be >= 1, got $maxSplit")
     val kept = QuirkCsv.pruneFiles(options, files, filters)
     // a GLOBAL aggregate claimed as COMPLETE pushdown must still emit
-    // its one zero-row (count=0) — keep one split when pruning would
-    // otherwise empty the scan
-    val effective =
-      if (kept.exists(_._2 > 0) || agg.groupNames.nonEmpty ||
-        !files.exists(_._2 > 0)) kept
-      else files.filter(_._2 > 0).take(1)
-    effective.flatMap { case (path, len) =>
-      if (len == 0) Nil
-      else (0L until len by maxSplit).map { start =>
-        QuirkCsvPartition(path, start, math.min(start + maxSplit, len))
-      }
-    }.toArray
+    // its one zero-row (count=0, not no-rows) — when pruning empties the
+    // scan, plan one SYNTHETIC empty split: its reader hits
+    // lineStart >= end immediately (zero I/O, zero parsing) and emits
+    // only the zero-partial
+    if (!kept.exists(_._2 > 0) && agg.groupNames.isEmpty &&
+      files.exists(_._2 > 0))
+      Array(QuirkCsvPartition(files.find(_._2 > 0).get._1, 0L, 0L))
+    else QuirkCsv.planSplits(kept, maxSplit)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -773,12 +774,7 @@ private[sources] class QuirkCsvMicroBatchStream(
     refresh()
     val a = start.asInstanceOf[QuirkCsvOffset].n
     val b = end.asInstanceOf[QuirkCsvOffset].n
-    seen.slice(a, b).flatMap { case (path, len) =>
-      if (len == 0) Nil
-      else (0L until len by maxSplit).map { s =>
-        QuirkCsvPartition(path, s, math.min(s + maxSplit, len))
-      }
-    }.toArray
+    QuirkCsv.planSplits(seen.slice(a, b).toSeq, maxSplit)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -974,6 +970,20 @@ private[sources] object QuirkCsv {
   def headerOpt(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("header", true)
 
+  /** Byte-range split planning, shared by the batch, aggregate, and
+    * streaming scans (ONE definition of the split contract: a record
+    * belongs to the split containing its first byte). */
+  def planSplits(files: Seq[(String, Long)],
+                 maxSplit: Long): Array[InputPartition] = {
+    require(maxSplit >= 1, s"maxSplitBytes must be >= 1, got $maxSplit")
+    files.flatMap { case (path, len) =>
+      if (len == 0) Nil
+      else (0L until len by maxSplit).map { start =>
+        QuirkCsvPartition(path, start, math.min(start + maxSplit, len))
+      }
+    }.toArray
+  }
+
   /** (path, length) of every regular file under the `path` option
     * (a file, or a directory scanned non-recursively), sorted by path
     * for deterministic partition planning. */
@@ -1118,10 +1128,12 @@ private[sources] object QuirkCsv {
     if (v == null || v.length <= StatsMaxLen) return v
     val p = v.substring(0, StatsMaxLen).toCharArray
     var i = p.length - 1
-    // latin-1 payload: chars <= 0xFF; bump the last bumpable char and
-    // cut there (standard Parquet/ORC bound truncation)
-    while (i >= 0 && p(i) >= '\uFFFF') i -= 1
-    if (i < 0) v // unbumpable (pathological) — keep the exact value
+    // latin-1 payload: chars <= 0xFF. The bumped char must STAY in
+    // latin-1 (the sidecar is ISO-8859-1-encoded) — bumping 0xFF to
+    // 0x100 would mangle on encode into a bound BELOW real values,
+    // i.e. WRONG pruning. Skip 0xFF chars when looking for the bump.
+    while (i >= 0 && p(i) >= '\u00FF') i -= 1
+    if (i < 0) v // all-0xFF prefix (pathological) — keep the exact value
     else new String(p, 0, i) + (p(i) + 1).toChar
   }
 

@@ -60,22 +60,31 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces {
   private def tableDir(ident: Identifier): Path =
     new Path(nsDir(ident.namespace), ident.name)
 
+  /** Tables and namespaces are both directories; the discriminator is
+    * content — a table directory holds at least one `.csv` part file
+    * (`CREATE TABLE` always seeds one), a namespace holds only
+    * directories. */
+  private def isTableDir(dir: Path): Boolean =
+    fs.exists(dir) && fs.getFileStatus(dir).isDirectory &&
+      fs.listStatus(dir).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".csv"))
+
   // ------------------------------------------------------------ tables
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(
       (catalogName +: namespace.toIndexedSeq).toArray)
-    fs.listStatus(dir).filter(_.isDirectory)
+    fs.listStatus(dir).filter(st => st.isDirectory && isTableDir(st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    fs.exists(tableDir(ident))
+    isTableDir(tableDir(ident))
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     val options = new CaseInsensitiveStringMap(
       util.Collections.singletonMap("path", dir.toString))
     val schema = new QuirkCsvDataSource().inferSchema(options)
@@ -92,6 +101,14 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces {
       require(f.dataType == StringType,
         s"graftcsv is the all-string raw layer; column '${f.name}' " +
           s"is ${f.dataType.catalogString} — cast to string first")
+      // the schema round-trips through the seed file HEADER, and header
+      // inference normalizes names to identifier form — a name that
+      // would change under that normalization must be rejected here,
+      // not silently renamed on the first read
+      require(f.name.matches("[A-Za-z0-9_]+"),
+        s"graftcsv catalog column names must be identifier-safe " +
+          s"([A-Za-z0-9_]+); '${f.name}' would not survive the header " +
+          "round-trip")
     }
     val dir = tableDir(ident)
     if (fs.exists(dir)) throw new TableAlreadyExistsException(ident)
@@ -113,11 +130,13 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    fs.exists(dir) && fs.delete(dir, true)
+    // the isTableDir guard keeps DROP TABLE from recursively deleting a
+    // same-named NAMESPACE directory
+    isTableDir(dir) && fs.delete(dir, true)
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
-    if (!fs.exists(tableDir(from))) throw new NoSuchTableException(from)
+    if (!isTableDir(tableDir(from))) throw new NoSuchTableException(from)
     if (fs.exists(tableDir(to))) throw new TableAlreadyExistsException(to)
     fs.mkdirs(tableDir(to).getParent)
     require(fs.rename(tableDir(from), tableDir(to)),
@@ -128,7 +147,8 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(): Array[Array[String]] = {
     if (!fs.exists(root)) return Array.empty
-    fs.listStatus(root).filter(_.isDirectory)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
       .map(st => Array(st.getPath.getName))
   }
 
@@ -138,12 +158,14 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces {
     val dir = nsDir(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(
       (catalogName +: namespace.toIndexedSeq).toArray)
-    fs.listStatus(dir).filter(_.isDirectory)
+    fs.listStatus(dir)
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
       .map(st => namespace :+ st.getPath.getName)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || fs.exists(nsDir(namespace))
+    namespace.isEmpty ||
+      (fs.exists(nsDir(namespace)) && !isTableDir(nsDir(namespace)))
 
   override def loadNamespaceMetadata(namespace: Array[String])
   : util.Map[String, String] = {

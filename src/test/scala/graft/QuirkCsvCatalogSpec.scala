@@ -71,6 +71,36 @@ class QuirkCsvCatalogSpec extends SparkSpec {
     e.getMessage should include("all-string raw layer")
   }
 
+  test("column names that would not survive the header round-trip are rejected") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.badname")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.badname.t (`order id` STRING)")
+    }
+    e.getMessage should include("identifier-safe")
+  }
+
+  test("tables and namespaces do not masquerade as each other") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.mixed")
+    spark.sql("CREATE TABLE graft_cat.mixed.t (a STRING)")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.mixed.sub")
+    // the table is not a child namespace...
+    spark.sql("SHOW NAMESPACES IN graft_cat.mixed").collect()
+      .map(_.getString(0)).toSeq should not contain "t"
+    // ...and the namespace is not a table
+    spark.sql("SHOW TABLES IN graft_cat.mixed").collect()
+      .map(_.getString(1)).toSeq shouldBe Seq("t")
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.QuirkCsvCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    cat.tableExists(
+      Identifier.of(Array("mixed"), "sub")) shouldBe false
+    // DROP TABLE must not recursively delete a namespace directory
+    cat.dropTable(Identifier.of(Array("mixed"), "sub")) shouldBe false
+    cat.namespaceExists(Array("mixed", "sub")) shouldBe true
+  }
+
   test("files dropped into the directory are immediately queryable") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.drop_in")

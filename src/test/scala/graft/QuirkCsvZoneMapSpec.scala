@@ -111,6 +111,31 @@ class QuirkCsvZoneMapSpec extends SparkSpec {
       .rdd.getNumPartitions shouldBe 0
   }
 
+  test("0xFF at the truncation edge keeps the bound conservative") {
+    // regression: bumping 0xFF past latin-1 used to mangle the encoded
+    // bound BELOW real values, wrongly pruning the file
+    val dir = freshDir("ff")
+    val v = "a" * 255 + "ÿ" + "zzzz"
+    Seq(("r1", v)).toDF("k", "v").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    val hit = readBack(dir).filter(col("v") === v)
+    hit.rdd.getNumPartitions shouldBe 1
+    hit.count() shouldBe 1
+  }
+
+  test("single-column NULL rows survive the round-trip") {
+    // regression: a (NULL) row under a 1-column schema serializes to a
+    // blank line, which the dialect's blank-row skip used to eat
+    val dir = freshDir("null1")
+    val df = Seq(Some("x"), None, Some("y")).toDF("v")
+    df.coalesce(1).write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    val back = readBack(dir)
+    back.count() shouldBe 3
+    back.filter(col("v").isNull).count() shouldBe 1
+    // and the sidecar's counts now agree with what the scan returns
+    back.filter(col("v").isNull).rdd.getNumPartitions shouldBe 1
+  }
+
   test("global COUNT keeps one split when pruning empties the scan") {
     val dir = freshDir("empty")
     Seq(("a", "1"), ("b", "2")).toDF("k", "v").coalesce(1)
