@@ -87,7 +87,30 @@ object R11Queries {
         model = docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         idCol = "doc_id", textCol = "text", alpha = SbAlpha)
     },
-    Some(s"""
+    Some(sbOracle))
+
+  /** The same scoring through the INCREMENTAL model path: fit on the
+    * doc_id%4==0 quarter, fold in the %4==2 quarter with
+    * [[graft.operators.Corpus.updateNgramModel]] (counts merged, corpus
+    * never rescanned) — together exactly q330's even-half model. The
+    * oracle is the REFIT model's SQL, so a hash match IS the
+    * `update(fit(A), B) == fit(A ∪ B)` proof on real data. */
+  private val q332 = QueryDef(
+    "q332_ngram_model_update",
+    (s, d) => {
+      import graft.operators.Corpus
+      val docs = Tables.documents(s, d)
+      val m0 = Corpus.fitNgramModel(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+      val m = Corpus.updateNgramModel(m0,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 2), "text")
+      Corpus.stupidBackoffScoreWith(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), m,
+        "doc_id", "text", SbAlpha)
+    },
+    Some(sbOracle))
+
+  private lazy val sbOracle: String = s"""
       WITH mt AS (SELECT ${ExtQueries.oToks("text")} AS w
             FROM documents WHERE doc_id % 2 = 0),
       m1 AS MATERIALIZED (
@@ -145,7 +168,7 @@ object R11Queries {
           AS n_oov,
         -(CAST(SUM(cnt * lp_scaled) AS DOUBLE) / 1073741824.0) /
           CAST(SUM(cnt) AS DOUBLE) AS sb_nats
-      FROM scored GROUP BY doc_id"""))
+      FROM scored GROUP BY doc_id"""
 
   /** The ENTIRE graftcsv DSv2 path inside the correctness gate: lineitem
     * (string-cast, the raw-layer contract) written through the sink
@@ -178,5 +201,5 @@ object R11Queries {
              MAX(CAST(l_orderkey AS VARCHAR)) AS max_ok
       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q329, q330, q331)
+  val all: Seq[QueryDef] = Seq(q329, q330, q331, q332)
 }

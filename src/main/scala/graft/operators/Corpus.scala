@@ -1574,21 +1574,66 @@ object Corpus {
     * roles, two unigram roles) — none broadcast, nothing quadratic. */
   def stupidBackoffScore(eval: DataFrame, model: DataFrame, idCol: String,
                          textCol: String,
-                         alpha: Double = 0.4): DataFrame = {
+                         alpha: Double = 0.4): DataFrame =
+    stupidBackoffScoreWith(eval, fitNgramModel(model, textCol), idCol,
+      textCol, alpha)
+
+  /** The pre-fit n-gram count model [[stupidBackoffScoreWith]] consumes:
+    * three count frames (unigram `__u/__c1`, bigram `__g2/__c2`, trigram
+    * `__g3/__c3`). Persist by writing the frames to parquet and rebuild
+    * with the same column names — fitting is ONE counting pass over the
+    * training corpus, scoring never re-reads it. */
+  final case class NgramModel(uni: DataFrame, bi: DataFrame, tri: DataFrame)
+
+  /** One counting pass (map-combined aggs) over `model` — the
+    * MapReduce-shaped training step of Brants et al. 2007. */
+  def fitNgramModel(model: DataFrame, textCol: String): NgramModel = {
+    val mToks = spread(model)
+      .select(TextFunctions.tokens(col(textCol)).as("__w"))
+    NgramModel(
+      uni = mToks.select(explode(col("__w")).as("__u"))
+        .groupBy(col("__u")).agg(count(lit(1)).as("__c1")),
+      bi = mToks
+        .select(explode(TextFunctions.wordShingles(col("__w"), 2))
+          .as("__g2"))
+        .groupBy(col("__g2")).agg(count(lit(1)).as("__c2")),
+      tri = mToks
+        .select(explode(TextFunctions.wordShingles(col("__w"), 3))
+          .as("__g3"))
+        .groupBy(col("__g3")).agg(count(lit(1)).as("__c3")))
+  }
+
+  /** Incremental model maintenance: n-gram counts are ADDITIVE, so a new
+    * ingest batch folds in with one count pass over the batch plus a
+    * key-join merge against the stored counts — the training corpus is
+    * never rescanned. `update(fit(A), B) == fit(A ∪ B)` exactly (q332
+    * proves it against the refit oracle). */
+  def updateNgramModel(m: NgramModel, newDocs: DataFrame,
+                       textCol: String): NgramModel = {
+    val d = fitNgramModel(newDocs, textCol)
+    def merge(a: DataFrame, b: DataFrame, key: String,
+              cnt: String): DataFrame =
+      a.select(col(key), col(cnt)).unionAll(b.select(col(key), col(cnt)))
+        .groupBy(col(key)).agg(sum(col(cnt)).as(cnt))
+    NgramModel(
+      uni = merge(m.uni, d.uni, "__u", "__c1"),
+      bi = merge(m.bi, d.bi, "__g2", "__c2"),
+      tri = merge(m.tri, d.tri, "__g3", "__c3"))
+  }
+
+  /** [[stupidBackoffScore]] against a pre-fit (possibly incrementally
+    * [[updateNgramModel]]-maintained, possibly parquet-persisted)
+    * [[NgramModel]]. */
+  def stupidBackoffScoreWith(eval: DataFrame, m: NgramModel, idCol: String,
+                             textCol: String,
+                             alpha: Double = 0.4): DataFrame = {
     val Scale = 1073741824L // 2^30
     val a1 = alpha
     val a2 = alpha * alpha
     val a3 = alpha * alpha * alpha
-    val mToks = spread(model)
-      .select(TextFunctions.tokens(col(textCol)).as("__w"))
-    val m1 = mToks.select(explode(col("__w")).as("__u"))
-      .groupBy(col("__u")).agg(count(lit(1)).as("__c1"))
-    val m2 = mToks
-      .select(explode(TextFunctions.wordShingles(col("__w"), 2)).as("__g2"))
-      .groupBy(col("__g2")).agg(count(lit(1)).as("__c2"))
-    val m3 = mToks
-      .select(explode(TextFunctions.wordShingles(col("__w"), 3)).as("__g3"))
-      .groupBy(col("__g3")).agg(count(lit(1)).as("__c3"))
+    val m1 = m.uni
+    val m2 = m.bi
+    val m3 = m.tri
     val nRow = m1.agg(sum(col("__c1")).cast("double").as("__N"))
     val docTg = spread(eval)
       .select(col(idCol),
