@@ -415,7 +415,16 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
         // the round-trip keeps it instead of silently dropping it
         else stripped.nonEmpty || allColumns.length == 1
       if (keep) {
-        val fields = QuirkCsv.splitCsv(QuirkCsv.repairLine(stripped))
+        // wrapped-row repair is structurally ambiguous with a lone
+        // quoted FIELD spanning the whole line (`"a,b"`): under a
+        // single-column schema the field reading is the only sensible
+        // one (a wrapped row would also have one field), so skip the
+        // repair there — the sink's quoted single-column values then
+        // round-trip instead of being split apart
+        val repaired =
+          if (allColumns.length == 1) stripped
+          else QuirkCsv.repairLine(stripped)
+        val fields = QuirkCsv.splitCsv(repaired)
         if (passesFilters(fields)) {
           current = buildRow(fields)
           emitted += 1
@@ -958,14 +967,25 @@ private[sources] case class QuirkCsvZoneEntry(len: Long, rows: Long,
 private[sources] object QuirkCsv {
 
   /** Inverse of [[splitCsv]]'s field decode: empty string → `""`;
-    * fields containing a comma, quote, or line break quote-and-double.
-    * (NULL is handled by the caller as a bare empty field.) */
-  def formatField(v: String): String =
+    * fields containing a comma or quote — or ENDING with `;`, which the
+    * reader's trailing-semicolon quirk strip would otherwise eat off a
+    * line's last field — quote-and-double. (NULL is handled by the
+    * caller as a bare empty field.)
+    *
+    * Line breaks are rejected: the dialect's records are single-line by
+    * contract (byte-range splitting depends on it), so a value with an
+    * embedded newline has no faithful representation — failing the
+    * write beats silently corrupting the read. */
+  def formatField(v: String): String = {
+    require(v.indexOf('\n') < 0 && v.indexOf('\r') < 0,
+      "graftcsv records are single-line; a value with an embedded line " +
+        "break cannot round-trip — strip or escape it before the write")
     if (v.isEmpty) "\"\""
     else if (v.indexOf(',') >= 0 || v.indexOf('"') >= 0 ||
-      v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
+      v.charAt(v.length - 1) == ';')
       "\"" + v.replace("\"", "\"\"") + "\""
     else v
+  }
 
   def headerOpt(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("header", true)
