@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -130,7 +131,8 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = info.options.getOrDefault("path", options.get("path"))
@@ -833,14 +835,37 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
 
 private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
                                      truncateFirst: Boolean, header: Boolean)
-  extends Write with BatchWrite {
+  extends Write with BatchWrite with StreamingWrite {
+
+  // both parent traits default this; Scala requires the diamond be
+  // resolved explicitly
+  override def useCommitCoordinator(): Boolean = true
 
   override def toBatch: BatchWrite = this
+
+  /** Streaming sink: append-only epochs through the same writers. Each
+    * epoch's part files carry the epoch id in their names, and the
+    * writer CREATES with overwrite — a replayed epoch (recovery after a
+    * commit-side failure) rewrites the same files instead of
+    * duplicating rows, the standard idempotent-by-naming contract for
+    * file sinks. Each epoch commit merges its zone-map entries into the
+    * sidecar, so streamed files prune exactly like batch-written ones.
+    * Complete/truncate output modes are rejected: a raw-layer CSV
+    * directory is an append-only log. */
+  override def toStreaming: StreamingWrite = {
+    require(!truncateFirst,
+      "graftcsv streaming sink is append-only; use outputMode(\"append\")")
+    this
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DataWriterFactory =
     new QuirkCsvWriterFactory(path, columns, header,
       java.util.UUID.randomUUID().toString)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+  : StreamingDataWriterFactory =
+    new QuirkCsvStreamingWriterFactory(path, columns, header)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case c: QuirkCsvCommit => c }
@@ -859,8 +884,22 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     // append, surviving prior entries are carried over; truncate starts
     // fresh. Written AFTER the data files are final so a reader never
     // sees stats for half-written files.
+    mergeZoneMap(commits, dropPrior = truncateFirst)
+  }
+
+  /** Streaming epoch commit: append files + merge sidecar entries. */
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
+      dropPrior = false)
+
+  private def mergeZoneMap(commits: Array[QuirkCsvCommit],
+                           dropPrior: Boolean): Unit = {
+    val written = commits.map(c => new Path(c.file).getName).toSet
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
     val prior =
-      if (truncateFirst) Map.empty[String, QuirkCsvZoneEntry]
+      if (dropPrior) Map.empty[String, QuirkCsvZoneEntry]
       else QuirkCsv.loadZoneMap(path)
         .filter { case (n, _) => !written.contains(n) &&
           fs.exists(new Path(dir, n)) }
@@ -875,6 +914,13 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteFiles(messages)
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    deleteFiles(messages)
+
+  private def deleteFiles(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case c: QuirkCsvCommit =>
         val p = new Path(c.file)
@@ -882,6 +928,18 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
         fs.delete(p, false)
       case _ =>
     }
+}
+
+private[sources] class QuirkCsvStreamingWriterFactory(
+    path: String, columns: Array[String], header: Boolean)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    // epoch-keyed, taskId-free name: a replayed epoch REWRITES its own
+    // files (idempotent recovery) instead of appending duplicates
+    new QuirkCsvWriter(
+      s"$path/part-epoch-$epochId-$partitionId.csv", columns, header)
 }
 
 /** Per-file write result: path plus the zone-map statistics the writer

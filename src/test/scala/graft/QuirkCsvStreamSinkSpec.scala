@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The graftcsv STREAMING sink: append-only epochs through the same
+  * writers as batch, epoch-keyed file names (idempotent replay), and
+  * zone-map sidecar entries merged per epoch so streamed files prune
+  * exactly like batch-written ones. */
+class QuirkCsvStreamSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeStream -> graftcsv -> batch read back, sidecar maintained") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("csv_ckpt").toString
+    val in = MemoryStream[(String, String)](spark)
+    val q = in.toDF().toDF("k", "v")
+      .writeStream.format("graftcsv")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData(("a", "West"), ("b", "East"))
+      q.processAllAvailable()
+      in.addData(("c", "West"), ("d", null: String))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val back = spark.read.format("graftcsv").load(dir)
+    back.count() shouldBe 4
+    back.filter(col("v").isNull).count() shouldBe 1
+    // the sidecar covers the streamed files: an equality filter prunes
+    // epoch files whose [min,max] excludes the probe
+    new java.io.File(dir, "_graft_zonemap.tsv").exists() shouldBe true
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".csv"))
+    val miss = spark.read.format("graftcsv").load(dir)
+      .filter(col("v") === "Nowhere")
+    miss.rdd.getNumPartitions should be < nFiles
+    miss.count() shouldBe 0
+  }
+
+  test("complete/truncate output modes are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_sink2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("csv_ck2").toString
+    val in = MemoryStream[(String, String)](spark)
+    val agg = in.toDF().toDF("k", "v").groupBy("k")
+      .agg(max(col("v")).as("v"))
+    val e = intercept[Exception] {
+      val q = agg.writeStream.format("graftcsv")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try { in.addData(("a", "1")); q.processAllAvailable() }
+      finally q.stop()
+    }
+    e.getMessage.toLowerCase should include("append")
+  }
+}
