@@ -138,7 +138,8 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     val path = info.options.getOrDefault("path", options.get("path"))
     require(path != null && path.nonEmpty,
       "graftcsv write requires a 'path' option")
-    new QuirkCsvWriteBuilder(path, info.schema(), info.options)
+    new QuirkCsvWriteBuilder(path, info.schema(), info.options,
+      info.queryId())
   }
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
@@ -417,16 +418,7 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
         // the round-trip keeps it instead of silently dropping it
         else stripped.nonEmpty || allColumns.length == 1
       if (keep) {
-        // wrapped-row repair is structurally ambiguous with a lone
-        // quoted FIELD spanning the whole line (`"a,b"`): under a
-        // single-column schema the field reading is the only sensible
-        // one (a wrapped row would also have one field), so skip the
-        // repair there — the sink's quoted single-column values then
-        // round-trip instead of being split apart
-        val repaired =
-          if (allColumns.length == 1) stripped
-          else QuirkCsv.repairLine(stripped)
-        val fields = QuirkCsv.splitCsv(repaired)
+        val fields = QuirkCsv.parseLine(stripped, allColumns.length)
         if (passesFilters(fields)) {
           current = buildRow(fields)
           emitted += 1
@@ -815,7 +807,8 @@ private[sources] class QuirkCsvMicroBatchStream(
   * applies, so write → read round-trips bit-for-bit. */
 private[sources] class QuirkCsvWriteBuilder(path: String,
                                             schema: StructType,
-                                            options: CaseInsensitiveStringMap)
+                                            options: CaseInsensitiveStringMap,
+                                            queryId: String)
   extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
@@ -829,12 +822,13 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
           s"is ${f.dataType.catalogString} — cast to string first")
     }
     new QuirkCsvWrite(path, schema.fieldNames, truncateFirst,
-      QuirkCsv.headerOpt(options))
+      QuirkCsv.headerOpt(options), queryId)
   }
 }
 
 private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
-                                     truncateFirst: Boolean, header: Boolean)
+                                     truncateFirst: Boolean, header: Boolean,
+                                     queryId: String)
   extends Write with BatchWrite with StreamingWrite {
 
   // both parent traits default this; Scala requires the diamond be
@@ -843,13 +837,28 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
 
   override def toBatch: BatchWrite = this
 
-  /** Streaming sink: append-only epochs through the same writers. Each
-    * epoch's part files carry the epoch id in their names, and the
-    * writer CREATES with overwrite — a replayed epoch (recovery after a
-    * commit-side failure) rewrites the same files instead of
-    * duplicating rows, the standard idempotent-by-naming contract for
-    * file sinks. Each epoch commit merges its zone-map entries into the
-    * sidecar, so streamed files prune exactly like batch-written ones.
+  /** Streaming sink: append-only epochs through the same row writers.
+    * The recovery contract, piece by piece:
+    *
+    *  - '''final names''' are `part-<queryId>-epoch-<epoch%020d>-
+    *    <partition%05d>.csv`: the checkpoint-stable queryId keeps a
+    *    restarted-from-scratch query (or a second query) from
+    *    clobbering a previous run's epoch 0; zero-padding keeps
+    *    path-sorted order == arrival order, the micro-batch SOURCE's
+    *    documented restart contract for directories it reads back.
+    *  - '''speculation-safe''': each task ATTEMPT writes a hidden
+    *    `.‹final›.attempt-<taskId>.tmp` and renames into place only in
+    *    `DataWriter.commit()` — the commit coordinator admits one
+    *    attempt, so a losing speculative attempt aborts only its own
+    *    tmp and can never delete committed data.
+    *  - '''replay-idempotent''': a replayed epoch renames over the same
+    *    final names instead of appending duplicates, and the epoch
+    *    commit deletes any OTHER file of that (query, epoch) — task
+    *    commits that landed under a died driver with a different
+    *    partitioning can't survive as phantom rows.
+    *  - each epoch commit merges its zone-map entries, so streamed
+    *    files prune exactly like batch-written ones.
+    *
     * Complete/truncate output modes are rejected: a raw-layer CSV
     * directory is an append-only log. */
   override def toStreaming: StreamingWrite = {
@@ -865,39 +874,47 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
   : StreamingDataWriterFactory =
-    new QuirkCsvStreamingWriterFactory(path, columns, header)
+    new QuirkCsvStreamingWriterFactory(path, columns, header, queryId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val commits = messages.collect { case c: QuirkCsvCommit => c }
-    val written = commits.map(c => new Path(c.file).getName).toSet
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
-    if (truncateFirst) {
-      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && !written.contains(n) && !n.startsWith("_") &&
-          !n.startsWith(".")) fs.delete(st.getPath, false)
-      }
-    }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
     // zone-map sidecar: per-file min/max/null stats gathered by the
     // writers, keyed by file name + length (the staleness guard). On
     // append, surviving prior entries are carried over; truncate starts
-    // fresh. Written AFTER the data files are final so a reader never
-    // sees stats for half-written files.
-    mergeZoneMap(commits, dropPrior = truncateFirst)
+    // fresh and deletes files this job didn't write. Sidecar written
+    // AFTER the data files are final so a reader never sees stats for
+    // half-written files.
+    mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
+      dropPrior = truncateFirst,
+      deleteOthers =
+        if (truncateFirst) Some(n => !n.startsWith("_") && !n.startsWith("."))
+        else None)
+
+  /** Streaming epoch commit: sweep every OTHER file of this (query,
+    * epoch) — leftover task commits from a failed driver attempt with a
+    * different partitioning, and stale attempt tmps — then merge the
+    * sidecar. */
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val prefix = QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId)
+    mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
+      dropPrior = false,
+      deleteOthers = Some(n =>
+        n.startsWith(prefix) || n.startsWith("." + prefix)))
   }
 
-  /** Streaming epoch commit: append files + merge sidecar entries. */
-  override def commit(epochId: Long,
-                      messages: Array[WriterCommitMessage]): Unit =
-    mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
-      dropPrior = false)
-
   private def mergeZoneMap(commits: Array[QuirkCsvCommit],
-                           dropPrior: Boolean): Unit = {
+                           dropPrior: Boolean,
+                           deleteOthers: Option[String => Boolean]): Unit = {
     val written = commits.map(c => new Path(c.file).getName).toSet
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
+    deleteOthers.foreach { doomed =>
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !written.contains(n) && doomed(n))
+          fs.delete(st.getPath, false)
+      }
+    }
     val prior =
       if (dropPrior) Map.empty[String, QuirkCsvZoneEntry]
       else QuirkCsv.loadZoneMap(path)
@@ -930,16 +947,46 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     }
 }
 
+private[sources] object QuirkCsvStreamingWriterFactory {
+  def epochPrefix(queryId: String, epochId: Long): String =
+    f"part-$queryId-epoch-$epochId%020d-"
+}
+
 private[sources] class QuirkCsvStreamingWriterFactory(
-    path: String, columns: Array[String], header: Boolean)
+    path: String, columns: Array[String], header: Boolean, queryId: String)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
-                            epochId: Long): DataWriter[InternalRow] =
-    // epoch-keyed, taskId-free name: a replayed epoch REWRITES its own
-    // files (idempotent recovery) instead of appending duplicates
-    new QuirkCsvWriter(
-      s"$path/part-epoch-$epochId-$partitionId.csv", columns, header)
+                            epochId: Long): DataWriter[InternalRow] = {
+    val finalName =
+      QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId) +
+        f"$partitionId%05d.csv"
+    // attempt-private tmp, renamed into place at DataWriter.commit —
+    // see QuirkCsvWrite.toStreaming's recovery-contract doc
+    new QuirkCsvRenamingWriter(
+      s"$path/.$finalName.attempt-$taskId.tmp", s"$path/$finalName",
+      columns, header)
+  }
+}
+
+/** Writes to an attempt-private tmp path; the coordinator-approved
+  * attempt's `commit()` renames it over the final name (replacing a
+  * previous replay's file), so concurrent speculative attempts never
+  * touch each other's output. */
+private[sources] class QuirkCsvRenamingWriter(tmp: String, dest: String,
+                                              columns: Array[String],
+                                              header: Boolean)
+  extends QuirkCsvWriter(tmp, columns, header) {
+
+  override def commit(): WriterCommitMessage = {
+    val m = super.commit().asInstanceOf[QuirkCsvCommit]
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(new Configuration())
+    if (fs.exists(destPath)) fs.delete(destPath, false)
+    require(fs.rename(new Path(tmp), destPath),
+      s"graftcsv sink: rename $tmp -> $dest failed")
+    m.copy(file = dest)
+  }
 }
 
 /** Per-file write result: path plus the zone-map statistics the writer
@@ -1100,6 +1147,17 @@ private[sources] object QuirkCsv {
       if (nl >= 0) s.substring(0, nl) else s
     } finally in.close()
   }
+
+  /** The reader's full line decode AFTER [[stripLineQuirks]]: wrapped-row
+    * repair, then quote-aware split. The repair is structurally ambiguous
+    * with a lone quoted FIELD spanning the whole line (`"a,b"`); under a
+    * single-column schema the field reading is the only sensible one (a
+    * wrapped row would also hold one field), so the repair is skipped
+    * there and the sink's quoted single-column values round-trip instead
+    * of being split apart. ONE definition, shared by the reader and the
+    * dialect property suite. */
+  def parseLine(stripped: String, nCols: Int): Array[String] =
+    splitCsv(if (nCols == 1) stripped else repairLine(stripped))
 
   /** Quirks 1+5: trailing '\r' (CRLF) and the spurious trailing ';'. */
   def stripLineQuirks(line: String): String = {

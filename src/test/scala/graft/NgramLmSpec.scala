@@ -52,16 +52,10 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("streaming intake scores against the frozen model == batch") {
-    val m = Corpus.NgramModel(
-      Corpus.fitNgramModel(
-        docs(1L -> "a b c a b c", 2L -> "c a b a"), "text")
-        .uni.cache(),
-      Corpus.fitNgramModel(
-        docs(1L -> "a b c a b c", 2L -> "c a b a"), "text")
-        .bi.cache(),
-      Corpus.fitNgramModel(
-        docs(1L -> "a b c a b c", 2L -> "c a b a"), "text")
-        .tri.cache())
+    val fit = Corpus.fitNgramModel(
+      docs(1L -> "a b c a b c", 2L -> "c a b a"), "text")
+    val m = Corpus.NgramModel(fit.uni.cache(), fit.bi.cache(),
+      fit.tri.cache())
     val dir = Files.createTempDirectory("ngram_stream").toString
     def drop(name: String, rows: Seq[(String, String)]): Unit =
       Files.write(Paths.get(dir, name),

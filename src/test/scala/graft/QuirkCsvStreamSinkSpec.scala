@@ -39,6 +39,28 @@ class QuirkCsvStreamSinkSpec extends SparkSpec {
     miss.count() shouldBe 0
   }
 
+  test("a second query into the same directory appends, never clobbers") {
+    // regression: epoch ids restart at 0 for every query — without the
+    // checkpoint-stable queryId in the file names, query 2's epoch 0
+    // would overwrite query 1's
+    val dir = java.nio.file.Files.createTempDirectory("csv_sink3").toString
+    def runOnce(rows: Seq[(String, String)]): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("ck3").toString
+      val in = MemoryStream[(String, String)](spark)
+      val q = in.toDF().toDF("k", "v")
+        .writeStream.format("graftcsv")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { in.addData(rows: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runOnce(Seq(("a", "1"), ("b", "2")))
+    runOnce(Seq(("c", "3")))
+    val back = spark.read.format("graftcsv").load(dir)
+    back.count() shouldBe 3
+    rowsAsStrings(back.select(col("k"))) shouldBe Seq("a", "b", "c")
+  }
+
   test("complete/truncate output modes are rejected") {
     val dir = java.nio.file.Files.createTempDirectory("csv_sink2").toString
     val ckpt = java.nio.file.Files.createTempDirectory("csv_ck2").toString

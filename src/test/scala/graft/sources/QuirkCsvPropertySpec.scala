@@ -29,14 +29,10 @@ object QuirkCsvPropertySpec extends Properties("graftcsv") {
       case None => ""
     }.mkString(",")
 
-  /** The reader's line decode (next() without IO): quirk strip, wrapped
-    * repair (multi-column schemas only), split. */
-  private def parse(line: String, cols: Int): Array[String] = {
-    val stripped = QuirkCsv.stripLineQuirks(line)
-    val repaired =
-      if (cols == 1) stripped else QuirkCsv.repairLine(stripped)
-    QuirkCsv.splitCsv(repaired)
-  }
+  /** The reader's line decode (next() without IO) — the SAME
+    * strip+parse helpers the production reader calls, not a copy. */
+  private def parse(line: String, cols: Int): Array[String] =
+    QuirkCsv.parseLine(QuirkCsv.stripLineQuirks(line), cols)
 
   property("write -> read round-trips every row exactly") =
     Prop.forAll(rowGen) { row =>
