@@ -9,7 +9,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
@@ -155,12 +155,38 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
                                            options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates with SupportsPushDownLimit {
+  with SupportsPushDownAggregates with SupportsPushDownLimit
+  with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[QuirkCsvAgg] = None
   private var limit: Int = -1
+  private var topN: Option[QuirkCsvTopN] = None
+
+  /** PARTIAL top-N pushdown: each split's reader keeps only its `limit`
+    * best rows under the pushed ordering (a bounded heap — the
+    * GroupedTopK idea at the scan tier), so an `ORDER BY c LIMIT k`
+    * over a 100 GB file returns splits × k rows to Spark instead of
+    * every matching row. `isPartiallyPushed` stays true: Spark's own
+    * TopN still merges the per-split candidates. Only single-column
+    * references order-ably; anything else stays un-pushed. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val specs = orders.map(o => o.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+        fullSchema.fieldNames.contains(nr.fieldNames()(0)) =>
+        Some(QuirkCsvSortSpec(nr.fieldNames()(0),
+          o.direction() == SortDirection.ASCENDING,
+          o.nullOrdering() == NullOrdering.NULLS_FIRST))
+      case _ => None
+    })
+    if (n > 0 && specs.nonEmpty && specs.forall(_.isDefined)) {
+      topN = Some(QuirkCsvTopN(specs.map(_.get), n))
+      true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** PARTIAL limit pushdown: each split's reader stops parsing after
     * `limit` surviving rows (a `LIMIT 100` over a 100 GB file exits every
@@ -221,8 +247,24 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new QuirkCsvAggScan(fullSchema, pushed, agg, options)
     case None =>
-      new QuirkCsvScan(fullSchema, required, pushed, options, limit)
+      new QuirkCsvScan(fullSchema, required, pushed, options, limit, topN)
   }
+}
+
+/** One pushed sort key: column, ascending?, nulls-first?. */
+private[sources] case class QuirkCsvSortSpec(column: String,
+                                             ascending: Boolean,
+                                             nullsFirst: Boolean)
+
+/** A pushed ORDER BY + LIMIT: the reader keeps each split's `n` best
+  * rows under `keys` (Spark's string order = UTF8String binary order,
+  * which the comparator uses verbatim). */
+private[sources] case class QuirkCsvTopN(keys: Array[QuirkCsvSortSpec],
+                                         n: Int) {
+  override def toString: String =
+    keys.map(k => s"${k.column} ${if (k.ascending) "ASC" else "DESC"} " +
+      s"NULLS ${if (k.nullsFirst) "FIRST" else "LAST"}")
+      .mkString("ORDER BY ", ", ", s" LIMIT $n (per split)")
 }
 
 // ------------------------------------------------------- custom metrics
@@ -245,7 +287,8 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
                                     required: StructType,
                                     filters: Array[Filter],
                                     options: CaseInsensitiveStringMap,
-                                    limit: Int = -1)
+                                    limit: Int = -1,
+                                    topN: Option[QuirkCsvTopN] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -279,6 +322,7 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
     s"graftcsv ${files.size} file(s), " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
       (if (limit >= 0) s"PushedLimit: LIMIT $limit (per split), " else "") +
+      topN.map(t => s"PushedTopN: $t, ").getOrElse("") +
       s"ReadSchema: ${required.simpleString}"
 
   override def toBatch: Batch = this
@@ -298,7 +342,7 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
-      filters ++ runtimeFilters, header, excelCompat, limit)
+      filters ++ runtimeFilters, header, excelCompat, limit, topN)
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new QuirkCsvRowsEmittedMetric, new QuirkCsvRowsFilteredMetric)
@@ -319,15 +363,92 @@ private[sources] class QuirkCsvReaderFactory(allColumns: Array[String],
                                              filters: Array[Filter],
                                              header: Boolean,
                                              excelCompat: Boolean,
-                                             limit: Int = -1)
+                                             limit: Int = -1,
+                                             topN: Option[QuirkCsvTopN] =
+                                               None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[QuirkCsvPartition]
-    new QuirkCsvReader(p, allColumns, requiredColumns, filters, header,
-      excelCompat, limit)
+    val rows = new QuirkCsvReader(p, allColumns, requiredColumns, filters,
+      header, excelCompat, limit)
+    topN match {
+      case Some(t) => new QuirkCsvTopNReader(rows, requiredColumns, t)
+      case None => rows
+    }
   }
+}
+
+/** Bounded per-split top-N over the row reader: a `n`-capped heap under
+  * the pushed ordering (UTF8String binary compare — exactly Spark's
+  * string order), emitted once the split is exhausted. Rows leave in
+  * heap order; Spark's final TopN re-sorts the splits × n candidates. */
+private[sources] class QuirkCsvTopNReader(inner: QuirkCsvReader,
+                                          requiredColumns: Array[String],
+                                          topN: QuirkCsvTopN)
+  extends PartitionReader[InternalRow] {
+
+  private val keyIdx: Array[(Int, Boolean, Boolean)] = topN.keys.map(k =>
+    (requiredColumns.indexOf(k.column), k.ascending, k.nullsFirst))
+  require(keyIdx.forall(_._1 >= 0),
+    "pushed top-N sort columns must survive column pruning " +
+      s"(required=${requiredColumns.mkString(",")}, topN=$topN)")
+
+  /** Spark's ordering for one key, on rows of the required schema. */
+  private def cmpKey(a: InternalRow, b: InternalRow,
+                     i: Int, asc: Boolean, nullsFirst: Boolean): Int = {
+    val an = a.isNullAt(i)
+    val bn = b.isNullAt(i)
+    val c =
+      if (an && bn) 0
+      else if (an) { if (nullsFirst) -1 else 1 }
+      else if (bn) { if (nullsFirst) 1 else -1 }
+      else {
+        val raw = a.getUTF8String(i).compareTo(b.getUTF8String(i))
+        if (asc) raw else -raw
+      }
+    c
+  }
+
+  private def cmp(a: InternalRow, b: InternalRow): Int = {
+    var j = 0
+    while (j < keyIdx.length) {
+      val (i, asc, nf) = keyIdx(j)
+      val c = cmpKey(a, b, i, asc, nf)
+      if (c != 0) return c
+      j += 1
+    }
+    0
+  }
+
+  private def heap(): java.util.PriorityQueue[InternalRow] = {
+    // worst-of-the-best at the head so it can be evicted in O(log n)
+    val pq = new java.util.PriorityQueue[InternalRow](topN.n + 1,
+      (a: InternalRow, b: InternalRow) => -cmp(a, b))
+    while (inner.next()) {
+      val row = inner.get() // fresh GenericInternalRow per row — safe to keep
+      if (pq.size < topN.n) pq.add(row)
+      else if (cmp(row, pq.peek()) < 0) { pq.poll(); pq.add(row) }
+    }
+    pq
+  }
+
+  private var out: java.util.PriorityQueue[InternalRow] = _
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (out == null) out = heap()
+    if (out.isEmpty) false
+    else { current = out.poll(); true }
+  }
+
+  override def get(): InternalRow = current
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    inner.currentMetricsValues()
+
+  override def close(): Unit = inner.close()
 }
 
 /** Streams `[start, end)` of one file: seeks to `start`, discards the
