@@ -180,7 +180,10 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
           o.nullOrdering() == NullOrdering.NULLS_FIRST))
       case _ => None
     })
-    if (n > 0 && specs.nonEmpty && specs.forall(_.isDefined)) {
+    // same defensive guard as pushLimit: top-N over PARTIAL aggregate
+    // rows would drop partials before the final merge
+    if (pushedAgg.isEmpty && n > 0 && specs.nonEmpty &&
+      specs.forall(_.isDefined)) {
       topN = Some(QuirkCsvTopN(specs.map(_.get), n))
       true
     } else false
@@ -194,7 +197,9 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     * false keeps Spark's own Limit node — a multi-split scan can emit up
     * to splits × limit rows in total, so the push is never "complete". */
   override def pushLimit(l: Int): Boolean = {
-    limit = l
+    // defensive: never cap PARTIAL-aggregate rows (Spark doesn't push a
+    // limit through an Aggregate today; keep that invariant local)
+    if (pushedAgg.isEmpty) limit = l
     false
   }
 
