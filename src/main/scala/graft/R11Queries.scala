@@ -201,5 +201,36 @@ object R11Queries {
              MAX(CAST(l_orderkey AS VARCHAR)) AS max_ok
       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q329, q330, q331, q332)
+  /** Top-N pushdown through the oracle gate: the q331 CSV round-trip
+    * shape, but the re-scan is an ORDER BY + LIMIT under a TOTAL string
+    * order (tie-broken by the unique key), so the per-split bounded-heap
+    * readers must surface exactly the global top rows. String order is
+    * binary in both engines (ASCII digits), and the driver's compare is
+    * row-set based, so determinism needs only the total order. */
+  private val q333 = QueryDef(
+    "q333_graftcsv_topn",
+    (s, d) => {
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q333_topn").toString
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("string").as("ok"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("string")
+            .as("line_uid"),
+          col("l_returnflag").as("rf"))
+        .write.format("graftcsv").mode("overwrite")
+        .option("maxSplitBytes", "262144") // force many splits on re-scan
+        .save(dir)
+      s.read.format("graftcsv").option("maxSplitBytes", "262144").load(dir)
+        .filter(col("rf") === "R")
+        .orderBy(col("ok").asc, col("line_uid").asc)
+        .limit(25)
+    },
+    Some("""
+      SELECT CAST(l_orderkey AS VARCHAR) AS ok,
+             CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS line_uid,
+             l_returnflag AS rf
+      FROM lineitem WHERE l_returnflag = 'R'
+      ORDER BY ok, line_uid LIMIT 25"""))
+
+  val all: Seq[QueryDef] = Seq(q329, q330, q331, q332, q333)
 }
