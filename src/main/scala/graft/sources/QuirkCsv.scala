@@ -170,7 +170,11 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     * over a 100 GB file returns splits × k rows to Spark instead of
     * every matching row. `isPartiallyPushed` stays true: Spark's own
     * TopN still merges the per-split candidates. Only single-column
-    * references order-ably; anything else stays un-pushed. */
+    * references order-ably; anything else stays un-pushed — as does any
+    * n above `maxTopNPerSplit` (option, default 100k): the heap is
+    * in-memory per task, and a huge LIMIT belongs to Spark's spilling
+    * sort, not a reader heap (same fail-safe posture as
+    * `maxAggGroupsPerSplit`, except top-N can simply decline). */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
     val specs = orders.map(o => o.expression() match {
       case nr: NamedReference if nr.fieldNames.length == 1 &&
@@ -182,7 +186,8 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     })
     // same defensive guard as pushLimit: top-N over PARTIAL aggregate
     // rows would drop partials before the final merge
-    if (pushedAgg.isEmpty && n > 0 && specs.nonEmpty &&
+    if (pushedAgg.isEmpty && n > 0 &&
+      n <= options.getInt("maxTopNPerSplit", 100000) && specs.nonEmpty &&
       specs.forall(_.isDefined)) {
       topN = Some(QuirkCsvTopN(specs.map(_.get), n))
       true
@@ -441,17 +446,25 @@ private[sources] class QuirkCsvTopNReader(inner: QuirkCsvReader,
 
   private var out: java.util.PriorityQueue[InternalRow] = _
   private var current: InternalRow = _
+  private var returned = 0L
 
   override def next(): Boolean = {
     if (out == null) out = heap()
     if (out.isEmpty) false
-    else { current = out.poll(); true }
+    else { current = out.poll(); returned += 1; true }
   }
 
   override def get(): InternalRow = current
 
+  // rowsEmitted reports what THIS reader returned to Spark (<= n), not
+  // the rows the inner reader drained into the heap — consistent with
+  // the pushed-limit path's early-exit accounting
   override def currentMetricsValues(): Array[CustomTaskMetric] =
-    inner.currentMetricsValues()
+    inner.currentMetricsValues().map {
+      case m if m.name == "rowsEmitted" =>
+        QuirkCsvTaskMetric("rowsEmitted", returned)
+      case m => m
+    }
 
   override def close(): Unit = inner.close()
 }
@@ -970,8 +983,13 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     *    <partition%05d>.csv`: the checkpoint-stable queryId keeps a
     *    restarted-from-scratch query (or a second query) from
     *    clobbering a previous run's epoch 0; zero-padding keeps
-    *    path-sorted order == arrival order, the micro-batch SOURCE's
-    *    documented restart contract for directories it reads back.
+    *    path-sorted order == arrival order WITHIN one query — the
+    *    micro-batch SOURCE's restart contract therefore holds for
+    *    single-writer directories. A directory fed by MULTIPLE sink
+    *    queries stays batch-readable but is not restart-safe for a
+    *    downstream graftcsv STREAM (queryIds interleave the sort
+    *    order); that pairing needs a manifest, which is exactly why
+    *    Spark's own FileStreamSink/Source pair through one.
     *  - '''speculation-safe''': each task ATTEMPT writes a hidden
     *    `.‹final›.attempt-<taskId>.tmp` and renames into place only in
     *    `DataWriter.commit()` — the commit coordinator admits one
@@ -1015,17 +1033,27 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
         if (truncateFirst) Some(n => !n.startsWith("_") && !n.startsWith("."))
         else None)
 
-  /** Streaming epoch commit: sweep every OTHER file of this (query,
-    * epoch) — leftover task commits from a failed driver attempt with a
-    * different partitioning, and stale attempt tmps — then merge the
-    * sidecar. */
+  /** Phantom files — task commits of an epoch whose driver died before
+    * the epoch commit, under a partitioning the replay no longer
+    * produces — can only exist for the FIRST epoch committed by this
+    * (restarted) write instance; later epochs ran entirely under a live
+    * driver. Sweeping only once keeps the per-epoch commit free of a
+    * full directory listing (which would grow with stream age). */
+  @volatile private var sweptFirstEpoch = false
+
+  /** Streaming epoch commit: on the instance's first commit, sweep
+    * every OTHER file of this (query, epoch) — phantom task commits and
+    * stale attempt tmps — then merge the sidecar. */
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val prefix = QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId)
+    val sweep =
+      if (sweptFirstEpoch) None
+      else Some((n: String) =>
+        n.startsWith(prefix) || n.startsWith("." + prefix))
+    sweptFirstEpoch = true
     mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
-      dropPrior = false,
-      deleteOthers = Some(n =>
-        n.startsWith(prefix) || n.startsWith("." + prefix)))
+      dropPrior = false, deleteOthers = sweep)
   }
 
   private def mergeZoneMap(commits: Array[QuirkCsvCommit],

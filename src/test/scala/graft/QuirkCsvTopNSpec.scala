@@ -54,6 +54,16 @@ class QuirkCsvTopNSpec extends SparkSpec {
     rowsAsStrings(pushed) shouldBe rowsAsStrings(expected)
   }
 
+  test("a LIMIT above maxTopNPerSplit declines the push") {
+    val df = graft("maxTopNPerSplit" -> "8")
+      .orderBy(col("RowID").asc).limit(9)
+    plan(df) should not include "PushedTopN"
+    df.count() shouldBe 9
+    // at or below the cap it pushes
+    plan(graft("maxTopNPerSplit" -> "8")
+      .orderBy(col("RowID").asc).limit(8)) should include("PushedTopN")
+  }
+
   test("orderings on derived columns are not pushed; results unchanged") {
     val df = graft().orderBy(expr("length(City)").asc, col("RowID").asc)
       .limit(3)
