@@ -111,7 +111,7 @@ object R11Queries {
     Some(sbOracle))
 
   private lazy val sbOracle: String = s"""
-      WITH mt AS (SELECT ${ExtQueries.oToks("text")} AS w
+      WITH mt AS MATERIALIZED (SELECT ${ExtQueries.oToks("text")} AS w
             FROM documents WHERE doc_id % 2 = 0),
       m1 AS MATERIALIZED (
         SELECT u, COUNT(*) AS c1
