@@ -136,6 +136,31 @@ object Scale {
     (filesBefore, filesAfter)
   }
 
+  /** In-place compaction for a graftcsv directory — the maintenance pass
+    * a long-running graftcsv STREAMING sink needs (one part file per
+    * epoch × partition accumulates into thousands of small files, and
+    * both split planning and the zone-map sidecar grow with file count).
+    * Reads the whole directory through the source, rewrites it as
+    * `numFiles` part files with `mode("overwrite")` — the sink's
+    * truncate-at-commit deletes the old files only after every new file
+    * committed, and the commit rebuilds the sidecar fresh, so readers
+    * racing the compaction see either the old layout or the new, never
+    * a mix, and zone pruning keeps working afterwards. Returns
+    * (filesBefore, filesAfter). */
+  def compactCsv(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 numFiles: Int): (Long, Long) = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    def count(): Long = new java.io.File(dir).listFiles() match {
+      case null => 0L
+      case fs => fs.count(f => f.isFile && f.getName.endsWith(".csv")).toLong
+    }
+    val before = count()
+    spark.read.format("graftcsv").load(dir)
+      .repartition(numFiles)
+      .write.format("graftcsv").mode("overwrite").save(dir)
+    (before, count())
+  }
+
   /** 32-bit Morton (Z-order) key over two numeric columns: each column is
     * min/max-scaled to 16 bits and the bits are interleaved. Rows close in
     * Z-key are close in BOTH dimensions, which is what makes the key a

@@ -61,6 +61,31 @@ class QuirkCsvStreamSinkSpec extends SparkSpec {
     rowsAsStrings(back.select(col("k"))) shouldBe Seq("a", "b", "c")
   }
 
+  test("compactCsv folds accumulated epoch files; sidecar + pruning survive") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_cmp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ck_cmp").toString
+    val in = MemoryStream[(String, String)](spark)
+    val q = in.toDF().toDF("k", "v")
+      .writeStream.format("graftcsv")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      (1 to 5).foreach { i =>
+        in.addData((s"k$i", if (i % 2 == 0) "even" else "odd"))
+        q.processAllAvailable() // one epoch (=> >=1 file) per batch
+      }
+    } finally q.stop()
+    val (before, after) =
+      graft.operators.Scale.compactCsv(spark, dir, numFiles = 1)
+    before should be >= 5L
+    after shouldBe 1L
+    val back = spark.read.format("graftcsv").load(dir)
+    back.count() shouldBe 5
+    // the rebuilt sidecar still prunes: no file's [min,max] covers 'zzz'
+    back.filter(col("v") === "zzz").rdd.getNumPartitions shouldBe 0
+    back.filter(col("v") === "even").count() shouldBe 2
+  }
+
   test("complete/truncate output modes are rejected") {
     val dir = java.nio.file.Files.createTempDirectory("csv_sink2").toString
     val ckpt = java.nio.file.Files.createTempDirectory("csv_ck2").toString
