@@ -140,26 +140,21 @@ object Scale {
     * a long-running graftcsv STREAMING sink needs (one part file per
     * epoch × partition accumulates into thousands of small files, and
     * both split planning and the zone-map sidecar grow with file count).
-    * Reads the whole directory through the source, rewrites it as
-    * `numFiles` part files with `mode("overwrite")` — the sink's
-    * truncate-at-commit deletes the old files only after every new file
-    * committed, and the commit rebuilds the sidecar fresh, so readers
-    * racing the compaction see either the old layout or the new, never
-    * a mix, and zone pruning keeps working afterwards. Returns
+    *
+    * Safe against a LIVE sink: the implementation pins the input file
+    * listing as a snapshot, reads exactly that snapshot (the source's
+    * `pinnedFiles` option), APPENDS the folded part files, and then
+    * deletes exactly the pinned originals under a crash-recoverable
+    * intent sidecar. Epochs a concurrent sink commits mid-compaction
+    * are neither read nor deleted — they survive untouched. (The
+    * earlier `mode("overwrite")` form deleted every file the compacting
+    * job didn't write at commit, i.e. a racing epoch was dropped
+    * unread.) Full protocol + concurrency contract:
+    * [[graft.sources.QuirkCsvMaintenance]]. Returns
     * (filesBefore, filesAfter). */
   def compactCsv(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 numFiles: Int): (Long, Long) = {
-    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    def count(): Long = new java.io.File(dir).listFiles() match {
-      case null => 0L
-      case fs => fs.count(f => f.isFile && f.getName.endsWith(".csv")).toLong
-    }
-    val before = count()
-    spark.read.format("graftcsv").load(dir)
-      .repartition(numFiles)
-      .write.format("graftcsv").mode("overwrite").save(dir)
-    (before, count())
-  }
+                 numFiles: Int): (Long, Long) =
+    graft.sources.QuirkCsvMaintenance.compactCsv(spark, dir, numFiles)
 
   /** 32-bit Morton (Z-order) key over two numeric columns: each column is
     * min/max-scaled to 16 bits and the bits are interleaved. Rows close in

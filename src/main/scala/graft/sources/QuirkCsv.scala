@@ -97,16 +97,24 @@ class QuirkCsvDataSource extends TableProvider with DataSourceRegister {
     // before LogicalWriteInfo supplies the query schema
     val files = QuirkCsv.listFiles(options)
     if (files.isEmpty) return new StructType()
-    val header = QuirkCsv.readFirstLine(files.head._1, files.head._2)
+    val header = QuirkCsv.readFirstLine(files.head.path, files.head.len)
     // Header names normalize to identifier-safe form ("Row ID" -> RowID,
     // "Sub-Category" -> SubCategory) — the raw layer's column names are
     // code-facing (the same normalization Ingest.rawColumns hand-applies)
+    // normalization can COLLIDE distinct headers ("Row ID" and "RowID"
+    // both -> RowID); colIndex is a map, so a silent collision would
+    // read every duplicate from one position — de-duplicate by suffixing
+    // the column ordinal (re-suffixing until free, in case the header
+    // also contains the literal suffixed name)
+    val seen = scala.collection.mutable.HashSet.empty[String]
     val names =
       if (QuirkCsv.headerOpt(options))
         QuirkCsv.splitCsv(QuirkCsv.stripLineQuirks(header))
           .zipWithIndex.map { case (n0, i) =>
-            val n = Option(n0).getOrElse("").replaceAll("[^A-Za-z0-9_]", "")
-            if (n.isEmpty) s"_c$i" else n
+            val n1 = Option(n0).getOrElse("").replaceAll("[^A-Za-z0-9_]", "")
+            var n = if (n1.isEmpty) s"_c$i" else n1
+            while (!seen.add(n)) n = s"${n}_$i"
+            n
           }
       else QuirkCsv.splitCsv(QuirkCsv.stripLineQuirks(header))
         .indices.map(i => s"_c$i").toArray
@@ -247,7 +255,7 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
     val files = QuirkCsv.listFiles(options)
     val maxSplit = options.getLong("maxSplitBytes", 128L * 1024 * 1024)
-    files.map(_._2).filter(_ > 0) match {
+    files.map(_.len).filter(_ > 0) match {
       case Seq(len) => len <= maxSplit &&
         QuirkCsvAgg.tryPlan(fullSchema, aggregation, options).isDefined
       case _ => false
@@ -302,7 +310,7 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
-  private val files: Seq[(String, Long)] = QuirkCsv.listFiles(options)
+  private val files: Seq[QuirkCsvFileMeta] = QuirkCsv.listFiles(options)
   private val maxSplit: Long =
     options.getLong("maxSplitBytes", 128L * 1024 * 1024)
   private val header: Boolean = QuirkCsv.headerOpt(options)
@@ -359,7 +367,7 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.of(files.map(_._2).sum)
+      util.OptionalLong.of(files.map(_.len).sum)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 }
@@ -367,6 +375,12 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
 private[sources] case class QuirkCsvPartition(path: String, start: Long,
                                               end: Long)
   extends InputPartition
+
+/** One listed data file: path, byte length, and modification time — the
+  * (len, mtime) pair is the zone-map staleness key (length alone would
+  * trust stale stats after a same-length out-of-band rewrite). */
+private[sources] case class QuirkCsvFileMeta(path: String, len: Long,
+                                             mtime: Long)
 
 private[sources] class QuirkCsvReaderFactory(allColumns: Array[String],
                                              requiredColumns: Array[String],
@@ -694,7 +708,7 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
                                        options: CaseInsensitiveStringMap)
   extends Scan with Batch with SupportsReportStatistics {
 
-  private val files: Seq[(String, Long)] = QuirkCsv.listFiles(options)
+  private val files: Seq[QuirkCsvFileMeta] = QuirkCsv.listFiles(options)
   private val maxSplit: Long =
     options.getLong("maxSplitBytes", 128L * 1024 * 1024)
   private val header: Boolean = QuirkCsv.headerOpt(options)
@@ -711,15 +725,18 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = QuirkCsv.pruneFiles(options, files, filters)
-    // a GLOBAL aggregate claimed as COMPLETE pushdown must still emit
-    // its one zero-row (count=0, not no-rows) — when pruning empties the
-    // scan, plan one SYNTHETIC empty split: its reader hits
-    // lineStart >= end immediately (zero I/O, zero parsing) and emits
-    // only the zero-partial
-    if (!kept.exists(_._2 > 0) && agg.groupNames.isEmpty &&
-      files.exists(_._2 > 0))
-      Array(QuirkCsvPartition(files.find(_._2 > 0).get._1, 0L, 0L))
-    else QuirkCsv.planSplits(kept, maxSplit)
+    val splits = QuirkCsv.planSplits(kept, maxSplit)
+    // a GLOBAL aggregate — partial OR complete pushdown — must still
+    // emit its one zero-row (count=0, not no-rows): with zero
+    // partitions, Spark's partial-pushdown rewrite (COUNT -> SUM of
+    // partials) merges to NULL instead of 0. Whenever NO partitions got
+    // planned for ANY reason (pruning emptied the file set, the
+    // directory is empty, or every file is zero bytes), plan one
+    // synthetic partition backed by no file at all — its reader emits
+    // exactly the zero-partial, zero I/O.
+    if (splits.isEmpty && agg.groupNames.isEmpty)
+      Array(QuirkCsvZeroPartition())
+    else splits
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -728,12 +745,37 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.of(files.map(_._2).sum)
+      util.OptionalLong.of(files.map(_.len).sum)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new QuirkCsvRowsEmittedMetric, new QuirkCsvRowsFilteredMetric)
+}
+
+/** The no-backing-file partition a GLOBAL pushed aggregate plans when no
+  * real partition exists — its reader emits only the zero-partial. */
+private[sources] case class QuirkCsvZeroPartition() extends InputPartition
+
+/** Emits the single zero-partial row of a global pushed aggregate
+  * (counts 0, min/max NULL) without touching any file. */
+private[sources] class QuirkCsvZeroAggReader(agg: QuirkCsvAgg)
+  extends PartitionReader[InternalRow] {
+  private var done = false
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (done) false
+    else {
+      current = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(agg.aggs.map {
+          case QuirkCsvCountStar | _: QuirkCsvCountCol => 0L: Any
+          case _ => null: Any
+        })
+      done = true
+      true
+    }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 private[sources] class QuirkCsvAggReaderFactory(allColumns: Array[String],
@@ -744,9 +786,11 @@ private[sources] class QuirkCsvAggReaderFactory(allColumns: Array[String],
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
-  : PartitionReader[InternalRow] =
-    new QuirkCsvAggReader(partition.asInstanceOf[QuirkCsvPartition],
-      allColumns, agg, filters, header, excelCompat)
+  : PartitionReader[InternalRow] = partition match {
+    case QuirkCsvZeroPartition() => new QuirkCsvZeroAggReader(agg)
+    case p: QuirkCsvPartition =>
+      new QuirkCsvAggReader(p, allColumns, agg, filters, header, excelCompat)
+  }
 }
 
 /** Aggregates one split through the ordinary row reader (same parse,
@@ -892,12 +936,12 @@ private[sources] class QuirkCsvMicroBatchStream(
     excelCompat: Boolean)
   extends MicroBatchStream {
 
-  private val seen = ArrayBuffer.empty[(String, Long)] // arrival order
+  private val seen = ArrayBuffer.empty[QuirkCsvFileMeta] // arrival order
   private val seenNames = scala.collection.mutable.HashSet.empty[String]
 
   private def refresh(): Unit = synchronized {
     QuirkCsv.listFiles(options).foreach { f =>
-      if (seenNames.add(f._1)) seen += f
+      if (seenNames.add(f.path)) seen += f
     }
   }
 
@@ -930,10 +974,13 @@ private[sources] class QuirkCsvMicroBatchStream(
 
 // ---------------------------------------------------------------- sink
 
-/** Batch write path: one CSV part file per task, header per file (so any
-  * file subset — and the whole directory — reads back through the scan
-  * path), task-unique names committed via the standard
-  * `DataWriter.commit → BatchWrite.commit` protocol. `mode("overwrite")`
+/** Batch write path: one CSV part file per partition, header per file
+  * (so any file subset — and the whole directory — reads back through
+  * the scan path). Tasks write attempt-private hidden tmps renamed into
+  * place at `DataWriter.commit` (see [[QuirkCsvWriterFactory]]), so
+  * in-progress or crash-orphaned task output is never reader-visible
+  * and a speculative retry replaces its partition's file instead of
+  * duplicating it. `mode("overwrite")`
   * maps to `SupportsTruncate`: files not written by the committing job
   * are deleted AT COMMIT, after every task has succeeded — a failed job
   * leaves the old data in place (same guarantee as Hadoop's non-atomic
@@ -1077,7 +1124,8 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     val fresh = commits.map { c =>
       val p = new Path(c.file)
       val name = p.getName
-      name -> QuirkCsvZoneEntry(fs.getFileStatus(p).getLen, c.rows,
+      val st = fs.getFileStatus(p)
+      name -> QuirkCsvZoneEntry(st.getLen, st.getModificationTime, c.rows,
         columns.indices.map(i => columns(i) ->
           ((Option(c.mins(i)), Option(c.maxs(i)), c.nulls(i)))).toMap)
     }.toMap
@@ -1158,10 +1206,21 @@ private[sources] class QuirkCsvWriterFactory(path: String,
                                              header: Boolean, jobId: String)
   extends DataWriterFactory {
 
+  /** Batch tasks write the same attempt-private-tmp + rename-on-commit
+    * protocol as the streaming path: the final name is attempt-STABLE
+    * (jobId + partitionId only), each attempt writes a hidden
+    * `.‹final›.attempt-<taskId>.tmp`, and only the coordinator-admitted
+    * attempt's `DataWriter.commit()` renames into place. In-progress and
+    * crash-orphaned task output is therefore never visible to a reader
+    * (hidden names are skipped by `listFiles`), and a speculative retry
+    * replaces — never duplicates — its partition's file. */
   override def createWriter(partitionId: Int,
-                            taskId: Long): DataWriter[InternalRow] =
-    new QuirkCsvWriter(
-      s"$path/part-$jobId-$partitionId-$taskId.csv", columns, header)
+                            taskId: Long): DataWriter[InternalRow] = {
+    val finalName = f"part-$jobId-$partitionId%05d.csv"
+    new QuirkCsvRenamingWriter(
+      s"$path/.$finalName.attempt-$taskId.tmp", s"$path/$finalName",
+      columns, header)
+  }
 }
 
 private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
@@ -1217,10 +1276,13 @@ private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
   override def close(): Unit = ()
 }
 
-/** One data file's zone-map entry: byte length (staleness guard), row
-  * count, and per-column (min, max, nullCount) — min/max None when every
-  * value in the file is null. */
-private[sources] case class QuirkCsvZoneEntry(len: Long, rows: Long,
+/** One data file's zone-map entry: byte length + modification time (the
+  * staleness guard — length alone would trust stale stats after a
+  * same-length out-of-band rewrite), row count, and per-column
+  * (min, max, nullCount) — min/max None when every value in the file is
+  * null. */
+private[sources] case class QuirkCsvZoneEntry(len: Long, mtime: Long,
+    rows: Long,
     cols: Map[String, (Option[String], Option[String], Long)])
 
 private[sources] object QuirkCsv {
@@ -1234,39 +1296,72 @@ private[sources] object QuirkCsv {
     * Line breaks are rejected: the dialect's records are single-line by
     * contract (byte-range splitting depends on it), so a value with an
     * embedded newline has no faithful representation — failing the
-    * write beats silently corrupting the read. */
+    * write beats silently corrupting the read. Characters above U+00FF
+    * are rejected for the same reason: the dialect is latin-1 on disk
+    * (1 char == 1 byte is what makes byte-range splits seek-free), and
+    * the JDK writer would silently transliterate them to '?' — the
+    * round-trip would break AND the zone-map bounds (computed on the
+    * ORIGINAL string) could then wrongly prune a file that actually
+    * holds matching rows. One pass over the value covers both checks
+    * and the quote decision. */
   def formatField(v: String): String = {
-    require(v.indexOf('\n') < 0 && v.indexOf('\r') < 0,
-      "graftcsv records are single-line; a value with an embedded line " +
-        "break cannot round-trip — strip or escape it before the write")
-    if (v.isEmpty) "\"\""
-    else if (v.indexOf(',') >= 0 || v.indexOf('"') >= 0 ||
-      v.charAt(v.length - 1) == ';')
-      "\"" + v.replace("\"", "\"\"") + "\""
-    else v
+    var needQuote = v.isEmpty || v.charAt(v.length - 1) == ';'
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      require(c != '\n' && c != '\r',
+        "graftcsv records are single-line; a value with an embedded line " +
+          "break cannot round-trip — strip or escape it before the write")
+      require(c <= 'ÿ',
+        f"graftcsv is a latin-1 dialect; char U+${c.toInt}%04X cannot " +
+          "round-trip — transliterate or base64 the value before the write")
+      if (c == ',' || c == '"') needQuote = true
+      i += 1
+    }
+    if (!needQuote) v
+    else if (v.isEmpty) "\"\""
+    else "\"" + v.replace("\"", "\"\"") + "\""
   }
 
   def headerOpt(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("header", true)
 
+  /** Encode file names for the `pinnedFiles` scan option (inverse is
+    * applied inside [[listFiles]]); names go through [[enc]] so commas
+    * and control characters survive the comma-joined option value. */
+  private[graft] def encodePinned(names: Seq[String]): String =
+    names.map(enc).mkString(",")
+
+  /** Inverse of one [[encodePinned]] element (used by the maintenance
+    * intent sidecar, whose lines reuse the same encoding). */
+  private[graft] def decodePinnedName(s: String): String = dec(s)
+
   /** Byte-range split planning, shared by the batch, aggregate, and
     * streaming scans (ONE definition of the split contract: a record
     * belongs to the split containing its first byte). */
-  def planSplits(files: Seq[(String, Long)],
+  def planSplits(files: Seq[QuirkCsvFileMeta],
                  maxSplit: Long): Array[InputPartition] = {
     require(maxSplit >= 1, s"maxSplitBytes must be >= 1, got $maxSplit")
-    files.flatMap { case (path, len) =>
-      if (len == 0) Nil
-      else (0L until len by maxSplit).map { start =>
-        QuirkCsvPartition(path, start, math.min(start + maxSplit, len))
+    files.flatMap { fm =>
+      if (fm.len == 0) Nil
+      else (0L until fm.len by maxSplit).map { start =>
+        QuirkCsvPartition(fm.path, start, math.min(start + maxSplit, fm.len))
       }
     }.toArray
   }
 
-  /** (path, length) of every regular file under the `path` option
+  /** (path, length, mtime) of every regular file under the `path` option
     * (a file, or a directory scanned non-recursively), sorted by path
-    * for deterministic partition planning. */
-  def listFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
+    * for deterministic partition planning.
+    *
+    * The `pinnedFiles` option (comma-separated [[enc]]-encoded file
+    * NAMES) restricts the listing to exactly those files — the handle a
+    * maintenance job uses to read a point-in-time snapshot of a
+    * directory that a concurrent writer (e.g. a live streaming sink) is
+    * still appending to. Every pinned name must still exist: a vanished
+    * pinned file fails loudly rather than silently reading less than
+    * the caller pinned. */
+  def listFiles(options: CaseInsensitiveStringMap): Seq[QuirkCsvFileMeta] = {
     val raw = options.get("path")
     require(raw != null && raw.nonEmpty, "graftcsv requires a 'path' option")
     val path = new Path(raw)
@@ -1279,8 +1374,21 @@ private[sources] object QuirkCsv {
           .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith("."))
       else Seq(st)
-    statuses.map(s => (s.getPath.toString, s.getLen))
-      .sortBy(_._1)
+    val all = statuses
+      .map(s => QuirkCsvFileMeta(s.getPath.toString, s.getLen,
+        s.getModificationTime))
+      .sortBy(_.path)
+    val pinnedOpt = options.get("pinnedFiles")
+    if (pinnedOpt == null || pinnedOpt.isEmpty) all
+    else {
+      val pinned = pinnedOpt.split(",", -1).map(dec).toSet
+      val kept = all.filter(f => pinned.contains(new Path(f.path).getName))
+      require(kept.size == pinned.size,
+        s"graftcsv pinnedFiles: ${pinned.size - kept.size} pinned file(s) " +
+          "no longer exist — the snapshot was invalidated by a concurrent " +
+          "delete; re-list and retry")
+      kept
+    }
   }
 
   def readFirstLine(path: String, len: Long): String = {
@@ -1444,9 +1552,9 @@ private[sources] object QuirkCsv {
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(p, true), java.nio.charset.StandardCharsets.ISO_8859_1))
     try {
-      out.write("graft-zonemap-v1\n")
+      out.write("graft-zonemap-v2\n")
       entries.toSeq.sortBy(_._1).foreach { case (name, e) =>
-        out.write(s"F\t${enc(name)}\t${e.len}\t${e.rows}\n")
+        out.write(s"F\t${enc(name)}\t${e.len}\t${e.mtime}\t${e.rows}\n")
         e.cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx, nulls)) =>
           out.write(s"C\t${enc(name)}\t${enc(c)}\t" +
             s"${mn.map(enc).getOrElse("")}\t${mx.map(enc).getOrElse("")}\t" +
@@ -1469,18 +1577,21 @@ private[sources] object QuirkCsv {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(p), java.nio.charset.StandardCharsets.ISO_8859_1))
     try {
-      if (in.readLine() != "graft-zonemap-v1") return Map.empty
-      val files = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      // v1 sidecars (no mtime field) are treated as absent — pruning
+      // degrades to "read everything" until the next commit rewrites v2
+      if (in.readLine() != "graft-zonemap-v2") return Map.empty
+      val files = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
       val cols = scala.collection.mutable.Map
         .empty[String, Map[String, (Option[String], Option[String], Long)]]
       Iterator.continually(in.readLine()).takeWhile(_ != null).foreach {
         line =>
           val t = line.split("\t", -1)
           t(0) match {
-            case "F" => files(dec(t(1))) = (t(2).toLong, t(3).toLong)
+            case "F" =>
+              files(dec(t(1))) = (t(2).toLong, t(3).toLong, t(4).toLong)
             case "C" =>
               val name = dec(t(1))
-              val rows = files.get(name).map(_._2).getOrElse(0L)
+              val rows = files.get(name).map(_._3).getOrElse(0L)
               val nulls = t(5).toLong
               val mn = if (nulls == rows) None else Some(dec(t(3)))
               val mx = if (nulls == rows) None else Some(dec(t(4)))
@@ -1489,8 +1600,8 @@ private[sources] object QuirkCsv {
             case _ =>
           }
       }
-      files.map { case (n, (len, rows)) =>
-        n -> QuirkCsvZoneEntry(len, rows, cols.getOrElse(n, Map.empty))
+      files.map { case (n, (len, mtime, rows)) =>
+        n -> QuirkCsvZoneEntry(len, mtime, rows, cols.getOrElse(n, Map.empty))
       }.toMap
     } finally in.close()
   } catch { case _: Exception => Map.empty }
@@ -1527,20 +1638,22 @@ private[sources] object QuirkCsv {
 
   /** Files from `listFiles` that survive zone-map pruning under the
     * given (pushed + runtime) filters. Files without a fresh sidecar
-    * entry (absent, or byte length drifted — someone rewrote the file
-    * outside the committing writer) are always read. */
+    * entry (absent, or byte length / modification time drifted —
+    * someone rewrote the file outside the committing writer) are always
+    * read. */
   def pruneFiles(options: CaseInsensitiveStringMap,
-                 files: Seq[(String, Long)],
-                 filters: Array[Filter]): Seq[(String, Long)] = {
+                 files: Seq[QuirkCsvFileMeta],
+                 filters: Array[Filter]): Seq[QuirkCsvFileMeta] = {
     if (filters.isEmpty || !options.getBoolean("zoneMapPruning", true))
       return files
     val raw = options.get("path")
     if (raw == null || raw.isEmpty) return files
     val zm = loadZoneMap(raw)
     if (zm.isEmpty) return files
-    files.filter { case (path, len) =>
-      zm.get(new Path(path).getName) match {
-        case Some(e) if e.len == len => filters.forall(zoneMayMatch(e, _))
+    files.filter { fm =>
+      zm.get(new Path(fm.path).getName) match {
+        case Some(e) if e.len == fm.len && e.mtime == fm.mtime =>
+          filters.forall(zoneMayMatch(e, _))
         case _ => true
       }
     }
