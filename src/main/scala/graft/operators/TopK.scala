@@ -21,7 +21,22 @@ object TopK {
     * a deterministic answer at the k boundary.
     */
   def perGroup(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
-               k: Int): DataFrame = {
+               k: Int): DataFrame =
+    build(df, groupCols, orderCols, k, withTies = false)
+
+  /** RANK() <= k semantics — the reference top-N view's actual window
+    * (SQLproject1.sql:689-699): every row tying the k-th best order
+    * value is kept, so groups can emit more than k rows. The retained
+    * set is deterministic without tiebreakers (it is exactly
+    * `{row : order value ≤ k-th smallest}`); boundary tie width is
+    * bounded by `spark.graft.topk.maxTieRowsPerGroup`. */
+  def perGroupWithTies(df: DataFrame, groupCols: Seq[Column],
+                       orderCols: Seq[Column], k: Int): DataFrame =
+    build(df, groupCols, orderCols, k, withTies = true)
+
+  private def build(df: DataFrame, groupCols: Seq[Column],
+                    orderCols: Seq[Column], k: Int,
+                    withTies: Boolean): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(groupCols.nonEmpty, "need at least one group column")
     require(orderCols.nonEmpty, "need at least one order column")
@@ -33,7 +48,7 @@ object TopK {
     }
     PlanInjection.ofRows(spark,
       GroupedTopKNode(groupCols.map(PlanInjection.expr(spark, _)), order, k,
-        PlanInjection.analyzedPlan(df)))
+        PlanInjection.analyzedPlan(df), withTies = withTies))
   }
 
   /** Make the planner able to place [[GroupedTopKNode]] on this session

@@ -50,12 +50,25 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   * whichever row the heap retained — callers wanting a stable answer
   * must make `order` a total order (append unique tiebreaker columns),
   * exactly as the reference queries do for their window top-Ns.
+  *
+  * `withTies = true` switches to RANK semantics (the reference's actual
+  * top-N view, SQLproject1.sql:689-699, uses RANK): every row tying the
+  * k-th best order value is kept, so a group can emit MORE than k rows.
+  * Unlike row_number, the retained SET is fully determined by the data —
+  * `RANK() <= k` keeps exactly `{row : value ≤ k-th smallest order
+  * value}` — so no total-order tiebreaker is needed for a deterministic
+  * answer. The heap then carries a boundary tie-buffer; its size is the
+  * tie width at the boundary, capped by
+  * `spark.graft.topk.maxTieRowsPerGroup` (the partial pass flushes on
+  * overflow — correct under re-heaping; the final pass fails fast with
+  * guidance, since a million-wide tie means the order is degenerate).
   */
 case class GroupedTopKNode(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    withTies: Boolean = false) extends UnaryNode {
   require(k > 0, s"grouped top-k needs k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -69,12 +82,13 @@ case class GroupedTopKNode(
   */
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupedTopKNode(g, o, k, child) =>
+    case GroupedTopKNode(g, o, k, child, ties) =>
       val sortFinal = org.apache.spark.sql.internal.SQLConf.get
         .getConfString(GroupedTopKExec.SortFinalConf, "false").toBoolean
       GroupedTopKExec(g, o, k, partial = false,
-        GroupedTopKExec(g, o, k, partial = true, planLater(child)),
-        sortFinal = sortFinal) :: Nil
+        GroupedTopKExec(g, o, k, partial = true, planLater(child),
+          withTies = ties),
+        sortFinal = sortFinal, withTies = ties) :: Nil
     case _ => Nil
   }
 }
@@ -156,7 +170,8 @@ case class GroupedTopKExec(
     k: Int,
     partial: Boolean,
     child: SparkPlan,
-    sortFinal: Boolean = false) extends UnaryExecNode {
+    sortFinal: Boolean = false,
+    withTies: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -191,10 +206,19 @@ case class GroupedTopKExec(
       if (partial)
         conf.getConfString(GroupedTopKExec.MaxGroupsConf, "100000").toInt
       else Int.MaxValue
+    // rank-mode boundary tie-buffer bound: the partial pass FLUSHES on
+    // overflow (a flushed segment's local rank<=k set is still a
+    // superset of the global answer's restriction to it); the exact
+    // final pass fails fast instead — see [[MaxTieRowsConf]]
+    val tieCap =
+      if (!withTies) 0
+      else if (partial) Int.MaxValue // overflow handled via flush
+      else conf.getConfString(GroupedTopKExec.MaxTieRowsConf, "1000000").toInt
     val childOutput = child.output
     val g = normalizedGroupExprs
     val o = order
     val kk = k
+    val ties = withTies
     val streamSorted = !partial && sortFinal
     val numOutputRows = longMetric("numOutputRows")
     val numFlushes = longMetric("numFlushes")
@@ -205,21 +229,24 @@ case class GroupedTopKExec(
             iter,
             UnsafeProjection.create(g, childOutput),
             RowOrdering.create(o, childOutput),
-            kk, numOutputRows)
+            kk, numOutputRows, withTies = ties, tieCap = tieCap)
         else
           GroupedTopKExec.topKIterator(
             iter,
             UnsafeProjection.create(g, childOutput),
             RowOrdering.create(o, childOutput),
-            kk, flushCap, numOutputRows, numFlushes),
+            kk, flushCap, numOutputRows, numFlushes,
+            withTies = ties, tieCap = tieCap),
       preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
     copy(child = newChild)
 
-  override def nodeName: String =
-    if (partial) "GroupedTopKPartial" else "GroupedTopKFinal"
+  override def nodeName: String = {
+    val mode = if (withTies) "WithTies" else ""
+    if (partial) s"GroupedTopKPartial$mode" else s"GroupedTopKFinal$mode"
+  }
 }
 
 object GroupedTopKExec {
@@ -235,6 +262,71 @@ object GroupedTopKExec {
     * faster when k × groups-per-reducer fits in memory. */
   val SortFinalConf = "spark.graft.topk.sortFinal"
 
+  /** Rank mode only: max rows tying the k-th-best order value held per
+    * group. The partial pass FLUSHES on overflow (correct under
+    * re-heaping); the exact final pass throws — a tie this wide means
+    * the order expression is degenerate (near-constant), and the window
+    * plan would be quadratic-ish on it too. */
+  val MaxTieRowsConf = "spark.graft.topk.maxTieRowsPerGroup"
+
+  private def tieOverflowError(tieCap: Int) = new IllegalStateException(
+    s"grouped top-k (rank mode) exceeded $MaxTieRowsConf=$tieCap rows " +
+      "tying the k-th best order value in one group — the ORDER BY is " +
+      "degenerate for this data (near-constant); add a discriminating " +
+      "order column, use row_number semantics, or raise the cap")
+
+  /** Per-group bounded-heap state. `heap` holds (up to) the k best rows
+    * (max-heap: head is the worst retained); in rank mode `ties` holds
+    * the extra rows equal to the boundary value — RANK() <= k keeps
+    * exactly the rows ≤ the k-th smallest order value, a deterministic
+    * SET (unlike row_number's arbitrary k among ties). */
+  private final class TopKHeap(k: Int, withTies: Boolean, ord: BaseOrdering) {
+    val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+    private val ties =
+      if (withTies) mutable.ArrayBuffer.empty[InternalRow] else null
+
+    /** Adds an OWNED row copy. Returns false when the rank-mode tie
+      * buffer would exceed `tieCap` (the row is NOT added; the caller
+      * flushes — partial pass — or fails — final pass). */
+    def add(row: InternalRow, tieCap: Int): Boolean =
+      if (heap.size < k) { heap.enqueue(row); true }
+      else {
+        val cmp = ord.compare(row, heap.head)
+        if (cmp > 0) true // strictly worse than the boundary: rank > k
+        else if (cmp == 0) {
+          if (!withTies) true // row_number: boundary ties drop
+          else if (ties.size >= tieCap) false
+          else { ties += row; true }
+        } else {
+          val evicted = heap.dequeue()
+          heap.enqueue(row)
+          if (withTies) {
+            // the boundary VALUE may have moved: rows worth the old
+            // boundary stay retained only if the new k-th best still
+            // equals it (another tied copy remains in the heap)
+            if (ord.compare(evicted, heap.head) == 0) {
+              if (ties.size >= tieCap) return false
+              ties += evicted
+            } else ties.clear()
+          }
+          true
+        }
+      }
+
+    /** Largest-first heap drain reversed to ascending `order`; rank-mode
+      * boundary ties follow (they equal the final value, so ascending
+      * order is preserved). Leaves the state empty. */
+    def drain(): Iterator[InternalRow] = {
+      val main = heap.dequeueAll.reverseIterator
+      if (ties == null || ties.isEmpty) main
+      else {
+        val t = ties.toIndexedSeq
+        ties.clear()
+        main ++ t.iterator
+      }
+    }
+  }
+
   /** Streams `input` through per-group size-k min-heaps (scala
     * PriorityQueue is a max-heap under `ord`, so `head` is the worst
     * retained row). At most `flushCap` groups are tracked at once; on
@@ -249,7 +341,12 @@ object GroupedTopKExec {
       k: Int,
       flushCap: Int,
       numOutputRows: SQLMetric,
-      numFlushes: SQLMetric = null): Iterator[InternalRow] = new Iterator[InternalRow] {
+      numFlushes: SQLMetric = null,
+      withTies: Boolean = false,
+      tieCap: Int = Int.MaxValue): Iterator[InternalRow] = new Iterator[InternalRow] {
+
+    // an EXACT pass (no flush allowed) is exactly an uncapped-map pass
+    private val exact = flushCap == Int.MaxValue
 
     // row of a group that didn't fit in the flushed map, held for the next batch
     private var pendingKey: UnsafeRow = _
@@ -268,22 +365,23 @@ object GroupedTopKExec {
     }
 
     private def nextBatch(): Iterator[InternalRow] = {
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, TopKHeap]
 
       def insert(key: UnsafeRow, row: InternalRow, owned: Boolean): Boolean =
         heaps.get(key) match {
           case Some(h) =>
-            if (h.size < k) h.enqueue(if (owned) row else row.copy())
-            else if (ord.compare(row, h.head) < 0) {
-              h.dequeue()
-              h.enqueue(if (owned) row else row.copy())
-            }
-            true
+            val ok = h.add(if (owned) row else row.copy(), tieCap)
+            // tie-buffer overflow: an exact pass must not flush — fail
+            // with guidance; a partial pass flushes (each flushed
+            // segment's local rank<=k set still over-approximates the
+            // global answer's restriction to it)
+            if (!ok && exact) throw tieOverflowError(tieCap)
+            ok
           case None =>
             if (heaps.size >= flushCap) false
             else {
-              val h = mutable.PriorityQueue.empty[InternalRow](ord)
-              h.enqueue(if (owned) row else row.copy())
+              val h = new TopKHeap(k, withTies, ord)
+              h.add(if (owned) row else row.copy(), tieCap)
               heaps.put(if (owned) key else key.copy(), h)
               true
             }
@@ -303,13 +401,13 @@ object GroupedTopKExec {
           pendingRow = row.copy()
           overflowed = true
           // cap-pressure signal: nonzero means this partition saw more
-          // distinct groups than the flush cap — at cluster scale, the
-          // cue to raise shuffle partitions or switch to sortFinal
+          // distinct groups (or wider boundary ties) than the cap — at
+          // cluster scale, the cue to raise shuffle partitions or
+          // switch to sortFinal
           if (numFlushes != null) numFlushes += 1
         }
       }
-      // drain each heap largest-first, reverse to ascending `order`
-      heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+      heaps.valuesIterator.flatMap(_.drain())
     }
   }
 
@@ -322,22 +420,23 @@ object GroupedTopKExec {
       keyProj: UnsafeProjection,
       ord: BaseOrdering,
       k: Int,
-      numOutputRows: SQLMetric): Iterator[InternalRow] = new Iterator[InternalRow] {
+      numOutputRows: SQLMetric,
+      withTies: Boolean = false,
+      tieCap: Int = Int.MaxValue): Iterator[InternalRow] = new Iterator[InternalRow] {
 
     private var curKey: UnsafeRow = _
-    private val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+    private var state = new TopKHeap(k, withTies, ord)
     private var out: Iterator[InternalRow] = Iterator.empty
 
+    // this is always the exact final pass: tie overflow fails fast
     private def add(row: InternalRow): Unit =
-      if (heap.size < k) heap.enqueue(row.copy())
-      else if (ord.compare(row, heap.head) < 0) {
-        heap.dequeue()
-        heap.enqueue(row.copy())
-      }
+      if (!state.add(row.copy(), tieCap)) throw tieOverflowError(tieCap)
 
-    // largest-first drain, reversed to ascending `order` (same emit
-    // contract as the hash path); dequeueAll leaves the heap empty
-    private def drain(): Iterator[InternalRow] = heap.dequeueAll.reverseIterator
+    private def drain(): Iterator[InternalRow] = {
+      val it = state.drain()
+      state = new TopKHeap(k, withTies, ord)
+      it
+    }
 
     override def hasNext: Boolean = {
       while (!out.hasNext && (input.hasNext || curKey != null)) {

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * `TopK.perGroup`.
   *
   * Matched shape: `Project(p, Filter(cond, Window(rn)))` where
-  *   - the Window computes exactly ONE expression: a `row_number()`
-  *     with a non-empty PARTITION BY (a global top-k is
+  *   - the Window computes exactly ONE expression: a `row_number()` OR
+  *     a `rank()` (the reference's actual top-N view uses RANK with
+  *     ties kept — that maps to the operator's `withTies` mode) with a
+  *     non-empty PARTITION BY (a global top-k is
   *     `TakeOrderedAndProject`'s job, not ours);
   *   - at least one conjunct of `cond` bounds rn from above by an
   *     integer literal (`rn <= k`, `rn < k+1`, `rn = 1`, or the
@@ -35,7 +37,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * total `order` — the same tiebreaker discipline the reference's own
   * window queries follow. Because the rule cannot prove totality, it is
   * OPT-IN: `spark.graft.topk.rewriteWindow=true` (default false), the
-  * [[RangeJoinRule]] posture.
+  * [[RangeJoinRule]] posture. (The RANK form is actually DETERMINISTIC
+  * — `RANK() <= k` keeps exactly the rows ≤ the k-th smallest order
+  * value, a set the data fully determines — but it stays behind the
+  * same flag: one switch for "window top-k becomes the heap operator".)
   *
   * Registered by `GraftExtensions` (injectOptimizerRule — runs in the
   * operator-optimization batch, fixed-point with column pruning, so the
@@ -91,9 +96,10 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case p @ Project(plist,
             Filter(cond,
               Window(Seq(alias @ Alias(
-                WindowExpression(_: RowNumber, _), _)),
+                WindowExpression(ranking, _), _)),
                 partitionSpec, orderSpec, wchild, _)))
-          if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
+          if (ranking.isInstanceOf[RowNumber] || ranking.isInstanceOf[Rank]) &&
+            partitionSpec.nonEmpty && orderSpec.nonEmpty &&
             orderSpec.forall(_.deterministic) &&
             partitionSpec.forall(_.deterministic) &&
             !plist.exists(_.references.contains(alias.toAttribute)) =>
@@ -108,7 +114,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
           p
         } else {
           val node = GroupedTopKNode(partitionSpec, orderSpec,
-            ks.min.toInt, wchild)
+            ks.min.toInt, wchild, withTies = ranking.isInstanceOf[Rank])
           val filtered =
             rest.reduceOption(And).map(Filter(_, node)).getOrElse(node)
           Project(plist, filtered)

@@ -52,6 +52,69 @@ class GroupedTopKSpec extends SparkSpec {
     plan should include("Exchange hashpartitioning(g")
   }
 
+  test("rank mode keeps boundary ties and matches the window rank plan") {
+    // v = id % 7: heavy deliberate ties, incl. at every k boundary
+    val tied = spark.range(0, 1000, 1, 4)
+      .select((col("id") % 20).as("g"), (col("id") % 7).as("v"), col("id"))
+    val expect = sortedRows(tied
+      .withColumn("rk", rank().over(
+        Window.partitionBy("g").orderBy(col("v").desc)))
+      .filter(col("rk") <= 3).drop("rk"))
+    val got = TopK.perGroupWithTies(tied.toDF(), Seq(col("g")),
+      Seq(col("v").desc), 3)
+    sortedRows(got) shouldBe expect
+    // ties widen groups past k — rank() <= 3 over 7 distinct values in
+    // 50-row groups keeps ~3/7 of each group, far more than 3 rows
+    got.count() should be > (20L * 3)
+    val plan = got.queryExecution.executedPlan.toString
+    plan should include("GroupedTopKPartialWithTies")
+    plan should include("GroupedTopKFinalWithTies")
+  }
+
+  test("rank mode: partial flush cap of 1 still yields the exact answer") {
+    val tied = spark.range(0, 1000, 1, 4)
+      .select((col("id") % 20).as("g"), (col("id") % 7).as("v"), col("id"))
+    val expect = sortedRows(tied
+      .withColumn("rk", rank().over(
+        Window.partitionBy("g").orderBy(col("v"))))
+      .filter(col("rk") <= 2).drop("rk"))
+    val key = graft.plans.GroupedTopKExec.MaxGroupsConf
+    spark.conf.set(key, "1")
+    try {
+      sortedRows(TopK.perGroupWithTies(tied.toDF(), Seq(col("g")),
+        Seq(col("v")), 2)) shouldBe expect
+    } finally spark.conf.unset(key)
+  }
+
+  test("rank mode: sortFinal streaming path keeps ties too") {
+    val tied = spark.range(0, 1000, 1, 4)
+      .select((col("id") % 20).as("g"), (col("id") % 7).as("v"), col("id"))
+    val expect = sortedRows(tied
+      .withColumn("rk", rank().over(
+        Window.partitionBy("g").orderBy(col("v").desc)))
+      .filter(col("rk") <= 3).drop("rk"))
+    spark.conf.set(GroupedTopKExec.SortFinalConf, "true")
+    try {
+      sortedRows(TopK.perGroupWithTies(tied.toDF(), Seq(col("g")),
+        Seq(col("v").desc), 3)) shouldBe expect
+    } finally spark.conf.unset(GroupedTopKExec.SortFinalConf)
+  }
+
+  test("rank mode: degenerate constant order fails fast in the final pass") {
+    val flat = spark.range(0, 5000, 1, 4)
+      .select(lit("one").as("g"), lit(0L).as("v"), col("id"))
+    spark.conf.set(GroupedTopKExec.MaxTieRowsConf, "100")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        TopK.perGroupWithTies(flat.toDF(), Seq(col("g")),
+          Seq(col("v")), 1).collect()
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+      msgs(e) should include("maxTieRowsPerGroup")
+    } finally spark.conf.unset(GroupedTopKExec.MaxTieRowsConf)
+  }
+
   test("partial flush cap of 1 group still yields the exact answer") {
     val key = graft.plans.GroupedTopKExec.MaxGroupsConf
     spark.conf.set(key, "1")
@@ -195,11 +258,17 @@ class GroupedTopKSpec extends SparkSpec {
       bigK.queryExecution.executedPlan.toString should include("Window")
       spark.conf.unset(graft.plans.WindowTopKRewrite.MaxKConf)
 
-      // rank() (not row_number) must not rewrite: tie semantics differ
+      // rank() rewrites to the ties-kept heap (W4's actual window);
+      // dense_rank has no heap equivalent and must stay a window
       val ranked = data.withColumn("rn", rank().over(
           Window.partitionBy("g").orderBy(col("v").desc)))
         .filter(col("rn") <= 5).drop("rn")
-      ranked.queryExecution.executedPlan.toString should include("Window")
+      ranked.queryExecution.executedPlan.toString should
+        include("GroupedTopKFinalWithTies")
+      val densed = data.withColumn("rn", dense_rank().over(
+          Window.partitionBy("g").orderBy(col("v").desc)))
+        .filter(col("rn") <= 5).drop("rn")
+      densed.queryExecution.executedPlan.toString should include("Window")
     } finally {
       spark.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
       spark.conf.unset(graft.plans.WindowTopKRewrite.MaxKConf)
