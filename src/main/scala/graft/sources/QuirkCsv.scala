@@ -129,18 +129,48 @@ class QuirkCsvDataSource extends TableProvider with DataSourceRegister {
 
 private[sources] class QuirkCsvTable(tableSchema: StructType,
                                      options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String =
     s"graftcsv(${options.getOrDefault("path", "?")})"
 
   override def schema(): StructType = tableSchema
 
+  /** `_file` metadata column (`SELECT _file, * FROM t`): the data file a
+    * row was read from — per-row provenance for free (the reader knows
+    * its split's path). Also the backbone of the row-level operations:
+    * [[QuirkCsvRowLevelOperation]] REQUIRES it, which makes Spark build
+    * the ReplaceData metadata projection and hand the replacement write
+    * properly projected data rows (without a required metadata column,
+    * Spark's group-based plan feeds the writer rows still carrying the
+    * internal `__row_operation` column). */
+  override def metadataColumns()
+  : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(QuirkCsvFileColumn)
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+
+  /** SQL `MERGE INTO` / `UPDATE` / `DELETE` on graftcsv tables — the
+    * reference's MERGE statements (`SQLproject1.sql:390-416,485-513`)
+    * runnable literally against `graft_cat`. Group-based copy-on-write
+    * with the WHOLE TABLE as the single group: Spark's rewrite reads
+    * the table through [[QuirkCsvRowLevelOperation]]'s scan, computes
+    * the full replacement content (carry-over + modified + inserted
+    * rows), and the operation's write replaces the directory via the
+    * ordinary truncate-at-commit batch write. Right-sized for dimension
+    * tables (the reference's MERGE targets); a 100-TB FACT would want
+    * file-granular groups, which is a manifest-format feature
+    * (Iceberg/Delta territory), not a raw CSV directory's. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+  : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new QuirkCsvRowLevelOperation(info.command(), tableSchema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = info.options.getOrDefault("path", options.get("path"))
@@ -217,9 +247,12 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve only fields we actually have (defensive against metadata cols)
+    // keep data fields we have, plus the `_file` metadata column (the
+    // reader serves it as the split's path) — anything else is dropped
+    // defensively
     required = StructType(requiredSchema.fields.filter(f =>
-      fullSchema.fieldNames.contains(f.name)))
+      fullSchema.fieldNames.contains(f.name) ||
+        f.name == QuirkCsvFileColumn.name()))
 
   /** Accept predicates the reader can evaluate on parsed string fields;
     * everything else is returned for Spark to evaluate post-scan. An
@@ -267,6 +300,126 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     case None =>
       new QuirkCsvScan(fullSchema, required, pushed, options, limit, topN)
   }
+}
+
+/** Group-based copy-on-write row-level operation (MERGE/UPDATE/DELETE),
+  * whole table = one group.
+  *
+  * The SCAN is deliberately minimal: column pruning and COMPILE-TIME
+  * filter pushdown only (safe by plan structure — anything pushed was a
+  * Filter node the rewrite itself placed above the scan, e.g. DELETE's
+  * `NOT cond`). It must NOT implement runtime filtering: Spark's
+  * row-level group-filtering rule assumes `filter()` prunes GROUPS and
+  * that the write then replaces only the scanned groups — our reader
+  * applies runtime In-filters to ROWS and our replacement write
+  * truncates the whole directory, so a runtime filter here would
+  * silently drop every carry-over row it excluded. Aggregate / limit /
+  * top-N pushdown are likewise omitted (never legal above a replacement
+  * scan).
+  *
+  * The WRITE is the ordinary batch write pre-set to truncate: replace
+  * scanned groups == replace the whole table. */
+private[sources] class QuirkCsvRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    fullSchema: StructType,
+    tableOptions: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command()
+  : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap)
+  : ScanBuilder = {
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(tableOptions.asCaseSensitiveMap())
+    merged.putAll(scanOptions.asCaseSensitiveMap())
+    new QuirkCsvRowLevelScanBuilder(fullSchema,
+      new CaseInsensitiveStringMap(merged))
+  }
+
+  /** Requiring `_file` does double duty: it is the natural group id of
+    * a copy-on-write source, and its presence makes Spark project the
+    * replacement rows down to the data schema before the write (see
+    * [[QuirkCsvTable.metadataColumns]]). */
+  override def requiredMetadataAttributes()
+  : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(QuirkCsvFileColumn.name()))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = tableOptions.get("path")
+    require(path != null && path.nonEmpty,
+      "graftcsv row-level operation requires a 'path' option")
+    val b = new QuirkCsvWriteBuilder(path, info.schema(), info.options,
+      info.queryId())
+    b.truncate()
+    b
+  }
+
+  override def description(): String = s"graftcsv row-level $cmd"
+}
+
+/** The `_file` metadata column definition (one instance, shared by the
+  * table's declaration and the operation's requirement). */
+private[sources] object QuirkCsvFileColumn
+  extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_file"
+  override def dataType(): org.apache.spark.sql.types.DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String = "data file the row was read from"
+}
+
+private[sources] class QuirkCsvRowLevelScanBuilder(
+    fullSchema: StructType, options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Spark pushes the command's condition here as a GROUP filter — "only
+    * groups that may contain matching rows need rewriting". Our write
+    * replaces the WHOLE directory (one group), so accepting it in any
+    * form (row filtering OR zone-map file skipping) would drop carry-over
+    * rows the write no longer sees. Decline everything; the rewritten
+    * plan's own Filter/CASE expressions carry the semantics. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan =
+    new QuirkCsvReplaceScan(fullSchema, required, options)
+}
+
+/** The replacement-content scan: the batch read path (same splits, same
+  * reader) with NO pruning and NO pushdown surfaces — a replacement scan
+  * must deliver every row of every group the write will replace (see
+  * [[QuirkCsvRowLevelOperation]]). */
+private[sources] class QuirkCsvReplaceScan(fullSchema: StructType,
+                                           required: StructType,
+                                           options: CaseInsensitiveStringMap)
+  extends Scan with Batch {
+
+  private val files: Seq[QuirkCsvFileMeta] = QuirkCsv.listFiles(options)
+  private val maxSplit: Long =
+    options.getLong("maxSplitBytes", 128L * 1024 * 1024)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graftcsv-replace ${files.size} file(s) (full-table group)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    QuirkCsv.planSplits(files, maxSplit)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
+      Array.empty, QuirkCsv.headerOpt(options),
+      options.getBoolean("excelCompat", false))
 }
 
 /** One pushed sort key: column, ascending?, nulls-first?. */
@@ -325,8 +478,11 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
     * inside the scan instead of shuffling them. */
   private var runtimeFilters: Array[Filter] = Array.empty
 
+  // only columns of the PRUNED read schema: Spark resolves these against
+  // the scan's output (PartitionPruning.getFilterableTableScan), so
+  // declaring a pruned-away column is an AnalysisException, not a no-op
   override def filterAttributes(): Array[NamedReference] =
-    fullSchema.fieldNames.map(
+    required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(newFilters: Array[Filter]): Unit =
@@ -525,7 +681,10 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
   if (part.start > 0) readLine()
 
   private val colIndex = allColumns.zipWithIndex.toMap
-  private val requiredIdx = requiredColumns.map(colIndex)
+  // -1 marks the `_file` metadata column (emitted as this split's path)
+  private val requiredIdx = requiredColumns.map(c =>
+    if (c == QuirkCsvFileColumn.name()) -1 else colIndex(c))
+  private val filePathUtf8 = UTF8String.fromString(part.path)
   // filters compile ONCE per reader: In value lists become hash sets —
   // a dynamic-pruning join can deliver thousands of keys, and a per-row
   // linear `exists` would make the scan O(rows × |In-set|)
@@ -596,8 +755,11 @@ private[sources] class QuirkCsvReader(part: QuirkCsvPartition,
     val values = new Array[Any](requiredIdx.length)
     var j = 0
     while (j < requiredIdx.length) {
-      val v = field(fields, requiredIdx(j))
-      values(j) = if (v == null) null else UTF8String.fromString(v)
+      if (requiredIdx(j) < 0) values(j) = filePathUtf8
+      else {
+        val v = field(fields, requiredIdx(j))
+        values(j) = if (v == null) null else UTF8String.fromString(v)
+      }
       j += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)

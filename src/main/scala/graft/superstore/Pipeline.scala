@@ -66,14 +66,18 @@ object Pipeline {
                     catalogRoot: String,
                     excelCompat: Boolean = false,
                     runTs: Option[String] = None,
-                    rawLayoutFiles: Int = 0): Outputs = {
-    spark.conf.set("spark.sql.catalog.graft_cat",
+                    rawLayoutFiles: Int = 0,
+                    catalogName: String = "graft_cat"): Outputs = {
+    // NOTE: Spark caches catalog INSTANCES per name — the first use of a
+    // name pins its root for the session. Callers sharing a session with
+    // other graft_cat users should pass a distinct catalogName.
+    spark.conf.set(s"spark.sql.catalog.$catalogName",
       classOf[graft.sources.QuirkCsvCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.raw")
+    spark.conf.set(s"spark.sql.catalog.$catalogName.root", catalogRoot)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catalogName.raw")
     val cols = (Ingest.rawColumns :+ "source_file")
       .map(c => s"$c STRING").mkString(", ")
-    spark.sql(s"CREATE TABLE IF NOT EXISTS graft_cat.raw.superstore ($cols)")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $catalogName.raw.superstore ($cols)")
     val extract = spark.read.format("graftcsv")
       .option("excelCompat", excelCompat.toString)
       .load(csvPath)
@@ -89,9 +93,9 @@ object Pipeline {
         extract.repartitionByRange(rawLayoutFiles, col("Region"))
       else extract.repartitionByRange(col("Region"))
     clustered
-      .writeTo("graft_cat.raw.superstore")
+      .writeTo(s"$catalogName.raw.superstore")
       .overwrite(lit(true))
-    val raw = spark.table("graft_cat.raw.superstore")
+    val raw = spark.table(s"$catalogName.raw.superstore")
       .withColumn("ingested_at",
         runTs.map(t => to_timestamp(lit(t)))
           .getOrElse(current_timestamp()))

@@ -20,7 +20,7 @@ class SuperstoreCatalogPipelineSpec extends SparkSpec {
   private lazy val root =
     java.nio.file.Files.createTempDirectory("graft_cat_pipe").toString
   private lazy val out =
-    Pipeline.runViaCatalog(spark, csv, root, rawLayoutFiles = 4)
+    Pipeline.runViaCatalog(spark, csv, root, rawLayoutFiles = 4, catalogName = "graft_sstore")
 
   test("golden invariants hold end-to-end through graft_cat") {
     assume(available)
@@ -40,9 +40,9 @@ class SuperstoreCatalogPipelineSpec extends SparkSpec {
   test("reload is an overwrite, not an append (reference TRUNCATE+BULK)") {
     assume(available)
     out
-    val again = Pipeline.runViaCatalog(spark, csv, root, rawLayoutFiles = 4)
+    val again = Pipeline.runViaCatalog(spark, csv, root, rawLayoutFiles = 4, catalogName = "graft_sstore")
     again.raw.count() shouldBe 9994
-    spark.table("graft_cat.raw.superstore").count() shouldBe 9994
+    spark.table("graft_sstore.raw.superstore").count() shouldBe 9994
   }
 
   test("raw-layer slicer filters push into the scan and skip files") {
@@ -53,7 +53,7 @@ class SuperstoreCatalogPipelineSpec extends SparkSpec {
     val nFiles = tableDir.listFiles().count(f => f.isFile &&
       !f.getName.startsWith("_") && !f.getName.startsWith("."))
     nFiles should be > 1 // region-range clustering wrote a real layout
-    val west = spark.table("graft_cat.raw.superstore")
+    val west = spark.table("graft_sstore.raw.superstore")
       .filter(col("Region") === "West")
     val plan = west.queryExecution.executedPlan.toString
     plan should include("EqualTo(Region,West)") // pushed to the reader
