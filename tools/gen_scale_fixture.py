@@ -46,6 +46,10 @@ def main():
             parts = " UNION ALL ".join(f"""
               SELECT * REPLACE (o_orderkey + {i} * CAST(100000000 AS BIGINT) AS o_orderkey)
               FROM read_parquet('{src}')""" for i in range(k))
+        elif t == "customer":
+            parts = " UNION ALL ".join(f"""
+              SELECT * REPLACE (c_custkey + {i} * CAST(100000000 AS BIGINT) AS c_custkey)
+              FROM read_parquet('{src}')""" for i in range(k))
         else:
             raise SystemExit(f"no growth rule for table {t}")
         con.execute(f"COPY ({parts}) TO '{dst}' (FORMAT PARQUET)")
