@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.QueryDef
+
+/** Round-13 wave: the DSv2 FunctionCatalog tier inside the oracle gate —
+  * [[graft.sources.GraftFunctions]] loaded through the catalog plugin and
+  * called from pure SQL, hash-matched against DuckDB replays of each
+  * function's documented cross-engine contract.
+  */
+object R13Queries {
+
+  /** One catalog name for the function-library queries; the library is
+    * root-independent, but initialize() requires a root. */
+  private def ensureFnCatalog(s: org.apache.spark.sql.SparkSession): Unit =
+    if (!s.conf.getOption("spark.sql.catalog.graft_fns").isDefined) {
+      s.conf.set("spark.sql.catalog.graft_fns",
+        classOf[graft.sources.QuirkCsvCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fns.root",
+        java.nio.file.Files.createTempDirectory("graft_fns_cat").toString)
+    }
+
+  /** Catalog-function token accounting: per-source document/token totals
+    * where the tokenizer is `graft_fns.lib.token_count` — a V2
+    * FunctionCatalog scalar whose magic method plans as a codegen'd
+    * Invoke (QuirkCsvFunctionCatalogSpec pins the plan shape). The
+    * oracle replays the same `\s+`-split convention every other token
+    * oracle in this suite uses. */
+  private val q337 = QueryDef(
+    "q337_catalog_fn_tokens",
+    (s, d) => {
+      ensureFnCatalog(s)
+      Tables.documents(s, d).createOrReplaceTempView("q337_docs")
+      s.sql("""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(graft_fns.lib.token_count(text)) AS BIGINT)
+                 AS total_tokens,
+               CAST(MAX(graft_fns.lib.token_count(text)) AS INT)
+                 AS max_tokens
+        FROM q337_docs GROUP BY source""")
+    },
+    Some(s"""
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(${ExtQueries.oToks("text")})) AS BIGINT)
+               AS total_tokens,
+             CAST(MAX(len(${ExtQueries.oToks("text")})) AS INT)
+               AS max_tokens
+      FROM documents GROUP BY source"""))
+
+  /** Catalog-AGGREGATE-function table fingerprint: per-source content
+    * checksum via `graft_fns.lib.xor_checksum` (a V2 AggregateFunction —
+    * distributed partial states XOR-merged across partitions). XOR of
+    * 60-bit md5 slices is partition-order independent by construction,
+    * which is exactly what makes the DuckDB replay (`bit_xor` over the
+    * same slice) hash-match: this is the cheap cross-engine integrity
+    * check a 100-TB ingest runs after every load. */
+  private val q338 = QueryDef(
+    "q338_catalog_fn_checksum",
+    (s, d) => {
+      ensureFnCatalog(s)
+      Tables.documents(s, d).createOrReplaceTempView("q338_docs")
+      s.sql("""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               graft_fns.lib.xor_checksum(text) AS content_checksum
+        FROM q338_docs GROUP BY source""")
+    },
+    Some("""
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+               AS content_checksum
+      FROM documents GROUP BY source"""))
+
+  /** Catalog-function exact vector scoring: int8-quantized squared norms
+    * where the dot product is `graft_fns.lib.int_dot` (magic-method
+    * ArrayData access). Quantization is the engine's q74 convention
+    * (floor, truncation-universal); integer dots are exact, so the
+    * oracle's list_transform replay hash-matches bit for bit. */
+  private val q339 = QueryDef(
+    "q339_catalog_fn_intdot",
+    (s, d) => {
+      ensureFnCatalog(s)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.operators.Similarity.quantizeInt8(col("embedding"))
+            .as("q8"))
+        .filter(col("q8").isNotNull)
+        .createOrReplaceTempView("q339_q8")
+      s.sql("""
+        SELECT vec_id, graft_fns.lib.int_dot(q8, q8) AS norm_sq
+        FROM q339_q8""")
+    },
+    Some("""
+      WITH base AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS mx
+             FROM embeddings),
+      qt AS (SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT)) AS q8
+             FROM base WHERE mx > 0)
+      SELECT vec_id,
+             CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT)
+               AS norm_sq
+      FROM qt"""))
+
+  val all: Seq[QueryDef] = Seq(q337, q338, q339)
+}

@@ -4,8 +4,9 @@ import java.util
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * The raw layer is all-strings by contract (the reference's NVARCHAR
   * staging, FIXTURES.md §1); `CREATE TABLE` rejects other column types
   * with the same message as the write path. */
-class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces {
+class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -142,6 +144,28 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces {
     require(fs.rename(tableDir(from), tableDir(to)),
       s"rename $from -> $to failed")
   }
+
+  // --------------------------------------------------------- functions
+
+  /** The [[GraftFunctions]] library is AMBIENT: the same functions exist
+    * in every namespace of the catalog (like a database's builtins), so
+    * `SELECT <cat>.<any_ns>.token_count(...)` resolves wherever the
+    * caller's tables live — no dedicated function namespace to remember.
+    * Listing requires the namespace to exist (same contract as tables);
+    * loading only requires the name to match, since Spark resolves
+    * function references directly by identifier. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toIndexedSeq).toArray)
+    GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftFunctions.load(ident.name())
+      .getOrElse(throw new NoSuchFunctionException(ident))
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftFunctions.load(ident.name()).isDefined
 
   // -------------------------------------------------------- namespaces
 
