@@ -108,5 +108,38 @@ object R13Queries {
                AS norm_sq
       FROM qt"""))
 
-  val all: Seq[QueryDef] = Seq(q337, q338, q339)
+  /** Append-only schema evolution inside the oracle gate: a catalog
+    * table loaded in two generations with an `ALTER TABLE ADD COLUMN`
+    * between them — pre-ALTER files are NEVER rewritten (the 100-TB
+    * contract), their rows surface NULL for the appended column, and
+    * the post-ALTER generation populates it. The oracle replays the
+    * two generations as a UNION with a literal NULL. */
+  private val q340 = QueryDef(
+    "q340_catalog_schema_evolution",
+    (s, d) => {
+      ensureFnCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fns.q340")
+      s.sql("DROP TABLE IF EXISTS graft_fns.q340.dim")
+      s.sql("CREATE TABLE graft_fns.q340.dim (nation STRING, regionkey STRING)")
+      Tables.nation(s, d).createOrReplaceTempView("q340_nation")
+      s.sql("""INSERT INTO graft_fns.q340.dim
+        SELECT n_name, CAST(n_regionkey AS STRING) FROM q340_nation
+        WHERE n_nationkey < 13""")
+      s.sql("ALTER TABLE graft_fns.q340.dim ADD COLUMN tier STRING")
+      s.sql("""INSERT INTO graft_fns.q340.dim
+        SELECT n_name, CAST(n_regionkey AS STRING),
+               CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END
+        FROM q340_nation WHERE n_nationkey >= 13""")
+      s.table("graft_fns.q340.dim").localCheckpoint()
+    },
+    Some("""
+      SELECT n_name AS nation, CAST(n_regionkey AS VARCHAR) AS regionkey,
+             CAST(NULL AS VARCHAR) AS tier
+      FROM nation WHERE n_nationkey < 13
+      UNION ALL
+      SELECT n_name, CAST(n_regionkey AS VARCHAR),
+             CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END
+      FROM nation WHERE n_nationkey >= 13"""))
+
+  val all: Seq[QueryDef] = Seq(q337, q338, q339, q340)
 }

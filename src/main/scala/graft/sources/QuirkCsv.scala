@@ -97,7 +97,13 @@ class QuirkCsvDataSource extends TableProvider with DataSourceRegister {
     // before LogicalWriteInfo supplies the query schema
     val files = QuirkCsv.listFiles(options)
     if (files.isEmpty) return new StructType()
-    val header = QuirkCsv.readFirstLine(files.head.path, files.head.len)
+    // catalog tables carry a seed header file that IS the table schema —
+    // prefer it: after an append-only ALTER TABLE ADD COLUMN the seed
+    // has the widened header while pre-ALTER data files keep the narrow
+    // one (their missing trailing columns read as NULL)
+    val schemaFile = files.find(f =>
+      new Path(f.path).getName.startsWith("part-seed-")).getOrElse(files.head)
+    val header = QuirkCsv.readFirstLine(schemaFile.path, schemaFile.len)
     // Header names normalize to identifier-safe form ("Row ID" -> RowID,
     // "Sub-Category" -> SubCategory) — the raw layer's column names are
     // code-facing (the same normalization Ingest.rawColumns hand-applies)

@@ -125,10 +125,64 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** Schema evolution, APPEND-ONLY: `ALTER TABLE … ADD COLUMN c STRING`
+    * rewrites the seed header file to the widened schema; data files are
+    * NEVER touched — at raw-layer scale (100 TB of CSV) rewriting files
+    * to add a column is not an option. Readers bounds-check positional
+    * access, so rows from pre-ALTER files surface NULL for appended
+    * columns, and zone-map entries lacking the column are permissive
+    * (the file is read, never wrongly pruned).
+    *
+    * DROP/RENAME/position changes are rejected: column resolution is
+    * positional per file, so removing or reordering a position would
+    * silently re-label EXISTING data (a dropped-then-added position
+    * would read stale values under the new name). Appends are the one
+    * evolution that cannot recycle a position. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graftcsv catalog tables are schema-on-read; rewrite the files")
+                          changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val current = loadTable(ident).columns().map(_.name())
+    val added = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graftcsv columns are flat; nested add is not supported")
+        val n = add.fieldNames()(0)
+        require(add.dataType() == StringType,
+          s"graftcsv is the all-string raw layer; column '$n' is " +
+            s"${add.dataType().catalogString} — cast to string first")
+        require(add.isNullable,
+          s"appended column '$n' must be nullable: rows in pre-ALTER " +
+            "files have no value for it")
+        require(add.position() == null,
+          s"appended column '$n' must go last (FIRST/AFTER would " +
+            "re-label existing positions)")
+        require(n.matches("[A-Za-z0-9_]+"),
+          s"graftcsv catalog column names must be identifier-safe " +
+            s"([A-Za-z0-9_]+); '$n' would not survive the header " +
+            "round-trip")
+        n
+      case other => throw new UnsupportedOperationException(
+        s"graftcsv supports only ADD COLUMN (append): $other would " +
+          "re-label existing file positions; rewrite the files instead")
+    }
+    val widened = current.toSeq ++ added
+    require(widened.map(_.toLowerCase).distinct.size == widened.size,
+      s"duplicate column after ALTER: ${widened.mkString(", ")}")
+    // atomic widen: write the new seed hidden, then move it into place
+    // (delete+rename — the header is re-read only at loadTable, and a
+    // reader that raced the swap sees either header, both of which parse
+    // every existing file correctly)
+    val seed = new Path(dir, "part-seed-00000.csv")
+    val tmp = new Path(dir, ".part-seed-00000.csv.alter")
+    val out = fs.create(tmp, true)
+    out.write((widened.map(QuirkCsv.formatField).mkString(",") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.close()
+    if (fs.exists(seed)) fs.delete(seed, false)
+    require(fs.rename(tmp, seed), s"ALTER TABLE $ident: seed swap failed")
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
