@@ -141,5 +141,33 @@ object R13Queries {
              CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END
       FROM nation WHERE n_nationkey >= 13"""))
 
-  val all: Seq[QueryDef] = Seq(q337, q338, q339, q340)
+  /** Semantic decontamination: corpus docs whose EMBEDDING sits within
+    * 0.4 cosine of an eval-set item — leakage the n-gram path (q69)
+    * cannot see. Eval side = vec_id < 50 (broadcast, the production
+    * shape: benchmarks are small); corpus = the rest, scanned once.
+    * The oracle replays the exact left-fold cosine (q37 convention). */
+  private val q341 = QueryDef(
+    "q341_semantic_decontaminate",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 50), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        threshold = 0.4)
+    },
+    Some(s"""
+      WITH c AS (SELECT vec_id AS corpus_id, embedding AS ce
+                 FROM embeddings WHERE vec_id >= 50),
+      e AS (SELECT vec_id AS eval_id, embedding AS ee
+            FROM embeddings WHERE vec_id < 50),
+      sc AS (SELECT corpus_id, eval_id,
+               ${ExtQueries.oCos("ce", "ee")} AS cosine
+             FROM c CROSS JOIN e),
+      hits AS (SELECT corpus_id, eval_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY corpus_id
+                 ORDER BY cosine DESC, eval_id) AS rk
+             FROM sc WHERE cosine >= 0.4)
+      SELECT corpus_id, eval_id, cosine FROM hits WHERE rk = 1"""))
+
+  val all: Seq[QueryDef] = Seq(q337, q338, q339, q340, q341)
 }

@@ -462,6 +462,53 @@ object Similarity {
       pairs.select(col("a_id"), col("b_id")), "a_id", "b_id", prefer)
   }
 
+  /** Semantic decontamination: flag corpus documents whose EMBEDDING is
+    * within `threshold` cosine of any eval-set document — the leakage
+    * n-gram decontamination ([[Corpus.decontaminate]]) cannot see
+    * (paraphrases, translations, templated rewrites share no shingles
+    * but land next to the eval item in embedding space). Emits one row
+    * per contaminated corpus doc: (corpus_id, eval_id of the closest
+    * match at rank 1 under (cosine DESC, eval_id), cosine).
+    *
+    * Scale: the eval set is the SMALL side by nature (benchmarks are
+    * thousands of items, the corpus is billions) — it broadcasts under
+    * the fail-fast cap and the corpus is scanned exactly once, making
+    * the default path linear in corpus size at any scale. For an eval
+    * side beyond the cap, pass `candidates` (corpus_id, eval_id) pairs
+    * from LSH/IVF bucketing ([[lshBucketed]]) and only those pairs are
+    * scored — the same contract as [[cosineNearDupPairs]]. */
+  def semanticDecontaminate(corpus: DataFrame, corpusId: String,
+                            corpusEmb: String,
+                            evalSet: DataFrame, evalId: String,
+                            evalEmb: String,
+                            threshold: Double,
+                            candidates: Option[DataFrame] = None): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+      col(corpusEmb).as("__c_emb"))
+    val e = evalSet.select(col(evalId).as("eval_id"),
+      col(evalEmb).as("__e_emb"))
+    val paired = candidates match {
+      case Some(cand) =>
+        cand.select(col("corpus_id"), col("eval_id"))
+          .join(c, Seq("corpus_id")).join(e, Seq("eval_id"))
+      case None =>
+        c.crossJoin(broadcast(requireBroadcastable(e,
+          "semanticDecontaminate eval side",
+          "Pass candidates = LSH/IVF bucket pairs for an eval set this " +
+            "large.")))
+    }
+    paired
+      .withColumn("cosine",
+        call_function("vec_cosine", col("__c_emb"), col("__e_emb")))
+      .filter(col("cosine") >= threshold)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("corpus_id"))
+          .orderBy(col("cosine").desc, col("eval_id"))))
+      .filter(col("rank") === 1)
+      .select(col("corpus_id"), col("eval_id"), col("cosine"))
+  }
+
   // ---- k-means (Lloyd) centroid training, cross-engine exact ------------
 
   /** Strict left-fold double dot product of an int8-code array against a
