@@ -74,6 +74,10 @@ object R5kQueries {
     "q172_zonemap_audit",
     (s, d) => {
       import s.implicits._
+      // materialize the projected fact ONCE: both layout passes rank the
+      // same frame, and the row count is layout-invariant — computing it
+      // from li (not from each ranked output) avoids re-running the whole
+      // global-numbering DAG per layout just to count its rows
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           to_date(col("l_shipdate")).as("sd"))
@@ -81,9 +85,10 @@ object R5kQueries {
         .withColumn("tb", col("l_orderkey") * 8 + col("l_linenumber"))
         .withColumn("day_v",
           datediff(col("sd"), lit("1992-01-01").cast("date")))
+        .localCheckpoint()
+      val n = li.agg(count(lit(1)).as("__N")).localCheckpoint()
       def fileStats(valueCol: String, layout: String) = {
         val ranked = Scale.globalRowNumber(li, valueCol, "tb")
-        val n = ranked.agg(count(lit(1)).as("__N"))
         ranked.crossJoin(broadcast(n))
           .withColumn("file_id",
             expr(s"cast(((global_rn - 1) * $ZFiles) div __N as int)"))

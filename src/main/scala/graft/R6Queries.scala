@@ -377,10 +377,17 @@ object R6Queries {
     "q185_blocking_quality",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-      val truth = operators.Corpus.simHashHammingPairs(docs, "doc_id",
-        "text", maxHamming = 3).select(col("a_id"), col("b_id"))
-      // band candidates BEFORE the Hamming filter (the blocking output)
+      // fingerprint ONCE (tokenize + per-token md5 + 32 bit-sums is the
+      // dominant cost here) and share the materialized signatures between
+      // the ground-truth pass and the banding pass — this query used to
+      // compute simHash twice, once inside simHashHammingPairs and once
+      // for the band candidates
       val sig = operators.NearDup.simHash(docs, "doc_id", "text", 32)
+        .localCheckpoint()
+      val truth = operators.Corpus.bandedHammingPairs(sig, "doc_id",
+        "simhash", maxHamming = 3, bits = 32, numBands = 4)
+        .select(col("a_id"), col("b_id"))
+      // band candidates BEFORE the Hamming filter (the blocking output)
       val banded = sig.select(col("doc_id"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))

@@ -757,18 +757,55 @@ object Similarity {
         transform(col(embCol), x =>
           floor(x.cast("double") * lit(qScale.toDouble)).cast("long"))
           .as("__q"))
-    val n = base.agg(count(lit(1)).as("n"))
-    val sums = base.select(posexplode(col("__q")).as(Seq("pos", "q")))
-      .groupBy(col("pos")).agg(sum(col("q")).as("s"))
-    val d = size(col("__q"))
-    val pairs = base.select(explode(flatten(
-        transform(sequence(lit(0), d - 1), i =>
-          transform(sequence(i, d - 1), j =>
-            struct(i.cast("int").as("i"), j.cast("int").as("j"),
-              (element_at(col("__q"), i + 1) *
-                element_at(col("__q"), j + 1)).as("p")))))).as("__e"))
-      .select(col("__e.i").as("i"), col("__e.j").as("j"), col("__e.p").as("p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s_ij"))
+    // Per-partition Gram accumulation (mapPartitions is justified here:
+    // the declarative form explodes d(d+1)/2 struct rows PER VECTOR
+    // through interpreted HOF lambdas — 2,080 rows/vector at d=64 —
+    // while this pass ships d(d+1)/2 + d + 1 longs PER PARTITION to the
+    // shuffle: sketch-sized, not data-sized, the shape that holds at
+    // 100 TB). Integer sums are order-independent, so the values are
+    // bit-identical to the explode formulation and the oracle replay.
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    val partial = base.select(col("__q")).as[Array[Long]]
+      .mapPartitions { it =>
+        var d = -1
+        var tri: Array[Long] = null
+        var s: Array[Long] = null
+        var cnt = 0L
+        while (it.hasNext) {
+          val q = it.next()
+          if (d < 0) { d = q.length; tri = new Array(d * d); s = new Array(d) }
+          require(q.length == d,
+            s"quantizedCovariance: ragged embedding (dim ${q.length} vs $d)")
+          cnt += 1L
+          var i = 0
+          while (i < d) {
+            s(i) += q(i)
+            var j = i
+            while (j < d) { tri(i * d + j) += q(i) * q(j); j += 1 }
+            i += 1
+          }
+        }
+        if (cnt == 0L) Iterator.empty
+        else {
+          val out = Iterator.tabulate(d * (d + 1) / 2) { k =>
+            // unrank k -> (i, j) over the upper triangle
+            var i = 0
+            var rem = k
+            while (rem >= d - i) { rem -= d - i; i += 1 }
+            val j = i + rem
+            (i, j, tri(i * d + j))
+          }
+          out ++ Iterator.tabulate(d)(i => (i, -1, s(i))) ++
+            Iterator.single((-1, -1, cnt))
+        }
+      }.toDF("i", "j", "v")
+    val n = partial.filter(col("i") === -1)
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n"))
+    val sums = partial.filter(col("j") === -1 && col("i") >= 0)
+      .groupBy(col("i").as("pos")).agg(sum(col("v")).as("s"))
+    val pairs = partial.filter(col("j") >= 0)
+      .groupBy(col("i"), col("j")).agg(sum(col("v")).as("s_ij"))
     pairs
       .join(broadcast(sums.select(col("pos").as("i"), col("s").as("s_i"))),
         Seq("i"))
