@@ -288,12 +288,16 @@ object Clusters {
                            pairs: DataFrame, aCol: String, bCol: String,
                            distCol: String,
                            maxIter: Int = 20): DataFrame = {
+    // the pair list feeds BOTH component resolution and the per-cluster
+    // distance audit — materialize it once; pair generation (banding +
+    // exact distance) is typically the expensive upstream
+    val p = pairs.localCheckpoint()
     val comps = connectedComponents(vertices, idCol,
-      pairs.select(col(aCol), col(bCol)), aCol, bCol, maxIter)
+      p.select(col(aCol), col(bCol)), aCol, bCol, maxIter)
     val sizes = comps.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") >= 2)
-    val withC = pairs.join(
+    val withC = p.join(
       comps.select(col(idCol).as(aCol), col("cluster_id")), aCol)
     val pairAgg = withC.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_pairs"),

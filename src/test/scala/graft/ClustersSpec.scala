@@ -226,4 +226,26 @@ class ClustersSpec extends SparkSpec {
     Clusters.commonNeighborCandidates(edges.toDF("a", "b"), "a", "b",
       minCommon = 1).count() shouldBe 0L
   }
+
+  test("clusterCohesionAudit: clique is complete, chain is flagged") {
+    // component A: 3-clique (1,2,3) with distances 1,2,3
+    // component B: 3-chain (10-11-12) — 2 of 3 possible pairs
+    // singleton 99 never appears (size >= 2 filter)
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    val pairs = Seq(
+      (1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 3),
+      (10L, 11L, 1), (11L, 12L, 2)
+    ).toDF("a", "b", "dist")
+    val out = Clusters.clusterCohesionAudit(verts, "id", pairs,
+      "a", "b", "dist")
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_pairs"),
+          r.getAs[Int]("min_dist"), r.getAs[Int]("max_dist"),
+          r.getAs[Double]("completeness"), r.getAs[Boolean]("is_chain")))
+      .toMap
+    out.keySet shouldBe Set(1L, 10L)
+    out(1L) shouldBe ((3L, 3L, 1, 3, 1.0, false))
+    out(10L)._6 shouldBe true // chain: completeness 2/3 < 1
+    out(10L)._5 shouldBe (2.0 / 3.0) +- 1e-15
+  }
 }
