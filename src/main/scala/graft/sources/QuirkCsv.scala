@@ -178,11 +178,27 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
   : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new QuirkCsvRowLevelOperation(info.command(), tableSchema, options)
 
+  /** Identity partitioning (hive-style `col=value` subdirs) when the
+    * catalog marker is present — surfaces through SHOW CREATE/DESCRIBE
+    * and drives the clustered write distribution + grouped scan mode. */
+  override def partitioning(): Array[Transform] =
+    Option(options.get("partitionCol")).filter(_.nonEmpty)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c))
+      .toArray
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val path = info.options.getOrDefault("path", options.get("path"))
+    // merge TABLE options under the write options: the catalog-set
+    // partitionCol must reach the writer even though DataFrameWriterV2
+    // passes only per-write options in info
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(options.asCaseSensitiveMap())
+    merged.putAll(info.options.asCaseSensitiveMap())
+    val mergedOpts = new CaseInsensitiveStringMap(merged)
+    val path = mergedOpts.get("path")
     require(path != null && path.nonEmpty,
       "graftcsv write requires a 'path' option")
-    new QuirkCsvWriteBuilder(path, info.schema(), info.options,
+    new QuirkCsvWriteBuilder(path, info.schema(), mergedOpts,
       info.queryId())
   }
 
@@ -356,8 +372,16 @@ private[sources] class QuirkCsvRowLevelOperation(
     val path = tableOptions.get("path")
     require(path != null && path.nonEmpty,
       "graftcsv row-level operation requires a 'path' option")
-    val b = new QuirkCsvWriteBuilder(path, info.schema(), info.options,
-      info.queryId())
+    // TABLE options must reach the builder: partitionCol in particular —
+    // without it the append-only guard can't see the table is
+    // partitioned, and the copy-on-write truncate would flat-rewrite
+    // the root of a partitioned layout (files written at root, value
+    // subdirs left stale = silent duplication)
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(tableOptions.asCaseSensitiveMap())
+    merged.putAll(info.options.asCaseSensitiveMap())
+    val b = new QuirkCsvWriteBuilder(path, info.schema(),
+      new CaseInsensitiveStringMap(merged), info.queryId())
     b.truncate()
     b
   }
@@ -1259,15 +1283,50 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
         s"graftcsv writes the all-string raw layer; column '${f.name}' " +
           s"is ${f.dataType.catalogString} — cast to string first")
     }
+    val partitionCol =
+      Option(options.get("partitionCol")).filter(_.nonEmpty)
+    partitionCol.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"partitioned write is missing partition column '$c' in " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      require(!truncateFirst,
+        "graftcsv partitioned tables are APPEND-only: overwrite/truncate " +
+          "(and the row-level operations built on it) would need a " +
+          "partition-aware sweep — drop and re-create, or compact per " +
+          "partition directory")
+    }
     new QuirkCsvWrite(path, schema.fieldNames, truncateFirst,
-      QuirkCsv.headerOpt(options), queryId)
+      QuirkCsv.headerOpt(options), queryId, partitionCol)
   }
 }
 
 private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
                                      truncateFirst: Boolean, header: Boolean,
-                                     queryId: String)
-  extends Write with BatchWrite with StreamingWrite {
+                                     queryId: String,
+                                     partitionCol: Option[String] = None)
+  extends Write with BatchWrite with StreamingWrite
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Partitioned writes request rows CLUSTERED by the partition column:
+    * Spark shuffles so each task holds whole value groups — without it,
+    * every task opens a file in every value subdir it happens to see
+    * (tasks × values small files, the classic dynamic-partition write
+    * mistake). Unpartitioned writes request nothing. */
+  override def requiredDistribution()
+  : org.apache.spark.sql.connector.distributions.Distribution =
+    partitionCol match {
+      case Some(c) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c)))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+    }
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def distributionStrictlyRequired(): Boolean = false
 
   // both parent traits default this; Scala requires the diamond be
   // resolved explicitly
@@ -1307,30 +1366,46 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
   override def toStreaming: StreamingWrite = {
     require(!truncateFirst,
       "graftcsv streaming sink is append-only; use outputMode(\"append\")")
+    require(partitionCol.isEmpty,
+      "graftcsv streaming sink does not support partitioned tables " +
+        "(epoch replay idempotence is per-file; per-value routing would " +
+        "need per-partition epoch manifests) — stream to an unpartitioned " +
+        "directory and compact into the table")
     this
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-  : DataWriterFactory =
-    new QuirkCsvWriterFactory(path, columns, header,
-      java.util.UUID.randomUUID().toString)
+  : DataWriterFactory = partitionCol match {
+    case Some(c) =>
+      val idx = columns.indexOf(c)
+      new QuirkCsvPartitionedWriterFactory(path, columns, header,
+        java.util.UUID.randomUUID().toString, c, idx)
+    case None =>
+      new QuirkCsvWriterFactory(path, columns, header,
+        java.util.UUID.randomUUID().toString)
+  }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
   : StreamingDataWriterFactory =
     new QuirkCsvStreamingWriterFactory(path, columns, header, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    // zone-map sidecar: per-file min/max/null stats gathered by the
-    // writers, keyed by file name + length (the staleness guard). On
-    // append, surviving prior entries are carried over; truncate starts
-    // fresh and deletes files this job didn't write. Sidecar written
-    // AFTER the data files are final so a reader never sees stats for
-    // half-written files.
-    mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
-      dropPrior = truncateFirst,
-      deleteOthers =
-        if (truncateFirst) Some(n => !n.startsWith("_") && !n.startsWith("."))
-        else None)
+    // Partitioned tables skip the zone-map sidecar: part-file NAMES
+    // repeat across value subdirs, so a root sidecar keyed by name
+    // could prune the wrong file — directory-level partition pruning is
+    // their file-skipping story. Unpartitioned: per-file min/max/null
+    // stats gathered by the writers, keyed by file name + (len, mtime)
+    // (the staleness guard). On append, surviving prior entries are
+    // carried over; truncate starts fresh and deletes files this job
+    // didn't write. Sidecar written AFTER the data files are final so a
+    // reader never sees stats for half-written files.
+    if (partitionCol.isEmpty)
+      mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
+        dropPrior = truncateFirst,
+        deleteOthers =
+          if (truncateFirst)
+            Some(n => !n.startsWith("_") && !n.startsWith("."))
+          else None)
 
   /** Phantom files — task commits of an epoch whose driver died before
     * the epoch commit, under a partitioning the replay no longer
@@ -1391,14 +1466,18 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
                      messages: Array[WriterCommitMessage]): Unit =
     deleteFiles(messages)
 
-  private def deleteFiles(messages: Array[WriterCommitMessage]): Unit =
+  private def deleteFiles(messages: Array[WriterCommitMessage]): Unit = {
+    def del(c: QuirkCsvCommit): Unit = {
+      val p = new Path(c.file)
+      val fs = p.getFileSystem(new Configuration())
+      fs.delete(p, false)
+    }
     messages.foreach {
-      case c: QuirkCsvCommit =>
-        val p = new Path(c.file)
-        val fs = p.getFileSystem(new Configuration())
-        fs.delete(p, false)
+      case c: QuirkCsvCommit => del(c)
+      case m: QuirkCsvMultiCommit => m.commits.foreach(del)
       case _ =>
     }
+  }
 }
 
 private[sources] object QuirkCsvStreamingWriterFactory {
@@ -1473,6 +1552,65 @@ private[sources] class QuirkCsvWriterFactory(path: String,
       s"$path/.$finalName.attempt-$taskId.tmp", s"$path/$finalName",
       columns, header)
   }
+}
+
+/** One task's commits across several partition-value files. */
+private[sources] case class QuirkCsvMultiCommit(commits: Seq[QuirkCsvCommit])
+  extends WriterCommitMessage
+
+private[sources] class QuirkCsvPartitionedWriterFactory(
+    path: String, columns: Array[String], header: Boolean, jobId: String,
+    partitionCol: String, partitionIdx: Int)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new QuirkCsvPartitionedWriter(path, columns, header, jobId,
+      partitionId, taskId, partitionCol, partitionIdx)
+}
+
+/** Dynamic-partition router: each row lands in its value's
+  * `col=value/` subdir through the same attempt-private-tmp +
+  * rename-on-commit writers as the flat path (one open writer per value
+  * seen by this task — the requested clustered distribution keeps that
+  * count ~1). NULL partition values fail LOUDLY: a silent null bucket
+  * (hive's `__HIVE_DEFAULT_PARTITION__`) turns cleaning bugs into
+  * unreadable layout; the raw layer's contract is clean-then-load. */
+private[sources] class QuirkCsvPartitionedWriter(
+    basePath: String, columns: Array[String], header: Boolean,
+    jobId: String, partitionId: Int, taskId: Long,
+    partitionCol: String, partitionIdx: Int)
+  extends DataWriter[InternalRow] {
+
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[String, QuirkCsvRenamingWriter]
+
+  private def writerFor(value: String): QuirkCsvRenamingWriter =
+    open.getOrElseUpdate(value, {
+      val dir = new Path(basePath,
+        QuirkCsv.partitionDirName(partitionCol, value))
+      dir.getFileSystem(new Configuration()).mkdirs(dir)
+      val finalName = f"part-$jobId-$partitionId%05d.csv"
+      new QuirkCsvRenamingWriter(
+        s"$dir/.$finalName.attempt-$taskId.tmp", s"$dir/$finalName",
+        columns, header)
+    })
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(partitionIdx),
+      s"NULL value for partition column '$partitionCol' — partitioned " +
+        "raw tables reject null partition keys; clean upstream or use " +
+        "an explicit sentinel value")
+    writerFor(row.getUTF8String(partitionIdx).toString).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    QuirkCsvMultiCommit(open.values.toSeq
+      .map(_.commit().asInstanceOf[QuirkCsvCommit]))
+
+  override def abort(): Unit = open.values.foreach(_.abort())
+
+  override def close(): Unit = open.values.foreach(_.close())
 }
 
 private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
@@ -1620,12 +1758,27 @@ private[sources] object QuirkCsv {
     val fs: FileSystem = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) return Nil
     val st = fs.getFileStatus(path)
+    def visible(s: FileStatus): Boolean =
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")
+    // identity-partitioned tables keep data in `col=value` subdirs: one
+    // extra listing level, opted in by the partitionCol option so plain
+    // directories never pay (or accidentally read) nested content
+    val partitioned = {
+      val c = options.get("partitionCol")
+      c != null && c.nonEmpty
+    }
     val statuses: Seq[FileStatus] =
-      if (st.isDirectory)
-        fs.listStatus(path).toIndexedSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+      if (!st.isDirectory) Seq(st)
+      else {
+        val top = fs.listStatus(path).toIndexedSeq
+        val direct = top.filter(visible)
+        if (!partitioned) direct
+        else direct ++ top
+          .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith("."))
-      else Seq(st)
+          .flatMap(d => fs.listStatus(d.getPath).toIndexedSeq.filter(visible))
+      }
     val all = statuses
       .map(s => QuirkCsvFileMeta(s.getPath.toString, s.getLen,
         s.getModificationTime))
@@ -1755,6 +1908,81 @@ private[sources] object QuirkCsv {
     case StringEndsWith(a, _) => schema.fieldNames.contains(a)
     case StringContains(a, _) => schema.fieldNames.contains(a)
     case _ => false
+  }
+
+  // ------------------------------------------- identity partitioning
+
+  /** Marker file naming a partitioned table's partition column. */
+  val PartitioningFile = "_graft_partitioning"
+
+  def writePartitioning(dir: Path, col: String): Unit = {
+    val fs = dir.getFileSystem(new Configuration())
+    val out = fs.create(new Path(dir, PartitioningFile), true)
+    out.write(enc(col).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.close()
+  }
+
+  def readPartitioning(dir: Path): Option[String] = {
+    val fs = dir.getFileSystem(new Configuration())
+    val p = new Path(dir, PartitioningFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(dec(new String(bytes,
+          java.nio.charset.StandardCharsets.ISO_8859_1).trim))
+      } finally in.close()
+    }
+  }
+
+  /** Hive-style partition directory name; the value is URL-encoded so
+    * separators/quotes in data can't escape the directory. NULL values
+    * are rejected at the WRITE (loudly), so a dir always has a value. */
+  def partitionDirName(col: String, value: String): String =
+    s"$col=${enc(value)}"
+
+  /** The partition value a file inherits from its parent directory, or
+    * None for root-level files (the schema seed). */
+  def partitionValueOf(filePath: String, col: String): Option[String] = {
+    val parent = new Path(filePath).getParent
+    if (parent == null) return None
+    val n = parent.getName
+    if (n.startsWith(col + "=")) Some(dec(n.substring(col.length + 1)))
+    else None
+  }
+
+  /** Directory-level partition pruning: drop files whose partition-dir
+    * value fails a pushed/runtime filter ON the partition column. The
+    * schema-seed file is dropped from SPLIT planning (header-only by
+    * contract — planning it would cost one task per scan and break the
+    * grouped/SPJ mode's one-split-per-value invariant); any OTHER
+    * root-level data file in a partitioned table is out-of-contract and
+    * fails loudly rather than being silently read into no partition. */
+  def prunePartitions(options: CaseInsensitiveStringMap,
+                      files: Seq[QuirkCsvFileMeta],
+                      filters: Array[Filter]): Seq[QuirkCsvFileMeta] = {
+    val col = options.get("partitionCol")
+    if (col == null || col.isEmpty) return files
+    val data = files.filter { fm =>
+      val p = new Path(fm.path)
+      if (partitionValueOf(fm.path, col).isDefined) true
+      else if (p.getName.startsWith("part-seed-")) false
+      else throw new IllegalStateException(
+        s"partitioned graftcsv table has a root-level data file " +
+          s"'${p.getName}' outside any $col=<value> directory — move it " +
+          "into its partition directory (root holds only the schema seed)")
+    }
+    val relevant = filters.filter(f =>
+      (try filterColumn(f) == col catch { case _: Exception => false }))
+    if (relevant.isEmpty) data
+    else data.filter { fm =>
+      partitionValueOf(fm.path, col) match {
+        case Some(v) => relevant.forall(eval(_, v))
+        case None => true
+      }
+    }
   }
 
   // ------------------------------------------------- zone-map sidecar
@@ -1896,6 +2124,12 @@ private[sources] object QuirkCsv {
   def pruneFiles(options: CaseInsensitiveStringMap,
                  files: Seq[QuirkCsvFileMeta],
                  filters: Array[Filter]): Seq[QuirkCsvFileMeta] = {
+    // partitioned tables: directory-level partition pruning replaces the
+    // zone-map sidecar (part-file NAMES repeat across value subdirs, so
+    // a root sidecar keyed by name could prune the wrong file)
+    val pc = options.get("partitionCol")
+    if (pc != null && pc.nonEmpty)
+      return prunePartitions(options, files, filters)
     if (filters.isEmpty || !options.getBoolean("zoneMapPruning", true))
       return files
     val raw = options.get("path")

