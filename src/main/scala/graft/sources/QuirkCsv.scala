@@ -224,6 +224,30 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
   private var limit: Int = -1
   private var topN: Option[QuirkCsvTopN] = None
 
+  /** Storage-partitioned-join mode: ONE input split per partition VALUE
+    * (files chained), reported to Spark as KeyGroupedPartitioning so a
+    * join of two tables partitioned on the join key plans NO exchange on
+    * either side — the DSv2 answer to co-located bucketed joins, and the
+    * layout-level shuffle eliminator at 100 TB. Active for partitioned
+    * tables when `spark.sql.sources.v2.bucketing.enabled` is on (the
+    * same switch every SPJ source keys off) or forced per-scan with
+    * option groupByPartition. The conf defaults TRUE in Spark 4, so
+    * partitioned-table scans group by default — the cost is
+    * intra-partition parallelism (one task per value); scan-heavy jobs
+    * over few-value tables opt out per scan with
+    * groupByPartition=false. Evaluated ONCE
+    * at builder construction — pushdown decisions below depend on it. */
+  private val grouped: Boolean = {
+    val pc = options.get("partitionCol")
+    pc != null && pc.nonEmpty && {
+      val forced = options.get("groupByPartition")
+      if (forced != null) forced.toBoolean
+      else (try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+      catch { case _: Exception => false })
+    }
+  }
+
   /** PARTIAL top-N pushdown: each split's reader keeps only its `limit`
     * best rows under the pushed ordering (a bounded heap — the
     * GroupedTopK idea at the scan tier), so an `ORDER BY c LIMIT k`
@@ -246,7 +270,10 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     })
     // same defensive guard as pushLimit: top-N over PARTIAL aggregate
     // rows would drop partials before the final merge
-    if (pushedAgg.isEmpty && n > 0 &&
+    // grouped (SPJ) splits are join inputs chained across files — the
+    // per-split heap/limit/aggregate pushdowns stay off there to keep
+    // the one-split-per-value invariant simple and the join shape plain
+    if (!grouped && pushedAgg.isEmpty && n > 0 &&
       n <= options.getInt("maxTopNPerSplit", 100000) && specs.nonEmpty &&
       specs.forall(_.isDefined)) {
       topN = Some(QuirkCsvTopN(specs.map(_.get), n))
@@ -264,7 +291,7 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
   override def pushLimit(l: Int): Boolean = {
     // defensive: never cap PARTIAL-aggregate rows (Spark doesn't push a
     // limit through an Aggregate today; keep that invariant local)
-    if (pushedAgg.isEmpty) limit = l
+    if (pushedAgg.isEmpty && !grouped) limit = l
     false
   }
 
@@ -298,6 +325,7 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     * they are counted. Distinct aggregates and non-column arguments stay
     * in Spark. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (grouped) return false // see the grouped-mode note on pushTopN
     val agg = QuirkCsvAgg.tryPlan(fullSchema, aggregation, options)
     pushedAgg = agg
     agg.isDefined
@@ -320,7 +348,8 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new QuirkCsvAggScan(fullSchema, pushed, agg, options)
     case None =>
-      new QuirkCsvScan(fullSchema, required, pushed, options, limit, topN)
+      new QuirkCsvScan(fullSchema, required, pushed, options, limit, topN,
+        grouped)
   }
 }
 
@@ -489,9 +518,11 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
                                     filters: Array[Filter],
                                     options: CaseInsensitiveStringMap,
                                     limit: Int = -1,
-                                    topN: Option[QuirkCsvTopN] = None)
+                                    topN: Option[QuirkCsvTopN] = None,
+                                    grouped: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val files: Seq[QuirkCsvFileMeta] = QuirkCsv.listFiles(options)
   private val maxSplit: Long =
@@ -510,10 +541,41 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
 
   // only columns of the PRUNED read schema: Spark resolves these against
   // the scan's output (PartitionPruning.getFilterableTableScan), so
-  // declaring a pruned-away column is an AnalysisException, not a no-op
+  // declaring a pruned-away column is an AnalysisException, not a no-op.
+  // GROUPED (SPJ) scans decline runtime filtering outright: the reported
+  // KeyGroupedPartitioning's split count is a plan-time contract, and a
+  // runtime In-filter that emptied a value group would break it.
   override def filterAttributes(): Array[NamedReference] =
-    required.fieldNames.map(
+    if (grouped) Array.empty
+    else required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  private def partitionColName: String = options.get("partitionCol")
+
+  /** One split per partition value (files chained), sorted by value for
+    * deterministic split order. Computed once: both the reported
+    * partitioning's count and the planned splits must agree. */
+  private lazy val groupedPartitions: Array[InputPartition] = {
+    val col = partitionColName
+    QuirkCsv.pruneFiles(options, files, filters)
+      .groupBy(f => QuirkCsv.partitionValueOf(f.path, col).get)
+      .toSeq.sortBy(_._1)
+      .map { case (v, fs) =>
+        QuirkCsvGroupedPartition(fs.sortBy(_.path).toArray, v)
+          : InputPartition
+      }.toArray
+  }
+
+  override def outputPartitioning()
+  : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (grouped)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(partitionColName)),
+          groupedPartitions.length)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
 
   override def filter(newFilters: Array[Filter]): Unit =
     // anything not reader-evaluable is dropped — runtime filters are an
@@ -537,10 +599,11 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
       maxSplit, header, excelCompat)
 
   override def planInputPartitions(): Array[InputPartition] =
+    if (grouped) groupedPartitions
     // zone-map file skipping: sidecar stats vs pushed AND runtime
     // filters (runtime In-filters arrive before partition planning, so
     // a dynamic-pruning join skips whole files here)
-    QuirkCsv.planSplits(
+    else QuirkCsv.planSplits(
       QuirkCsv.pruneFiles(options, files, filters ++ runtimeFilters),
       maxSplit)
 
@@ -567,6 +630,18 @@ private[sources] case class QuirkCsvPartition(path: String, start: Long,
                                               end: Long)
   extends InputPartition
 
+/** SPJ split: every file of one partition VALUE, chained in one reader.
+  * HasPartitionKey is what lets Spark line this split up against the
+  * matching split of the other join side. */
+private[sources] case class QuirkCsvGroupedPartition(
+    files: Array[QuirkCsvFileMeta], value: String)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(value)))
+}
+
 /** One listed data file: path, byte length, and modification time — the
   * (len, mtime) pair is the zone-map staleness key (length alone would
   * trust stale stats after a same-length out-of-band rewrite). */
@@ -586,21 +661,29 @@ private[sources] class QuirkCsvReaderFactory(allColumns: Array[String],
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
-  : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[QuirkCsvPartition]
-    val rows = new QuirkCsvReader(p, allColumns, requiredColumns, filters,
-      header, excelCompat, limit)
-    topN match {
-      case Some(t) => new QuirkCsvTopNReader(rows, requiredColumns, t)
-      case None => rows
-    }
+  : PartitionReader[InternalRow] = partition match {
+    case g: QuirkCsvGroupedPartition =>
+      // SPJ split: the builder declined limit/top-N/aggregate pushdowns
+      // in grouped mode, so a plain filtered chain is the whole story
+      new QuirkCsvChainedReader(g.files, allColumns, requiredColumns,
+        filters, header, excelCompat)
+    case _ =>
+      val p = partition.asInstanceOf[QuirkCsvPartition]
+      val rows = new QuirkCsvReader(p, allColumns, requiredColumns, filters,
+        header, excelCompat, limit)
+      topN match {
+        case Some(t) => new QuirkCsvTopNReader(rows, requiredColumns, t)
+        case None => rows
+      }
   }
 
   // columnar output is offered only for the plain scan shape: a pushed
-  // top-N needs the heap's row comparator, and a pushed limit's early
-  // stop composes more simply row-wise
+  // top-N needs the heap's row comparator, a pushed limit's early
+  // stop composes more simply row-wise, and grouped (SPJ) splits chain
+  // several files through one row reader
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && topN.isEmpty && limit < 0
+    columnar && topN.isEmpty && limit < 0 &&
+      !partition.isInstanceOf[QuirkCsvGroupedPartition]
 
   override def createColumnarReader(partition: InputPartition)
   : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -610,6 +693,57 @@ private[sources] class QuirkCsvReaderFactory(allColumns: Array[String],
         header, excelCompat, limit, materializeRow = false),
       columnarBatchSize)
   }
+}
+
+/** Chains one partition value's files through sequential
+  * [[QuirkCsvReader]]s — the reader behind an SPJ split. Metrics
+  * accumulate across the chain. */
+private[sources] class QuirkCsvChainedReader(files: Array[QuirkCsvFileMeta],
+                                             allColumns: Array[String],
+                                             requiredColumns: Array[String],
+                                             filters: Array[Filter],
+                                             header: Boolean,
+                                             excelCompat: Boolean)
+  extends PartitionReader[InternalRow] {
+
+  private var idx = -1
+  private var cur: QuirkCsvReader = null
+  private var doneEmitted = 0L
+  private var doneFiltered = 0L
+
+  private def metricsOf(r: QuirkCsvReader): (Long, Long) = {
+    val m = r.currentMetricsValues()
+    (m.find(_.name == "rowsEmitted").map(_.value).getOrElse(0L),
+      m.find(_.name == "rowsFiltered").map(_.value).getOrElse(0L))
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur != null && cur.next()) return true
+      if (cur != null) {
+        val (e, f) = metricsOf(cur)
+        doneEmitted += e; doneFiltered += f
+        cur.close()
+        cur = null
+      }
+      idx += 1
+      if (idx >= files.length) return false
+      val fm = files(idx)
+      cur = new QuirkCsvReader(QuirkCsvPartition(fm.path, 0L, fm.len),
+        allColumns, requiredColumns, filters, header, excelCompat)
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur.get()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = {
+    val (e, f) = if (cur == null) (0L, 0L) else metricsOf(cur)
+    Array(QuirkCsvTaskMetric("rowsEmitted", doneEmitted + e),
+      QuirkCsvTaskMetric("rowsFiltered", doneFiltered + f))
+  }
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Batched output over the same parse/filter loop: parsed fields land
