@@ -169,5 +169,95 @@ object R13Queries {
              FROM sc WHERE cosine >= 0.4)
       SELECT corpus_id, eval_id, cosine FROM hits WHERE rk = 1"""))
 
-  val all: Seq[QueryDef] = Seq(q337, q338, q339, q340, q341)
+  /** Identity-partitioned catalog table inside the oracle gate: orders
+    * loaded into a priority-partitioned graft_cat table (routed write,
+    * hive-style value subdirs), read back through a partition filter —
+    * the plan is REQUIRED to have planned only the matching value
+    * directories (directory-level partition pruning), and the result
+    * hash-matches DuckDB's replay over the parquet base. */
+  private val q342 = QueryDef(
+    "q342_partitioned_table",
+    (s, d) => {
+      ensureFnCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fns.q342")
+      s.sql("DROP TABLE IF EXISTS graft_fns.q342.ord")
+      s.sql("""CREATE TABLE graft_fns.q342.ord
+        (okey STRING, prio STRING, status STRING)
+        PARTITIONED BY (prio)""")
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("string").as("okey"),
+          col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("status"))
+        .writeTo("graft_fns.q342.ord").append()
+      val filtered = s.table("graft_fns.q342.ord")
+        .filter(col("prio").isin("1-URGENT", "2-HIGH"))
+      // exactly the two value directories planned — partition pruning
+      // is load-bearing here, not best-effort
+      require(filtered.rdd.getNumPartitions == 2,
+        s"partition pruning must plan exactly the 2 matching value " +
+          s"dirs, planned ${filtered.rdd.getNumPartitions}")
+      filtered.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("okey")).as("min_okey"), max(col("okey")).as("max_okey"))
+    },
+    Some("""
+      SELECT o_orderpriority AS prio,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             MIN(CAST(o_orderkey AS VARCHAR)) AS min_okey,
+             MAX(CAST(o_orderkey AS VARCHAR)) AS max_okey
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1"""))
+
+  /** Storage-partitioned JOIN inside the oracle gate: customer and
+    * orders both partitioned on the customer's market segment, joined
+    * on it — with v2 bucketing on and broadcast disabled the join is
+    * REQUIRED to plan zero shuffle exchanges beneath it (the
+    * KeyGroupedPartitioning splits line up by value); layout must never
+    * change results, so the oracle replays the same join over parquet. */
+  private val q343 = QueryDef(
+    "q343_spj_join",
+    (s, d) => {
+      ensureFnCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fns.q343")
+      s.sql("DROP TABLE IF EXISTS graft_fns.q343.cust")
+      s.sql("DROP TABLE IF EXISTS graft_fns.q343.seg_quota")
+      s.sql("""CREATE TABLE graft_fns.q343.cust
+        (ckey STRING, seg STRING) PARTITIONED BY (seg)""")
+      s.sql("""CREATE TABLE graft_fns.q343.seg_quota
+        (seg STRING, quota STRING) PARTITIONED BY (seg)""")
+      Tables.customer(s, d)
+        .select(col("c_custkey").cast("string").as("ckey"),
+          col("c_mktsegment").as("seg"))
+        .writeTo("graft_fns.q343.cust").append()
+      Tables.customer(s, d).select(col("c_mktsegment").as("seg")).distinct()
+        .withColumn("quota", length(col("seg")).cast("string"))
+        .writeTo("graft_fns.q343.seg_quota").append()
+      val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      confs.foreach(s.conf.set(_, "-1"))
+      try {
+        val joined = s.table("graft_fns.q343.cust")
+          .join(s.table("graft_fns.q343.seg_quota"), Seq("seg"))
+          .groupBy(col("seg"), col("quota"))
+          .agg(count(lit(1)).as("n_cust"), min(col("ckey")).as("min_ckey"))
+        val exchanges = operators.Bucketing.shuffleExchangeCount(
+          s.table("graft_fns.q343.cust")
+            .join(s.table("graft_fns.q343.seg_quota"), Seq("seg")))
+        require(exchanges == 0,
+          s"storage-partitioned join must plan zero shuffle exchanges, " +
+            s"saw $exchanges")
+        joined.localCheckpoint()
+      } finally confs.foreach(s.conf.unset)
+    },
+    Some("""
+      WITH q AS (SELECT DISTINCT c_mktsegment AS seg,
+                   CAST(len(c_mktsegment) AS VARCHAR) AS quota
+                 FROM customer)
+      SELECT c.c_mktsegment AS seg, q.quota,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             MIN(CAST(c.c_custkey AS VARCHAR)) AS min_ckey
+      FROM customer c JOIN q ON c.c_mktsegment = q.seg
+      GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(q337, q338, q339, q340, q341, q342, q343)
 }

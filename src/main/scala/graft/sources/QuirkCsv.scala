@@ -242,8 +242,10 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     pc != null && pc.nonEmpty && {
       val forced = options.get("groupByPartition")
       if (forced != null) forced.toBoolean
-      else (try org.apache.spark.sql.internal.SQLConf.get.getConfString(
-        "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+      // the typed accessor, NOT getConfString(key, default): the string
+      // read ignores a registered entry's default, silently disabling
+      // grouping whenever the user hasn't set the conf explicitly
+      else (try org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
       catch { case _: Exception => false })
     }
   }
