@@ -39,6 +39,10 @@ object R11Queries {
       // broadcast fallback so the zero-exchange require proves
       // CO-LOCATION (BroadcastHashJoin would also show zero SHUFFLE
       // exchanges); materialize inside the conf window (q323 pattern)
+      // restore the PRIOR value, not the default (an unset would leak
+      // a plan-shape change into every later query of the session)
+      val priorBroadcast =
+        s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val perOrder = s.table("graft_li_bucketed")
@@ -55,7 +59,12 @@ object R11Queries {
             sum(col("n_lines")).as("n_lines"),
             count(lit(1)).as("n_orders"))
           .localCheckpoint()
-      } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      } finally priorBroadcast match {
+        case Some(v) =>
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None =>
+          s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     },
     Some("""
       WITH per_order AS (

@@ -71,8 +71,8 @@ object R13Queries {
     Some("""
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
-               AS content_checksum
+             COALESCE(bit_xor(CAST('0x' || substr(md5(text), 1, 15)
+               AS BIGINT)), 0) AS content_checksum
       FROM documents GROUP BY source"""))
 
   /** Catalog-function exact vector scoring: int8-quantized squared norms
@@ -234,6 +234,10 @@ object R13Queries {
         .writeTo("graft_fns.q343.seg_quota").append()
       val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      // restore PRIOR values, not defaults: conf.unset would reset a
+      // session-configured threshold and silently change the join
+      // plans of every query after this one in the same run
+      val prior = confs.map(k => k -> s.conf.getOption(k))
       confs.foreach(s.conf.set(_, "-1"))
       try {
         val joined = s.table("graft_fns.q343.cust")
@@ -247,7 +251,10 @@ object R13Queries {
           s"storage-partitioned join must plan zero shuffle exchanges, " +
             s"saw $exchanges")
         joined.localCheckpoint()
-      } finally confs.foreach(s.conf.unset)
+      } finally prior.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     },
     Some("""
       WITH q AS (SELECT DISTINCT c_mktsegment AS seg,

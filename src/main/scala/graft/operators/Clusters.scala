@@ -183,8 +183,6 @@ object Clusters {
       prop.unpersist()
       jump1.unpersist()
       val changed = next.filter(col("label") =!= col("__old")).count()
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"GRAFT_CC round=$it changed=$changed")
       labels = next.select(col("id"), col("label"))
       // next is materialized: the PREVIOUS round's labels snapshot is no
       // longer read by anything
@@ -365,7 +363,6 @@ object Clusters {
     val r0 = scale / n
     val base = (15L * r0) / 100L
     var ranks = snaps.snapshot(deg.withColumn("rank", lit(r0)))
-    var lastSnap = ranks
     for (i <- 1 to iters) {
       val inflow = sym.join(side(ranks), Seq("src"))
         .select(col("dst"), expr("(85 * rank) div (100 * deg)").as("c"))
@@ -381,8 +378,7 @@ object Clusters {
       // barriers, not the joins, dominate its variance.
       if (i % 2 == 0 || i == iters) {
         ranks = snaps.snapshot(next)
-        lastSnap = ranks
-        snaps.prune(lastSnap)
+        snaps.prune(ranks)
       } else ranks = next
     }
     sym.unpersist()

@@ -752,10 +752,16 @@ object Similarity {
                           embCol: String, qScale: Int = 1024): DataFrame = {
     require(qScale > 0 && (qScale & (qScale - 1)) == 0,
       s"qScale must be a positive power of two, got $qScale")
+    // null ELEMENTS quantize to 0: for integer sums, excluding a null
+    // term and adding 0 are the same value, so this matches the prior
+    // explode formulation's null-skipping sums bit for bit — while the
+    // Dataset[Array[Long]] encoder below would otherwise abort the job
+    // on the first null element
     val base = embeddings.filter(col(embCol).isNotNull)
       .select(col(idCol).as("__id"),
         transform(col(embCol), x =>
-          floor(x.cast("double") * lit(qScale.toDouble)).cast("long"))
+          coalesce(floor(x.cast("double") * lit(qScale.toDouble))
+            .cast("long"), lit(0L)))
           .as("__q"))
     // Per-partition Gram accumulation (mapPartitions is justified here:
     // the declarative form explodes d(d+1)/2 struct rows PER VECTOR

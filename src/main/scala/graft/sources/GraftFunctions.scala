@@ -152,7 +152,10 @@ object GraftFunctions {
     override def description(): String =
       "xor_checksum(v STRING) -> BIGINT aggregate: XOR of 60-bit md5 " +
         "slices — an order-independent content fingerprint for table " +
-        "integrity checks (NULLs contribute nothing; empty group -> 0)"
+        "integrity checks. NULLs contribute nothing and an empty or " +
+        "all-NULL group returns 0 (the XOR fold identity) — note SQL " +
+        "bit_xor aggregates return NULL there, so a cross-engine " +
+        "replay is COALESCE(bit_xor(...), 0)"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 1 &&
         inputType.fields(0).dataType == StringType,

@@ -100,9 +100,16 @@ class QuirkCsvDataSource extends TableProvider with DataSourceRegister {
     // catalog tables carry a seed header file that IS the table schema —
     // prefer it: after an append-only ALTER TABLE ADD COLUMN the seed
     // has the widened header while pre-ALTER data files keep the narrow
-    // one (their missing trailing columns read as NULL)
-    val schemaFile = files.find(f =>
-      new Path(f.path).getName.startsWith("part-seed-")).getOrElse(files.head)
+    // one (their missing trailing columns read as NULL). Seeds are
+    // VERSIONED (part-seed-00000, -00001, …): ALTER creates the next
+    // version before deleting older ones, so the HIGHEST seed is the
+    // schema authority and a crash between the two steps only leaves a
+    // stale lower version behind, never a missing or narrowed schema.
+    val seeds = files.filter(f =>
+      new Path(f.path).getName.startsWith("part-seed-"))
+    val schemaFile =
+      if (seeds.nonEmpty) seeds.maxBy(f => new Path(f.path).getName)
+      else files.head
     val header = QuirkCsv.readFirstLine(schemaFile.path, schemaFile.len)
     // Header names normalize to identifier-safe form ("Row ID" -> RowID,
     // "Sub-Category" -> SubCategory) — the raw layer's column names are
@@ -191,10 +198,7 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     // merge TABLE options under the write options: the catalog-set
     // partitionCol must reach the writer even though DataFrameWriterV2
     // passes only per-write options in info
-    val merged = new util.HashMap[String, String]()
-    merged.putAll(options.asCaseSensitiveMap())
-    merged.putAll(info.options.asCaseSensitiveMap())
-    val mergedOpts = new CaseInsensitiveStringMap(merged)
+    val mergedOpts = QuirkCsv.mergeOptions(options, info.options)
     val path = mergedOpts.get("path")
     require(path != null && path.nonEmpty,
       "graftcsv write requires a 'path' option")
@@ -203,12 +207,8 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
   }
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
-  : ScanBuilder = {
-    val merged = new util.HashMap[String, String]()
-    merged.putAll(options.asCaseSensitiveMap())
-    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
-    new QuirkCsvScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
-  }
+  : ScanBuilder = new QuirkCsvScanBuilder(tableSchema,
+    QuirkCsv.mergeOptions(options, caseInsensitiveOptions))
 }
 
 private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
@@ -235,8 +235,8 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     * partitioned-table scans group by default — the cost is
     * intra-partition parallelism (one task per value); scan-heavy jobs
     * over few-value tables opt out per scan with
-    * groupByPartition=false. Evaluated ONCE
-    * at builder construction — pushdown decisions below depend on it. */
+    * groupByPartition=false — and any pushed aggregate/limit/top-N
+    * wins over grouping at build() (see there). */
   private val grouped: Boolean = {
     val pc = options.get("partitionCol")
     pc != null && pc.nonEmpty && {
@@ -272,10 +272,7 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     })
     // same defensive guard as pushLimit: top-N over PARTIAL aggregate
     // rows would drop partials before the final merge
-    // grouped (SPJ) splits are join inputs chained across files — the
-    // per-split heap/limit/aggregate pushdowns stay off there to keep
-    // the one-split-per-value invariant simple and the join shape plain
-    if (!grouped && pushedAgg.isEmpty && n > 0 &&
+    if (pushedAgg.isEmpty && n > 0 &&
       n <= options.getInt("maxTopNPerSplit", 100000) && specs.nonEmpty &&
       specs.forall(_.isDefined)) {
       topN = Some(QuirkCsvTopN(specs.map(_.get), n))
@@ -293,7 +290,7 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
   override def pushLimit(l: Int): Boolean = {
     // defensive: never cap PARTIAL-aggregate rows (Spark doesn't push a
     // limit through an Aggregate today; keep that invariant local)
-    if (pushedAgg.isEmpty && !grouped) limit = l
+    if (pushedAgg.isEmpty) limit = l
     false
   }
 
@@ -327,7 +324,6 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
     * they are counted. Distinct aggregates and non-column arguments stay
     * in Spark. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (grouped) return false // see the grouped-mode note on pushTopN
     val agg = QuirkCsvAgg.tryPlan(fullSchema, aggregation, options)
     pushedAgg = agg
     agg.isDefined
@@ -350,8 +346,14 @@ private[sources] class QuirkCsvScanBuilder(fullSchema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new QuirkCsvAggScan(fullSchema, pushed, agg, options)
     case None =>
+      // pushdowns WIN over SPJ grouping: a scan whose output is a
+      // pushed aggregate/limit/top-N is not the join input the grouped
+      // mode exists for, and a grouped count(*) over a few-value table
+      // would trade split-parallel pushed partials for one task per
+      // value — strictly worse. Grouping applies only to the plain
+      // filtered row-scan shape.
       new QuirkCsvScan(fullSchema, required, pushed, options, limit, topN,
-        grouped)
+        grouped && limit < 0 && topN.isEmpty)
   }
 }
 
@@ -382,13 +384,8 @@ private[sources] class QuirkCsvRowLevelOperation(
   : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap)
-  : ScanBuilder = {
-    val merged = new util.HashMap[String, String]()
-    merged.putAll(tableOptions.asCaseSensitiveMap())
-    merged.putAll(scanOptions.asCaseSensitiveMap())
-    new QuirkCsvRowLevelScanBuilder(fullSchema,
-      new CaseInsensitiveStringMap(merged))
-  }
+  : ScanBuilder = new QuirkCsvRowLevelScanBuilder(fullSchema,
+    QuirkCsv.mergeOptions(tableOptions, scanOptions))
 
   /** Requiring `_file` does double duty: it is the natural group id of
     * a copy-on-write source, and its presence makes Spark project the
@@ -408,11 +405,8 @@ private[sources] class QuirkCsvRowLevelOperation(
     // partitioned, and the copy-on-write truncate would flat-rewrite
     // the root of a partitioned layout (files written at root, value
     // subdirs left stale = silent duplication)
-    val merged = new util.HashMap[String, String]()
-    merged.putAll(tableOptions.asCaseSensitiveMap())
-    merged.putAll(info.options.asCaseSensitiveMap())
     val b = new QuirkCsvWriteBuilder(path, info.schema(),
-      new CaseInsensitiveStringMap(merged), info.queryId())
+      QuirkCsv.mergeOptions(tableOptions, info.options), info.queryId())
     b.truncate()
     b
   }
@@ -1421,6 +1415,16 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
     }
     val partitionCol =
       Option(options.get("partitionCol")).filter(_.nonEmpty)
+    if (partitionCol.isEmpty) {
+      // a flat write into a partitioned table root would drop data
+      // files beside the schema seed, where the scan's stray-file guard
+      // then rejects the whole table — catch it at the write instead
+      val p = new Path(path, QuirkCsv.PartitioningFile)
+      require(!p.getFileSystem(new Configuration()).exists(p),
+        s"$path is a PARTITIONED graftcsv table — write it through its " +
+          "catalog (the partitionCol option routes rows into value " +
+          "directories); a flat write would strand data files at the root")
+    }
     partitionCol.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"partitioned write is missing partition column '$c' in " +
@@ -1904,6 +1908,17 @@ private[sources] object QuirkCsv {
       val c = options.get("partitionCol")
       c != null && c.nonEmpty
     }
+    // reading a partitioned table root WITHOUT the option would see only
+    // the root-level schema seed and silently return an empty,
+    // schema-correct frame — fail loudly instead (the marker makes the
+    // situation detectable)
+    if (!partitioned && st.isDirectory &&
+      fs.exists(new Path(path, QuirkCsv.PartitioningFile)))
+      throw new IllegalArgumentException(
+        s"$path is a PARTITIONED graftcsv table (see " +
+          s"${QuirkCsv.PartitioningFile}) — read it through its catalog, " +
+          "or pass the partitionCol option; a plain load would silently " +
+          "return zero rows")
     val statuses: Seq[FileStatus] =
       if (!st.isDirectory) Seq(st)
       else {
@@ -2044,6 +2059,18 @@ private[sources] object QuirkCsv {
     case StringEndsWith(a, _) => schema.fieldNames.contains(a)
     case StringContains(a, _) => schema.fieldNames.contains(a)
     case _ => false
+  }
+
+  /** TABLE options under per-call overrides — the one merge every
+    * scan/write entry point must apply so catalog-set options (path,
+    * partitionCol, dialect flags) reach readers and writers. */
+  def mergeOptions(table: CaseInsensitiveStringMap,
+                   overrides: CaseInsensitiveStringMap)
+  : CaseInsensitiveStringMap = {
+    val m = new util.HashMap[String, String]()
+    m.putAll(table.asCaseSensitiveMap())
+    m.putAll(overrides.asCaseSensitiveMap())
+    new CaseInsensitiveStringMap(m)
   }
 
   // ------------------------------------------- identity partitioning

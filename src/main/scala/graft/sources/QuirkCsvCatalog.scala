@@ -194,18 +194,28 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     val widened = current.toSeq ++ added
     require(widened.map(_.toLowerCase).distinct.size == widened.size,
       s"duplicate column after ALTER: ${widened.mkString(", ")}")
-    // atomic widen: write the new seed hidden, then move it into place
-    // (delete+rename — the header is re-read only at loadTable, and a
-    // reader that raced the swap sees either header, both of which parse
-    // every existing file correctly)
-    val seed = new Path(dir, "part-seed-00000.csv")
-    val tmp = new Path(dir, ".part-seed-00000.csv.alter")
+    // crash-safe widen via VERSIONED seeds: write the next version
+    // hidden, rename it into place under its NEW name (an atomic
+    // create, never an overwrite), and only then delete older seeds.
+    // inferSchema takes the HIGHEST seed, so the worst crash window
+    // leaves a redundant older version behind — the schema can never
+    // go missing or silently narrow (the prior delete-then-rename
+    // protocol lost the seed if the process died between the steps).
+    val priorSeeds = fs.listStatus(dir).toIndexedSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-seed-") && n.endsWith(".csv"))
+    val nextVer = priorSeeds
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("part-seed-").stripSuffix(".csv").toInt).toOption)
+      .foldLeft(-1)(_ max _) + 1
+    val seed = new Path(dir, f"part-seed-$nextVer%05d.csv")
+    val tmp = new Path(dir, f".part-seed-$nextVer%05d.csv.alter")
     val out = fs.create(tmp, true)
     out.write((widened.map(QuirkCsv.formatField).mkString(",") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     out.close()
-    if (fs.exists(seed)) fs.delete(seed, false)
     require(fs.rename(tmp, seed), s"ALTER TABLE $ident: seed swap failed")
+    priorSeeds.foreach(n => fs.delete(new Path(dir, n), false))
     loadTable(ident)
   }
 

@@ -53,6 +53,18 @@ private[graft] object QuirkCsvMaintenance {
   def compactCsv(spark: SparkSession, dir: String,
                  numFiles: Int): (Long, Long) = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    // a PARTITIONED table root holds only the schema seed + value
+    // subdirs: compacting it would fold the seed into a root "data"
+    // file (bricking every later scan on the root-level-data-file
+    // guard) and never touch the real data. Compact each value subdir
+    // instead — a plain directory with no marker, where this protocol
+    // applies unchanged.
+    require(!new Path(dir, QuirkCsv.PartitioningFile)
+      .getFileSystem(new Configuration())
+      .exists(new Path(dir, QuirkCsv.PartitioningFile)),
+      s"$dir is a PARTITIONED graftcsv table root — compact its " +
+        "<col>=<value> subdirectories individually, never the root " +
+        "(the root holds only the schema seed)")
     recoverPendingSwap(dir)
     val pinned = dataFileNames(dir)
     val before = pinned.size.toLong

@@ -134,6 +134,42 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
       .rdd.getNumPartitions shouldBe 1
   }
 
+  test("compactCsv refuses a partitioned table root (subdirs are the unit)") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.c (a STRING, b STRING)
+      PARTITIONED BY (b)""")
+    spark.sql("INSERT INTO graft_part.ns.c VALUES ('1','x'), ('2','x')")
+    val err = intercept[Exception] {
+      graft.operators.Scale.compactCsv(spark, s"$root/ns/c", 1)
+    }
+    err.getMessage should include("PARTITIONED")
+    // the value subdir itself compacts fine (plain directory, no marker)
+    spark.sql("INSERT INTO graft_part.ns.c VALUES ('3','x')")
+    val (before, after) =
+      graft.operators.Scale.compactCsv(spark, s"$root/ns/c/b=x", 1)
+    before should be >= 2L
+    after shouldBe 1L
+    spark.table("graft_part.ns.c").count() shouldBe 3L
+  }
+
+  test("plain (optionless) reads and writes of a partitioned root fail loudly") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.l (a STRING, b STRING)
+      PARTITIONED BY (b)""")
+    spark.sql("INSERT INTO graft_part.ns.l VALUES ('1','x')")
+    val rd = intercept[Exception] {
+      spark.read.format("graftcsv").load(s"$root/ns/l").count()
+    }
+    rd.getMessage should include("PARTITIONED")
+    val wr = intercept[Exception] {
+      import spark.implicits._
+      Seq(("9", "z")).toDF("a", "b").write.format("graftcsv")
+        .mode("append").save(s"$root/ns/l")
+    }
+    wr.getMessage should include("PARTITIONED")
+    spark.table("graft_part.ns.l").count() shouldBe 1L
+  }
+
   test("ALTER ADD COLUMN composes with partitioning") {
     root
     spark.sql("""CREATE TABLE graft_part.ns.w (a STRING, b STRING)

@@ -96,6 +96,24 @@ class QuirkCsvSchemaEvolutionSpec extends SparkSpec {
       Seq(("1", "x"))
   }
 
+  test("versioned seeds: highest wins; a stale lower seed never narrows the schema") {
+    root
+    spark.sql("CREATE TABLE graft_evo.ns.v (a STRING)")
+    spark.sql("ALTER TABLE graft_evo.ns.v ADD COLUMN b STRING")
+    spark.sql("ALTER TABLE graft_evo.ns.v ADD COLUMN c STRING")
+    val dir = new java.io.File(s"$root/ns/v")
+    // only the newest seed survives a clean ALTER
+    dir.listFiles().map(_.getName).filter(_.startsWith("part-seed-"))
+      .toSeq shouldBe Seq("part-seed-00002.csv")
+    // simulate a crash between new-seed rename and old-seed delete: a
+    // STALE lower version reappears — the highest version must stay the
+    // schema authority
+    val stale = new java.io.File(dir, "part-seed-00000.csv")
+    val w = new java.io.FileOutputStream(stale)
+    w.write("a\n".getBytes("ISO-8859-1")); w.close()
+    spark.table("graft_evo.ns.v").columns.toSeq shouldBe Seq("a", "b", "c")
+  }
+
   test("zone maps keep pruning on old columns after the widen") {
     root
     spark.sql("CREATE TABLE graft_evo.ns.z (k STRING, v STRING)")

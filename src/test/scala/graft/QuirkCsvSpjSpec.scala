@@ -129,16 +129,18 @@ class QuirkCsvSpjSpec extends SparkSpec {
     }
   }
 
-  test("grouped mode declines limit/top-N/aggregate pushdown and runtime filters") {
+  test("pushdowns take precedence over grouping (agg scan stays split-parallel)") {
     root
     withSpj {
       val t = spark.table("graft_spj.ns.sales")
-      // aggregate falls back to Spark's own (no PushedAggregation)
-      val agg = t.groupBy("region").agg(count(lit(1)))
-      agg.queryExecution.executedPlan.toString should not
-      include("PushedAggregation")
-      agg.collect().length shouldBe 4
-      // limit/top-N stay unpushed but correct
+      // a pushed aggregate is NOT a join input: the scan keeps its
+      // split-parallel pushed partials instead of one task per value
+      val agg = t.groupBy("region").agg(count(lit(1)).as("n"))
+      agg.queryExecution.executedPlan.toString should
+        include("PushedAggregation")
+      agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+        Map("east" -> 20L, "west" -> 20L, "north" -> 20L, "south" -> 20L)
+      // pushed limit/top-N similarly opt the scan out of grouping
       t.orderBy("amount").limit(3).collect().length shouldBe 3
     }
   }
