@@ -266,5 +266,36 @@ object R13Queries {
       FROM customer c JOIN q ON c.c_mktsegment = q.seg
       GROUP BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(q337, q338, q339, q340, q341, q342, q343)
+  /** Partition-level retention inside the oracle gate: the append-only
+    * raw layer's deletion unit is the partition directory —
+    * `ALTER TABLE … DROP PARTITION` removes one priority class without
+    * any row-level rewrite (SupportsPartitionManagement), and the
+    * remaining table hash-matches the oracle's anti-filter over the
+    * parquet base. */
+  private val q344 = QueryDef(
+    "q344_partition_retention",
+    (s, d) => {
+      ensureFnCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fns.q344")
+      s.sql("DROP TABLE IF EXISTS graft_fns.q344.ord")
+      s.sql("""CREATE TABLE graft_fns.q344.ord
+        (okey STRING, prio STRING) PARTITIONED BY (prio)""")
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("string").as("okey"),
+          col("o_orderpriority").as("prio"))
+        .writeTo("graft_fns.q344.ord").append()
+      s.sql("""ALTER TABLE graft_fns.q344.ord
+        DROP PARTITION (prio = '3-MEDIUM')""")
+      s.table("graft_fns.q344.ord")
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"), max(col("okey")).as("max_okey"))
+    },
+    Some("""
+      SELECT o_orderpriority AS prio,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             MAX(CAST(o_orderkey AS VARCHAR)) AS max_okey
+      FROM orders WHERE o_orderpriority <> '3-MEDIUM' GROUP BY 1"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q337, q338, q339, q340, q341, q342, q343, q344)
 }

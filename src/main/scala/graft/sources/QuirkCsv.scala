@@ -144,7 +144,8 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
                                      options: CaseInsensitiveStringMap)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   override def name(): String =
     s"graftcsv(${options.getOrDefault("path", "?")})"
@@ -193,6 +194,91 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
       .map(c => org.apache.spark.sql.connector.expressions.Expressions
         .identity(c))
       .toArray
+
+  // -------------------------------- partition management (SQL surface)
+  //
+  // SHOW PARTITIONS / ALTER TABLE ADD|DROP PARTITION on partitioned
+  // tables: the append-only raw layer's DELETION UNIT is the partition
+  // directory — retention ("drop everything before 2023") becomes one
+  // SQL statement that removes whole value subdirs, never a row-level
+  // rewrite. On an unpartitioned table every call fails with the same
+  // message the ALTER path uses.
+
+  private def partitionColOpt: Option[String] =
+    Option(options.get("partitionCol")).filter(_.nonEmpty)
+
+  private def requirePartitioned(): String = partitionColOpt.getOrElse(
+    throw new UnsupportedOperationException(
+      s"${name()} is not partitioned — partition management applies to " +
+        "PARTITIONED BY tables only"))
+
+  private def tableRoot: Path = new Path(options.get("path"))
+
+  private def partDir(ident: InternalRow): Path = {
+    val c = requirePartitioned()
+    require(!ident.isNullAt(0),
+      "NULL partition value — partitioned graftcsv tables reject null " +
+        "partition keys")
+    new Path(tableRoot,
+      QuirkCsv.partitionDirName(c, ident.getUTF8String(0).toString))
+  }
+
+  override def partitionSchema(): StructType =
+    StructType(Seq(StructField(requirePartitioned(), StringType,
+      nullable = false)))
+
+  override def createPartition(ident: InternalRow,
+                               properties: util.Map[String, String]): Unit = {
+    val dir = partDir(ident)
+    val fs = dir.getFileSystem(new Configuration())
+    if (fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .PartitionsAlreadyExistException(name(), ident, partitionSchema())
+    fs.mkdirs(dir)
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val dir = partDir(ident)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.exists(dir) && fs.delete(dir, true)
+  }
+
+  override def partitionExists(ident: InternalRow): Boolean = {
+    val dir = partDir(ident)
+    dir.getFileSystem(new Configuration()).exists(dir)
+  }
+
+  override def replacePartitionMetadata(
+      ident: InternalRow, properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graftcsv partitions carry no metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow)
+  : util.Map[String, String] = util.Collections.emptyMap()
+
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident: InternalRow)
+  : Array[InternalRow] = {
+    val c = requirePartitioned()
+    require(names.forall(_.equalsIgnoreCase(c)),
+      s"unknown partition column(s) ${names.mkString(", ")} — the " +
+        s"partitioning is ($c)")
+    val fs = tableRoot.getFileSystem(new Configuration())
+    if (!fs.exists(tableRoot)) return Array.empty
+    val all = fs.listStatus(tableRoot).toIndexedSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(c + "="))
+      .flatMap(st => QuirkCsv.partitionValueOf(
+        new Path(st.getPath, "x").toString, c))
+      .sorted
+      .map(v => new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](UTF8String.fromString(v)))
+        : InternalRow)
+    // with a prefix filter (names nonEmpty + ident), keep matches only
+    if (names.isEmpty) all.toArray
+    else all.filter(r =>
+      r.getUTF8String(0) == ident.getUTF8String(0)).toArray
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // merge TABLE options under the write options: the catalog-set

@@ -170,6 +170,37 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
     spark.table("graft_part.ns.l").count() shouldBe 1L
   }
 
+  test("partition management: SHOW PARTITIONS, ADD/DROP PARTITION as retention") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.r (v STRING, day STRING)
+      PARTITIONED BY (day)""")
+    spark.sql("""INSERT INTO graft_part.ns.r VALUES
+      ('a','2023-01-01'), ('b','2023-01-02'), ('c','2024-01-01')""")
+    spark.sql("SHOW PARTITIONS graft_part.ns.r")
+      .collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("day=2023-01-01", "day=2023-01-02", "day=2024-01-01")
+    // retention: drop a whole day — the append-only table's deletion unit
+    spark.sql(
+      "ALTER TABLE graft_part.ns.r DROP PARTITION (day='2023-01-01')")
+    spark.table("graft_part.ns.r").select("v")
+      .collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("b", "c")
+    spark.sql("SHOW PARTITIONS graft_part.ns.r").count() shouldBe 2L
+    // ADD PARTITION pre-creates an empty value dir (visible, zero rows)
+    spark.sql(
+      "ALTER TABLE graft_part.ns.r ADD PARTITION (day='2025-01-01')")
+    spark.sql("SHOW PARTITIONS graft_part.ns.r").count() shouldBe 3L
+    spark.table("graft_part.ns.r").count() shouldBe 2L
+    // duplicate ADD fails; DROP of a missing partition errors cleanly
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft_part.ns.r ADD PARTITION (day='2025-01-01')")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft_part.ns.r DROP PARTITION (day='1999-01-01')")
+    }
+  }
+
   test("ALTER ADD COLUMN composes with partitioning") {
     root
     spark.sql("""CREATE TABLE graft_part.ns.w (a STRING, b STRING)
