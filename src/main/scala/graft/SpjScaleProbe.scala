@@ -58,7 +58,10 @@ object SpjScaleProbe {
           a("pk") === b("pk") && col("okey") === col("okey_b"))
         .groupBy(a("pk")).agg(count(lit(1)).as("n"))
       val t0 = System.nanoTime()
-      val n = j.agg(sum(col("n"))).collect()(0).getLong(0)
+      val row = j.agg(coalesce(sum(col("n")), lit(0L))).collect()(0)
+      val n = row.getLong(0)
+      require(n > 0L, s"probe join produced zero rows from $d — wrong " +
+        "fixture? (needs lineitem with l_linenumber = 1 rows)")
       ((System.nanoTime() - t0) / 1e9, n)
     }
     // warmup then timed, each mode

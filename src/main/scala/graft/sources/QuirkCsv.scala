@@ -190,7 +190,7 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     * catalog marker is present — surfaces through SHOW CREATE/DESCRIBE
     * and drives the clustered write distribution + grouped scan mode. */
   override def partitioning(): Array[Transform] =
-    Option(options.get("partitionCol")).filter(_.nonEmpty)
+    partitionColOpt
       .map(c => org.apache.spark.sql.connector.expressions.Expressions
         .identity(c))
       .toArray
@@ -229,12 +229,20 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
 
   override def createPartition(ident: InternalRow,
                                properties: util.Map[String, String]): Unit = {
+    // LOCATION (and any other property) cannot be honored — partition
+    // dirs live under the table root by construction. Silently dropping
+    // a user's LOCATION would leave their external data unread forever;
+    // reject instead.
+    require(properties == null || properties.isEmpty,
+      s"graftcsv partitions take no properties (got $properties): the " +
+        "directory is always <tableRoot>/<col>=<value>; external " +
+        "LOCATIONs are unsupported")
     val dir = partDir(ident)
     val fs = dir.getFileSystem(new Configuration())
     if (fs.exists(dir))
       throw new org.apache.spark.sql.catalyst.analysis
         .PartitionsAlreadyExistException(name(), ident, partitionSchema())
-    fs.mkdirs(dir)
+    require(fs.mkdirs(dir), s"ADD PARTITION: mkdirs($dir) failed")
   }
 
   override def dropPartition(ident: InternalRow): Boolean = {
@@ -268,8 +276,8 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     val all = fs.listStatus(tableRoot).toIndexedSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(c + "="))
-      .flatMap(st => QuirkCsv.partitionValueOf(
-        new Path(st.getPath, "x").toString, c))
+      .map(st => QuirkCsv.decodePartitionDirValue(
+        st.getPath.getName.substring(c.length + 1)))
       .sorted
       .map(v => new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(Array[Any](UTF8String.fromString(v)))
@@ -2191,6 +2199,9 @@ private[sources] object QuirkCsv {
     * are rejected at the WRITE (loudly), so a dir always has a value. */
   def partitionDirName(col: String, value: String): String =
     s"$col=${enc(value)}"
+
+  /** Decode the value half of a `col=value` partition directory name. */
+  def decodePartitionDirValue(encoded: String): String = dec(encoded)
 
   /** The partition value a file inherits from its parent directory, or
     * None for root-level files (the schema seed). */

@@ -201,6 +201,36 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
     }
   }
 
+  test("partition management guards: unpartitioned tables, partial spec, LOCATION") {
+    root
+    // unpartitioned table: every partition-management statement fails
+    spark.sql("CREATE TABLE graft_part.ns.u (a STRING)")
+    val sp = intercept[Exception] {
+      spark.sql("SHOW PARTITIONS graft_part.ns.u")
+    }
+    sp.getMessage.toLowerCase should include("partition")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_part.ns.u ADD PARTITION (a='x')")
+    }
+    // partial spec: SHOW PARTITIONS t PARTITION (day=...) filters
+    spark.sql("""CREATE TABLE graft_part.ns.ps (v STRING, day STRING)
+      PARTITIONED BY (day)""")
+    spark.sql("""INSERT INTO graft_part.ns.ps VALUES
+      ('a','d1'), ('b','d2'), ('c','has space')""")
+    spark.sql("SHOW PARTITIONS graft_part.ns.ps PARTITION (day='d2')")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("day=d2")
+    // encoded values decode in the listing (round-trip through the dir)
+    spark.sql(
+      "SHOW PARTITIONS graft_part.ns.ps PARTITION (day='has space')")
+      .count() shouldBe 1L
+    // LOCATION cannot be honored — rejected, not silently dropped
+    val loc = intercept[Exception] {
+      spark.sql("""ALTER TABLE graft_part.ns.ps
+        ADD PARTITION (day='ext') LOCATION '/tmp/elsewhere'""")
+    }
+    loc.getMessage should include("no properties")
+  }
+
   test("ALTER ADD COLUMN composes with partitioning") {
     root
     spark.sql("""CREATE TABLE graft_part.ns.w (a STRING, b STRING)
