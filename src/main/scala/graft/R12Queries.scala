@@ -23,6 +23,9 @@ object R12Queries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       graft.operators.TopK.ensureRegistered(s)
+      // save/restore, not unset: unset restores the DEFAULT, silently
+      // turning the rewrite off for a session that had it enabled
+      val prior = s.conf.getOption(graft.plans.WindowTopKRewrite.RewriteConf)
       s.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
       try {
         val df = Tables.documents(s, d)
@@ -35,7 +38,10 @@ object R12Queries {
           "rank window shape must plan to the ties-kept heap operator, " +
             s"got:\n$plan")
         df.localCheckpoint() // materialize while the rewrite conf is on
-      } finally s.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+      } finally prior match {
+        case Some(v) => s.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, v)
+        case None => s.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+      }
     },
     Some("""
       WITH ranked AS (

@@ -120,6 +120,9 @@ object R9bQueries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       graft.operators.TopK.ensureRegistered(s)
+      // save/restore, not unset: unset restores the DEFAULT, silently
+      // turning the rewrite off for a session that had it enabled
+      val prior = s.conf.getOption(graft.plans.WindowTopKRewrite.RewriteConf)
       s.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, "true")
       try {
         Tables.documents(s, d)
@@ -129,7 +132,10 @@ object R9bQueries {
               .orderBy(col("n_chars"), col("doc_id"))))
           .filter(col("rn") <= 2).drop("rn")
           .localCheckpoint() // materialize while the rewrite conf is on
-      } finally s.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+      } finally prior match {
+        case Some(v) => s.conf.set(graft.plans.WindowTopKRewrite.RewriteConf, v)
+        case None => s.conf.unset(graft.plans.WindowTopKRewrite.RewriteConf)
+      }
     },
     Some("""
       WITH ranked AS (

@@ -141,15 +141,19 @@ object Scale {
     * epoch × partition accumulates into thousands of small files, and
     * both split planning and the zone-map sidecar grow with file count).
     *
-    * Safe against a LIVE sink: the implementation pins the input file
-    * listing as a snapshot, reads exactly that snapshot (the source's
-    * `pinnedFiles` option), APPENDS the folded part files, and then
-    * deletes exactly the pinned originals under a crash-recoverable
-    * intent sidecar. Epochs a concurrent sink commits mid-compaction
-    * are neither read nor deleted — they survive untouched. (The
-    * earlier `mode("overwrite")` form deleted every file the compacting
-    * job didn't write at commit, i.e. a racing epoch was dropped
-    * unread.) Full protocol + concurrency contract:
+    * Safe against a LIVE sink and a crash at any point: the
+    * implementation pins the input file listing as a snapshot, reads
+    * exactly that snapshot (the source's `pinnedFiles` option), folds
+    * into a hidden tmp directory, records a durable two-set intent
+    * (folded names + originals to delete), and only then swaps the
+    * folded files in and deletes exactly the pinned originals. Epochs a
+    * concurrent sink commits mid-compaction are neither read nor
+    * deleted — they survive untouched. (The earlier `mode("overwrite")`
+    * form deleted every file the compacting job didn't write at commit,
+    * i.e. a racing epoch was dropped unread; the earlier
+    * append-into-place form could bake permanent duplicates when a
+    * crash landed between the fold commit and the intent.) Full
+    * protocol + concurrency contract:
     * [[graft.sources.QuirkCsvMaintenance]]. Returns
     * (filesBefore, filesAfter). */
   def compactCsv(spark: org.apache.spark.sql.SparkSession, dir: String,

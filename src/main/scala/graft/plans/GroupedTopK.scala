@@ -209,10 +209,13 @@ case class GroupedTopKExec(
     // rank-mode boundary tie-buffer bound: the partial pass FLUSHES on
     // overflow (a flushed segment's local rank<=k set is still a
     // superset of the global answer's restriction to it); the exact
-    // final pass fails fast instead — see [[MaxTieRowsConf]]
+    // final pass fails fast instead — see [[MaxTieRowsConf]]. BOTH
+    // passes get the finite cap: a degenerate (near-constant) ORDER BY
+    // would otherwise accumulate an entire group in the partial pass's
+    // tie buffer — the exact executor-memory blowup the conf exists to
+    // prevent.
     val tieCap =
       if (!withTies) 0
-      else if (partial) Int.MaxValue // overflow handled via flush
       else conf.getConfString(GroupedTopKExec.MaxTieRowsConf, "1000000").toInt
     val childOutput = child.output
     val g = normalizedGroupExprs
@@ -286,8 +289,15 @@ object GroupedTopKExec {
       if (withTies) mutable.ArrayBuffer.empty[InternalRow] else null
 
     /** Adds an OWNED row copy. Returns false when the rank-mode tie
-      * buffer would exceed `tieCap` (the row is NOT added; the caller
-      * flushes — partial pass — or fails — final pass). */
+      * buffer would exceed `tieCap` — and then the heap state is
+      * UNCHANGED (the row is not added, nothing is evicted), so a
+      * partial-pass caller can flush a consistent segment and re-offer
+      * the row to a fresh heap, and a final-pass caller fails fast on
+      * intact state. The eviction branch therefore decides the tie-cap
+      * question BEFORE committing the swap: mutate-then-return-false
+      * would emit the new row in the flushed segment AND re-insert it
+      * as pending (duplicate) while silently dropping the evicted
+      * boundary row. */
     def add(row: InternalRow, tieCap: Int): Boolean =
       if (heap.size < k) { heap.enqueue(row); true }
       else {
@@ -299,17 +309,25 @@ object GroupedTopKExec {
           else { ties += row; true }
         } else {
           val evicted = heap.dequeue()
-          heap.enqueue(row)
-          if (withTies) {
-            // the boundary VALUE may have moved: rows worth the old
-            // boundary stay retained only if the new k-th best still
-            // equals it (another tied copy remains in the heap)
-            if (ord.compare(evicted, heap.head) == 0) {
-              if (ties.size >= tieCap) return false
-              ties += evicted
-            } else ties.clear()
+          // the boundary VALUE may move: the evicted row stays retained
+          // (in `ties`) only if the new k-th best still equals it —
+          // i.e. another copy of its order value remains at the new
+          // boundary. Compute the new boundary WITHOUT enqueueing yet:
+          // it is the worst of (remaining heap, new row).
+          val evictedTiesNewBoundary = withTies && ord.compare(evicted,
+            if (heap.isEmpty || ord.compare(row, heap.head) > 0) row
+            else heap.head) == 0
+          if (evictedTiesNewBoundary && ties.size >= tieCap) {
+            heap.enqueue(evicted) // restore — state exactly as before
+            false
+          } else {
+            heap.enqueue(row)
+            if (withTies) {
+              if (evictedTiesNewBoundary) ties += evicted
+              else ties.clear()
+            }
+            true
           }
-          true
         }
       }
 

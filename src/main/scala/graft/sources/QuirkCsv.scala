@@ -1491,15 +1491,100 @@ private[sources] class QuirkCsvMicroBatchStream(
   * field, the empty string as `""`, and fields containing commas /
   * quotes / line breaks quote-and-double — the exact inverses the reader
   * applies, so write → read round-trips bit-for-bit. */
+/** What the batch write's job COMMIT does beyond making the job's own
+  * files visible — the scope of the files it deletes. Everything except
+  * [[QuirkCsvWriteMode.Truncate]] is partition-granular: commits touch
+  * only the value directories in scope, so re-running one day's load
+  * can never truncate the rest of a 100-TB fact. */
+private[sources] sealed trait QuirkCsvWriteMode
+private[sources] object QuirkCsvWriteMode {
+  /** Plain append: no deletes. */
+  case object Append extends QuirkCsvWriteMode
+  /** Whole-directory replace (unpartitioned tables only). */
+  case object Truncate extends QuirkCsvWriteMode
+  /** Static partition overwrite (`INSERT OVERWRITE … PARTITION (c='v')`):
+    * value dirs matching the filters are truncated — including matching
+    * dirs the job wrote NO rows into (re-loading an empty day clears it). */
+  case class OverwriteWhere(filters: Array[Filter]) extends QuirkCsvWriteMode
+  /** Dynamic partition overwrite (`overwritePartitions()` /
+    * partitionOverwriteMode=dynamic): exactly the value dirs that
+    * RECEIVED rows are truncated; untouched partitions survive. */
+  case object DynamicPartitions extends QuirkCsvWriteMode
+  /** Row-level copy-on-write: replace exactly the value dirs the
+    * operation's replacement scan planned (recorded in the scope). */
+  case class ReplaceScanned(scope: QuirkCsvReplaceScope)
+    extends QuirkCsvWriteMode
+}
+
+/** Driver-side scan→write coordination for PARTITIONED copy-on-write
+  * row-level operations: the replacement scan records the partition
+  * VALUES it planned (after runtime group filtering) and the write's
+  * commit replaces exactly those value directories. Latest recording
+  * wins — the runtime-filtered planning is the one whose rows feed the
+  * write. Both ends run on the driver (scan planning and job commit),
+  * so a plain atomic reference suffices. */
+private[sources] final class QuirkCsvReplaceScope {
+  private val ref =
+    new java.util.concurrent.atomic.AtomicReference[Option[Set[String]]](None)
+  def record(values: Set[String]): Unit = ref.set(Some(values))
+  def get: Option[Set[String]] = ref.get()
+}
+
 private[sources] class QuirkCsvWriteBuilder(path: String,
                                             schema: StructType,
                                             options: CaseInsensitiveStringMap,
                                             queryId: String)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
-  private var truncateFirst = false
+  private var mode: QuirkCsvWriteMode = QuirkCsvWriteMode.Append
 
-  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  private def partitionCol: Option[String] =
+    Option(options.get("partitionCol")).filter(_.nonEmpty)
+
+  // SupportsOverwrite's default truncate() routes through
+  // overwrite(ALWAYS_TRUE); keep the explicit whole-table mode instead
+  // (it carries the partitioned-table rejection with guidance)
+  override def truncate(): WriteBuilder = {
+    mode = QuirkCsvWriteMode.Truncate; this
+  }
+
+  /** Static overwrite is accepted only when every conjunct is an
+    * evaluable predicate on the partition column — the deleted region
+    * is then exactly a set of whole value directories. Anything else
+    * answers false and Spark fails the query loudly (no silent
+    * whole-table fallback). */
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    partitionCol.exists(c => filters.nonEmpty && filters.forall(f =>
+      (try QuirkCsv.filterColumn(f) == c
+      catch { case _: IllegalArgumentException => false }) &&
+        QuirkCsv.evaluable(schema, f)))
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(canOverwrite(filters),
+      s"graftcsv overwrite-by-filter needs a PARTITIONED table and " +
+        s"predicates on the partition column only, got " +
+        s"[${filters.mkString(", ")}] — use INSERT OVERWRITE … " +
+        "PARTITION (…), dynamic partition overwrite, or row-level " +
+        "MERGE/UPDATE/DELETE")
+    mode = QuirkCsvWriteMode.OverwriteWhere(filters); this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(partitionCol.isDefined,
+      "graftcsv dynamic partition overwrite applies to PARTITIONED " +
+        "tables; overwrite an unpartitioned directory with " +
+        "mode(\"overwrite\") / truncate")
+    mode = QuirkCsvWriteMode.DynamicPartitions; this
+  }
+
+  /** Row-level operations on PARTITIONED tables: the commit replaces
+    * exactly the value dirs the operation's replacement scan planned. */
+  private[sources] def replaceScanned(
+      scope: QuirkCsvReplaceScope): WriteBuilder = {
+    mode = QuirkCsvWriteMode.ReplaceScanned(scope); this
+  }
 
   override def build(): Write = {
     schema.fields.foreach { f =>
@@ -1507,8 +1592,6 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
         s"graftcsv writes the all-string raw layer; column '${f.name}' " +
           s"is ${f.dataType.catalogString} — cast to string first")
     }
-    val partitionCol =
-      Option(options.get("partitionCol")).filter(_.nonEmpty)
     if (partitionCol.isEmpty) {
       // a flat write into a partitioned table root would drop data
       // files beside the schema seed, where the scan's stray-file guard
@@ -1523,13 +1606,15 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
       require(schema.fieldNames.contains(c),
         s"partitioned write is missing partition column '$c' in " +
           s"(${schema.fieldNames.mkString(", ")})")
-      require(!truncateFirst,
-        "graftcsv partitioned tables are APPEND-only: overwrite/truncate " +
-          "(and the row-level operations built on it) would need a " +
-          "partition-aware sweep — drop and re-create, or compact per " +
-          "partition directory")
+      require(mode != QuirkCsvWriteMode.Truncate,
+        "graftcsv partitioned tables never truncate whole-table: scope " +
+          "the rewrite to partitions instead — INSERT OVERWRITE … " +
+          "PARTITION (…), dynamic partition overwrite " +
+          "(overwritePartitions() / partitionOverwriteMode=dynamic), " +
+          "row-level MERGE/UPDATE/DELETE (partition-granular " +
+          "copy-on-write), or DROP PARTITION for retention")
     }
-    new QuirkCsvWrite(path, schema.fieldNames, truncateFirst,
+    new QuirkCsvWrite(path, schema.fieldNames, mode,
       QuirkCsv.headerOpt(options), queryId, partitionCol)
   }
 }
@@ -1838,9 +1923,29 @@ private[sources] class QuirkCsvPartitionedWriter(
     writerFor(row.getUTF8String(partitionIdx).toString).write(row)
   }
 
-  override def commit(): WriterCommitMessage =
-    QuirkCsvMultiCommit(open.values.toSeq
-      .map(_.commit().asInstanceOf[QuirkCsvCommit]))
+  /** Per-value renames happen sequentially; a failure partway would
+    * otherwise leave the already-renamed files reader-visible with NO
+    * commit message returned — job abort deletes only files named by
+    * returned messages, so those rows would persist as spurious appends.
+    * On failure, best-effort delete the finals this task already renamed
+    * (names are attempt-stable, so they are exactly identifiable) before
+    * rethrowing; un-renamed writers' tmps are cleaned by abort(). */
+  override def commit(): WriterCommitMessage = {
+    val done = scala.collection.mutable.ArrayBuffer.empty[QuirkCsvCommit]
+    try {
+      open.values.foreach(w => done += w.commit().asInstanceOf[QuirkCsvCommit])
+      QuirkCsvMultiCommit(done.toSeq)
+    } catch {
+      case t: Throwable =>
+        done.foreach { c =>
+          try {
+            val p = new Path(c.file)
+            p.getFileSystem(new Configuration()).delete(p, false)
+          } catch { case _: Exception => () } // best-effort; rethrow below
+        }
+        throw t
+    }
+  }
 
   override def abort(): Unit = open.values.foreach(_.abort())
 

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** In-place maintenance for graftcsv directories — the compaction pass a
@@ -9,47 +9,65 @@ import org.apache.spark.sql.SparkSession
   * partition accumulates into thousands of small files, and both split
   * planning and the zone-map sidecar grow with file count).
   *
-  * The operation is safe against a LIVE sink, by construction rather than
-  * by convention:
+  * The operation is safe against a LIVE sink and against a crash at any
+  * point, by construction rather than by convention:
   *
   *  1. '''Pin''': list the directory's visible data files once; that
   *     snapshot is the compaction's entire input AND its entire delete
   *     set. The read goes through the source with the `pinnedFiles`
   *     option, so partition planning at execution time reads exactly the
   *     snapshot even if the listing would differ by then.
-  *  2. '''Append''': the folded part files are written with
-  *     `mode("append")` — no truncate, so the sink's truncate-at-commit
-  *     sweep (which deletes every file the committing job didn't write)
-  *     never runs. Epoch files committed by a concurrent streaming sink
-  *     between the pin and the swap are not read, not deleted, and
-  *     simply survive into the compacted directory.
-  *  3. '''Swap''': record the pinned names in a hidden intent sidecar,
-  *     delete exactly those files, drop their zone-map entries, remove
-  *     the intent. A crash mid-swap leaves the intent behind;
-  *     [[compactCsv]] completes the pending swap first on its next run,
-  *     so the directory converges to the compacted layout (rows are
-  *     never lost — the worst crash window leaves the folded COPIES
-  *     alongside not-yet-deleted originals, i.e. transient duplicates
-  *     that the recovery pass removes).
+  *  2. '''Fold into a hidden tmp dir''': the folded part files are
+  *     written to `_graft_compact_tmp/` under the directory — invisible
+  *     to readers (hidden prefix) and to the sink's epoch sweep (which
+  *     lists files, not directories). A crash anywhere before step 3
+  *     leaves the table EXACTLY as it was: the next run discards the
+  *     orphaned tmp and starts over. (Folding straight into the
+  *     directory would make a crashed fold's copies part of the next
+  *     run's pinned input — permanent duplicates.)
+  *  3. '''Durable intent''': record BOTH the folded file names and the
+  *     pinned originals in a hidden intent sidecar, written to a tmp
+  *     name and renamed into place (plus an end-marker line), so a
+  *     half-written intent can never be mistaken for a complete one.
+  *     Only once the intent is durable does anything become visible or
+  *     deletable.
+  *  4. '''Swap''': move the folded files from tmp into the directory,
+  *     merge their zone-map entries, delete exactly the pinned
+  *     originals, drop their zone entries, remove the intent, remove
+  *     tmp. Every step is idempotent; a crash mid-swap leaves the
+  *     intent behind and [[compactCsv]] completes the pending swap
+  *     first on its next run, so the directory converges to the
+  *     compacted layout. Rows are never lost — the worst crash window
+  *     leaves folded copies alongside not-yet-deleted originals, i.e.
+  *     transient duplicates that the recovery pass removes.
+  *
+  * An intent sidecar with an unrecognized header or a missing end
+  * marker fails LOUDLY and is left in place: it is the only record of a
+  * half-done swap, and deleting it (or guessing at its contents) could
+  * bake permanent duplicates into the directory.
   *
   * Honest concurrency contract: a batch reader that plans its scan
   * DURING the swap can see a pinned original and its folded copy at
-  * once (duplicate rows) — the window is the delete loop, not the whole
-  * rewrite. Rows are never lost. A live sink's own sidecar merge racing
-  * the entry-drop step can lose zone entries for either side's files —
-  * those files are then scanned instead of pruned (safe degradation).
-  * A downstream graftcsv STREAM restarting across a compaction is NOT
-  * supported: compaction replaces epoch files, which breaks the
-  * path-sorted replay contract (that pairing needs a manifest, which is
-  * why Spark's own FileStreamSink/Source pair through one). */
+  * once (duplicate rows) — the window is the move+delete loop, not the
+  * whole rewrite. Rows are never lost. A live sink's own sidecar merge
+  * racing the zone-entry swap can lose zone entries for either side's
+  * files — those files are then scanned instead of pruned (safe
+  * degradation). A downstream graftcsv STREAM restarting across a
+  * compaction is NOT supported: compaction replaces epoch files, which
+  * breaks the path-sorted replay contract (that pairing needs a
+  * manifest, which is why Spark's own FileStreamSink/Source pair
+  * through one). */
 private[graft] object QuirkCsvMaintenance {
 
   private val IntentFile = "_graft_compact_intent.tsv"
-  private val IntentHeader = "graft-compact-intent-v1"
+  private val IntentTmpFile = "._graft_compact_intent.tsv.tmp"
+  private val IntentHeader = "graft-compact-intent-v2"
+  private val IntentFooter = "end"
+  private[graft] val TmpDirName = "_graft_compact_tmp"
 
   /** Compact `dir` into `numFiles` part files. Returns
     * (dataFilesBefore, dataFilesAfter). See the object doc for the
-    * pin → append → swap protocol and its concurrency contract. */
+    * pin → fold → intent → swap protocol and its concurrency contract. */
   def compactCsv(spark: SparkSession, dir: String,
                  numFiles: Int): (Long, Long) = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
@@ -90,50 +108,139 @@ private[graft] object QuirkCsvMaintenance {
   private[graft] def compactPinned(spark: SparkSession, dir: String,
                                    pinned: Seq[String],
                                    numFiles: Int): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(new Configuration())
+    val tmp = new Path(base, TmpDirName)
+    // an earlier fold that died before its intent became durable never
+    // became part of the table (its originals are all still in place) —
+    // discard it rather than fold it in as duplicate input
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // fold the pinned snapshot into the hidden tmp dir — reader- and
+    // sink-invisible until the intent below is durable
     spark.read.format("graftcsv")
       .option("pinnedFiles", QuirkCsv.encodePinned(pinned))
       .load(dir)
       .repartition(numFiles)
-      .write.format("graftcsv").mode("append").save(dir)
-    // swap: intent first, so a crash anywhere below is completed by the
-    // next compactCsv run instead of leaving permanent duplicates
-    writeIntent(dir, pinned)
-    deleteNamed(dir, pinned)
-    dropZoneEntries(dir, pinned.toSet)
-    val p = new Path(dir, IntentFile)
-    p.getFileSystem(new Configuration()).delete(p, false)
+      .write.format("graftcsv").mode("append").save(tmp.toString)
+    val folded = dataFileNames(tmp.toString)
+    // intent first, so a crash anywhere below is COMPLETED by the next
+    // run (transient duplicates at worst) instead of leaving permanent
+    // duplicates or lost rows
+    writeIntent(fs, base, folded, pinned)
+    completeSwap(fs, base, folded, pinned)
   }
 
-  /** Complete a swap a crashed compaction left half-done: delete any
-    * still-present files named by the intent sidecar, drop their zone
-    * entries, remove the intent. No-op when no intent exists. */
+  /** The idempotent swap: move folded files from tmp into the
+    * directory, merge their zone entries (re-keyed to the moved files'
+    * actual (len, mtime)), delete the pinned originals and their zone
+    * entries, then clear the intent and tmp. Safe to re-run from any
+    * crash point. */
+  private def completeSwap(fs: FileSystem, base: Path,
+                           folded: Seq[String], pinned: Seq[String]): Unit = {
+    val tmp = new Path(base, TmpDirName)
+    val tmpZones = QuirkCsv.loadZoneMap(tmp.toString)
+    folded.foreach { n =>
+      val src = new Path(tmp, n)
+      val dst = new Path(base, n)
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(dst, false) // re-run of a half-move
+        require(fs.rename(src, dst),
+          s"graftcsv compaction: rename $src -> $dst failed")
+      } else require(fs.exists(dst),
+        s"graftcsv compaction intent names folded file '$n' but it " +
+          s"exists in neither $tmp nor $base — the intent no longer " +
+          "matches the directory; refusing to delete originals")
+    }
+    // one sidecar write covers both sides of the swap: folded entries in
+    // (with the post-move file identity so the staleness key holds),
+    // pinned originals' entries out
+    val prior = QuirkCsv.loadZoneMap(base.toString)
+    val foldedEntries = folded.flatMap { n =>
+      tmpZones.get(n).map { e =>
+        val st = fs.getFileStatus(new Path(base, n))
+        n -> e.copy(len = st.getLen, mtime = st.getModificationTime)
+      }
+    }.toMap
+    val doomed = pinned.toSet
+    val merged =
+      prior.filter { case (n, _) => !doomed.contains(n) } ++ foldedEntries
+    if (merged != prior && (prior.nonEmpty || merged.nonEmpty))
+      QuirkCsv.writeZoneMap(base.toString, merged)
+    deleteNamed(base.toString, pinned)
+    val intent = new Path(base, IntentFile)
+    fs.delete(intent, false)
+    fs.delete(tmp, true)
+  }
+
+  /** Complete a swap a crashed compaction left half-done. Intent absent:
+    * discard any orphaned fold tmp (it never became part of the table)
+    * and return. Intent present: re-run the idempotent swap. Intent
+    * unreadable (unknown header, missing end marker, stray lines):
+    * fail LOUDLY with the file left in place — see the object doc. */
   private[graft] def recoverPendingSwap(dir: String): Unit = {
-    val p = new Path(dir, IntentFile)
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) return
+    val base = new Path(dir)
+    val fs = base.getFileSystem(new Configuration())
+    val intent = new Path(base, IntentFile)
+    if (!fs.exists(intent)) {
+      val tmp = new Path(base, TmpDirName)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val itmp = new Path(base, IntentTmpFile)
+      if (fs.exists(itmp)) fs.delete(itmp, false)
+      return
+    }
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(p), java.nio.charset.StandardCharsets.ISO_8859_1))
-    val names = try {
-      if (in.readLine() != IntentHeader) Nil
-      else Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).map(QuirkCsv.decodePinnedName).toList
+      fs.open(intent), java.nio.charset.StandardCharsets.ISO_8859_1))
+    val (folded, pinned) = try {
+      val header = in.readLine()
+      require(header == IntentHeader,
+        s"unrecognized compaction intent header '$header' in $intent — " +
+          "this records a half-done swap in a format this build does " +
+          "not understand, and deleting or guessing at it could bake " +
+          "permanent duplicates into the directory; resolve it manually " +
+          "(complete or undo the swap it describes) before compacting")
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toList
+      require(lines.lastOption.contains(IntentFooter),
+        s"compaction intent $intent is truncated (missing the " +
+          s"'$IntentFooter' marker) — refusing to act on a partial " +
+          "record of a half-done swap; resolve manually")
+      val body = lines.init
+      val f = body.collect { case l if l.startsWith("F ") =>
+        QuirkCsv.decodePinnedName(l.drop(2)) }
+      val d = body.collect { case l if l.startsWith("D ") =>
+        QuirkCsv.decodePinnedName(l.drop(2)) }
+      require(f.size + d.size == body.size,
+        s"compaction intent $intent holds lines that are neither " +
+          "folded-file (F) nor delete (D) records — refusing to act " +
+          "on a record this build cannot fully parse; resolve manually")
+      (f, d)
     } finally in.close()
-    deleteNamed(dir, names)
-    dropZoneEntries(dir, names.toSet)
-    fs.delete(p, false)
+    completeSwap(fs, base, folded, pinned)
   }
 
-  private def writeIntent(dir: String, names: Seq[String]): Unit = {
-    val p = new Path(dir, IntentFile)
-    val fs = p.getFileSystem(new Configuration())
+  /** Write the two-set intent to a hidden tmp name and rename it into
+    * place: the intent is either absent or complete, never partial. */
+  private def writeIntent(fs: FileSystem, base: Path,
+                          folded: Seq[String], pinned: Seq[String]): Unit = {
+    val tmpP = new Path(base, IntentTmpFile)
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      fs.create(p, true), java.nio.charset.StandardCharsets.ISO_8859_1))
+      fs.create(tmpP, true), java.nio.charset.StandardCharsets.ISO_8859_1))
     try {
       out.write(IntentHeader); out.write("\n")
-      names.foreach { n =>
-        out.write(QuirkCsv.encodePinned(Seq(n))); out.write("\n")
+      folded.foreach { n =>
+        out.write("F "); out.write(QuirkCsv.encodePinned(Seq(n)))
+        out.write("\n")
       }
+      pinned.foreach { n =>
+        out.write("D "); out.write(QuirkCsv.encodePinned(Seq(n)))
+        out.write("\n")
+      }
+      out.write(IntentFooter); out.write("\n")
     } finally out.close()
+    val dst = new Path(base, IntentFile)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmpP, dst),
+      s"graftcsv compaction: rename intent $tmpP -> $dst failed")
   }
 
   private def deleteNamed(dir: String, names: Seq[String]): Unit = {
@@ -143,11 +250,5 @@ private[graft] object QuirkCsvMaintenance {
       val p = new Path(base, n)
       if (fs.exists(p)) fs.delete(p, false)
     }
-  }
-
-  private def dropZoneEntries(dir: String, names: Set[String]): Unit = {
-    val zm = QuirkCsv.loadZoneMap(dir)
-    if (zm.nonEmpty && zm.keys.exists(names.contains))
-      QuirkCsv.writeZoneMap(dir, zm.filter { case (n, _) => !names.contains(n) })
   }
 }

@@ -350,6 +350,56 @@ class GroupedTopKSpec extends SparkSpec {
     }
   }
 
+  // ---- iterator-level tests for the rank-mode tie-cap paths: the
+  // flush-vs-fail decision depends on per-partition arrival order, which
+  // an end-to-end plan can't pin down deterministically, so the partial
+  // pass's flush-on-tie-overflow contract is proven on the iterator
+  // directly (owned rows, explicit caps).
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Ascending => CAsc, AttributeReference, GenericInternalRow, RowOrdering, SortOrder => CSortOrder, UnsafeProjection}
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+  import org.apache.spark.sql.types.LongType
+
+  private def runIterator(values: Seq[Long], k: Int, tieCap: Int,
+                          flushCap: Int = 100000): (Seq[Long], Long) = {
+    val attrs = Seq(AttributeReference("g", LongType, nullable = false)(),
+      AttributeReference("v", LongType, nullable = false)())
+    val rows: Iterator[InternalRow] = values.iterator
+      .map(v => new GenericInternalRow(Array[Any](1L, v)))
+    val outRows = SQLMetrics.createMetric(spark.sparkContext, "rows")
+    val flushes = SQLMetrics.createMetric(spark.sparkContext, "flushes")
+    val out = GroupedTopKExec.topKIterator(
+      rows,
+      UnsafeProjection.create(Seq(attrs.head), attrs),
+      RowOrdering.create(Seq(CSortOrder(attrs(1), CAsc)), attrs),
+      k, flushCap, outRows, flushes, withTies = true, tieCap = tieCap)
+      .map(_.getLong(1)).toVector
+    (out, flushes.value)
+  }
+
+  test("rank mode partial: tie-cap overflow in the eviction branch flushes " +
+      "a consistent segment (no duplicate new row, no dropped evictee)") {
+    // k=2, tieCap=1, values [5,5,5,3]: the 3 evicts a 5 whose value still
+    // ties the new boundary while the tie buffer is full — add() must
+    // refuse WITHOUT mutating, so the flush emits the three 5s intact and
+    // the 3 re-offers to the next batch. (The historic mutate-then-fail
+    // bug emitted [3,5,5] + a second 3: one 5 lost, the 3 duplicated.)
+    val (out, flushes) = runIterator(Seq(5L, 5L, 5L, 3L), k = 2, tieCap = 1)
+    out.sorted shouldBe Vector(3L, 5L, 5L, 5L)
+    flushes shouldBe 1L
+  }
+
+  test("rank mode partial: degenerate constant order flushes in bounded " +
+      "segments instead of accumulating the group in memory") {
+    // k=1, tieCap=2: every segment holds at most 1 (heap) + 2 (ties) rows
+    // before a flush; all rows must survive to the output exactly once
+    // (the partial superset contract), with flushes actually firing.
+    val (out, flushes) = runIterator(Seq.fill(10)(7L), k = 1, tieCap = 2)
+    out shouldBe Vector.fill(10)(7L)
+    flushes shouldBe 3L // segments of 3,3,3 then a final 1
+  }
+
   test("rejects non-positive k and empty group list") {
     an[IllegalArgumentException] should be thrownBy
       TopK.perGroup(data, Seq(col("g")), Seq(col("v")), 0)

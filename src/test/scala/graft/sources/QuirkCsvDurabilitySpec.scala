@@ -92,31 +92,104 @@ class QuirkCsvDurabilitySpec extends SparkSpec {
       QuirkCsvMaintenance.dataFileNames(dir) should contain(n))
   }
 
-  test("a crash between append and swap is recovered, not duplicated") {
+  /** Reproduce compactPinned up to the moment the intent becomes
+    * durable: fold committed into the hidden tmp dir + the two-set
+    * intent in place, swap never ran (driver died). Returns the fold's
+    * folded file names. */
+  private def foldWithIntent(dir: String, pinned: Seq[String]): Seq[String] = {
+    val tmp = s"$dir/${QuirkCsvMaintenance.TmpDirName}"
+    spark.read.format("graftcsv")
+      .option("pinnedFiles", QuirkCsv.encodePinned(pinned)).load(dir)
+      .repartition(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(tmp)
+    val folded = QuirkCsvMaintenance.dataFileNames(tmp)
+    val out = new java.io.PrintWriter(
+      new java.io.File(dir, "_graft_compact_intent.tsv"), "ISO-8859-1")
+    out.println("graft-compact-intent-v2")
+    folded.foreach(n => out.println("F " + QuirkCsv.encodePinned(Seq(n))))
+    pinned.foreach(n => out.println("D " + QuirkCsv.encodePinned(Seq(n))))
+    out.println("end")
+    out.close()
+    folded
+  }
+
+  test("a crash between intent and swap is recovered, not duplicated") {
     val dir = freshDir("crash")
     Seq("x", "y").toDF("k").coalesce(1)
       .write.format("graftcsv").mode(SaveMode.Append).save(dir)
     val pinned = QuirkCsvMaintenance.dataFileNames(dir)
-    // reproduce compactPinned up to the crash point: folded copy is
-    // committed, the intent records the pinned originals, but the
-    // deletes never ran (driver died)
+    foldWithIntent(dir, pinned)
+    val intent = new java.io.File(dir, "_graft_compact_intent.tsv")
+    // mid-crash state: folded copies hidden in tmp, originals intact —
+    // a reader sees exactly the original rows, never duplicates
+    spark.read.format("graftcsv").load(dir).count() shouldBe 2
+    // the next maintenance run completes the pending swap FIRST — its
+    // own pin then sees just the one folded file
+    val (before, after) =
+      graft.operators.Scale.compactCsv(spark, dir, numFiles = 1)
+    before shouldBe 1L
+    intent.exists() shouldBe false
+    new java.io.File(dir, QuirkCsvMaintenance.TmpDirName)
+      .exists() shouldBe false
+    col1(spark.read.format("graftcsv").load(dir)) shouldBe Seq("x", "y")
+    after shouldBe 1L
+  }
+
+  test("a crash AFTER the fold commit but BEFORE the intent leaves no " +
+      "permanent duplicates (the orphaned fold is discarded, not re-read)") {
+    val dir = freshDir("orphan")
+    Seq("x", "y").toDF("k").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    val pinned = QuirkCsvMaintenance.dataFileNames(dir)
+    // the crash point the historic append-into-place protocol could not
+    // survive: folded copies committed, no intent recorded — under the
+    // old protocol the next run pinned originals PLUS folded copies and
+    // baked duplicates into the output forever
+    val tmp = s"$dir/${QuirkCsvMaintenance.TmpDirName}"
     spark.read.format("graftcsv")
       .option("pinnedFiles", QuirkCsv.encodePinned(pinned)).load(dir)
       .repartition(1)
-      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
-    val intent = new java.io.File(dir, "_graft_compact_intent.tsv")
-    val out = new java.io.PrintWriter(intent, "ISO-8859-1")
-    out.println("graft-compact-intent-v1")
-    pinned.foreach(n => out.println(QuirkCsv.encodePinned(Seq(n))))
-    out.close()
-    // mid-crash state: originals + folded copy => transient duplicates
-    spark.read.format("graftcsv").load(dir).count() shouldBe 4
-    // the next maintenance run completes the pending swap FIRST
-    val (before, after) =
+      .write.format("graftcsv").mode(SaveMode.Append).save(tmp)
+    // the fold is invisible to readers (hidden dir)
+    spark.read.format("graftcsv").load(dir).count() shouldBe 2
+    val (_, after) =
       graft.operators.Scale.compactCsv(spark, dir, numFiles = 1)
-    intent.exists() shouldBe false
     col1(spark.read.format("graftcsv").load(dir)) shouldBe Seq("x", "y")
     after shouldBe 1L
+    new java.io.File(dir, QuirkCsvMaintenance.TmpDirName)
+      .exists() shouldBe false
+  }
+
+  test("an unrecognized or truncated intent fails LOUDLY, file left in place") {
+    val dir = freshDir("badintent")
+    Seq("x").toDF("k").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    val intent = new java.io.File(dir, "_graft_compact_intent.tsv")
+    // future/unknown version: the only record of a half-done swap —
+    // deleting it with an empty name list would leave permanent
+    // duplicates, so compaction must refuse and keep the file
+    val out = new java.io.PrintWriter(intent, "ISO-8859-1")
+    out.println("graft-compact-intent-v99")
+    out.println("F something")
+    out.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Scale.compactCsv(spark, dir, numFiles = 1)
+    }
+    e.getMessage should include("unrecognized compaction intent header")
+    intent.exists() shouldBe true
+    // truncated v2 (no end marker — e.g. a torn non-atomic write):
+    // equally refused
+    val out2 = new java.io.PrintWriter(intent, "ISO-8859-1")
+    out2.println("graft-compact-intent-v2")
+    out2.println("D " + QuirkCsv.encodePinned(Seq("part-x-00000.csv")))
+    out2.close()
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Scale.compactCsv(spark, dir, numFiles = 1)
+    }
+    e2.getMessage should include("truncated")
+    intent.exists() shouldBe true
+    // the data was never touched by either refusal
+    col1(spark.read.format("graftcsv").load(dir)) shouldBe Seq("x")
   }
 
   test("non-latin-1 characters fail the write loudly, not as '?'") {
