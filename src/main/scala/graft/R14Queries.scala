@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.QueryDef
+
+/** Round-14 wave: partition-granular mutations on partitioned graft_cat
+  * tables inside the oracle gate — MERGE as copy-on-write over exactly
+  * the matched value directories, dynamic + static-scoped partition
+  * overwrite (the reference's idempotent day re-load,
+  * `SQLproject1.sql:612-615`, catalog-native), and predicate DELETE as
+  * metadata-only directory removal. Each query REQUIREs the
+  * scale-defining invariant on the filesystem itself: untouched
+  * partitions' files stay byte-identical (same names/lengths/mtimes) —
+  * the proof that a one-day mutation against a 100-TB fact reads and
+  * rewrites one day, not the fact. */
+object R14Queries {
+
+  private def ensurePcwCatalog(s: org.apache.spark.sql.SparkSession): Unit =
+    if (!s.conf.getOption("spark.sql.catalog.graft_pcw").isDefined) {
+      s.conf.set("spark.sql.catalog.graft_pcw",
+        classOf[graft.sources.QuirkCsvCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_pcw.root",
+        java.nio.file.Files.createTempDirectory("graft_pcw_cat").toString)
+    }
+
+  /** Visible data files of one partition dir as (name, length, mtime) —
+    * the byte-identity snapshot. Fresh part files always carry a new
+    * job UUID in the name, so any rewrite of the dir changes the set. */
+  private def snapshot(s: org.apache.spark.sql.SparkSession,
+                       ns: String, table: String,
+                       dirName: String): Set[(String, Long, Long)] = {
+    val root = s.conf.get("spark.sql.catalog.graft_pcw.root")
+    val d = new java.io.File(s"$root/$ns/$table/$dirName")
+    require(d.exists(), s"expected partition dir $d to exist")
+    d.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+  }
+
+  private def partDirExists(s: org.apache.spark.sql.SparkSession,
+                            ns: String, table: String,
+                            dirName: String): Boolean = {
+    val root = s.conf.get("spark.sql.catalog.graft_pcw.root")
+    new java.io.File(s"$root/$ns/$table/$dirName").exists()
+  }
+
+  private def seedFact(s: org.apache.spark.sql.SparkSession, d: String,
+                       ns: String): Unit = {
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_pcw.$ns")
+    s.sql(s"DROP TABLE IF EXISTS graft_pcw.$ns.fact")
+    s.sql(s"""CREATE TABLE graft_pcw.$ns.fact
+      (okey STRING, status STRING, prio STRING) PARTITIONED BY (prio)""")
+    Tables.orders(s, d)
+      .select(col("o_orderkey").cast("string").as("okey"),
+        lit("O").as("status"), col("o_orderpriority").as("prio"))
+      .writeTo(s"graft_pcw.$ns.fact").append()
+  }
+
+  private def finalState(s: org.apache.spark.sql.SparkSession,
+                         ns: String): org.apache.spark.sql.DataFrame =
+    s.table(s"graft_pcw.$ns.fact")
+      .groupBy(col("prio"), col("status"))
+      .agg(count(lit(1)).as("n_rows"), max(col("okey")).as("max_okey"))
+
+  /** MERGE INTO a PARTITIONED fact (the J7 shape over the q342 layout):
+    * the update side matches only '1-URGENT' orders, the insert side
+    * lands in a NEW partition — so Spark's runtime group filtering must
+    * confine the copy-on-write to the one matched value dir. The query
+    * REQUIREs the untouched '3-MEDIUM' dir's files byte-identical after
+    * the MERGE (a rewrite always mints new part-file names) and the new
+    * partition's dir present. The oracle restates the MERGE as
+    * join/anti-join SQL over orders. */
+  private val q345 = QueryDef(
+    "q345_partitioned_merge",
+    (s, d) => {
+      ensurePcwCatalog(s)
+      seedFact(s, d, "q345")
+      val untouched = snapshot(s, "q345", "fact", "prio=3-MEDIUM")
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").cast("string").as("okey"),
+          lit("X").as("status"), col("o_orderpriority").as("prio"))
+        .unionAll(Tables.orders(s, d)
+          .filter(col("o_orderkey") < 200)
+          .select(concat(lit("n"), col("o_orderkey").cast("string"))
+            .as("okey"), lit("N").as("status"), lit("9-NEW").as("prio")))
+        .createOrReplaceTempView("q345_src")
+      s.sql("""MERGE INTO graft_pcw.q345.fact t USING q345_src s
+        ON t.okey = s.okey
+        WHEN MATCHED THEN UPDATE SET status = s.status
+        WHEN NOT MATCHED THEN INSERT *""")
+      require(snapshot(s, "q345", "fact", "prio=3-MEDIUM") == untouched,
+        "MERGE rewrote an unmatched partition — runtime group filtering " +
+          "must confine copy-on-write to partitions with matched rows")
+      require(partDirExists(s, "q345", "fact", "prio=9-NEW"),
+        "MERGE inserts must create the new partition directory")
+      finalState(s, "q345").localCheckpoint()
+    },
+    Some("""
+      WITH seed AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS okey, 'O' AS status,
+               o_orderpriority AS prio FROM orders),
+      upd AS (SELECT CAST(o_orderkey AS VARCHAR) AS okey
+              FROM orders WHERE o_orderpriority = '1-URGENT'),
+      ins AS (SELECT 'n' || CAST(o_orderkey AS VARCHAR) AS okey,
+                     'N' AS status, '9-NEW' AS prio
+              FROM orders WHERE o_orderkey < 200),
+      merged AS (
+        SELECT s.okey,
+               CASE WHEN u.okey IS NOT NULL THEN 'X' ELSE s.status END
+                 AS status,
+               s.prio
+        FROM seed s LEFT JOIN upd u ON s.okey = u.okey
+        UNION ALL SELECT okey, status, prio FROM ins)
+      SELECT prio, status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MAX(okey) AS max_okey
+      FROM merged GROUP BY prio, status"""))
+
+  /** Dynamic + static-scoped partition overwrite — the reference's
+    * idempotent day re-load through the catalog. '1-URGENT' is re-loaded
+    * twice via overwritePartitions() (second run must be a no-op on the
+    * result: re-running one day can never truncate the table), '2-HIGH'
+    * via static `INSERT OVERWRITE … PARTITION`. The query REQUIREs the
+    * '5-LOW' dir byte-identical through all three writes. */
+  private val q346 = QueryDef(
+    "q346_partition_overwrite",
+    (s, d) => {
+      ensurePcwCatalog(s)
+      seedFact(s, d, "q346")
+      val untouched = snapshot(s, "q346", "fact", "prio=5-LOW")
+      val reload = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").cast("string").as("okey"),
+          lit("R").as("status"), col("o_orderpriority").as("prio"))
+      reload.writeTo("graft_pcw.q346.fact").overwritePartitions()
+      reload.writeTo("graft_pcw.q346.fact").overwritePartitions() // re-run
+      Tables.orders(s, d).createOrReplaceTempView("q346_orders")
+      s.sql("""INSERT OVERWRITE graft_pcw.q346.fact
+        PARTITION (prio = '2-HIGH')
+        SELECT CAST(o_orderkey AS STRING), 'S' FROM q346_orders
+        WHERE o_orderpriority = '2-HIGH'""")
+      require(snapshot(s, "q346", "fact", "prio=5-LOW") == untouched,
+        "partition overwrite touched a partition it wrote no rows into")
+      finalState(s, "q346").localCheckpoint()
+    },
+    Some("""
+      WITH cur AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+               CASE o_orderpriority WHEN '1-URGENT' THEN 'R'
+                                    WHEN '2-HIGH' THEN 'S'
+                                    ELSE 'O' END AS status,
+               o_orderpriority AS prio
+        FROM orders)
+      SELECT prio, status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MAX(okey) AS max_okey
+      FROM cur GROUP BY prio, status"""))
+
+  /** Predicate DELETE as METADATA on the partition column: `DELETE FROM
+    * t WHERE prio = …` / `IN (…)` maps to whole-directory removal — the
+    * query REQUIREs the dropped dirs GONE from the filesystem (a
+    * row-level rewrite would have left them present) and an untouched
+    * dir byte-identical, i.e. zero data files were read or rewritten.
+    * Non-partition predicates still take the copy-on-write path
+    * (QuirkCsvPartitionedRowLevelSpec pins that split). */
+  private val q347 = QueryDef(
+    "q347_partition_delete",
+    (s, d) => {
+      ensurePcwCatalog(s)
+      seedFact(s, d, "q347")
+      val untouched = snapshot(s, "q347", "fact", "prio=1-URGENT")
+      s.sql("DELETE FROM graft_pcw.q347.fact WHERE prio = '3-MEDIUM'")
+      require(!partDirExists(s, "q347", "fact", "prio=3-MEDIUM"),
+        "partition-predicate DELETE must remove the value directory " +
+          "(metadata path), not rewrite rows")
+      s.sql("""DELETE FROM graft_pcw.q347.fact
+        WHERE prio IN ('5-LOW', '4-NOT SPECIFIED')""")
+      require(!partDirExists(s, "q347", "fact", "prio=5-LOW"),
+        "IN-predicate DELETE must remove every matching value directory")
+      require(snapshot(s, "q347", "fact", "prio=1-URGENT") == untouched,
+        "metadata DELETE must not touch surviving partitions")
+      finalState(s, "q347").localCheckpoint()
+    },
+    Some("""
+      SELECT o_orderpriority AS prio, 'O' AS status,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MAX(CAST(o_orderkey AS VARCHAR)) AS max_okey
+      FROM orders
+      WHERE o_orderpriority NOT IN ('3-MEDIUM', '5-LOW', '4-NOT SPECIFIED')
+      GROUP BY o_orderpriority"""))
+
+  val all: Seq[QueryDef] = Seq(q345, q346, q347)
+}

@@ -145,7 +145,8 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-  with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+  with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String =
     s"graftcsv(${options.getOrDefault("path", "?")})"
@@ -168,23 +169,73 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** SQL `MERGE INTO` / `UPDATE` / `DELETE` on graftcsv tables — the
     * reference's MERGE statements (`SQLproject1.sql:390-416,485-513`)
     * runnable literally against `graft_cat`. Group-based copy-on-write
-    * with the WHOLE TABLE as the single group: Spark's rewrite reads
-    * the table through [[QuirkCsvRowLevelOperation]]'s scan, computes
-    * the full replacement content (carry-over + modified + inserted
-    * rows), and the operation's write replaces the directory via the
-    * ordinary truncate-at-commit batch write. Right-sized for dimension
-    * tables (the reference's MERGE targets); a 100-TB FACT would want
-    * file-granular groups, which is a manifest-format feature
-    * (Iceberg/Delta territory), not a raw CSV directory's. */
+    * at the layout's natural granularity:
+    *
+    *  - UNPARTITIONED tables: the whole table is the single group —
+    *    Spark's rewrite reads the table through
+    *    [[QuirkCsvRowLevelOperation]]'s scan, computes the full
+    *    replacement content (carry-over + modified + inserted rows),
+    *    and the write replaces the directory. Right-sized for dimension
+    *    tables (the reference's MERGE targets).
+    *  - PARTITIONED tables: the group is the partition VALUE directory —
+    *    the replacement scan accepts Spark's runtime group filtering
+    *    (the distinct partition values containing matching rows) and
+    *    the write replaces only those dirs; untouched partitions' files
+    *    stay byte-identical. A MERGE of a one-day increment into a
+    *    date-partitioned fact rewrites one day. See
+    *    [[QuirkCsvPartitionedReplaceScanBuilder]]. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
   : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new QuirkCsvRowLevelOperation(info.command(), tableSchema, options)
+
+  /** Metadata-only DELETE (`SupportsDelete`): a predicate purely on the
+    * partition column selects whole value directories, so the DELETE is
+    * a directory removal — zero data files read, zero rows rewritten.
+    * Spark's `OptimizeMetadataOnlyDeleteFromTable` consults
+    * [[canDeleteWhere]] on the already-rewritten row-level plan: answer
+    * true ONLY when every conjunct is an evaluable partition-column
+    * predicate; anything else (non-partition columns, negations, nulls)
+    * falls back to the partition-granular copy-on-write above. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    partitionColOpt.exists(c => filters.forall(f =>
+      (try QuirkCsv.filterColumn(f) == c
+      catch { case _: IllegalArgumentException => false }) &&
+        QuirkCsv.evaluable(tableSchema, f)))
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graftcsv metadata DELETE handles partition-column predicates " +
+        s"only, got [${filters.mkString(", ")}]")
+    val c = requirePartitioned()
+    val fs = tableRoot.getFileSystem(new Configuration())
+    if (!fs.exists(tableRoot)) return
+    fs.listStatus(tableRoot).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(c + "="))
+      .foreach { st =>
+        val v = QuirkCsv.decodePartitionDirValue(
+          st.getPath.getName.substring(c.length + 1))
+        if (filters.forall(QuirkCsv.eval(_, v)))
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  /** `TRUNCATE TABLE` stays rejected (SupportsDelete's default would
+    * route it to deleteWhere(ALWAYS_TRUE), silently matching nothing):
+    * the raw layer's whole-table deletion story is DROP TABLE or
+    * per-partition retention, stated loudly. */
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      s"${name()} does not support TRUNCATE TABLE — drop and re-create " +
+        "the table, or use DROP PARTITION / partition-scoped INSERT " +
+        "OVERWRITE for partition-granular removal")
 
   /** Identity partitioning (hive-style `col=value` subdirs) when the
     * catalog marker is present — surfaces through SHOW CREATE/DESCRIBE
@@ -474,12 +525,25 @@ private[sources] class QuirkCsvRowLevelOperation(
     tableOptions: CaseInsensitiveStringMap)
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
+  private def partitionCol: Option[String] =
+    Option(tableOptions.get("partitionCol")).filter(_.nonEmpty)
+
+  /** Scan→write coordination for the PARTITIONED path: the replacement
+    * scan records which partition values it planned, the write replaces
+    * exactly those dirs. One scope per operation instance — Spark calls
+    * newScanBuilder and newWriteBuilder on the same instance. */
+  private val scope = new QuirkCsvReplaceScope
+
   override def command()
   : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap)
-  : ScanBuilder = new QuirkCsvRowLevelScanBuilder(fullSchema,
-    QuirkCsv.mergeOptions(tableOptions, scanOptions))
+  : ScanBuilder = {
+    val merged = QuirkCsv.mergeOptions(tableOptions, scanOptions)
+    if (partitionCol.isDefined)
+      new QuirkCsvPartitionedReplaceScanBuilder(fullSchema, merged, scope)
+    else new QuirkCsvRowLevelScanBuilder(fullSchema, merged)
+  }
 
   /** Requiring `_file` does double duty: it is the natural group id of
     * a copy-on-write source, and its presence makes Spark project the
@@ -495,13 +559,17 @@ private[sources] class QuirkCsvRowLevelOperation(
     require(path != null && path.nonEmpty,
       "graftcsv row-level operation requires a 'path' option")
     // TABLE options must reach the builder: partitionCol in particular —
-    // without it the append-only guard can't see the table is
-    // partitioned, and the copy-on-write truncate would flat-rewrite
-    // the root of a partitioned layout (files written at root, value
-    // subdirs left stale = silent duplication)
+    // without it the builder can't see the table is partitioned, and
+    // the copy-on-write would flat-rewrite the root of a partitioned
+    // layout (files written at root, value subdirs left stale = silent
+    // duplication)
     val b = new QuirkCsvWriteBuilder(path, info.schema(),
       QuirkCsv.mergeOptions(tableOptions, info.options), info.queryId())
-    b.truncate()
+    // unpartitioned: whole-directory copy-on-write (dim-sized tables).
+    // partitioned: PARTITION-GRANULAR copy-on-write — replace only the
+    // value dirs the replacement scan planned; untouched partitions'
+    // files stay byte-identical
+    if (partitionCol.isDefined) b.replaceScanned(scope) else b.truncate()
     b
   }
 
@@ -564,6 +632,91 @@ private[sources] class QuirkCsvReplaceScan(fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     QuirkCsv.planSplits(files, maxSplit)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
+      Array.empty, QuirkCsv.headerOpt(options),
+      options.getBoolean("excelCompat", false))
+}
+
+/** Replacement scan for PARTITIONED tables — the group is the partition
+  * value directory. Differences from the whole-table replace scan:
+  *
+  *  - it implements [[SupportsRuntimeFiltering]], so Spark's
+  *    `RowLevelOperationRuntimeGroupFiltering` rule injects the distinct
+  *    partition values that actually contain rows MATCHING the command's
+  *    condition (computed by a separate matching-rows subquery at
+  *    runtime); partition dirs outside that set are neither read nor
+  *    rewritten — a MERGE of one day's increment into a date-partitioned
+  *    100-TB fact reads and rewrites one day, not the fact.
+  *  - compile-time pushed filters are still declined entirely: above a
+  *    replacement scan they are the rewritten plan's CARRY-OVER
+  *    condition (the NEGATED command condition), and pruning groups with
+  *    them would drop exactly the partitions that need rewriting.
+  *  - every file of every surviving dir is read in full (runtime group
+  *    filters are dir-granular by construction: they reference only the
+  *    partition column).
+  *
+  * The scan records the partition values it planned in the operation's
+  * [[QuirkCsvReplaceScope]]; the paired write's commit replaces exactly
+  * those dirs. Latest planning wins — the runtime-filtered planning is
+  * the one whose rows feed the write. */
+private[sources] class QuirkCsvPartitionedReplaceScanBuilder(
+    fullSchema: StructType, options: CaseInsensitiveStringMap,
+    scope: QuirkCsvReplaceScope)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan =
+    new QuirkCsvPartitionedReplaceScan(fullSchema, required, options, scope)
+}
+
+private[sources] class QuirkCsvPartitionedReplaceScan(
+    fullSchema: StructType, required: StructType,
+    options: CaseInsensitiveStringMap, scope: QuirkCsvReplaceScope)
+  extends Scan with Batch with SupportsRuntimeFiltering {
+
+  private val col = options.get("partitionCol")
+  private val files: Seq[QuirkCsvFileMeta] = QuirkCsv.listFiles(options)
+  private val maxSplit: Long =
+    options.getLong("maxSplitBytes", 128L * 1024 * 1024)
+  private var runtimeGroupFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(col))
+
+  /** Runtime GROUP filters from the row-level group-filtering rule:
+    * predicates on the partition column listing the values with matching
+    * rows. Dropping one we can't evaluate is safe-side — more dirs are
+    * read and rewritten with identical content, never fewer. */
+  override def filter(newFilters: Array[Filter]): Unit =
+    runtimeGroupFilters = newFilters.filter(f =>
+      QuirkCsv.evaluable(fullSchema, f) &&
+        QuirkCsv.filterColumn(f) == col)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graftcsv-replace-partitioned($col) ${files.size} file(s), " +
+      s"RuntimeGroupFilters: [${runtimeGroupFilters.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = QuirkCsv.prunePartitions(options, files, runtimeGroupFilters)
+    scope.record(
+      kept.flatMap(f => QuirkCsv.partitionValueOf(f.path, col)).toSet)
+    QuirkCsv.planSplits(kept, maxSplit)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
@@ -1620,11 +1773,13 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
 }
 
 private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
-                                     truncateFirst: Boolean, header: Boolean,
+                                     mode: QuirkCsvWriteMode, header: Boolean,
                                      queryId: String,
                                      partitionCol: Option[String] = None)
   extends Write with BatchWrite with StreamingWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  private def truncateFirst: Boolean = mode == QuirkCsvWriteMode.Truncate
 
   /** Partitioned writes request rows CLUSTERED by the partition column:
     * Spark shuffles so each task holds whole value groups — without it,
@@ -1683,7 +1838,7 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     * Complete/truncate output modes are rejected: a raw-layer CSV
     * directory is an append-only log. */
   override def toStreaming: StreamingWrite = {
-    require(!truncateFirst,
+    require(mode == QuirkCsvWriteMode.Append,
       "graftcsv streaming sink is append-only; use outputMode(\"append\")")
     require(partitionCol.isEmpty,
       "graftcsv streaming sink does not support partitioned tables " +
@@ -1712,19 +1867,90 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     // Partitioned tables skip the zone-map sidecar: part-file NAMES
     // repeat across value subdirs, so a root sidecar keyed by name
     // could prune the wrong file — directory-level partition pruning is
-    // their file-skipping story. Unpartitioned: per-file min/max/null
-    // stats gathered by the writers, keyed by file name + (len, mtime)
-    // (the staleness guard). On append, surviving prior entries are
-    // carried over; truncate starts fresh and deletes files this job
-    // didn't write. Sidecar written AFTER the data files are final so a
-    // reader never sees stats for half-written files.
-    if (partitionCol.isEmpty)
-      mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
-        dropPrior = truncateFirst,
-        deleteOthers =
-          if (truncateFirst)
-            Some(n => !n.startsWith("_") && !n.startsWith("."))
-          else None)
+    // their file-skipping story; their commit scope is the value
+    // directory (see commitPartitioned). Unpartitioned: per-file
+    // min/max/null stats gathered by the writers, keyed by file name +
+    // (len, mtime) (the staleness guard). On append, surviving prior
+    // entries are carried over; truncate starts fresh and deletes files
+    // this job didn't write. Sidecar written AFTER the data files are
+    // final so a reader never sees stats for half-written files.
+    partitionCol match {
+      case None =>
+        mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
+          dropPrior = truncateFirst,
+          deleteOthers =
+            if (truncateFirst)
+              Some(n => !n.startsWith("_") && !n.startsWith("."))
+            else None)
+      case Some(c) if mode != QuirkCsvWriteMode.Append =>
+        commitPartitioned(c, messages)
+      case Some(_) => ()
+    }
+
+  /** Partition-granular commit: delete every visible pre-existing file
+    * in each IN-SCOPE value directory that this job didn't write (the
+    * job's own files became visible through the task-commit renames).
+    * The scope depends on the mode — dirs that RECEIVED rows (dynamic
+    * overwrite), dirs MATCHING the static filters (overwrite-where,
+    * including matching dirs the job wrote nothing into), or dirs the
+    * row-level replacement scan PLANNED. Out-of-scope directories are
+    * never listed, touched, or rewritten — that is the byte-identity
+    * guarantee partitioned copy-on-write rests on. */
+  private def commitPartitioned(col: String,
+                                messages: Array[WriterCommitMessage]): Unit = {
+    val writtenByValue: Map[String, Set[String]] = messages.flatMap {
+      case mc: QuirkCsvMultiCommit => mc.commits
+      case cm: QuirkCsvCommit => Seq(cm)
+      case _ => Nil
+    }.flatMap { cm =>
+      QuirkCsv.partitionValueOf(cm.file, col)
+        .map(v => v -> new Path(cm.file).getName)
+    }.groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    val targetValues: Set[String] = mode match {
+      case QuirkCsvWriteMode.DynamicPartitions => writtenByValue.keySet
+      case QuirkCsvWriteMode.OverwriteWhere(filters) =>
+        // Iceberg-style validation BEFORE any delete: rows landing
+        // outside the overwritten region would silently become appends
+        // with overwrite semantics claimed — abort the commit instead
+        // (job abort then removes this job's files; no data changed)
+        val stray = writtenByValue.keySet
+          .filterNot(v => filters.forall(QuirkCsv.eval(_, v)))
+        require(stray.isEmpty,
+          s"overwrite-by-filter write produced rows in partition(s) " +
+            s"${stray.mkString(", ")} outside the overwritten region " +
+            s"[${filters.mkString(", ")}] — every written row must " +
+            "satisfy the overwrite condition (commit aborted, nothing " +
+            "was deleted)")
+        if (!fs.exists(root)) Set.empty
+        else fs.listStatus(root).toIndexedSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(col + "="))
+          .map(st => QuirkCsv.decodePartitionDirValue(
+            st.getPath.getName.substring(col.length + 1)))
+          .filter(v => filters.forall(QuirkCsv.eval(_, v)))
+          .toSet
+      case QuirkCsvWriteMode.ReplaceScanned(scope) =>
+        scope.get.getOrElse(throw new IllegalStateException(
+          "graftcsv row-level write committed before its replacement " +
+            "scan planned — cannot determine which partitions to replace"))
+      case m => throw new IllegalStateException(
+        s"unexpected partitioned commit mode $m") // Append returns above
+    }
+    targetValues.foreach { v =>
+      val dir = new Path(root, QuirkCsv.partitionDirName(col, v))
+      if (fs.exists(dir)) {
+        val keep = writtenByValue.getOrElse(v, Set.empty)
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            !keep.contains(n))
+            fs.delete(st.getPath, false)
+        }
+      }
+    }
+  }
 
   /** Phantom files — task commits of an epoch whose driver died before
     * the epoch commit, under a partitioning the replay no longer
@@ -2237,6 +2463,7 @@ private[sources] object QuirkCsv {
   /** Column a pushable filter references (call only after `evaluable`). */
   def filterColumn(f: Filter): String = f match {
     case EqualTo(a, _) => a
+    case EqualNullSafe(a, _) => a
     case IsNotNull(a) => a
     case IsNull(a) => a
     case In(a, _) => a
@@ -2250,6 +2477,10 @@ private[sources] object QuirkCsv {
     * predicates on a known column. */
   def evaluable(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(a, v: String) => schema.fieldNames.contains(a) && v != null
+    // <=> — the shape static partition overwrite emits (the analyzer's
+    // staticDeleteExpression builds EqualNullSafe over the partition col)
+    case EqualNullSafe(a, v) => schema.fieldNames.contains(a) &&
+      (v == null || v.isInstanceOf[String])
     case IsNotNull(a) => schema.fieldNames.contains(a)
     case IsNull(a) => schema.fieldNames.contains(a)
     case In(a, vs) => schema.fieldNames.contains(a) &&
@@ -2514,6 +2745,9 @@ private[sources] object QuirkCsv {
     * (null == missing / short row). */
   def eval(f: Filter, v: String): Boolean = f match {
     case EqualTo(_, expected: String) => v != null && v == expected
+    case EqualNullSafe(_, expected) =>
+      if (expected == null) v == null
+      else v != null && v == expected
     case IsNotNull(_) => v != null
     case IsNull(_) => v == null
     case In(_, vs) => v != null && vs.exists(x => x == v)

@@ -91,21 +91,25 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
       .rdd.getNumPartitions shouldBe 1
   }
 
-  test("append-only guards: overwrite, MERGE, and streaming are rejected") {
+  test("whole-table guards: static un-scoped overwrite and TRUNCATE rejected") {
     root
     spark.sql("""CREATE TABLE graft_part.ns.g (a STRING, b STRING)
       PARTITIONED BY (b)""")
     spark.sql("INSERT INTO graft_part.ns.g VALUES ('1','x')")
-    val ow = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE graft_part.ns.g VALUES ('2','y')")
+    // static-mode INSERT OVERWRITE with no partition scope would truncate
+    // the whole table — rejected with guidance toward the scoped forms
+    // (MERGE/UPDATE/DELETE and scoped overwrites are partition-granular
+    // now: QuirkCsvPartitionedRowLevelSpec)
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "static") {
+      val ow = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_part.ns.g VALUES ('2','y')")
+      }
+      ow.getMessage should include("never truncate whole-table")
     }
-    ow.getMessage should include("APPEND-only")
-    val mrg = intercept[Exception] {
-      spark.sql("""MERGE INTO graft_part.ns.g t
-        USING (SELECT '1' AS a, 'z' AS b) s ON t.a = s.a
-        WHEN MATCHED THEN UPDATE SET b = s.b""")
+    val tr = intercept[Exception] {
+      spark.sql("TRUNCATE TABLE graft_part.ns.g")
     }
-    mrg.getMessage should include("APPEND-only")
+    tr.getMessage should include("does not support TRUNCATE TABLE")
     // unchanged content after both failed statements
     spark.table("graft_part.ns.g").count() shouldBe 1L
   }

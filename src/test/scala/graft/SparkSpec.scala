@@ -31,6 +31,18 @@ abstract class SparkSpec extends AnyFunSuite with Matchers {
   def col1[T](df: DataFrame): Seq[String] =
     df.collect().map(r => String.valueOf(r.get(0))).toSeq.sorted
 
+  /** Set confs for the block, restoring the PRIOR session values (not
+    * the defaults — conf.unset would lose a value the session had set). */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def rowsAsStrings(df: DataFrame): Seq[String] =
     df.collect()
       .map(_.toSeq.map(String.valueOf).mkString(""))
