@@ -22,15 +22,20 @@ object ColumnarProbe {
     def scan(columnar: Boolean) = spark.read.format("graftcsv")
       .option("columnar", columnar.toString).load(dir)
     def time(label: String, columnar: Boolean): Double = {
-      val df = scan(columnar).agg(
-        count(lit(1)), max(col("ProductName")), min(col("CustomerName")),
-        max(col("Sales")), min(col("Profit")), max(col("City")))
-      // aggregate would push down; force the full-scan shape instead
-      val wide = scan(columnar).groupBy(col("Region"))
-        .agg(count(lit(1)).as("n"), max(col("ProductName")).as("p"),
-          min(col("CustomerName")).as("c"), max(col("City")).as("ci"),
-          max(col("State")).as("st"), max(col("PostalCode")).as("z"))
-      wide.collect() // warm
+      // the consumption must NOT be reader-pushable (plain min/max/count
+      // and grouped aggregates push into the reader and bypass the
+      // row-vs-columnar handoff entirely): length()+sum over every
+      // column forces the scan to hand all rows/batches to Spark, which
+      // is exactly the boundary the columnar path accelerates
+      val cols = scan(columnar).columns
+      // build a FRESH Dataset per run: a re-collected Dataset re-uses
+      // its materialized AQE shuffle stages, so repeat timings would
+      // measure only the final 1-row stage, not the scan
+      def wide = scan(columnar)
+        .select(cols.map(c => length(coalesce(col(c), lit(""))))
+          .reduce(_ + _).as("w"))
+        .agg(sum(col("w")).as("total"))
+      wide.collect() // warm (JIT + page cache)
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         wide.collect()

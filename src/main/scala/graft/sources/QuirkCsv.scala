@@ -854,8 +854,13 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
     new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
       filters ++ runtimeFilters, header, excelCompat, limit, topN,
       // columnar=true: emit reused flat ColumnarBatch vectors instead of
-      // per-row objects (see QuirkCsvColumnarReader) — opt-in while the
-      // row path remains the default
+      // per-row objects (see QuirkCsvColumnarReader). STAYS opt-in by
+      // measurement: on a 876 MB / 4M-row / 21-col fixture with a
+      // non-pushable all-column consumer, row 4.94 s vs columnar 4.97 s
+      // (ColumnarProbe, AQE-stage-reuse corrected) — the latin-1 field
+      // PARSE dominates and the batch handoff it replaces is noise, so
+      // flipping the default would buy nothing until the parse itself
+      // vectorizes
       columnar = options.getBoolean("columnar", false),
       columnarBatchSize = options.getInt("columnarBatchSize", 4096))
 
@@ -1582,7 +1587,22 @@ private[sources] case class QuirkCsvOffset(n: Int) extends Offset {
   * be immutable once placed. Restart recovery replays by position in the
   * path-sorted listing, so arrival order must match name order across a
   * restart — the standard monotonic-naming contract for file streams
-  * (part-00001…); within one run, any names work. */
+  * (part-00001…); within one run, any names work.
+  *
+  * PARTITIONED tables stream too: `listFiles` already walks the value
+  * subdirectories (partitionCol arrives through the catalog's table
+  * options), rows carry the partition column like any other field, and
+  * the schema-seed file at the root — header-only by contract, excluded
+  * from batch split planning by `prunePartitions` — is skipped here for
+  * the same reason (and because ALTER ADD COLUMN mints new seed versions
+  * mid-stream, which must not surface as phantom empty batches). The
+  * restart caveat tightens accordingly: paths sort by (value dir, name),
+  * so replay-across-restart needs monotonic names WITHIN each partition
+  * directory and no new partition dirs sorting below already-replayed
+  * ones — a live routed sink does not guarantee either, so pair a
+  * restarted stream with a manifest the same way the flat contract
+  * advises. DROP PARTITION under a live stream violates file
+  * immutability exactly like deleting files from a flat streamed dir. */
 private[sources] class QuirkCsvMicroBatchStream(
     fullSchema: StructType, required: StructType, filters: Array[Filter],
     options: CaseInsensitiveStringMap, maxSplit: Long, header: Boolean,
@@ -1591,10 +1611,16 @@ private[sources] class QuirkCsvMicroBatchStream(
 
   private val seen = ArrayBuffer.empty[QuirkCsvFileMeta] // arrival order
   private val seenNames = scala.collection.mutable.HashSet.empty[String]
+  private val partitioned = {
+    val c = options.get("partitionCol")
+    c != null && c.nonEmpty
+  }
 
   private def refresh(): Unit = synchronized {
     QuirkCsv.listFiles(options).foreach { f =>
-      if (seenNames.add(f.path)) seen += f
+      val seed = partitioned &&
+        new Path(f.path).getName.startsWith("part-seed-")
+      if (!seed && seenNames.add(f.path)) seen += f
     }
   }
 
@@ -1627,23 +1653,6 @@ private[sources] class QuirkCsvMicroBatchStream(
 
 // ---------------------------------------------------------------- sink
 
-/** Batch write path: one CSV part file per partition, header per file
-  * (so any file subset — and the whole directory — reads back through
-  * the scan path). Tasks write attempt-private hidden tmps renamed into
-  * place at `DataWriter.commit` (see [[QuirkCsvWriterFactory]]), so
-  * in-progress or crash-orphaned task output is never reader-visible
-  * and a speculative retry replaces its partition's file instead of
-  * duplicating it. `mode("overwrite")`
-  * maps to `SupportsTruncate`: files not written by the committing job
-  * are deleted AT COMMIT, after every task has succeeded — a failed job
-  * leaves the old data in place (same guarantee as Hadoop's non-atomic
-  * rename committers on object stores).
-  *
-  * The sink is the RAW layer's (all columns nullable strings, like the
-  * reference's NVARCHAR staging table): NULL writes as an empty unquoted
-  * field, the empty string as `""`, and fields containing commas /
-  * quotes / line breaks quote-and-double — the exact inverses the reader
-  * applies, so write → read round-trips bit-for-bit. */
 /** What the batch write's job COMMIT does beyond making the job's own
   * files visible — the scope of the files it deletes. Everything except
   * [[QuirkCsvWriteMode.Truncate]] is partition-granular: commits touch
@@ -1683,6 +1692,24 @@ private[sources] final class QuirkCsvReplaceScope {
   def get: Option[Set[String]] = ref.get()
 }
 
+/** Batch write path: one CSV part file per partition, header per file
+  * (so any file subset — and the whole directory — reads back through
+  * the scan path). Tasks write attempt-private hidden tmps renamed into
+  * place at `DataWriter.commit` (see [[QuirkCsvWriterFactory]]), so
+  * in-progress or crash-orphaned task output is never reader-visible
+  * and a speculative retry replaces its partition's file instead of
+  * duplicating it. `mode("overwrite")` maps to `SupportsTruncate`:
+  * files not written by the committing job are deleted AT COMMIT, after
+  * every task has succeeded — a failed job leaves the old data in place
+  * (same guarantee as Hadoop's non-atomic rename committers on object
+  * stores). Partitioned tables replace that whole-directory mode with
+  * the partition-scoped ones in [[QuirkCsvWriteMode]].
+  *
+  * The sink is the RAW layer's (all columns nullable strings, like the
+  * reference's NVARCHAR staging table): NULL writes as an empty unquoted
+  * field, the empty string as `""`, and fields containing commas /
+  * quotes / line breaks quote-and-double — the exact inverses the reader
+  * applies, so write → read round-trips bit-for-bit. */
 private[sources] class QuirkCsvWriteBuilder(path: String,
                                             schema: StructType,
                                             options: CaseInsensitiveStringMap,

@@ -42,6 +42,36 @@ class QuirkCsvStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a PARTITIONED catalog table streams: subdir files arrive, the " +
+      "schema seed never surfaces, late partitions are picked up") {
+    val root = Files.createTempDirectory("qcsv_pstream").toString
+    spark.conf.set("spark.sql.catalog.graft_ps",
+      classOf[graft.sources.QuirkCsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ps.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_ps.ns")
+    spark.sql("""CREATE TABLE graft_ps.ns.ev (id STRING, day STRING)
+      PARTITIONED BY (day)""")
+    spark.sql("INSERT INTO graft_ps.ns.ev VALUES ('1','d1'), ('2','d2')")
+    val q = spark.readStream.table("graft_ps.ns.ev")
+      .writeStream.format("memory").queryName("qcsv_ps").start()
+    try {
+      q.processAllAvailable()
+      val t1 = spark.table("qcsv_ps").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // stream == batch: partition-column values ride in the rows and
+      // the header-only schema seed contributed nothing
+      t1 shouldBe Set(("1", "d1"), ("2", "d2"))
+      // a new file in an EXISTING partition and a whole NEW partition
+      // both arrive exactly once
+      spark.sql("INSERT INTO graft_ps.ns.ev VALUES ('3','d1'), ('4','d9')")
+      q.processAllAvailable()
+      val t2 = spark.table("qcsv_ps").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      t2 shouldBe Set(("1", "d1"), ("2", "d2"), ("3", "d1"), ("4", "d9"))
+      spark.table("qcsv_ps").count() shouldBe 4L // exactly once
+    } finally q.stop()
+  }
+
   test("pruning and filter pushdown ride the micro-batch path") {
     val dir = Files.createTempDirectory("qcsv_stream2").toString
     writeFile(dir, "part-0001.csv", Seq(
