@@ -190,5 +190,49 @@ object R14Queries {
       WHERE o_orderpriority NOT IN ('3-MEDIUM', '5-LOW', '4-NOT SPECIFIED')
       GROUP BY o_orderpriority"""))
 
-  val all: Seq[QueryDef] = Seq(q345, q346, q347)
+  /** IVF ANN index as a MAINTAINED CATALOG ARTIFACT
+    * ([[graft.operators.IvfIndex]]): centroids + assignment persist as
+    * graft_cat tables, the assignment PARTITIONED BY ingest batch. The
+    * query builds the index on the base corpus (vec_id%10 < 8), assigns
+    * the new batch INCREMENTALLY (one scan of the new vectors, the base
+    * assignment never rescanned), re-delivers the same batch (must be
+    * idempotent — dynamic-partition overwrite), and emits the persisted
+    * table. The oracle computes the FULL from-scratch re-assignment of
+    * every vector against the same deterministic centroids — the hash
+    * match IS the proof that incremental maintenance (including the
+    * float→string→float centroid round-trip through the all-string raw
+    * layer) equals full re-assignment. */
+  private val q348 = QueryDef(
+    "q348_ivf_index_table",
+    (s, d) => {
+      ensurePcwCatalog(s)
+      val e = Tables.embeddings(s, d)
+      val isNew = (col("vec_id") % 10) >= 8
+      graft.operators.IvfIndex.build(s, "graft_pcw", "q348", "ann",
+        e.filter(!isNew), "vec_id", "embedding", 8)
+      graft.operators.IvfIndex.assignBatch(s, "graft_pcw", "q348", "ann",
+        e.filter(isNew), "vec_id", "embedding", "b1")
+      // the re-delivered ingest batch: a dynamic-partition overwrite of
+      // partition batch=b1 — the result must not change
+      graft.operators.IvfIndex.assignBatch(s, "graft_pcw", "q348", "ann",
+        e.filter(isNew), "vec_id", "embedding", "b1")
+      graft.operators.IvfIndex.assignment(s, "graft_pcw", "q348", "ann")
+        .select(col("vec_id"), col("centroid_id"), col("batch"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cemb
+            FROM embeddings WHERE vec_id % 10 < 8
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      asg AS (SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${ExtQueries.oCos("e.embedding", "c.cemb")} DESC,
+                  c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+      SELECT CAST(vec_id AS VARCHAR) AS vec_id,
+             CAST(centroid_id AS VARCHAR) AS centroid_id,
+             CASE WHEN vec_id % 10 >= 8 THEN 'b1' ELSE 'base' END AS batch
+      FROM asg"""))
+
+  val all: Seq[QueryDef] = Seq(q345, q346, q347, q348)
 }
