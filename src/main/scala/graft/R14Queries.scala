@@ -227,8 +227,11 @@ object R14Queries {
             SELECT e.vec_id, c.centroid_id,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
                 ORDER BY ${ExtQueries.oCos("e.embedding", "c.cemb")} DESC,
-                  c.centroid_id) AS rn
+                  CAST(c.centroid_id AS VARCHAR)) AS rn
             FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+      -- tie-break CAST matters: the incremental path orders by the
+      -- catalog table's STRING centroid_id ('10' < '2'), so an exact
+      -- cosine tie must break the same way here
       SELECT CAST(vec_id AS VARCHAR) AS vec_id,
              CAST(centroid_id AS VARCHAR) AS centroid_id,
              CASE WHEN vec_id % 10 >= 8 THEN 'b1' ELSE 'base' END AS batch

@@ -204,13 +204,27 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     * true ONLY when every conjunct is an evaluable partition-column
     * predicate; anything else (non-partition columns, negations, nulls)
     * falls back to the partition-granular copy-on-write above. */
+  /** `DELETE FROM t` with no WHERE arrives here as a single AlwaysTrue
+    * (the planner's SupportsDeleteV2 case throws if canDeleteWhere says
+    * no BEFORE its TruncatableTable case is consulted, so the truncate
+    * route must run through deleteWhere) — an explicit whole-table
+    * statement, handled by [[truncateTable]] on both table kinds. */
+  private def isDeleteAll(filters: Array[Filter]): Boolean =
+    filters.length == 1 && filters(0).isInstanceOf[AlwaysTrue]
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    partitionColOpt.exists(c => filters.forall(f =>
-      (try QuirkCsv.filterColumn(f) == c
-      catch { case _: IllegalArgumentException => false }) &&
-        QuirkCsv.evaluable(tableSchema, f)))
+    // filters.nonEmpty matters: a vacuous forall would declare an empty
+    // predicate list metadata-deletable and deleteWhere would then wipe
+    // every partition — whole-table removal is the explicit
+    // isDeleteAll/truncateTable route only
+    isDeleteAll(filters) ||
+      partitionColOpt.exists(c => filters.nonEmpty && filters.forall(f =>
+        (try QuirkCsv.filterColumn(f) == c
+        catch { case _: IllegalArgumentException => false }) &&
+          QuirkCsv.evaluable(tableSchema, f)))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (isDeleteAll(filters)) { truncateTable(); return }
     require(canDeleteWhere(filters),
       s"graftcsv metadata DELETE handles partition-column predicates " +
         s"only, got [${filters.mkString(", ")}]")
@@ -227,15 +241,40 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
       }
   }
 
-  /** `TRUNCATE TABLE` stays rejected (SupportsDelete's default would
-    * route it to deleteWhere(ALWAYS_TRUE), silently matching nothing):
-    * the raw layer's whole-table deletion story is DROP TABLE or
-    * per-partition retention, stated loudly. */
-  override def truncateTable(): Boolean =
-    throw new UnsupportedOperationException(
-      s"${name()} does not support TRUNCATE TABLE — drop and re-create " +
-        "the table, or use DROP PARTITION / partition-scoped INSERT " +
-        "OVERWRITE for partition-granular removal")
+  /** Whole-table row removal: `TRUNCATE TABLE t` AND `DELETE FROM t`
+    * with no WHERE both land here (Spark's delete rewrite short-circuits
+    * a TrueLiteral condition to TruncatableTable BEFORE the row-level
+    * path, so without this override an unconditional DELETE — which the
+    * copy-on-write path used to serve — would throw). Both statements
+    * are EXPLICIT whole-table requests, unlike the un-scoped INSERT
+    * OVERWRITE the write builder rejects (where "replace everything" is
+    * an easy accident of partitionOverwriteMode=static). Unpartitioned:
+    * delete the data files + zone sidecar. Partitioned: delete every
+    * value directory — the layout's deletion unit — keeping the schema
+    * seed and partitioning marker (the empty table stays readable and
+    * writable). */
+  override def truncateTable(): Boolean = {
+    val fs = tableRoot.getFileSystem(new Configuration())
+    if (!fs.exists(tableRoot)) return true
+    partitionColOpt match {
+      case Some(c) =>
+        fs.listStatus(tableRoot).toIndexedSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(c + "="))
+          .foreach(st => fs.delete(st.getPath, true))
+      case None =>
+        fs.listStatus(tableRoot).toIndexedSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+              !n.startsWith("part-seed-")
+          }
+          .foreach(st => fs.delete(st.getPath, false))
+        val zm = new Path(tableRoot, QuirkCsv.ZoneMapFile)
+        if (fs.exists(zm)) fs.delete(zm, false)
+    }
+    true
+  }
 
   /** Identity partitioning (hive-style `col=value` subdirs) when the
     * catalog marker is present — surfaces through SHOW CREATE/DESCRIBE

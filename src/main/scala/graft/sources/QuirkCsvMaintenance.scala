@@ -62,6 +62,7 @@ private[graft] object QuirkCsvMaintenance {
   private val IntentFile = "_graft_compact_intent.tsv"
   private val IntentTmpFile = "._graft_compact_intent.tsv.tmp"
   private val IntentHeader = "graft-compact-intent-v2"
+  private val IntentHeaderV1 = "graft-compact-intent-v1"
   private val IntentFooter = "end"
   private[graft] val TmpDirName = "_graft_compact_tmp"
 
@@ -192,6 +193,18 @@ private[graft] object QuirkCsvMaintenance {
       fs.open(intent), java.nio.charset.StandardCharsets.ISO_8859_1))
     val (folded, pinned) = try {
       val header = in.readLine()
+      // v1 (the previous release's append-into-place protocol): the
+      // folded copies are already IN the directory and the intent lists
+      // exactly the originals to delete — mechanically completable, so
+      // keep self-healing across the upgrade instead of demanding manual
+      // ops for a crash that predates this build
+      if (header == IntentHeaderV1) {
+        val names = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).map(QuirkCsv.decodePinnedName).toList
+        in.close()
+        completeSwap(fs, base, folded = Nil, pinned = names)
+        return
+      }
       require(header == IntentHeader,
         s"unrecognized compaction intent header '$header' in $intent — " +
           "this records a half-done swap in a format this build does " +

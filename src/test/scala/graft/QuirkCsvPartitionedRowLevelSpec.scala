@@ -54,6 +54,7 @@ class QuirkCsvPartitionedRowLevelSpec extends SparkSpec {
       "partitions stay byte-identical") {
     root; seed("m")
     val d1Before = dirState("m", "day=d1")
+    val d2Before = dirState("m", "day=d2")
     val d3Before = dirState("m", "day=d3")
     d1Before should not be empty
     // source touches d2 (update) and inserts a NEW day d4
@@ -71,9 +72,10 @@ class QuirkCsvPartitionedRowLevelSpec extends SparkSpec {
     // runtime group filtering kept d1/d3 out of the rewrite entirely
     dirState("m", "day=d1") shouldBe d1Before
     dirState("m", "day=d3") shouldBe d3Before
-    // d2 was rewritten (copy-on-write: fresh file names from a new job)
-    dirState("m", "day=d2").keySet.intersect(
-      dirState("m", "day=d2").keySet) should not be empty
+    // the matched partition WAS rewritten: copy-on-write replaces its
+    // files wholesale, so no pre-MERGE file name survives in d2
+    dirState("m", "day=d2").keySet
+      .intersect(d2Before.keySet) shouldBe empty
     new java.io.File(s"$root/ns/m/day=d4").exists() shouldBe true
   }
 

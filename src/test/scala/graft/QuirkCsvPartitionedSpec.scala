@@ -91,14 +91,15 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
       .rdd.getNumPartitions shouldBe 1
   }
 
-  test("whole-table guards: static un-scoped overwrite and TRUNCATE rejected") {
+  test("whole-table statements: un-scoped static overwrite rejected; " +
+      "explicit TRUNCATE / DELETE-all work") {
     root
     spark.sql("""CREATE TABLE graft_part.ns.g (a STRING, b STRING)
       PARTITIONED BY (b)""")
     spark.sql("INSERT INTO graft_part.ns.g VALUES ('1','x')")
     // static-mode INSERT OVERWRITE with no partition scope would truncate
-    // the whole table — rejected with guidance toward the scoped forms
-    // (MERGE/UPDATE/DELETE and scoped overwrites are partition-granular
+    // the whole table as an easy ACCIDENT of the default conf — rejected
+    // with guidance toward the scoped forms (which are partition-granular
     // now: QuirkCsvPartitionedRowLevelSpec)
     withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "static") {
       val ow = intercept[Exception] {
@@ -106,12 +107,37 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
       }
       ow.getMessage should include("never truncate whole-table")
     }
-    val tr = intercept[Exception] {
-      spark.sql("TRUNCATE TABLE graft_part.ns.g")
-    }
-    tr.getMessage should include("does not support TRUNCATE TABLE")
-    // unchanged content after both failed statements
     spark.table("graft_part.ns.g").count() shouldBe 1L
+    // EXPLICIT whole-table statements DO work: DELETE with no WHERE
+    // (Spark routes its TrueLiteral condition to TruncatableTable before
+    // the row-level rewrite) and TRUNCATE TABLE — both remove every
+    // value dir and leave the table usable
+    spark.sql("DELETE FROM graft_part.ns.g")
+    spark.table("graft_part.ns.g").count() shouldBe 0L
+    spark.sql("INSERT INTO graft_part.ns.g VALUES ('3','z'), ('4','w')")
+    spark.table("graft_part.ns.g").count() shouldBe 2L
+    spark.sql("TRUNCATE TABLE graft_part.ns.g")
+    spark.table("graft_part.ns.g").count() shouldBe 0L
+    new java.io.File(s"$root/ns/g").listFiles()
+      .count(_.isDirectory) shouldBe 0 // value dirs gone, seed kept
+    spark.sql("INSERT INTO graft_part.ns.g VALUES ('5','v')")
+    spark.table("graft_part.ns.g").count() shouldBe 1L
+  }
+
+  test("unconditional DELETE and TRUNCATE on an UNPARTITIONED table " +
+      "remove all rows, keep the schema seed") {
+    root
+    spark.sql("CREATE TABLE graft_part.ns.flat (a STRING, b STRING)")
+    spark.sql("INSERT INTO graft_part.ns.flat VALUES ('1','x'), ('2','y')")
+    spark.sql("DELETE FROM graft_part.ns.flat")
+    spark.table("graft_part.ns.flat").count() shouldBe 0L
+    spark.sql("INSERT INTO graft_part.ns.flat VALUES ('3','z')")
+    spark.sql("TRUNCATE TABLE graft_part.ns.flat")
+    spark.table("graft_part.ns.flat").count() shouldBe 0L
+    // schema survives the truncate (the seed file is preserved)
+    spark.table("graft_part.ns.flat").columns.toSeq shouldBe Seq("a", "b")
+    spark.sql("INSERT INTO graft_part.ns.flat VALUES ('4','w')")
+    spark.table("graft_part.ns.flat").count() shouldBe 1L
   }
 
   test("null partition values fail loudly at the write") {

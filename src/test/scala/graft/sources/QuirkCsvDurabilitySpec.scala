@@ -160,6 +160,33 @@ class QuirkCsvDurabilitySpec extends SparkSpec {
       .exists() shouldBe false
   }
 
+  test("a v1 intent from a pre-upgrade crash is still completed, not refused") {
+    // the OLD protocol appended folded copies INTO the directory before
+    // its intent; a crash between its intent and its deletes left
+    // originals + folded copies + a v1 intent listing the originals.
+    // The upgrade must keep that directory self-healing.
+    val dir = freshDir("v1intent")
+    Seq("x", "y").toDF("k").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    val pinned = QuirkCsvMaintenance.dataFileNames(dir)
+    spark.read.format("graftcsv")
+      .option("pinnedFiles", QuirkCsv.encodePinned(pinned)).load(dir)
+      .repartition(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    val intent = new java.io.File(dir, "_graft_compact_intent.tsv")
+    val out = new java.io.PrintWriter(intent, "ISO-8859-1")
+    out.println("graft-compact-intent-v1")
+    pinned.foreach(n => out.println(QuirkCsv.encodePinned(Seq(n))))
+    out.close()
+    // mid-crash v1 state: originals + folded copy => transient duplicates
+    spark.read.format("graftcsv").load(dir).count() shouldBe 4
+    val (_, after) =
+      graft.operators.Scale.compactCsv(spark, dir, numFiles = 1)
+    intent.exists() shouldBe false
+    col1(spark.read.format("graftcsv").load(dir)) shouldBe Seq("x", "y")
+    after shouldBe 1L
+  }
+
   test("an unrecognized or truncated intent fails LOUDLY, file left in place") {
     val dir = freshDir("badintent")
     Seq("x").toDF("k").coalesce(1)
