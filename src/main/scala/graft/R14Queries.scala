@@ -237,5 +237,50 @@ object R14Queries {
              CASE WHEN vec_id % 10 >= 8 THEN 'b1' ELSE 'base' END AS batch
       FROM asg"""))
 
-  val all: Seq[QueryDef] = Seq(q345, q346, q347, q348)
+  /** Per-VALUE-DIRECTORY zone maps: three appends with disjoint
+    * zero-padded key ranges leave 3 one-range files in every value dir;
+    * a point probe on (partition col, key) must plan exactly ONE split —
+    * directory pruning drops the other priorities, the surviving dir's
+    * own sidecar drops the 2 files whose range can't hold the key. The
+    * REQUIRE makes intra-partition file skipping load-bearing, not
+    * best-effort; the oracle replays the probe over all rows. */
+  private val q349 = QueryDef(
+    "q349_partitioned_zonemap",
+    (s, d) => {
+      ensurePcwCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_pcw.q349")
+      s.sql("DROP TABLE IF EXISTS graft_pcw.q349.fact")
+      s.sql("""CREATE TABLE graft_pcw.q349.fact (okey STRING, prio STRING)
+        PARTITIONED BY (prio)""")
+      val src = Tables.orders(s, d).select(
+        lpad(col("o_orderkey").cast("string"), 8, "0").as("okey"),
+        col("o_orderpriority").as("prio"))
+      Seq(col("okey") < lit("00005000"),
+        col("okey") >= lit("00005000") && col("okey") < lit("00010000"),
+        col("okey") >= lit("00010000")).foreach { p =>
+        src.filter(p).writeTo("graft_pcw.q349.fact").append()
+      }
+      val root = s.conf.get("spark.sql.catalog.graft_pcw.root")
+      val urgentDir = new java.io.File(s"$root/q349/fact/prio=1-URGENT")
+      require(urgentDir.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_")) == 3,
+        "expected 3 range files in the probed partition dir")
+      val probe = src.filter(col("prio") === "1-URGENT")
+        .agg(min(col("okey"))).collect()(0).getString(0)
+      val hit = s.table("graft_pcw.q349.fact")
+        .filter(col("prio") === "1-URGENT" && col("okey") === probe)
+      require(hit.rdd.getNumPartitions == 1,
+        "per-directory zone maps must prune the probed partition to the " +
+          s"one file whose range covers $probe — planned " +
+          s"${hit.rdd.getNumPartitions} splits of 3 files")
+      hit.localCheckpoint()
+    },
+    Some("""
+      WITH src AS (SELECT lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS okey,
+                          o_orderpriority AS prio FROM orders)
+      SELECT okey, prio FROM src
+      WHERE prio = '1-URGENT'
+        AND okey = (SELECT min(okey) FROM src WHERE prio = '1-URGENT')"""))
+
+  val all: Seq[QueryDef] = Seq(q345, q346, q347, q348, q349)
 }

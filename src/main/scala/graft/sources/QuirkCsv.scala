@@ -1930,16 +1930,19 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     new QuirkCsvStreamingWriterFactory(path, columns, header, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    // Partitioned tables skip the zone-map sidecar: part-file NAMES
-    // repeat across value subdirs, so a root sidecar keyed by name
-    // could prune the wrong file — directory-level partition pruning is
-    // their file-skipping story; their commit scope is the value
-    // directory (see commitPartitioned). Unpartitioned: per-file
-    // min/max/null stats gathered by the writers, keyed by file name +
-    // (len, mtime) (the staleness guard). On append, surviving prior
-    // entries are carried over; truncate starts fresh and deletes files
-    // this job didn't write. Sidecar written AFTER the data files are
-    // final so a reader never sees stats for half-written files.
+    // Zone-map sidecars: per-file min/max/null stats gathered by the
+    // writers, keyed by file name + (len, mtime) (the staleness guard),
+    // written AFTER the data files are final so a reader never sees
+    // stats for half-written files. Unpartitioned tables keep one root
+    // sidecar (append carries surviving prior entries; truncate starts
+    // fresh and deletes files this job didn't write). Partitioned
+    // tables get one sidecar PER VALUE DIRECTORY — part-file names
+    // repeat across value subdirs so the root can't carry one map, but
+    // within a dir names are unique, and directory pruning already
+    // handles partition-column predicates: the per-dir maps let filters
+    // on NON-partition columns skip files inside surviving partitions.
+    // Merged after the mode's deletions so replaced files' entries drop
+    // out via the exists filter.
     partitionCol match {
       case None =>
         mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
@@ -1948,10 +1951,21 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
             if (truncateFirst)
               Some(n => !n.startsWith("_") && !n.startsWith("."))
             else None)
-      case Some(c) if mode != QuirkCsvWriteMode.Append =>
-        commitPartitioned(c, messages)
-      case Some(_) => ()
+      case Some(c) =>
+        if (mode != QuirkCsvWriteMode.Append) commitPartitioned(c, messages)
+        allCommits(messages)
+          .groupBy(cm => new Path(cm.file).getParent)
+          .foreach { case (dir, cs) =>
+            mergeZoneMapAt(dir, cs.toSeq, dropPrior = false)
+          }
     }
+
+  private def allCommits(messages: Array[WriterCommitMessage])
+  : Seq[QuirkCsvCommit] = messages.toSeq.flatMap {
+    case mc: QuirkCsvMultiCommit => mc.commits
+    case cm: QuirkCsvCommit => Seq(cm)
+    case _ => Nil
+  }
 
   /** Partition-granular commit: delete every visible pre-existing file
     * in each IN-SCOPE value directory that this job didn't write (the
@@ -2054,9 +2068,21 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
           fs.delete(st.getPath, false)
       }
     }
+    mergeZoneMapAt(dir, commits.toSeq, dropPrior)
+  }
+
+  /** Merge `commits`' zone entries into `dir`'s sidecar: prior entries
+    * survive unless overwritten, pointing at vanished files, or
+    * `dropPrior`; fresh entries are keyed by the final files' actual
+    * (len, mtime). One definition serves the unpartitioned root and
+    * every partitioned value directory. */
+  private def mergeZoneMapAt(dir: Path, commits: Seq[QuirkCsvCommit],
+                             dropPrior: Boolean): Unit = {
+    val fs = dir.getFileSystem(new Configuration())
+    val written = commits.map(c => new Path(c.file).getName).toSet
     val prior =
       if (dropPrior) Map.empty[String, QuirkCsvZoneEntry]
-      else QuirkCsv.loadZoneMap(path)
+      else QuirkCsv.loadZoneMap(dir.toString)
         .filter { case (n, _) => !written.contains(n) &&
           fs.exists(new Path(dir, n)) }
     val fresh = commits.map { c =>
@@ -2067,7 +2093,7 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
         columns.indices.map(i => columns(i) ->
           ((Option(c.mins(i)), Option(c.maxs(i)), c.nulls(i)))).toMap)
     }.toMap
-    QuirkCsv.writeZoneMap(path, prior ++ fresh)
+    QuirkCsv.writeZoneMap(dir.toString, prior ++ fresh)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2786,14 +2812,37 @@ private[sources] object QuirkCsv {
   def pruneFiles(options: CaseInsensitiveStringMap,
                  files: Seq[QuirkCsvFileMeta],
                  filters: Array[Filter]): Seq[QuirkCsvFileMeta] = {
-    // partitioned tables: directory-level partition pruning replaces the
-    // zone-map sidecar (part-file NAMES repeat across value subdirs, so
-    // a root sidecar keyed by name could prune the wrong file)
+    val pruning = options.getBoolean("zoneMapPruning", true)
+    // partitioned tables: directory-level partition pruning first
+    // (partition-column predicates drop whole value dirs), then each
+    // surviving dir's OWN zone-map sidecar (part-file names repeat
+    // across value subdirs so the root can't carry one map, but within
+    // a dir they are unique) prunes files by the remaining predicates —
+    // a filter on a non-partition column skips files INSIDE partitions
     val pc = options.get("partitionCol")
-    if (pc != null && pc.nonEmpty)
-      return prunePartitions(options, files, filters)
-    if (filters.isEmpty || !options.getBoolean("zoneMapPruning", true))
-      return files
+    if (pc != null && pc.nonEmpty) {
+      val dirPruned = prunePartitions(options, files, filters)
+      // per-dir sidecar loads only pay off when some predicate can
+      // discriminate WITHIN a dir (partition-col stats are constant
+      // there), and only when there is anything to prune with
+      val intraDir = filters.exists(f =>
+        (try filterColumn(f) != pc catch { case _: Exception => false }))
+      if (!pruning || !intraDir) return dirPruned
+      return dirPruned.groupBy(f => new Path(f.path).getParent)
+        .toSeq.sortBy(_._1.toString)
+        .flatMap { case (dir, fs) =>
+          val zm = loadZoneMap(dir.toString)
+          if (zm.isEmpty) fs
+          else fs.filter { fm =>
+            zm.get(new Path(fm.path).getName) match {
+              case Some(e) if e.len == fm.len && e.mtime == fm.mtime =>
+                filters.forall(zoneMayMatch(e, _))
+              case _ => true
+            }
+          }
+        }
+    }
+    if (filters.isEmpty || !pruning) return files
     val raw = options.get("path")
     if (raw == null || raw.isEmpty) return files
     val zm = loadZoneMap(raw)

@@ -54,9 +54,12 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
       .filter(col("part").isin("p0", "p3"))
     in.rdd.getNumPartitions shouldBe 2
     in.count() shouldBe 20L
-    // a filter on a non-partition column reads everything
-    spark.table("graft_part.ns.p").filter(col("k") === "5")
-      .rdd.getNumPartitions shouldBe 4
+    // a filter on a non-partition column can't drop DIRS — but the
+    // per-directory zone maps prune it to the one file whose k-range
+    // covers the probe (k='5' falls only in p0's "0".."9" string range)
+    val byK = spark.table("graft_part.ns.p").filter(col("k") === "5")
+    byK.rdd.getNumPartitions shouldBe 1
+    byK.count() shouldBe 1L
   }
 
   test("dynamic partition pruning: a broadcast join's runtime In-filter prunes dirs") {
@@ -138,6 +141,46 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
     spark.table("graft_part.ns.flat").columns.toSeq shouldBe Seq("a", "b")
     spark.sql("INSERT INTO graft_part.ns.flat VALUES ('4','w')")
     spark.table("graft_part.ns.flat").count() shouldBe 1L
+  }
+
+  test("per-directory zone maps prune files INSIDE surviving partitions") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.z (k STRING, part STRING)
+      PARTITIONED BY (part)""")
+    // three inserts per partition with DISJOINT zero-padded key ranges
+    // (string order == numeric order) -> 3 one-range files per value dir
+    (0 until 3).foreach { b =>
+      spark.range(10).selectExpr(
+        s"lpad(CAST(id + ${b * 100} AS STRING), 4, '0') AS k",
+        "CASE WHEN id % 2 = 0 THEN 'pa' ELSE 'pb' END AS part")
+        .coalesce(1)
+        .writeTo("graft_part.ns.z").append()
+    }
+    // each value dir carries its own sidecar now
+    new java.io.File(s"$root/ns/z/part=pa/_graft_zonemap.tsv")
+      .exists() shouldBe true
+    // partition filter drops a dir; the key filter then prunes to the
+    // ONE file of part=pa whose [0100..0108] range covers the probe
+    val hit = spark.table("graft_part.ns.z")
+      .filter(col("part") === "pa" && col("k") === "0104")
+    hit.rdd.getNumPartitions shouldBe 1
+    hit.count() shouldBe 1L
+    // a key outside every range prunes ALL files of the surviving dir
+    spark.table("graft_part.ns.z")
+      .filter(col("part") === "pa" && col("k") === "0999")
+      .count() shouldBe 0L
+    // without a non-partition predicate nothing extra is read per dir
+    spark.table("graft_part.ns.z").filter(col("part") === "pa")
+      .count() shouldBe 15L
+    // copy-on-write keeps the sidecars honest: delete rows from one
+    // range file, then re-probe — the rewritten dir still prunes right
+    spark.sql("DELETE FROM graft_part.ns.z WHERE k = '0104'")
+    spark.table("graft_part.ns.z")
+      .filter(col("part") === "pa" && col("k") === "0104")
+      .count() shouldBe 0L
+    spark.table("graft_part.ns.z")
+      .filter(col("part") === "pa" && col("k") === "0106")
+      .count() shouldBe 1L
   }
 
   test("null partition values fail loudly at the write") {
