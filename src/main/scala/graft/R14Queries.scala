@@ -282,5 +282,46 @@ object R14Queries {
       WHERE prio = '1-URGENT'
         AND okey = (SELECT min(okey) FROM src WHERE prio = '1-URGENT')"""))
 
-  val all: Seq[QueryDef] = Seq(q345, q346, q347, q348, q349)
+  /** METADATA-ONLY aggregates: an unfiltered global COUNT(*)/COUNT(col)/
+    * MIN/MAX over a graftcsv table folds from the zone sidecars on the
+    * driver — zero data files read (the Parquet-footer-count trick at
+    * the raw-CSV tier; on a 100-TB directory this is the difference
+    * between a full scan and one sidecar read). The REQUIREs pin the
+    * metadata plan (marker in the scan description, exactly one
+    * synthetic partition over a 5-dir partitioned table); the oracle
+    * computes the same aggregates from the rows, so the hash match
+    * proves the sidecar-folded values are the true ones. */
+  private val q350 = QueryDef(
+    "q350_metadata_agg",
+    (s, d) => {
+      ensurePcwCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_pcw.q350")
+      s.sql("DROP TABLE IF EXISTS graft_pcw.q350.ord")
+      s.sql("""CREATE TABLE graft_pcw.q350.ord (okey STRING, prio STRING)
+        PARTITIONED BY (prio)""")
+      Tables.orders(s, d)
+        .select(lpad(col("o_orderkey").cast("string"), 8, "0").as("okey"),
+          col("o_orderpriority").as("prio"))
+        .writeTo("graft_pcw.q350.ord").append()
+      val agg = s.table("graft_pcw.q350.ord")
+        .agg(count(lit(1)).as("n_rows"), count(col("okey")).as("n_keys"),
+          min(col("okey")).as("min_okey"), max(col("okey")).as("max_okey"),
+          max(col("prio")).as("max_prio"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("MetadataOnlyAggregate: true"),
+        s"unfiltered global aggregate must be sidecar-served, got:\n$plan")
+      require(agg.rdd.getNumPartitions == 1,
+        "metadata aggregate must plan ONE synthetic partition")
+      agg.localCheckpoint()
+    },
+    Some("""
+      WITH src AS (SELECT lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS okey,
+                          o_orderpriority AS prio FROM orders)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(okey) AS BIGINT) AS n_keys,
+             MIN(okey) AS min_okey, MAX(okey) AS max_okey,
+             MAX(prio) AS max_prio
+      FROM src"""))
+
+  val all: Seq[QueryDef] = Seq(q345, q346, q347, q348, q349, q350)
 }

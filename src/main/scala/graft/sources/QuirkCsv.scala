@@ -1413,14 +1413,98 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
 
   override def readSchema(): StructType = agg.schema
 
+  /** METADATA-ONLY answer for an unfiltered GLOBAL aggregate: the zone
+    * sidecar already stores exact per-file row counts, null counts, and
+    * min/max, so COUNT(*) / COUNT(col) / MIN / MAX over the whole table
+    * fold on the DRIVER from the sidecars alone — zero data files read,
+    * the Parquet-footer/manifest-count trick at the raw-CSV tier (a
+    * COUNT(*) on a 100-TB directory becomes a sidecar read). Strictly
+    * guarded — any of these falls back to the scanning plan:
+    *
+    *  - filters or GROUP BY (per-group stats don't exist)
+    *  - `metadataAgg=false` (the escape hatch)
+    *  - excelCompat (its parse is lossy BY DESIGN: scan counts
+    *    legitimately differ from written-row counts)
+    *  - any file without a FRESH sidecar entry (absent, or (len, mtime)
+    *    drifted — hand-dropped or out-of-band-rewritten files)
+    *  - any entry missing a needed column (pre-ALTER files: their NULLs
+    *    for the new column aren't in the stats)
+    *  - a min/max candidate at the stats length cap ([[QuirkCsv
+    *    .StatsMaxLen]]): bounds at the cap may be TRUNCATED (valid for
+    *    pruning, but not real data values — serving one would be wrong,
+    *    not just loose)
+    *
+    * Partitioned tables fold across their per-value-directory sidecars
+    * through the same per-file lookup. */
+  private def metaAnswer(kept: Seq[QuirkCsvFileMeta])
+  : Option[Array[AnyRef]] = {
+    if (filters.nonEmpty || agg.groupNames.nonEmpty || kept.isEmpty ||
+      excelCompat || !options.getBoolean("metadataAgg", true)) return None
+    val entries = scala.collection.mutable.ArrayBuffer.empty[QuirkCsvZoneEntry]
+    kept.groupBy(f => new Path(f.path).getParent.toString)
+      .foreach { case (dir, fs) =>
+        val zm = QuirkCsv.loadZoneMap(dir)
+        fs.foreach { fm =>
+          zm.get(new Path(fm.path).getName) match {
+            case Some(e) if e.len == fm.len && e.mtime == fm.mtime =>
+              entries += e
+            case _ => return None
+          }
+        }
+      }
+    def bound(n: String, lower: Boolean): Option[AnyRef] = {
+      var best: String = null
+      entries.foreach { e =>
+        e.cols.get(n) match {
+          case Some((mn, mx, _)) =>
+            (if (lower) mn else mx).foreach { v =>
+              if (v.length >= QuirkCsv.StatsMaxLen) return None
+              if (best == null || (if (lower) v < best else v > best))
+                best = v
+            }
+          case None => return None
+        }
+      }
+      Some(best) // null = all-null column => NULL aggregate
+    }
+    val vals = new Array[AnyRef](agg.aggs.length)
+    var i = 0
+    while (i < agg.aggs.length) {
+      vals(i) = agg.aggs(i) match {
+        case QuirkCsvCountStar => java.lang.Long.valueOf(entries.map(_.rows).sum)
+        case QuirkCsvCountCol(n) =>
+          var total = 0L
+          entries.foreach { e =>
+            e.cols.get(n) match {
+              case Some((_, _, nulls)) => total += e.rows - nulls
+              case None => return None
+            }
+          }
+          java.lang.Long.valueOf(total)
+        case QuirkCsvMinCol(n) => bound(n, lower = true).getOrElse(return None)
+        case QuirkCsvMaxCol(n) => bound(n, lower = false).getOrElse(return None)
+      }
+      i += 1
+    }
+    Some(vals)
+  }
+
+  private lazy val meta: Option[Array[AnyRef]] =
+    metaAnswer(QuirkCsv.pruneFiles(options, files, filters))
+
   override def description(): String =
     s"graftcsv ${files.size} file(s), " +
       s"PushedAggregation: [$agg], " +
-      s"PushedFilters: [${filters.mkString(", ")}]"
+      s"PushedFilters: [${filters.mkString(", ")}]" +
+      (if (meta.isDefined) ", MetadataOnlyAggregate: true" else "")
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    meta match {
+      case Some(vals) => return Array(QuirkCsvMetaAggPartition(vals))
+      case None =>
+    }
     val kept = QuirkCsv.pruneFiles(options, files, filters)
     val splits = QuirkCsv.planSplits(kept, maxSplit)
     // a GLOBAL aggregate — partial OR complete pushdown — must still
@@ -1454,6 +1538,35 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
   * real partition exists — its reader emits only the zero-partial. */
 private[sources] case class QuirkCsvZeroPartition() extends InputPartition
 
+/** The one-partition plan of a metadata-only aggregate: the final values
+  * (boxed Long / String / null per aggregate, group-free by contract)
+  * were folded from the zone sidecars on the driver; the reader just
+  * emits them. */
+private[sources] case class QuirkCsvMetaAggPartition(values: Array[AnyRef])
+  extends InputPartition
+
+private[sources] class QuirkCsvMetaAggReader(values: Array[AnyRef])
+  extends PartitionReader[InternalRow] {
+  private var done = false
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (done) false
+    else {
+      current = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(values.map {
+          case s: String => UTF8String.fromString(s): Any
+          case l: java.lang.Long => l.longValue(): Any
+          case null => null: Any
+          case other => throw new IllegalStateException(
+            s"unexpected metadata-aggregate value $other")
+        })
+      done = true
+      true
+    }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
 /** Emits the single zero-partial row of a global pushed aggregate
   * (counts 0, min/max NULL) without touching any file. */
 private[sources] class QuirkCsvZeroAggReader(agg: QuirkCsvAgg)
@@ -1485,6 +1598,7 @@ private[sources] class QuirkCsvAggReaderFactory(allColumns: Array[String],
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = partition match {
     case QuirkCsvZeroPartition() => new QuirkCsvZeroAggReader(agg)
+    case m: QuirkCsvMetaAggPartition => new QuirkCsvMetaAggReader(m.values)
     case p: QuirkCsvPartition =>
       new QuirkCsvAggReader(p, allColumns, agg, filters, header, excelCompat)
   }
@@ -2684,7 +2798,7 @@ private[sources] object QuirkCsv {
     * increments the last prefix char (> every string with that prefix,
     * still a valid upper bound). Pruning with looser bounds skips less,
     * never wrongly. */
-  private val StatsMaxLen = 256
+  private[sources] val StatsMaxLen = 256
 
   def boundDown(v: String): String =
     if (v == null || v.length <= StatsMaxLen) v

@@ -37,6 +37,110 @@ class QuirkCsvAggSpec extends SparkSpec {
     agg.collect().head.toSeq shouldBe expected.collect().head.toSeq
   }
 
+  test("metadata-only aggregate: unfiltered global agg folds from the " +
+      "sidecars, zero data files read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qcsv_meta").toString
+    Seq(("a", "1"), ("b", null)).toDF("k", "v").coalesce(1)
+      .write.format("graftcsv").mode("append").save(dir)
+    Seq(("c", "3"), ("d", "4")).toDF("k", "v").coalesce(1)
+      .write.format("graftcsv").mode("append").save(dir)
+    def agg(opts: (String, String)*) = opts.foldLeft(
+      spark.read.format("graftcsv"))((r, kv) => r.option(kv._1, kv._2))
+      .load(dir)
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("k")).as("lo"), max(col("k")).as("hi"))
+    val meta = agg()
+    planOf(meta) should include("MetadataOnlyAggregate: true")
+    meta.rdd.getNumPartitions shouldBe 1 // one synthetic partition, 2 files
+    meta.collect().head.toSeq shouldBe Seq(4L, 3L, "a", "d")
+    // the ZERO-READ proof: corrupt a data file's CONTENT keeping its
+    // (length, mtime) identity — the metadata answer must not change
+    // (nothing read it), while the opted-out scan sees the corruption
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".csv")).minBy(_.getName)
+    val content = java.nio.file.Files.readString(victim.toPath,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val mtime = victim.lastModified()
+    java.nio.file.Files.writeString(victim.toPath,
+      content.replace("a", "z"),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    victim.setLastModified(mtime)
+    new java.io.File(dir, s".${victim.getName}.crc").delete()
+    agg().collect().head.toSeq shouldBe Seq(4L, 3L, "a", "d")
+    val scanned = agg("metadataAgg" -> "false")
+    planOf(scanned) should not include "MetadataOnlyAggregate"
+    scanned.collect().head.getString(2) should not be "a" // read the bytes
+    // restore for cleanliness
+    java.nio.file.Files.writeString(victim.toPath, content,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    victim.setLastModified(mtime)
+    new java.io.File(dir, s".${victim.getName}.crc").delete()
+  }
+
+  test("metadata-only aggregate bails to the scan on every unsafe case") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qcsv_meta2").toString
+    Seq(("a", "1"), ("b", "2")).toDF("k", "v").coalesce(1)
+      .write.format("graftcsv").mode("append").save(dir)
+    def base = spark.read.format("graftcsv").load(dir)
+    // a filter blocks the metadata path (per-file stats can't apply it)
+    val filtered = base.filter(col("v") === "2").agg(count(lit(1)).as("n"))
+    planOf(filtered) should not include "MetadataOnlyAggregate"
+    filtered.collect().head.getLong(0) shouldBe 1L
+    // a stale entry (out-of-band append changes the length) blocks it
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    java.nio.file.Files.writeString(victim.toPath, "e,5\r\n",
+      java.nio.charset.StandardCharsets.ISO_8859_1,
+      java.nio.file.StandardOpenOption.APPEND)
+    new java.io.File(dir, s".${victim.getName}.crc").delete()
+    val stale = base.agg(count(lit(1)).as("n"), max(col("k")).as("hi"))
+    planOf(stale) should not include "MetadataOnlyAggregate"
+    stale.collect().head.toSeq shouldBe Seq(3L, "e")
+    // a hand-dropped file (no sidecar entry at all) blocks it too
+    val dir2 = java.nio.file.Files.createTempDirectory("qcsv_meta3").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir2, "hand.csv"), "k,v\r\na,1\r\n",
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val hand = spark.read.format("graftcsv").load(dir2)
+      .agg(count(lit(1)).as("n"))
+    planOf(hand) should not include "MetadataOnlyAggregate"
+    hand.collect().head.getLong(0) shouldBe 1L
+    // a min/max candidate at the stats length cap may be truncated —
+    // never served (a truncated bound is not a real data value)
+    val dir3 = java.nio.file.Files.createTempDirectory("qcsv_meta4").toString
+    Seq("x" * 300, "b").toDF("k").coalesce(1)
+      .write.format("graftcsv").mode("append").save(dir3)
+    val long = spark.read.format("graftcsv").load(dir3)
+      .agg(max(col("k")).as("hi"), count(lit(1)).as("n"))
+    planOf(long) should not include "MetadataOnlyAggregate"
+    long.collect().head.getString(0) shouldBe "x" * 300
+    // count-only on the same data is still metadata-servable
+    val cnt = spark.read.format("graftcsv").load(dir3)
+      .agg(count(lit(1)).as("n"))
+    planOf(cnt) should include("MetadataOnlyAggregate: true")
+    cnt.collect().head.getLong(0) shouldBe 2L
+  }
+
+  test("metadata-only aggregate spans a partitioned table's per-dir sidecars") {
+    val root = java.nio.file.Files.createTempDirectory("qcsv_meta5").toString
+    spark.conf.set("spark.sql.catalog.graft_ma",
+      classOf[_root_.graft.sources.QuirkCsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ma.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.ns")
+    spark.sql("""CREATE TABLE graft_ma.ns.t (k STRING, p STRING)
+      PARTITIONED BY (p)""")
+    spark.sql("""INSERT INTO graft_ma.ns.t VALUES
+      ('a','x'), ('b','x'), ('c','y')""")
+    val agg = spark.table("graft_ma.ns.t")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("lo"),
+        max(col("p")).as("hi"))
+    planOf(agg) should include("MetadataOnlyAggregate: true")
+    agg.rdd.getNumPartitions shouldBe 1
+    agg.collect().head.toSeq shouldBe Seq(3L, "a", "y")
+  }
+
   test("grouped aggregate pushes and merges across byte-range splits") {
     def grouped(df: DataFrame) = df.groupBy(col("Region"))
       .agg(count(lit(1)).as("n"), min(col("City")).as("lo"),
