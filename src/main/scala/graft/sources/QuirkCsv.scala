@@ -1438,7 +1438,19 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
     * through the same per-file lookup. */
   private def metaAnswer(kept: Seq[QuirkCsvFileMeta])
   : Option[Array[AnyRef]] = {
-    if (filters.nonEmpty || agg.groupNames.nonEmpty || kept.isEmpty ||
+    // filters are admissible ONLY when directory pruning fully applies
+    // them: on a partitioned table, predicates purely on the partition
+    // column select whole value dirs, and every row of a surviving dir
+    // satisfies them (identity partitioning) — so "COUNT(*) of one day"
+    // on a 100-TB fact is also a sidecar read. Any other predicate
+    // discriminates WITHIN files and forces the scan.
+    val pc = options.get("partitionCol")
+    val filtersDirComplete = filters.isEmpty ||
+      (pc != null && pc.nonEmpty && filters.forall(f =>
+        (try QuirkCsv.filterColumn(f) == pc
+        catch { case _: Exception => false }) &&
+          QuirkCsv.evaluable(fullSchema, f)))
+    if (!filtersDirComplete || agg.groupNames.nonEmpty || kept.isEmpty ||
       excelCompat || !options.getBoolean("metadataAgg", true)) return None
     val entries = scala.collection.mutable.ArrayBuffer.empty[QuirkCsvZoneEntry]
     kept.groupBy(f => new Path(f.path).getParent.toString)

@@ -139,6 +139,21 @@ class QuirkCsvAggSpec extends SparkSpec {
     planOf(agg) should include("MetadataOnlyAggregate: true")
     agg.rdd.getNumPartitions shouldBe 1
     agg.collect().head.toSeq shouldBe Seq(3L, "a", "y")
+    // a predicate purely on the PARTITION column is fully applied by
+    // directory pruning, so the one-day count is still sidecar-served
+    val oneDay = spark.table("graft_ma.ns.t").filter(col("p") === "x")
+      .agg(count(lit(1)).as("n"), max(col("k")).as("hi"))
+    planOf(oneDay) should include("MetadataOnlyAggregate: true")
+    oneDay.collect().head.toSeq shouldBe Seq(2L, "b")
+    // a predicate on a DATA column discriminates within files: scan
+    val byK = spark.table("graft_ma.ns.t").filter(col("k") === "a")
+      .agg(count(lit(1)).as("n"))
+    planOf(byK) should not include "MetadataOnlyAggregate"
+    byK.collect().head.getLong(0) shouldBe 1L
+    // a partition predicate matching NOTHING still answers 0 (the
+    // zero-partition synthetic partial), never NULL
+    spark.table("graft_ma.ns.t").filter(col("p") === "zz")
+      .agg(count(lit(1))).collect().head.getLong(0) shouldBe 0L
   }
 
   test("grouped aggregate pushes and merges across byte-range splits") {
