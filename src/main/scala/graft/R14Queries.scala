@@ -267,7 +267,13 @@ object R14Queries {
         "expected 3 range files in the probed partition dir")
       val probe = src.filter(col("prio") === "1-URGENT")
         .agg(min(col("okey"))).collect()(0).getString(0)
-      val hit = s.table("graft_pcw.q349.fact")
+      // the UNGROUPED read makes the pruning observable as planned
+      // splits (the default grouped/SPJ read plans one whole-VALUE
+      // split either way, zone-pruning files inside it)
+      val hit = s.read.format("graftcsv")
+        .option("partitionCol", "prio")
+        .option("groupByPartition", "false")
+        .load(s"$root/q349/fact")
         .filter(col("prio") === "1-URGENT" && col("okey") === probe)
       require(hit.rdd.getNumPartitions == 1,
         "per-directory zone maps must prune the probed partition to the " +
@@ -310,8 +316,9 @@ object R14Queries {
       val plan = agg.queryExecution.executedPlan.toString
       require(plan.contains("MetadataOnlyAggregate: true"),
         s"unfiltered global aggregate must be sidecar-served, got:\n$plan")
-      require(agg.rdd.getNumPartitions == 1,
-        "metadata aggregate must plan ONE synthetic partition")
+      // (the one-synthetic-partition shape itself is pinned at the scan
+      // level by QuirkCsvStatsSpec — a global agg's FINAL rdd is one
+      // partition regardless, so asserting that here would be vacuous)
       agg.localCheckpoint()
     },
     Some("""

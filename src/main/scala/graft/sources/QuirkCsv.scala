@@ -836,17 +836,32 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
 
   /** One split per partition value (files chained), sorted by value for
     * deterministic split order. Computed once: both the reported
-    * partitioning's count and the planned splits must agree. */
+    * partitioning's count and the planned splits must agree. DIRECTORY
+    * pruning decides the GROUPS; the per-dir zone maps then prune files
+    * WITHIN each group but never the group itself (a zone-emptied group
+    * stays as an empty split) — if data-value distribution could drop a
+    * value from the reported KeyGroupedPartitioning, the two sides of
+    * an SPJ would disagree and Spark would re-insert the exchanges the
+    * grouped mode exists to eliminate. */
   private lazy val groupedPartitions: Array[InputPartition] = {
     val col = partitionColName
-    QuirkCsv.pruneFiles(options, files, filters)
+    QuirkCsv.prunePartitions(options, files, filters)
       .groupBy(f => QuirkCsv.partitionValueOf(f.path, col).get)
       .toSeq.sortBy(_._1)
       .map { case (v, fs) =>
-        QuirkCsvGroupedPartition(fs.sortBy(_.path).toArray, v)
-          : InputPartition
+        QuirkCsvGroupedPartition(
+          QuirkCsv.pruneFiles(options, fs, filters)
+            .sortBy(_.path).toArray, v): InputPartition
       }.toArray
   }
+
+  /** Pruned file set under the COMPILE-TIME pushed filters, computed
+    * once per scan — planning consults it repeatedly (statistics,
+    * split planning) and each pruneFiles pass costs driver-side
+    * sidecar I/O. Runtime-filtered planning recomputes (the filters
+    * arrive after this is first needed). */
+  private lazy val compileKept: Seq[QuirkCsvFileMeta] =
+    QuirkCsv.pruneFiles(options, files, filters)
 
   override def outputPartitioning()
   : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -886,7 +901,8 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
     // filters (runtime In-filters arrive before partition planning, so
     // a dynamic-pruning join skips whole files here)
     else QuirkCsv.planSplits(
-      QuirkCsv.pruneFiles(options, files, filters ++ runtimeFilters),
+      if (runtimeFilters.isEmpty) compileKept
+      else QuirkCsv.pruneFiles(options, files, filters ++ runtimeFilters),
       maxSplit)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -906,10 +922,26 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new QuirkCsvRowsEmittedMetric, new QuirkCsvRowsFilteredMetric)
 
-  override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.of(files.map(_.len).sum)
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  /** Statistics AFTER pruning, not raw directory size: the planner's
+    * broadcast-side and join-order decisions key off these, and a scan
+    * whose pushed filters prune 99% of files should look 99% smaller.
+    * `numRows` is served exactly from fresh sidecar entries when no
+    * pushed predicate discriminates WITHIN files (none at all, or — on
+    * a partitioned table — partition-column predicates that directory
+    * pruning fully applies); otherwise it stays unknown rather than
+    * overstating. */
+  override def estimateStatistics(): Statistics = stats
+
+  private lazy val stats: Statistics = {
+    val bytes = compileKept.map(_.len).sum
+    val rows = QuirkCsv.sidecarRowCount(options, fullSchema, compileKept,
+      filters)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong =
+        rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+    }
   }
 }
 
@@ -1439,31 +1471,19 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
   private def metaAnswer(kept: Seq[QuirkCsvFileMeta])
   : Option[Array[AnyRef]] = {
     // filters are admissible ONLY when directory pruning fully applies
-    // them: on a partitioned table, predicates purely on the partition
-    // column select whole value dirs, and every row of a surviving dir
-    // satisfies them (identity partitioning) — so "COUNT(*) of one day"
-    // on a 100-TB fact is also a sidecar read. Any other predicate
-    // discriminates WITHIN files and forces the scan.
-    val pc = options.get("partitionCol")
-    val filtersDirComplete = filters.isEmpty ||
-      (pc != null && pc.nonEmpty && filters.forall(f =>
-        (try QuirkCsv.filterColumn(f) == pc
-        catch { case _: Exception => false }) &&
-          QuirkCsv.evaluable(fullSchema, f)))
-    if (!filtersDirComplete || agg.groupNames.nonEmpty || kept.isEmpty ||
-      excelCompat || !options.getBoolean("metadataAgg", true)) return None
-    val entries = scala.collection.mutable.ArrayBuffer.empty[QuirkCsvZoneEntry]
-    kept.groupBy(f => new Path(f.path).getParent.toString)
-      .foreach { case (dir, fs) =>
-        val zm = QuirkCsv.loadZoneMap(dir)
-        fs.foreach { fm =>
-          zm.get(new Path(fm.path).getName) match {
-            case Some(e) if e.len == fm.len && e.mtime == fm.mtime =>
-              entries += e
-            case _ => return None
-          }
-        }
-      }
+    // them (QuirkCsv.dirCompleteFilters): on a partitioned table,
+    // predicates purely on the partition column select whole value
+    // dirs — so "COUNT(*) of one day" on a 100-TB fact is also a
+    // sidecar read. Any other predicate discriminates WITHIN files and
+    // forces the scan. zoneMapPruning=false (the operator's
+    // distrust-the-sidecars switch) disables this path too — both
+    // sidecar-trusting features honor the same quarantine.
+    if (agg.groupNames.nonEmpty || kept.isEmpty || excelCompat ||
+      !options.getBoolean("metadataAgg", true) ||
+      !options.getBoolean("zoneMapPruning", true) ||
+      !QuirkCsv.dirCompleteFilters(options, fullSchema, filters))
+      return None
+    val entries = QuirkCsv.freshEntries(kept).getOrElse(return None)
     def bound(n: String, lower: Boolean): Option[AnyRef] = {
       var best: String = null
       entries.foreach { e =>
@@ -1501,8 +1521,13 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
     Some(vals)
   }
 
-  private lazy val meta: Option[Array[AnyRef]] =
-    metaAnswer(QuirkCsv.pruneFiles(options, files, filters))
+  // pruning + sidecar loads are driver-side I/O on the planning hot
+  // path: compute the pruned file set ONCE per scan (pushed filters are
+  // fixed after build; the agg scan has no runtime filters)
+  private lazy val keptFiles: Seq[QuirkCsvFileMeta] =
+    QuirkCsv.pruneFiles(options, files, filters)
+
+  private lazy val meta: Option[Array[AnyRef]] = metaAnswer(keptFiles)
 
   override def description(): String =
     s"graftcsv ${files.size} file(s), " +
@@ -1517,8 +1542,7 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
       case Some(vals) => return Array(QuirkCsvMetaAggPartition(vals))
       case None =>
     }
-    val kept = QuirkCsv.pruneFiles(options, files, filters)
-    val splits = QuirkCsv.planSplits(kept, maxSplit)
+    val splits = QuirkCsv.planSplits(keptFiles, maxSplit)
     // a GLOBAL aggregate — partial OR complete pushdown — must still
     // emit its one zero-row (count=0, not no-rows): with zero
     // partitions, Spark's partial-pushdown rewrite (COUNT -> SUM of
@@ -2826,7 +2850,16 @@ private[sources] object QuirkCsv {
     // i.e. WRONG pruning. Skip 0xFF chars when looking for the bump.
     while (i >= 0 && p(i) >= '\u00FF') i -= 1
     if (i < 0) v // all-0xFF prefix (pathological) — keep the exact value
-    else new String(p, 0, i) + (p(i) + 1).toChar
+    else {
+      // pad the bumped prefix back to EXACTLY StatsMaxLen with 0xFF:
+      // appending to a string that is already strictly greater keeps it
+      // an upper bound, and the fixed length is what lets consumers
+      // RECOGNIZE a possibly-truncated bound (metadata-only MAX must
+      // never serve one — a short bumped prefix is not a value that
+      // exists in the data)
+      val bumped = new String(p, 0, i) + (p(i) + 1).toChar
+      bumped + ("\u00FF" * (StatsMaxLen - bumped.length))
+    }
   }
 
   private def enc(s: String): String =
@@ -2980,6 +3013,59 @@ private[sources] object QuirkCsv {
         case _ => true
       }
     }
+  }
+
+  /** True when directory pruning FULLY applies `filters`: none at all,
+    * or — on a partitioned table — every conjunct an evaluable predicate
+    * on the partition column (identity partitioning: every row of a
+    * surviving dir satisfies them). The admissibility test both
+    * sidecar-trusting fast paths (metadata aggregates, exact planner
+    * row counts) share. */
+  def dirCompleteFilters(options: CaseInsensitiveStringMap,
+                         schema: StructType,
+                         filters: Array[Filter]): Boolean =
+    filters.isEmpty || {
+      val pc = options.get("partitionCol")
+      pc != null && pc.nonEmpty && filters.forall(f =>
+        (try filterColumn(f) == pc catch { case _: Exception => false }) &&
+          evaluable(schema, f))
+    }
+
+  /** One FRESH (len, mtime)-matching sidecar entry per file, resolved
+    * through each file's own directory's sidecar (flat roots and
+    * partitioned value dirs alike) — None when any file lacks one, the
+    * all-or-nothing gate the sidecar-trusting fast paths require. */
+  def freshEntries(files: Seq[QuirkCsvFileMeta])
+  : Option[Seq[QuirkCsvZoneEntry]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[QuirkCsvZoneEntry]
+    files.groupBy(f => new Path(f.path).getParent.toString)
+      .foreach { case (dir, fs) =>
+        val zm = loadZoneMap(dir)
+        fs.foreach { fm =>
+          zm.get(new Path(fm.path).getName) match {
+            case Some(e) if e.len == fm.len && e.mtime == fm.mtime =>
+              out += e
+            case _ => return None
+          }
+        }
+      }
+    Some(out.toSeq)
+  }
+
+  /** Exact total row count of `files` from fresh sidecar entries —
+    * None (unknown) when any file lacks a fresh entry, when a pushed
+    * predicate discriminates WITHIN files ([[dirCompleteFilters]]),
+    * when sidecars are distrusted (`zoneMapPruning=false`), or under
+    * excelCompat (whose lossy parse yields fewer rows than were
+    * written). */
+  def sidecarRowCount(options: CaseInsensitiveStringMap,
+                      schema: StructType,
+                      files: Seq[QuirkCsvFileMeta],
+                      filters: Array[Filter]): Option[Long] = {
+    if (options.getBoolean("excelCompat", false) ||
+      !options.getBoolean("zoneMapPruning", true) ||
+      !dirCompleteFilters(options, schema, filters)) return None
+    freshEntries(files).map(_.map(_.rows).sum)
   }
 
   /** Evaluate an accepted filter against one parsed field value

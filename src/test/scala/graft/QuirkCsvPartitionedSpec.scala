@@ -54,12 +54,19 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
       .filter(col("part").isin("p0", "p3"))
     in.rdd.getNumPartitions shouldBe 2
     in.count() shouldBe 20L
-    // a filter on a non-partition column can't drop DIRS — but the
-    // per-directory zone maps prune it to the one file whose k-range
-    // covers the probe (k='5' falls only in p0's "0".."9" string range)
+    // a filter on a non-partition column can't drop DIRS, and in the
+    // default grouped (SPJ) mode the VALUE GROUPS must stay stable —
+    // zone maps prune files only WITHIN each group (k='5' falls only in
+    // p0's "0".."9" string range, so 3 of the 4 groups carry no files)
     val byK = spark.table("graft_part.ns.p").filter(col("k") === "5")
-    byK.rdd.getNumPartitions shouldBe 1
+    byK.rdd.getNumPartitions shouldBe 4 // groups kept for SPJ stability
     byK.count() shouldBe 1L
+    // the ungrouped read shows the same pruning as SPLITS: one file
+    val ungrouped = spark.read.format("graftcsv")
+      .option("partitionCol", "part").option("groupByPartition", "false")
+      .load(s"$root/ns/p").filter(col("k") === "5")
+    ungrouped.rdd.getNumPartitions shouldBe 1
+    ungrouped.count() shouldBe 1L
   }
 
   test("dynamic partition pruning: a broadcast join's runtime In-filter prunes dirs") {
@@ -160,8 +167,12 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
     new java.io.File(s"$root/ns/z/part=pa/_graft_zonemap.tsv")
       .exists() shouldBe true
     // partition filter drops a dir; the key filter then prunes to the
-    // ONE file of part=pa whose [0100..0108] range covers the probe
-    val hit = spark.table("graft_part.ns.z")
+    // ONE file of part=pa whose [0100..0108] range covers the probe —
+    // observable as one SPLIT on the ungrouped read (the grouped/SPJ
+    // read plans one whole-VALUE split either way)
+    val hit = spark.read.format("graftcsv")
+      .option("partitionCol", "part").option("groupByPartition", "false")
+      .load(s"$root/ns/z")
       .filter(col("part") === "pa" && col("k") === "0104")
     hit.rdd.getNumPartitions shouldBe 1
     hit.count() shouldBe 1L
