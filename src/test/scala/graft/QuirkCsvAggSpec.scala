@@ -56,8 +56,12 @@ class QuirkCsvAggSpec extends SparkSpec {
     // the ZERO-READ proof: corrupt a data file's CONTENT keeping its
     // (length, mtime) identity — the metadata answer must not change
     // (nothing read it), while the opted-out scan sees the corruption
+    // the victim must be the file actually HOLDING the "a" row — part
+    // file names carry random job UUIDs, so name order won't find it
     val victim = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.endsWith(".csv")).minBy(_.getName)
+      .filter(f => f.getName.endsWith(".csv"))
+      .find(f => java.nio.file.Files.readString(f.toPath,
+        java.nio.charset.StandardCharsets.ISO_8859_1).contains("a,1")).get
     val content = java.nio.file.Files.readString(victim.toPath,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val mtime = victim.lastModified()
