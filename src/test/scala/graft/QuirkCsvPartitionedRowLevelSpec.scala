@@ -190,6 +190,53 @@ class QuirkCsvPartitionedRowLevelSpec extends SparkSpec {
     rows("val") shouldBe before
   }
 
+  test("UPDATE that changes the PARTITION column migrates the row " +
+      "between value dirs") {
+    root; seed("mv")
+    val d3Before = dirState("mv", "day=d3")
+    // k3 moves from d2 to d9: the matched partition (d2) is rewritten
+    // without the row, the row's new file lands in a fresh d9 dir, and
+    // unmatched partitions stay byte-identical
+    spark.sql("UPDATE graft_prl.ns.mv SET day = 'd9' WHERE k = 'k3'")
+    rows("mv") shouldBe Set(
+      ("k1", "a", "d1"), ("k2", "b", "d1"),
+      ("k4", "d", "d2"),
+      ("k5", "e", "d3"), ("k6", "f", "d3"),
+      ("k3", "c", "d9"))
+    new java.io.File(s"$root/ns/mv/day=d9").exists() shouldBe true
+    dirState("mv", "day=d3") shouldBe d3Before
+    // the moved row is gone from d2's files (not just masked)
+    dirState("mv", "day=d2").values.map(_._3).mkString should
+      not include "k3"
+    // pruning still works on the migrated layout
+    spark.table("graft_prl.ns.mv").filter(col("day") === "d9")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("k3")
+  }
+
+  test("ALTER TABLE ADD COLUMN composes with partitioned MERGE: " +
+      "pre-ALTER files read NULL, the rewrite emits full-width rows") {
+    root; seed("ev")
+    spark.sql("ALTER TABLE graft_prl.ns.ev ADD COLUMN note STRING")
+    // pre-ALTER rows surface NULL for the new column
+    spark.table("graft_prl.ns.ev").filter(col("note").isNotNull)
+      .count() shouldBe 0L
+    val d1Before = dirState("ev", "day=d1")
+    spark.sql("""MERGE INTO graft_prl.ns.ev t
+      USING (SELECT 'k3' AS k, 'c2' AS v, 'd2' AS day, 'patched' AS note
+             UNION ALL SELECT 'k9', 'z', 'd2', 'fresh') s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note
+      WHEN NOT MATCHED THEN INSERT *""")
+    val d2 = spark.table("graft_prl.ns.ev").filter(col("day") === "d2")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(3)).getOrElse("-"))).toSet
+    d2 shouldBe Set(("k3", "c2", "patched"), ("k4", "d", "-"),
+      ("k9", "z", "fresh"))
+    // untouched partitions keep their narrow pre-ALTER files untouched
+    dirState("ev", "day=d1") shouldBe d1Before
+    spark.table("graft_prl.ns.ev").count() shouldBe 7L
+  }
+
   test("MERGE falls back to rewriting every partition when group " +
       "filtering is disabled — and still answers correctly") {
     root; seed("nf")
