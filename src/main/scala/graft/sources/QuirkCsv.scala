@@ -2056,11 +2056,11 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
   override def toStreaming: StreamingWrite = {
     require(mode == QuirkCsvWriteMode.Append,
       "graftcsv streaming sink is append-only; use outputMode(\"append\")")
-    require(partitionCol.isEmpty,
-      "graftcsv streaming sink does not support partitioned tables " +
-        "(epoch replay idempotence is per-file; per-value routing would " +
-        "need per-partition epoch manifests) — stream to an unpartitioned " +
-        "directory and compact into the table")
+    // PARTITIONED tables stream too: the per-value router writes
+    // epoch-keyed file names into each value dir (names unique per
+    // dir), a replayed epoch renames over the same names, and the
+    // first-commit phantom sweep walks the value dirs. Per-dir zone
+    // sidecars merge per epoch like the flat path's root sidecar.
     this
   }
 
@@ -2076,8 +2076,13 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
   }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-  : StreamingDataWriterFactory =
-    new QuirkCsvStreamingWriterFactory(path, columns, header, queryId)
+  : StreamingDataWriterFactory = partitionCol match {
+    case Some(c) =>
+      new QuirkCsvPartitionedStreamingWriterFactory(path, columns, header,
+        queryId, c, columns.indexOf(c))
+    case None =>
+      new QuirkCsvStreamingWriterFactory(path, columns, header, queryId)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // Zone-map sidecars: per-file min/max/null stats gathered by the
@@ -2192,17 +2197,50 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
 
   /** Streaming epoch commit: on the instance's first commit, sweep
     * every OTHER file of this (query, epoch) — phantom task commits and
-    * stale attempt tmps — then merge the sidecar. */
+    * stale attempt tmps — then merge the sidecar(s). Partitioned tables
+    * sweep across their value dirs and merge each written dir's OWN
+    * sidecar (the same per-dir layout the batch commit maintains). */
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val prefix = QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId)
-    val sweep =
-      if (sweptFirstEpoch) None
-      else Some((n: String) =>
-        n.startsWith(prefix) || n.startsWith("." + prefix))
+    val doSweep = !sweptFirstEpoch
     sweptFirstEpoch = true
-    mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
-      dropPrior = false, deleteOthers = sweep)
+    def phantom(n: String): Boolean =
+      n.startsWith(prefix) || n.startsWith("." + prefix)
+    partitionCol match {
+      case None =>
+        mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
+          dropPrior = false,
+          deleteOthers = if (doSweep) Some(phantom) else None)
+      case Some(c) =>
+        val commits = allCommits(messages)
+        if (doSweep) {
+          // a phantom commit of this (query, epoch) under a died driver
+          // can sit in ANY value dir — walk them once (first epoch of
+          // this instance only, like the flat path)
+          val keepByDir = commits
+            .groupBy(cm => new Path(cm.file).getParent.getName)
+            .map { case (d, cs) =>
+              d -> cs.map(cm => new Path(cm.file).getName).toSet }
+          val root = new Path(path)
+          val fs = root.getFileSystem(new Configuration())
+          if (fs.exists(root)) fs.listStatus(root)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(c + "="))
+            .foreach { d =>
+              val keep = keepByDir.getOrElse(d.getPath.getName, Set.empty)
+              fs.listStatus(d.getPath).foreach { st =>
+                val n = st.getPath.getName
+                if (st.isFile && !keep.contains(n) && phantom(n))
+                  fs.delete(st.getPath, false)
+              }
+            }
+        }
+        commits.groupBy(cm => new Path(cm.file).getParent)
+          .foreach { case (dir, cs) =>
+            mergeZoneMapAt(dir, cs.toSeq, dropPrior = false)
+          }
+    }
   }
 
   private def mergeZoneMap(commits: Array[QuirkCsvCommit],
@@ -2352,8 +2390,25 @@ private[sources] class QuirkCsvPartitionedWriterFactory(
 
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new QuirkCsvPartitionedWriter(path, columns, header, jobId,
-      partitionId, taskId, partitionCol, partitionIdx)
+    new QuirkCsvPartitionedWriter(path, columns, header,
+      f"part-$jobId-$partitionId%05d.csv", taskId, partitionCol,
+      partitionIdx)
+}
+
+/** Streaming twin: the same per-value router with epoch-keyed final
+  * names — one file per (epoch, task partition) in each value dir it
+  * received rows for, replay renaming over the same names. */
+private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
+    path: String, columns: Array[String], header: Boolean, queryId: String,
+    partitionCol: String, partitionIdx: Int)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new QuirkCsvPartitionedWriter(path, columns, header,
+      QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId) +
+        f"$partitionId%05d.csv",
+      taskId, partitionCol, partitionIdx)
 }
 
 /** Dynamic-partition router: each row lands in its value's
@@ -2365,7 +2420,7 @@ private[sources] class QuirkCsvPartitionedWriterFactory(
   * unreadable layout; the raw layer's contract is clean-then-load. */
 private[sources] class QuirkCsvPartitionedWriter(
     basePath: String, columns: Array[String], header: Boolean,
-    jobId: String, partitionId: Int, taskId: Long,
+    finalName: String, taskId: Long,
     partitionCol: String, partitionIdx: Int)
   extends DataWriter[InternalRow] {
 
@@ -2377,7 +2432,6 @@ private[sources] class QuirkCsvPartitionedWriter(
       val dir = new Path(basePath,
         QuirkCsv.partitionDirName(partitionCol, value))
       dir.getFileSystem(new Configuration()).mkdirs(dir)
-      val finalName = f"part-$jobId-$partitionId%05d.csv"
       new QuirkCsvRenamingWriter(
         s"$dir/.$finalName.attempt-$taskId.tmp", s"$dir/$finalName",
         columns, header)

@@ -39,6 +39,46 @@ class QuirkCsvStreamSinkSpec extends SparkSpec {
     miss.count() shouldBe 0
   }
 
+  test("streaming into a PARTITIONED catalog table routes epochs into " +
+      "value dirs with per-dir sidecars") {
+    val root = java.nio.file.Files.createTempDirectory("csv_psink").toString
+    spark.conf.set("spark.sql.catalog.graft_ss",
+      classOf[graft.sources.QuirkCsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ss.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_ss.ns")
+    spark.sql("""CREATE TABLE graft_ss.ns.ev (k STRING, day STRING)
+      PARTITIONED BY (day)""")
+    val ckpt = java.nio.file.Files.createTempDirectory("csv_pck").toString
+    val in = MemoryStream[(String, String)](spark)
+    val q = in.toDF().toDF("k", "day")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").toTable("graft_ss.ns.ev")
+    try {
+      in.addData(("a", "d1"), ("b", "d2"))
+      q.processAllAvailable()
+      in.addData(("c", "d1"), ("d", "d3")) // existing + NEW partition
+      q.processAllAvailable()
+    } finally q.stop()
+    // routed layout: epoch files under value dirs, nothing at the root
+    val subs = new java.io.File(s"$root/ns/ev").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    subs.toSeq shouldBe Seq("day=d1", "day=d2", "day=d3")
+    val back = spark.table("graft_ss.ns.ev")
+    back.count() shouldBe 4
+    rowsAsStrings(back.filter(col("day") === "d1").select("k")) shouldBe
+      Seq("a", "c")
+    // partition pruning works on the streamed layout
+    back.filter(col("day") === "d3").rdd.getNumPartitions shouldBe 1
+    // the streamed files carry per-dir zone sidecars like batch writes
+    new java.io.File(s"$root/ns/ev/day=d1/_graft_zonemap.tsv")
+      .exists() shouldBe true
+    // value subdirs are the compaction unit for streamed epochs too
+    graft.operators.Scale.compactCsv(spark, s"$root/ns/ev/day=d1", 1)
+    spark.table("graft_ss.ns.ev").count() shouldBe 4
+    rowsAsStrings(spark.table("graft_ss.ns.ev")
+      .filter(col("day") === "d1").select("k")) shouldBe Seq("a", "c")
+  }
+
   test("a second query into the same directory appends, never clobbers") {
     // regression: epoch ids restart at 0 for every query — without the
     // checkpoint-stable queryId in the file names, query 2's epoch 0
