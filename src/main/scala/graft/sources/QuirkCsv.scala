@@ -893,7 +893,7 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
   : MicroBatchStream =
     new QuirkCsvMicroBatchStream(fullSchema, required, filters, options,
-      maxSplit, header, excelCompat)
+      maxSplit, header, excelCompat, checkpointLocation)
 
   override def planInputPartitions(): Array[InputPartition] =
     if (grouped) groupedPartitions
@@ -1768,15 +1768,38 @@ private[sources] case class QuirkCsvOffset(n: Int) extends Offset {
   * corpus-intake shape (`streaming/CorpusIntake.scala`) driven by a
   * CUSTOM DSv2 streaming source instead of Spark's file source.
   *
-  * Offset = count of files observed, in arrival order (newly listed
-  * files append in path-sorted order); each micro-batch plans the
-  * byte-range splits of exactly the files in `(start, end]`, through the
-  * same PartitionReader (and the same pruning/pushdown — the ScanBuilder
-  * ran before the stream was materialized) as the batch path. Files must
-  * be immutable once placed. Restart recovery replays by position in the
-  * path-sorted listing, so arrival order must match name order across a
-  * restart — the standard monotonic-naming contract for file streams
-  * (part-00001…); within one run, any names work.
+  * Offset = count of files observed, in arrival order; each micro-batch
+  * plans the byte-range splits of exactly the files in `(start, end]`,
+  * through the same PartitionReader (and the same pruning/pushdown — the
+  * ScanBuilder ran before the stream was materialized) as the batch
+  * path. Files must be immutable once placed.
+  *
+  * '''Restart contract.''' The stream persists its arrival order as an
+  * append-only manifest under its own checkpoint location (segment
+  * files, tmp+renamed BEFORE the offset that covers them is returned),
+  * so a restart replays by the RECORDED order, not by re-deriving
+  * positions from a fresh listing — arbitrary file names and
+  * out-of-order arrivals are safe across restarts. (A pre-manifest
+  * checkpoint falls back to the historic positional contract:
+  * path-sorted listing + monotonic names.)
+  *
+  * '''Compaction.''' `compactCsv` replaces consumed epoch files with
+  * folded copies and records the folded→replaced mapping in the
+  * directory's hidden fold log ([[QuirkCsvMaintenance.loadFoldLog]]).
+  * A folded file showing up in the listing is classified by provenance,
+  * chasing chained folds: every replaced original already observed by
+  * this stream → the folded file is SKIPPED (its rows were consumed
+  * under their original names — exactly-once across the compaction,
+  * live or restarted); no replaced original observed → it is read as
+  * ordinary new data (a fresh stream over an already-compacted
+  * directory); a MIX → fail loudly (file-granularity replay cannot
+  * split a folded file; restart from a fresh checkpoint). The one
+  * remaining loud window: a restart whose UNCOMMITTED batch spans
+  * originals that compaction already deleted — the replay detects the
+  * missing files and aborts with the compaction named, never silently
+  * dropping or duplicating rows. Compact cold files, not the epoch a
+  * live trigger is reading (that in-flight race is file deletion under
+  * a running scan, same as any reader).
   *
   * PARTITIONED tables stream too: `listFiles` already walks the value
   * subdirectories (partitionCol arrives through the catalog's table
@@ -1785,32 +1808,149 @@ private[sources] case class QuirkCsvOffset(n: Int) extends Offset {
   * from batch split planning by `prunePartitions` — is skipped here for
   * the same reason (and because ALTER ADD COLUMN mints new seed versions
   * mid-stream, which must not surface as phantom empty batches). The
-  * restart caveat tightens accordingly: paths sort by (value dir, name),
-  * so replay-across-restart needs monotonic names WITHIN each partition
-  * directory and no new partition dirs sorting below already-replayed
-  * ones — a live routed sink does not guarantee either, so pair a
-  * restarted stream with a manifest the same way the flat contract
-  * advises. DROP PARTITION under a live stream violates file
-  * immutability exactly like deleting files from a flat streamed dir. */
+  * manifest makes value-dir-local names and late partition dirs safe
+  * across restarts; per-value-dir fold logs classify value-dir
+  * compaction the same way. DROP PARTITION under a live stream violates
+  * file immutability exactly like deleting files from a flat dir. */
 private[sources] class QuirkCsvMicroBatchStream(
     fullSchema: StructType, required: StructType, filters: Array[Filter],
     options: CaseInsensitiveStringMap, maxSplit: Long, header: Boolean,
-    excelCompat: Boolean)
+    excelCompat: Boolean, checkpointLocation: String)
   extends MicroBatchStream {
 
   private val seen = ArrayBuffer.empty[QuirkCsvFileMeta] // arrival order
   private val seenNames = scala.collection.mutable.HashSet.empty[String]
+  // restored manifest entries (by position) no longer present on disk —
+  // legal for COMMITTED positions (compacted away after consumption),
+  // fatal if an uncommitted replay slice touches one
+  private val missingNames = scala.collection.mutable.HashSet.empty[String]
   private val partitioned = {
     val c = options.get("partitionCol")
     c != null && c.nonEmpty
   }
 
-  private def refresh(): Unit = synchronized {
-    QuirkCsv.listFiles(options).foreach { f =>
-      val seed = partitioned &&
-        new Path(f.path).getName.startsWith("part-seed-")
-      if (!seed && seenNames.add(f.path)) seen += f
+  // ---- durable arrival manifest (scoped to THIS query's checkpoint) ----
+  private val manifestDir = new Path(checkpointLocation, "graft-seen")
+
+  restoreManifest()
+
+  private def manifestFs: FileSystem =
+    manifestDir.getFileSystem(new Configuration())
+
+  /** Rebuild `seen` from the manifest segments, oldest first. Entries
+    * whose file is gone stay as PLACEHOLDERS — their positions must keep
+    * meaning so committed offsets stay valid. */
+  private def restoreManifest(): Unit = {
+    val fs = manifestFs
+    if (!fs.exists(manifestDir)) return
+    val segs = fs.listStatus(manifestDir).toIndexedSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("seg-"))
+      .sortBy(s => s.getPath.getName.stripPrefix("seg-")
+        .takeWhile(_ != '-').toLong)
+    segs.foreach { s =>
+      val from = s.getPath.getName.stripPrefix("seg-")
+        .takeWhile(_ != '-').toLong
+      require(from == seen.size,
+        s"graftcsv stream manifest is discontiguous at ${s.getPath} " +
+          s"(expected segment starting at ${seen.size}) — the checkpoint " +
+          "is damaged; start the stream from a fresh checkpoint")
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(s.getPath), java.nio.charset.StandardCharsets.ISO_8859_1))
+      try {
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).foreach { line =>
+            val t = line.split("\t", -1)
+            val meta = QuirkCsvFileMeta(
+              QuirkCsv.decodePinnedName(t(0)), t(1).toLong, 0L)
+            if (seenNames.add(meta.path)) seen += meta
+          }
+      } finally in.close()
     }
+  }
+
+  /** Persist `seen(from until seen.size)` as one segment, tmp+renamed —
+    * runs BEFORE the offset covering these positions is returned, so any
+    * offset Spark ever logs is backed by a durable arrival record. */
+  private def persistSegment(from: Int): Unit = {
+    if (from >= seen.size) return
+    val fs = manifestFs
+    fs.mkdirs(manifestDir)
+    val name = f"seg-$from%09d-${seen.size}%09d.tsv"
+    val tmp = new Path(manifestDir, s".$name.tmp")
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.ISO_8859_1))
+    try seen.slice(from, seen.size).foreach { m =>
+      out.write(QuirkCsv.encodePinned(Seq(m.path)))
+      out.write("\t"); out.write(m.len.toString); out.write("\n")
+    } finally out.close()
+    val dst = new Path(manifestDir, name)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"graftcsv stream manifest: rename $tmp -> $dst failed")
+  }
+
+  private sealed trait Prov
+  private case object Consumed extends Prov
+  private case object Fresh extends Prov
+  private case object Mixed extends Prov
+
+  private def combine(ps: Iterable[Prov]): Prov =
+    if (ps.forall(_ == Consumed)) Consumed
+    else if (ps.forall(_ == Fresh)) Fresh
+    else Mixed
+
+  /** Provenance of one file name in `parent`: already observed by this
+    * stream (directly, or — chasing chained folds — as the originals a
+    * folded file replaced), never observed, or an unsplittable mix. */
+  private def provenance(parent: Path, name: String,
+                         foldOf: Map[String, Seq[String]]): Prov =
+    if (seenNames.contains(new Path(parent, name).toString)) Consumed
+    else foldOf.get(name) match {
+      case Some(replaced) =>
+        combine(replaced.map(provenance(parent, _, foldOf)))
+      case None => Fresh
+    }
+
+  private def refresh(): Unit = synchronized {
+    val listed = QuirkCsv.listFiles(options).filterNot { f =>
+      partitioned && new Path(f.path).getName.startsWith("part-seed-")
+    }
+    val listedNames = listed.map(_.path).toSet
+    missingNames.clear()
+    seen.foreach(f =>
+      if (!listedNames.contains(f.path)) missingNames += f.path)
+    val candidates = listed.filterNot(f => seenNames.contains(f.path))
+    if (candidates.isEmpty) return
+    // per-directory fold logs, loaded once per refresh
+    val foldLogs = scala.collection.mutable.Map.empty[String, Map[String, Seq[String]]]
+    def foldOf(parent: Path): Map[String, Seq[String]] =
+      foldLogs.getOrElseUpdate(parent.toString,
+        QuirkCsvMaintenance.loadFoldLog(parent.toString)
+          .flatMap { case (fn, dn) => fn.map(_ -> dn) }.toMap)
+    // plain files first, folded files second: in the transient crash
+    // window where originals and their folded copies coexist, the
+    // originals must register as observed BEFORE the folded copy is
+    // classified, or both would be read (duplicates)
+    val (folded, plain) = candidates.partition(f =>
+      foldOf(new Path(f.path).getParent).contains(new Path(f.path).getName))
+    val before = seen.size
+    plain.foreach { f => if (seenNames.add(f.path)) seen += f }
+    folded.foreach { f =>
+      val parent = new Path(f.path).getParent
+      val name = new Path(f.path).getName
+      provenance(parent, name, foldOf(parent)) match {
+        case Consumed => seenNames += f.path // rows already consumed
+        case Fresh => if (seenNames.add(f.path)) seen += f
+        case Mixed => throw new IllegalStateException(
+          s"graftcsv stream over $parent: compacted file '$name' mixes " +
+            "rows this stream already consumed with rows it has not — " +
+            "file-granularity replay cannot split it. The directory was " +
+            "compacted across this stream's frontier; restart the query " +
+            "from a fresh checkpoint (full re-read) or compact only " +
+            "fully-consumed cold files")
+      }
+    }
+    if (seen.size > before) persistSegment(before)
   }
 
   override def initialOffset(): Offset = QuirkCsvOffset(0)
@@ -1828,7 +1968,16 @@ private[sources] class QuirkCsvMicroBatchStream(
     refresh()
     val a = start.asInstanceOf[QuirkCsvOffset].n
     val b = end.asInstanceOf[QuirkCsvOffset].n
-    QuirkCsv.planSplits(seen.slice(a, b).toSeq, maxSplit)
+    val slice = seen.slice(a, b).toSeq
+    val gone = slice.filter(f => missingNames.contains(f.path))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"graftcsv stream cannot replay batch ($a, $b]: file(s) " +
+        s"${gone.map(_.path).mkString(", ")} were observed before a " +
+        "restart but no longer exist — compaction (or out-of-band " +
+        "deletion) removed them before the batch committed. Rows were " +
+        "neither lost nor duplicated; restart the query from a fresh " +
+        "checkpoint, and compact only files whose batches have committed")
+    QuirkCsv.planSplits(slice, maxSplit)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2459,12 +2608,24 @@ private[sources] class QuirkCsvPartitionedWriter(
       QuirkCsvMultiCommit(done.toSeq)
     } catch {
       case t: Throwable =>
+        // best-effort; a final whose delete ALSO fails survives as a
+        // reader-visible duplicate with no commit message — the one
+        // window job abort cannot clean. Name the survivors on the
+        // rethrown failure so the silent-duplication window is at least
+        // diagnosable by the operator.
+        val undeleted = scala.collection.mutable.ArrayBuffer.empty[String]
         done.foreach { c =>
           try {
             val p = new Path(c.file)
-            p.getFileSystem(new Configuration()).delete(p, false)
-          } catch { case _: Exception => () } // best-effort; rethrow below
+            if (!p.getFileSystem(new Configuration()).delete(p, false) &&
+              p.getFileSystem(new Configuration()).exists(p))
+              undeleted += c.file
+          } catch { case _: Exception => undeleted += c.file }
         }
+        if (undeleted.nonEmpty) throw new java.io.IOException(
+          "partitioned commit failed AND cleanup left already-renamed " +
+            s"final file(s) behind — inspect/remove manually before " +
+            s"re-running: ${undeleted.mkString(", ")}", t)
         throw t
     }
   }
@@ -2933,7 +3094,13 @@ private[sources] object QuirkCsv {
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(p, true), java.nio.charset.StandardCharsets.ISO_8859_1))
     try {
-      out.write("graft-zonemap-v2\n")
+      // v3: written by builds whose boundUp pads truncated upper bounds
+      // back to EXACTLY StatsMaxLen (so a truncated bound is always
+      // recognizable by length). v2 sidecars may contain a bumped max
+      // SHORTER than the cap — a fabricated non-data value the
+      // metadata-only MAX would serve as real — so v2 is rejected on
+      // load (degrades to scan) rather than risk serving one.
+      out.write("graft-zonemap-v3\n")
       entries.toSeq.sortBy(_._1).foreach { case (name, e) =>
         out.write(s"F\t${enc(name)}\t${e.len}\t${e.mtime}\t${e.rows}\n")
         e.cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx, nulls)) =>
@@ -2958,9 +3125,11 @@ private[sources] object QuirkCsv {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(p), java.nio.charset.StandardCharsets.ISO_8859_1))
     try {
-      // v1 sidecars (no mtime field) are treated as absent — pruning
-      // degrades to "read everything" until the next commit rewrites v2
-      if (in.readLine() != "graft-zonemap-v2") return Map.empty
+      // older sidecars are treated as absent — pruning degrades to
+      // "read everything" until the next commit rewrites v3 (v1 lacked
+      // the mtime field; v2 could carry unpadded truncated max bounds
+      // indistinguishable from real values — see writeZoneMap)
+      if (in.readLine() != "graft-zonemap-v3") return Map.empty
       val files = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
       val cols = scala.collection.mutable.Map
         .empty[String, Map[String, (Option[String], Option[String], Long)]]
@@ -3092,7 +3261,15 @@ private[sources] object QuirkCsv {
   def freshEntries(files: Seq[QuirkCsvFileMeta])
   : Option[Seq[QuirkCsvZoneEntry]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[QuirkCsvZoneEntry]
-    files.groupBy(f => new Path(f.path).getParent.toString)
+    // schema-seed files are header-only by contract (zero rows) and never
+    // receive a sidecar entry — requiring one would silently disable the
+    // sidecar fast paths (metadata aggregates, exact planner row counts)
+    // for every UNPARTITIONED catalog table, whose file listing keeps the
+    // root seed (partitioned tables drop it via prunePartitions).
+    // Skipping them is exact: a zero-row file contributes nothing to any
+    // COUNT/MIN/MAX.
+    files.filterNot(f => new Path(f.path).getName.startsWith("part-seed-"))
+      .groupBy(f => new Path(f.path).getParent.toString)
       .foreach { case (dir, fs) =>
         val zm = loadZoneMap(dir)
         fs.foreach { fm =>

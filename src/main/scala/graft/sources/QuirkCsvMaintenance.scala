@@ -65,6 +65,8 @@ private[graft] object QuirkCsvMaintenance {
   private val IntentHeaderV1 = "graft-compact-intent-v1"
   private val IntentFooter = "end"
   private[graft] val TmpDirName = "_graft_compact_tmp"
+  private[graft] val FoldLogDirName = "_graft_compact_log"
+  private val FoldHeader = "graft-compact-fold-v1"
 
   /** Compact `dir` into `numFiles` part files. Returns
     * (dataFilesBefore, dataFilesAfter). See the object doc for the
@@ -139,6 +141,36 @@ private[graft] object QuirkCsvMaintenance {
   private def completeSwap(fs: FileSystem, base: Path,
                            folded: Seq[String], pinned: Seq[String]): Unit = {
     val tmp = new Path(base, TmpDirName)
+    // Applicability gate: a durable intent authorizes RESUMING a swap,
+    // never resurrecting one into a directory emptied out-of-band
+    // (TRUNCATE / unconditional DELETE between a crash and this run).
+    // The swap is genuinely in progress iff some pinned original is
+    // still present OR some folded file was already moved in (the
+    // mid-delete crash window). When NEITHER holds, the table was
+    // intentionally emptied after the crash — moving the fold in would
+    // resurrect every compacted row — so the stale fold is discarded
+    // LOUDLY instead.
+    if (pinned.nonEmpty &&
+      !pinned.exists(n => fs.exists(new Path(base, n))) &&
+      !folded.exists(n => fs.exists(new Path(base, n)))) {
+      System.err.println(
+        s"[graftcsv] discarding stale compaction intent in $base: none " +
+          s"of its ${pinned.size} pinned original(s) nor its " +
+          s"${folded.size} folded file(s) remain in the directory (it " +
+          "was truncated or emptied after the compaction crashed); " +
+          "completing the swap would resurrect deleted rows")
+      fs.delete(new Path(base, IntentFile), false)
+      fs.delete(tmp, true)
+      return
+    }
+    // the durable folded→replaced record a downstream STREAM needs to
+    // classify folded files (see loadFoldLog) — written BEFORE any
+    // folded file becomes reader-visible, so a live stream's trigger
+    // can never list a folded file whose provenance is not yet on disk.
+    // Idempotent across recovery re-runs (deduped on the exact sets);
+    // a crash right after this line leaves a log entry for a swap the
+    // next run completes anyway.
+    appendFoldLog(fs, base, folded, pinned)
     val tmpZones = QuirkCsv.loadZoneMap(tmp.toString)
     folded.foreach { n =>
       val src = new Path(tmp, n)
@@ -254,6 +286,79 @@ private[graft] object QuirkCsvMaintenance {
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmpP, dst),
       s"graftcsv compaction: rename intent $tmpP -> $dst failed")
+  }
+
+  /** Append one fold record to the directory's hidden compaction log
+    * (`_graft_compact_log/fold-NNNNN.tsv`, one file per completed swap,
+    * tmp+rename): the folded file names (F) and the replaced originals
+    * (D). This is the provenance a downstream graftcsv STREAM uses to
+    * decide whether a folded file's rows were already consumed as their
+    * originals (skip) or are genuinely new to it (read) — the restart
+    * contract across compaction. Recovery re-runs of the same swap are
+    * deduplicated on the exact (folded, pinned) sets. */
+  private def appendFoldLog(fs: FileSystem, base: Path,
+                            folded: Seq[String], pinned: Seq[String]): Unit = {
+    if (folded.isEmpty) return // v1-intent recovery: no mapping to record
+    val existing = loadFoldLog(base.toString)
+    if (existing.exists(e =>
+      e._1.toSet == folded.toSet && e._2.toSet == pinned.toSet)) return
+    val dir = new Path(base, FoldLogDirName)
+    fs.mkdirs(dir)
+    val n = fs.listStatus(dir).count(_.getPath.getName.startsWith("fold-"))
+    val dst = new Path(dir, f"fold-$n%05d.tsv")
+    val tmp = new Path(dir, f".fold-$n%05d.tsv.tmp")
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.ISO_8859_1))
+    try {
+      out.write(FoldHeader); out.write("\n")
+      folded.foreach { x =>
+        out.write("F "); out.write(QuirkCsv.encodePinned(Seq(x)))
+        out.write("\n")
+      }
+      pinned.foreach { x =>
+        out.write("D "); out.write(QuirkCsv.encodePinned(Seq(x)))
+        out.write("\n")
+      }
+      out.write(IntentFooter); out.write("\n")
+    } finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"graftcsv compaction: rename fold log $tmp -> $dst failed")
+  }
+
+  /** All completed fold records of a directory, oldest first:
+    * (folded file names, replaced original names). Half-written records
+    * cannot exist (tmp+rename), but a record that fails to parse is a
+    * LOUD error — the stream's exactly-once classification depends on
+    * this log being complete, so guessing would risk duplicates. */
+  private[graft] def loadFoldLog(dir: String): Seq[(Seq[String], Seq[String])] = {
+    val logDir = new Path(new Path(dir), FoldLogDirName)
+    val fs = logDir.getFileSystem(new Configuration())
+    if (!fs.exists(logDir)) return Nil
+    fs.listStatus(logDir).toIndexedSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("fold-"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(s.getPath), java.nio.charset.StandardCharsets.ISO_8859_1))
+        try {
+          val header = in.readLine()
+          require(header == FoldHeader,
+            s"unrecognized fold-log header '$header' in ${s.getPath}")
+          val lines = Iterator.continually(in.readLine())
+            .takeWhile(_ != null).filter(_.nonEmpty).toList
+          require(lines.lastOption.contains(IntentFooter),
+            s"fold log ${s.getPath} is truncated")
+          val body = lines.init
+          val f = body.collect { case l if l.startsWith("F ") =>
+            QuirkCsv.decodePinnedName(l.drop(2)) }
+          val d = body.collect { case l if l.startsWith("D ") =>
+            QuirkCsv.decodePinnedName(l.drop(2)) }
+          require(f.nonEmpty && d.nonEmpty && f.size + d.size == body.size,
+            s"fold log ${s.getPath} holds unparseable lines")
+          (f, d)
+        } finally in.close()
+      }
   }
 
   private def deleteNamed(dir: String, names: Seq[String]): Unit = {

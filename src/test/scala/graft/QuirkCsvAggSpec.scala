@@ -158,6 +158,33 @@ class QuirkCsvAggSpec extends SparkSpec {
       .agg(count(lit(1))).collect().head.getLong(0) shouldBe 0L
   }
 
+  test("metadata-only aggregate engages on an UNPARTITIONED catalog " +
+      "table (the schema seed is exempt from the sidecar gate)") {
+    // the root schema seed (part-seed-*.csv) is header-only by contract
+    // and never receives a sidecar entry — requiring one would silently
+    // disable metadata aggregates and exact planner row counts for every
+    // unpartitioned catalog table
+    val root = java.nio.file.Files.createTempDirectory("qcsv_meta6").toString
+    spark.conf.set("spark.sql.catalog.graft_mu",
+      classOf[_root_.graft.sources.QuirkCsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mu.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_mu.ns")
+    spark.sql("CREATE TABLE graft_mu.ns.flat (k STRING, v STRING)")
+    spark.sql("INSERT INTO graft_mu.ns.flat VALUES ('a','1'), ('b','2')")
+    spark.sql("INSERT INTO graft_mu.ns.flat VALUES ('c','3')")
+    new java.io.File(s"$root/ns/flat").listFiles()
+      .exists(_.getName.startsWith("part-seed-")) shouldBe true
+    val agg = spark.table("graft_mu.ns.flat")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("k")).as("lo"), max(col("k")).as("hi"))
+    planOf(agg) should include("MetadataOnlyAggregate: true")
+    agg.collect().head.toSeq shouldBe Seq(3L, 3L, "a", "c")
+    // the exact sidecar row count also reaches the planner's statistics
+    val stats = spark.table("graft_mu.ns.flat").queryExecution
+      .optimizedPlan.stats
+    stats.rowCount shouldBe Some(BigInt(3))
+  }
+
   test("grouped aggregate pushes and merges across byte-range splits") {
     def grouped(df: DataFrame) = df.groupBy(col("Region"))
       .agg(count(lit(1)).as("n"), min(col("City")).as("lo"),

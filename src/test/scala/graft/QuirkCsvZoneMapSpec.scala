@@ -146,4 +146,36 @@ class QuirkCsvZoneMapSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     df.collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
   }
+
+  test("a pre-v3 sidecar is distrusted wholesale (scan, never serve)") {
+    // v2 sidecars can hold an UNPADDED truncated max (a bumped prefix
+    // shorter than the stats cap) — indistinguishable from a real value,
+    // so serving it as a metadata-only MAX would fabricate data. The
+    // loader therefore rejects anything but v3: pruning and metadata
+    // aggregates degrade to the scan until a commit rewrites the sidecar.
+    val dir = freshDir("v2")
+    Seq(("a", "1"), ("b", "2")).toDF("k", "v").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    val sidecar = new java.io.File(dir, "_graft_zonemap.tsv")
+    val content = java.nio.file.Files.readString(sidecar.toPath,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    content should startWith("graft-zonemap-v3\n")
+    java.nio.file.Files.writeString(sidecar.toPath,
+      content.replace("graft-zonemap-v3", "graft-zonemap-v2"),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // no pruning (both the hit and the miss read the file) ...
+    readBack(dir).filter(col("k") === "zzz")
+      .rdd.getNumPartitions shouldBe 1
+    // ... and no metadata-only aggregate
+    val agg = readBack(dir).agg(max(col("k")).as("hi"))
+    agg.queryExecution.executedPlan.toString should
+      not include "MetadataOnlyAggregate"
+    agg.collect().head.getString(0) shouldBe "b"
+    // the next commit rewrites v3 and restores the fast paths
+    Seq(("c", "3")).toDF("k", "v").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    java.nio.file.Files.readString(sidecar.toPath,
+      java.nio.charset.StandardCharsets.ISO_8859_1) should
+      startWith("graft-zonemap-v3\n")
+  }
 }

@@ -135,6 +135,32 @@ class QuirkCsvDurabilitySpec extends SparkSpec {
     after shouldBe 1L
   }
 
+  test("a table truncated AFTER a compaction crash is NOT resurrected " +
+      "by the recovered intent") {
+    val dir = freshDir("trunc")
+    Seq("x", "y").toDF("k").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    val pinned = QuirkCsvMaintenance.dataFileNames(dir)
+    foldWithIntent(dir, pinned)
+    // between the crash and the next maintenance run, the user empties
+    // the table (TRUNCATE / unconditional DELETE removes the data files)
+    pinned.foreach { n =>
+      new java.io.File(dir, n).delete()
+      new java.io.File(dir, s".$n.crc").delete()
+    }
+    // recovery must DISCARD the stale fold (none of the intent's pinned
+    // originals nor folded files remain) — completing it would move the
+    // folded copies in and resurrect every deleted row
+    val (before, after) =
+      graft.operators.Scale.compactCsv(spark, dir, numFiles = 1)
+    before shouldBe 0L
+    after shouldBe 0L
+    visibleCsvs(dir) shouldBe Seq.empty
+    new java.io.File(dir, "_graft_compact_intent.tsv").exists() shouldBe false
+    new java.io.File(dir, QuirkCsvMaintenance.TmpDirName)
+      .exists() shouldBe false
+  }
+
   test("a crash AFTER the fold commit but BEFORE the intent leaves no " +
       "permanent duplicates (the orphaned fold is discarded, not re-read)") {
     val dir = freshDir("orphan")

@@ -35,11 +35,26 @@ def canon(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest(), rows
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+# A single long-lived DuckDB process grows its mmap count monotonically
+# (CTE re-inlining churn) and can exhaust vm.max_map_count (65530) late in
+# a 350-query run, after which EVERY later query dies with spurious
+# tiny-block "Out of Memory" errors despite tens of GB free. Recycle the
+# connection every RECYCLE queries, and retry any failed oracle once in a
+# brand-new connection so a mid-run exhaustion can never fail the gate.
+RECYCLE = 40
+
+
+def fresh_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = fresh_con(sf_dir)
+    since_recycle = 0
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     failures = 0
@@ -49,12 +64,28 @@ def main():
             print(f"FAIL {name}: no spark output at {spark_path}")
             failures += 1
             continue
+        if since_recycle >= RECYCLE:
+            con.close()
+            con = fresh_con(sf_dir)
+            since_recycle = 0
+        since_recycle += 1
         try:
             duck = con.sql(oracle[name]).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")
-            failures += 1
-            continue
+        except Exception:
+            # one retry in a brand-new connection: distinguishes a real
+            # SQL error from cumulative process-state exhaustion
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con(sf_dir)
+            since_recycle = 1
+            try:
+                duck = con.sql(oracle[name]).df()
+            except Exception as e:
+                print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")
+                failures += 1
+                continue
         spark = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
         dh, drows = canon(duck)
         sh, srows = canon(spark)
