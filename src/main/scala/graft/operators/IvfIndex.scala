@@ -121,6 +121,58 @@ object IvfIndex {
         abs(col("new_share") - col("global_share")) > threshold)
   }
 
+  /** ANN top-k SERVED FROM THE PERSISTED INDEX: probe the `nprobe`
+    * nearest persisted centroids per query, take candidates off the
+    * maintained `<name>_assign` table (the corpus is never re-assigned —
+    * that scan-and-window is exactly what the index amortizes away), and
+    * score only the candidates after joining their embeddings back from
+    * `vectors`. Identical results to the in-memory
+    * [[Similarity.ivfTopK]] over the same corpus/centroids (the
+    * float↔string centroid round-trip is exact and the assignment
+    * tie-break is the persisted STRING centroid_id either way); ids
+    * return as strings, the index's key type.
+    *
+    * At 100 TB: centroids broadcast (k rows); the assignment join
+    * restricts scoring to ~|corpus| * nprobe / k candidate vectors; the
+    * only full-table touch is the id-join back to `vectors` for the
+    * candidates' embeddings — at scale that side is the bucketed/sorted
+    * vector store, not a rescan of raw data. */
+  def topK(spark: SparkSession, cat: String, ns: String, name: String,
+           vectors: DataFrame, idCol: String, embCol: String,
+           queryPredicate: Column, k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k/nprobe must be >= 1, got $k/$nprobe")
+    graft.GraftExtensions.register(spark)
+    val cents = centroids(spark, cat, ns, name)
+    val queries = vectors.filter(queryPredicate)
+      .select(col(idCol).cast("string").as("q_id"),
+        col(embCol).as("__q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+    // top-nprobe persisted centroids per query (broadcast, no shuffle of
+    // anything corpus-sized)
+    val qc = queries.crossJoin(broadcast(cents))
+      .withColumn("__cos", call_function("vec_cosine",
+        col("__q_emb"), col("centroid_emb")))
+      .withColumn("__rn", row_number().over(w.partitionBy(col("q_id"))
+        .orderBy(col("__cos").desc, col("centroid_id"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("__q_emb"), col("centroid_id"))
+    // candidates straight off the maintained assignment table
+    val cand = qc.join(
+      assignment(spark, cat, ns, name)
+        .select(col("vec_id").as("n_id"), col("centroid_id")),
+      Seq("centroid_id"))
+    val nvec = vectors.select(col(idCol).cast("string").as("n_id"),
+      col(embCol).as("__n_emb"))
+    cand.join(nvec, Seq("n_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", call_function("vec_cosine",
+        col("__q_emb"), col("__n_emb")))
+      .withColumn("rank", row_number().over(w.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+  }
+
   /** True when any bucket's drift alert fires — the re-train trigger. */
   def needsRetrain(spark: SparkSession, cat: String, ns: String,
                    name: String, baseBatch: String = "base",
