@@ -87,5 +87,60 @@ object R15Queries {
                  ORDER BY cosine DESC, n_id) AS INT) AS rank FROM sc)
       SELECT q_id, n_id, cosine, rank FROM rk WHERE rank <= 3"""))
 
-  val all: Seq[QueryDef] = Seq(q351)
+  /** Schema-evolution tier 2 through the oracle gate: RENAME and DROP
+    * COLUMN are journal-only ops with FROZEN positions — the query
+    * builds three file generations (pre-rename, post-rename,
+    * post-drop+add), REQUIREs the first generation's data files stay
+    * byte-identical across both ALTERs, and emits the mixed-generation
+    * read under the final logical schema. The oracle replays the same
+    * evolution relationally (rename = aliasing, drop = projection, the
+    * re-added generation NULL for earlier rows). */
+  private val q352 = QueryDef(
+    "q352_schema_evolution2",
+    (s, d) => {
+      ensureCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r15.q352")
+      s.sql("DROP TABLE IF EXISTS graft_r15.q352.t")
+      s.sql("""CREATE TABLE graft_r15.q352.t
+        (okey STRING, status STRING, prio STRING)""")
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey").cast("string").as("okey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"))
+      src.filter(col("o_orderkey") % 3 === 0)
+        .writeTo("graft_r15.q352.t").append()
+      val root = s.conf.get("spark.sql.catalog.graft_r15.root")
+      def snapshot(): Set[(String, Long, Long)] =
+        new java.io.File(s"$root/q352/t").listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_") &&
+            !f.getName.startsWith("part-seed-"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      val gen1 = snapshot()
+      s.sql("ALTER TABLE graft_r15.q352.t RENAME COLUMN prio TO priority")
+      require(snapshot() == gen1,
+        "RENAME COLUMN must be metadata-only: data files changed")
+      src.filter(col("o_orderkey") % 3 === 1)
+        .withColumnRenamed("prio", "priority")
+        .writeTo("graft_r15.q352.t").append()
+      val gen12 = snapshot()
+      s.sql("ALTER TABLE graft_r15.q352.t DROP COLUMN status")
+      s.sql("ALTER TABLE graft_r15.q352.t ADD COLUMN loadgen STRING")
+      require(snapshot() == gen12,
+        "DROP/ADD COLUMN must be metadata-only: data files changed")
+      src.filter(col("o_orderkey") % 3 === 2)
+        .select(col("okey"), col("prio").as("priority"),
+          lit("g3").as("loadgen"))
+        .writeTo("graft_r15.q352.t").append()
+      s.table("graft_r15.q352.t")
+        .select(col("okey"), col("priority"), col("loadgen"))
+        .localCheckpoint()
+    },
+    Some("""
+      SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+             o_orderpriority AS priority,
+             CASE WHEN o_orderkey % 3 = 2 THEN 'g3' END AS loadgen
+      FROM orders"""))
+
+  val all: Seq[QueryDef] = Seq(q351, q352)
 }

@@ -131,7 +131,14 @@ class QuirkCsvDataSource extends TableProvider with DataSourceRegister {
           }
       else QuirkCsv.splitCsv(QuirkCsv.stripLineQuirks(header))
         .indices.map(i => s"_c$i").toArray
-    StructType(names.map(StructField(_, StringType, nullable = true)))
+    // the header names are the PHYSICAL layout; a rename/drop journal
+    // (ALTER TABLE RENAME/DROP COLUMN — positions frozen, files never
+    // rewritten) maps them to the LOGICAL schema exposed to Spark
+    val logical = QuirkCsv.schemaMapFor(options) match {
+      case Some(m) => m.logicalOf(names.toArray)
+      case None => names.toArray
+    }
+    StructType(logical.map(StructField(_, StringType, nullable = true)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -673,7 +680,9 @@ private[sources] class QuirkCsvReplaceScan(fullSchema: StructType,
     QuirkCsv.planSplits(files, maxSplit)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
+    new QuirkCsvReaderFactory(
+      QuirkCsv.readerColumns(options, fullSchema.fieldNames),
+      required.fieldNames,
       Array.empty, QuirkCsv.headerOpt(options),
       options.getBoolean("excelCompat", false))
 }
@@ -758,7 +767,9 @@ private[sources] class QuirkCsvPartitionedReplaceScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
+    new QuirkCsvReaderFactory(
+      QuirkCsv.readerColumns(options, fullSchema.fieldNames),
+      required.fieldNames,
       Array.empty, QuirkCsv.headerOpt(options),
       options.getBoolean("excelCompat", false))
 }
@@ -906,7 +917,9 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
       maxSplit)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
+    new QuirkCsvReaderFactory(
+      QuirkCsv.readerColumns(options, fullSchema.fieldNames),
+      required.fieldNames,
       filters ++ runtimeFilters, header, excelCompat, limit, topN,
       // columnar=true: emit reused flat ColumnarBatch vectors instead of
       // per-row objects (see QuirkCsvColumnarReader). STAYS opt-in by
@@ -1484,7 +1497,12 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
       !QuirkCsv.dirCompleteFilters(options, fullSchema, filters))
       return None
     val entries = QuirkCsv.freshEntries(kept).getOrElse(return None)
-    def bound(n: String, lower: Boolean): Option[AnyRef] = {
+    // sidecar stats are keyed by PHYSICAL names; aggregate columns are
+    // logical — translate before lookup (RENAME evolution)
+    val phys: String => String =
+      QuirkCsv.schemaMapFor(options).map(m => m.phys _).getOrElse(identity)
+    def bound(n0: String, lower: Boolean): Option[AnyRef] = {
+      val n = phys(n0)
       var best: String = null
       entries.foreach { e =>
         e.cols.get(n) match {
@@ -1507,7 +1525,7 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
         case QuirkCsvCountCol(n) =>
           var total = 0L
           entries.foreach { e =>
-            e.cols.get(n) match {
+            e.cols.get(phys(n)) match {
               case Some((_, _, nulls)) => total += e.rows - nulls
               case None => return None
             }
@@ -1557,7 +1575,8 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new QuirkCsvAggReaderFactory(fullSchema.fieldNames, agg, filters,
+    new QuirkCsvAggReaderFactory(
+      QuirkCsv.readerColumns(options, fullSchema.fieldNames), agg, filters,
       header, excelCompat)
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -1981,7 +2000,9 @@ private[sources] class QuirkCsvMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new QuirkCsvReaderFactory(fullSchema.fieldNames, required.fieldNames,
+    new QuirkCsvReaderFactory(
+      QuirkCsv.readerColumns(options, fullSchema.fieldNames),
+      required.fieldNames,
       filters, header, excelCompat)
 
   override def commit(end: Offset): Unit = ()
@@ -2132,15 +2153,25 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
           "row-level MERGE/UPDATE/DELETE (partition-granular " +
           "copy-on-write), or DROP PARTITION for retention")
     }
-    new QuirkCsvWrite(path, schema.fieldNames, mode,
-      QuirkCsv.headerOpt(options), queryId, partitionCol)
+    // RENAME/DROP evolution: data files keep the FROZEN physical layout
+    // (header + zone-stats keys = physical names; dropped positions
+    // written as NULL), so every file generation reads positionally and
+    // sidecar stats keys never change meaning under a rename
+    val sm = QuirkCsv.schemaMapFor(options)
+    val physCols = sm.map(_.physical(schema.fieldNames))
+      .getOrElse(schema.fieldNames)
+    val srcIdx = sm.map(_.srcIdx(schema.fieldNames))
+      .getOrElse(Array.tabulate(schema.fieldNames.length)(identity))
+    new QuirkCsvWrite(path, physCols, mode,
+      QuirkCsv.headerOpt(options), queryId, partitionCol, srcIdx)
   }
 }
 
 private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
                                      mode: QuirkCsvWriteMode, header: Boolean,
                                      queryId: String,
-                                     partitionCol: Option[String] = None)
+                                     partitionCol: Option[String] = None,
+                                     srcIdx: Array[Int] = null)
   extends Write with BatchWrite with StreamingWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -2213,24 +2244,31 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     this
   }
 
+  private def src: Array[Int] =
+    if (srcIdx != null) srcIdx else Array.tabulate(columns.length)(identity)
+
+  // the partition value is read off the INPUT (logical) row, so the
+  // physical position of the partition column maps through srcIdx (the
+  // partition column itself can never be renamed or dropped)
+  private def partitionRowIdx(c: String): Int = src(columns.indexOf(c))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DataWriterFactory = partitionCol match {
     case Some(c) =>
-      val idx = columns.indexOf(c)
       new QuirkCsvPartitionedWriterFactory(path, columns, header,
-        java.util.UUID.randomUUID().toString, c, idx)
+        java.util.UUID.randomUUID().toString, c, partitionRowIdx(c), src)
     case None =>
       new QuirkCsvWriterFactory(path, columns, header,
-        java.util.UUID.randomUUID().toString)
+        java.util.UUID.randomUUID().toString, src)
   }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
   : StreamingDataWriterFactory = partitionCol match {
     case Some(c) =>
       new QuirkCsvPartitionedStreamingWriterFactory(path, columns, header,
-        queryId, c, columns.indexOf(c))
+        queryId, c, partitionRowIdx(c), src)
     case None =>
-      new QuirkCsvStreamingWriterFactory(path, columns, header, queryId)
+      new QuirkCsvStreamingWriterFactory(path, columns, header, queryId, src)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -2460,7 +2498,8 @@ private[sources] object QuirkCsvStreamingWriterFactory {
 }
 
 private[sources] class QuirkCsvStreamingWriterFactory(
-    path: String, columns: Array[String], header: Boolean, queryId: String)
+    path: String, columns: Array[String], header: Boolean, queryId: String,
+    srcIdx: Array[Int] = null)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -2472,7 +2511,7 @@ private[sources] class QuirkCsvStreamingWriterFactory(
     // see QuirkCsvWrite.toStreaming's recovery-contract doc
     new QuirkCsvRenamingWriter(
       s"$path/.$finalName.attempt-$taskId.tmp", s"$path/$finalName",
-      columns, header)
+      columns, header, srcIdx)
   }
 }
 
@@ -2482,8 +2521,9 @@ private[sources] class QuirkCsvStreamingWriterFactory(
   * touch each other's output. */
 private[sources] class QuirkCsvRenamingWriter(tmp: String, dest: String,
                                               columns: Array[String],
-                                              header: Boolean)
-  extends QuirkCsvWriter(tmp, columns, header) {
+                                              header: Boolean,
+                                              srcIdx: Array[Int] = null)
+  extends QuirkCsvWriter(tmp, columns, header, srcIdx) {
 
   override def commit(): WriterCommitMessage = {
     val m = super.commit().asInstanceOf[QuirkCsvCommit]
@@ -2508,7 +2548,8 @@ private[sources] case class QuirkCsvCommit(file: String, rows: Long,
 
 private[sources] class QuirkCsvWriterFactory(path: String,
                                              columns: Array[String],
-                                             header: Boolean, jobId: String)
+                                             header: Boolean, jobId: String,
+                                             srcIdx: Array[Int] = null)
   extends DataWriterFactory {
 
   /** Batch tasks write the same attempt-private-tmp + rename-on-commit
@@ -2524,7 +2565,7 @@ private[sources] class QuirkCsvWriterFactory(path: String,
     val finalName = f"part-$jobId-$partitionId%05d.csv"
     new QuirkCsvRenamingWriter(
       s"$path/.$finalName.attempt-$taskId.tmp", s"$path/$finalName",
-      columns, header)
+      columns, header, srcIdx)
   }
 }
 
@@ -2534,14 +2575,14 @@ private[sources] case class QuirkCsvMultiCommit(commits: Seq[QuirkCsvCommit])
 
 private[sources] class QuirkCsvPartitionedWriterFactory(
     path: String, columns: Array[String], header: Boolean, jobId: String,
-    partitionCol: String, partitionIdx: Int)
+    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new QuirkCsvPartitionedWriter(path, columns, header,
       f"part-$jobId-$partitionId%05d.csv", taskId, partitionCol,
-      partitionIdx)
+      partitionIdx, srcIdx)
 }
 
 /** Streaming twin: the same per-value router with epoch-keyed final
@@ -2549,7 +2590,7 @@ private[sources] class QuirkCsvPartitionedWriterFactory(
   * received rows for, replay renaming over the same names. */
 private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
     path: String, columns: Array[String], header: Boolean, queryId: String,
-    partitionCol: String, partitionIdx: Int)
+    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -2557,7 +2598,7 @@ private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
     new QuirkCsvPartitionedWriter(path, columns, header,
       QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId) +
         f"$partitionId%05d.csv",
-      taskId, partitionCol, partitionIdx)
+      taskId, partitionCol, partitionIdx, srcIdx)
 }
 
 /** Dynamic-partition router: each row lands in its value's
@@ -2570,7 +2611,7 @@ private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
 private[sources] class QuirkCsvPartitionedWriter(
     basePath: String, columns: Array[String], header: Boolean,
     finalName: String, taskId: Long,
-    partitionCol: String, partitionIdx: Int)
+    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null)
   extends DataWriter[InternalRow] {
 
   private val open =
@@ -2583,7 +2624,7 @@ private[sources] class QuirkCsvPartitionedWriter(
       dir.getFileSystem(new Configuration()).mkdirs(dir)
       new QuirkCsvRenamingWriter(
         s"$dir/.$finalName.attempt-$taskId.tmp", s"$dir/$finalName",
-        columns, header)
+        columns, header, srcIdx)
     })
 
   override def write(row: InternalRow): Unit = {
@@ -2636,8 +2677,15 @@ private[sources] class QuirkCsvPartitionedWriter(
 }
 
 private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
-                                      header: Boolean)
+                                      header: Boolean,
+                                      srcIdx: Array[Int] = null)
   extends DataWriter[InternalRow] {
+
+  // physical position -> input-row ordinal; -1 = dropped column (written
+  // as NULL so the frozen physical layout never shifts). Identity when
+  // the table has no rename/drop journal.
+  private val src: Array[Int] =
+    if (srcIdx != null) srcIdx else Array.tabulate(columns.length)(identity)
 
   private val fsPath = new Path(file)
   private val out = {
@@ -2660,8 +2708,9 @@ private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
     val sb = new java.lang.StringBuilder(128)
     while (i < columns.length) {
       if (i > 0) sb.append(',')
-      if (!row.isNullAt(i)) {
-        val v = row.getUTF8String(i).toString
+      val s = src(i)
+      if (s >= 0 && !row.isNullAt(s)) {
+        val v = row.getUTF8String(s).toString
         sb.append(QuirkCsv.formatField(v))
         if (mins(i) == null || v.compareTo(mins(i)) < 0) mins(i) = v
         if (maxs(i) == null || v.compareTo(maxs(i)) > 0) maxs(i) = v
@@ -2697,7 +2746,167 @@ private[sources] case class QuirkCsvZoneEntry(len: Long, mtime: Long,
     rows: Long,
     cols: Map[String, (Option[String], Option[String], Long)])
 
+/** Logical→physical schema mapping for RENAME/DROP COLUMN evolution on
+  * graftcsv tables ([[QuirkCsv.SchemaMapFile]] journal): positions are
+  * FROZEN — a rename re-labels a position, a drop masks one — so data
+  * files are NEVER rewritten and every generation of file stays readable
+  * positionally. `ops` holds at most one entry per affected physical
+  * position: `logicalName = None` means dropped; `Some(l)` means the
+  * position's physical (original seed) name `physName` now surfaces as
+  * logical name `l`. Zone-map stats are keyed by PHYSICAL names forever
+  * (writers keep writing them), so query-time lookups translate
+  * logical→physical through [[toPhys]] and stale stats can never be
+  * re-used under a recycled name. */
+private[sources] case class QuirkCsvSchemaMapOp(idx: Int, physName: String,
+                                                logicalName: Option[String])
+
+private[sources] case class QuirkCsvSchemaMap(ops: Seq[QuirkCsvSchemaMapOp]) {
+  val byIdx: Map[Int, QuirkCsvSchemaMapOp] = ops.map(o => o.idx -> o).toMap
+  require(byIdx.size == ops.size,
+    s"schema map holds duplicate ops for one position: $ops")
+  private val nDropped = ops.count(_.logicalName.isEmpty)
+
+  /** logical → physical name (identity for never-renamed columns). */
+  val toPhys: Map[String, String] =
+    ops.flatMap(o => o.logicalName.map(_ -> o.physName)).toMap
+  def phys(c: String): String = toPhys.getOrElse(c, c)
+
+  /** Every physical name the journal knows (dropped + pre-rename) —
+    * reserved forever: reusing one would alias old files' positions or
+    * sidecar stats. */
+  def reservedPhysNames: Set[String] = ops.map(_.physName).toSet
+
+  def width(nLogical: Int): Int = nLogical + nDropped
+
+  /** Physical-position name arrays derived from the LOGICAL schema.
+    * `positional`: what readers index required (logical) names against —
+    * dropped positions get an unmatchable placeholder. `physical`: what
+    * writers emit as header + zone-stats keys. `srcIdx`: physical
+    * position → ordinal in the logical row (-1 = dropped, write NULL). */
+  def positional(logical: Array[String]): Array[String] =
+    layout(logical)._1
+  def physical(logical: Array[String]): Array[String] =
+    layout(logical)._2
+  def srcIdx(logical: Array[String]): Array[Int] =
+    layout(logical)._3
+
+  private def layout(logical: Array[String])
+  : (Array[String], Array[String], Array[Int]) = {
+    val n = width(logical.length)
+    require(ops.forall(_.idx < n),
+      s"schema map references position beyond width $n: $ops")
+    val pos = new Array[String](n)
+    val phy = new Array[String](n)
+    val src = new Array[Int](n)
+    var li = 0
+    var i = 0
+    while (i < n) {
+      byIdx.get(i) match {
+        case Some(QuirkCsvSchemaMapOp(_, p, None)) => // dropped
+          pos(i) = s" dropped:$i"; phy(i) = p; src(i) = -1
+        case Some(QuirkCsvSchemaMapOp(_, p, Some(_))) => // renamed
+          pos(i) = logical(li); phy(i) = p; src(i) = li; li += 1
+        case None =>
+          pos(i) = logical(li); phy(i) = logical(li); src(i) = li; li += 1
+      }
+      i += 1
+    }
+    require(li == logical.length,
+      s"schema map width mismatch: $n physical vs ${logical.length} logical")
+    (pos, phy, src)
+  }
+
+  /** The inverse direction: PHYSICAL (seed) names → logical schema. */
+  def logicalOf(physNames: Array[String]): Array[String] =
+    physNames.indices.flatMap { i =>
+      byIdx.get(i) match {
+        case Some(QuirkCsvSchemaMapOp(_, _, None)) => None
+        case Some(QuirkCsvSchemaMapOp(_, _, Some(l))) => Some(l)
+        case None => Some(physNames(i))
+      }
+    }.toArray
+}
+
 private[sources] object QuirkCsv {
+
+  // ------------------------------------------------ schema-map journal
+
+  val SchemaMapFile = "_graft_schema_map.tsv"
+  private val SchemaMapHeader = "graft-schema-map-v1"
+
+  /** Load a table root's rename/drop journal; None when absent. A
+    * present-but-unreadable journal fails LOUDLY: it is the only record
+    * of what the positions mean, and guessing would silently re-label
+    * data. */
+  def loadSchemaMap(dir: String): Option[QuirkCsvSchemaMap] = {
+    val p = new Path(dir, SchemaMapFile)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) return None
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.ISO_8859_1))
+    try {
+      val header = in.readLine()
+      require(header == SchemaMapHeader,
+        s"unrecognized schema-map header '$header' in $p")
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toList
+      require(lines.lastOption.contains("end"),
+        s"schema map $p is truncated")
+      val ops = lines.init.map { l =>
+        val t = l.split("\t", -1)
+        t(0) match {
+          case "R" => QuirkCsvSchemaMapOp(t(1).toInt, dec(t(2)),
+            Some(dec(t(3))))
+          case "D" => QuirkCsvSchemaMapOp(t(1).toInt, dec(t(2)), None)
+          case other => throw new IllegalArgumentException(
+            s"schema map $p holds an unknown op '$other'")
+        }
+      }
+      Some(QuirkCsvSchemaMap(ops))
+    } finally in.close()
+  }
+
+  /** Write the journal via tmp+rename — absent or complete, never
+    * partial. */
+  def writeSchemaMap(dir: String, m: QuirkCsvSchemaMap): Unit = {
+    val dst = new Path(dir, SchemaMapFile)
+    val tmp = new Path(dir, s".$SchemaMapFile.tmp")
+    val fs = dst.getFileSystem(new Configuration())
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.ISO_8859_1))
+    try {
+      out.write(SchemaMapHeader); out.write("\n")
+      m.ops.sortBy(_.idx).foreach {
+        case QuirkCsvSchemaMapOp(i, p, Some(l)) =>
+          out.write(s"R\t$i\t${enc(p)}\t${enc(l)}\n")
+        case QuirkCsvSchemaMapOp(i, p, None) =>
+          out.write(s"D\t$i\t${enc(p)}\n")
+      }
+      out.write("end\n")
+    } finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"schema map swap $tmp -> $dst failed")
+  }
+
+  /** The journal governing `options`' path (table root; a file path
+    * resolves through its parent, same as zone maps). */
+  def schemaMapFor(options: CaseInsensitiveStringMap)
+  : Option[QuirkCsvSchemaMap] = {
+    val raw = options.get("path")
+    if (raw == null || raw.isEmpty) return None
+    val base = new Path(raw)
+    val fs = base.getFileSystem(new Configuration())
+    if (!fs.exists(base)) return None
+    val dir = if (fs.getFileStatus(base).isDirectory) base else base.getParent
+    loadSchemaMap(dir.toString)
+  }
+
+  /** Reader-side positional names: logical names at their physical
+    * positions, dropped positions unmatchable. */
+  def readerColumns(options: CaseInsensitiveStringMap,
+                    logical: Array[String]): Array[String] =
+    schemaMapFor(options).map(_.positional(logical)).getOrElse(logical)
+
 
   /** Inverse of [[splitCsv]]'s field decode: empty string → `""`;
     * fields containing a comma or quote — or ENDING with `;`, which the
@@ -3158,8 +3367,11 @@ private[sources] object QuirkCsv {
 
   /** Can this file possibly contain a row passing `f`? Conservative:
     * unknown columns / un-prunable predicates answer true. */
-  private def zoneMayMatch(e: QuirkCsvZoneEntry, f: Filter): Boolean = {
-    def stats(c: String) = e.cols.get(c)
+  private def zoneMayMatch(e: QuirkCsvZoneEntry, f: Filter,
+                           phys: String => String = identity): Boolean = {
+    // sidecar stats are keyed by PHYSICAL names (frozen across RENAME);
+    // query filters carry logical names — translate before lookup
+    def stats(c: String) = e.cols.get(phys(c))
     def nonNull(c: String): Boolean =
       stats(c).forall { case (_, _, nulls) => nulls < e.rows }
     def inRange(c: String, v: String): Boolean = stats(c) match {
@@ -3195,6 +3407,8 @@ private[sources] object QuirkCsv {
                  files: Seq[QuirkCsvFileMeta],
                  filters: Array[Filter]): Seq[QuirkCsvFileMeta] = {
     val pruning = options.getBoolean("zoneMapPruning", true)
+    val phys: String => String =
+      schemaMapFor(options).map(m => m.phys _).getOrElse(identity)
     // partitioned tables: directory-level partition pruning first
     // (partition-column predicates drop whole value dirs), then each
     // surviving dir's OWN zone-map sidecar (part-file names repeat
@@ -3218,7 +3432,7 @@ private[sources] object QuirkCsv {
           else fs.filter { fm =>
             zm.get(new Path(fm.path).getName) match {
               case Some(e) if e.len == fm.len && e.mtime == fm.mtime =>
-                filters.forall(zoneMayMatch(e, _))
+                filters.forall(zoneMayMatch(e, _, phys))
               case _ => true
             }
           }
@@ -3232,7 +3446,7 @@ private[sources] object QuirkCsv {
     files.filter { fm =>
       zm.get(new Path(fm.path).getName) match {
         case Some(e) if e.len == fm.len && e.mtime == fm.mtime =>
-          filters.forall(zoneMayMatch(e, _))
+          filters.forall(zoneMayMatch(e, _, phys))
         case _ => true
       }
     }

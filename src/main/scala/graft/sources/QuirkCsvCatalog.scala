@@ -150,25 +150,60 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** Schema evolution, APPEND-ONLY: `ALTER TABLE … ADD COLUMN c STRING`
-    * rewrites the seed header file to the widened schema; data files are
-    * NEVER touched — at raw-layer scale (100 TB of CSV) rewriting files
-    * to add a column is not an option. Readers bounds-check positional
-    * access, so rows from pre-ALTER files surface NULL for appended
-    * columns, and zone-map entries lacking the column are permissive
-    * (the file is read, never wrongly pruned).
+  /** Schema evolution WITHOUT data rewrites — at raw-layer scale
+    * (100 TB of CSV) rewriting files for a DDL statement is not an
+    * option, so every supported change is metadata-only and positions
+    * are FROZEN:
     *
-    * DROP/RENAME/position changes are rejected: column resolution is
-    * positional per file, so removing or reordering a position would
-    * silently re-label EXISTING data (a dropped-then-added position
-    * would read stale values under the new name). Appends are the one
-    * evolution that cannot recycle a position. */
+    *  - `ADD COLUMN c STRING` appends a new physical position: the seed
+    *    header is rewritten to the widened (physical) schema; readers
+    *    bounds-check positional access, so rows from pre-ALTER files
+    *    surface NULL for appended columns.
+    *  - `RENAME COLUMN a TO b` re-labels a position in the
+    *    [[QuirkCsv.SchemaMapFile]] journal: the seed keeps the original
+    *    PHYSICAL name, reads resolve positionally (mixed-generation
+    *    files untouched), and zone-map stats — keyed by physical names
+    *    forever — keep serving pruning and metadata aggregates across
+    *    the rename.
+    *  - `DROP COLUMN c` masks the position in the journal: it vanishes
+    *    from the logical schema while later writes keep emitting the
+    *    position (as NULL) so no other position ever shifts.
+    *
+    * Physical names are RESERVED forever (re-adding a dropped or
+    * pre-rename name is rejected): a recycled name would alias old
+    * files' positions or stale sidecar stats. The partition column can
+    * be neither renamed nor dropped — its physical name IS the value-dir
+    * layout. Position changes (FIRST/AFTER) stay rejected. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val current = loadTable(ident).columns().map(_.name())
-    val added = changes.map {
+    val partitionCol = QuirkCsv.readPartitioning(dir)
+    var schemaMap = QuirkCsv.loadSchemaMap(dir.toString)
+      .getOrElse(QuirkCsvSchemaMap(Nil))
+    var logical = loadTable(ident).columns().map(_.name()).toSeq
+    def reserved: Set[String] =
+      schemaMap.reservedPhysNames ++ logical
+    def requireSafeName(n: String): Unit =
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"graftcsv catalog column names must be identifier-safe " +
+          s"([A-Za-z0-9_]+); '$n' would not survive the header round-trip")
+    // physical position of logical column `l` (journal drops interleave)
+    def physIdxOf(l: String): Int = {
+      val li = logical.indexOf(l)
+      require(li >= 0, s"column '$l' does not exist in $ident")
+      val width = schemaMap.width(logical.length)
+      var pi = 0; var seen = -1
+      while (pi < width) {
+        val droppedHere = schemaMap.byIdx.get(pi).exists(_.logicalName.isEmpty)
+        if (!droppedHere) { seen += 1; if (seen == li) return pi }
+        pi += 1
+      }
+      throw new IllegalStateException(s"position of '$l' not found")
+    }
+    var mapChanged = false
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graftcsv columns are flat; nested add is not supported")
@@ -182,16 +217,59 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
         require(add.position() == null,
           s"appended column '$n' must go last (FIRST/AFTER would " +
             "re-label existing positions)")
-        require(n.matches("[A-Za-z0-9_]+"),
-          s"graftcsv catalog column names must be identifier-safe " +
-            s"([A-Za-z0-9_]+); '$n' would not survive the header " +
-            "round-trip")
-        n
+        requireSafeName(n)
+        require(!reserved.exists(_.equalsIgnoreCase(n)),
+          s"column name '$n' is reserved: it is (or once was) a physical " +
+            "column of this table — reusing it would alias old files' " +
+            "positions or stale sidecar stats")
+        added += n
+        logical = logical :+ n
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "graftcsv columns are flat; nested rename is not supported")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        requireSafeName(to)
+        require(!partitionCol.exists(_.equalsIgnoreCase(from)),
+          s"cannot rename partition column '$from': its physical name " +
+            "is the value-directory layout on disk")
+        require(!reserved.exists(_.equalsIgnoreCase(to)),
+          s"column name '$to' is reserved: it is (or once was) a " +
+            "physical or logical column of this table")
+        val pi = physIdxOf(from)
+        val physName = schemaMap.byIdx.get(pi).map(_.physName).getOrElse(from)
+        schemaMap = QuirkCsvSchemaMap(
+          schemaMap.ops.filterNot(_.idx == pi) :+
+            QuirkCsvSchemaMapOp(pi, physName, Some(to)))
+        logical = logical.updated(logical.indexOf(from), to)
+        mapChanged = true
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graftcsv columns are flat; nested drop is not supported")
+        val n = del.fieldNames()(0)
+        require(!partitionCol.exists(_.equalsIgnoreCase(n)),
+          s"cannot drop partition column '$n': it is the value-directory " +
+            "layout on disk")
+        require(logical.size > 1,
+          s"cannot drop '$n': a table needs at least one column")
+        val pi = physIdxOf(n)
+        val physName = schemaMap.byIdx.get(pi).map(_.physName).getOrElse(n)
+        schemaMap = QuirkCsvSchemaMap(
+          schemaMap.ops.filterNot(_.idx == pi) :+
+            QuirkCsvSchemaMapOp(pi, physName, None))
+        logical = logical.filterNot(_ == n)
+        mapChanged = true
       case other => throw new UnsupportedOperationException(
-        s"graftcsv supports only ADD COLUMN (append): $other would " +
-          "re-label existing file positions; rewrite the files instead")
+        s"graftcsv supports ADD COLUMN (append), RENAME COLUMN, and " +
+          s"DROP COLUMN: $other would re-label existing file positions; " +
+          "rewrite the files instead")
     }
-    val widened = current.toSeq ++ added
+    if (mapChanged) QuirkCsv.writeSchemaMap(dir.toString, schemaMap)
+    if (added.isEmpty) return loadTable(ident)
+    // appends rewrite the seed to the widened PHYSICAL schema (the seed
+    // never carries logical renames — it is the frozen physical layout)
+    val currentPhys = physicalSeedNames(dir)
+    val widened = currentPhys.toSeq ++ added
     require(widened.map(_.toLowerCase).distinct.size == widened.size,
       s"duplicate column after ALTER: ${widened.mkString(", ")}")
     // crash-safe widen via VERSIONED seeds: write the next version
@@ -217,6 +295,19 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     require(fs.rename(tmp, seed), s"ALTER TABLE $ident: seed swap failed")
     priorSeeds.foreach(n => fs.delete(new Path(dir, n), false))
     loadTable(ident)
+  }
+
+  /** The frozen PHYSICAL column names — the highest seed's header.
+    * Catalog columns are identifier-safe by CREATE/ALTER contract, so
+    * the header splits to the names directly. */
+  private def physicalSeedNames(dir: Path): Array[String] = {
+    val seeds = fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("part-seed-") && n.endsWith(".csv")).sorted
+    require(seeds.nonEmpty, s"no schema seed in $dir")
+    val p = new Path(dir, seeds.last)
+    val header = QuirkCsv.readFirstLine(p.toString,
+      fs.getFileStatus(p).getLen)
+    QuirkCsv.splitCsv(QuirkCsv.stripLineQuirks(header))
   }
 
   override def dropTable(ident: Identifier): Boolean = {

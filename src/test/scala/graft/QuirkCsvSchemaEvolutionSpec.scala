@@ -69,18 +69,10 @@ class QuirkCsvSchemaEvolutionSpec extends SparkSpec {
     unsafe.getMessage should include("identifier-safe")
   }
 
-  test("non-append evolutions are rejected with the positional rationale") {
+  test("unsupported evolutions are rejected with the positional rationale") {
     root
     spark.sql("CREATE TABLE graft_evo.ns.r (a STRING, b STRING)")
     spark.sql("INSERT INTO graft_evo.ns.r VALUES ('1','x')")
-    val drop = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_evo.ns.r DROP COLUMN b")
-    }
-    drop.getMessage should include("ADD COLUMN")
-    val rename = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_evo.ns.r RENAME COLUMN b TO c")
-    }
-    rename.getMessage should include("ADD COLUMN")
     val typed = intercept[Exception] {
       spark.sql("ALTER TABLE graft_evo.ns.r ADD COLUMN n INT")
     }
@@ -94,6 +86,135 @@ class QuirkCsvSchemaEvolutionSpec extends SparkSpec {
     spark.sql("SELECT a, b FROM graft_evo.ns.r").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
       Seq(("1", "x"))
+  }
+
+  // -------------------------- tier 2: RENAME / DROP, positions frozen
+
+  private def dataSnapshot(table: String): Set[(String, Long, Long)] =
+    new java.io.File(s"$root/ns/$table").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("part-seed-"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+
+  test("RENAME COLUMN: metadata-only, mixed generations read correctly, " +
+      "zone stats keep serving under the physical key") {
+    root
+    spark.sql("CREATE TABLE graft_evo.ns.rn (id STRING, val STRING)")
+    spark.sql("INSERT INTO graft_evo.ns.rn VALUES ('1','a'), ('2','b')")
+    val before = dataSnapshot("rn")
+    spark.sql("ALTER TABLE graft_evo.ns.rn RENAME COLUMN val TO amount")
+    // data files byte-identical — the rename touched metadata only
+    dataSnapshot("rn") shouldBe before
+    spark.table("graft_evo.ns.rn").columns.toSeq shouldBe Seq("id", "amount")
+    // post-rename writes mix with pre-rename files transparently
+    spark.sql("INSERT INTO graft_evo.ns.rn VALUES ('3','c')")
+    spark.sql(
+      "SELECT id, amount FROM graft_evo.ns.rn ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("1", "a"), ("2", "b"), ("3", "c"))
+    // metadata-only aggregate still engages: old sidecar stats are keyed
+    // by the physical name and the lookup translates through the journal
+    val agg = spark.table("graft_evo.ns.rn")
+      .agg(min(col("amount")).as("lo"), max(col("amount")).as("hi"))
+    agg.queryExecution.executedPlan.toString should
+      include("MetadataOnlyAggregate: true")
+    agg.collect().head.toSeq shouldBe Seq("a", "c")
+    // a second rename chains; rename back to a reserved name is rejected
+    spark.sql("ALTER TABLE graft_evo.ns.rn RENAME COLUMN amount TO price")
+    spark.sql("SELECT price FROM graft_evo.ns.rn WHERE id = '1'")
+      .collect().head.getString(0) shouldBe "a"
+    val reuse = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evo.ns.rn ADD COLUMN val STRING")
+    }
+    reuse.getMessage should include("reserved")
+  }
+
+  test("RENAME COLUMN: zone pruning survives under the renamed name") {
+    root
+    spark.sql("CREATE TABLE graft_evo.ns.rz (k STRING, v STRING)")
+    spark.range(50).selectExpr("lpad(CAST(id AS STRING), 4, '0') AS k",
+      "'lo' AS v").repartition(1).writeTo("graft_evo.ns.rz").append()
+    spark.range(50, 100).selectExpr("lpad(CAST(id AS STRING), 4, '0') AS k",
+      "'hi' AS v").repartition(1).writeTo("graft_evo.ns.rz").append()
+    spark.sql("ALTER TABLE graft_evo.ns.rz RENAME COLUMN k TO key")
+    // the point probe on the RENAMED column still prunes the out-of-range
+    // data file — stats live under the physical name and the lookup
+    // translates. (The header-only schema seed has no sidecar entry and
+    // always plans its one split: 3 files -> 2 splits, not 3.)
+    spark.table("graft_evo.ns.rz").rdd.getNumPartitions shouldBe 3
+    val hit = spark.table("graft_evo.ns.rz").filter(col("key") === "0007")
+    hit.rdd.getNumPartitions shouldBe 2
+    hit.collect().map(_.getString(1)).toSeq shouldBe Seq("lo")
+  }
+
+  test("DROP COLUMN: projection-masked, positions frozen, later columns " +
+      "do not shift, files untouched") {
+    root
+    spark.sql("CREATE TABLE graft_evo.ns.dr (a STRING, b STRING, c STRING)")
+    spark.sql("INSERT INTO graft_evo.ns.dr VALUES ('1','x','p'), ('2','y','q')")
+    val before = dataSnapshot("dr")
+    spark.sql("ALTER TABLE graft_evo.ns.dr DROP COLUMN b")
+    dataSnapshot("dr") shouldBe before
+    spark.table("graft_evo.ns.dr").columns.toSeq shouldBe Seq("a", "c")
+    // c still reads its own values — the dropped position is masked,
+    // never compacted away
+    spark.sql("SELECT a, c FROM graft_evo.ns.dr ORDER BY a")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("1", "p"), ("2", "q"))
+    // post-drop writes emit the dropped position as NULL so old and new
+    // generations share one frozen layout
+    spark.sql("INSERT INTO graft_evo.ns.dr VALUES ('3','r')")
+    spark.sql("SELECT a, c FROM graft_evo.ns.dr WHERE a = '3'")
+      .collect().head.getString(1) shouldBe "r"
+    // re-adding the dropped name is rejected (stale stats / position
+    // aliasing); a fresh name appends fine and reads across generations
+    val reuse = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evo.ns.dr ADD COLUMN b STRING")
+    }
+    reuse.getMessage should include("reserved")
+    spark.sql("ALTER TABLE graft_evo.ns.dr ADD COLUMN d STRING")
+    spark.sql("INSERT INTO graft_evo.ns.dr VALUES ('4','s','D4')")
+    spark.sql("SELECT a, c, d FROM graft_evo.ns.dr ORDER BY a")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq shouldBe
+      Seq(("1", "p", null), ("2", "q", null), ("3", "r", null),
+        ("4", "s", "D4"))
+  }
+
+  test("DROP then RENAME compose; raw directory reads see the same " +
+      "logical schema as the catalog") {
+    root
+    spark.sql("CREATE TABLE graft_evo.ns.cx (a STRING, b STRING, c STRING)")
+    spark.sql("INSERT INTO graft_evo.ns.cx VALUES ('1','x','p')")
+    spark.sql("ALTER TABLE graft_evo.ns.cx DROP COLUMN b")
+    spark.sql("ALTER TABLE graft_evo.ns.cx RENAME COLUMN c TO cc")
+    spark.table("graft_evo.ns.cx").columns.toSeq shouldBe Seq("a", "cc")
+    // a non-catalog read of the directory applies the same journal
+    val raw = spark.read.format("graftcsv").load(s"$root/ns/cx")
+    raw.columns.toSeq shouldBe Seq("a", "cc")
+    raw.select("a", "cc").collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq shouldBe Seq(("1", "p"))
+  }
+
+  test("partition column can be neither renamed nor dropped") {
+    root
+    spark.sql("""CREATE TABLE graft_evo.ns.pc (id STRING, day STRING)
+      PARTITIONED BY (day)""")
+    spark.sql("INSERT INTO graft_evo.ns.pc VALUES ('1','d1')")
+    val rn = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evo.ns.pc RENAME COLUMN day TO dt")
+    }
+    rn.getMessage should include("partition column")
+    val dr = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evo.ns.pc DROP COLUMN day")
+    }
+    dr.getMessage should include("partition column")
+    // non-partition columns still evolve on partitioned tables
+    spark.sql("ALTER TABLE graft_evo.ns.pc RENAME COLUMN id TO key")
+    spark.sql("INSERT INTO graft_evo.ns.pc VALUES ('2','d2')")
+    spark.sql("SELECT key, day FROM graft_evo.ns.pc ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("1", "d1"), ("2", "d2"))
   }
 
   test("versioned seeds: highest wins; a stale lower seed never narrows the schema") {
