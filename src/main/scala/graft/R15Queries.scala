@@ -142,5 +142,161 @@ object R15Queries {
              CASE WHEN o_orderkey % 3 = 2 THEN 'g3' END AS loadgen
       FROM orders"""))
 
-  val all: Seq[QueryDef] = Seq(q351, q352)
+  /** Pruning-aware planner statistics made LOAD-BEARING: the graftcsv
+    * scan's `estimateStatistics` reports post-pruning bytes, so a
+    * partition-filtered side of a join falls under the broadcast
+    * threshold and plans a BroadcastHashJoin, while the UNFILTERED twin
+    * of the same join — same tables, same threshold — stays a
+    * SortMergeJoin. Both plans are REQUIREd (AQE disabled around the
+    * plan build so the static decision is attributable to the reported
+    * stats alone; threshold computed from the actual directory sizes:
+    * one-partition bytes < t < whole-table bytes). The oracle replays
+    * the filtered self-join. */
+  private val q353 = QueryDef(
+    "q353_pruned_stats_broadcast",
+    (s, d) => {
+      ensureCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r15.q353")
+      s.sql("DROP TABLE IF EXISTS graft_r15.q353.t")
+      s.sql("""CREATE TABLE graft_r15.q353.t (okey STRING, prio STRING)
+        PARTITIONED BY (prio)""")
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("string").as("okey"),
+          col("o_orderpriority").as("prio"))
+        .writeTo("graft_r15.q353.t").append()
+      val root = s.conf.get("spark.sql.catalog.graft_r15.root")
+      val dirs = new java.io.File(s"$root/q353/t").listFiles()
+        .filter(_.isDirectory)
+      def dataBytes(dir: java.io.File): Long = dir.listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")).map(_.length()).sum
+      val oneDir = dataBytes(dirs.find(_.getName == "prio=1-URGENT").get)
+      val total = dirs.map(dataBytes).sum
+      val threshold = (oneDir + total) / 2
+      require(oneDir < threshold && threshold < total,
+        s"fixture sizes degenerate: oneDir=$oneDir total=$total")
+      def joined(filtered: Boolean) = {
+        val probe = s.table("graft_r15.q353.t")
+          .select(col("okey"), col("prio").as("probe_prio"))
+        val dim0 = s.table("graft_r15.q353.t")
+        val dim = (if (filtered) dim0.filter(col("prio") === "1-URGENT")
+          else dim0).select(col("okey"), col("prio").as("dim_prio"))
+        probe.join(dim, Seq("okey"))
+      }
+      // pin the STATIC planner decision to the reported stats: AQE and
+      // prior threshold saved and restored (conf.unset would restore the
+      // DEFAULT, not the session's value)
+      val priorT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val priorA = s.conf.getOption("spark.sql.adaptive.enabled")
+      val result = try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          threshold.toString)
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val pruned = joined(filtered = true)
+        val prunedPlan = pruned.queryExecution.executedPlan.toString
+        require(prunedPlan.contains("BroadcastHashJoin"),
+          "the partition-pruned side must broadcast — its reported " +
+            s"post-pruning size ($oneDir B) is under the $threshold B " +
+            s"threshold:\n$prunedPlan")
+        val twinPlan = joined(filtered = false)
+          .queryExecution.executedPlan.toString
+        require(twinPlan.contains("SortMergeJoin") &&
+          !twinPlan.contains("BroadcastHashJoin"),
+          "the UNFILTERED twin must shuffle — whole-table stats " +
+            s"($total B) exceed the $threshold B threshold:\n$twinPlan")
+        pruned.localCheckpoint()
+      } finally {
+        priorT match {
+          case Some(v) =>
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        priorA match {
+          case Some(v) => s.conf.set("spark.sql.adaptive.enabled", v)
+          case None => s.conf.unset("spark.sql.adaptive.enabled")
+        }
+      }
+      result
+    },
+    Some("""
+      SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+             o_orderpriority AS probe_prio,
+             o_orderpriority AS dim_prio
+      FROM orders WHERE o_orderpriority = '1-URGENT'"""))
+
+  /** Catalog-native CLUSTERED layout (TBLPROPERTIES('clusterBy'='okey')):
+    * two identical partitioned tables accumulate the same 3 interleaved
+    * epochs; compacting each value dir folds the clustered table
+    * range-partitioned on the cluster key (auto-detected from its
+    * `_graft_cluster` marker) and the natural table hash-folded. The
+    * point probe then REQUIREs the q349 shape through the catalog: the
+    * clustered dir plans exactly ONE split while the natural dir — same
+    * data, same file count — must read every overlapping file. */
+  private val q354 = QueryDef(
+    "q354_clustered_catalog_layout",
+    (s, d) => {
+      ensureCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r15.q354")
+      s.sql("DROP TABLE IF EXISTS graft_r15.q354.nat")
+      s.sql("DROP TABLE IF EXISTS graft_r15.q354.clu")
+      s.sql("""CREATE TABLE graft_r15.q354.nat (okey STRING, prio STRING)
+        PARTITIONED BY (prio)""")
+      s.sql("""CREATE TABLE graft_r15.q354.clu (okey STRING, prio STRING)
+        PARTITIONED BY (prio) TBLPROPERTIES ('clusterBy'='okey')""")
+      val src = Tables.orders(s, d).select(
+        lpad(col("o_orderkey").cast("string"), 8, "0").as("okey"),
+        col("o_orderpriority").as("prio"),
+        (col("o_orderkey") % 3).as("third"))
+      (0 to 2).foreach { m =>
+        val epoch = src.filter(col("third") === m).drop("third")
+        epoch.writeTo("graft_r15.q354.nat").append()
+        epoch.writeTo("graft_r15.q354.clu").append()
+      }
+      val root = s.conf.get("spark.sql.catalog.graft_r15.root")
+      Seq("nat", "clu").foreach { t =>
+        new java.io.File(s"$root/q354/$t").listFiles()
+          .filter(_.isDirectory).map(_.toString).sorted.foreach { vd =>
+            // sortBy=None auto-detects the table root's cluster marker:
+            // clu folds range-partitioned, nat folds hash-partitioned
+            graft.operators.Scale.compactCsvClustered(s, vd, numFiles = 3,
+              sortBy = None)
+          }
+      }
+      // probe the MEDIAN key: a min/max probe is prunable even under a
+      // hash layout (it falls outside the other files' ranges); only the
+      // range-clustered fold can isolate a mid-range key to one file
+      val vals = src.filter(col("prio") === "1-URGENT").select(col("okey"))
+      val half = (vals.count() / 2).toInt + 1
+      val probe = vals.orderBy(col("okey")).limit(half)
+        .agg(max(col("okey"))).collect()(0).getString(0)
+      def splits(t: String) = {
+        val hit = s.read.format("graftcsv")
+          .option("partitionCol", "prio")
+          .option("groupByPartition", "false")
+          .load(s"$root/q354/$t")
+          .filter(col("prio") === "1-URGENT" && col("okey") === probe)
+        (hit, hit.rdd.getNumPartitions)
+      }
+      val (natHit, natSplits) = splits("nat")
+      val (cluHit, cluSplits) = splits("clu")
+      require(natSplits == 3,
+        s"natural layout: 3 hash-folded overlapping files must all be " +
+          s"read, planned $natSplits")
+      require(cluSplits == 1,
+        s"clustered layout must prune the probe to the ONE file whose " +
+          s"range covers $probe — planned $cluSplits of 3")
+      require(cluHit.collect().toSeq == natHit.collect().toSeq,
+        "clustered and natural layouts must return identical rows")
+      cluHit.localCheckpoint()
+    },
+    Some("""
+      WITH src AS (SELECT lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS okey,
+                          o_orderpriority AS prio FROM orders),
+      u AS (SELECT okey FROM src WHERE prio = '1-URGENT'),
+      ranked AS (SELECT okey, ROW_NUMBER() OVER (ORDER BY okey) AS rn
+                 FROM u)
+      SELECT okey, '1-URGENT' AS prio FROM ranked
+      WHERE rn = (SELECT CAST(FLOOR(COUNT(*) / 2) AS BIGINT) + 1 FROM u)"""))
+
+  val all: Seq[QueryDef] = Seq(q351, q352, q353, q354)
 }

@@ -160,6 +160,16 @@ object Scale {
                  numFiles: Int): (Long, Long) =
     graft.sources.QuirkCsvMaintenance.compactCsv(spark, dir, numFiles)
 
+  /** As [[compactCsv]], folding range-clustered on `sortBy` (or pass
+    * None to auto-detect the table's `_graft_cluster` marker): folded
+    * files carry disjoint key ranges, so the per-dir zone map prunes a
+    * selective probe to one file. */
+  def compactCsvClustered(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, numFiles: Int,
+                          sortBy: Option[String]): (Long, Long) =
+    graft.sources.QuirkCsvMaintenance.compactCsv(spark, dir, numFiles,
+      sortBy)
+
   /** 32-bit Morton (Z-order) key over two numeric columns: each column is
     * min/max-scaled to 16 bits and the bits are interleaved. Rows close in
     * Z-key are close in BOTH dimensions, which is what makes the key a

@@ -2162,8 +2162,13 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
       .getOrElse(schema.fieldNames)
     val srcIdx = sm.map(_.srcIdx(schema.fieldNames))
       .getOrElse(Array.tabulate(schema.fieldNames.length)(identity))
+    val clusterBy = Option(options.get("clusterBy")).filter(_.nonEmpty)
+    clusterBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"clustered write is missing cluster column '$c' in " +
+        s"(${schema.fieldNames.mkString(", ")})"))
     new QuirkCsvWrite(path, physCols, mode,
-      QuirkCsv.headerOpt(options), queryId, partitionCol, srcIdx)
+      QuirkCsv.headerOpt(options), queryId, partitionCol, srcIdx,
+      clusterBy)
   }
 }
 
@@ -2171,7 +2176,8 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
                                      mode: QuirkCsvWriteMode, header: Boolean,
                                      queryId: String,
                                      partitionCol: Option[String] = None,
-                                     srcIdx: Array[Int] = null)
+                                     srcIdx: Array[Int] = null,
+                                     clusterBy: Option[String] = None)
   extends Write with BatchWrite with StreamingWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -2182,19 +2188,36 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     * every task opens a file in every value subdir it happens to see
     * (tasks × values small files, the classic dynamic-partition write
     * mistake). Unpartitioned writes request nothing. */
+  private def sortOrderOf(c: String): SortOrder =
+    org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+
+  /** Clustered (`clusterBy` marker) tables request an ORDERED
+    * distribution — a global RANGE shuffle on (partition column, cluster
+    * column) — so each task's file covers a disjoint cluster-key range
+    * and the per-dir zone maps prune selective probes to one file.
+    * Plain partitioned writes request hash clustering by the partition
+    * column (whole value groups per task, no small-file explosion). */
   override def requiredDistribution()
   : org.apache.spark.sql.connector.distributions.Distribution =
-    partitionCol match {
-      case Some(c) =>
+    (partitionCol, clusterBy) match {
+      case (pc, Some(k)) =>
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(
+          (pc.toSeq :+ k).map(sortOrderOf).toArray)
+      case (Some(c), None) =>
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
           Array(org.apache.spark.sql.connector.expressions.Expressions
             .identity(c)))
-      case None =>
+      case (None, None) =>
         org.apache.spark.sql.connector.distributions.Distributions
           .unspecified()
     }
 
-  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  override def requiredOrdering(): Array[SortOrder] = clusterBy match {
+    case Some(k) => (partitionCol.toSeq :+ k).map(sortOrderOf).toArray
+    case None => Array.empty
+  }
 
   override def distributionStrictlyRequired(): Boolean = false
 
@@ -3184,6 +3207,38 @@ private[sources] object QuirkCsv {
   def readPartitioning(dir: Path): Option[String] = {
     val fs = dir.getFileSystem(new Configuration())
     val p = new Path(dir, PartitioningFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(dec(new String(bytes,
+          java.nio.charset.StandardCharsets.ISO_8859_1).trim))
+      } finally in.close()
+    }
+  }
+
+  /** `_graft_cluster` marker: the table's CLUSTER column
+    * (TBLPROPERTIES('clusterBy'='col') at CREATE TABLE). Writes request
+    * an ORDERED distribution on (partition column, cluster column) — a
+    * global range shuffle — so each task's output file covers a disjoint
+    * key range, and compaction folds with the same range layout: the
+    * per-dir zone maps then prune a selective probe to the one file
+    * whose range covers it instead of reading every overlapping epoch
+    * file. The raw-path `Scale.writeRangeLayout` story, catalog-native. */
+  val ClusterFile = "_graft_cluster"
+
+  def writeClustering(dir: Path, col: String): Unit = {
+    val fs = dir.getFileSystem(new Configuration())
+    val out = fs.create(new Path(dir, ClusterFile), true)
+    out.write(enc(col).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.close()
+  }
+
+  def readClustering(dir: Path): Option[String] = {
+    val fs = dir.getFileSystem(new Configuration())
+    val p = new Path(dir, ClusterFile)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

@@ -96,6 +96,7 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     // directory-level partition pruning, routed writes, and the
     // grouped (storage-partitioned-join) planning mode downstream
     QuirkCsv.readPartitioning(dir).foreach(c => opts.put("partitionCol", c))
+    QuirkCsv.readClustering(dir).foreach(c => opts.put("clusterBy", c))
     val options = new CaseInsensitiveStringMap(opts)
     val schema = new QuirkCsvDataSource().inferSchema(options)
     new QuirkCsvTable(schema, options)
@@ -147,6 +148,17 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     seed.close()
     partitionCol.foreach(c => QuirkCsv.writePartitioning(dir, c))
+    // TBLPROPERTIES('clusterBy'='col'): writes range-layout the cluster
+    // column so per-(value-)dir zone maps prune selective probes to the
+    // one covering file (see QuirkCsv.ClusterFile)
+    Option(properties.get("clusterBy")).filter(_.nonEmpty).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"clusterBy column '$c' is not in the table schema")
+      require(!partitionCol.contains(c),
+        s"clusterBy column '$c' is already the partition column — " +
+          "directory routing clusters it for free")
+      QuirkCsv.writeClustering(dir, c)
+    }
     loadTable(ident)
   }
 
@@ -233,6 +245,9 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
         require(!partitionCol.exists(_.equalsIgnoreCase(from)),
           s"cannot rename partition column '$from': its physical name " +
             "is the value-directory layout on disk")
+        require(!QuirkCsv.readClustering(dir).exists(_.equalsIgnoreCase(from)),
+          s"cannot rename cluster column '$from': its physical name is " +
+            "recorded in the table's cluster marker")
         require(!reserved.exists(_.equalsIgnoreCase(to)),
           s"column name '$to' is reserved: it is (or once was) a " +
             "physical or logical column of this table")
@@ -250,6 +265,9 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
         require(!partitionCol.exists(_.equalsIgnoreCase(n)),
           s"cannot drop partition column '$n': it is the value-directory " +
             "layout on disk")
+        require(!QuirkCsv.readClustering(dir).exists(_.equalsIgnoreCase(n)),
+          s"cannot drop cluster column '$n': it drives the table's " +
+            "range-clustered write layout")
         require(logical.size > 1,
           s"cannot drop '$n': a table needs at least one column")
         val pi = physIdxOf(n)

@@ -72,7 +72,17 @@ private[graft] object QuirkCsvMaintenance {
     * (dataFilesBefore, dataFilesAfter). See the object doc for the
     * pin → fold → intent → swap protocol and its concurrency contract. */
   def compactCsv(spark: SparkSession, dir: String,
-                 numFiles: Int): (Long, Long) = {
+                 numFiles: Int): (Long, Long) =
+    compactCsv(spark, dir, numFiles, sortBy = None)
+
+  /** As [[compactCsv]], folding into RANGE-CLUSTERED files on `sortBy`
+    * (explicit, or auto-detected from the directory's — or, for a value
+    * subdir, the table root's — `_graft_cluster` marker): the folded
+    * files carry disjoint key ranges, so the rewritten sidecar prunes a
+    * selective probe to ONE file instead of every overlapping epoch
+    * file. `sortBy = Some(col)` forces; `None` auto-detects. */
+  def compactCsv(spark: SparkSession, dir: String, numFiles: Int,
+                 sortBy: Option[String]): (Long, Long) = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     // a PARTITIONED table root holds only the schema seed + value
     // subdirs: compacting it would fold the seed into a root "data"
@@ -90,7 +100,12 @@ private[graft] object QuirkCsvMaintenance {
     val pinned = dataFileNames(dir)
     val before = pinned.size.toLong
     if (pinned.isEmpty) return (0L, 0L)
-    compactPinned(spark, dir, pinned, numFiles)
+    val cluster = sortBy.orElse {
+      val d = new Path(dir)
+      QuirkCsv.readClustering(d)
+        .orElse(Option(d.getParent).flatMap(QuirkCsv.readClustering))
+    }
+    compactPinned(spark, dir, pinned, numFiles, cluster)
     (before, dataFileNames(dir).size.toLong)
   }
 
@@ -110,7 +125,8 @@ private[graft] object QuirkCsvMaintenance {
     * commit between the pin and the compaction and prove it survives. */
   private[graft] def compactPinned(spark: SparkSession, dir: String,
                                    pinned: Seq[String],
-                                   numFiles: Int): Unit = {
+                                   numFiles: Int,
+                                   sortBy: Option[String] = None): Unit = {
     val base = new Path(dir)
     val fs = base.getFileSystem(new Configuration())
     val tmp = new Path(base, TmpDirName)
@@ -119,11 +135,19 @@ private[graft] object QuirkCsvMaintenance {
     // discard it rather than fold it in as duplicate input
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // fold the pinned snapshot into the hidden tmp dir — reader- and
-    // sink-invisible until the intent below is durable
-    spark.read.format("graftcsv")
+    // sink-invisible until the intent below is durable. A cluster column
+    // folds RANGE-partitioned + sorted: disjoint per-file key ranges for
+    // the rewritten zone map to prune against.
+    val pinnedRead = spark.read.format("graftcsv")
       .option("pinnedFiles", QuirkCsv.encodePinned(pinned))
       .load(dir)
-      .repartition(numFiles)
+    val folded0 = sortBy match {
+      case Some(c) => pinnedRead
+        .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(c))
+        .sortWithinPartitions(c)
+      case None => pinnedRead.repartition(numFiles)
+    }
+    folded0
       .write.format("graftcsv").mode("append").save(tmp.toString)
     val folded = dataFileNames(tmp.toString)
     // intent first, so a crash anywhere below is COMPLETED by the next

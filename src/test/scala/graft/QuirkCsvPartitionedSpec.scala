@@ -328,4 +328,62 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
         if (r.isNullAt(2)) null else r.getString(2)))
     rows.toSeq shouldBe Seq(("1", "x", null), ("2", "y", "C2"))
   }
+
+  test("clusterBy table property: a single INSERT writes disjoint " +
+      "per-file key ranges inside each value dir") {
+    root
+    spark.sql("""CREATE TABLE graft_part.ns.cl (k STRING, p STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('clusterBy'='k')""")
+    // one INSERT, keys interleaved across partitions: the ordered
+    // distribution (p, k) range-shuffles, so a dir that spans several
+    // tasks gets several files with DISJOINT k ranges. (AQE would
+    // coalesce this toy write to one task — pin 4 so the dir spans
+    // range boundaries; at data volume the task count is natural.)
+    val priorC = spark.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val priorN = spark.conf.getOption("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.range(2000).selectExpr(
+        "lpad(CAST(id AS STRING), 6, '0') AS k",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p")
+        .writeTo("graft_part.ns.cl").append()
+    } finally {
+      priorC.fold(spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.enabled"))(
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", _))
+      priorN.fold(spark.conf.unset("spark.sql.shuffle.partitions"))(
+        spark.conf.set("spark.sql.shuffle.partitions", _))
+    }
+    val aDir = new java.io.File(s"$root/ns/cl/p=a")
+    val files = aDir.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    files.length should be >= 2 // several range tasks held p=a rows
+    val ranges = files.map { f =>
+      val ks = spark.read.format("graftcsv").load(f.getPath)
+        .collect().map(_.getString(0))
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // and a mid-range probe plans fewer splits than there are files
+    val probe = ranges(ranges.length / 2)._1
+    val hit = spark.read.format("graftcsv")
+      .option("partitionCol", "p").option("groupByPartition", "false")
+      .load(s"$root/ns/cl")
+      .filter(col("p") === "a" && col("k") === probe)
+    hit.rdd.getNumPartitions shouldBe 1
+    hit.count() shouldBe 1
+    // rejected: clustering by the partition column itself
+    val bad = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_part.ns.cl2 (k STRING, p STRING)
+        PARTITIONED BY (p) TBLPROPERTIES ('clusterBy'='p')""")
+    }
+    bad.getMessage should include("partition column")
+  }
 }

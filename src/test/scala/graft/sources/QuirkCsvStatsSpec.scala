@@ -100,4 +100,55 @@ class QuirkCsvStatsSpec extends SparkSpec {
     scanOf(opts, Array(EqualTo("k", "a"))).estimateStatistics()
       .numRows().isPresent shouldBe false
   }
+
+  test("pruned stats are LOAD-BEARING: the partition-filtered join side " +
+      "broadcasts, the unfiltered twin shuffles") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("qcsv_stats_b")
+      .toString
+    spark.conf.set("spark.sql.catalog.graft_sb",
+      classOf[QuirkCsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sb.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sb.ns")
+    spark.sql("""CREATE TABLE graft_sb.ns.t (k STRING, p STRING)
+      PARTITIONED BY (p)""")
+    // 4 same-sized partitions; threshold sits between one dir and total
+    (0 until 4).foreach { i =>
+      spark.range(200).selectExpr(
+        s"CAST(id + ${i * 1000} AS STRING) AS k", s"'p$i' AS p")
+        .writeTo("graft_sb.ns.t").append()
+    }
+    val dirs = new java.io.File(s"$root/ns/t").listFiles()
+      .filter(_.isDirectory)
+    def bytes(d: java.io.File): Long = d.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")).map(_.length()).sum
+    val one = bytes(dirs.find(_.getName == "p=p0").get)
+    val total = dirs.map(bytes).sum
+    val threshold = (one + total) / 2
+    def planOf(filtered: Boolean): String = {
+      val probe = spark.table("graft_sb.ns.t")
+        .select(col("k"), col("p").as("pp"))
+      val dim0 = spark.table("graft_sb.ns.t")
+      val dim = (if (filtered) dim0.filter(col("p") === "p0") else dim0)
+        .select(col("k"), col("p").as("dp"))
+      probe.join(dim, Seq("k")).queryExecution.executedPlan.toString
+    }
+    val priorT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val priorA = spark.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        threshold.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      planOf(filtered = true) should include("BroadcastHashJoin")
+      val twin = planOf(filtered = false)
+      twin should include("SortMergeJoin")
+      twin should not include "BroadcastHashJoin"
+    } finally {
+      priorT.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      priorA.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+        spark.conf.set("spark.sql.adaptive.enabled", _))
+    }
+  }
 }
