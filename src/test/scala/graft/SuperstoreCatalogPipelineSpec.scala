@@ -63,4 +63,44 @@ class SuperstoreCatalogPipelineSpec extends SparkSpec {
     west.count() shouldBe spark.read.format("graftcsv").load(csv)
       .filter(col("Region") === "West").count()
   }
+
+  test("fact.sales lands YEAR-partitioned; the idempotent re-load " +
+      "leaves every partition byte-identical; a new day touches one year") {
+    assume(available)
+    out
+    val landed = Pipeline.landFactPartitioned(spark, out.fact,
+      "graft_sstore")
+    landed.count() shouldBe 9986
+    // one value dir per order year, golden fact invariants intact
+    val tableDir = new java.io.File(new java.io.File(root, "fact"), "sales")
+    val years = tableDir.listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    years.toSeq shouldBe Seq("order_year=2014", "order_year=2015",
+      "order_year=2016", "order_year=2017")
+    landed.select("order_id", "order_line_no").distinct()
+      .count() shouldBe 9986
+    def snapshot(): Map[String, Set[(String, Long, Long)]] =
+      tableDir.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    val before = snapshot()
+    // re-landing the SAME batch is the reference's NOT EXISTS no-op:
+    // nothing is written, every partition stays byte-identical
+    Pipeline.landFactPartitioned(spark, out.fact, "graft_sstore")
+      .count() shouldBe 9986
+    snapshot() shouldBe before
+    // a new day (fabricated 2018 lines) appends ONLY its own year dir
+    val newDay = out.fact
+      .limit(5)
+      .withColumn("order_id", concat(lit("NEW-"), col("order_id")))
+      .withColumn("order_date_key", lit(20180105))
+    Pipeline.landFactPartitioned(spark, newDay, "graft_sstore")
+      .count() shouldBe 9991
+    val after = snapshot()
+    after.filterKeys(_ != "order_year=2018").toMap shouldBe before
+    after.keySet should contain("order_year=2018")
+  }
 }
