@@ -19,6 +19,11 @@ import org.apache.spark.sql.SparkSession
   * with (first, retry, committed) so ambient-load noise is
   * machine-distinguishable from a real regression. The stdout line
   * carries `n_outliers`.
+  *
+  * Cold-tail annotation: queries whose cold run is >2× their warm (by
+  * >1 s) are one-off-setup dominated (fixture/seed writes) and carry
+  * `seed_dominated: true` in the per-query artifact;
+  * `n_seed_dominated` rides the stdout line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -112,11 +117,25 @@ object Bench {
     val total = results.map(_._3).filter(_ >= 0).sum
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
     def r3(v: Double) = math.rint(v * 1000) / 1000
+    // Cold-tail annotation: a query whose cold run is >2x its warm (by
+    // >1 s) is dominated by one-off setup — a fixture/seed write, first
+    // catalog materialization — not by the operator it measures (q104's
+    // 17.6 s cold vs 2.1 s warm is its k-means fixture write). A true
+    // cold re-measure is impossible in-process (the JVM is warm), so the
+    // honest move is the machine-readable flag: a reader of BENCH_full
+    // can subtract the class instead of chasing phantom cold
+    // regressions. n_seed_dominated rides the stdout line.
+    def seedDominated(cold: Double, warm: Double): Boolean =
+      cold >= 0 && warm >= 0 && cold > 2 * warm && cold - warm > 1.0
+    val nSeedDominated =
+      results.count { case (_, c, w) => seedDominated(c, w) }
     // Full per-query detail goes to a FILE artifact, not stdout: at ~300
     // queries the per-query dict is >5 KB and overflows the driver's ~2 KB
     // log-tail capture, truncating whatever precedes it on the line.
     val qs = results.map { case (k, c, w) =>
-      s"""\"$k\":{"warm":${r3(w)},"cold":${r3(c)}}""" }.mkString("{", ",", "}")
+      val flag = if (seedDominated(c, w)) ""","seed_dominated":true""" else ""
+      s"""\"$k\":{"warm":${r3(w)},"cold":${r3(c)}$flag}""" }
+      .mkString("{", ",", "}")
     val outJson = outliers.map { case (k, (f, r, p)) =>
       s"""\"$k\":{"first":${r3(f)},"retry":${r3(r)},"committed":${r3(p)}}"""
     }.mkString("{", ",", "}")
@@ -138,6 +157,6 @@ object Bench {
     // stop() BEFORE the println: session shutdown can itself log lines, and
     // the totals line must be the absolute last output the driver tails.
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total_sec":${r3(coldTotal)},"n_queries":${results.size},"n_outliers":${outliers.size},"queries":$qsHead,"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total_sec":${r3(coldTotal)},"n_queries":${results.size},"n_outliers":${outliers.size},"n_seed_dominated":$nSeedDominated,"queries":$qsHead,"full":"$fullPath","sf":"$sfDir"}""")
   }
 }

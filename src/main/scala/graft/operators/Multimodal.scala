@@ -32,12 +32,30 @@ object Multimodal {
                                  mean: Double, std: Double, p_zero: Double)
   final case class Frame(media_id: Long, frame_no: Int, payload: Array[Byte])
 
-  /** DETERMINISTIC STUB for the native codec boundary. A real deployment
-    * replaces exactly these three functions with JNI/process bindings;
-    * nothing outside this object would change. */
-  object FakeCodec {
-    /** "Decode" a payload to raw bytes of the metadata-implied size. */
-    def decode(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
+  /** The native-codec SEAM: every byte-level media operation goes
+    * through exactly these three functions, and every operator below
+    * takes the codec as a parameter (default [[FakeCodec]]) — a real
+    * libjpeg/ffmpeg binding drops in outside this sandbox without
+    * touching the oracled Spark plumbing. Implementations must be
+    * Serializable: the codec rides into `mapPartitions` closures. */
+  trait MediaCodec extends Serializable {
+    /** Decode a payload to raw bytes of the metadata-implied size. */
+    def decode(payload: Array[Byte], meta: MediaMeta): Array[Byte]
+    /** Resize decoded bytes to the target dimensions. */
+    def resize(decoded: Array[Byte], from: MediaMeta, w: Int,
+               h: Int): Array[Byte]
+    /** Frame-sample a video payload. */
+    def sampleFrames(row: MediaRow, everyNth: Int): Iterator[Frame]
+  }
+
+  /** DETERMINISTIC STUB implementation of the [[MediaCodec]] seam (no
+    * image/audio libraries exist in this container): synthesizes
+    * pixel/sample bytes from a seeded hash of the payload, so every test
+    * is reproducible and the operator shape (batch in -> batch out,
+    * bounded memory per partition) is exactly what a real binding would
+    * drop into. */
+  object FakeCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
       val n = math.max(1, meta.width * meta.height * math.max(meta.channels, 1))
       val out = new Array[Byte](math.min(n, 1 << 16)) // cap for tests
       var h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
@@ -50,15 +68,15 @@ object Multimodal {
       out
     }
 
-    /** "Resize": deterministic stride subsample to the target dimensions. */
-    def resize(decoded: Array[Byte], from: MediaMeta, w: Int, h: Int): Array[Byte] = {
+    /** Deterministic stride subsample to the target dimensions. */
+    override def resize(decoded: Array[Byte], from: MediaMeta, w: Int, h: Int): Array[Byte] = {
       val target = math.max(1, w * h * math.max(from.channels, 1))
       val stride = math.max(1, decoded.length / target)
       decoded.indices.by(stride).take(target).map(decoded).toArray
     }
 
-    /** "Frame-sample" a video payload: one pseudo-frame per sampled index. */
-    def sampleFrames(row: MediaRow, everyNth: Int): Iterator[Frame] = {
+    /** One pseudo-frame per sampled index. */
+    override def sampleFrames(row: MediaRow, everyNth: Int): Iterator[Frame] = {
       val fps = 25
       val nFrames = math.max(1, (row.meta.durationMs * fps / 1000).toInt)
       Iterator.range(0, nFrames, everyNth).map { f =>
@@ -105,11 +123,12 @@ object Multimodal {
     * and only converted to double at the end, so the result is independent
     * of summation order AND reproducible bit-for-bit by any engine that can
     * run the LCG — which is what makes the q55 DuckDB oracle possible. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+                      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = FakeCodec.decode(r.payload, r.meta)
+        val bytes = codec.decode(r.payload, r.meta)
         val n = bytes.length
         var s = 0L; var sq = 0L; var z = 0L
         var i = 0
@@ -141,12 +160,13 @@ object Multimodal {
     *
     * Emits `(media_id, kind, n_bytes, phash)`; runs at the codec
     * boundary (partition-batched, like [[extractFeatures]]). */
-  def perceptualHash(media: Dataset[MediaRow], blocks: Int = 64): DataFrame = {
+  def perceptualHash(media: Dataset[MediaRow], blocks: Int = 64,
+                     codec: MediaCodec = FakeCodec): DataFrame = {
     require(blocks >= 1 && blocks <= 64, s"blocks must be in 1..64, got $blocks")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = FakeCodec.decode(r.payload, r.meta)
+        val bytes = codec.decode(r.payload, r.meta)
         val n = bytes.length
         val bSum = new Array[Long](blocks)
         val bLen = new Array[Long](blocks)
@@ -170,23 +190,25 @@ object Multimodal {
   }
 
   /** Resize images to a thumbnail; non-images pass through untouched. */
-  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int,
+                   codec: MediaCodec = FakeCodec): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
       if (r.kind != "image") r
       else {
-        val decoded = FakeCodec.decode(r.payload, r.meta)
-        r.copy(payload = FakeCodec.resize(decoded, r.meta, w, h),
+        val decoded = codec.decode(r.payload, r.meta)
+        r.copy(payload = codec.resize(decoded, r.meta, w, h),
           meta = r.meta.copy(width = w, height = h))
       }
     })
   }
 
   /** Explode videos into sampled frames (row-expanding, partition-local). */
-  def sampleVideoFrames(media: Dataset[MediaRow], everyNth: Int): Dataset[Frame] = {
+  def sampleVideoFrames(media: Dataset[MediaRow], everyNth: Int,
+                        codec: MediaCodec = FakeCodec): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video")
-      .mapPartitions(_.flatMap(r => FakeCodec.sampleFrames(r, everyNth)))
+      .mapPartitions(_.flatMap(r => codec.sampleFrames(r, everyNth)))
   }
 
   /** Metadata-only scan: must never deserialize payload bytes (column

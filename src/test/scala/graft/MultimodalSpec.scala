@@ -106,4 +106,42 @@ class MultimodalSpec extends SparkSpec {
     pairs.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
       r.getAs[Int]("hamming"))).toSeq shouldBe Seq((1L, 2L, 0))
   }
+
+  test("the MediaCodec seam: an alternate codec drops in without " +
+      "touching the plumbing; the default stays FakeCodec") {
+    assume(available)
+    // constant-byte codec: every decoded byte is 7 — distinguishable from
+    // FakeCodec's hash avalanche in every downstream statistic
+    object ConstCodec extends Multimodal.MediaCodec {
+      override def decode(payload: Array[Byte],
+                          meta: MediaMeta): Array[Byte] =
+        Array.fill(FakeCodec.decode(payload, meta).length)(7.toByte)
+      override def resize(decoded: Array[Byte], from: MediaMeta,
+                          w: Int, h: Int): Array[Byte] =
+        FakeCodec.resize(decoded, from, w, h)
+      override def sampleFrames(row: Multimodal.MediaRow,
+                                everyNth: Int): Iterator[Multimodal.Frame] =
+        FakeCodec.sampleFrames(row, everyNth).map(f =>
+          f.copy(payload = Array.fill(f.payload.length)(7.toByte)))
+    }
+    val sample = media.limit(30)
+    // same byte counts (metadata-implied size), different content stats
+    val const = Multimodal.extractFeatures(sample, ConstCodec)
+      .orderBy("media_id").collect()
+    val fake = Multimodal.extractFeatures(sample)
+      .orderBy("media_id").collect()
+    const.map(_.n_bytes).toSeq shouldBe fake.map(_.n_bytes).toSeq
+    all(const.map(_.mean)) shouldBe 7.0
+    all(const.map(_.std)) shouldBe 0.0
+    fake.map(_.mean).toSet.size should be > 1
+    // a constant stream sets no phash bit (no block exceeds the mean)
+    Multimodal.perceptualHash(sample, codec = ConstCodec).collect()
+      .foreach(_.getAs[Long]("phash") shouldBe 0L)
+    // frame sampling routes through the seam too
+    val frames = Multimodal.sampleVideoFrames(
+      sample.filter(col("kind") === "video").limit(2), everyNth = 20,
+      codec = ConstCodec).collect()
+    frames should not be empty
+    frames.foreach(_.payload.forall(_ == 7.toByte) shouldBe true)
+  }
 }
