@@ -42,12 +42,17 @@ object R15Queries {
       val served = graft.operators.IvfIndex.topK(s, "graft_r15", "q351",
         "ann", e, "vec_id", "embedding", col("vec_id") < 10,
         k = 3, nprobe = 2).localCheckpoint()
+      // the twin feeds STRING ids so its rank tie-breaks use the same
+      // (string) order as the index's persisted keys — on fixtures with
+      // duplicated embeddings (the 100x probe) exact cosine ties are
+      // everywhere and a long-vs-string n_id order would diverge
+      val es = e.select(col("vec_id").cast("string").as("vec_id"),
+        col("embedding"))
       val inMem = graft.operators.Similarity.ivfTopK(
-          e, "vec_id", "embedding", col("vec_id") < 10,
+          es, "vec_id", "embedding", col("vec_id").cast("long") < 10,
           graft.operators.IvfIndex.centroids(s, "graft_r15", "q351", "ann"),
           k = 3, nprobe = 2)
-        .select(col("q_id").cast("string"), col("n_id").cast("string"),
-          col("cosine"), col("rank"))
+        .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
       require(served.exceptAll(inMem).isEmpty &&
         inMem.exceptAll(served).isEmpty,
         "index-served top-k must equal the in-memory ivfTopK over the " +
