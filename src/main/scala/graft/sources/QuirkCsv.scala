@@ -2911,17 +2911,41 @@ private[sources] object QuirkCsv {
     require(fs.rename(tmp, dst), s"schema map swap $tmp -> $dst failed")
   }
 
+  // journal memo keyed by directory, validated by the journal file's
+  // (len, mtime): planning paths call schemaMapFor several times per
+  // query (inferSchema, pruning, reader factories, write build) and the
+  // journal is immutable between ALTERs — one getFileStatus replaces an
+  // open+parse per call. Absence is cached as (-1,-1).
+  private val schemaMapMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Option[QuirkCsvSchemaMap])]()
+
   /** The journal governing `options`' path (table root; a file path
-    * resolves through its parent, same as zone maps). */
+    * resolves through its parent, same as zone maps).
+    * `ignoreSchemaMap=true` (the compaction fold's option) bypasses it:
+    * the fold must read and write the FROZEN PHYSICAL layout, or
+    * swapped-in folded files would be positionally mis-read through the
+    * very journal that described the originals. */
   def schemaMapFor(options: CaseInsensitiveStringMap)
   : Option[QuirkCsvSchemaMap] = {
+    if (options.getBoolean("ignoreSchemaMap", false)) return None
     val raw = options.get("path")
     if (raw == null || raw.isEmpty) return None
     val base = new Path(raw)
     val fs = base.getFileSystem(new Configuration())
     if (!fs.exists(base)) return None
     val dir = if (fs.getFileStatus(base).isDirectory) base else base.getParent
-    loadSchemaMap(dir.toString)
+    val p = new Path(dir, SchemaMapFile)
+    val key = (if (fs.exists(p)) {
+      val st = fs.getFileStatus(p)
+      (st.getLen, st.getModificationTime)
+    } else (-1L, -1L))
+    val cached = schemaMapMemo.get(dir.toString)
+    if (cached != null && cached._1 == key._1 && cached._2 == key._2)
+      return cached._3
+    val loaded =
+      if (key._1 < 0) None else loadSchemaMap(dir.toString)
+    schemaMapMemo.put(dir.toString, (key._1, key._2, loaded))
+    loaded
   }
 
   /** Reader-side positional names: logical names at their physical
@@ -3535,9 +3559,15 @@ private[sources] object QuirkCsv {
     // sidecar fast paths (metadata aggregates, exact planner row counts)
     // for every UNPARTITIONED catalog table, whose file listing keeps the
     // root seed (partitioned tables drop it via prunePartitions).
-    // Skipping them is exact: a zero-row file contributes nothing to any
-    // COUNT/MIN/MAX.
-    files.filterNot(f => new Path(f.path).getName.startsWith("part-seed-"))
+    // Skipping them is exact ONLY for a genuinely header-only file, so
+    // the exemption VERIFIES it (first line + terminator == whole file);
+    // a data-bearing file that merely wears the seed name falls back to
+    // requiring an entry — i.e. the conservative scan — instead of its
+    // rows silently vanishing from a metadata-served aggregate.
+    files.filterNot { f =>
+      new Path(f.path).getName.startsWith("part-seed-") &&
+        f.len <= readFirstLine(f.path, f.len).length + 2
+    }
       .groupBy(f => new Path(f.path).getParent.toString)
       .foreach { case (dir, fs) =>
         val zm = loadZoneMap(dir)

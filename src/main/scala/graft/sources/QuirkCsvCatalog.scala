@@ -137,6 +137,17 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
           s"([A-Za-z0-9_]+); '${f.name}' would not survive the header " +
           "round-trip")
     }
+    // validate EVERYTHING before the first filesystem mutation: a failed
+    // CREATE must not leave a ghost table directory behind (isTableDir
+    // would be true, making the corrected retry throw AlreadyExists)
+    val clusterBy = Option(properties.get("clusterBy")).filter(_.nonEmpty)
+    clusterBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"clusterBy column '$c' is not in the table schema")
+      require(!partitionCol.contains(c),
+        s"clusterBy column '$c' is already the partition column — " +
+          "directory routing clusters it for free")
+    }
     val dir = tableDir(ident)
     if (fs.exists(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
@@ -150,15 +161,8 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     partitionCol.foreach(c => QuirkCsv.writePartitioning(dir, c))
     // TBLPROPERTIES('clusterBy'='col'): writes range-layout the cluster
     // column so per-(value-)dir zone maps prune selective probes to the
-    // one covering file (see QuirkCsv.ClusterFile)
-    Option(properties.get("clusterBy")).filter(_.nonEmpty).foreach { c =>
-      require(schema.fieldNames.contains(c),
-        s"clusterBy column '$c' is not in the table schema")
-      require(!partitionCol.contains(c),
-        s"clusterBy column '$c' is already the partition column — " +
-          "directory routing clusters it for free")
-      QuirkCsv.writeClustering(dir, c)
-    }
+    // one covering file (see QuirkCsv.ClusterFile); validated above
+    clusterBy.foreach(c => QuirkCsv.writeClustering(dir, c))
     loadTable(ident)
   }
 

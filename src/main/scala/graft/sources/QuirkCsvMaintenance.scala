@@ -138,8 +138,15 @@ private[graft] object QuirkCsvMaintenance {
     // sink-invisible until the intent below is durable. A cluster column
     // folds RANGE-partitioned + sorted: disjoint per-file key ranges for
     // the rewritten zone map to prune against.
+    // ignoreSchemaMap: a RENAME/DROP-journaled dir must fold in its
+    // FROZEN PHYSICAL layout (physical header, dropped columns carried
+    // through, stats keyed by physical names) — reading logically and
+    // writing journal-less tmp files would swap in files the journal
+    // then positionally mis-reads (dropped positions shift every later
+    // column; sidecar keys go logical and stop serving).
     val pinnedRead = spark.read.format("graftcsv")
       .option("pinnedFiles", QuirkCsv.encodePinned(pinned))
+      .option("ignoreSchemaMap", "true")
       .load(dir)
     val folded0 = sortBy match {
       case Some(c) => pinnedRead

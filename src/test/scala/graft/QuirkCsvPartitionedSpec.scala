@@ -379,11 +379,18 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
       .filter(col("p") === "a" && col("k") === probe)
     hit.rdd.getNumPartitions shouldBe 1
     hit.count() shouldBe 1
-    // rejected: clustering by the partition column itself
+    // rejected: clustering by the partition column itself — and the
+    // failed CREATE leaves NO ghost directory, so the corrected retry
+    // succeeds instead of throwing AlreadyExists
     val bad = intercept[Exception] {
       spark.sql("""CREATE TABLE graft_part.ns.cl2 (k STRING, p STRING)
         PARTITIONED BY (p) TBLPROPERTIES ('clusterBy'='p')""")
     }
     bad.getMessage should include("partition column")
+    new java.io.File(s"$root/ns/cl2").exists() shouldBe false
+    spark.sql("""CREATE TABLE graft_part.ns.cl2 (k STRING, p STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('clusterBy'='k')""")
+    spark.sql("INSERT INTO graft_part.ns.cl2 VALUES ('1','a')")
+    spark.table("graft_part.ns.cl2").count() shouldBe 1L
   }
 }

@@ -196,6 +196,55 @@ class QuirkCsvSchemaEvolutionSpec extends SparkSpec {
       (r.getString(0), r.getString(1))).toSeq shouldBe Seq(("1", "p"))
   }
 
+  test("compaction of a RENAME/DROP-journaled table folds the FROZEN " +
+      "physical layout — values stay correct, stats keep serving") {
+    root
+    spark.sql("CREATE TABLE graft_evo.ns.cp (a STRING, b STRING, c STRING)")
+    spark.sql("INSERT INTO graft_evo.ns.cp VALUES ('1','x','p')")
+    spark.sql("INSERT INTO graft_evo.ns.cp VALUES ('2','y','q')")
+    spark.sql("ALTER TABLE graft_evo.ns.cp DROP COLUMN b")
+    spark.sql("ALTER TABLE graft_evo.ns.cp RENAME COLUMN c TO cc")
+    val dir = s"$root/ns/cp"
+    // the fold must read+write the physical layout: a logical fold would
+    // swap in 2-field files the journal then positionally mis-reads
+    // (cc at physical index 2 would read NULL / a later column's values)
+    graft.operators.Scale.compactCsv(spark, dir, numFiles = 1)
+    spark.sql("SELECT a, cc FROM graft_evo.ns.cp ORDER BY a")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("1", "p"), ("2", "q"))
+    // folded files carry PHYSICAL headers (a,b,c) so any generation mix
+    // keeps reading; and their sidecar stats are keyed physically, so
+    // the metadata-only aggregate still engages under the renamed name
+    val agg = spark.table("graft_evo.ns.cp")
+      .agg(min(col("cc")).as("lo"), max(col("cc")).as("hi"))
+    agg.queryExecution.executedPlan.toString should
+      include("MetadataOnlyAggregate: true")
+    agg.collect().head.toSeq shouldBe Seq("p", "q")
+    // post-compaction writes still mix fine
+    spark.sql("INSERT INTO graft_evo.ns.cp VALUES ('3','r')")
+    spark.sql("SELECT a, cc FROM graft_evo.ns.cp ORDER BY a")
+      .collect().map(_.getString(1)).toSeq shouldBe Seq("p", "q", "r")
+  }
+
+  test("a data-bearing file wearing the seed name falls back to the " +
+      "scan, never silently vanishing from a metadata aggregate") {
+    root
+    spark.sql("CREATE TABLE graft_evo.ns.sd (k STRING)")
+    spark.sql("INSERT INTO graft_evo.ns.sd VALUES ('a'), ('b')")
+    // smuggle data rows into a seed-named file (out-of-contract)
+    val rogue = new java.io.File(s"$root/ns/sd/part-seed-00099.csv")
+    val w = new java.io.PrintWriter(rogue, "ISO-8859-1")
+    w.print("k\r\nz1\r\nz2\r\n"); w.close()
+    val agg = spark.table("graft_evo.ns.sd")
+      .agg(count(lit(1)).as("n"), max(col("k")).as("hi"))
+    // the header-only verification rejects the exemption -> no sidecar
+    // entry for the rogue file -> metadata path bails to the scan, which
+    // reads the rogue rows (the seed-named file IS still scanned)
+    agg.queryExecution.executedPlan.toString should
+      not include "MetadataOnlyAggregate"
+    agg.collect().head.toSeq shouldBe Seq(4L, "z2")
+  }
+
   test("partition column can be neither renamed nor dropped") {
     root
     spark.sql("""CREATE TABLE graft_evo.ns.pc (id STRING, day STRING)

@@ -65,7 +65,10 @@ def main():
             failures += 1
             continue
         if since_recycle >= RECYCLE:
-            con.close()
+            try:
+                con.close()
+            except Exception:
+                pass  # a wedged connection must not abort the gate
             con = fresh_con(sf_dir)
             since_recycle = 0
         since_recycle += 1
@@ -86,7 +89,25 @@ def main():
                 print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")
                 failures += 1
                 continue
-        spark = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+        # the spark-output read shares the connection's process state —
+        # protect it with the same fresh-connection retry as the oracle
+        # query, or late-run mmap exhaustion aborts the remaining gate
+        try:
+            spark = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+        except Exception:
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con(sf_dir)
+            since_recycle = 1
+            try:
+                duck = con.sql(oracle[name]).df()
+                spark = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+            except Exception as e:
+                print(f"FAIL {name}: read error: {str(e)[:200]}")
+                failures += 1
+                continue
         dh, drows = canon(duck)
         sh, srows = canon(spark)
         if len(drows) != len(srows):
