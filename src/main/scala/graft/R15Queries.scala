@@ -260,7 +260,8 @@ object R15Queries {
       val root = s.conf.get("spark.sql.catalog.graft_r15.root")
       Seq("nat", "clu").foreach { t =>
         new java.io.File(s"$root/q354/$t").listFiles()
-          .filter(_.isDirectory).map(_.toString).sorted.foreach { vd =>
+          .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+          .map(_.toString).sorted.foreach { vd =>
             // sortBy=None auto-detects the table root's cluster marker:
             // clu folds range-partitioned, nat folds hash-partitioned
             graft.operators.Scale.compactCsvClustered(s, vd, numFiles = 3,

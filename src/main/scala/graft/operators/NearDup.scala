@@ -181,10 +181,12 @@ object NearDup {
     base.select(col("doc_id") +: sigs: _*)
   }
 
-  /** LSH banding: distinct candidate pairs sharing at least one band key. */
-  def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int = 3, numHashes: Int = 12,
-                           bandSize: Int = 3): DataFrame = {
+  /** LSH band keys per doc: `(doc_id, band_id, band_key)` — the banding
+    * HALF of [[minHashLshCandidates]], exposed so an index can persist
+    * it (see [[NearDupIndex]]) and stay definitionally identical to the
+    * in-memory pairing. */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String,
+               shingleN: Int, numHashes: Int, bandSize: Int): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must divide into bands")
     val sig = withMinHashSignature(docs, idCol, textCol, shingleN, numHashes)
     val numBands = numHashes / bandSize
@@ -194,8 +196,16 @@ object NearDup {
           (0 until bandSize).map(k => col(s"sig_${b * bandSize + k}")): _*))
           .as("band_key"))
     }
-    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+  }
+
+  /** LSH banding: distinct candidate pairs sharing at least one band key. */
+  def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, numHashes: Int = 12,
+                           bandSize: Int = 3): DataFrame = {
+    val exploded = bandKeys(docs, idCol, textCol, shingleN, numHashes,
+      bandSize)
     exploded.as("x").join(exploded.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_key") === col("y.band_key") &&

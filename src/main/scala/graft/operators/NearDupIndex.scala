@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH near-dup index as a MAINTAINED CATALOG ARTIFACT — the
+  * dedup tier's "index as a table", the exact sibling of [[IvfIndex]]
+  * for text: band keys persist per ingest batch, a NEW batch is banded
+  * with one scan of its own documents and joined against the persisted
+  * bands, so the daily question of a training-data pipeline — "which of
+  * today's documents near-duplicate anything we already hold?" — never
+  * re-shingles, re-hashes, or re-pairs the historical corpus.
+  *
+  * Layout (all-string raw layer):
+  *  - `<name>_bands (doc_id, band_id, band_key, batch)` PARTITIONED BY
+  *    (batch): ~numBands rows per document, orders of magnitude smaller
+  *    than the text. Each ingest batch is one partition — re-running a
+  *    re-delivered batch is a dynamic-partition overwrite (idempotent,
+  *    can never touch other batches), retention is DROP PARTITION, and
+  *    [[candidatePairsFor]]'s `batch = '<b>'` filter prunes to one value
+  *    directory before any data is read.
+  *  - `<name>_meta (key, value)`: the banding parameters (shingleN,
+  *    numHashes, bandSize) are pinned at [[build]] and re-read by every
+  *    later operation — band keys from drifted parameters would silently
+  *    never collide, so callers cannot pass them again.
+  *
+  * Banding is [[NearDup.bandKeys]] — the SAME definition the in-memory
+  * [[NearDup.minHashLshCandidates]] pairs on (md5 min-hashing, so
+  * signatures are deterministic and the DuckDB oracle can replay them).
+  * Pair ids canonicalize by STRING order (least/greatest on the
+  * persisted keys): one tie-break key type end to end, the q351 lesson.
+  *
+  * At 100 TB: the index holds band keys only; [[indexBatch]] scans just
+  * the new documents; [[candidatePairsFor]] shuffles the new batch's
+  * bands (small) against the band table keyed on (band_id, band_key) —
+  * at cluster scale that table would be bucketed on band_key so the
+  * daily join co-locates without a full shuffle; candidate pairs then
+  * feed an EXACT verifier (n-gram Jaccard) over only the paired docs. */
+object NearDupIndex {
+
+  private def bandsTbl(cat: String, ns: String, name: String) =
+    s"$cat.$ns.${name}_bands"
+  private def metaTbl(cat: String, ns: String, name: String) =
+    s"$cat.$ns.${name}_meta"
+
+  /** Create the index tables, pin the banding parameters, and band the
+    * base corpus as partition `baseBatch`. Drops any previous index of
+    * this name — the re-band path when parameters must change. */
+  def build(spark: SparkSession, cat: String, ns: String, name: String,
+            corpus: DataFrame, idCol: String, textCol: String,
+            shingleN: Int = 3, numHashes: Int = 12, bandSize: Int = 3,
+            baseBatch: String = "base"): Unit = {
+    require(shingleN >= 1 && numHashes >= 1 && bandSize >= 1 &&
+      numHashes % bandSize == 0,
+      s"invalid banding ($shingleN, $numHashes, $bandSize): shingleN, " +
+        "numHashes, bandSize must be >= 1 and numHashes a multiple of " +
+        "bandSize")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS ${bandsTbl(cat, ns, name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${metaTbl(cat, ns, name)}")
+    spark.sql(s"""CREATE TABLE ${bandsTbl(cat, ns, name)}
+      (doc_id STRING, band_id STRING, band_key STRING, batch STRING)
+      PARTITIONED BY (batch)""")
+    spark.sql(s"""CREATE TABLE ${metaTbl(cat, ns, name)}
+      (key STRING, value STRING)""")
+    import spark.implicits._
+    Seq("shingleN" -> shingleN, "numHashes" -> numHashes,
+      "bandSize" -> bandSize)
+      .map { case (k, v) => (k, v.toString) }.toDF("key", "value")
+      .writeTo(metaTbl(cat, ns, name)).append()
+    indexBatch(spark, cat, ns, name, corpus, idCol, textCol, baseBatch)
+  }
+
+  /** The pinned banding parameters (shingleN, numHashes, bandSize). */
+  def params(spark: SparkSession, cat: String, ns: String,
+             name: String): (Int, Int, Int) = {
+    val m = spark.table(metaTbl(cat, ns, name))
+      .collect().map(r => r.getString(0) -> r.getString(1).toInt).toMap
+    (m("shingleN"), m("numHashes"), m("bandSize"))
+  }
+
+  /** Incremental maintenance: band ONLY `docs` (under the index's pinned
+    * parameters) and land them as partition `batch` via dynamic-partition
+    * overwrite — a re-delivered batch is idempotent and can never touch
+    * other batches' files. The existing bands are neither read nor
+    * rewritten. */
+  def indexBatch(spark: SparkSession, cat: String, ns: String, name: String,
+                 docs: DataFrame, idCol: String, textCol: String,
+                 batch: String): Unit = {
+    require(batch != null && batch.nonEmpty, "batch label must be non-empty")
+    val (sn, nh, bs) = params(spark, cat, ns, name)
+    NearDup.bandKeys(docs, idCol, textCol, sn, nh, bs)
+      .select(col("doc_id").cast("string"),
+        col("band_id").cast("string"), col("band_key"),
+        lit(batch).as("batch"))
+      .writeTo(bandsTbl(cat, ns, name)).overwritePartitions()
+  }
+
+  /** The maintained band table, straight off the catalog. */
+  def bands(spark: SparkSession, cat: String, ns: String,
+            name: String): DataFrame =
+    spark.table(bandsTbl(cat, ns, name))
+
+  /** Candidate near-dup pairs TOUCHING `batch`: the batch's bands
+    * (partition-pruned — one value directory) joined against the whole
+    * persisted band table on the band key, ids canonicalized by string
+    * order, de-duplicated. Covers new-vs-corpus AND new-vs-new pairs —
+    * exactly the increment of [[NearDup.minHashLshCandidates]] over the
+    * union corpus, without recomputing anything for prior batches. */
+  def candidatePairsFor(spark: SparkSession, cat: String, ns: String,
+                        name: String, batch: String): DataFrame = {
+    val all = bands(spark, cat, ns, name)
+    val fresh = all.filter(col("batch") === batch)
+      .select(col("doc_id"), col("band_id"), col("band_key"))
+    fresh.as("x").join(all.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      .distinct()
+  }
+
+  /** All candidate pairs over every indexed batch — definitionally the
+    * in-memory pairing over the union corpus (string-id order). */
+  def allCandidatePairs(spark: SparkSession, cat: String, ns: String,
+                        name: String): DataFrame = {
+    val all = bands(spark, cat, ns, name)
+      .select(col("doc_id"), col("band_id"), col("band_key"))
+    all.as("x").join(all.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Batch retention: the partition drops in one metadata statement. */
+  def dropBatch(spark: SparkSession, cat: String, ns: String, name: String,
+                batch: String): Unit =
+    spark.sql(s"ALTER TABLE ${bandsTbl(cat, ns, name)} " +
+      s"DROP PARTITION (batch='$batch')")
+}

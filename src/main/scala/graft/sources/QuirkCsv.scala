@@ -238,14 +238,19 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     val c = requirePartitioned()
     val fs = tableRoot.getFileSystem(new Configuration())
     if (!fs.exists(tableRoot)) return
-    fs.listStatus(tableRoot).toIndexedSeq
+    val matched = fs.listStatus(tableRoot).toIndexedSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(c + "="))
-      .foreach { st =>
+      .filter { st =>
         val v = QuirkCsv.decodePartitionDirValue(
           st.getPath.getName.substring(c.length + 1))
-        if (filters.forall(QuirkCsv.eval(_, v)))
-          fs.delete(st.getPath, true)
+        filters.forall(QuirkCsv.eval(_, v))
       }
+    // versioned: the delete stays metadata-only — ONE rename per value
+    // directory into the attic (sidecar travels along), one log entry
+    if (QuirkCsvVersions.isVersioned(fs, tableRoot))
+      QuirkCsvVersions.commit(fs, tableRoot, "delete", Nil, Nil,
+        matched.map(_.getPath))
+    else matched.foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Whole-table row removal: `TRUNCATE TABLE t` AND `DELETE FROM t`
@@ -263,20 +268,27 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
   override def truncateTable(): Boolean = {
     val fs = tableRoot.getFileSystem(new Configuration())
     if (!fs.exists(tableRoot)) return true
+    val versioned = QuirkCsvVersions.isVersioned(fs, tableRoot)
     partitionColOpt match {
       case Some(c) =>
-        fs.listStatus(tableRoot).toIndexedSeq
+        val dirs = fs.listStatus(tableRoot).toIndexedSeq
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith(c + "="))
-          .foreach(st => fs.delete(st.getPath, true))
+        if (versioned)
+          QuirkCsvVersions.commit(fs, tableRoot, "truncate", Nil, Nil,
+            dirs.map(_.getPath))
+        else dirs.foreach(st => fs.delete(st.getPath, true))
       case None =>
-        fs.listStatus(tableRoot).toIndexedSeq
+        val files = fs.listStatus(tableRoot).toIndexedSeq
           .filter { st =>
             val n = st.getPath.getName
             st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
               !n.startsWith("part-seed-")
           }
-          .foreach(st => fs.delete(st.getPath, false))
+        if (versioned)
+          QuirkCsvVersions.commit(fs, tableRoot, "truncate", Nil,
+            files.map(_.getPath))
+        else files.foreach(st => fs.delete(st.getPath, false))
         val zm = new Path(tableRoot, QuirkCsv.ZoneMapFile)
         if (fs.exists(zm)) fs.delete(zm, false)
     }
@@ -345,7 +357,12 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
   override def dropPartition(ident: InternalRow): Boolean = {
     val dir = partDir(ident)
     val fs = dir.getFileSystem(new Configuration())
-    fs.exists(dir) && fs.delete(dir, true)
+    if (!fs.exists(dir)) return false
+    if (QuirkCsvVersions.isVersioned(fs, tableRoot)) {
+      QuirkCsvVersions.commit(fs, tableRoot, "dropPartition", Nil, Nil,
+        Seq(dir))
+      true
+    } else fs.delete(dir, true)
   }
 
   override def partitionExists(ident: InternalRow): Boolean = {
@@ -902,9 +919,15 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-  : MicroBatchStream =
+  : MicroBatchStream = {
+    // a snapshot is a CLOSED set — "streaming the past" would emit one
+    // batch and hang; loud rejection beats a silently-stuck query
+    require({ val v = options.get("asOfVersion"); v == null || v.isEmpty },
+      "graftcsv snapshot reads (VERSION/TIMESTAMP AS OF) are batch-only — " +
+        "stream the current table instead")
     new QuirkCsvMicroBatchStream(fullSchema, required, filters, options,
       maxSplit, header, excelCompat, checkpointLocation)
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     if (grouped) groupedPartitions
@@ -2126,6 +2149,11 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
   }
 
   override def build(): Write = {
+    // a table handle loaded VERSION/TIMESTAMP AS OF is a read-only view
+    // of history — writing "into the past" has no meaning
+    require({ val v = options.get("asOfVersion"); v == null || v.isEmpty },
+      "graftcsv snapshot reads (VERSION/TIMESTAMP AS OF) are read-only — " +
+        "write through the current table instead")
     schema.fields.foreach { f =>
       require(f.dataType == StringType,
         s"graftcsv writes the all-string raw layer; column '${f.name}' " +
@@ -2166,9 +2194,20 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
     clusterBy.foreach(c => require(schema.fieldNames.contains(c),
       s"clustered write is missing cluster column '$c' in " +
         s"(${schema.fieldNames.mkString(", ")})"))
+    // bloomCols names are CREATE-time (= physical) names by contract —
+    // the marker predates any rename and writers key stats physically
+    val bloomCols = Option(options.get("bloomCols")).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
+    bloomCols.foreach(c => require(physCols.contains(c),
+      s"bloom column '$c' is not a physical column of " +
+        s"(${physCols.mkString(", ")})"))
+    val bloomBits = options.getInt("bloomBits", QuirkCsvBloom.DefaultBits)
+    require(bloomBits >= 64 && bloomBits % 64 == 0 && bloomBits <= (1 << 24),
+      s"bloomBits must be a multiple of 64 in [64, ${1 << 24}], got " +
+        s"$bloomBits")
     new QuirkCsvWrite(path, physCols, mode,
       QuirkCsv.headerOpt(options), queryId, partitionCol, srcIdx,
-      clusterBy)
+      clusterBy, bloomCols, bloomBits)
   }
 }
 
@@ -2177,7 +2216,10 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
                                      queryId: String,
                                      partitionCol: Option[String] = None,
                                      srcIdx: Array[Int] = null,
-                                     clusterBy: Option[String] = None)
+                                     clusterBy: Option[String] = None,
+                                     bloomCols: Array[String] = Array.empty,
+                                     bloomBits: Int =
+                                       QuirkCsvBloom.DefaultBits)
   extends Write with BatchWrite with StreamingWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -2279,22 +2321,33 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
   : DataWriterFactory = partitionCol match {
     case Some(c) =>
       new QuirkCsvPartitionedWriterFactory(path, columns, header,
-        java.util.UUID.randomUUID().toString, c, partitionRowIdx(c), src)
+        java.util.UUID.randomUUID().toString, c, partitionRowIdx(c), src,
+        bloomCols, bloomBits)
     case None =>
       new QuirkCsvWriterFactory(path, columns, header,
-        java.util.UUID.randomUUID().toString, src)
+        java.util.UUID.randomUUID().toString, src, bloomCols, bloomBits)
   }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
   : StreamingDataWriterFactory = partitionCol match {
     case Some(c) =>
       new QuirkCsvPartitionedStreamingWriterFactory(path, columns, header,
-        queryId, c, partitionRowIdx(c), src)
+        queryId, c, partitionRowIdx(c), src, bloomCols, bloomBits)
     case None =>
-      new QuirkCsvStreamingWriterFactory(path, columns, header, queryId, src)
+      new QuirkCsvStreamingWriterFactory(path, columns, header, queryId, src,
+        bloomCols, bloomBits)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  /** The action label a versioned table's log records for this write. */
+  private def versionAction: String = mode match {
+    case QuirkCsvWriteMode.Append => "append"
+    case QuirkCsvWriteMode.Truncate => "overwrite"
+    case QuirkCsvWriteMode.OverwriteWhere(_) => "overwriteWhere"
+    case QuirkCsvWriteMode.DynamicPartitions => "dynamicOverwrite"
+    case QuirkCsvWriteMode.ReplaceScanned(_) => "replaceRows"
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // Zone-map sidecars: per-file min/max/null stats gathered by the
     // writers, keyed by file name + (len, mtime) (the staleness guard),
     // written AFTER the data files are final so a reader never sees
@@ -2306,24 +2359,52 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     // within a dir names are unique, and directory pruning already
     // handles partition-column predicates: the per-dir maps let filters
     // on NON-partition columns skip files inside surviving partitions.
-    // Merged after the mode's deletions so replaced files' entries drop
+    // Merged after the mode's disposals so replaced files' entries drop
     // out via the exists filter.
+    //
+    // VERSIONED tables (catalog marker): files this commit replaces are
+    // RETIRED — moved to the attic by the version commit below — instead
+    // of deleted, and the commit appends one version-log entry (adds +
+    // retirements) so the pre-write state stays readable via VERSION AS
+    // OF. Unversioned (raw-path) directories dispose physically, exactly
+    // as before.
+    val root = new Path(path)
+    val rootFs = root.getFileSystem(new Configuration())
+    val versioned = QuirkCsvVersions.isVersioned(rootFs, root)
+    val retired = ArrayBuffer.empty[Path]
+    val dispose: Path => Unit =
+      if (versioned) (p => retired += p)
+      else (p => p.getFileSystem(new Configuration()).delete(p, false))
     partitionCol match {
       case None =>
-        mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
-          dropPrior = truncateFirst,
-          deleteOthers =
-            if (truncateFirst)
-              Some(n => !n.startsWith("_") && !n.startsWith("."))
-            else None)
+        val commits = messages.collect { case c: QuirkCsvCommit => c }
+        if (truncateFirst) {
+          val written = commits.map(c => new Path(c.file).getName).toSet
+          if (rootFs.exists(root)) rootFs.listStatus(root).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isFile && !written.contains(n) && !n.startsWith("_") &&
+              !n.startsWith(".") && !n.startsWith("part-seed-"))
+              dispose(st.getPath)
+          }
+        }
+        if (versioned)
+          QuirkCsvVersions.commit(rootFs, root, versionAction,
+            commits.map(c => new Path(c.file)).toSeq, retired.toSeq)
+        mergeZoneMap(commits, dropPrior = truncateFirst, deleteOthers = None)
       case Some(c) =>
-        if (mode != QuirkCsvWriteMode.Append) commitPartitioned(c, messages)
+        if (mode != QuirkCsvWriteMode.Append)
+          commitPartitioned(c, messages, dispose)
+        if (versioned)
+          QuirkCsvVersions.commit(rootFs, root, versionAction,
+            allCommits(messages).map(cm => new Path(cm.file)),
+            retired.toSeq)
         allCommits(messages)
           .groupBy(cm => new Path(cm.file).getParent)
           .foreach { case (dir, cs) =>
             mergeZoneMapAt(dir, cs.toSeq, dropPrior = false)
           }
     }
+  }
 
   private def allCommits(messages: Array[WriterCommitMessage])
   : Seq[QuirkCsvCommit] = messages.toSeq.flatMap {
@@ -2342,7 +2423,8 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     * never listed, touched, or rewritten — that is the byte-identity
     * guarantee partitioned copy-on-write rests on. */
   private def commitPartitioned(col: String,
-                                messages: Array[WriterCommitMessage]): Unit = {
+                                messages: Array[WriterCommitMessage],
+                                dispose: Path => Unit): Unit = {
     val writtenByValue: Map[String, Set[String]] = messages.flatMap {
       case mc: QuirkCsvMultiCommit => mc.commits
       case cm: QuirkCsvCommit => Seq(cm)
@@ -2391,7 +2473,7 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
           val n = st.getPath.getName
           if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
             !keep.contains(n))
-            fs.delete(st.getPath, false)
+            dispose(st.getPath)
         }
       }
     }
@@ -2415,6 +2497,19 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     val prefix = QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId)
     val doSweep = !sweptFirstEpoch
     sweptFirstEpoch = true
+    // versioned tables: each epoch is one version entry (adds only —
+    // the phantom sweep below removes never-committed garbage, which is
+    // not history). A replayed epoch renames over its own final names,
+    // so its duplicate add events are idempotent for snapshot
+    // reconstruction. The current-version probe lists only the tiny log
+    // dir — O(epochs) names, no data I/O.
+    locally {
+      val root = new Path(path)
+      val rootFs = root.getFileSystem(new Configuration())
+      if (QuirkCsvVersions.isVersioned(rootFs, root))
+        QuirkCsvVersions.commit(rootFs, root, s"streamEpoch-$epochId",
+          allCommits(messages).map(cm => new Path(cm.file)), Nil)
+    }
     def phantom(n: String): Boolean =
       n.startsWith(prefix) || n.startsWith("." + prefix)
     partitionCol match {
@@ -2489,7 +2584,8 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
       val st = fs.getFileStatus(p)
       name -> QuirkCsvZoneEntry(st.getLen, st.getModificationTime, c.rows,
         columns.indices.map(i => columns(i) ->
-          ((Option(c.mins(i)), Option(c.maxs(i)), c.nulls(i)))).toMap)
+          ((Option(c.mins(i)), Option(c.maxs(i)), c.nulls(i)))).toMap,
+        c.blooms)
     }.toMap
     QuirkCsv.writeZoneMap(dir.toString, prior ++ fresh)
   }
@@ -2522,7 +2618,8 @@ private[sources] object QuirkCsvStreamingWriterFactory {
 
 private[sources] class QuirkCsvStreamingWriterFactory(
     path: String, columns: Array[String], header: Boolean, queryId: String,
-    srcIdx: Array[Int] = null)
+    srcIdx: Array[Int] = null, bloomCols: Array[String] = Array.empty,
+    bloomBits: Int = QuirkCsvBloom.DefaultBits)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -2534,7 +2631,7 @@ private[sources] class QuirkCsvStreamingWriterFactory(
     // see QuirkCsvWrite.toStreaming's recovery-contract doc
     new QuirkCsvRenamingWriter(
       s"$path/.$finalName.attempt-$taskId.tmp", s"$path/$finalName",
-      columns, header, srcIdx)
+      columns, header, srcIdx, bloomCols, bloomBits)
   }
 }
 
@@ -2545,8 +2642,13 @@ private[sources] class QuirkCsvStreamingWriterFactory(
 private[sources] class QuirkCsvRenamingWriter(tmp: String, dest: String,
                                               columns: Array[String],
                                               header: Boolean,
-                                              srcIdx: Array[Int] = null)
-  extends QuirkCsvWriter(tmp, columns, header, srcIdx) {
+                                              srcIdx: Array[Int] = null,
+                                              bloomCols: Array[String] =
+                                                Array.empty,
+                                              bloomBits: Int =
+                                                QuirkCsvBloom.DefaultBits)
+  extends QuirkCsvWriter(tmp, columns, header, srcIdx, bloomCols,
+    bloomBits) {
 
   override def commit(): WriterCommitMessage = {
     val m = super.commit().asInstanceOf[QuirkCsvCommit]
@@ -2566,13 +2668,64 @@ private[sources] class QuirkCsvRenamingWriter(tmp: String, dest: String,
 private[sources] case class QuirkCsvCommit(file: String, rows: Long,
                                            mins: Array[String],
                                            maxs: Array[String],
-                                           nulls: Array[Long])
+                                           nulls: Array[Long],
+                                           blooms: Map[String, String] =
+                                             Map.empty)
   extends WriterCommitMessage
+
+/** Per-file Bloom filter over one column's non-null values — the sidecar
+  * complement to min/max zone stats: equality/IN probes on a
+  * high-cardinality UNCLUSTERED column (where every file's range overlaps
+  * and min/max prunes nothing) skip files whose bloom excludes the value.
+  *
+  * Fixed size (default 8192 bits = 1 KiB/col/file in the sidecar), 4 bit
+  * positions per value off one MD5 (deterministic — full value bytes, no
+  * truncation, so unlike the 256-char-capped bounds a bloom answer is
+  * never about a fabricated value). Saturates — never lies — on files
+  * with far more distinct values than bits: pruning degrades to the range
+  * stats, correctness holds. Absent blooms (pre-bloom files, attic
+  * snapshots, disabled columns) answer "might contain". */
+private[graft] object QuirkCsvBloom {
+  val DefaultBits = 8192
+
+  def bitPositions(v: String, m: Int): Array[Int] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    Array.tabulate(4) { k =>
+      val i = k * 4
+      val h = ((d(i) & 0xff) << 24) | ((d(i + 1) & 0xff) << 16) |
+        ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
+      math.floorMod(h, m)
+    }
+  }
+
+  def toHex(bits: Array[Long]): String =
+    bits.map(w => f"$w%016x").mkString
+
+  def mightContain(hex: String, v: String): Boolean = {
+    val m = hex.length * 4
+    if (m == 0) return true
+    bitPositions(v, m).forall { p =>
+      val word = java.lang.Long.parseUnsignedLong(
+        hex.substring((p >> 6) * 16, (p >> 6) * 16 + 16), 16)
+      (word & (1L << (63 - (p & 63)))) != 0
+    }
+  }
+
+  def set(bits: Array[Long], v: String): Unit =
+    bitPositions(v, bits.length * 64).foreach { p =>
+      bits(p >> 6) |= 1L << (63 - (p & 63))
+    }
+}
 
 private[sources] class QuirkCsvWriterFactory(path: String,
                                              columns: Array[String],
                                              header: Boolean, jobId: String,
-                                             srcIdx: Array[Int] = null)
+                                             srcIdx: Array[Int] = null,
+                                             bloomCols: Array[String] =
+                                               Array.empty,
+                                             bloomBits: Int =
+                                               QuirkCsvBloom.DefaultBits)
   extends DataWriterFactory {
 
   /** Batch tasks write the same attempt-private-tmp + rename-on-commit
@@ -2588,7 +2741,7 @@ private[sources] class QuirkCsvWriterFactory(path: String,
     val finalName = f"part-$jobId-$partitionId%05d.csv"
     new QuirkCsvRenamingWriter(
       s"$path/.$finalName.attempt-$taskId.tmp", s"$path/$finalName",
-      columns, header, srcIdx)
+      columns, header, srcIdx, bloomCols, bloomBits)
   }
 }
 
@@ -2598,14 +2751,16 @@ private[sources] case class QuirkCsvMultiCommit(commits: Seq[QuirkCsvCommit])
 
 private[sources] class QuirkCsvPartitionedWriterFactory(
     path: String, columns: Array[String], header: Boolean, jobId: String,
-    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null)
+    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null,
+    bloomCols: Array[String] = Array.empty,
+    bloomBits: Int = QuirkCsvBloom.DefaultBits)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new QuirkCsvPartitionedWriter(path, columns, header,
       f"part-$jobId-$partitionId%05d.csv", taskId, partitionCol,
-      partitionIdx, srcIdx)
+      partitionIdx, srcIdx, bloomCols, bloomBits)
 }
 
 /** Streaming twin: the same per-value router with epoch-keyed final
@@ -2613,7 +2768,9 @@ private[sources] class QuirkCsvPartitionedWriterFactory(
   * received rows for, replay renaming over the same names. */
 private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
     path: String, columns: Array[String], header: Boolean, queryId: String,
-    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null)
+    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null,
+    bloomCols: Array[String] = Array.empty,
+    bloomBits: Int = QuirkCsvBloom.DefaultBits)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -2621,7 +2778,7 @@ private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
     new QuirkCsvPartitionedWriter(path, columns, header,
       QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId) +
         f"$partitionId%05d.csv",
-      taskId, partitionCol, partitionIdx, srcIdx)
+      taskId, partitionCol, partitionIdx, srcIdx, bloomCols, bloomBits)
 }
 
 /** Dynamic-partition router: each row lands in its value's
@@ -2634,7 +2791,9 @@ private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
 private[sources] class QuirkCsvPartitionedWriter(
     basePath: String, columns: Array[String], header: Boolean,
     finalName: String, taskId: Long,
-    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null)
+    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null,
+    bloomCols: Array[String] = Array.empty,
+    bloomBits: Int = QuirkCsvBloom.DefaultBits)
   extends DataWriter[InternalRow] {
 
   private val open =
@@ -2647,7 +2806,7 @@ private[sources] class QuirkCsvPartitionedWriter(
       dir.getFileSystem(new Configuration()).mkdirs(dir)
       new QuirkCsvRenamingWriter(
         s"$dir/.$finalName.attempt-$taskId.tmp", s"$dir/$finalName",
-        columns, header, srcIdx)
+        columns, header, srcIdx, bloomCols, bloomBits)
     })
 
   override def write(row: InternalRow): Unit = {
@@ -2701,7 +2860,10 @@ private[sources] class QuirkCsvPartitionedWriter(
 
 private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
                                       header: Boolean,
-                                      srcIdx: Array[Int] = null)
+                                      srcIdx: Array[Int] = null,
+                                      bloomCols: Array[String] = Array.empty,
+                                      bloomBits: Int =
+                                        QuirkCsvBloom.DefaultBits)
   extends DataWriter[InternalRow] {
 
   // physical position -> input-row ordinal; -1 = dropped column (written
@@ -2720,11 +2882,15 @@ private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
     w
   }
 
-  // zone-map stats, updated per row (min/max over non-nulls, null count)
+  // zone-map stats, updated per row (min/max over non-nulls, null count,
+  // and — for opted-in columns — a per-file bloom over full values)
   private var rows = 0L
   private val mins = new Array[String](columns.length)
   private val maxs = new Array[String](columns.length)
   private val nulls = new Array[Long](columns.length)
+  private val blooms: Array[Array[Long]] =
+    columns.map(c => if (bloomCols.contains(c))
+      new Array[Long](bloomBits / 64) else null)
 
   override def write(row: InternalRow): Unit = {
     var i = 0
@@ -2737,6 +2903,7 @@ private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
         sb.append(QuirkCsv.formatField(v))
         if (mins(i) == null || v.compareTo(mins(i)) < 0) mins(i) = v
         if (maxs(i) == null || v.compareTo(maxs(i)) > 0) maxs(i) = v
+        if (blooms(i) != null) QuirkCsvBloom.set(blooms(i), v)
       } else nulls(i) += 1
       i += 1
     }
@@ -2748,7 +2915,10 @@ private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
   override def commit(): WriterCommitMessage = {
     out.close()
     QuirkCsvCommit(file, rows,
-      mins.map(QuirkCsv.boundDown), maxs.map(QuirkCsv.boundUp), nulls)
+      mins.map(QuirkCsv.boundDown), maxs.map(QuirkCsv.boundUp), nulls,
+      columns.indices.collect { case i if blooms(i) != null =>
+        columns(i) -> QuirkCsvBloom.toHex(blooms(i))
+      }.toMap)
   }
 
   override def abort(): Unit = {
@@ -2767,7 +2937,8 @@ private[sources] class QuirkCsvWriter(file: String, columns: Array[String],
   * null. */
 private[sources] case class QuirkCsvZoneEntry(len: Long, mtime: Long,
     rows: Long,
-    cols: Map[String, (Option[String], Option[String], Long)])
+    cols: Map[String, (Option[String], Option[String], Long)],
+    blooms: Map[String, String] = Map.empty)
 
 /** Logical→physical schema mapping for RENAME/DROP COLUMN evolution on
   * graftcsv tables ([[QuirkCsv.SchemaMapFile]] journal): positions are
@@ -3072,6 +3243,20 @@ private[sources] object QuirkCsv {
       .map(s => QuirkCsvFileMeta(s.getPath.toString, s.getLen,
         s.getModificationTime))
       .sortBy(_.path)
+    // VERSION AS OF: reconstruct the file set at the pinned version from
+    // the live listing + the version log (attic files stand in for
+    // retired ones). Orthogonal to pinnedFiles — a maintenance snapshot
+    // of a historical snapshot has no meaning; reject the combination.
+    val asOfOpt = options.get("asOfVersion")
+    if (asOfOpt != null && asOfOpt.nonEmpty) {
+      val pinned0 = options.get("pinnedFiles")
+      require(pinned0 == null || pinned0.isEmpty,
+        "asOfVersion and pinnedFiles cannot combine")
+      require(st.isDirectory,
+        s"asOfVersion applies to graftcsv table directories, got file $path")
+      return QuirkCsvVersions.snapshotListing(fs, path,
+        java.lang.Long.parseLong(asOfOpt), all)
+    }
     val pinnedOpt = options.get("pinnedFiles")
     if (pinnedOpt == null || pinnedOpt.isEmpty) all
     else {
@@ -3275,6 +3460,53 @@ private[sources] object QuirkCsv {
     }
   }
 
+  /** `TBLPROPERTIES('bloomCols'='a,b')` marker: per-file Bloom filters in
+    * the zone sidecar for the named columns — equality/IN file skipping
+    * on HIGH-CARDINALITY columns whose min/max ranges overlap across
+    * files (where range stats prune nothing without a clustered
+    * rewrite). Stored comma-separated, each name [[enc]]-encoded. */
+  val BloomFile = "_graft_bloom"
+
+  def writeBloomCols(dir: Path, cols: Seq[String], bits: Int): Unit = {
+    val fs = dir.getFileSystem(new Configuration())
+    val out = fs.create(new Path(dir, BloomFile), true)
+    out.write(s"$bits\t${cols.map(enc).mkString(",")}"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.close()
+  }
+
+  /** (bloomBits, bloom columns) from the marker; (default, Nil) when
+    * absent. Size the bits to ~10x the expected DISTINCT values per
+    * file: a bloom saturates — never lies — past its capacity, and a
+    * saturated bloom prunes nothing. */
+  def readBloomCols(dir: Path): (Int, Seq[String]) = {
+    val fs = dir.getFileSystem(new Configuration())
+    val p = new Path(dir, BloomFile)
+    if (!fs.exists(p)) (QuirkCsvBloom.DefaultBits, Nil)
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        val t = new String(bytes,
+          java.nio.charset.StandardCharsets.ISO_8859_1).trim.split("\t", -1)
+        require(t.length == 2,
+          s"unreadable $BloomFile in $dir: expected <bits>\\t<cols>")
+        (t(0).toInt,
+          t(1).split(",", -1).toIndexedSeq.filter(_.nonEmpty).map(dec))
+      } finally in.close()
+    }
+  }
+
+  /** Bloom (bits, columns) governing `dir` — the dir's own marker, or
+    * (for a partition value subdir) the table root's. */
+  def bloomColsFor(dir: Path): (Int, Seq[String]) = {
+    val own = readBloomCols(dir)
+    if (own._2.nonEmpty) own
+    else Option(dir.getParent).map(readBloomCols)
+      .getOrElse((QuirkCsvBloom.DefaultBits, Nil))
+  }
+
   /** Hive-style partition directory name; the value is URL-encoded so
     * separators/quotes in data can't escape the directory. NULL values
     * are rejected at the WRITE (loudly), so a dir always has a value. */
@@ -3396,6 +3628,11 @@ private[sources] object QuirkCsv {
             s"${mn.map(enc).getOrElse("")}\t${mx.map(enc).getOrElse("")}\t" +
             s"$nulls\n")
         }
+        // B lines (per-column bloom, hex) are ADDITIVE: the loader skips
+        // unknown line types, so their presence never invalidates stats
+        e.blooms.toSeq.sortBy(_._1).foreach { case (c, hex) =>
+          out.write(s"B\t${enc(name)}\t${enc(c)}\t$hex\n")
+        }
       }
     } finally out.close()
   }
@@ -3421,6 +3658,8 @@ private[sources] object QuirkCsv {
       val files = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
       val cols = scala.collection.mutable.Map
         .empty[String, Map[String, (Option[String], Option[String], Long)]]
+      val blooms = scala.collection.mutable.Map
+        .empty[String, Map[String, String]]
       Iterator.continually(in.readLine()).takeWhile(_ != null).foreach {
         line =>
           val t = line.split("\t", -1)
@@ -3435,11 +3674,16 @@ private[sources] object QuirkCsv {
               val mx = if (nulls == rows) None else Some(dec(t(4)))
               cols(name) = cols.getOrElse(name, Map.empty) +
                 (dec(t(2)) -> ((mn, mx, nulls)))
+            case "B" =>
+              val name = dec(t(1))
+              blooms(name) = blooms.getOrElse(name, Map.empty) +
+                (dec(t(2)) -> t(3))
             case _ =>
           }
       }
       files.map { case (n, (len, mtime, rows)) =>
-        n -> QuirkCsvZoneEntry(len, mtime, rows, cols.getOrElse(n, Map.empty))
+        n -> QuirkCsvZoneEntry(len, mtime, rows, cols.getOrElse(n, Map.empty),
+          blooms.getOrElse(n, Map.empty))
       }.toMap
     } finally in.close()
   } catch { case _: Exception => Map.empty }
@@ -3459,10 +3703,19 @@ private[sources] object QuirkCsv {
       case Some((None, None, _)) => false // all-null column
       case _ => true
     }
+    // bloom test for equality probes: a file whose bloom excludes the
+    // value cannot contain it even when its [min,max] range covers it —
+    // the skip that matters on high-cardinality UNCLUSTERED columns.
+    // Blooms hash FULL values (never truncated like the 256-char-capped
+    // bounds), absent blooms answer "might contain".
+    def bloomOk(c: String, v: String): Boolean =
+      e.blooms.get(phys(c)).forall(QuirkCsvBloom.mightContain(_, v))
     f match {
-      case EqualTo(c, v: String) => nonNull(c) && inRange(c, v)
+      case EqualTo(c, v: String) => nonNull(c) && inRange(c, v) &&
+        bloomOk(c, v)
       case In(c, vs) => nonNull(c) &&
-        vs.exists(v => inRange(c, v.asInstanceOf[String]))
+        vs.exists(v => inRange(c, v.asInstanceOf[String]) &&
+          bloomOk(c, v.asInstanceOf[String]))
       case IsNull(c) =>
         stats(c).forall { case (_, _, nulls) => nulls > 0 }
       case IsNotNull(c) => nonNull(c)

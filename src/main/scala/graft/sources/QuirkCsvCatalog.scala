@@ -86,7 +86,32 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     isTableDir(tableDir(ident))
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadTableAt(ident, None)
+
+  /** `SELECT … FROM t VERSION AS OF n` — a read-only snapshot handle.
+    * The snapshot resolves against the current LOGICAL schema (positions
+    * are frozen by the rename/drop journal, so historical files read
+    * correctly under it — the same contract mixed-generation current
+    * reads already rely on). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version != null && version.nonEmpty && version.forall(_.isDigit),
+      s"graftcsv table versions are the integers DESCRIBE HISTORY " +
+        s"lists, got '$version'")
+    loadTableAt(ident, Some(version))
+  }
+
+  /** `TIMESTAMP AS OF ts` (microseconds from Spark): the greatest
+    * version committed at or before the stamp. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val v = QuirkCsvVersions.versionAtTimestamp(fs, dir, timestampMicros)
+    loadTableAt(ident, Some(v.toString))
+  }
+
+  private def loadTableAt(ident: Identifier,
+                          asOfVersion: Option[String]): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     val opts = new util.HashMap[String, String]()
@@ -97,6 +122,12 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     // grouped (storage-partitioned-join) planning mode downstream
     QuirkCsv.readPartitioning(dir).foreach(c => opts.put("partitionCol", c))
     QuirkCsv.readClustering(dir).foreach(c => opts.put("clusterBy", c))
+    val (bloomBits, bloomCols) = QuirkCsv.readBloomCols(dir)
+    if (bloomCols.nonEmpty) {
+      opts.put("bloomCols", bloomCols.mkString(","))
+      opts.put("bloomBits", bloomBits.toString)
+    }
+    asOfVersion.foreach(v => opts.put("asOfVersion", v))
     val options = new CaseInsensitiveStringMap(opts)
     val schema = new QuirkCsvDataSource().inferSchema(options)
     new QuirkCsvTable(schema, options)
@@ -148,6 +179,24 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
         s"clusterBy column '$c' is already the partition column — " +
           "directory routing clusters it for free")
     }
+    // TBLPROPERTIES('bloomCols'='a,b'): per-file sidecar Bloom filters on
+    // the named columns — equality file skipping where min/max overlaps
+    val bloomCols = Option(properties.get("bloomCols")).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // TBLPROPERTIES('bloomBits'='131072'): size to ~10x the expected
+    // distinct values per file — saturated blooms prune nothing
+    val bloomBits = Option(properties.get("bloomBits")).map(_.trim.toInt)
+      .getOrElse(QuirkCsvBloom.DefaultBits)
+    require(bloomBits >= 64 && bloomBits % 64 == 0 && bloomBits <= (1 << 24),
+      s"bloomBits must be a multiple of 64 in [64, ${1 << 24}], got " +
+        s"$bloomBits")
+    bloomCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"bloomCols column '$c' is not in the table schema")
+      require(!partitionCol.contains(c),
+        s"bloomCols column '$c' is the partition column — directory " +
+          "pruning already answers equality probes on it")
+    }
     val dir = tableDir(ident)
     if (fs.exists(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
@@ -163,6 +212,15 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     // column so per-(value-)dir zone maps prune selective probes to the
     // one covering file (see QuirkCsv.ClusterFile); validated above
     clusterBy.foreach(c => QuirkCsv.writeClustering(dir, c))
+    if (bloomCols.nonEmpty)
+      QuirkCsv.writeBloomCols(dir, bloomCols, bloomBits)
+    // VERSIONED by default: mutations retire files into the attic and
+    // log one entry each, so VERSION/TIMESTAMP AS OF reads any retained
+    // snapshot. TBLPROPERTIES('versioning'='false') opts a table out
+    // (mutations then delete physically, as raw-path dirs always do).
+    if (!"false".equalsIgnoreCase(
+      Option(properties.get("versioning")).getOrElse("true")))
+      QuirkCsvVersions.writeMarker(fs, dir)
     loadTable(ident)
   }
 

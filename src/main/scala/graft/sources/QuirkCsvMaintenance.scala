@@ -84,6 +84,14 @@ private[graft] object QuirkCsvMaintenance {
   def compactCsv(spark: SparkSession, dir: String, numFiles: Int,
                  sortBy: Option[String]): (Long, Long) = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    // hidden directories are SYSTEM metadata (version log, attic, fold
+    // tmp) — "compacting" one would fold its sidecar files into fake CSV
+    // data and destroy the metadata it holds. A caller iterating a table
+    // root's subdirs must skip them; fail loudly if one slips through.
+    require(!new Path(dir).getName.startsWith("_") &&
+      !new Path(dir).getName.startsWith("."),
+      s"$dir is a hidden system directory (version log, attic, tmp) — " +
+        "graftcsv compaction applies to data directories only")
     // a PARTITIONED table root holds only the schema seed + value
     // subdirs: compacting it would fold the seed into a root "data"
     // file (bricking every later scan on the root-level-data-file
@@ -154,8 +162,15 @@ private[graft] object QuirkCsvMaintenance {
         .sortWithinPartitions(c)
       case None => pinnedRead.repartition(numFiles)
     }
-    folded0
-      .write.format("graftcsv").mode("append").save(tmp.toString)
+    // folded files keep the table's bloom columns (dir's own marker, or
+    // the table root's for a value subdir) — compaction must not degrade
+    // equality file skipping on the folded layout
+    val (bloomBits, bloomCols) = QuirkCsv.bloomColsFor(base)
+    val foldedW = folded0.write.format("graftcsv").mode("append")
+    (if (bloomCols.nonEmpty)
+      foldedW.option("bloomCols", bloomCols.mkString(","))
+        .option("bloomBits", bloomBits.toString)
+    else foldedW).save(tmp.toString)
     val folded = dataFileNames(tmp.toString)
     // intent first, so a crash anywhere below is COMPLETED by the next
     // run (transient duplicates at worst) instead of leaving permanent
@@ -230,7 +245,20 @@ private[graft] object QuirkCsvMaintenance {
       prior.filter { case (n, _) => !doomed.contains(n) } ++ foldedEntries
     if (merged != prior && (prior.nonEmpty || merged.nonEmpty))
       QuirkCsv.writeZoneMap(base.toString, merged)
-    deleteNamed(base.toString, pinned)
+    // versioned tables (base = the table root, or a value dir under it):
+    // the originals RETIRE into the attic instead of being deleted and
+    // the fold is one version-log entry, so VERSION AS OF a pre-fold
+    // version reads the original files' bytes. Recovery re-runs are
+    // tolerated: commit() skips already-moved retire sources, and a
+    // duplicate entry's repeated add/retire events resolve to the same
+    // snapshots (the FIRST retirement after a version is the one whose
+    // attic holds the bytes).
+    QuirkCsvVersions.versionedRootOf(fs, base) match {
+      case Some(root) =>
+        QuirkCsvVersions.commit(fs, root, "compact",
+          folded.map(new Path(base, _)), pinned.map(new Path(base, _)))
+      case None => deleteNamed(base.toString, pinned)
+    }
     val intent = new Path(base, IntentFile)
     fs.delete(intent, false)
     fs.delete(tmp, true)

@@ -1,0 +1,426 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Table versioning for `graft_cat` tables — snapshot reads (`VERSION AS
+  * OF` / `TIMESTAMP AS OF`), mutation history, and retention — the last
+  * missing lakehouse tier over the raw CSV layer (reference intent: the
+  * re-runnable, auditable pipeline, `SQLproject1.sql:612-615`; the audit
+  * columns of `SQLproject1.sql:104-105` record WHEN a row landed — this
+  * records what the whole table WAS).
+  *
+  * Design — log + attic, never copy:
+  *
+  *  - A table is versioned iff the [[Marker]] file exists at its root
+  *    (written by `CREATE TABLE` unless `TBLPROPERTIES
+  *    ('versioning'='false')`); raw-path directories stay unversioned,
+  *    so nothing outside the catalog changes behavior.
+  *  - Every committed mutation appends ONE entry `v-<n>.tsv` to
+  *    [[LogDir]] (tmp+rename): the action name, a wall-clock stamp, an
+  *    `A` line per file the commit made visible and an `R` line per
+  *    file it retired (paths relative to the table root, URL-encoded).
+  *  - Retired files are MOVED into `[[AtticDir]]/v<n>/<relpath>` instead
+  *    of deleted — a metadata rename, never a data copy, so a 100-GB
+  *    partition retires in O(files) renames. Whole-directory retirements
+  *    (metadata DELETE, DROP PARTITION, partitioned TRUNCATE) move the
+  *    value directory in ONE rename. On a posix/HDFS filesystem rename
+  *    is O(1); an object-store deployment would swap this module for a
+  *    manifest-pointer design (files never move, manifests pin sets) —
+  *    the read-side contract below is already manifest-shaped.
+  *  - A snapshot read reconstructs the file set at version N from the
+  *    CURRENT listing and the log suffix — per relpath, the last event
+  *    at or before N decides existence, and the first retirement AFTER
+  *    N locates the bytes (attic) when the file is no longer live. Files
+  *    never mentioned by the log are baseline (existed before versioning
+  *    or before N): a snapshot read costs one log scan, no data I/O
+  *    beyond the files it returns.
+  *  - [[vacuum]] drops attic generations at or below a horizon H and
+  *    pins H durably: `asOf < H` fails loudly afterwards, `asOf >= H`
+  *    only ever resolves attic generations `> asOf >= H`, which are all
+  *    retained — so the horizon is exact, not approximate.
+  *
+  * Scale: the current-version probe and the snapshot reconstruction
+  * list/read only the tiny `_graft_versions` sidecar dir — never data
+  * files. Snapshot scans then flow through the ordinary planner
+  * (byte-range splits, partition pruning on the attic's preserved
+  * `col=value` parents, per-file zone pruning where sidecars are fresh);
+  * metadata-only aggregates stay exact for snapshots because sidecar
+  * stats are per-file, and degrade to a scan — all-or-nothing — the
+  * moment a snapshot needs an attic file (which has no sidecar entry).
+  *
+  * Crash windows (same envelope as the pre-versioning deletes, stated
+  * honestly): the log entry lands AFTER the moves, so a crash mid-commit
+  * leaves the live view exactly as a crashed delete would (partially
+  * removed) and the versions affected are simply not time-travelable;
+  * attic files without a covering log entry are unreachable garbage that
+  * [[vacuum]] sweeps. History is an audit trail with at-least-once
+  * mutation coverage, not a WAL.
+  */
+object QuirkCsvVersions {
+
+  val Marker = "_graft_versioned"
+  val LogDirName = "_graft_versions"
+  val AtticDirName = "_graft_attic"
+  val HorizonFile = "_horizon"
+  private val Header = "graft-version-v1"
+
+  final case class VersionEntry(version: Long, action: String, ts: Long,
+                                added: Seq[String], retired: Seq[String])
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "ISO-8859-1")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "ISO-8859-1")
+
+  def isVersioned(fs: FileSystem, root: Path): Boolean =
+    fs.exists(new Path(root, Marker))
+
+  /** The versioned table root governing `dir`: `dir` itself, or its
+    * parent when `dir` is a partition value directory (per-value-dir
+    * maintenance like compaction runs on the subdir but versions at the
+    * table root). */
+  def versionedRootOf(fs: FileSystem, dir: Path): Option[Path] =
+    if (isVersioned(fs, dir)) Some(dir)
+    else Option(dir.getParent).filter(isVersioned(fs, _))
+
+  def writeMarker(fs: FileSystem, root: Path): Unit = {
+    val out = fs.create(new Path(root, Marker), true)
+    out.write(Header.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.close()
+  }
+
+  private def logDir(root: Path) = new Path(root, LogDirName)
+  private def atticDir(root: Path) = new Path(root, AtticDirName)
+  private def entryName(v: Long) = f"v-$v%010d.tsv"
+  private def atticGen(root: Path, v: Long) =
+    new Path(atticDir(root), f"v$v%010d")
+
+  /** Highest committed version; 0 = table as created (or: versioning
+    * never saw a mutation). O(log entries) directory listing — the
+    * sidecar dir only, never data. */
+  def currentVersion(fs: FileSystem, root: Path): Long = {
+    val d = logDir(root)
+    if (!fs.exists(d)) return 0L
+    fs.listStatus(d).foldLeft(0L) { (mx, st) =>
+      val n = st.getPath.getName
+      if (n.startsWith("v-") && n.endsWith(".tsv"))
+        math.max(mx, n.stripPrefix("v-").stripSuffix(".tsv").toLong)
+      else mx
+    }
+  }
+
+  /** Lowest version [[vacuum]] still serves (0 before any vacuum). */
+  def minAsOf(fs: FileSystem, root: Path): Long = {
+    val p = new Path(logDir(root), HorizonFile)
+    if (!fs.exists(p)) return 0L
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](32)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(n, 0),
+        java.nio.charset.StandardCharsets.ISO_8859_1).trim.toLong
+    } finally in.close()
+  }
+
+  def readLog(fs: FileSystem, root: Path): Seq[VersionEntry] = {
+    val d = logDir(root)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toIndexedSeq
+      .filter(st => st.getPath.getName.startsWith("v-") &&
+        st.getPath.getName.endsWith(".tsv"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(st.getPath),
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        try {
+          val head = in.readLine()
+          val parts = Option(head).map(_.split("\t", -1)).getOrElse(Array[String]())
+          require(parts.length == 3 && parts(0) == Header,
+            s"unreadable graftcsv version entry ${st.getPath}: header " +
+              s"'$head' — refusing to serve a partial history")
+          val added = Seq.newBuilder[String]
+          val retired = Seq.newBuilder[String]
+          var line = in.readLine()
+          while (line != null) {
+            val f = line.split("\t", -1)
+            require(f.length == 2 && (f(0) == "A" || f(0) == "R"),
+              s"unreadable line in version entry ${st.getPath}: '$line'")
+            if (f(0) == "A") added += dec(f(1)) else retired += dec(f(1))
+            line = in.readLine()
+          }
+          VersionEntry(
+            st.getPath.getName.stripPrefix("v-").stripSuffix(".tsv").toLong,
+            parts(1), parts(2).toLong, added.result(), retired.result())
+        } finally in.close()
+      }
+  }
+
+  private def relpath(root: Path, p: Path): String = {
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val pUri = p.toUri.getPath
+    require(pUri.startsWith(rootUri + "/"),
+      s"$p is not under versioned table root $root")
+    pUri.substring(rootUri.length + 1)
+  }
+
+  /** Commit one mutation: move `retiredFiles` (and every `retiredDirs`
+    * value directory, in one rename each) into the new version's attic
+    * generation, then write the log entry (tmp+rename — readers never
+    * see a torn entry). A retire source that no longer exists is skipped
+    * (idempotent recovery re-runs — compaction's completeSwap — retire
+    * the same names twice); the log entry still records the retirement,
+    * and snapshot resolution always chooses the FIRST retirement after
+    * its version, which is the one whose attic holds the bytes. Returns
+    * the committed version, or the current one when there was nothing
+    * to record. */
+  def commit(fs: FileSystem, root: Path, action: String,
+             added: Seq[Path], retiredFiles: Seq[Path],
+             retiredDirs: Seq[Path] = Nil): Long = {
+    val dirFiles: Seq[(Path, Seq[Path])] = retiredDirs.map { d =>
+      d -> (if (fs.exists(d))
+        fs.listStatus(d).toIndexedSeq.filter(_.isFile)
+          .map(_.getPath)
+          .filterNot { p =>
+            val n = p.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+      else Nil)
+    }
+    val allRetired = retiredFiles ++ dirFiles.flatMap(_._2)
+    if (added.isEmpty && allRetired.isEmpty && retiredDirs.isEmpty)
+      return currentVersion(fs, root)
+    val v = currentVersion(fs, root) + 1
+    val gen = atticGen(root, v)
+    // whole-dir retirements first: ONE rename per value directory (its
+    // sidecar travels along — snapshot reads keep pruning inside it)
+    dirFiles.foreach { case (d, _) =>
+      if (fs.exists(d)) {
+        fs.mkdirs(gen)
+        val dst = new Path(gen, d.getName)
+        require(fs.rename(d, dst),
+          s"graftcsv versioning: retire rename $d -> $dst failed")
+      }
+    }
+    retiredFiles.foreach { p =>
+      if (fs.exists(p)) {
+        val rel = relpath(root, p)
+        val dst = new Path(gen, rel)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(p, dst),
+          s"graftcsv versioning: retire rename $p -> $dst failed")
+      }
+    }
+    val d = logDir(root)
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".${entryName(v)}.tmp")
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.ISO_8859_1))
+    try {
+      out.write(s"$Header\t$action\t${System.currentTimeMillis()}\n")
+      added.map(relpath(root, _)).sorted
+        .foreach(r => out.write(s"A\t${enc(r)}\n"))
+      allRetired.map(relpath(root, _)).sorted
+        .foreach(r => out.write(s"R\t${enc(r)}\n"))
+    } finally out.close()
+    val dst = new Path(d, entryName(v))
+    require(fs.rename(tmp, dst),
+      s"graftcsv versioning: log rename $tmp -> $dst failed")
+    v
+  }
+
+  /** Greatest version whose commit stamp is at or before `micros`
+    * (microseconds since epoch — the unit Spark's `TIMESTAMP AS OF`
+    * hands `loadTable`); 0 when the stamp predates every entry. */
+  def versionAtTimestamp(fs: FileSystem, root: Path, micros: Long): Long = {
+    val millis = micros / 1000L
+    readLog(fs, root).foldLeft(0L)((acc, e) =>
+      if (e.ts <= millis) math.max(acc, e.version) else acc)
+  }
+
+  /** The file set at version `asOf`, given the CURRENT live listing.
+    * Per relpath: the last log event at or before `asOf` decides
+    * existence (none + a later event starting with `R` / no events at
+    * all = baseline file, present since before the log); a file that is
+    * present at `asOf` but was retired later reads from the attic
+    * generation of its FIRST retirement after `asOf`. Fails loudly when
+    * `asOf` exceeds the current version, predates the vacuum horizon, or
+    * a resolved file is missing (history corrupted out-of-band). */
+  def snapshotListing(fs: FileSystem, root: Path, asOf: Long,
+                      live: Seq[QuirkCsvFileMeta]): Seq[QuirkCsvFileMeta] = {
+    require(isVersioned(fs, root),
+      s"$root is not a versioned graftcsv table (no $Marker marker) — " +
+        "VERSION AS OF applies to catalog tables created with " +
+        "versioning on")
+    val current = currentVersion(fs, root)
+    require(asOf >= 0 && asOf <= current,
+      s"version $asOf does not exist for $root (current: $current)")
+    val horizon = minAsOf(fs, root)
+    require(asOf >= horizon,
+      s"version $asOf of $root was vacuumed (oldest retained: $horizon)")
+    val log = readLog(fs, root)
+    // (version, isAdd, relpath) sorted per relpath by version; within one
+    // version A sorts before R (can't co-occur for one relpath in
+    // practice — fresh uuid names — but deterministic anyway)
+    val events = log.flatMap(e =>
+      e.added.map(r => (e.version, true, r)) ++
+        e.retired.map(r => (e.version, false, r)))
+      .groupBy(_._3)
+    val liveByRel = live.map(f => relpath(root, new Path(f.path)) -> f).toMap
+    val out = Seq.newBuilder[QuirkCsvFileMeta]
+    // every relpath the log mentions, plus live baseline files
+    val rels = events.keySet ++ liveByRel.keySet
+    rels.toSeq.sorted.foreach { rel =>
+      val evs = events.getOrElse(rel, Nil)
+        .sortBy(t => (t._1, !t._2))
+      val atOrBefore = evs.filter(_._1 <= asOf)
+      val presentAt =
+        if (atOrBefore.nonEmpty) atOrBefore.last._2
+        else evs.headOption match {
+          case Some((_, isAdd, _)) => !isAdd // first event R => baseline
+          case None => true                  // never logged => baseline
+        }
+      if (presentAt) {
+        val nextRetire = evs.find(t => t._1 > asOf && !t._2).map(_._1)
+        nextRetire match {
+          case Some(rv) =>
+            val p = new Path(atticGen(root, rv), rel)
+            require(fs.exists(p),
+              s"snapshot v$asOf of $root needs attic file $p (retired " +
+                s"at v$rv) but it is missing — history was modified " +
+                "out-of-band")
+            val st = fs.getFileStatus(p)
+            out += QuirkCsvFileMeta(p.toString, st.getLen,
+              st.getModificationTime)
+          case None =>
+            liveByRel.get(rel) match {
+              case Some(f) => out += f
+              case None =>
+                // logged as added, never retired, not live: the crash
+                // window between a physical removal and its log entry,
+                // or out-of-band deletion — loud, not silent
+                throw new IllegalStateException(
+                  s"snapshot v$asOf of $root expects live file $rel " +
+                    "but it is missing — history was modified out-of-band")
+            }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Drop attic generations at or below `current - retainLast` and pin
+    * the horizon durably. Keeps the LOG intact (history metadata stays
+    * auditable; only the bytes needed to RECONSTRUCT old snapshots go),
+    * sweeps orphaned attic generations above no horizon. Returns the new
+    * horizon (the oldest version still readable). */
+  def vacuum(fs: FileSystem, root: Path, retainLast: Int): Long = {
+    require(retainLast >= 0, s"retainLast must be >= 0, got $retainLast")
+    require(isVersioned(fs, root),
+      s"$root is not a versioned graftcsv table")
+    val current = currentVersion(fs, root)
+    val horizon = math.max(minAsOf(fs, root), math.max(0L, current - retainLast))
+    val attic = atticDir(root)
+    if (fs.exists(attic)) {
+      fs.listStatus(attic).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.length == 11 &&
+          n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= horizon)
+          fs.delete(st.getPath, true)
+      }
+    }
+    val d = logDir(root)
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".$HorizonFile.tmp")
+    val out = fs.create(tmp, true)
+    out.write(horizon.toString
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.close()
+    val dst = new Path(d, HorizonFile)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"graftcsv versioning: horizon rename $tmp -> $dst failed")
+    horizon
+  }
+
+  /** The FILE-level delta between two snapshots: (files only in `from`,
+    * files only in `to`), keyed by (path, len, mtime). Files common to
+    * both snapshots contribute identical row multisets to both sides of
+    * a row diff, so they cancel EXACTLY — [[changes]] rests on this. */
+  def changedFileSets(spark: org.apache.spark.sql.SparkSession,
+                      root: String, from: Long, to: Long)
+  : (Seq[QuirkCsvFileMeta], Seq[QuirkCsvFileMeta]) = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val live = QuirkCsv.listFiles(readOptions(fs, p))
+    val a = snapshotListing(fs, p, from, live)
+    val b = snapshotListing(fs, p, to, live)
+    def key(f: QuirkCsvFileMeta) = (f.path, f.len, f.mtime)
+    val ak = a.map(key).toSet
+    val bk = b.map(key).toSet
+    (a.filterNot(f => bk.contains(key(f))),
+      b.filterNot(f => ak.contains(key(f))))
+  }
+
+  private def readOptions(fs: FileSystem, root: Path)
+  : org.apache.spark.sql.util.CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("path", root.toString)
+    QuirkCsv.readPartitioning(root).foreach(c => m.put("partitionCol", c))
+    new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+  }
+
+  /** Row-level CHANGE FEED between two versions: every row inserted
+    * (`change_type = 'insert'`) or removed (`'delete'`) going `from` →
+    * `to`, as a multiset diff of the two snapshots — but computed over
+    * ONLY the files that differ between them ([[changedFileSets]]):
+    * a one-partition mutation on a 100-TB table diffs one partition's
+    * files, not the table. Rows that merely moved files (compaction,
+    * carry-over halves of a copy-on-write rewrite) cancel in the
+    * multiset and do not surface. Tables with a RENAME/DROP journal fall
+    * back to the full-snapshot diff (per-file reads bypass the
+    * root-anchored journal; the fallback is correct, just unpruned). */
+  def changes(spark: org.apache.spark.sql.SparkSession, root: String,
+              from: Long, to: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val p = new Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val opts = readOptions(fs, p)
+    val schema = new QuirkCsvDataSource().inferSchema(opts)
+    def snapshotDf(v: Long) = {
+      var r = spark.read.format("graftcsv")
+        .option("asOfVersion", v.toString)
+      Option(opts.get("partitionCol"))
+        .foreach(c => r = r.option("partitionCol", c))
+      r.load(root)
+    }
+    val (aOnly, bOnly) =
+      if (QuirkCsv.schemaMapFor(opts).isDefined) (null, null)
+      else changedFileSets(spark, root, from, to)
+    def side(files: Seq[QuirkCsvFileMeta], v: Long)
+    : org.apache.spark.sql.DataFrame =
+      if (files == null) snapshotDf(v)
+      else if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else files.map(f => spark.read.format("graftcsv").schema(schema)
+        .load(f.path)).reduce(_ unionAll _)
+    val a = side(aOnly, from)
+    val b = side(bOnly, to)
+    b.exceptAll(a).withColumn("change_type", lit("insert"))
+      .unionAll(a.exceptAll(b).withColumn("change_type", lit("delete")))
+  }
+
+  /** Mutation history as rows — the `DESCRIBE HISTORY` surface:
+    * (version, action, commit timestamp, files added, files retired). */
+  def history(spark: org.apache.spark.sql.SparkSession,
+              root: String): org.apache.spark.sql.DataFrame = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val rows = readLog(fs, p).map(e =>
+      (e.version, e.action, new java.sql.Timestamp(e.ts),
+        e.added.size.toLong, e.retired.size.toLong))
+    import spark.implicits._
+    rows.toDF("version", "action", "committed_at", "n_added", "n_retired")
+  }
+}

@@ -61,7 +61,8 @@ class QuirkCsvStreamSinkSpec extends SparkSpec {
     } finally q.stop()
     // routed layout: epoch files under value dirs, nothing at the root
     val subs = new java.io.File(s"$root/ns/ev").listFiles()
-      .filter(_.isDirectory).map(_.getName).sorted
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+      .map(_.getName).sorted
     subs.toSeq shouldBe Seq("day=d1", "day=d2", "day=d3")
     val back = spark.table("graft_ss.ns.ev")
     back.count() shouldBe 4

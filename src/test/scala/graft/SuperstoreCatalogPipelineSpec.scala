@@ -73,14 +73,18 @@ class SuperstoreCatalogPipelineSpec extends SparkSpec {
     landed.count() shouldBe 9986
     // one value dir per order year, golden fact invariants intact
     val tableDir = new java.io.File(new java.io.File(root, "fact"), "sales")
-    val years = tableDir.listFiles().filter(_.isDirectory)
+    val years = tableDir.listFiles()
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
       .map(_.getName).sorted
     years.toSeq shouldBe Seq("order_year=2014", "order_year=2015",
       "order_year=2016", "order_year=2017")
     landed.select("order_id", "order_line_no").distinct()
       .count() shouldBe 9986
+    // value-dir byte-identity only: the hidden _graft_versions log
+    // legitimately gains one entry per committed mutation
     def snapshot(): Map[String, Set[(String, Long, Long)]] =
-      tableDir.listFiles().filter(_.isDirectory).map { d =>
+      tableDir.listFiles()
+        .filter(d => d.isDirectory && !d.getName.startsWith("_")).map { d =>
         d.getName -> d.listFiles()
           .filter(f => f.isFile && !f.getName.startsWith(".") &&
             !f.getName.startsWith("_"))
