@@ -303,5 +303,59 @@ object R16Queries {
       FROM orders
       WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 1"""))
 
-  val all: Seq[QueryDef] = Seq(q355, q356, q357, q358, q359)
+  /** The table lifecycle driven ENTIRELY from SQL — `CALL
+    * graft_cat.system.*` stored procedures ([[graft.sources
+    * .QuirkCsvProcedures]]): two appends and a DELETE accumulate small
+    * files and history; `compact` folds them (REQUIRE: file counts from
+    * the CALL's own result row); `history` REQUIREs the full mutation
+    * log incl. the compaction; `vacuum` pins the retention horizon
+    * (REQUIRE: pre-horizon snapshot loud, post-horizon snapshot
+    * serves). The emitted rows are the surviving table content — the
+    * oracle certifies that SQL-driven maintenance changed the layout
+    * and the history, never the data. */
+  private val q360 = QueryDef(
+    "q360_sql_maintenance",
+    (s, d) => {
+      ensureCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r16.q360")
+      s.sql("DROP TABLE IF EXISTS graft_r16.q360.t")
+      s.sql("CREATE TABLE graft_r16.q360.t (okey STRING, flag STRING)")
+      val src = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("string").as("okey"),
+        col("l_returnflag").as("flag"))
+      src.filter(col("l_orderkey") % 4 === 0).coalesce(1)
+        .writeTo("graft_r16.q360.t").append()                     // v1
+      src.filter(col("l_orderkey") % 4 === 1).coalesce(1)
+        .writeTo("graft_r16.q360.t").append()                     // v2
+      s.sql("DELETE FROM graft_r16.q360.t WHERE flag = 'R'")      // v3
+      val folded = s.sql("CALL graft_r16.system.compact('q360.t', 1)")
+        .collect()(0)
+      require(folded.getLong(0) >= 2 && folded.getLong(1) == 1,
+        s"compact must fold the accumulated files to one, got " +
+          s"${folded.getLong(0)} -> ${folded.getLong(1)}")
+      val hist = s.sql("CALL graft_r16.system.history('q360.t')")
+        .orderBy("version").collect().map(_.getString(1)).toSeq
+      require(hist == Seq("append", "append", "overwrite", "compact"),
+        s"history must record the full SQL-driven lifecycle, got $hist")
+      val horizon = s.sql("CALL graft_r16.system.vacuum('q360.t', 1)")
+        .collect()(0).getLong(0)
+      require(horizon == 3L, s"vacuum(retain 1) must pin horizon 3, " +
+        s"got $horizon")
+      val preHorizonLoud =
+        try { s.sql("SELECT * FROM graft_r16.q360.t VERSION AS OF 1")
+          .collect(); false }
+        catch { case _: Exception => true }
+      require(preHorizonLoud,
+        "a vacuumed snapshot must fail loudly, not serve partial data")
+      require(s.sql("SELECT * FROM graft_r16.q360.t VERSION AS OF 3")
+        .count() == s.table("graft_r16.q360.t").count(),
+        "the post-horizon snapshot must still serve")
+      s.sql("SELECT okey, flag FROM graft_r16.q360.t").localCheckpoint()
+    },
+    Some("""
+      SELECT CAST(l_orderkey AS VARCHAR) AS okey, l_returnflag AS flag
+      FROM lineitem
+      WHERE l_orderkey % 4 IN (0, 1) AND l_returnflag <> 'R'"""))
+
+  val all: Seq[QueryDef] = Seq(q355, q356, q357, q358, q359, q360)
 }

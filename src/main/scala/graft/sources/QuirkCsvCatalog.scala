@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * staging, FIXTURES.md §1); `CREATE TABLE` rejects other column types
   * with the same message as the write path. */
 class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -414,6 +415,36 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     * Listing requires the namespace to exist (same contract as tables);
     * loading only requires the name to match, since Spark resolves
     * function references directly by identifier. */
+  // ------------------------------------------------- stored procedures
+  //
+  // `CALL graft_cat.system.<p>(…)` — the SQL surface for the lifecycle
+  // operations (history / current_version / vacuum / compact), so the
+  // whole maintenance story is runnable without any Scala entry point.
+  // See QuirkCsvProcedures.
+
+  override def loadProcedure(ident: Identifier)
+  : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    QuirkCsvProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq(QuirkCsvProcedures.Namespace))
+      QuirkCsvProcedures.Names
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  /** Catalog-relative `namespace.table` → the table's directory; loud
+    * when it does not resolve to a table (procedures must not silently
+    * operate on an arbitrary path). */
+  private[sources] def resolveTableDir(table: String): Path = {
+    val parts = table.split("\\.").toIndexedSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty,
+      s"procedure table argument must be 'namespace.table', got '$table'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    dir
+  }
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
       (catalogName +: namespace.toIndexedSeq).toArray)

@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for graft_cat maintenance —
+  * `CALL graft_cat.system.<p>(…)` via the DSv2 [[ProcedureCatalog]]
+  * tier, so every lifecycle operation the raw layer supports is
+  * runnable from pure SQL, the way the reference's operators live
+  * entirely in SQL (`SQLproject1.sql` throughout):
+  *
+  *  - `history('ns.tbl')` — the version log (DESCRIBE HISTORY).
+  *  - `current_version('ns.tbl')` — the latest committed version.
+  *  - `vacuum('ns.tbl', retain_last)` — drop attic generations past the
+  *    horizon; returns it.
+  *  - `compact('ns.tbl', num_files)` — fold small files (each value dir
+  *    of a partitioned table, the root of a flat one); returns
+  *    (files_before, files_after) summed.
+  *
+  * Outputs are driver-local [[LocalScan]] rows: maintenance results are
+  * a handful of rows by construction (the version LOG, never data), so
+  * nothing distributed is materialized. The table argument is
+  * catalog-relative (`namespace.table`). */
+private[sources] object QuirkCsvProcedures {
+
+  val Namespace = "system"
+
+  val Names: Seq[String] =
+    Seq("history", "current_version", "vacuum", "compact")
+
+  def load(cat: QuirkCsvCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq(Namespace) &&
+      Names.contains(ident.name),
+      s"unknown procedure ${ident.namespace.mkString(".")}.${ident.name}" +
+        s" — graft_cat provides ${Names.map(n => s"$Namespace.$n").mkString(", ")}")
+    new GraftProcedure(cat, ident.name)
+  }
+
+  private def param(n: String, t: DataType) =
+    ProcedureParameter.in(n, t).build()
+
+  private[sources] final class GraftProcedure(cat: QuirkCsvCatalog,
+                                              procName: String)
+    extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = procName
+    override def description(): String = procName match {
+      case "history" => "version log of a graft_cat table"
+      case "current_version" => "latest committed version of a table"
+      case "vacuum" => "drop attic generations, pin the retention horizon"
+      case "compact" => "fold small files (per value dir when partitioned)"
+    }
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = procName match {
+      case "history" | "current_version" =>
+        Array(param("table", StringType))
+      case "vacuum" =>
+        Array(param("table", StringType), param("retain_last", IntegerType))
+      case "compact" =>
+        Array(param("table", StringType), param("num_files", IntegerType))
+    }
+
+    private def outSchema: StructType = procName match {
+      case "history" => StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("action", StringType, nullable = false),
+        StructField("committed_at_ms", LongType, nullable = false),
+        StructField("n_added", LongType, nullable = false),
+        StructField("n_retired", LongType, nullable = false)))
+      case "current_version" => StructType(Seq(
+        StructField("version", LongType, nullable = false)))
+      case "vacuum" => StructType(Seq(
+        StructField("horizon", LongType, nullable = false)))
+      case "compact" => StructType(Seq(
+        StructField("files_before", LongType, nullable = false),
+        StructField("files_after", LongType, nullable = false)))
+    }
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val dir = cat.resolveTableDir(table)
+      val fs = dir.getFileSystem(new Configuration())
+      val out: Seq[InternalRow] = procName match {
+        case "history" =>
+          QuirkCsvVersions.readLog(fs, dir).map(e =>
+            new GenericInternalRow(Array[Any](e.version,
+              UTF8String.fromString(e.action), e.ts,
+              e.added.size.toLong, e.retired.size.toLong)))
+        case "current_version" =>
+          Seq(new GenericInternalRow(
+            Array[Any](QuirkCsvVersions.currentVersion(fs, dir))))
+        case "vacuum" =>
+          val h = QuirkCsvVersions.vacuum(fs, dir, input.getInt(1))
+          Seq(new GenericInternalRow(Array[Any](h)))
+        case "compact" =>
+          val n = input.getInt(1)
+          val spark = org.apache.spark.sql.SparkSession.active
+          val targets: Seq[String] = QuirkCsv.readPartitioning(dir) match {
+            case Some(_) =>
+              // partitioned: each value dir is the compaction unit; the
+              // root guard (and the hidden-dir guard) stay authoritative
+              fs.listStatus(dir).toIndexedSeq
+                .filter(st => st.isDirectory &&
+                  !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith("."))
+                .map(_.getPath.toString).sorted
+            case None => Seq(dir.toString)
+          }
+          val (b, a) = targets.map(t =>
+            graft.operators.Scale.compactCsv(spark, t, n))
+            .foldLeft((0L, 0L)) { case ((tb, ta), (fb, fa)) =>
+              (tb + fb, ta + fa) }
+          Seq(new GenericInternalRow(Array[Any](b, a)))
+      }
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = out.toArray
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft_cat $procName"
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `CALL graft_cat.system.<p>(…)` — SQL stored procedures for table
+  * lifecycle maintenance over the ProcedureCatalog tier. */
+class QuirkCsvProcedureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = {
+    val r = java.nio.file.Files.createTempDirectory("graft_proc").toString
+    spark.conf.set("spark.sql.catalog.graft_proc",
+      classOf[graft.sources.QuirkCsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_proc.root", r)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.ns")
+    r
+  }
+
+  test("history / current_version / vacuum through pure SQL") {
+    root
+    spark.sql("CREATE TABLE graft_proc.ns.t (k STRING)")
+    Seq("1").toDF("k").writeTo("graft_proc.ns.t").append()  // v1
+    spark.sql("DELETE FROM graft_proc.ns.t WHERE k = '1'")  // v2
+    Seq("2").toDF("k").writeTo("graft_proc.ns.t").append()  // v3
+    val hist = spark.sql("CALL graft_proc.system.history('ns.t')")
+    hist.columns.toSeq shouldBe Seq("version", "action",
+      "committed_at_ms", "n_added", "n_retired")
+    hist.orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "append"), (2L, "overwrite"), (3L, "append"))
+    spark.sql("CALL graft_proc.system.current_version('ns.t')")
+      .collect()(0).getLong(0) shouldBe 3L
+    spark.sql("CALL graft_proc.system.vacuum('ns.t', 1)")
+      .collect()(0).getLong(0) shouldBe 2L
+    // vacuumed snapshot now fails loudly; recent one still serves
+    an[Exception] should be thrownBy
+      spark.sql("SELECT * FROM graft_proc.ns.t VERSION AS OF 1").collect()
+    spark.sql("SELECT k FROM graft_proc.ns.t VERSION AS OF 3")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("2")
+  }
+
+  test("compact folds a flat table and every value dir of a " +
+      "partitioned one; bad procedure and bad table are loud") {
+    root
+    spark.sql("CREATE TABLE graft_proc.ns.c (k STRING)")
+    (0 until 3).foreach(i =>
+      Seq(s"$i").toDF("k").writeTo("graft_proc.ns.c").append())
+    val res = spark.sql("CALL graft_proc.system.compact('ns.c', 1)")
+      .collect()(0)
+    (res.getLong(0), res.getLong(1)) shouldBe ((4L, 1L)) // incl. the seed
+    spark.table("graft_proc.ns.c").orderBy("k").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("0", "1", "2")
+    spark.sql("""CREATE TABLE graft_proc.ns.p (k STRING, day STRING)
+      PARTITIONED BY (day)""")
+    (0 until 2).foreach(i =>
+      Seq((s"$i", "d1"), (s"$i", "d2")).toDF("k", "day")
+        .writeTo("graft_proc.ns.p").append())
+    val pres = spark.sql("CALL graft_proc.system.compact('ns.p', 1)")
+      .collect()(0)
+    (pres.getLong(0), pres.getLong(1)) shouldBe ((4L, 2L))
+    spark.table("graft_proc.ns.p").count() shouldBe 4L
+    an[Exception] should be thrownBy
+      spark.sql("CALL graft_proc.system.nope('ns.c')").collect()
+    an[Exception] should be thrownBy
+      spark.sql("CALL graft_proc.system.history('ns.missing')").collect()
+  }
+}
