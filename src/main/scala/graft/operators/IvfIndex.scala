@@ -50,6 +50,8 @@ object IvfIndex {
   def build(spark: SparkSession, cat: String, ns: String, name: String,
             corpus: DataFrame, idCol: String, embCol: String, k: Int,
             baseBatch: String = "base"): Unit = {
+    Seq("catalog" -> cat, "namespace" -> ns, "index name" -> name)
+      .foreach { case (kk, v) => NearDupIndex.requireSafeIdent(kk, v) }
     require(k >= 1, s"k must be >= 1, got $k")
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
     spark.sql(s"DROP TABLE IF EXISTS ${centTbl(cat, ns, name)}")

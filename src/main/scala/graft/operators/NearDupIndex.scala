@@ -38,6 +38,14 @@ import org.apache.spark.sql.functions._
   * feed an EXACT verifier (n-gram Jaccard) over only the paired docs. */
 object NearDupIndex {
 
+  // every piece interpolated into SQL text is validated to the
+  // identifier charset — a quote in a batch label would otherwise parse
+  // as SQL (the write path URL-encodes labels into dir names, so an
+  // unsafe label would be writable but never droppable)
+  private[operators] def requireSafeIdent(kind: String, v: String): Unit =
+    require(v != null && v.nonEmpty && v.matches("[A-Za-z0-9_.\\-]+"),
+      s"$kind must be a safe identifier ([A-Za-z0-9_.-]+), got '$v'")
+
   private def bandsTbl(cat: String, ns: String, name: String) =
     s"$cat.$ns.${name}_bands"
   private def metaTbl(cat: String, ns: String, name: String) =
@@ -50,6 +58,8 @@ object NearDupIndex {
             corpus: DataFrame, idCol: String, textCol: String,
             shingleN: Int = 3, numHashes: Int = 12, bandSize: Int = 3,
             baseBatch: String = "base"): Unit = {
+    Seq("catalog" -> cat, "namespace" -> ns, "index name" -> name)
+      .foreach { case (k, v) => requireSafeIdent(k, v) }
     require(shingleN >= 1 && numHashes >= 1 && bandSize >= 1 &&
       numHashes % bandSize == 0,
       s"invalid banding ($shingleN, $numHashes, $bandSize): shingleN, " +
@@ -87,7 +97,7 @@ object NearDupIndex {
   def indexBatch(spark: SparkSession, cat: String, ns: String, name: String,
                  docs: DataFrame, idCol: String, textCol: String,
                  batch: String): Unit = {
-    require(batch != null && batch.nonEmpty, "batch label must be non-empty")
+    requireSafeIdent("batch label", batch)
     val (sn, nh, bs) = params(spark, cat, ns, name)
     NearDup.bandKeys(docs, idCol, textCol, sn, nh, bs)
       .select(col("doc_id").cast("string"),
@@ -137,7 +147,9 @@ object NearDupIndex {
 
   /** Batch retention: the partition drops in one metadata statement. */
   def dropBatch(spark: SparkSession, cat: String, ns: String, name: String,
-                batch: String): Unit =
+                batch: String): Unit = {
+    requireSafeIdent("batch label", batch)
     spark.sql(s"ALTER TABLE ${bandsTbl(cat, ns, name)} " +
       s"DROP PARTITION (batch='$batch')")
+  }
 }

@@ -2390,7 +2390,7 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
         if (versioned)
           QuirkCsvVersions.commit(rootFs, root, versionAction,
             commits.map(c => new Path(c.file)).toSeq, retired.toSeq)
-        mergeZoneMap(commits, dropPrior = truncateFirst, deleteOthers = None)
+        mergeZoneMap(commits, dropPrior = truncateFirst)
       case Some(c) =>
         if (mode != QuirkCsvWriteMode.Append)
           commitPartitioned(c, messages, dispose)
@@ -2497,28 +2497,40 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     val prefix = QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId)
     val doSweep = !sweptFirstEpoch
     sweptFirstEpoch = true
-    // versioned tables: each epoch is one version entry (adds only —
-    // the phantom sweep below removes never-committed garbage, which is
-    // not history). A replayed epoch renames over its own final names,
-    // so its duplicate add events are idempotent for snapshot
-    // reconstruction. The current-version probe lists only the tiny log
-    // dir — O(epochs) names, no data I/O.
-    locally {
-      val root = new Path(path)
-      val rootFs = root.getFileSystem(new Configuration())
-      if (QuirkCsvVersions.isVersioned(rootFs, root))
-        QuirkCsvVersions.commit(rootFs, root, s"streamEpoch-$epochId",
-          allCommits(messages).map(cm => new Path(cm.file)), Nil)
-    }
     def phantom(n: String): Boolean =
       n.startsWith(prefix) || n.startsWith("." + prefix)
+    // versioned tables: each epoch is ONE version entry — the epoch's
+    // files as adds AND any swept phantoms as retirements. Phantoms of a
+    // replayed epoch may already be RECORDED as added (the previous
+    // instance's commit logged them before the driver died short of the
+    // sink commit log), so deleting them physically would poison every
+    // later snapshot ("expects live file ... missing"); retiring them
+    // keeps history closed. The current-version probe lists only the
+    // tiny log dir — O(epochs) names, no data I/O.
+    val root = new Path(path)
+    val rootFs = root.getFileSystem(new Configuration())
+    val versioned = QuirkCsvVersions.isVersioned(rootFs, root)
+    val phantoms = ArrayBuffer.empty[Path]
+    val dispose: Path => Unit =
+      if (versioned) (p => phantoms += p)
+      else (p => p.getFileSystem(new Configuration()).delete(p, false))
+    val commits = allCommits(messages)
     partitionCol match {
       case None =>
+        if (doSweep) {
+          val written = commits.map(c => new Path(c.file).getName).toSet
+          if (rootFs.exists(root)) rootFs.listStatus(root).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isFile && !written.contains(n) && phantom(n))
+              dispose(st.getPath)
+          }
+        }
+        if (versioned)
+          QuirkCsvVersions.commit(rootFs, root, s"streamEpoch-$epochId",
+            commits.map(cm => new Path(cm.file)), phantoms.toSeq)
         mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
-          dropPrior = false,
-          deleteOthers = if (doSweep) Some(phantom) else None)
+          dropPrior = false)
       case Some(c) =>
-        val commits = allCommits(messages)
         if (doSweep) {
           // a phantom commit of this (query, epoch) under a died driver
           // can sit in ANY value dir — walk them once (first epoch of
@@ -2527,20 +2539,21 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
             .groupBy(cm => new Path(cm.file).getParent.getName)
             .map { case (d, cs) =>
               d -> cs.map(cm => new Path(cm.file).getName).toSet }
-          val root = new Path(path)
-          val fs = root.getFileSystem(new Configuration())
-          if (fs.exists(root)) fs.listStatus(root)
+          if (rootFs.exists(root)) rootFs.listStatus(root)
             .filter(st => st.isDirectory &&
               st.getPath.getName.startsWith(c + "="))
             .foreach { d =>
               val keep = keepByDir.getOrElse(d.getPath.getName, Set.empty)
-              fs.listStatus(d.getPath).foreach { st =>
+              rootFs.listStatus(d.getPath).foreach { st =>
                 val n = st.getPath.getName
                 if (st.isFile && !keep.contains(n) && phantom(n))
-                  fs.delete(st.getPath, false)
+                  dispose(st.getPath)
               }
             }
         }
+        if (versioned)
+          QuirkCsvVersions.commit(rootFs, root, s"streamEpoch-$epochId",
+            commits.map(cm => new Path(cm.file)), phantoms.toSeq)
         commits.groupBy(cm => new Path(cm.file).getParent)
           .foreach { case (dir, cs) =>
             mergeZoneMapAt(dir, cs.toSeq, dropPrior = false)
@@ -2549,20 +2562,8 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
   }
 
   private def mergeZoneMap(commits: Array[QuirkCsvCommit],
-                           dropPrior: Boolean,
-                           deleteOthers: Option[String => Boolean]): Unit = {
-    val written = commits.map(c => new Path(c.file).getName).toSet
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
-    deleteOthers.foreach { doomed =>
-      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && !written.contains(n) && doomed(n))
-          fs.delete(st.getPath, false)
-      }
-    }
-    mergeZoneMapAt(dir, commits.toSeq, dropPrior)
-  }
+                           dropPrior: Boolean): Unit =
+    mergeZoneMapAt(new Path(path), commits.toSeq, dropPrior)
 
   /** Merge `commits`' zone entries into `dir`'s sidecar: prior entries
     * survive unless overwritten, pointing at vanished files, or
@@ -3597,9 +3598,9 @@ private[sources] object QuirkCsv {
     }
   }
 
-  private def enc(s: String): String =
+  private[sources] def enc(s: String): String =
     java.net.URLEncoder.encode(s, "ISO-8859-1")
-  private def dec(s: String): String =
+  private[sources] def dec(s: String): String =
     java.net.URLDecoder.decode(s, "ISO-8859-1")
 
   /** Write the sidecar: one `F` line per data file (name, byte length,

@@ -67,10 +67,11 @@ object QuirkCsvVersions {
   final case class VersionEntry(version: Long, action: String, ts: Long,
                                 added: Seq[String], retired: Seq[String])
 
-  private def enc(s: String): String =
-    java.net.URLEncoder.encode(s, "ISO-8859-1")
-  private def dec(s: String): String =
-    java.net.URLDecoder.decode(s, "ISO-8859-1")
+  // ONE URL-encoding definition for the whole source tier — a second
+  // copy drifting (charset, encoder) would silently mis-round-trip the
+  // attic relpaths this log records
+  private def enc(s: String): String = QuirkCsv.enc(s)
+  private def dec(s: String): String = QuirkCsv.dec(s)
 
   def isVersioned(fs: FileSystem, root: Path): Boolean =
     fs.exists(new Path(root, Marker))
@@ -115,21 +116,43 @@ object QuirkCsvVersions {
     if (!fs.exists(p)) return 0L
     val in = fs.open(p)
     try {
-      val buf = new Array[Byte](32)
-      val n = in.read(buf)
-      new String(buf, 0, math.max(n, 0),
-        java.nio.charset.StandardCharsets.ISO_8859_1).trim.toLong
+      // readFully semantics by hand: a single read() may legally return
+      // short, and a truncated horizon number would ADMIT vacuumed
+      // versions
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      new String(buf, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .trim.toLong
     } finally in.close()
   }
+
+  // Entry files are immutable once their content rename lands (tmp +
+  // rename, never appended), so parses memoize per (path, len, mtime) —
+  // snapshot planning calls readLog several times per scan build and an
+  // uncached implementation would open every entry file each time
+  // (same rationale as QuirkCsv.schemaMapFor's memo).
+  private val entryMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      VersionEntry]()
 
   def readLog(fs: FileSystem, root: Path): Seq[VersionEntry] = {
     val d = logDir(root)
     if (!fs.exists(d)) return Nil
     fs.listStatus(d).toIndexedSeq
       .filter(st => st.getPath.getName.startsWith("v-") &&
-        st.getPath.getName.endsWith(".tsv"))
+        st.getPath.getName.endsWith(".tsv") &&
+        // a zero-length entry is a CLAIMED version number whose commit
+        // crashed before its content rename: the number is consumed
+        // (currentVersion counts names) but it carries no events
+        st.getLen > 0)
       .sortBy(_.getPath.getName)
       .map { st =>
+        val memoKey = (st.getPath.toString, st.getLen,
+          st.getModificationTime)
+        val hit = entryMemo.get(memoKey)
+        if (hit != null) hit
+        else {
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
           fs.open(st.getPath),
           java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -149,10 +172,13 @@ object QuirkCsvVersions {
             if (f(0) == "A") added += dec(f(1)) else retired += dec(f(1))
             line = in.readLine()
           }
-          VersionEntry(
+          val e = VersionEntry(
             st.getPath.getName.stripPrefix("v-").stripSuffix(".tsv").toLong,
             parts(1), parts(2).toLong, added.result(), retired.result())
+          entryMemo.put(memoKey, e)
+          e
         } finally in.close()
+        }
       }
   }
 
@@ -164,19 +190,55 @@ object QuirkCsvVersions {
     pUri.substring(rootUri.length + 1)
   }
 
-  /** Commit one mutation: move `retiredFiles` (and every `retiredDirs`
-    * value directory, in one rename each) into the new version's attic
-    * generation, then write the log entry (tmp+rename — readers never
-    * see a torn entry). A retire source that no longer exists is skipped
-    * (idempotent recovery re-runs — compaction's completeSwap — retire
-    * the same names twice); the log entry still records the retirement,
-    * and snapshot resolution always chooses the FIRST retirement after
-    * its version, which is the one whose attic holds the bytes. Returns
-    * the committed version, or the current one when there was nothing
-    * to record. */
+  // Same-driver commits serialize on a per-root lock — every mutation
+  // commit (batch job commit, streaming epoch commit, DDL, compaction's
+  // completeSwap) runs on the driver, so the lock makes version
+  // allocation atomic within the process. ACROSS processes the number is
+  // additionally CLAIMED by an exclusive create (create(…, overwrite =
+  // false) throws when the name exists), so a racing external writer
+  // fails over to the next number instead of silently replacing a
+  // committed entry.
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: Path): Object =
+    rootLocks.computeIfAbsent(root.toUri.getPath, _ => new Object)
+
+  /** Allocate the next version number by exclusive create of its entry
+    * file (zero-length until the content rename lands — [[readLog]]
+    * skips zero-length claims, [[currentVersion]] counts them, so a
+    * crashed claim consumes a number and carries no events). */
+  private def claimVersion(fs: FileSystem, root: Path): Long = {
+    val d = logDir(root)
+    fs.mkdirs(d)
+    var attempts = 0
+    while (attempts < 50) {
+      val v = currentVersion(fs, root) + 1
+      try {
+        fs.create(new Path(d, entryName(v)), false).close()
+        return v
+      } catch { case _: java.io.IOException => attempts += 1 }
+    }
+    throw new IllegalStateException(
+      s"could not claim a version number for $root after 50 attempts — " +
+        "a concurrent writer is committing continuously")
+  }
+
+  /** Commit one mutation: claim the version number (exclusive create,
+    * under the per-root driver lock), move `retiredFiles` (and every
+    * `retiredDirs` value directory, in one rename each) into that
+    * version's attic generation, then land the log entry content
+    * (tmp+rename over the claim — readers never see a torn entry; a
+    * crash in between leaves a zero-length claim that consumes the
+    * number and carries no events). A retire source that no longer
+    * exists is skipped (idempotent recovery re-runs — compaction's
+    * completeSwap — retire the same names twice); the log entry still
+    * records the retirement, and snapshot resolution always chooses the
+    * FIRST retirement after its version, which is the one whose attic
+    * holds the bytes. Returns the committed version, or the current one
+    * when there was nothing to record. */
   def commit(fs: FileSystem, root: Path, action: String,
              added: Seq[Path], retiredFiles: Seq[Path],
-             retiredDirs: Seq[Path] = Nil): Long = {
+             retiredDirs: Seq[Path] = Nil): Long = lockFor(root).synchronized {
     val dirFiles: Seq[(Path, Seq[Path])] = retiredDirs.map { d =>
       d -> (if (fs.exists(d))
         fs.listStatus(d).toIndexedSeq.filter(_.isFile)
@@ -190,7 +252,7 @@ object QuirkCsvVersions {
     val allRetired = retiredFiles ++ dirFiles.flatMap(_._2)
     if (added.isEmpty && allRetired.isEmpty && retiredDirs.isEmpty)
       return currentVersion(fs, root)
-    val v = currentVersion(fs, root) + 1
+    val v = claimVersion(fs, root)
     val gen = atticGen(root, v)
     // whole-dir retirements first: ONE rename per value directory (its
     // sidecar travels along — snapshot reads keep pruning inside it)
@@ -212,7 +274,6 @@ object QuirkCsvVersions {
       }
     }
     val d = logDir(root)
-    fs.mkdirs(d)
     val tmp = new Path(d, s".${entryName(v)}.tmp")
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(tmp, true), java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -223,9 +284,16 @@ object QuirkCsvVersions {
       allRetired.map(relpath(root, _)).sorted
         .foreach(r => out.write(s"R\t${enc(r)}\n"))
     } finally out.close()
+    // land the content over our own zero-length claim: POSIX rename
+    // replaces the destination; where the fs refuses (rename returns
+    // false), remove the claim — it is ours, no other writer can hold
+    // this number — and rename again
     val dst = new Path(d, entryName(v))
-    require(fs.rename(tmp, dst),
-      s"graftcsv versioning: log rename $tmp -> $dst failed")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst),
+        s"graftcsv versioning: log rename $tmp -> $dst failed")
+    }
     v
   }
 
@@ -320,6 +388,29 @@ object QuirkCsvVersions {
       s"$root is not a versioned graftcsv table")
     val current = currentVersion(fs, root)
     val horizon = math.max(minAsOf(fs, root), math.max(0L, current - retainLast))
+    // PIN FIRST, destroy after: a crash between the two leaves the
+    // horizon durable and some attic generations undeleted — the next
+    // vacuum re-sweeps them, and asOf below the horizon already fails
+    // with the intended "was vacuumed" error instead of a spurious
+    // corruption diagnosis. (The reverse order would open a window where
+    // destroyed generations still pass the horizon gate.) The pin rename
+    // replaces the old horizon in one POSIX rename; where the fs refuses,
+    // fall back to delete+rename — the gap then briefly exposes the
+    // PREVIOUS (lower) horizon, which only ever admits MORE versions,
+    // never a destroyed one, because destruction has not happened yet.
+    val d = logDir(root)
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".$HorizonFile.tmp")
+    val out = fs.create(tmp, true)
+    out.write(horizon.toString
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.close()
+    val dst = new Path(d, HorizonFile)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst),
+        s"graftcsv versioning: horizon rename $tmp -> $dst failed")
+    }
     val attic = atticDir(root)
     if (fs.exists(attic)) {
       fs.listStatus(attic).foreach { st =>
@@ -329,17 +420,6 @@ object QuirkCsvVersions {
           fs.delete(st.getPath, true)
       }
     }
-    val d = logDir(root)
-    fs.mkdirs(d)
-    val tmp = new Path(d, s".$HorizonFile.tmp")
-    val out = fs.create(tmp, true)
-    out.write(horizon.toString
-      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-    out.close()
-    val dst = new Path(d, HorizonFile)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst),
-      s"graftcsv versioning: horizon rename $tmp -> $dst failed")
     horizon
   }
 
