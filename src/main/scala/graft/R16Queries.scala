@@ -357,5 +357,48 @@ object R16Queries {
       FROM lineitem
       WHERE l_orderkey % 4 IN (0, 1) AND l_returnflag <> 'R'"""))
 
-  val all: Seq[QueryDef] = Seq(q355, q356, q357, q358, q359, q360)
+  /** RESTORE as the one-call undo ([[graft.sources.QuirkCsvVersions
+    * .restore]], surfaced as `CALL system.restore`): a metadata DELETE
+    * drops a whole partition, the restore brings it back AS A NEW
+    * VERSION — history is never rewritten (REQUIRE: the action log and
+    * both directions of time travel across the restore), and the
+    * emitted current state hash-matches the original load. */
+  private val q361 = QueryDef(
+    "q361_restore",
+    (s, d) => {
+      ensureCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r16.q361")
+      s.sql("DROP TABLE IF EXISTS graft_r16.q361.t")
+      s.sql("""CREATE TABLE graft_r16.q361.t (okey STRING, prio STRING)
+        PARTITIONED BY (prio)""")
+      Tables.orders(s, d).select(
+          col("o_orderkey").cast("string").as("okey"),
+          col("o_orderpriority").as("prio"))
+        .writeTo("graft_r16.q361.t").append()                   // v1
+      s.sql("DELETE FROM graft_r16.q361.t WHERE prio = '5-LOW'") // v2
+      val restored = s.sql("CALL graft_r16.system.restore('q361.t', 1)")
+        .collect()(0).getLong(0)
+      require(restored == 3L, s"restore must land as version 3, got " +
+        s"$restored")
+      val hist = s.sql("CALL graft_r16.system.history('q361.t')")
+        .orderBy("version").collect().map(_.getString(1)).toSeq
+      require(hist == Seq("append", "delete", "restore-v1"),
+        s"history must stay append-only across the restore, got $hist")
+      // time travel works in BOTH directions across the restore
+      require(s.sql(
+        "SELECT * FROM graft_r16.q361.t VERSION AS OF 2")
+        .filter(col("prio") === "5-LOW").count() == 0,
+        "the deleted state must remain readable AT its version")
+      require(s.sql(
+        "SELECT * FROM graft_r16.q361.t VERSION AS OF 3")
+        .filter(col("prio") === "5-LOW").count() > 0,
+        "the restored state must hold the partition again")
+      s.sql("SELECT okey, prio FROM graft_r16.q361.t").localCheckpoint()
+    },
+    Some("""
+      SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+             o_orderpriority AS prio
+      FROM orders"""))
+
+  val all: Seq[QueryDef] = Seq(q355, q356, q357, q358, q359, q360, q361)
 }

@@ -25,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `compact('ns.tbl', num_files)` — fold small files (each value dir
   *    of a partitioned table, the root of a flat one); returns
   *    (files_before, files_after) summed.
+  *  - `restore('ns.tbl', to_version)` — roll the table back to a past
+  *    version AS A NEW VERSION (one-call undo); returns it.
   *
   * Outputs are driver-local [[LocalScan]] rows: maintenance results are
   * a handful of rows by construction (the version LOG, never data), so
@@ -35,7 +37,7 @@ private[sources] object QuirkCsvProcedures {
   val Namespace = "system"
 
   val Names: Seq[String] =
-    Seq("history", "current_version", "vacuum", "compact")
+    Seq("history", "current_version", "vacuum", "compact", "restore")
 
   def load(cat: QuirkCsvCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.toSeq == Seq(Namespace) &&
@@ -58,6 +60,7 @@ private[sources] object QuirkCsvProcedures {
       case "current_version" => "latest committed version of a table"
       case "vacuum" => "drop attic generations, pin the retention horizon"
       case "compact" => "fold small files (per value dir when partitioned)"
+      case "restore" => "roll the table back to a version, as a new version"
     }
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
@@ -69,6 +72,8 @@ private[sources] object QuirkCsvProcedures {
         Array(param("table", StringType), param("retain_last", IntegerType))
       case "compact" =>
         Array(param("table", StringType), param("num_files", IntegerType))
+      case "restore" =>
+        Array(param("table", StringType), param("to_version", IntegerType))
     }
 
     private def outSchema: StructType = procName match {
@@ -85,6 +90,8 @@ private[sources] object QuirkCsvProcedures {
       case "compact" => StructType(Seq(
         StructField("files_before", LongType, nullable = false),
         StructField("files_after", LongType, nullable = false)))
+      case "restore" => StructType(Seq(
+        StructField("restored_as_version", LongType, nullable = false)))
     }
 
     override def call(input: InternalRow): util.Iterator[Scan] = {
@@ -122,6 +129,9 @@ private[sources] object QuirkCsvProcedures {
             .foldLeft((0L, 0L)) { case ((tb, ta), (fb, fa)) =>
               (tb + fb, ta + fa) }
           Seq(new GenericInternalRow(Array[Any](b, a)))
+        case "restore" =>
+          val v = QuirkCsvVersions.restore(fs, dir, input.getInt(1).toLong)
+          Seq(new GenericInternalRow(Array[Any](v)))
       }
       val scan: Scan = new LocalScan {
         override def rows(): Array[InternalRow] = out.toArray

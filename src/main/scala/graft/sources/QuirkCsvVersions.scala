@@ -377,6 +377,70 @@ object QuirkCsvVersions {
     out.result()
   }
 
+  /** RESTORE the table to the state of version `toVersion`, as a NEW
+    * version — the one-call undo for a bad delete/overwrite. File-level:
+    * live files that are not part of the target snapshot RETIRE (the
+    * usual rename into the new version's attic generation), and snapshot
+    * files that are no longer live come BACK as byte copies from their
+    * attic generation under their original relative paths (a copy, not a
+    * move — the attic original keeps serving every other snapshot that
+    * references it; restore is the rare human-initiated recovery, so the
+    * copy cost is acceptable and stated). Nothing about history is
+    * rewritten: the restore IS a version, time travel across it works in
+    * both directions, and a second restore can undo the first. Restored
+    * files carry no zone-sidecar entries (scans fall back to reading
+    * them — safe; the next compaction re-sidecars). Returns the new
+    * version, or the current one when the table already matches. */
+  def restore(fs: FileSystem, root: Path, toVersion: Long): Long = {
+    require(isVersioned(fs, root),
+      s"$root is not a versioned graftcsv table")
+    val live = QuirkCsv.listFiles(readOptions(fs, root))
+    val snap = snapshotListing(fs, root, toVersion, live)
+    def key(f: QuirkCsvFileMeta) = (relpath(root, new Path(f.path)),
+      f.len, f.mtime)
+    val liveByKey = live.map(f => key(f) -> f).toMap
+    val snapKeys = snap.map(key).toSet
+    // live files outside the snapshot retire; schema seeds never do
+    // (the CURRENT logical schema stays authoritative, same contract as
+    // snapshot reads)
+    val retire = live.filter(f => !snapKeys.contains(key(f)) &&
+      !new Path(f.path).getName.startsWith("part-seed-"))
+    // snapshot files that are not live now: copy bytes back from the
+    // attic to the ORIGINAL relpath (never live — they were retired)
+    val comeBack = snap.filter(f => !liveByKey.contains(key(f)) &&
+      !new Path(f.path).getName.startsWith("part-seed-"))
+    if (retire.isEmpty && comeBack.isEmpty)
+      return currentVersion(fs, root)
+    val added = comeBack.map { f =>
+      val src = new Path(f.path)
+      // the snapshot path is attic-side (…/_graft_attic/vNNN/<rel>);
+      // recover <rel> by stripping the attic prefix
+      val srcRel = relpath(root, src)
+      require(srcRel.startsWith(AtticDirName + "/"),
+        s"restore: snapshot file $src is neither live nor attic")
+      val rel = srcRel.split("/", 3)(2)
+      val dst0 = new Path(root, rel)
+      // the original relpath can still be LIVE when an in-place rewrite
+      // (streaming replay) produced a same-name file that this restore
+      // retires in the same commit — the copy happens before the moves,
+      // so land under a fresh restore-name instead
+      val dst = if (fs.exists(dst0))
+        new Path(dst0.getParent, s"restored-v$toVersion-${dst0.getName}")
+      else dst0
+      fs.mkdirs(dst.getParent)
+      val in = fs.open(src)
+      val out = fs.create(dst, false) // a second collision is a bug
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      } finally { in.close(); out.close() }
+      dst
+    }
+    commit(fs, root, s"restore-v$toVersion", added,
+      retire.map(f => new Path(f.path)))
+  }
+
   /** Drop attic generations at or below `current - retainLast` and pin
     * the horizon durably. Keeps the LOG intact (history metadata stays
     * auditable; only the bytes needed to RECONSTRUCT old snapshots go),
