@@ -1000,7 +1000,7 @@ private[sources] case class QuirkCsvGroupedPartition(
 /** One listed data file: path, byte length, and modification time — the
   * (len, mtime) pair is the zone-map staleness key (length alone would
   * trust stale stats after a same-length out-of-band rewrite). */
-private[sources] case class QuirkCsvFileMeta(path: String, len: Long,
+private[graft] case class QuirkCsvFileMeta(path: String, len: Long,
                                              mtime: Long)
 
 private[sources] class QuirkCsvReaderFactory(allColumns: Array[String],
@@ -2329,13 +2329,21 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
   }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-  : StreamingDataWriterFactory = partitionCol match {
-    case Some(c) =>
-      new QuirkCsvPartitionedStreamingWriterFactory(path, columns, header,
-        queryId, c, partitionRowIdx(c), src, bloomCols, bloomBits)
-    case None =>
-      new QuirkCsvStreamingWriterFactory(path, columns, header, queryId, src,
-        bloomCols, bloomBits)
+  : StreamingDataWriterFactory = {
+    // versioned roots preserve replaced finals (epoch replay) for the
+    // epoch commit to retire into the attic — probed ONCE at the driver,
+    // the flag ships to the tasks
+    val root = new Path(path)
+    val preserve = QuirkCsvVersions.isVersioned(
+      root.getFileSystem(new Configuration()), root)
+    partitionCol match {
+      case Some(c) =>
+        new QuirkCsvPartitionedStreamingWriterFactory(path, columns, header,
+          queryId, c, partitionRowIdx(c), src, bloomCols, bloomBits, preserve)
+      case None =>
+        new QuirkCsvStreamingWriterFactory(path, columns, header, queryId,
+          src, bloomCols, bloomBits, preserve)
+    }
   }
 
   /** The action label a versioned table's log records for this write. */
@@ -2487,6 +2495,17 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     * full directory listing (which would grow with stream age). */
   @volatile private var sweptFirstEpoch = false
 
+  /** Replaced-final asides reported by this epoch's task commits
+    * (versioned replay — see QuirkCsvRenamingWriter): each retires into
+    * the epoch's attic generation UNDER THE ORIGINAL final relpath, so
+    * pre-replay snapshots keep their bytes. */
+  private def replayAsides(root: Path, commits: Seq[QuirkCsvCommit])
+  : Seq[(Path, String)] =
+    commits.filter(_.priorAside != null).map { c =>
+      (new Path(c.priorAside),
+        QuirkCsvVersions.relpathOf(root, new Path(c.file)))
+    }
+
   /** Streaming epoch commit: on the instance's first commit, sweep
     * every OTHER file of this (query, epoch) — phantom task commits and
     * stale attempt tmps — then merge the sidecar(s). Partitioned tables
@@ -2497,8 +2516,14 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     val prefix = QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId)
     val doSweep = !sweptFirstEpoch
     sweptFirstEpoch = true
+    // NOT a phantom: `.‹final›.pre-replay` asides — they hold the
+    // version-committed bytes a replayed task displaced, and the commit
+    // below retires them into the attic UNDER THE ORIGINAL relpath via
+    // retiredAliases (sweeping one as a phantom would file its bytes
+    // under the dot-name, leaving pre-replay snapshots unresolvable)
     def phantom(n: String): Boolean =
-      n.startsWith(prefix) || n.startsWith("." + prefix)
+      (n.startsWith(prefix) || n.startsWith("." + prefix)) &&
+        !n.endsWith(QuirkCsvStreamingWriterFactory.PreReplaySuffix)
     // versioned tables: each epoch is ONE version entry — the epoch's
     // files as adds AND any swept phantoms as retirements. Phantoms of a
     // replayed epoch may already be RECORDED as added (the previous
@@ -2527,7 +2552,8 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
         }
         if (versioned)
           QuirkCsvVersions.commit(rootFs, root, s"streamEpoch-$epochId",
-            commits.map(cm => new Path(cm.file)), phantoms.toSeq)
+            commits.map(cm => new Path(cm.file)), phantoms.toSeq,
+            retiredAliases = replayAsides(root, commits))
         mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
           dropPrior = false)
       case Some(c) =>
@@ -2553,7 +2579,8 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
         }
         if (versioned)
           QuirkCsvVersions.commit(rootFs, root, s"streamEpoch-$epochId",
-            commits.map(cm => new Path(cm.file)), phantoms.toSeq)
+            commits.map(cm => new Path(cm.file)), phantoms.toSeq,
+            retiredAliases = replayAsides(root, commits))
         commits.groupBy(cm => new Path(cm.file).getParent)
           .foreach { case (dir, cs) =>
             mergeZoneMapAt(dir, cs.toSeq, dropPrior = false)
@@ -2615,12 +2642,15 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
 private[sources] object QuirkCsvStreamingWriterFactory {
   def epochPrefix(queryId: String, epochId: Long): String =
     f"part-$queryId-epoch-$epochId%020d-"
+  /** Hidden-name suffix for a replaced final's preserved bytes. */
+  val PreReplaySuffix = ".pre-replay"
 }
 
 private[sources] class QuirkCsvStreamingWriterFactory(
     path: String, columns: Array[String], header: Boolean, queryId: String,
     srcIdx: Array[Int] = null, bloomCols: Array[String] = Array.empty,
-    bloomBits: Int = QuirkCsvBloom.DefaultBits)
+    bloomBits: Int = QuirkCsvBloom.DefaultBits,
+    preserveReplaced: Boolean = false)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -2632,14 +2662,28 @@ private[sources] class QuirkCsvStreamingWriterFactory(
     // see QuirkCsvWrite.toStreaming's recovery-contract doc
     new QuirkCsvRenamingWriter(
       s"$path/.$finalName.attempt-$taskId.tmp", s"$path/$finalName",
-      columns, header, srcIdx, bloomCols, bloomBits)
+      columns, header, srcIdx, bloomCols, bloomBits, preserveReplaced)
   }
 }
 
 /** Writes to an attempt-private tmp path; the coordinator-approved
   * attempt's `commit()` renames it over the final name (replacing a
   * previous replay's file), so concurrent speculative attempts never
-  * touch each other's output. */
+  * touch each other's output.
+  *
+  * `preserveReplaced` (VERSIONED roots, streaming factories only): a
+  * final name that already exists may hold bytes an earlier version
+  * entry recorded as ADDED (a replayed epoch re-lands the same names) —
+  * deleting them would poison every snapshot that references them. The
+  * FIRST replace instead renames the existing file aside to a hidden
+  * deterministic name (`.‹final›.pre-replay`) and reports it in the
+  * commit message; the driver's epoch commit retires the aside bytes
+  * into the replaying version's attic under the ORIGINAL relpath, so
+  * history stays byte-accurate across replays. The name is
+  * deterministic, not attempt-keyed, on purpose: if a replay itself
+  * dies after replacing and a SECOND replay runs, the aside already
+  * holds the only version-committed bytes — the second replay's
+  * pre-state (the first replay's uncommitted output) is safe to drop. */
 private[sources] class QuirkCsvRenamingWriter(tmp: String, dest: String,
                                               columns: Array[String],
                                               header: Boolean,
@@ -2647,7 +2691,9 @@ private[sources] class QuirkCsvRenamingWriter(tmp: String, dest: String,
                                               bloomCols: Array[String] =
                                                 Array.empty,
                                               bloomBits: Int =
-                                                QuirkCsvBloom.DefaultBits)
+                                                QuirkCsvBloom.DefaultBits,
+                                              preserveReplaced: Boolean =
+                                                false)
   extends QuirkCsvWriter(tmp, columns, header, srcIdx, bloomCols,
     bloomBits) {
 
@@ -2655,10 +2701,21 @@ private[sources] class QuirkCsvRenamingWriter(tmp: String, dest: String,
     val m = super.commit().asInstanceOf[QuirkCsvCommit]
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(new Configuration())
+    var aside: String = null
+    if (preserveReplaced) {
+      val asidePath = new Path(destPath.getParent,
+        s".${destPath.getName}${QuirkCsvStreamingWriterFactory.PreReplaySuffix}")
+      if (fs.exists(destPath) && !fs.exists(asidePath)) {
+        // racing speculative attempts: rename is atomic, loser falls
+        // through to the delete branch below (dest then gone, no-op)
+        fs.rename(destPath, asidePath)
+      }
+      if (fs.exists(asidePath)) aside = asidePath.toString
+    }
     if (fs.exists(destPath)) fs.delete(destPath, false)
     require(fs.rename(new Path(tmp), destPath),
       s"graftcsv sink: rename $tmp -> $dest failed")
-    m.copy(file = dest)
+    m.copy(file = dest, priorAside = aside)
   }
 }
 
@@ -2671,7 +2728,12 @@ private[sources] case class QuirkCsvCommit(file: String, rows: Long,
                                            maxs: Array[String],
                                            nulls: Array[Long],
                                            blooms: Map[String, String] =
-                                             Map.empty)
+                                             Map.empty,
+                                           // versioned replay: hidden
+                                           // aside file holding `file`'s
+                                           // pre-replace bytes (see
+                                           // QuirkCsvRenamingWriter)
+                                           priorAside: String = null)
   extends WriterCommitMessage
 
 /** Per-file Bloom filter over one column's non-null values — the sidecar
@@ -2771,7 +2833,8 @@ private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
     path: String, columns: Array[String], header: Boolean, queryId: String,
     partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null,
     bloomCols: Array[String] = Array.empty,
-    bloomBits: Int = QuirkCsvBloom.DefaultBits)
+    bloomBits: Int = QuirkCsvBloom.DefaultBits,
+    preserveReplaced: Boolean = false)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -2779,7 +2842,8 @@ private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
     new QuirkCsvPartitionedWriter(path, columns, header,
       QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId) +
         f"$partitionId%05d.csv",
-      taskId, partitionCol, partitionIdx, srcIdx, bloomCols, bloomBits)
+      taskId, partitionCol, partitionIdx, srcIdx, bloomCols, bloomBits,
+      preserveReplaced)
 }
 
 /** Dynamic-partition router: each row lands in its value's
@@ -2794,7 +2858,8 @@ private[sources] class QuirkCsvPartitionedWriter(
     finalName: String, taskId: Long,
     partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null,
     bloomCols: Array[String] = Array.empty,
-    bloomBits: Int = QuirkCsvBloom.DefaultBits)
+    bloomBits: Int = QuirkCsvBloom.DefaultBits,
+    preserveReplaced: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val open =
@@ -2807,7 +2872,7 @@ private[sources] class QuirkCsvPartitionedWriter(
       dir.getFileSystem(new Configuration()).mkdirs(dir)
       new QuirkCsvRenamingWriter(
         s"$dir/.$finalName.attempt-$taskId.tmp", s"$dir/$finalName",
-        columns, header, srcIdx, bloomCols, bloomBits)
+        columns, header, srcIdx, bloomCols, bloomBits, preserveReplaced)
     })
 
   override def write(row: InternalRow): Unit = {
@@ -3369,11 +3434,19 @@ private[sources] object QuirkCsv {
     case StringStartsWith(a, _) => a
     case StringEndsWith(a, _) => a
     case StringContains(a, _) => a
+    case GreaterThan(a, _) => a
+    case GreaterThanOrEqual(a, _) => a
+    case LessThan(a, _) => a
+    case LessThanOrEqual(a, _) => a
     case _ => throw new IllegalArgumentException(s"not pushable: $f")
   }
 
   /** Which filters the reader can fully evaluate: string-typed simple
-    * predicates on a known column. */
+    * predicates on a known column. Range comparisons use plain String
+    * ordering — the SAME ordering the writers' zone stats are gathered
+    * under, which is what makes them zone-prunable; on a range-clustered
+    * (clusterBy / zero-padded key) table they are the predicates the
+    * layout exists for. */
   def evaluable(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(a, v: String) => schema.fieldNames.contains(a) && v != null
     // <=> — the shape static partition overwrite emits (the analyzer's
@@ -3387,6 +3460,14 @@ private[sources] object QuirkCsv {
     case StringStartsWith(a, _) => schema.fieldNames.contains(a)
     case StringEndsWith(a, _) => schema.fieldNames.contains(a)
     case StringContains(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, v: String) =>
+      schema.fieldNames.contains(a) && v != null
+    case GreaterThanOrEqual(a, v: String) =>
+      schema.fieldNames.contains(a) && v != null
+    case LessThan(a, v: String) =>
+      schema.fieldNames.contains(a) && v != null
+    case LessThanOrEqual(a, v: String) =>
+      schema.fieldNames.contains(a) && v != null
     case _ => false
   }
 
@@ -3727,6 +3808,31 @@ private[sources] object QuirkCsv {
         case Some((None, None, _)) => false
         case _ => true
       }
+      // range probes against the per-file [min,max] — conservative under
+      // the 256-char truncated bounds (boundDown <= true min, boundUp >=
+      // true max, so a possible match is never pruned). On a
+      // range-clustered layout (disjoint per-file key ranges) these cut
+      // a BETWEEN to exactly the covering files.
+      case GreaterThan(c, x: String) => nonNull(c) && (stats(c) match {
+        case Some((_, Some(mx), _)) => mx.compareTo(x) > 0
+        case Some((None, None, _)) => false
+        case _ => true
+      })
+      case GreaterThanOrEqual(c, x: String) => nonNull(c) && (stats(c) match {
+        case Some((_, Some(mx), _)) => mx.compareTo(x) >= 0
+        case Some((None, None, _)) => false
+        case _ => true
+      })
+      case LessThan(c, x: String) => nonNull(c) && (stats(c) match {
+        case Some((Some(mn), _, _)) => mn.compareTo(x) < 0
+        case Some((None, None, _)) => false
+        case _ => true
+      })
+      case LessThanOrEqual(c, x: String) => nonNull(c) && (stats(c) match {
+        case Some((Some(mn), _, _)) => mn.compareTo(x) <= 0
+        case Some((None, None, _)) => false
+        case _ => true
+      })
       case _ => true
     }
   }
@@ -3865,6 +3971,10 @@ private[sources] object QuirkCsv {
     case StringStartsWith(_, p) => v != null && v.startsWith(p)
     case StringEndsWith(_, p) => v != null && v.endsWith(p)
     case StringContains(_, p) => v != null && v.contains(p)
+    case GreaterThan(_, x: String) => v != null && v.compareTo(x) > 0
+    case GreaterThanOrEqual(_, x: String) => v != null && v.compareTo(x) >= 0
+    case LessThan(_, x: String) => v != null && v.compareTo(x) < 0
+    case LessThanOrEqual(_, x: String) => v != null && v.compareTo(x) <= 0
     case _ => false
   }
 }

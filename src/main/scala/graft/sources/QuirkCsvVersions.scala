@@ -62,7 +62,16 @@ object QuirkCsvVersions {
   val LogDirName = "_graft_versions"
   val AtticDirName = "_graft_attic"
   val HorizonFile = "_horizon"
+  // v1: entry landed complete via tmp+rename (legacy; always whole).
+  // v2: entry content is written DIRECTLY into the exclusively-created
+  // claim file and sealed by a trailing `E\t<n_events>` line — no rename
+  // ever touches the claim name, so no window exists in which a
+  // concurrent external writer could re-claim a committed number (the
+  // race the old rename-refused fallback's delete+rename opened).
+  // Readers treat a v2 entry without a matching seal as an in-progress /
+  // crashed claim: the number is consumed, it carries no events.
   private val Header = "graft-version-v1"
+  private val HeaderV2 = "graft-version-v2"
 
   final case class VersionEntry(version: Long, action: String, ts: Long,
                                 added: Seq[String], retired: Seq[String])
@@ -127,14 +136,24 @@ object QuirkCsvVersions {
     } finally in.close()
   }
 
-  // Entry files are immutable once their content rename lands (tmp +
-  // rename, never appended), so parses memoize per (path, len, mtime) —
-  // snapshot planning calls readLog several times per scan build and an
-  // uncached implementation would open every entry file each time
-  // (same rationale as QuirkCsv.schemaMapFor's memo).
-  private val entryMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
-      VersionEntry]()
+  // Entry files are immutable once sealed (v1: renamed whole; v2: the
+  // seal line is the last write before close), so parses memoize per
+  // (path, len, mtime) — snapshot planning calls readLog several times
+  // per scan build and an uncached implementation would open every entry
+  // file each time (same rationale as QuirkCsv.schemaMapFor's memo).
+  // BOUNDED: an access-ordered LRU capped at [[MemoMax]] — a long-running
+  // driver (streaming sinks commit one entry per epoch) or a churn of
+  // dropped/vacuumed/temp tables must not accumulate parsed entries
+  // forever.
+  private val MemoMax = 8192
+  private val entryMemo: java.util.Map[(String, Long, Long), VersionEntry] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), VersionEntry](
+        256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), VersionEntry])
+        : Boolean = size() > MemoMax
+      })
 
   def readLog(fs: FileSystem, root: Path): Seq[VersionEntry] = {
     val d = logDir(root)
@@ -143,15 +162,15 @@ object QuirkCsvVersions {
       .filter(st => st.getPath.getName.startsWith("v-") &&
         st.getPath.getName.endsWith(".tsv") &&
         // a zero-length entry is a CLAIMED version number whose commit
-        // crashed before its content rename: the number is consumed
+        // crashed before writing content: the number is consumed
         // (currentVersion counts names) but it carries no events
         st.getLen > 0)
       .sortBy(_.getPath.getName)
-      .map { st =>
+      .flatMap { st =>
         val memoKey = (st.getPath.toString, st.getLen,
           st.getModificationTime)
         val hit = entryMemo.get(memoKey)
-        if (hit != null) hit
+        if (hit != null) Some(hit)
         else {
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
           fs.open(st.getPath),
@@ -159,28 +178,59 @@ object QuirkCsvVersions {
         try {
           val head = in.readLine()
           val parts = Option(head).map(_.split("\t", -1)).getOrElse(Array[String]())
-          require(parts.length == 3 && parts(0) == Header,
+          // a TRUNCATED v2 header (concurrent writer's first flush still
+          // in flight, or a crash mid-header) is an in-progress claim —
+          // skip it; anything else unparsable is corruption and stops loud
+          val headerOk = parts.length == 3 &&
+            (parts(0) == Header || parts(0) == HeaderV2)
+          val v2Partial = !headerOk && (head == null ||
+            HeaderV2.startsWith(parts(0)) ||
+            (parts(0) == HeaderV2 && parts.length < 3))
+          require(headerOk || v2Partial,
             s"unreadable graftcsv version entry ${st.getPath}: header " +
               s"'$head' — refusing to serve a partial history")
+          val v2 = v2Partial || parts(0) == HeaderV2
           val added = Seq.newBuilder[String]
           val retired = Seq.newBuilder[String]
+          var events = 0
+          var seal = -1L // v2: n_events from the trailing E line
+          var torn = false
           var line = in.readLine()
-          while (line != null) {
+          while (line != null && seal < 0 && !torn) {
             val f = line.split("\t", -1)
-            require(f.length == 2 && (f(0) == "A" || f(0) == "R"),
+            if (f.length == 2 && f(0) == "A") { added += dec(f(1)); events += 1 }
+            else if (f.length == 2 && f(0) == "R") { retired += dec(f(1)); events += 1 }
+            else if (v2 && f.length == 2 && f(0) == "E") seal = f(1).toLong
+            else if (v2)
+              // a torn tail (partial last line of a crashed direct write)
+              torn = true
+            else require(false,
               s"unreadable line in version entry ${st.getPath}: '$line'")
-            if (f(0) == "A") added += dec(f(1)) else retired += dec(f(1))
             line = in.readLine()
           }
-          val e = VersionEntry(
-            st.getPath.getName.stripPrefix("v-").stripSuffix(".tsv").toLong,
-            parts(1), parts(2).toLong, added.result(), retired.result())
-          entryMemo.put(memoKey, e)
-          e
+          if (v2 && (torn || seal < 0))
+            // in-progress or crashed claim: number consumed, no events —
+            // same contract as a zero-length claim. NOT memoized (an
+            // in-progress writer will grow/seal this file).
+            None
+          else {
+            require(!v2 || seal == events,
+              s"graftcsv version entry ${st.getPath}: seal records $seal " +
+                s"events but $events parsed — history corrupted")
+            val e = VersionEntry(
+              st.getPath.getName.stripPrefix("v-").stripSuffix(".tsv").toLong,
+              parts(1), parts(2).toLong, added.result(), retired.result())
+            entryMemo.put(memoKey, e)
+            Some(e)
+          }
         } finally in.close()
         }
       }
   }
+
+  /** Public alias of [[relpath]] for callers that must name a logical
+    * relpath in a [[commit]] `retiredAliases` pair. */
+  def relpathOf(root: Path, p: Path): String = relpath(root, p)
 
   private def relpath(root: Path, p: Path): String = {
     val rootUri = root.toUri.getPath.stripSuffix("/")
@@ -204,18 +254,21 @@ object QuirkCsvVersions {
     rootLocks.computeIfAbsent(root.toUri.getPath, _ => new Object)
 
   /** Allocate the next version number by exclusive create of its entry
-    * file (zero-length until the content rename lands — [[readLog]]
-    * skips zero-length claims, [[currentVersion]] counts them, so a
-    * crashed claim consumes a number and carries no events). */
-  private def claimVersion(fs: FileSystem, root: Path): Long = {
+    * file, returning the OPEN stream: the commit writes its content
+    * directly into the claim (sealed by a trailing `E` line) — the claim
+    * name is created exactly once and never deleted or renamed, so a
+    * concurrent external writer can never re-claim a number this process
+    * holds ([[readLog]] skips unsealed claims, [[currentVersion]] counts
+    * them, so a crashed claim consumes a number and carries no events). */
+  private def claimVersion(fs: FileSystem, root: Path)
+  : (Long, org.apache.hadoop.fs.FSDataOutputStream) = {
     val d = logDir(root)
     fs.mkdirs(d)
     var attempts = 0
     while (attempts < 50) {
       val v = currentVersion(fs, root) + 1
       try {
-        fs.create(new Path(d, entryName(v)), false).close()
-        return v
+        return (v, fs.create(new Path(d, entryName(v)), false))
       } catch { case _: java.io.IOException => attempts += 1 }
     }
     throw new IllegalStateException(
@@ -226,19 +279,36 @@ object QuirkCsvVersions {
   /** Commit one mutation: claim the version number (exclusive create,
     * under the per-root driver lock), move `retiredFiles` (and every
     * `retiredDirs` value directory, in one rename each) into that
-    * version's attic generation, then land the log entry content
-    * (tmp+rename over the claim — readers never see a torn entry; a
-    * crash in between leaves a zero-length claim that consumes the
-    * number and carries no events). A retire source that no longer
-    * exists is skipped (idempotent recovery re-runs — compaction's
-    * completeSwap — retire the same names twice); the log entry still
-    * records the retirement, and snapshot resolution always chooses the
-    * FIRST retirement after its version, which is the one whose attic
-    * holds the bytes. Returns the committed version, or the current one
-    * when there was nothing to record. */
+    * version's attic generation, then write the log entry content
+    * DIRECTLY into the claim file and seal it with a trailing `E` line
+    * — readers treat an unsealed entry as an in-progress/crashed claim
+    * (number consumed, no events), and because the claim name is never
+    * deleted or renamed, no window exists in which a concurrent external
+    * writer could re-claim a committed number.
+    *
+    * A retire source that no longer exists is skipped (idempotent
+    * recovery re-runs — compaction's completeSwap — retire the same
+    * names twice); the log entry still records the retirement, and
+    * snapshot resolution always chooses the FIRST retirement after its
+    * version, which is the one whose attic holds the bytes.
+    *
+    * `retiredAliases` retire bytes that were already renamed ASIDE by a
+    * task-level replace (streaming epoch replay landing over a committed
+    * final name — see QuirkCsvRenamingWriter): `(physicalSrc,
+    * logicalRel)` moves the aside file into this version's attic UNDER
+    * THE ORIGINAL relpath and records `R logicalRel`, so snapshots
+    * before this version keep resolving the pre-replay bytes. The same
+    * relpath may simultaneously appear in `added` (the replayed file):
+    * within one version the retire applies to the PRIOR incarnation and
+    * the add to the new one (snapshotListing orders R before A).
+    *
+    * Returns the committed version, or the current one when there was
+    * nothing to record. */
   def commit(fs: FileSystem, root: Path, action: String,
              added: Seq[Path], retiredFiles: Seq[Path],
-             retiredDirs: Seq[Path] = Nil): Long = lockFor(root).synchronized {
+             retiredDirs: Seq[Path] = Nil,
+             retiredAliases: Seq[(Path, String)] = Nil): Long =
+    lockFor(root).synchronized {
     val dirFiles: Seq[(Path, Seq[Path])] = retiredDirs.map { d =>
       d -> (if (fs.exists(d))
         fs.listStatus(d).toIndexedSeq.filter(_.isFile)
@@ -250,51 +320,58 @@ object QuirkCsvVersions {
       else Nil)
     }
     val allRetired = retiredFiles ++ dirFiles.flatMap(_._2)
-    if (added.isEmpty && allRetired.isEmpty && retiredDirs.isEmpty)
+    if (added.isEmpty && allRetired.isEmpty && retiredDirs.isEmpty &&
+      retiredAliases.isEmpty)
       return currentVersion(fs, root)
-    val v = claimVersion(fs, root)
-    val gen = atticGen(root, v)
-    // whole-dir retirements first: ONE rename per value directory (its
-    // sidecar travels along — snapshot reads keep pruning inside it)
-    dirFiles.foreach { case (d, _) =>
-      if (fs.exists(d)) {
-        fs.mkdirs(gen)
-        val dst = new Path(gen, d.getName)
-        require(fs.rename(d, dst),
-          s"graftcsv versioning: retire rename $d -> $dst failed")
-      }
-    }
-    retiredFiles.foreach { p =>
-      if (fs.exists(p)) {
-        val rel = relpath(root, p)
-        val dst = new Path(gen, rel)
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(p, dst),
-          s"graftcsv versioning: retire rename $p -> $dst failed")
-      }
-    }
-    val d = logDir(root)
-    val tmp = new Path(d, s".${entryName(v)}.tmp")
-    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      fs.create(tmp, true), java.nio.charset.StandardCharsets.ISO_8859_1))
+    val (v, claimOut) = claimVersion(fs, root)
     try {
-      out.write(s"$Header\t$action\t${System.currentTimeMillis()}\n")
+      val gen = atticGen(root, v)
+      // whole-dir retirements first: ONE rename per value directory (its
+      // sidecar travels along — snapshot reads keep pruning inside it)
+      dirFiles.foreach { case (d, _) =>
+        if (fs.exists(d)) {
+          fs.mkdirs(gen)
+          val dst = new Path(gen, d.getName)
+          require(fs.rename(d, dst),
+            s"graftcsv versioning: retire rename $d -> $dst failed")
+        }
+      }
+      retiredFiles.foreach { p =>
+        if (fs.exists(p)) {
+          val rel = relpath(root, p)
+          val dst = new Path(gen, rel)
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(p, dst),
+            s"graftcsv versioning: retire rename $p -> $dst failed")
+        }
+      }
+      retiredAliases.foreach { case (src, rel) =>
+        if (fs.exists(src)) {
+          val dst = new Path(gen, rel)
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(src, dst),
+            s"graftcsv versioning: retire rename $src -> $dst failed")
+        }
+      }
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        claimOut, java.nio.charset.StandardCharsets.ISO_8859_1))
+      var events = 0
+      out.write(s"$HeaderV2\t$action\t${System.currentTimeMillis()}\n")
       added.map(relpath(root, _)).sorted
-        .foreach(r => out.write(s"A\t${enc(r)}\n"))
-      allRetired.map(relpath(root, _)).sorted
-        .foreach(r => out.write(s"R\t${enc(r)}\n"))
-    } finally out.close()
-    // land the content over our own zero-length claim: POSIX rename
-    // replaces the destination; where the fs refuses (rename returns
-    // false), remove the claim — it is ours, no other writer can hold
-    // this number — and rename again
-    val dst = new Path(d, entryName(v))
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(dst, false)
-      require(fs.rename(tmp, dst),
-        s"graftcsv versioning: log rename $tmp -> $dst failed")
+        .foreach { r => out.write(s"A\t${enc(r)}\n"); events += 1 }
+      (allRetired.map(relpath(root, _)) ++ retiredAliases.map(_._2)).sorted
+        .foreach { r => out.write(s"R\t${enc(r)}\n"); events += 1 }
+      out.write(s"E\t$events\n")
+      out.close()
+      v
+    } catch {
+      case t: Throwable =>
+        // leave the unsealed claim behind (number consumed, no events —
+        // the stated crash contract); never delete it, a concurrent
+        // writer may already have claimed past it
+        try claimOut.close() catch { case _: Throwable => }
+        throw t
     }
-    v
   }
 
   /** Greatest version whose commit stamp is at or before `micros`
@@ -328,8 +405,11 @@ object QuirkCsvVersions {
       s"version $asOf of $root was vacuumed (oldest retained: $horizon)")
     val log = readLog(fs, root)
     // (version, isAdd, relpath) sorted per relpath by version; within one
-    // version A sorts before R (can't co-occur for one relpath in
-    // practice — fresh uuid names — but deterministic anyway)
+    // version R sorts BEFORE A: when one relpath is retired and added in
+    // the same version (a streaming replay re-landing a committed final
+    // name — the retire covers the prior incarnation's bytes, the add the
+    // new ones), the file is PRESENT at that version with the new bytes,
+    // and snapshots before it resolve the prior bytes via the attic.
     val events = log.flatMap(e =>
       e.added.map(r => (e.version, true, r)) ++
         e.retired.map(r => (e.version, false, r)))
@@ -340,7 +420,7 @@ object QuirkCsvVersions {
     val rels = events.keySet ++ liveByRel.keySet
     rels.toSeq.sorted.foreach { rel =>
       val evs = events.getOrElse(rel, Nil)
-        .sortBy(t => (t._1, !t._2))
+        .sortBy(t => (t._1, t._2)) // R (false) before A within a version
       val atOrBefore = evs.filter(_._1 <= asOf)
       val presentAt =
         if (atOrBefore.nonEmpty) atOrBefore.last._2
@@ -504,6 +584,15 @@ object QuirkCsvVersions {
     val bk = b.map(key).toSet
     (a.filterNot(f => bk.contains(key(f))),
       b.filterNot(f => ak.contains(key(f))))
+  }
+
+  /** Current live listing of a table root — the `live` argument
+    * [[snapshotListing]] wants (spec/probe surface; QuirkCsv itself is
+    * source-private). */
+  def liveListing(root: String): Seq[QuirkCsvFileMeta] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    QuirkCsv.listFiles(readOptions(fs, p))
   }
 
   private def readOptions(fs: FileSystem, root: Path)

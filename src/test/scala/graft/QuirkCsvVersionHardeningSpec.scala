@@ -142,6 +142,67 @@ class QuirkCsvVersionHardeningSpec extends SparkSpec {
       .map(_.getString(0)).toSeq.sorted shouldBe Seq("1")
   }
 
+  test("retire-alias replace: a re-landed final name keeps its PRIOR " +
+      "bytes time-travelable (R before A within one version)") {
+    root
+    spark.sql("CREATE TABLE graft_vh.ns.ra (k STRING)")
+    val dir = new Path(s"$root/ns/ra")
+    val fs = dir.getFileSystem(new Configuration())
+    // v1: final file F lands with bytes OLD and is recorded as added
+    val f = new Path(dir, "part-replay-00000.csv")
+    val w1 = fs.create(f, true)
+    w1.write("k\nOLD\n".getBytes("ISO-8859-1")); w1.close()
+    QuirkCsvVersions.commit(fs, dir, "streamEpoch-0", Seq(f), Nil) shouldBe 1L
+    // a replay displaces F exactly as QuirkCsvRenamingWriter would:
+    // rename aside, land new bytes, then the epoch commit retires the
+    // aside UNDER F's relpath while adding the new F in the same version
+    val aside = new Path(dir, ".part-replay-00000.csv.pre-replay")
+    require(fs.rename(f, aside))
+    val w2 = fs.create(f, true)
+    w2.write("k\nNEW\n".getBytes("ISO-8859-1")); w2.close()
+    QuirkCsvVersions.commit(fs, dir, "streamEpoch-0", Seq(f), Nil,
+      retiredAliases = Seq((aside, "part-replay-00000.csv"))) shouldBe 2L
+    // the attic holds the OLD bytes under the ORIGINAL relpath
+    fs.exists(new Path(dir,
+      "_graft_attic/v0000000002/part-replay-00000.csv")) shouldBe true
+    def at(v: Long) = spark.read.format("graftcsv")
+      .option("asOfVersion", v.toString).load(dir.toString)
+      .collect().map(_.getString(0)).toSeq
+    at(1) shouldBe Seq("OLD")
+    at(2) shouldBe Seq("NEW")
+    spark.table("graft_vh.ns.ra").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("NEW")
+  }
+
+  test("an UNSEALED v2 entry (crashed direct-write commit) consumes its " +
+      "number, carries no events, and is never served as history") {
+    root
+    spark.sql("CREATE TABLE graft_vh.ns.us (k STRING)")
+    Seq("1").toDF("k").writeTo("graft_vh.ns.us").append() // v1
+    val dir = new Path(s"$root/ns/us")
+    val fs = dir.getFileSystem(new Configuration())
+    // a torn v2 entry: header + one event line, NO seal (crash before E)
+    val torn = fs.create(
+      new Path(dir, "_graft_versions/v-0000000002.tsv"), false)
+    torn.write(("graft-version-v2\tappend\t123\nA\tpart-ghost.csv\n")
+      .getBytes("ISO-8859-1"))
+    torn.close()
+    QuirkCsvVersions.currentVersion(fs, dir) shouldBe 2L
+    QuirkCsvVersions.readLog(fs, dir).map(_.version) shouldBe Seq(1L)
+    // the ghost add is NOT served: v2 reads like v1, no missing-file error
+    spark.sql("SELECT k FROM graft_vh.ns.us VERSION AS OF 2")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("1")
+    // a truncated HEADER (first flush in flight) is in-progress, not loud
+    val torn2 = fs.create(
+      new Path(dir, "_graft_versions/v-0000000003.tsv"), false)
+    torn2.write("graft-vers".getBytes("ISO-8859-1")); torn2.close()
+    QuirkCsvVersions.readLog(fs, dir).map(_.version) shouldBe Seq(1L)
+    // the next commit claims PAST both torn numbers and seals normally
+    Seq("2").toDF("k").writeTo("graft_vh.ns.us").append()
+    QuirkCsvVersions.currentVersion(fs, dir) shouldBe 4L
+    QuirkCsvVersions.readLog(fs, dir).map(_.version) shouldBe Seq(1L, 4L)
+  }
+
   test("unsafe identifiers are rejected before any SQL text is built") {
     root
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
