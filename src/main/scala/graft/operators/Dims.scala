@@ -23,6 +23,34 @@ object Dims {
     * this. */
   private def qcol(n: String) = col(s"`$n`")
 
+  /** Conf key: row count above which [[broadcastIfSmall]] withholds the
+    * broadcast hint and lets the planner's size estimate pick the join
+    * strategy (sort-merge at scale). An unconditional `broadcast(dim)`
+    * bypasses Spark's size check entirely — correct at reference
+    * cardinality (hundreds to thousands of rows) but an OOM at 100× with
+    * a wide SCD2 dim; the guarded hint keeps the fast plan where it is
+    * safe and degrades to the planner's choice where it is not. */
+  val MaxBroadcastDimRowsKey = "spark.graft.dims.maxBroadcastDimRows"
+  val DefaultMaxBroadcastDimRows: Long = 1000000L
+
+  /** Broadcast hint gated by a bounded row probe — the guarded twin of a
+    * bare `broadcast(dim)` (same probe-then-reuse discipline as
+    * [[buildDim]] / Similarity.requireBroadcastable): materialize at most
+    * cap+1 rows once; under the cap the materialized frame IS the
+    * complete dim, so the hint reuses the probe's work; over the cap,
+    * release the probe and return the dim UN-hinted. Output-identical
+    * either way — only the physical join strategy differs. */
+  def broadcastIfSmall(dim: DataFrame): DataFrame = {
+    val cap = dim.sparkSession.conf
+      .get(MaxBroadcastDimRowsKey, DefaultMaxBroadcastDimRows.toString).toLong
+    val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    val limited = dim.limit(probe).cache()
+    if (limited.count() > cap) {
+      limited.unpersist(false)
+      dim
+    } else broadcast(limited)
+  }
+
   /** Conf key: distinct-key count above which [[buildDim]] dispatches to
     * [[buildDimDistributed]] instead of the single-task global window.
     * 1M keys through one window task is the upper edge of comfortable;

@@ -3,7 +3,7 @@ package graft.superstore
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Quality, Windows}
+import graft.operators.{Dims, Quality, Windows}
 
 /** QA rules + the four analytical views + the two pivot marts
   * (SURVEY §2.2 P4, §2.5 W3-W5, §2.4 A5-A9; SQLproject1.sql:213-240,619-716
@@ -26,8 +26,8 @@ object Marts {
     * (SQLproject1.sql:628-638 — 30 fact rows, NOT 30 days; preserved). */
   def rolling30(fact: DataFrame, geography: DataFrame, date: DataFrame): DataFrame = {
     val joined = fact
-      .join(broadcast(geography.select("geography_key", "region")), "geography_key")
-      .join(broadcast(date.select(col("date_key").as("order_date_key"),
+      .join(Dims.broadcastIfSmall(geography.select("geography_key", "region")), "geography_key")
+      .join(Dims.broadcastIfSmall(date.select(col("date_key").as("order_date_key"),
         col("date"))), "order_date_key")
     Windows.rollingSum(
       Windows.rollingSum(joined, Seq(col("region")),
@@ -56,8 +56,8 @@ object Marts {
                      date: DataFrame,
                      calendarRange: Boolean = false): DataFrame = {
     val daily = fact
-      .join(broadcast(geography.select("geography_key", "region")), "geography_key")
-      .join(broadcast(date.select(col("date_key").as("order_date_key"),
+      .join(Dims.broadcastIfSmall(geography.select("geography_key", "region")), "geography_key")
+      .join(Dims.broadcastIfSmall(date.select(col("date_key").as("order_date_key"),
         col("date"))), "order_date_key")
       .groupBy(col("region"), col("date"))
       .agg(sum(col("sales")).as("sales"), sum(col("profit")).as("profit"))
@@ -81,7 +81,7 @@ object Marts {
     * (SQLproject1.sql:645-673). */
   def customerCohort(fact: DataFrame, date: DataFrame): DataFrame = {
     val withDate = fact
-      .join(broadcast(date.select(col("date_key").as("order_date_key"),
+      .join(Dims.broadcastIfSmall(date.select(col("date_key").as("order_date_key"),
         col("date"))), "order_date_key")
       .select(col("customer_key"), col("date"))
     val first = withDate.groupBy("customer_key").agg(min("date").as("first_date"))
@@ -102,7 +102,7 @@ object Marts {
     * ties kept (SQLproject1.sql:689-699), plus share-of-subcategory-total. */
   def topProductsBySubCat(fact: DataFrame, product: DataFrame): DataFrame = {
     val profits = fact
-      .join(broadcast(product.select("product_key", "product_name", "sub_category")),
+      .join(Dims.broadcastIfSmall(product.select("product_key", "product_name", "sub_category")),
         "product_key")
       .groupBy(col("sub_category"), col("product_name"))
       .agg(sum(col("profit")).as("total_profit"))
@@ -157,5 +157,58 @@ object Marts {
     val r = regions.map(rs => col("region").isin(rs.map(lit(_)): _*)).getOrElse(lit(true))
     val s = segments.map(ss => col("segment").isin(ss.map(lit(_)): _*)).getOrElse(lit(true))
     stg.filter(r && s)
+  }
+
+  // ------------------------------------------------------- chart series
+
+  /** chart1 (column bar) / chart2 (horizontal bar) of the workbook
+    * (`xl/charts/chart1.xml`, `chart2.xml`): the three pivot measures —
+    * "Count of Sales", "Count of Profit;", "Sum of Quantity" — as series
+    * over the category axis (`By_Category!$A$4:$A$7`, leaf rows only, NO
+    * grand total, category ascending). Both bar charts render the SAME
+    * series; only the bar direction differs, which is presentation. */
+  def chartCategoryBar(stg: DataFrame,
+                       regions: Option[Seq[String]] = None,
+                       segments: Option[Seq[String]] = None): DataFrame =
+    slice(stg, regions, segments)
+      .groupBy(col("category"))
+      .agg(count(col("sales")).as("count_sales"),
+        count(col("profit")).as("count_profit"),
+        sum(col("quantity")).as("sum_quantity"))
+      .orderBy(col("category"))
+
+  /** chart3, the line chart "Sales, Profit & Quantity by Year/Month"
+    * (`xl/charts/chart3.xml`): the same three measures at MONTH grain
+    * over the order-date axis, ordered (year, month) — the pivot range
+    * `By_Category!$Q$10:$Q$62` without the year subtotal rows (a chart
+    * series is leaf-grain; subtotals live in [[pivotByOrderDate]]'s
+    * rollup lattice). */
+  def chartYearMonthLine(stg: DataFrame,
+                         regions: Option[Seq[String]] = None,
+                         segments: Option[Seq[String]] = None): DataFrame =
+    slice(stg, regions, segments)
+      .groupBy(year(col("order_date")).as("order_year"),
+        month(col("order_date")).as("order_month"))
+      .agg(count(col("sales")).as("count_sales"),
+        count(col("profit")).as("count_profit"),
+        sum(col("quantity")).as("sum_quantity"))
+      .orderBy(col("order_year"), col("order_month"))
+
+  /** chart4, the 3-D pie (`xl/charts/chart4.xml`): a pie renders ONE
+    * series — the first, "Count of Sales" — as slice angles; the mart
+    * emits the slice value plus its share of the total (the angle,
+    * dimensionless) so a renderer needs no second pass. Exact-integer
+    * division into double: both engines compute the same IEEE quotient. */
+  def chartCategoryPie(stg: DataFrame,
+                       regions: Option[Seq[String]] = None,
+                       segments: Option[Seq[String]] = None): DataFrame = {
+    val sliced = slice(stg, regions, segments)
+    val byCat = sliced.groupBy(col("category"))
+      .agg(count(col("sales")).as("count_sales"))
+    byCat
+      .withColumn("share", col("count_sales").cast("double") /
+        sum(col("count_sales")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy(col("category"))
   }
 }

@@ -7,8 +7,12 @@ import graft.functions.Hashing
 import graft.operators.{DateSpine, Dims, Scd2, Windows}
 
 /** Star-schema builders: dims + fact (SURVEY §2.3-§2.5; SQLproject1.sql
-  * stages 7-11). Dims are tiny by construction and broadcast into the fact
-  * build; the fact itself shuffles once on order_id for line numbering.
+  * stages 7-11). Dims are tiny at reference cardinality and broadcast
+  * into the fact build — through [[Dims.broadcastIfSmall]], which probes
+  * the row count and withholds the hint above a cap, so a 100× SCD2
+  * customer dim degrades to the planner's sort-merge choice instead of
+  * OOMing the driver. The fact itself shuffles once on order_id for line
+  * numbering.
   */
 object StarSchema {
 
@@ -30,7 +34,7 @@ object StarSchema {
   def subCategoryDim(stg: DataFrame, catDim: DataFrame): DataFrame =
     stg.filter(col("category").isNotNull && col("sub_category").isNotNull)
       .select("category", "sub_category").distinct()
-      .join(broadcast(catDim), "category")
+      .join(Dims.broadcastIfSmall(catDim), "category")
       .withColumn("sub_category_key",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("category"), col("sub_category"))).cast("long"))
@@ -114,7 +118,7 @@ object StarSchema {
       .select("category", "sub_category").distinct()
       .join(existing.select("category", "sub_category"),
         Seq("category", "sub_category"), "left_anti")
-      .join(broadcast(catDim.select("category", "category_key")), "category")
+      .join(Dims.broadcastIfSmall(catDim.select("category", "category_key")), "category")
     val maxKey = existing.agg(
       coalesce(max(col("sub_category_key")), lit(0L)).as("__mx"))
     val keyed = fresh
@@ -157,19 +161,19 @@ object StarSchema {
       .withColumn("__geo_hash", Hashing.hashKey(Seq(
         col("country"), col("state"), col("city"),
         Staging.normalizePostal(col("postal_code")), col("region"))))
-      .join(broadcast(dims.geography.select(col("hash_key").as("__geo_hash"),
+      .join(Dims.broadcastIfSmall(dims.geography.select(col("hash_key").as("__geo_hash"),
         col("geography_key"))), Seq("__geo_hash"), "left")
     val selected = geoKeyed
-      .join(broadcast(dims.shipMode), Seq("ship_mode"), "left")
-      .join(broadcast(dims.subCategory.select("sub_category", "category_key",
+      .join(Dims.broadcastIfSmall(dims.shipMode), Seq("ship_mode"), "left")
+      .join(Dims.broadcastIfSmall(dims.subCategory.select("sub_category", "category_key",
         "sub_category_key")
         .withColumnRenamed("category_key", "__ck")), Seq("sub_category"), "left")
       // the filtered-unique invariant (UX_*_Current) makes the current slice
       // 1:1 on the natural key, so a plain inner-shaped left join replaces
       // the reference's CROSS APPLY TOP(1) (J3)
-      .join(broadcast(dims.customer.filter(col("is_current"))
+      .join(Dims.broadcastIfSmall(dims.customer.filter(col("is_current"))
         .select("customer_id", "customer_key")), Seq("customer_id"), "left")
-      .join(broadcast(dims.product.filter(col("is_current"))
+      .join(Dims.broadcastIfSmall(dims.product.filter(col("is_current"))
         .select("product_id", "sub_category", "product_key")),
         Seq("product_id", "sub_category"), "left")
       .select(

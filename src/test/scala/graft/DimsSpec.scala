@@ -121,4 +121,59 @@ class DimsSpec extends SparkSpec {
       Seq("addr.city", "geo.postal"), "k", partitions = 2)
     run2d.select("k").except(run2.select("k")).count() shouldBe 0
   }
+
+  test("broadcastIfSmall: hint below the cap, planner's choice above it, " +
+    "identical join output either side") {
+    val dim = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select($"c_custkey".as("k"), $"c_name".as("name"))
+    val fact = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_custkey".as("k"), $"o_totalprice")
+    // disable BOTH auto-broadcast thresholds so the over-cap assert is
+    // deterministic (the planner would otherwise broadcast the small dim
+    // on its own size estimate); restore prior values, never unset
+    val prevA = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevB = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // under the cap: the hint forces a broadcast join even with the
+      // size-based thresholds off
+      val hinted = fact.join(Dims.broadcastIfSmall(dim), Seq("k"))
+      hinted.queryExecution.executedPlan.toString should
+        include("BroadcastExchange")
+      // over the cap: NO BroadcastExchange on the dim side — the planner
+      // falls back to its own (sort-merge) choice
+      spark.conf.set(Dims.MaxBroadcastDimRowsKey, "10")
+      val unhinted = fact.join(Dims.broadcastIfSmall(dim), Seq("k"))
+      unhinted.queryExecution.executedPlan.toString should
+        not include "BroadcastExchange"
+      // output identical both sides of the cap
+      hinted.count() shouldBe unhinted.count()
+      hinted.except(unhinted).count() shouldBe 0
+      unhinted.except(hinted).count() shouldBe 0
+    } finally {
+      spark.conf.unset(Dims.MaxBroadcastDimRowsKey)
+      prevA.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevB.fold(spark.conf.unset(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("star-schema fact is identical whether its dims broadcast or not " +
+    "(guarded hint both sides of the cap)") {
+    val csv = "/root/reference/Project1/superstore.csv"
+    assume(new java.io.File(csv).exists())
+    val below = graft.superstore.Pipeline.run(spark, csv).fact
+      .localCheckpoint()
+    spark.conf.set(Dims.MaxBroadcastDimRowsKey, "10") // every dim exceeds
+    try {
+      val above = graft.superstore.Pipeline.run(spark, csv).fact
+      above.count() shouldBe below.count()
+      above.except(below).count() shouldBe 0
+      below.except(above).count() shouldBe 0
+    } finally spark.conf.unset(Dims.MaxBroadcastDimRowsKey)
+  }
 }
