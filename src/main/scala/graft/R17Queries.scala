@@ -1,0 +1,276 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.QueryDef
+
+/** Round-17 wave A: the dashboard's CHART-SERIES marts — the last
+  * reference surface (`Superstore_Dashboard.xlsx!xl/charts/chart1-4.xml`,
+  * SURVEY §3.3(e)): 2 bar charts and a 3-D pie over the By_Category
+  * pivot range and a line chart over the Year/Month range, all carrying
+  * the workbook's three measures ("Count of Sales", "Count of Profit;",
+  * "Sum of Quantity"). One oracle-gated query per DISTINCT series shape
+  * (chart1/chart2 differ only in bar direction — presentation, same
+  * series; chart4 renders the first series as slice angles). The
+  * golden-CSV twin — the marts on the real workbook data reproducing the
+  * chart XML's cached values byte-for-byte — lives in
+  * SuperstorePipelineSpec.
+  *
+  * The queries run [[graft.superstore.Marts]]'s REAL chart functions
+  * over an sfDir-shaped staging frame (lineitem mapped onto the staging
+  * contract), so the oracle hash gates the production mart code, not a
+  * reimplementation. */
+object R17Queries {
+
+  /** lineitem mapped onto the staging-frame contract the marts consume:
+    * (category, region, segment, order_date, sales, profit, quantity).
+    * quantity casts to long so SUM is exact-integer cross-engine. */
+  private def stgShaped(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d).select(
+      col("l_returnflag").as("category"),
+      col("l_linestatus").as("region"),
+      // synthetic lineitem carries no ship-mode column; a deterministic
+      // low-cardinality derivation stands in for the segment slicer
+      concat(lit("SEG_"), (col("l_suppkey") % 3).cast("string"))
+        .as("segment"),
+      col("l_shipdate").cast("date").as("order_date"),
+      col("l_extendedprice").as("sales"),
+      col("l_discount").as("profit"),
+      col("l_quantity").cast("long").as("quantity"))
+
+  /** chart1/chart2 series shape (A7 leaf rows, no grand total, category
+    * ascending): the three workbook measures per category. */
+  private val q362 = QueryDef(
+    "q362_chart_category_bar",
+    (s, d) => graft.superstore.Marts.chartCategoryBar(stgShaped(s, d)),
+    Some("""
+      SELECT l_returnflag AS category,
+             COUNT(l_extendedprice) AS count_sales,
+             COUNT(l_discount) AS count_profit,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_quantity
+      FROM lineitem
+      GROUP BY l_returnflag"""))
+
+  /** chart3 series shape (month grain over the date axis), with the A9
+    * segment slicer applied — the cross-filter reaches the chart mart
+    * exactly as it reaches the pivots. */
+  private val q363 = QueryDef(
+    "q363_chart_yearmonth_line",
+    (s, d) => graft.superstore.Marts.chartYearMonthLine(stgShaped(s, d),
+      segments = Some(Seq("SEG_0", "SEG_2"))),
+    Some("""
+      SELECT CAST(year(l_shipdate) AS INT) AS order_year,
+             CAST(month(l_shipdate) AS INT) AS order_month,
+             COUNT(l_extendedprice) AS count_sales,
+             COUNT(l_discount) AS count_profit,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_quantity
+      FROM lineitem
+      WHERE 'SEG_' || CAST(l_suppkey % 3 AS VARCHAR) IN ('SEG_0', 'SEG_2')
+      GROUP BY 1, 2"""))
+
+  /** chart4 (3-D pie): the first series as slice values plus the slice
+    * angle (share of total — exact-integer counts divided in double,
+    * IEEE-identical across engines). */
+  private val q364 = QueryDef(
+    "q364_chart_category_pie",
+    (s, d) => graft.superstore.Marts.chartCategoryPie(stgShaped(s, d)),
+    Some("""
+      WITH c AS (SELECT l_returnflag AS category,
+                        COUNT(l_extendedprice) AS count_sales
+                 FROM lineitem GROUP BY 1)
+      SELECT category, count_sales,
+             CAST(count_sales AS DOUBLE) /
+               CAST(SUM(count_sales) OVER () AS DOUBLE) AS share
+      FROM c"""))
+
+  private def ensureCatalog(s: org.apache.spark.sql.SparkSession): Unit =
+    if (!s.conf.getOption("spark.sql.catalog.graft_r17").isDefined) {
+      s.conf.set("spark.sql.catalog.graft_r17",
+        classOf[graft.sources.QuirkCsvCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_r17.root",
+        java.nio.file.Files.createTempDirectory("graft_r17_cat").toString)
+    }
+
+  /** The IVF drift loop CLOSED: build on a partial corpus, append the
+    * rest as a batch, and let [[graft.operators.IvfIndex.retrainIfNeeded]]
+    * act on the drift report — a forced-sensitive threshold makes the
+    * retrain run, in place (truncate-overwrite + one dynamic partition
+    * overwrite + partition drops), with the pre-retrain index still
+    * time-travelable. The REQUIREs pin the trigger firing, the no-op
+    * path not firing, the version history surviving, and the judge's
+    * equality: post-retrain index-SERVED top-k == in-memory ivfTopK over
+    * the drifted (full) corpus. The oracle replays the retrained index:
+    * centroids seed-drawn from the FULL corpus, everything assigned,
+    * then IVF top-k. */
+  private val q365 = QueryDef(
+    "q365_ivf_retrain",
+    (s, d) => {
+      ensureCatalog(s)
+      val e = Tables.embeddings(s, d)
+      val isNew = (col("vec_id") % 10) >= 8
+      graft.operators.IvfIndex.build(s, "graft_r17", "q365", "ann",
+        e.filter(!isNew), "vec_id", "embedding", 8)
+      graft.operators.IvfIndex.assignBatch(s, "graft_r17", "q365", "ann",
+        e.filter(isNew), "vec_id", "embedding", "b1")
+      // no-drift no-op: an impossible threshold (shares differ by <= 1)
+      // must touch nothing — not even a version bump
+      val root = s.conf.get("spark.sql.catalog.graft_r17.root")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      def versions = (
+        graft.sources.QuirkCsvVersions.currentVersion(fs,
+          new org.apache.hadoop.fs.Path(s"$root/q365/ann_centroids")),
+        graft.sources.QuirkCsvVersions.currentVersion(fs,
+          new org.apache.hadoop.fs.Path(s"$root/q365/ann_assign")))
+      val v0 = versions
+      require(!graft.operators.IvfIndex.retrainIfNeeded(s, "graft_r17",
+        ns = "q365", name = "ann", corpus = e, idCol = "vec_id",
+        embCol = "embedding", k = 8, threshold = 1.0),
+        "an impossible drift threshold must be a no-op")
+      require(versions == v0, "the no-op path must not write any version")
+      // forced-sensitive threshold: any bucket occupancy nonuniformity
+      // fires — the trigger must run the in-place retrain
+      require(graft.operators.IvfIndex.retrainIfNeeded(s, "graft_r17",
+        ns = "q365", name = "ann", corpus = e, idCol = "vec_id",
+        embCol = "embedding", k = 8, threshold = 1e-9),
+        "a forced-sensitive drift threshold must trigger the retrain")
+      val vAfter = versions
+      require(vAfter._1 > v0._1 && vAfter._2 > v0._2,
+        "retrain must land as NEW versions of both index tables " +
+          "(in-place history, never drop+recreate)")
+      // the absorbed batch partition is gone; everything is base now
+      require(graft.operators.IvfIndex.assignment(s, "graft_r17", "q365",
+        "ann").filter(col("batch") =!= "base").count() == 0,
+        "retrain must absorb prior batches into the new base")
+      val served = graft.operators.IvfIndex.topK(s, "graft_r17", "q365",
+        "ann", e, "vec_id", "embedding", col("vec_id") < 10,
+        k = 3, nprobe = 2).localCheckpoint()
+      // judge's equality: index-served == in-memory over the drifted
+      // corpus with the retrained centroids (string ids either side —
+      // one tie-break key type, the q351 lesson)
+      val es = e.select(col("vec_id").cast("string").as("vec_id"),
+        col("embedding"))
+      val inMem = graft.operators.Similarity.ivfTopK(
+          es, "vec_id", "embedding", col("vec_id").cast("long") < 10,
+          graft.operators.IvfIndex.centroids(s, "graft_r17", "q365", "ann"),
+          k = 3, nprobe = 2)
+        .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+      require(served.exceptAll(inMem).isEmpty &&
+        inMem.exceptAll(served).isEmpty,
+        "post-retrain index-served top-k must equal the in-memory " +
+          "ivfTopK over the drifted corpus")
+      served
+    },
+    Some(s"""
+      WITH cent AS (SELECT CAST(vec_id AS VARCHAR) AS centroid_id,
+                           embedding AS cemb
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      asg AS (SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${ExtQueries.oCos("e.embedding", "c.cemb")} DESC,
+                  c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+      q AS (SELECT CAST(vec_id AS VARCHAR) AS q_id, embedding AS qemb
+            FROM embeddings WHERE vec_id < 10),
+      qc AS (SELECT q_id, qemb, centroid_id FROM (
+             SELECT q.q_id, q.qemb, c.centroid_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.q_id
+                      ORDER BY ${ExtQueries.oCos("q.qemb", "c.cemb")} DESC,
+                               c.centroid_id) AS rn
+             FROM q CROSS JOIN cent c) WHERE rn <= 2),
+      cand AS (SELECT qc.q_id, qc.qemb,
+                      CAST(e.vec_id AS VARCHAR) AS n_id,
+                      e.embedding AS nemb
+               FROM qc
+               JOIN asg a ON a.centroid_id = qc.centroid_id
+               JOIN embeddings e ON e.vec_id = a.vec_id
+               WHERE qc.q_id <> CAST(e.vec_id AS VARCHAR)),
+      sc AS (SELECT q_id, n_id,
+                    ${ExtQueries.oCos("qemb", "nemb")} AS cosine FROM cand),
+      rk AS (SELECT q_id, n_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, n_id) AS INT) AS rank FROM sc)
+      SELECT q_id, n_id, cosine, rank FROM rk WHERE rank <= 3"""))
+
+  /** Bloom sidecars × clusterBy range layout COMPOSED on one table:
+    * q354 proves range pruning and q358 proves bloom skipping
+    * separately; here a single table carries BOTH (`clusterBy` on the
+    * zero-padded key, blooms on an UNCORRELATED unique column), is
+    * compacted into disjoint range files, and a probe with both
+    * predicates plans the INTERSECTION of the two survivor sets — one
+    * file — while each predicate alone survives more. Multiplied
+    * pruning is the 100-TB point: range stats cut the clustered
+    * dimension, blooms cut the unclustered one, and they stack. */
+  private val q366 = QueryDef(
+    "q366_bloom_x_cluster",
+    (s, d) => {
+      ensureCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r17.q366")
+      s.sql("DROP TABLE IF EXISTS graft_r17.q366.t")
+      // bloom sized FROM the data (~16 bits/distinct/file over 4 files)
+      val n = Tables.orders(s, d).count()
+      val bloomBits = math.min(1L << 24,
+        java.lang.Long.highestOneBit(math.max(8192L, n / 4 * 16) * 2 - 1))
+      s.sql("CREATE TABLE graft_r17.q366.t (okey STRING, ckey STRING, " +
+        "prio STRING) TBLPROPERTIES ('clusterBy'='okey', " +
+        s"'bloomCols'='ckey', 'bloomBits'='$bloomBits')")
+      val src = Tables.orders(s, d).select(
+        lpad(col("o_orderkey").cast("string"), 8, "0").as("okey"),
+        // unique per row, UNCORRELATED with the okey string order
+        // (md5 scrambles), so bloom survivors cut across range files
+        md5(col("o_orderkey").cast("string")).as("ckey"),
+        col("o_orderpriority").as("prio"))
+      src.writeTo("graft_r17.q366.t").append()
+      val root = s.conf.get("spark.sql.catalog.graft_r17.root")
+      graft.operators.Scale.compactCsvClustered(s, s"$root/q366/t",
+        numFiles = 4, sortBy = None)
+      // deterministic probes off sorted position: range = [40th, 60th]
+      // percentile keys (spans the 2nd/3rd range files), point = the
+      // median row's ckey (inside the range, in exactly one file)
+      def kth(i: Long) = src.select(col("okey")).orderBy(col("okey"))
+        .limit(i.toInt).agg(max(col("okey"))).collect()(0).getString(0)
+      val lo = kth(math.max(1L, n * 2 / 5))
+      val hi = kth(math.max(1L, n * 3 / 5))
+      val mid = kth(math.max(1L, n / 2))
+      val probeC = src.filter(col("okey") === mid)
+        .select(col("ckey")).collect()(0).getString(0)
+      // compaction folded the header-only seed into the 4 range files,
+      // so every planned split IS a data file (no +1 seed split here)
+      def data(df: org.apache.spark.sql.DataFrame) =
+        df.rdd.getNumPartitions
+      val all = s.read.format("graftcsv").load(s"$root/q366/t")
+      val byRange = all.filter(col("okey") >= lo && col("okey") <= hi)
+      val byBloom = all.filter(col("ckey") === probeC)
+      val both = all.filter(col("okey") >= lo && col("okey") <= hi &&
+        col("ckey") === probeC)
+      val (nR, nB, nBoth) = (data(byRange), data(byBloom), data(both))
+      require(nR >= 1 && nR <= 3,
+        s"range [40%,60%] must prune at least one of 4 files, got $nR")
+      require(nB == 1,
+        s"the bloom point probe must prune to one file, got $nB")
+      require(nBoth == 1 && nBoth <= math.min(nR, nB),
+        s"composed predicates must plan the survivor INTERSECTION, " +
+          s"got $nBoth (range $nR, bloom $nB)")
+      require(both.count() == 1, "the probe row must survive composition")
+      // emit the range slice (real data volume for the oracle hash);
+      // the REQUIREs above pin the pruning mechanics
+      byRange.localCheckpoint()
+    },
+    Some("""
+      WITH src AS (SELECT lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS okey,
+                          md5(CAST(o_orderkey AS VARCHAR)) AS ckey,
+                          o_orderpriority AS prio
+                   FROM orders),
+      n AS (SELECT COUNT(*) AS cnt FROM src),
+      b AS (SELECT
+        (SELECT okey FROM src ORDER BY okey
+          LIMIT 1 OFFSET (SELECT GREATEST(cnt * 2 // 5, 1) - 1 FROM n)) AS lo,
+        (SELECT okey FROM src ORDER BY okey
+          LIMIT 1 OFFSET (SELECT GREATEST(cnt * 3 // 5, 1) - 1 FROM n)) AS hi)
+      SELECT okey, ckey, prio FROM src, b
+      WHERE okey >= lo AND okey <= hi"""))
+
+  val all: Seq[QueryDef] = Seq(q362, q363, q364, q365, q366)
+}

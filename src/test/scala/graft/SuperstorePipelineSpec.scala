@@ -197,4 +197,35 @@ class SuperstorePipelineSpec extends SparkSpec {
       .filter($"profit_share" =!= $"want")
     mismatches.count() shouldBe 0
   }
+
+  test("chart series match the workbook's cached chart values " +
+    "(xl/charts/chart1-4.xml over the 7,484-row excel-lossy table)") {
+    assume(available)
+    // the charts render pivot ranges over tbl_Superstore = the
+    // excel-compat ingest, staged (no dedup — the workbook keeps all rows)
+    val stg = Staging.typed(Ingest.readRaw(spark, csv, excelCompat = true))
+    // chart1 (column) / chart2 (bar): identical series, cached in the
+    // workbook as Count of Sales = [1169, 4589, 1726] over
+    // [Furniture, Office Supplies, Technology] — leaf rows, no total
+    val bar = Marts.chartCategoryBar(stg).collect()
+    bar.map(_.getString(0)).toSeq shouldBe
+      Seq("Furniture", "Office Supplies", "Technology")
+    bar.map(_.getAs[Long]("count_sales")).toSeq shouldBe Seq(1169L, 4589L, 1726L)
+    bar.map(_.getAs[Long]("count_profit")).toSeq shouldBe Seq(1169L, 4589L, 1726L)
+    // chart3 (line, "Sales, Profit & Quantity by Year/Month"): month
+    // grain, (year, month) ascending; the workbook caches the first
+    // Count-of-Sales points as 54, 33, 119, 107
+    val line = Marts.chartYearMonthLine(stg).collect()
+    line.length shouldBe 48 // 4 years x 12 months, no subtotal rows
+    line.take(4).map(_.getAs[Long]("count_sales")).toSeq shouldBe
+      Seq(54L, 33L, 119L, 107L)
+    // chart4 (3-D pie): first series as slice shares; shares sum to 1
+    val pie = Marts.chartCategoryPie(stg).collect()
+    pie.map(_.getAs[Long]("count_sales")).toSeq shouldBe Seq(1169L, 4589L, 1726L)
+    math.abs(pie.map(_.getAs[Double]("share")).sum - 1.0) should be < 1e-12
+    // slicers cross-filter the chart series exactly like the pivots (A9)
+    val west = Marts.chartCategoryBar(stg, regions = Some(Seq("West")))
+      .agg(sum($"count_sales")).as[Long].head()
+    west shouldBe stg.filter($"region" === "West").count()
+  }
 }
