@@ -84,7 +84,9 @@ object IvfIndex {
   def assignBatch(spark: SparkSession, cat: String, ns: String,
                   name: String, vecs: DataFrame, idCol: String,
                   embCol: String, batch: String): Unit = {
-    require(batch != null && batch.nonEmpty, "batch label must be non-empty")
+    // validated like NearDupIndex batch labels: retrain interpolates
+    // labels read back from the table into DROP PARTITION statements
+    NearDupIndex.requireSafeIdent("batch label", batch)
     val asg = Similarity.ivfAssign(vecs, idCol, embCol,
       centroids(spark, cat, ns, name))
     asg.select(col(idCol).cast("string").as("vec_id"),
@@ -181,4 +183,48 @@ object IvfIndex {
                    threshold: Double = 0.15): Boolean =
     driftReport(spark, cat, ns, name, baseBatch, threshold)
       .filter(col("drift_alert")).limit(1).count() > 0
+
+  /** Re-train IN PLACE on `corpus` — the full-corpus pass the drift
+    * alert amortizes: fresh centroids truncate-overwrite the centroid
+    * table, the whole corpus re-assigns under `baseBatch` (one dynamic
+    * partition overwrite), and the now-absorbed batch partitions DROP.
+    * In-place (never DROP TABLE + CREATE) on purpose: both tables are
+    * versioned catalog tables, so the pre-retrain index stays readable
+    * via `VERSION AS OF` and a bad retrain is one `system.restore` away.
+    * Each step is idempotent; a crash between them converges on re-run
+    * (stale extra batches only ever ADD candidates — the index
+    * over-serves, never misses, until the drops complete). */
+  def retrain(spark: SparkSession, cat: String, ns: String, name: String,
+              corpus: DataFrame, idCol: String, embCol: String, k: Int,
+              baseBatch: String = "base"): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    NearDupIndex.requireSafeIdent("batch label", baseBatch)
+    val priorBatches = assignment(spark, cat, ns, name)
+      .select(col("batch")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val cents = Similarity.ivfCentroids(corpus, idCol, embCol, k)
+    cents.select(col("centroid_id").cast("string"),
+        encodeEmb(col("centroid_emb")).as("emb"))
+      .writeTo(centTbl(cat, ns, name)).overwrite(lit(true))
+    assignBatch(spark, cat, ns, name, corpus, idCol, embCol, baseBatch)
+    priorBatches.filterNot(_ == baseBatch).foreach { b =>
+      NearDupIndex.requireSafeIdent("batch label", b)
+      spark.sql(s"ALTER TABLE ${asgTbl(cat, ns, name)} " +
+        s"DROP PARTITION (batch='$b')")
+    }
+  }
+
+  /** Close the drift loop: [[retrain]] when [[needsRetrain]], no-op
+    * otherwise. Returns whether a retrain ran — the caller's signal to
+    * log/alert. The no-op path touches NOTHING (no writes, no version
+    * bump): the drift probe reads only the assignment table. */
+  def retrainIfNeeded(spark: SparkSession, cat: String, ns: String,
+                      name: String, corpus: DataFrame, idCol: String,
+                      embCol: String, k: Int, baseBatch: String = "base",
+                      threshold: Double = 0.15): Boolean =
+    if (!needsRetrain(spark, cat, ns, name, baseBatch, threshold)) false
+    else {
+      retrain(spark, cat, ns, name, corpus, idCol, embCol, k, baseBatch)
+      true
+    }
 }

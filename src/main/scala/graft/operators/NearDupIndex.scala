@@ -41,10 +41,15 @@ object NearDupIndex {
   // every piece interpolated into SQL text is validated to the
   // identifier charset — a quote in a batch label would otherwise parse
   // as SQL (the write path URL-encodes labels into dir names, so an
-  // unsafe label would be writable but never droppable)
+  // unsafe label would be writable but never droppable). '.' is
+  // DISALLOWED: these are single identifier PARTS interpolated into
+  // dotted table names, so an index named 'a.b' under namespace 'ns'
+  // would silently resolve to table 'b_bands' under nested namespace
+  // 'ns.a' instead of failing.
   private[operators] def requireSafeIdent(kind: String, v: String): Unit =
-    require(v != null && v.nonEmpty && v.matches("[A-Za-z0-9_.\\-]+"),
-      s"$kind must be a safe identifier ([A-Za-z0-9_.-]+), got '$v'")
+    require(v != null && v.nonEmpty && v.matches("[A-Za-z0-9_\\-]+"),
+      s"$kind must be a safe identifier part ([A-Za-z0-9_-]+, no '.'), " +
+        s"got '$v'")
 
   private def bandsTbl(cat: String, ns: String, name: String) =
     s"$cat.$ns.${name}_bands"
@@ -71,6 +76,12 @@ object NearDupIndex {
     spark.sql(s"""CREATE TABLE ${bandsTbl(cat, ns, name)}
       (doc_id STRING, band_id STRING, band_key STRING, batch STRING)
       PARTITIONED BY (batch)""")
+    // band the base corpus BEFORE the meta lands: build is not atomic
+    // (drop, create, band, meta), so the meta rows act as the completion
+    // marker — a crash mid-build leaves an index that [[params]] rejects
+    // with a clear "rebuild required", never one that half-works
+    indexBatchWith(spark, cat, ns, name, corpus, idCol, textCol, baseBatch,
+      shingleN, numHashes, bandSize)
     spark.sql(s"""CREATE TABLE ${metaTbl(cat, ns, name)}
       (key STRING, value STRING)""")
     import spark.implicits._
@@ -78,14 +89,25 @@ object NearDupIndex {
       "bandSize" -> bandSize)
       .map { case (k, v) => (k, v.toString) }.toDF("key", "value")
       .writeTo(metaTbl(cat, ns, name)).append()
-    indexBatch(spark, cat, ns, name, corpus, idCol, textCol, baseBatch)
   }
 
-  /** The pinned banding parameters (shingleN, numHashes, bandSize). */
+  /** The pinned banding parameters (shingleN, numHashes, bandSize).
+    * Fails with a rebuild instruction when the meta table is missing or
+    * incomplete — the completion marker of [[build]]. */
   def params(spark: SparkSession, cat: String, ns: String,
              name: String): (Int, Int, Int) = {
-    val m = spark.table(metaTbl(cat, ns, name))
-      .collect().map(r => r.getString(0) -> r.getString(1).toInt).toMap
+    val m = try {
+      spark.table(metaTbl(cat, ns, name))
+        .collect().map(r => r.getString(0) -> r.getString(1).toInt).toMap
+    } catch { case e: Exception =>
+      throw new IllegalStateException(
+        s"near-dup index '$name' has no readable meta table " +
+          s"(${metaTbl(cat, ns, name)}) — an interrupted build() leaves " +
+          "the index incomplete; re-run build()", e)
+    }
+    require(Seq("shingleN", "numHashes", "bandSize").forall(m.contains),
+      s"near-dup index '$name' meta is incomplete (${m.keySet}) — " +
+        "re-run build()")
     (m("shingleN"), m("numHashes"), m("bandSize"))
   }
 
@@ -97,8 +119,16 @@ object NearDupIndex {
   def indexBatch(spark: SparkSession, cat: String, ns: String, name: String,
                  docs: DataFrame, idCol: String, textCol: String,
                  batch: String): Unit = {
-    requireSafeIdent("batch label", batch)
     val (sn, nh, bs) = params(spark, cat, ns, name)
+    indexBatchWith(spark, cat, ns, name, docs, idCol, textCol, batch,
+      sn, nh, bs)
+  }
+
+  private def indexBatchWith(spark: SparkSession, cat: String, ns: String,
+                             name: String, docs: DataFrame, idCol: String,
+                             textCol: String, batch: String,
+                             sn: Int, nh: Int, bs: Int): Unit = {
+    requireSafeIdent("batch label", batch)
     NearDup.bandKeys(docs, idCol, textCol, sn, nh, bs)
       .select(col("doc_id").cast("string"),
         col("band_id").cast("string"), col("band_key"),
