@@ -259,14 +259,14 @@ object R15Queries {
       }
       val root = s.conf.get("spark.sql.catalog.graft_r15.root")
       Seq("nat", "clu").foreach { t =>
-        new java.io.File(s"$root/q354/$t").listFiles()
+        val vds = new java.io.File(s"$root/q354/$t").listFiles()
           .filter(d => d.isDirectory && !d.getName.startsWith("_"))
-          .map(_.toString).sorted.foreach { vd =>
-            // sortBy=None auto-detects the table root's cluster marker:
-            // clu folds range-partitioned, nat folds hash-partitioned
-            graft.operators.Scale.compactCsvClustered(s, vd, numFiles = 3,
-              sortBy = None)
-          }
+          .map(_.toString).sorted.toSeq
+        // sortBy=None auto-detects the table root's cluster marker:
+        // clu folds range-partitioned, nat folds hash-partitioned;
+        // value dirs fold CONCURRENTLY (bounded driver pool)
+        graft.sources.QuirkCsvMaintenance.compactValueDirs(s, vds,
+          numFiles = 3, sortBy = None)
       }
       // probe the MEDIAN key: a min/max probe is prunable even under a
       // hash layout (it falls outside the other files' ranges); only the

@@ -117,6 +117,38 @@ private[graft] object QuirkCsvMaintenance {
     (before, dataFileNames(dir).size.toLong)
   }
 
+  /** Compact many value directories CONCURRENTLY from a bounded driver
+    * pool — the maintenance shape for a partitioned table with thousands
+    * of partitions, where the serial per-dir loop would crawl (each dir
+    * is one small Spark job; issuing them one at a time leaves the
+    * cluster idle between jobs). Each dir runs the unchanged
+    * [[compactCsv]] protocol: tmp dirs are per-dir (no collisions),
+    * version commits serialize on the table root's lock, and a failure
+    * in any dir propagates after the in-flight dirs finish. Returns
+    * (dataFilesBefore, dataFilesAfter) summed across dirs. */
+  def compactValueDirs(spark: SparkSession, dirs: Seq[String],
+                       numFiles: Int, sortBy: Option[String] = None,
+                       parallelism: Int = 8): (Long, Long) = {
+    if (dirs.isEmpty) return (0L, 0L)
+    val n = math.max(1, math.min(parallelism, dirs.size))
+    if (n == 1)
+      return dirs.map(compactCsv(spark, _, numFiles, sortBy))
+        .foldLeft((0L, 0L)) { case ((tb, ta), (fb, fa)) =>
+          (tb + fb, ta + fa) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = dirs.map(d => scala.concurrent.Future(
+        compactCsv(spark, d, numFiles, sortBy))(ec))
+      val res = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs)(
+          scala.collection.BuildFrom.buildFromIterableOps, ec),
+        scala.concurrent.duration.Duration.Inf)
+      res.foldLeft((0L, 0L)) { case ((tb, ta), (fb, fa)) =>
+        (tb + fb, ta + fa) }
+    } finally pool.shutdown()
+  }
+
   /** Visible (non-hidden) data file names in `dir`, sorted. */
   private[graft] def dataFileNames(dir: String): Seq[String] = {
     val p = new Path(dir)

@@ -124,10 +124,11 @@ private[sources] object QuirkCsvProcedures {
                 .map(_.getPath.toString).sorted
             case None => Seq(dir.toString)
           }
-          val (b, a) = targets.map(t =>
-            graft.operators.Scale.compactCsv(spark, t, n))
-            .foldLeft((0L, 0L)) { case ((tb, ta), (fb, fa)) =>
-              (tb + fb, ta + fa) }
+          // value dirs fold CONCURRENTLY (bounded driver pool): a
+          // 100k-partition table must not issue 100k Spark jobs one at
+          // a time with the cluster idle between them
+          val (b, a) = QuirkCsvMaintenance.compactValueDirs(
+            spark, targets, n)
           Seq(new GenericInternalRow(Array[Any](b, a)))
         case "restore" =>
           val v = QuirkCsvVersions.restore(fs, dir, input.getInt(1).toLong)

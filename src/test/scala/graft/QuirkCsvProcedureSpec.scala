@@ -64,4 +64,37 @@ class QuirkCsvProcedureSpec extends SparkSpec {
     an[Exception] should be thrownBy
       spark.sql("CALL graft_proc.system.history('ns.missing')").collect()
   }
+
+  test("compact on a 120-partition table folds value dirs from the " +
+      "parallel driver pool with identical content") {
+    root
+    spark.sql("""CREATE TABLE graft_proc.ns.wide (k STRING, b STRING)
+      PARTITIONED BY (b)""")
+    // 120 value dirs x 3 epoch files each
+    val src = spark.range(0, 1200).select(
+      col("id").cast("string").as("k"),
+      (col("id") % 120).cast("string").as("b"),
+      (col("id") % 3).as("epoch"))
+    (0 until 3).foreach { e =>
+      src.filter(col("epoch") === e).drop("epoch")
+        .writeTo("graft_proc.ns.wide").append()
+    }
+    val before = spark.table("graft_proc.ns.wide")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
+    val valueDirs = new java.io.File(s"$root/ns/wide").listFiles()
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+    valueDirs.length shouldBe 120
+    // every dir holds >1 data file pre-compaction (3 epochs, but an
+    // epoch write may route a dir's rows into one task file)
+    val preFiles = valueDirs.map(d => d.listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))).sum
+    val res = spark.sql("CALL graft_proc.system.compact('ns.wide', 1)")
+      .collect()(0)
+    res.getLong(0) shouldBe preFiles.toLong
+    res.getLong(1) shouldBe 120L // one folded file per value dir
+    val after = spark.table("graft_proc.ns.wide")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
+    after should contain theSameElementsInOrderAs before
+  }
 }
