@@ -89,6 +89,76 @@ object Multimodal {
           row.meta.copy(width = row.meta.width / 8, height = row.meta.height / 8)))
   }
 
+  /** REAL still-image codec over the JDK's pure-Java ImageIO readers
+    * (BMP/PNG/GIF decoders ship with the JDK — no native dependencies):
+    * the proof that the [[MediaCodec]] seam holds beyond the stub. A
+    * user bringing real images swaps `codec = ImageIoCodec` into the
+    * SAME operators ([[extractFeatures]], [[perceptualHash]],
+    * [[resizeImages]]) and nothing else moves — the oracled Spark
+    * plumbing (schemas, partition-batched decode, banding) is
+    * codec-blind. Decode emits top-down row-major RGB (3 bytes/pixel)
+    * from the image's OWN dimensions (a real codec trusts the payload,
+    * not the metadata); resize is deterministic nearest-neighbor (no
+    * AWT rendering pipeline, so results are bit-stable across JVMs);
+    * frame sampling needs a video container parser and fails loudly. */
+  object ImageIoCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        s"ImageIO could not decode a '${meta.format}' payload " +
+          s"(${payload.length} bytes)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Nearest-neighbor over the decoded RGB grid. */
+    override def resize(decoded: Array[Byte], from: MediaMeta, w: Int,
+                        h: Int): Array[Byte] = {
+      require(decoded.length == from.width * from.height * 3,
+        s"decoded length ${decoded.length} is not ${from.width}x" +
+          s"${from.height}x3 — resize needs the true source dimensions")
+      val out = new Array[Byte](w * h * 3)
+      var ty = 0
+      while (ty < h) {
+        val sy = ty * from.height / h
+        var tx = 0
+        while (tx < w) {
+          val sx = tx * from.width / w
+          val s = (sy * from.width + sx) * 3
+          val t = (ty * w + tx) * 3
+          out(t) = decoded(s)
+          out(t + 1) = decoded(s + 1)
+          out(t + 2) = decoded(s + 2)
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+
+    override def sampleFrames(row: MediaRow, everyNth: Int): Iterator[Frame] =
+      throw new UnsupportedOperationException(
+        "ImageIoCodec decodes still images; video frame sampling needs a " +
+          "container-format codec behind the same seam")
+  }
+
   /** Build a media table from the documents test table (no binary test
     * fixture ships with the driver data): payload = utf8 text bytes, kind
     * and metadata derived deterministically from doc attributes. */

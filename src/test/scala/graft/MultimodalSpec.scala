@@ -144,4 +144,65 @@ class MultimodalSpec extends SparkSpec {
     frames should not be empty
     frames.foreach(_.payload.forall(_ == 7.toByte) shouldBe true)
   }
+
+  /** A minimal valid 24-bit uncompressed BMP: `h` rows of `w` pixels,
+    * left half black, right half white (BMP stores rows bottom-up with
+    * 4-byte row padding; symmetric content keeps the expectation easy). */
+  private def halfAndHalfBmp(w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                        // pixel-data offset
+    buf.putInt(40).putInt(w).putInt(h)             // BITMAPINFOHEADER
+      .putShort(1).putShort(24)                    // planes, bpp
+      .putInt(0).putInt(dataSize)                  // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until h).foreach { _ =>
+      (0 until w).foreach { x =>
+        val v: Byte = if (x < w / 2) 0 else -1     // 0x00 / 0xFF
+        buf.put(v).put(v).put(v)                   // BGR
+      }
+      (w * 3 until rowBytes).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  test("REAL codec through the seam: ImageIoCodec decodes a 2-color BMP " +
+    "and the phash matches the hand-computed fingerprint") {
+    val (w, h) = (16, 8)
+    val bmp = halfAndHalfBmp(w, h)
+    // sanity outside Spark: 384 RGB bytes, half 0x00 half 0xFF
+    val decoded = Multimodal.ImageIoCodec.decode(bmp,
+      MediaMeta(w, h, 3, 0, 0L, "bmp"))
+    decoded.length shouldBe w * h * 3
+    decoded.count(_ == 0.toByte) shouldBe w * h * 3 / 2
+    // through the SAME Spark operators the stub runs under — only the
+    // codec parameter changes
+    val media = Seq(Multimodal.MediaRow(1L, "image", bmp,
+      MediaMeta(w, h, 3, 0, 0L, "bmp"))).toDS()
+    val feats = Multimodal.extractFeatures(media,
+      codec = Multimodal.ImageIoCodec).collect()(0)
+    feats.n_bytes shouldBe w * h * 3
+    feats.mean shouldBe 127.5
+    feats.p_zero shouldBe 0.5
+    // hand-computed average-hash: 64 blocks of 6 bytes over 384 bytes;
+    // each 48-byte row = 8 blocks (4 black, 4 white) -> bit pattern
+    // 11110000 repeating, i.e. 0xF0F0F0F0F0F0F0F0
+    val ph = Multimodal.perceptualHash(media,
+      codec = Multimodal.ImageIoCodec).collect()(0)
+    ph.getAs[Long]("phash") shouldBe 0xF0F0F0F0F0F0F0F0L
+    // nearest-neighbor resize through the seam keeps the halves
+    val resized = Multimodal.resizeImages(media, 8, 4,
+      codec = Multimodal.ImageIoCodec).collect()(0)
+    resized.payload.length shouldBe 8 * 4 * 3
+    resized.payload.count(_ == 0.toByte) shouldBe 8 * 4 * 3 / 2
+    // the stub-backed oracle queries are untouched by the real codec's
+    // existence: video sampling through a still-image codec fails loud
+    an[Exception] should be thrownBy
+      Multimodal.ImageIoCodec.sampleFrames(
+        Multimodal.MediaRow(2L, "video", bmp,
+          MediaMeta(w, h, 3, 0, 1000L, "mp4")), 5)
+  }
 }
