@@ -85,9 +85,14 @@ object Bench {
       """"(q[0-9A-Za-z_]+)":\{"warm":([0-9.]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+    // 1.3x (was 2x): the r9 driver artifact carried +30-60% drift on a
+    // handful of queries that a controlled A/B showed to be ambient load
+    // (PLANS.md round 17, ask 1) — at 2x those sailed through as
+    // "regressions". 1.3x-and-0.4s re-measures each one in isolation
+    // post-suite; genuinely slow queries stay flagged, noise converges.
     def suspicious(name: String, warm: Double): Option[Double] =
       prior.get(name).filter(p =>
-        warm >= 0 && p > 0 && warm > 2 * p && warm - p > 0.5)
+        warm >= 0 && p > 0 && warm > 1.3 * p && warm - p > 0.4)
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
       val warms = (2 to runs).map(_ => once(fn))

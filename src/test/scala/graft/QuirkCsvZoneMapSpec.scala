@@ -51,6 +51,48 @@ class QuirkCsvZoneMapSpec extends SparkSpec {
       .filter(col("Region") === "West").rdd.getNumPartitions shouldBe 4
   }
 
+  test("range predicates push down and zone-prune to the covering files") {
+    val dir = freshDir("rangecmp")
+    writeClustered(dir) // one file per region, alphabetical ranges
+    // plain-string ordering: "Central" < "East" < "South" < "West"
+    val ge = readBack(dir).filter(col("Region") >= "South")
+    ge.rdd.getNumPartitions shouldBe 2 // South + West files
+    ge.select(col("Region")).distinct().collect()
+      .map(_.getString(0)).toSet shouldBe Set("South", "West")
+    val lt = readBack(dir).filter(col("Region") < "East")
+    lt.rdd.getNumPartitions shouldBe 1 // Central only
+    lt.select(col("Region")).distinct().collect()
+      .map(_.getString(0)).toSet shouldBe Set("Central")
+    // a BETWEEN composes both bounds: exactly the covering file
+    val between = readBack(dir)
+      .filter(col("Region") >= "East" && col("Region") <= "Egg")
+    between.rdd.getNumPartitions shouldBe 1
+    between.count() shouldBe spark.read.format("graftcsv").load(csv)
+      .filter(col("Region") === "East").count()
+    // row-level evaluation agrees with Spark's own (no rows lost/added)
+    readBack(dir).filter(col("Region") > "Central").count() shouldBe
+      spark.read.format("graftcsv").load(csv)
+        .filter(col("Region") =!= "Central").count()
+  }
+
+  test("truncated (256-char-capped) bounds stay conservative under " +
+    "range predicates: looser pruning, never a lost row") {
+    val dir = freshDir("trunc")
+    // values longer than the stats cap: 300-char strings with the
+    // DISCRIMINATING suffix past the cap — bounds truncate, so pruning
+    // must answer "might match" rather than dropping the file
+    val pad = "x" * 299
+    Seq(s"${pad}a", s"${pad}b").toDF("k").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    Seq(s"${pad}y", s"${pad}z").toDF("k").coalesce(1)
+      .write.format("graftcsv").mode(SaveMode.Append).save(dir)
+    val probe = readBack(dir).filter(col("k") >= s"${pad}y")
+    // both files' truncated [min,max] admit the probe (prefixes equal up
+    // to the cap) — conservative: no pruning, but ALL matching rows back
+    probe.collect().map(_.getString(0)).toSet shouldBe
+      Set(s"${pad}y", s"${pad}z")
+  }
+
   test("length drift disables the stale entry, not the others") {
     val dir = freshDir("stale")
     writeClustered(dir)
