@@ -272,5 +272,93 @@ object R17Queries {
       SELECT okey, ckey, prio FROM src, b
       WHERE okey >= lo AND okey <= hi"""))
 
-  val all: Seq[QueryDef] = Seq(q362, q363, q364, q365, q366)
+  /** The reference's covering-index-by-date story (`IX_Fact_Date`,
+    * SQLproject1.sql:723-724) at lakehouse scale: a YEAR-partitioned,
+    * date-range-CLUSTERED catalog fact, probed by a dashboard's
+    * two-month date-range slicer. The scan stacks all three pruning
+    * tiers — partition pruning drops the other years' directories, the
+    * range-clustered fold's zone stats drop the non-covering files
+    * inside the year (range predicates now push down), and the row
+    * filter handles the rest. The natural-layout twin (same data, same
+    * partitioning, hash fold) must read every file of the year — the
+    * REQUIRE that proves the clustering, not the partitioning, is what
+    * cuts the intra-year I/O. */
+  private val q367 = QueryDef(
+    "q367_date_range_slicer",
+    (s, d) => {
+      ensureCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r17.q367")
+      val src = Tables.orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_orderkey").cast("string").as("okey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("total"),
+        year(col("o_orderdate")).cast("string").as("oyear"),
+        (col("o_orderkey") % 3).as("third"))
+      Seq("clu" -> " TBLPROPERTIES ('clusterBy'='odate')", "nat" -> "")
+        .foreach { case (t, props) =>
+          s.sql(s"DROP TABLE IF EXISTS graft_r17.q367.$t")
+          s.sql(s"CREATE TABLE graft_r17.q367.$t (odate STRING, " +
+            s"okey STRING, total STRING, oyear STRING) " +
+            s"PARTITIONED BY (oyear)$props")
+          (0 to 2).foreach { m =>
+            src.filter(col("third") === m).drop("third")
+              .writeTo(s"graft_r17.q367.$t").append()
+          }
+        }
+      val root = s.conf.get("spark.sql.catalog.graft_r17.root")
+      Seq("clu", "nat").foreach { t =>
+        val vds = new java.io.File(s"$root/q367/$t").listFiles()
+          .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+          .map(_.toString).sorted.toSeq
+        graft.sources.QuirkCsvMaintenance.compactValueDirs(s, vds,
+          numFiles = 3, sortBy = None)
+      }
+      val y = Tables.orders(s, d)
+        .agg(min(year(col("o_orderdate")))).collect()(0).getInt(0) + 1
+      val (lo, hi) = (s"$y-03-01", s"$y-04-30")
+      // split counting probes the YEAR DIRECTORY directly (per-file
+      // splits) — the partitioned read reports key-grouped (SPJ)
+      // partitioning, one partition per surviving value group, which
+      // hides the intra-dir file pruning this REQUIRE is about
+      def dirProbe(t: String) = s.read.format("graftcsv")
+        .load(s"$root/q367/$t/oyear=$y")
+        .filter(col("odate") >= lo && col("odate") <= hi)
+        .select(col("odate"), col("okey"), col("total"))
+      val (nClu, nNat) = (dirProbe("clu").rdd.getNumPartitions,
+        dirProbe("nat").rdd.getNumPartitions)
+      require(nNat == 3,
+        s"the hash-folded twin must read all 3 files of the year, got $nNat")
+      require(nClu >= 1 && nClu <= 2 && nClu < nNat,
+        s"the date-clustered fold must prune the 2-month slicer to the " +
+          s"covering file(s) inside the year, got $nClu of 3")
+      // the partitioned CATALOG read (partition pruning + the same zone
+      // pruning) returns the identical slicer rows on both layouts
+      def probe(t: String) = s.read.format("graftcsv")
+        .option("partitionCol", "oyear").load(s"$root/q367/$t")
+        .filter(col("oyear") === y.toString &&
+          col("odate") >= lo && col("odate") <= hi)
+        .drop("oyear")
+      val clu = probe("clu")
+      val nat = probe("nat")
+      require(clu.exceptAll(nat).isEmpty && nat.exceptAll(clu).isEmpty,
+        "both layouts must return identical slicer rows")
+      require(clu.exceptAll(dirProbe("clu")).isEmpty,
+        "partition-pruned and direct-dir reads must agree")
+      clu.select(col("okey"), col("odate"),
+        col("total").cast("double").as("total"))
+        .localCheckpoint()
+    },
+    Some("""
+      WITH b AS (SELECT CAST(min(year(o_orderdate)) + 1 AS INT) AS y
+                 FROM orders)
+      SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+             strftime(o_orderdate, '%Y-%m-%d') AS odate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+      FROM orders, b
+      WHERE strftime(o_orderdate, '%Y-%m-%d') >=
+              CAST(y AS VARCHAR) || '-03-01'
+        AND strftime(o_orderdate, '%Y-%m-%d') <=
+              CAST(y AS VARCHAR) || '-04-30'"""))
+
+  val all: Seq[QueryDef] = Seq(q362, q363, q364, q365, q366, q367)
 }
