@@ -74,7 +74,7 @@ class QuirkCsvProcedureSpec extends SparkSpec {
     val src = spark.range(0, 1200).select(
       col("id").cast("string").as("k"),
       (col("id") % 120).cast("string").as("b"),
-      (col("id") % 3).as("epoch"))
+      ((col("id") / 120).cast("long") % 3).as("epoch"))
     (0 until 3).foreach { e =>
       src.filter(col("epoch") === e).drop("epoch")
         .writeTo("graft_proc.ns.wide").append()
