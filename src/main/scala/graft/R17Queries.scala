@@ -360,5 +360,74 @@ object R17Queries {
         AND strftime(o_orderdate, '%Y-%m-%d') <=
               CAST(y AS VARCHAR) || '-04-30'"""))
 
-  val all: Seq[QueryDef] = Seq(q362, q363, q364, q365, q366, q367)
+  /** STREAMING maintenance of the persisted near-dup index, through the
+    * oracle gate: the base corpus is banded at build, the rest of the
+    * documents ARRIVE as a file drop that
+    * [[graft.streaming.IndexMaintenance.nearDupIndexStream]] lands as an
+    * epoch-labeled batch partition, and the maintained index then serves
+    * the full candidate pairing — hash-equal to the one-shot in-memory
+    * LSH over the union corpus (REQUIREd both directions, and replayed
+    * relationally by the oracle). The multi-epoch and replay cases live
+    * in IndexMaintenanceSpec; this query pins the arrival-driven shape
+    * end to end. */
+  private val q368 = QueryDef(
+    "q368_stream_neardup_index",
+    (s, d) => {
+      ensureCatalog(s)
+      val docs = Tables.documents(s, d)
+      val isNew = col("doc_id") % 10 >= 8
+      graft.operators.NearDupIndex.build(s, "graft_r17", "q368", "nd",
+        docs.filter(!isNew), "doc_id", "text",
+        shingleN = 3, numHashes = 12, bandSize = 3)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q368").toString
+      docs.filter(isNew).select(col("doc_id"), col("text"))
+        .write.mode("append").parquet(s"$dir/in")
+      graft.streaming.IndexMaintenance.nearDupIndexStream(s, s"$dir/in",
+        docs.select(col("doc_id"), col("text")).schema, s"$dir/ckpt",
+        "graft_r17", "q368", "nd", "doc_id", "text")
+      val got = graft.operators.NearDupIndex.allCandidatePairs(
+        s, "graft_r17", "q368", "nd").localCheckpoint()
+      val docsStr = docs.select(col("doc_id").cast("string").as("doc_id"),
+        col("text"))
+      val twin = graft.operators.NearDup.minHashLshCandidates(docsStr,
+        "doc_id", "text", shingleN = 3, numHashes = 12, bandSize = 3)
+      require(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty,
+        "the stream-maintained index must serve the same candidate " +
+          "pairing as the one-shot in-memory LSH over the union corpus")
+      got
+    },
+    Some {
+      val nh = 12; val bs = 3
+      val sigCols = (0 until nh).map(i =>
+        s"list_aggregate(list_transform(sh, x -> md5('$i|' || x)), " +
+          s"'min') AS sig_$i")
+        .mkString(",\n             ")
+      val bandSelects = (0 until nh / bs).map { b =>
+        val sigs = (0 until bs).map(k => s"sig_${b * bs + k}")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $sigs)) AS " +
+          s"band_key FROM sigs"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH t AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
+                 FROM documents),
+      ws AS (SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)})
+                 AS sh
+             FROM t WHERE len(w) >= 3),
+      sigs AS (SELECT doc_id,
+             $sigCols
+      FROM ws),
+      bands AS MATERIALIZED (
+        $bandSelects)
+      SELECT DISTINCT
+        LEAST(CAST(x.doc_id AS VARCHAR), CAST(y.doc_id AS VARCHAR)) AS a_id,
+        GREATEST(CAST(x.doc_id AS VARCHAR), CAST(y.doc_id AS VARCHAR))
+          AS b_id
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q362, q363, q364, q365, q366, q367, q368)
 }
