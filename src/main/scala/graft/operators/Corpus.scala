@@ -1993,11 +1993,14 @@ object Corpus {
     * source; rounds with zero marginal gain stop the selection.
     * Emits (round, source, new_elements, covered_total).
     *
-    * Scale: per round one anti-join (corpus shingles vs covered set,
-    * keyed on the shingle hash) and one map-combined groupBy over
-    * |sources| rows; only the 1-row argmax is collected. The covered
-    * set is `localCheckpoint`ed per round — it is both the anti-join
-    * side and the union base. */
+    * Scale: per round one anti-join (corpus shingles vs the PICKED
+    * sources' shingles — the covered set is definitionally that union,
+    * and an anti-join right side needs no dedup, so no growing
+    * materialized frame exists at all) and one map-combined groupBy over
+    * |sources| rows; only the 1-row argmax is collected. Per-round cost
+    * is one flat scan of the checkpointed (source, shingle) table —
+    * independent of how much is already covered (the previous
+    * union+distinct+checkpoint per round grew with the covered set). */
   def greedySourceCover(docs: DataFrame, sourceCol: String,
                         textCol: String, shingleN: Int,
                         rounds: Int): DataFrame = {
@@ -2009,16 +2012,18 @@ object Corpus {
         explode(TextFunctions.wordShingles(
           TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
       .distinct().localCheckpoint(true)
-    var covered = st.select(col("sh")).limit(0).localCheckpoint(true)
     var coveredTotal = 0L
     var picked = List.empty[String]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     var done = false
     (1 to rounds).foreach { r =>
       if (!done) {
-        val uncov = st.join(covered, Seq("sh"), "left_anti")
-        val gains = (if (picked.isEmpty) uncov
-          else uncov.filter(!col("source").isInCollection(picked)))
+        val uncov =
+          if (picked.isEmpty) st
+          else st.filter(!col("source").isInCollection(picked))
+            .join(st.filter(col("source").isInCollection(picked))
+              .select(col("sh")), Seq("sh"), "left_anti")
+        val gains = uncov
           .groupBy(col("source")).agg(count(lit(1)).as("gain"))
           .filter(col("gain") > 0)
           .orderBy(col("gain").desc, col("source"))
@@ -2030,9 +2035,6 @@ object Corpus {
           coveredTotal += gain
           picked ::= best
           out += ((r, best, gain, coveredTotal))
-          covered = covered
-            .unionAll(st.filter(col("source") === best).select(col("sh")))
-            .distinct().localCheckpoint(true)
         }
       }
     }
