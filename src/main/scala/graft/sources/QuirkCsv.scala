@@ -834,7 +834,14 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
   with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
-  private val files: Seq[QuirkCsvFileMeta] = QuirkCsv.listFiles(options)
+  // partition-filter-aware listing: value dirs a pushed partition-column
+  // predicate excludes are never listed. Safe in grouped (SPJ) mode too:
+  // groupedPartitions already prunes GROUPS by exactly these compile-time
+  // filters (prunePartitions) — the reported KeyGroupedPartitioning is
+  // query-static either way; only DATA-dependent (zone-level) pruning
+  // must never drop a group, and listing never consults zone stats.
+  private val files: Seq[QuirkCsvFileMeta] =
+    QuirkCsv.listFiles(options, filters)
   private val maxSplit: Long =
     options.getLong("maxSplitBytes", 128L * 1024 * 1024)
   private val header: Boolean = QuirkCsv.headerOpt(options)
@@ -1473,7 +1480,8 @@ private[sources] class QuirkCsvAggScan(fullSchema: StructType,
                                        options: CaseInsensitiveStringMap)
   extends Scan with Batch with SupportsReportStatistics {
 
-  private val files: Seq[QuirkCsvFileMeta] = QuirkCsv.listFiles(options)
+  private val files: Seq[QuirkCsvFileMeta] =
+    QuirkCsv.listFiles(options, filters)
   private val maxSplit: Long =
     options.getLong("maxSplitBytes", 128L * 1024 * 1024)
   private val header: Boolean = QuirkCsv.headerOpt(options)
@@ -3266,13 +3274,44 @@ private[sources] object QuirkCsv {
     * still appending to. Every pinned name must still exist: a vanished
     * pinned file fails loudly rather than silently reading less than
     * the caller pinned. */
-  def listFiles(options: CaseInsensitiveStringMap): Seq[QuirkCsvFileMeta] = {
+  def listFiles(options: CaseInsensitiveStringMap): Seq[QuirkCsvFileMeta] =
+    listFiles(options, Array.empty[Filter])
+
+  /** [[listFiles]] with PARTITION-FILTER-AWARE directory pruning: value
+    * directories whose `col=value` name fails an evaluable pushed
+    * predicate on the partition column are never LISTED, not merely
+    * pruned after the fact — at 100k partitions with a year filter the
+    * planner pays one directory listing instead of 100k. Identity
+    * partitioning makes this exact (every row of a skipped dir fails the
+    * predicate — the same argument as prunePartitions, applied one RPC
+    * earlier). Disabled automatically under `asOfVersion` (snapshot
+    * resolution needs the COMPLETE live listing to pair log events with
+    * files) and `pinnedFiles` (a pinned name inside a skipped dir must
+    * fail loudly, not silently vanish). */
+  def listFiles(options: CaseInsensitiveStringMap,
+                partitionFilters: Array[Filter]): Seq[QuirkCsvFileMeta] = {
     val raw = options.get("path")
     require(raw != null && raw.nonEmpty, "graftcsv requires a 'path' option")
     val path = new Path(raw)
     val fs: FileSystem = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) return Nil
     val st = fs.getFileStatus(path)
+    val pc = options.get("partitionCol")
+    val dirPredicates: Array[Filter] =
+      if (pc == null || pc.isEmpty ||
+        Option(options.get("asOfVersion")).exists(_.nonEmpty) ||
+        Option(options.get("pinnedFiles")).exists(_.nonEmpty)) Array.empty
+      else partitionFilters.filter(f =>
+        (try filterColumn(f) == pc catch { case _: Exception => false }))
+    def dirMayMatch(name: String): Boolean =
+      dirPredicates.isEmpty || {
+        val eq = name.indexOf('=')
+        if (eq < 0) true
+        else {
+          val v = dec(name.substring(eq + 1))
+          dirPredicates.forall(eval(_, v))
+        }
+      }
     def visible(s: FileStatus): Boolean =
       s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith(".")
@@ -3300,10 +3339,36 @@ private[sources] object QuirkCsv {
         val top = fs.listStatus(path).toIndexedSeq
         val direct = top.filter(visible)
         if (!partitioned) direct
-        else direct ++ top
-          .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-          .flatMap(d => fs.listStatus(d.getPath).toIndexedSeq.filter(visible))
+        else {
+          val dirs = top.filter(s => s.isDirectory &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith(".") &&
+            dirMayMatch(s.getPath.getName))
+          // value-dir listings fan out from a bounded pool past a small
+          // threshold: a many-partition root must not pay one sequential
+          // filesystem RPC per directory at every scan planning (Hadoop
+          // FileSystem instances are thread-safe for reads; the sortBy
+          // below keeps the result deterministic either way)
+          val children: Seq[FileStatus] =
+            if (dirs.size <= 16)
+              dirs.flatMap(d =>
+                fs.listStatus(d.getPath).toIndexedSeq.filter(visible))
+            else {
+              val pool = java.util.concurrent.Executors
+                .newFixedThreadPool(math.min(16, dirs.size))
+              try {
+                val ec = scala.concurrent.ExecutionContext
+                  .fromExecutor(pool)
+                val futs = dirs.map(d => scala.concurrent.Future(
+                  fs.listStatus(d.getPath).toIndexedSeq.filter(visible))(ec))
+                scala.concurrent.Await.result(
+                  scala.concurrent.Future.sequence(futs)(
+                    scala.collection.BuildFrom.buildFromIterableOps, ec),
+                  scala.concurrent.duration.Duration.Inf).flatten
+              } finally pool.shutdown()
+            }
+          direct ++ children
+        }
       }
     val all = statuses
       .map(s => QuirkCsvFileMeta(s.getPath.toString, s.getLen,

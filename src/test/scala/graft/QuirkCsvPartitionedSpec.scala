@@ -395,4 +395,42 @@ class QuirkCsvPartitionedSpec extends SparkSpec {
     spark.sql("INSERT INTO graft_part.ns.cl2 VALUES ('1','a')")
     spark.table("graft_part.ns.cl2").count() shouldBe 1L
   }
+
+  test("partition-filter-aware listing: excluded value dirs are never " +
+    "LISTED, not merely pruned after listing") {
+    // the countfs: scheme (a local FS recording every listStatus — see
+    // CountingFileSystem) makes the directory RPCs observable: a filter
+    // selecting ONE of 40 values must plan by listing the root and THAT
+    // value dir only — at 100k partitions this is one directory RPC
+    // instead of 100k per planning
+    val local = java.nio.file.Files.createTempDirectory("graft_dirskip")
+    val dir = s"countfs:$local"
+    val n = 40
+    val schema = Seq(("1", "0")).toDF("k", "day").schema
+    spark.range(0, n.toLong * 2).select(
+        col("id").cast("string").as("k"),
+        (col("id") % n).cast("string").as("day"))
+      .write.format("graftcsv").option("partitionCol", "day")
+      .mode("append").save(dir)
+    def plan(filtered: Boolean): Set[String] = {
+      CountingFileSystem.listed.clear()
+      val r = spark.read.format("graftcsv").schema(schema)
+        .option("partitionCol", "day").load(dir)
+      (if (filtered) r.filter(col("day") === "7") else r)
+        .rdd.getNumPartitions should be >= 1
+      val got = new java.util.HashSet(CountingFileSystem.listed)
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    val filteredDirs = plan(filtered = true).filter(_.contains("day="))
+    filteredDirs.map(_.split("day=").last) shouldBe Set("7")
+    val fullDirs = plan(filtered = false).filter(_.contains("day="))
+    fullDirs.size shouldBe n
+    // and the skip is exact: the filtered read returns the value's rows
+    spark.read.format("graftcsv").schema(schema)
+      .option("partitionCol", "day").load(dir)
+      .filter(col("day") === "7")
+      .select("k").collect().map(_.getString(0)).toSet shouldBe
+      Set("7", (n + 7).toString)
+  }
 }
