@@ -429,5 +429,64 @@ object R17Queries {
        AND x.doc_id < y.doc_id"""
     })
 
-  val all: Seq[QueryDef] = Seq(q362, q363, q364, q365, q366, q367, q368)
+  /** SemDeDup-style semantic near-dup SERVED FROM THE PERSISTED IVF
+    * INDEX: the index's centroid assignment is the blocking key — pairs
+    * form only within a bucket (never all-pairs across the corpus),
+    * exact cosine is computed only for those candidates, and pairs at or
+    * above the threshold survive. The oracle replays the whole chain
+    * relationally: seed-drawn centroids, nearest-centroid assignment,
+    * within-bucket pairing, exact cosine gate. The oversized-bucket
+    * fail-fast (the repo's cap discipline: quadratic blow-ups are
+    * opt-in, never silent) is REQUIREd. */
+  private val q369 = QueryDef(
+    "q369_semantic_dedup_ivf",
+    (s, d) => {
+      ensureCatalog(s)
+      val e = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.build(s, "graft_r17", "q369", "sem",
+        e, "vec_id", "embedding", 16)
+      // cap discipline: a cap below the largest bucket must fail loudly
+      val prior = s.conf.getOption(
+        graft.operators.IvfIndex.MaxSemanticBucketKey)
+      s.conf.set(graft.operators.IvfIndex.MaxSemanticBucketKey, "1")
+      val failed = try {
+        graft.operators.IvfIndex.semanticDupPairs(s, "graft_r17", "q369",
+          "sem", e, "vec_id", "embedding", 0.0).count()
+        false
+      } catch { case _: IllegalArgumentException => true }
+      prior.fold(s.conf.unset(
+        graft.operators.IvfIndex.MaxSemanticBucketKey))(
+        s.conf.set(graft.operators.IvfIndex.MaxSemanticBucketKey, _))
+      require(failed,
+        "an over-cap centroid bucket must fail fast, not pair quadratically")
+      graft.operators.IvfIndex.semanticDupPairs(s, "graft_r17", "q369",
+        "sem", e, "vec_id", "embedding", 0.0)
+    },
+    Some(s"""
+      WITH cent AS (SELECT CAST(vec_id AS VARCHAR) AS centroid_id,
+                           embedding AS cemb
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      asg AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${ExtQueries.oCos("e.embedding", "c.cemb")} DESC,
+                  c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+      pairs AS (SELECT CAST(x.vec_id AS VARCHAR) AS a_id,
+                       CAST(y.vec_id AS VARCHAR) AS b_id,
+                       x.centroid_id
+                FROM asg x JOIN asg y
+                  ON x.centroid_id = y.centroid_id
+                 AND CAST(x.vec_id AS VARCHAR) < CAST(y.vec_id AS VARCHAR)),
+      sc AS (SELECT p.a_id, p.b_id, p.centroid_id,
+                    ${ExtQueries.oCos("ea.embedding", "eb.embedding")}
+                      AS cosine
+             FROM pairs p
+             JOIN embeddings ea ON CAST(ea.vec_id AS VARCHAR) = p.a_id
+             JOIN embeddings eb ON CAST(eb.vec_id AS VARCHAR) = p.b_id)
+      SELECT a_id, b_id, centroid_id, cosine FROM sc WHERE cosine >= 0.0"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q362, q363, q364, q365, q366, q367, q368, q369)
 }

@@ -177,6 +177,64 @@ object IvfIndex {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
   }
 
+  /** Conf key bounding the largest centroid bucket
+    * [[semanticDupPairs]] will pair within — within-bucket pairing is
+    * quadratic BY DESIGN (SemDeDup's bet: buckets are small because k
+    * scales with the corpus), so a degenerate bucket (k too small, or
+    * all vectors identical) must fail loudly instead of detonating into
+    * an all-pairs join. */
+  val MaxSemanticBucketKey = "spark.graft.ivf.maxSemanticBucket"
+  val DefaultMaxSemanticBucket: Long = 100000L
+
+  /** SemDeDup-style semantic near-duplicate candidates SERVED FROM THE
+    * PERSISTED INDEX: vectors assigned to the same centroid (the IVF
+    * bucketing as the blocking key — never all-pairs across buckets)
+    * pair up, their exact cosine is computed only for those candidates
+    * (embeddings joined back from `vectors` by id), and pairs at or
+    * above `minCosine` survive. Ids canonicalize by the persisted
+    * STRING order. Emits (a_id, b_id, centroid_id, cosine).
+    *
+    * At 100 TB: the assignment table is (id, centroid) — no embeddings;
+    * the self-join shuffles on centroid_id; within-bucket pair counts
+    * are Σ bucket² bounded by the [[MaxSemanticBucketKey]] guard; the
+    * only embedding I/O is the candidates' id-join. A finer blocking
+    * (same centroid AND nearby quantized norm) drops in as an extra
+    * join key without changing the shape. */
+  def semanticDupPairs(spark: SparkSession, cat: String, ns: String,
+                       name: String, vectors: DataFrame, idCol: String,
+                       embCol: String, minCosine: Double): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val cap = spark.conf.get(MaxSemanticBucketKey,
+      DefaultMaxSemanticBucket.toString).toLong
+    val asg = assignment(spark, cat, ns, name)
+      .select(col("vec_id"), col("centroid_id"))
+    val oversized = asg.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .limit(1).collect()
+    if (oversized.nonEmpty)
+      throw new IllegalArgumentException(
+        s"centroid bucket ${oversized.head.getString(0)} holds " +
+          s"${oversized.head.getLong(1)} vectors (cap: conf " +
+          s"$MaxSemanticBucketKey=$cap) — within-bucket pairing would " +
+          "detonate; retrain with a larger k or raise the cap explicitly")
+    val pairs = asg.as("x").join(asg.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        col("x.centroid_id").as("centroid_id"))
+    val vecs = vectors.select(col(idCol).cast("string").as("__id"),
+      col(embCol).as("__emb"))
+    pairs
+      .join(vecs.select(col("__id").as("a_id"), col("__emb").as("__ea")),
+        Seq("a_id"))
+      .join(vecs.select(col("__id").as("b_id"), col("__emb").as("__eb")),
+        Seq("b_id"))
+      .withColumn("cosine", call_function("vec_cosine",
+        col("__ea"), col("__eb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a_id"), col("b_id"), col("centroid_id"), col("cosine"))
+  }
+
   /** True when any bucket's drift alert fires — the re-train trigger. */
   def needsRetrain(spark: SparkSession, cat: String, ns: String,
                    name: String, baseBatch: String = "base",
