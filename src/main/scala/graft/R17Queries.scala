@@ -487,6 +487,51 @@ object R17Queries {
              JOIN embeddings eb ON CAST(eb.vec_id AS VARCHAR) = p.b_id)
       SELECT a_id, b_id, centroid_id, cosine FROM sc WHERE cosine >= 0.0"""))
 
+  /** Atomic CTAS/RTAS through the staging catalog (S4/S7's DDL tier
+    * completed): the table and the query output land together in a
+    * hidden staging dir, one rename commits — a crash leaves either no
+    * table or the whole table, and a failed REPLACE leaves the prior
+    * table byte-untouched (the non-staged fallback drops it first). The
+    * REQUIREs pin the failure paths; the oracle hashes the RTAS result
+    * read back through the catalog. */
+  private val q370 = QueryDef(
+    "q370_ctas_rtas",
+    (s, d) => {
+      ensureCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r17.q370")
+      s.sql("DROP TABLE IF EXISTS graft_r17.q370.t")
+      Tables.orders(s, d).select(
+          col("o_orderkey").cast("string").as("okey"),
+          col("o_orderpriority").as("prio"))
+        .createOrReplaceTempView("q370_src")
+      s.sql("""CREATE TABLE graft_r17.q370.t AS
+        SELECT okey, prio FROM q370_src WHERE okey LIKE '%7'""")
+      val created = s.table("graft_r17.q370.t").count()
+      // failing replacement: the prior table must survive byte-complete
+      val failed = try {
+        s.sql("""REPLACE TABLE graft_r17.q370.t AS
+          SELECT raise_error('boom') AS okey FROM range(1)""")
+        false
+      } catch { case _: Exception => true }
+      require(failed, "a failing RTAS query must throw")
+      require(s.table("graft_r17.q370.t").count() == created,
+        "a failed RTAS must leave the prior table untouched")
+      s.sql("""REPLACE TABLE graft_r17.q370.t AS
+        SELECT okey, prio FROM q370_src WHERE okey LIKE '%3'""")
+      val root = s.conf.get("spark.sql.catalog.graft_r17.root")
+      val residue = new java.io.File(s"$root/q370").listFiles()
+        .filter(f => f.getName.startsWith(".staged-") ||
+          f.getName.startsWith(".replaced-"))
+      require(residue.isEmpty,
+        s"staging must leave no residue, found ${residue.mkString(",")}")
+      s.sql("SELECT okey, prio FROM graft_r17.q370.t")
+    },
+    Some("""
+      SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+             o_orderpriority AS prio
+      FROM orders
+      WHERE CAST(o_orderkey AS VARCHAR) LIKE '%3'"""))
+
   val all: Seq[QueryDef] =
-    Seq(q362, q363, q364, q365, q366, q367, q368, q369)
+    Seq(q362, q363, q364, q365, q366, q367, q368, q369, q370)
 }

@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * with the same message as the write path. */
 class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -115,6 +116,14 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
                           asOfVersion: Option[String]): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    tableForDir(dir, asOfVersion)
+  }
+
+  /** The graftcsv table over an arbitrary directory — shared by the
+    * ident-resolved load above and the staged (CTAS/RTAS) path, whose
+    * directory is hidden and not ident-addressable until commit. */
+  private def tableForDir(dir: Path,
+                          asOfVersion: Option[String]): Table = {
     val opts = new util.HashMap[String, String]()
     opts.put("path", dir.toString)
     // partitioned tables carry their partition column in the marker
@@ -137,6 +146,22 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (fs.exists(dir)) throw new TableAlreadyExistsException(ident)
+    materializeTable(dir, schema, partitions, properties)
+    loadTable(ident)
+  }
+
+  /** Validate and write a table's physical skeleton (seed header +
+    * markers) at `dir` — the shared body of [[createTable]] and the
+    * staged (CTAS/RTAS) path, which materializes into a HIDDEN staging
+    * directory first. Validates EVERYTHING before the first filesystem
+    * mutation: a failed CREATE must not leave a ghost table directory
+    * behind (isTableDir would be true, making the corrected retry throw
+    * AlreadyExists). */
+  private def materializeTable(dir: Path, schema: StructType,
+                               partitions: Array[Transform],
+                               properties: util.Map[String, String]): Unit = {
     // PARTITIONED BY (col): exactly one IDENTITY transform over a
     // schema column — the hive-style `col=value` subdir layout that
     // buys directory-level partition pruning and storage-partitioned
@@ -169,9 +194,6 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
           s"([A-Za-z0-9_]+); '${f.name}' would not survive the header " +
           "round-trip")
     }
-    // validate EVERYTHING before the first filesystem mutation: a failed
-    // CREATE must not leave a ghost table directory behind (isTableDir
-    // would be true, making the corrected retry throw AlreadyExists)
     val clusterBy = Option(properties.get("clusterBy")).filter(_.nonEmpty)
     clusterBy.foreach { c =>
       require(schema.fieldNames.contains(c),
@@ -198,8 +220,6 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
         s"bloomCols column '$c' is the partition column — directory " +
           "pruning already answers equality probes on it")
     }
-    val dir = tableDir(ident)
-    if (fs.exists(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
     // the schema IS the seed header file (read back by inferSchema);
     // header-only => zero rows
@@ -222,7 +242,64 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     if (!"false".equalsIgnoreCase(
       Option(properties.get("versioning")).getOrElse("true")))
       QuirkCsvVersions.writeMarker(fs, dir)
-    loadTable(ident)
+  }
+
+  // ------------------------------------------------- staged CTAS / RTAS
+
+  /** Atomic `CREATE TABLE … AS SELECT`: the table skeleton AND the
+    * query's output land in a HIDDEN staging directory
+    * (`.staged-<table>-<uuid>`, invisible to listings and loads); commit
+    * is ONE directory rename into the final name, abort deletes the
+    * staging dir. A crash at any point leaves either no table or the
+    * complete table — never the empty-then-half-written window of the
+    * non-staged fallback (create, then write into the live table). */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+  : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (fs.exists(tableDir(ident))) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, replace = false,
+      orCreate = false)
+  }
+
+  /** Atomic `REPLACE TABLE … AS SELECT`: the replacement materializes
+    * fully in staging; commit renames the CURRENT table aside, renames
+    * the staging dir in, then deletes the old bytes. The old table
+    * stays live and complete until the instant of the swap — the
+    * non-staged fallback would DROP it before computing the query, a
+    * data-loss window if the query fails. Crash envelope, stated
+    * honestly: between the two commit renames a reader sees "no such
+    * table" (never mixed content); a crash there leaves the old table
+    * under its hidden aside name — manual recovery, not silent loss.
+    * REPLACE is drop-and-recreate by contract: the version history
+    * restarts with the new table (the log lives inside the directory). */
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+  : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!isTableDir(tableDir(ident))) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replace = true,
+      orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+  : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, replace = true,
+      orCreate = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    replace: Boolean, orCreate: Boolean)
+  : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val fin = tableDir(ident)
+    val staged = new Path(fin.getParent,
+      s".staged-${ident.name}-${java.util.UUID.randomUUID()}")
+    materializeTable(staged, schema, partitions, properties)
+    val inner = tableForDir(staged, None)
+    new QuirkCsvStagedTable(inner, fs, staged, fin, ident, replace, orCreate)
   }
 
   /** Schema evolution WITHOUT data rewrites — at raw-layer scale
@@ -507,4 +584,58 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty")
     fs.delete(dir, true)
   }
+}
+
+/** The staged handle CTAS/RTAS writes into: a full graftcsv table over a
+  * hidden staging directory, made visible (or swapped in) by ONE
+  * directory rename at commit. See QuirkCsvCatalog.stageCreate /
+  * stageReplace for the atomicity contract and crash envelope. */
+private[sources] class QuirkCsvStagedTable(
+    inner: Table, fs: org.apache.hadoop.fs.FileSystem,
+    stagedDir: Path, finalDir: Path, ident: Identifier,
+    replace: Boolean, orCreate: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities()
+  : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    if (!replace) {
+      // exclusive landing: a concurrent CREATE of the same name wins by
+      // rename order — the loser cleans its staging and throws
+      if (fs.exists(finalDir) || !fs.rename(stagedDir, finalDir)) {
+        fs.delete(stagedDir, true)
+        throw new TableAlreadyExistsException(ident)
+      }
+    } else {
+      if (!orCreate && !fs.exists(finalDir)) {
+        fs.delete(stagedDir, true)
+        throw new NoSuchTableException(ident)
+      }
+      val aside = new Path(finalDir.getParent,
+        s".replaced-${finalDir.getName}-${java.util.UUID.randomUUID()}")
+      val hadPrior = fs.exists(finalDir)
+      if (hadPrior)
+        require(fs.rename(finalDir, aside),
+          s"staged REPLACE: could not move $finalDir aside")
+      require(fs.rename(stagedDir, finalDir),
+        s"staged REPLACE: could not land $stagedDir as $finalDir" +
+          (if (hadPrior) s" — prior table preserved at $aside" else ""))
+      if (hadPrior) fs.delete(aside, true)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = fs.delete(stagedDir, true)
 }

@@ -112,4 +112,60 @@ class QuirkCsvCatalogSpec extends SparkSpec {
       "x,y\nhello,world\n".getBytes("ISO-8859-1"))
     spark.sql("SELECT * FROM graft_cat.drop_in.t").count() shouldBe 1
   }
+
+  test("atomic CTAS / RTAS through the staging catalog") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ctas")
+    def stagedResidue(): Seq[String] =
+      new java.io.File(s"$root/ctas").listFiles()
+        .filter(f => f.getName.startsWith(".staged-") ||
+          f.getName.startsWith(".replaced-"))
+        .map(_.getName).toSeq
+    // CTAS: skeleton + query output land together
+    spark.sql("""CREATE TABLE graft_cat.ctas.t AS
+      SELECT CAST(id AS STRING) AS k,
+             CAST(id % 3 AS STRING) AS m FROM range(9)""")
+    spark.table("graft_cat.ctas.t").count() shouldBe 9
+    stagedResidue() shouldBe Seq.empty
+    // the created table is a full citizen: versioned, appendable
+    spark.sql("INSERT INTO graft_cat.ctas.t VALUES ('x', 'y')")
+    spark.sql("SELECT k FROM graft_cat.ctas.t VERSION AS OF 1")
+      .count() shouldBe 9
+    // duplicate CTAS fails, leaving the original untouched
+    an[Exception] should be thrownBy
+      spark.sql("CREATE TABLE graft_cat.ctas.t AS SELECT '1' AS k")
+    spark.table("graft_cat.ctas.t").count() shouldBe 10
+    // a FAILING query aborts the stage: no table, no residue
+    an[Exception] should be thrownBy spark.sql(
+      """CREATE TABLE graft_cat.ctas.boom AS
+        SELECT raise_error('mid-query failure') AS k FROM range(3)""")
+    spark.catalog.tableExists("graft_cat.ctas.boom") shouldBe false
+    stagedResidue() shouldBe Seq.empty
+    // RTAS: the old table stays COMPLETE until the swap; a failing
+    // replacement query must leave it untouched (the non-staged
+    // fallback drops the table before running the query)
+    an[Exception] should be thrownBy spark.sql(
+      """REPLACE TABLE graft_cat.ctas.t AS
+        SELECT raise_error('replacement failed') AS k FROM range(3)""")
+    spark.table("graft_cat.ctas.t").count() shouldBe 10
+    stagedResidue() shouldBe Seq.empty
+    spark.sql("""REPLACE TABLE graft_cat.ctas.t AS
+      SELECT CAST(id AS STRING) AS k FROM range(4)""")
+    spark.table("graft_cat.ctas.t").collect()
+      .map(_.getString(0)).toSet shouldBe Set("0", "1", "2", "3")
+    stagedResidue() shouldBe Seq.empty
+    // REPLACE of a missing table is loud; CREATE OR REPLACE creates
+    an[Exception] should be thrownBy
+      spark.sql("REPLACE TABLE graft_cat.ctas.missing AS SELECT '1' AS k")
+    spark.sql(
+      "CREATE OR REPLACE TABLE graft_cat.ctas.t2 AS SELECT '1' AS k")
+    spark.table("graft_cat.ctas.t2").count() shouldBe 1
+    // partitioned CTAS routes through the same staged write
+    spark.sql("""CREATE TABLE graft_cat.ctas.p PARTITIONED BY (m) AS
+      SELECT CAST(id AS STRING) AS k,
+             CAST(id % 2 AS STRING) AS m FROM range(6)""")
+    spark.table("graft_cat.ctas.p").count() shouldBe 6
+    new java.io.File(s"$root/ctas/p").listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("m=")) shouldBe 2
+  }
 }
