@@ -27,6 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (files_before, files_after) summed.
   *  - `restore('ns.tbl', to_version)` — roll the table back to a past
   *    version AS A NEW VERSION (one-call undo); returns it.
+  *  - `sweep('ns.tbl', min_age_minutes)` — remove crash residue older
+  *    than the age gate: pre-replay asides a dead stream never
+  *    re-committed and staged/replaced CTAS-RTAS directories whose
+  *    commit never ran; returns (n_swept, bytes_freed).
   *
   * Outputs are driver-local [[LocalScan]] rows: maintenance results are
   * a handful of rows by construction (the version LOG, never data), so
@@ -37,7 +41,8 @@ private[sources] object QuirkCsvProcedures {
   val Namespace = "system"
 
   val Names: Seq[String] =
-    Seq("history", "current_version", "vacuum", "compact", "restore")
+    Seq("history", "current_version", "vacuum", "compact", "restore",
+      "sweep")
 
   def load(cat: QuirkCsvCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.toSeq == Seq(Namespace) &&
@@ -61,6 +66,7 @@ private[sources] object QuirkCsvProcedures {
       case "vacuum" => "drop attic generations, pin the retention horizon"
       case "compact" => "fold small files (per value dir when partitioned)"
       case "restore" => "roll the table back to a version, as a new version"
+      case "sweep" => "remove crash residue (pre-replay asides, staged dirs)"
     }
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
@@ -74,6 +80,8 @@ private[sources] object QuirkCsvProcedures {
         Array(param("table", StringType), param("num_files", IntegerType))
       case "restore" =>
         Array(param("table", StringType), param("to_version", IntegerType))
+      case "sweep" =>
+        Array(param("table", StringType), param("min_age_minutes", IntegerType))
     }
 
     private def outSchema: StructType = procName match {
@@ -92,6 +100,9 @@ private[sources] object QuirkCsvProcedures {
         StructField("files_after", LongType, nullable = false)))
       case "restore" => StructType(Seq(
         StructField("restored_as_version", LongType, nullable = false)))
+      case "sweep" => StructType(Seq(
+        StructField("n_swept", LongType, nullable = false),
+        StructField("bytes_freed", LongType, nullable = false)))
     }
 
     override def call(input: InternalRow): util.Iterator[Scan] = {
@@ -133,6 +144,43 @@ private[sources] object QuirkCsvProcedures {
         case "restore" =>
           val v = QuirkCsvVersions.restore(fs, dir, input.getInt(1).toLong)
           Seq(new GenericInternalRow(Array[Any](v)))
+        case "sweep" =>
+          // crash residue older than min_age_minutes: `.‹f›.pre-replay`
+          // asides (a replay that never re-committed — sweeping one
+          // forfeits that epoch's pre-replay bytes from history, the
+          // same envelope as vacuum discarding snapshots; the age gate
+          // keeps a LIVE replay's aside safe) and `.staged-<t>-*` /
+          // `.replaced-<t>-*` directories (CTAS/RTAS that died between
+          // materialize and commit — never reader-visible, pure bytes)
+          val cutoff = System.currentTimeMillis() -
+            input.getInt(1).toLong * 60000L
+          var n = 0L
+          var bytes = 0L
+          def sweepIn(d: org.apache.hadoop.fs.Path,
+                      pred: org.apache.hadoop.fs.FileStatus => Boolean)
+          : Unit =
+            if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+              if (pred(st) && st.getModificationTime < cutoff) {
+                bytes += (if (st.isFile) st.getLen
+                  else fs.getContentSummary(st.getPath).getLength)
+                n += 1
+                fs.delete(st.getPath, true)
+              }
+            }
+          def isAside(st: org.apache.hadoop.fs.FileStatus) =
+            st.isFile && st.getPath.getName
+              .endsWith(QuirkCsvStreamingWriterFactory.PreReplaySuffix)
+          sweepIn(dir, isAside)
+          fs.listStatus(dir)
+            .filter(st => st.isDirectory &&
+              !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .foreach(vd => sweepIn(vd.getPath, isAside))
+          val t = dir.getName
+          sweepIn(dir.getParent, st => st.isDirectory &&
+            (st.getPath.getName.startsWith(s".staged-$t-") ||
+              st.getPath.getName.startsWith(s".replaced-$t-")))
+          Seq(new GenericInternalRow(Array[Any](n, bytes)))
       }
       val scan: Scan = new LocalScan {
         override def rows(): Array[InternalRow] = out.toArray

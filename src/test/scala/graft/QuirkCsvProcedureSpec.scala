@@ -65,6 +65,38 @@ class QuirkCsvProcedureSpec extends SparkSpec {
       spark.sql("CALL graft_proc.system.history('ns.missing')").collect()
   }
 
+  test("sweep removes aged crash residue (pre-replay asides, staged " +
+      "dirs) and leaves live data plus fresh residue alone") {
+    root
+    spark.sql("CREATE TABLE graft_proc.ns.sw (k STRING)")
+    Seq("1").toDF("k").writeTo("graft_proc.ns.sw").append()
+    val dir = new java.io.File(s"$root/ns/sw")
+    // plant residue: an orphaned pre-replay aside in the table dir and
+    // an orphaned staging dir beside it
+    val aside = new java.io.File(dir, ".part-x-00000.csv.pre-replay")
+    java.nio.file.Files.write(aside.toPath, "k\nold\n".getBytes)
+    val staged = new java.io.File(s"$root/ns/.staged-sw-deadbeef")
+    staged.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staged, "part-seed-00000.csv").toPath, "k\n".getBytes)
+    // a HIGH age gate keeps everything (residue may belong to a live
+    // stream/CTAS)
+    val kept = spark.sql("CALL graft_proc.system.sweep('ns.sw', 60)")
+      .collect()(0)
+    kept.getLong(0) shouldBe 0L
+    aside.exists() shouldBe true
+    staged.exists() shouldBe true
+    // age 0 sweeps both; live data untouched
+    val swept = spark.sql("CALL graft_proc.system.sweep('ns.sw', 0)")
+      .collect()(0)
+    swept.getLong(0) shouldBe 2L
+    swept.getLong(1) should be > 0L
+    aside.exists() shouldBe false
+    staged.exists() shouldBe false
+    spark.table("graft_proc.ns.sw").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("1")
+  }
+
   test("compact on a 120-partition table folds value dirs from the " +
       "parallel driver pool with identical content") {
     root
