@@ -114,7 +114,8 @@ private[sources] object QuirkCsvProcedures {
           QuirkCsvVersions.readLog(fs, dir).map(e =>
             new GenericInternalRow(Array[Any](e.version,
               UTF8String.fromString(e.action), e.ts,
-              e.added.size.toLong, e.retired.size.toLong)))
+              e.added.size.toLong,
+              (e.retired.size + e.replaced.size).toLong)))
         case "current_version" =>
           Seq(new GenericInternalRow(
             Array[Any](QuirkCsvVersions.currentVersion(fs, dir))))

@@ -73,8 +73,18 @@ object QuirkCsvVersions {
   private val Header = "graft-version-v1"
   private val HeaderV2 = "graft-version-v2"
 
+  /** One committed mutation. `retired` are ordinary retirements (the
+    * file stops existing at this version); `replaced` are
+    * PRIOR-INCARNATION retirements (`P` lines — a replay re-landed the
+    * same relpath in this very version: the old bytes move to the attic,
+    * the new ones are in `added`, and the file is PRESENT at this
+    * version). The two must be distinguishable or a same-version
+    * add+retire (create a file and drop it in one commit) becomes
+    * ambiguous with a replace — the model-based spec found exactly that
+    * collision. */
   final case class VersionEntry(version: Long, action: String, ts: Long,
-                                added: Seq[String], retired: Seq[String])
+                                added: Seq[String], retired: Seq[String],
+                                replaced: Seq[String] = Nil)
 
   // ONE URL-encoding definition for the whole source tier — a second
   // copy drifting (charset, encoder) would silently mis-round-trip the
@@ -192,6 +202,7 @@ object QuirkCsvVersions {
           val v2 = v2Partial || parts(0) == HeaderV2
           val added = Seq.newBuilder[String]
           val retired = Seq.newBuilder[String]
+          val replaced = Seq.newBuilder[String]
           var events = 0
           var seal = -1L // v2: n_events from the trailing E line
           var torn = false
@@ -200,6 +211,7 @@ object QuirkCsvVersions {
             val f = line.split("\t", -1)
             if (f.length == 2 && f(0) == "A") { added += dec(f(1)); events += 1 }
             else if (f.length == 2 && f(0) == "R") { retired += dec(f(1)); events += 1 }
+            else if (f.length == 2 && f(0) == "P") { replaced += dec(f(1)); events += 1 }
             else if (v2 && f.length == 2 && f(0) == "E") seal = f(1).toLong
             else if (v2)
               // a torn tail (partial last line of a crashed direct write)
@@ -219,7 +231,8 @@ object QuirkCsvVersions {
                 s"events but $events parsed — history corrupted")
             val e = VersionEntry(
               st.getPath.getName.stripPrefix("v-").stripSuffix(".tsv").toLong,
-              parts(1), parts(2).toLong, added.result(), retired.result())
+              parts(1), parts(2).toLong, added.result(), retired.result(),
+              replaced.result())
             entryMemo.put(memoKey, e)
             Some(e)
           }
@@ -253,6 +266,24 @@ object QuirkCsvVersions {
   private def lockFor(root: Path): Object =
     rootLocks.computeIfAbsent(root.toUri.getPath, _ => new Object)
 
+  /** Truly-exclusive create of `p`. On HDFS-like filesystems
+    * `fs.create(p, overwrite = false)` is namenode-atomic; on the LOCAL
+    * filesystem Hadoop implements it as exists-check-then-open —
+    * check-then-act, so two PROCESSES can both "win" the same claim
+    * (the multi-process storm spec caught exactly that, ~1 in 50
+    * interleaved commits). Local paths therefore go through POSIX
+    * O_CREAT|O_EXCL (`Files.createFile`), which the kernel arbitrates. */
+  private def createExclusive(fs: FileSystem, p: Path)
+  : org.apache.hadoop.fs.FSDataOutputStream = {
+    val scheme = Option(p.toUri.getScheme).getOrElse(fs.getScheme)
+    if (scheme == "file") {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createFile(nio) // throws FileAlreadyExists (IOE)
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.FileOutputStream(nio.toFile), null)
+    } else fs.create(p, false)
+  }
+
   /** Allocate the next version number by exclusive create of its entry
     * file, returning the OPEN stream: the commit writes its content
     * directly into the claim (sealed by a trailing `E` line) — the claim
@@ -268,7 +299,7 @@ object QuirkCsvVersions {
     while (attempts < 50) {
       val v = currentVersion(fs, root) + 1
       try {
-        return (v, fs.create(new Path(d, entryName(v)), false))
+        return (v, createExclusive(fs, new Path(d, entryName(v))))
       } catch { case _: java.io.IOException => attempts += 1 }
     }
     throw new IllegalStateException(
@@ -323,6 +354,24 @@ object QuirkCsvVersions {
     if (added.isEmpty && allRetired.isEmpty && retiredDirs.isEmpty &&
       retiredAliases.isEmpty)
       return currentVersion(fs, root)
+    // caller contract: within one commit a relpath sees at most ONE
+    // lifecycle step — an add, an add+prior-retire (replace), or a
+    // retire. Two adds of one relpath (or an alias over a same-commit
+    // retire) would make the entry ambiguous to snapshot resolution;
+    // the real write paths cannot produce it, so reject it loudly here
+    // rather than record an unreadable history.
+    val addRels = added.map(relpath(root, _))
+    require(addRels.distinct.size == addRels.size,
+      s"graftcsv versioning: one commit added the same relpath twice " +
+        s"(${addRels.diff(addRels.distinct).distinct.mkString(", ")})")
+    val aliasRels = retiredAliases.map(_._2)
+    require(aliasRels.forall(r => addRels.contains(r)),
+      "graftcsv versioning: a prior-incarnation retirement (replace) " +
+        "must accompany the SAME relpath's add in its commit")
+    require(allRetired.map(relpath(root, _)).toSet
+      .intersect(aliasRels.toSet).isEmpty,
+      "graftcsv versioning: a relpath cannot be both replaced and " +
+        "retired in one commit")
     val (v, claimOut) = claimVersion(fs, root)
     try {
       val gen = atticGen(root, v)
@@ -359,8 +408,15 @@ object QuirkCsvVersions {
       out.write(s"$HeaderV2\t$action\t${System.currentTimeMillis()}\n")
       added.map(relpath(root, _)).sorted
         .foreach { r => out.write(s"A\t${enc(r)}\n"); events += 1 }
-      (allRetired.map(relpath(root, _)) ++ retiredAliases.map(_._2)).sorted
+      allRetired.map(relpath(root, _)).sorted
         .foreach { r => out.write(s"R\t${enc(r)}\n"); events += 1 }
+      // prior-incarnation retirements write their OWN event tag: a P at
+      // version v means "the bytes this relpath had BEFORE v are in v's
+      // attic; the relpath itself is present at v (its A accompanies)" —
+      // indistinguishable from an ordinary R only until a commit both
+      // creates and drops a file (A+R, absent at v) in one version
+      retiredAliases.map(_._2).sorted
+        .foreach { r => out.write(s"P\t${enc(r)}\n"); events += 1 }
       out.write(s"E\t$events\n")
       out.close()
       v
@@ -404,15 +460,17 @@ object QuirkCsvVersions {
     require(asOf >= horizon,
       s"version $asOf of $root was vacuumed (oldest retained: $horizon)")
     val log = readLog(fs, root)
-    // (version, isAdd, relpath) sorted per relpath by version; within one
-    // version R sorts BEFORE A: when one relpath is retired and added in
-    // the same version (a streaming replay re-landing a committed final
-    // name — the retire covers the prior incarnation's bytes, the add the
-    // new ones), the file is PRESENT at that version with the new bytes,
-    // and snapshots before it resolve the prior bytes via the attic.
+    // (version, kind, relpath) per relpath, kind ordered WITHIN a version
+    // as P(0) < A(1) < R(2): a replace's prior-incarnation retirement
+    // applies before its add (file present at that version, earlier
+    // snapshots resolve the prior bytes via the attic), while an
+    // ordinary retire applies after any same-version add (a file created
+    // and dropped in one commit is absent at it).
+    val P = 0; val A = 1; val R = 2
     val events = log.flatMap(e =>
-      e.added.map(r => (e.version, true, r)) ++
-        e.retired.map(r => (e.version, false, r)))
+      e.replaced.map(r => (e.version, P, r)) ++
+        e.added.map(r => (e.version, A, r)) ++
+        e.retired.map(r => (e.version, R, r)))
       .groupBy(_._3)
     val liveByRel = live.map(f => relpath(root, new Path(f.path)) -> f).toMap
     val out = Seq.newBuilder[QuirkCsvFileMeta]
@@ -420,16 +478,21 @@ object QuirkCsvVersions {
     val rels = events.keySet ++ liveByRel.keySet
     rels.toSeq.sorted.foreach { rel =>
       val evs = events.getOrElse(rel, Nil)
-        .sortBy(t => (t._1, t._2)) // R (false) before A within a version
+        .sortBy(t => (t._1, t._2)) // P < A < R within a version
       val atOrBefore = evs.filter(_._1 <= asOf)
       val presentAt =
-        if (atOrBefore.nonEmpty) atOrBefore.last._2
+        if (atOrBefore.nonEmpty) atOrBefore.last._2 != R // A or P => present
         else evs.headOption match {
-          case Some((_, isAdd, _)) => !isAdd // first event R => baseline
-          case None => true                  // never logged => baseline
+          // first event P or R (never A): the file existed BEFORE the
+          // log — a baseline file later replaced or retired
+          case Some((_, kind, _)) => kind != A
+          case None => true // never logged => baseline
         }
       if (presentAt) {
-        val nextRetire = evs.find(t => t._1 > asOf && !t._2).map(_._1)
+        // the bytes live in the attic generation of the FIRST
+        // retirement-of-this-incarnation after asOf (P or R alike —
+        // both moved the then-current bytes into their version's attic)
+        val nextRetire = evs.find(t => t._1 > asOf && t._2 != A).map(_._1)
         nextRetire match {
           case Some(rv) =>
             val p = new Path(atticGen(root, rv), rel)
@@ -652,7 +715,7 @@ object QuirkCsvVersions {
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val rows = readLog(fs, p).map(e =>
       (e.version, e.action, new java.sql.Timestamp(e.ts),
-        e.added.size.toLong, e.retired.size.toLong))
+        e.added.size.toLong, (e.retired.size + e.replaced.size).toLong))
     import spark.implicits._
     rows.toDF("version", "action", "committed_at", "n_added", "n_retired")
   }
