@@ -34,21 +34,19 @@ object Dims {
   val DefaultMaxBroadcastDimRows: Long = 1000000L
 
   /** Broadcast hint gated by a bounded row probe — the guarded twin of a
-    * bare `broadcast(dim)` (same probe-then-reuse discipline as
-    * [[buildDim]] / Similarity.requireBroadcastable): materialize at most
-    * cap+1 rows once; under the cap the materialized frame IS the
-    * complete dim, so the hint reuses the probe's work; over the cap,
-    * release the probe and return the dim UN-hinted. Output-identical
-    * either way — only the physical join strategy differs. */
+    * bare `broadcast(dim)`: count at most cap+1 rows once, then hint the
+    * dim itself under the cap and return it UN-hinted above it.
+    * Output-identical either way — only the physical join strategy
+    * differs. The probe deliberately does NOT persist: every mart/fact
+    * build goes through here, and a cached probe returned on the common
+    * small-dim path is never unpersisted, accumulating one pinned copy
+    * per call for the session's lifetime. Re-computing a ≤cap-row dim
+    * once at join time is cheaper than that leak. */
   def broadcastIfSmall(dim: DataFrame): DataFrame = {
     val cap = dim.sparkSession.conf
       .get(MaxBroadcastDimRowsKey, DefaultMaxBroadcastDimRows.toString).toLong
     val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
-    val limited = dim.limit(probe).cache()
-    if (limited.count() > cap) {
-      limited.unpersist(false)
-      dim
-    } else broadcast(limited)
+    if (dim.limit(probe).count() > cap) dim else broadcast(dim)
   }
 
   /** Conf key: distinct-key count above which [[buildDim]] dispatches to

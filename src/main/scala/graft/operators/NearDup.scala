@@ -200,12 +200,57 @@ object NearDup {
       .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
   }
 
-  /** LSH banding: distinct candidate pairs sharing at least one band key. */
+  /** Conf key: per-(band_id, band_key) posting cap for the LSH candidate
+    * self-joins ([[minHashLshCandidates]], [[NearDupIndex]]'s serves).
+    * The band self-join's work is Σ per-bucket² — the band-space twin of
+    * the hot-shingle problem `maxDf` solves — and a degenerate band key
+    * (boilerplate-heavy crawl pages, near-empty docs, replica cliques)
+    * puts millions of docs in ONE bucket, detonating quadratic pairs
+    * before any `distinct()` can help. Buckets above the cap are dropped
+    * BEFORE the join (the [[graft.operators.Corpus.bandedHammingPairs]]
+    * mechanism): with the cap, Σ bucket² ≤ maxBucket × postings — linear
+    * in the corpus for fixed maxBucket. The trade is explicit and the
+    * same as maxDf's: members of a saturated bucket are a replica /
+    * boilerplate clique whose duplicate status belongs to EXACT dedup
+    * upstream, and a pair is lost only if EVERY band it shares is
+    * saturated. Default-on (10k ⇒ worst surviving bucket ≈ 5·10⁷ pairs);
+    * 0 disables for verification-scale exact passes. */
+  val MaxBandBucketKey = "spark.graft.neardup.maxBandBucket"
+  val DefaultMaxBandBucket: Long = 10000L
+
+  /** Resolve a caller's maxBucket argument: negative = read the session
+    * conf (default [[DefaultMaxBandBucket]]), 0 = cap off, >0 = explicit. */
+  private[operators] def resolveMaxBucket(df: DataFrame,
+                                          maxBucket: Long): Long =
+    if (maxBucket >= 0) maxBucket
+    else df.sparkSession.conf
+      .get(MaxBandBucketKey, DefaultMaxBandBucket.toString).toLong
+
+  /** Drop (band_id, band_key) buckets holding more than `maxBucket`
+    * postings before a band self-join. The saturated-bucket list is tiny
+    * by construction (≤ postings / maxBucket entries), so the exclusion
+    * join broadcasts — no posting re-shuffle. `maxBucket <= 0` passes
+    * through untouched. */
+  private[operators] def dropHotBands(bands: DataFrame,
+                                      maxBucket: Long): DataFrame =
+    if (maxBucket <= 0) bands
+    else {
+      val hot = bands.groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .select(col("band_id"), col("band_key"))
+      bands.join(broadcast(hot), Seq("band_id", "band_key"), "left_anti")
+    }
+
+  /** LSH banding: distinct candidate pairs sharing at least one band key.
+    * `maxBucket` caps the per-bucket posting count ([[MaxBandBucketKey]];
+    * negative = session conf, 0 = off). */
   def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 3, numHashes: Int = 12,
-                           bandSize: Int = 3): DataFrame = {
-    val exploded = bandKeys(docs, idCol, textCol, shingleN, numHashes,
-      bandSize)
+                           bandSize: Int = 3,
+                           maxBucket: Long = -1L): DataFrame = {
+    val exploded = dropHotBands(
+      bandKeys(docs, idCol, textCol, shingleN, numHashes, bandSize),
+      resolveMaxBucket(docs, maxBucket))
     exploded.as("x").join(exploded.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_key") === col("y.band_key") &&

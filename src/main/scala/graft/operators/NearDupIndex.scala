@@ -62,7 +62,7 @@ object NearDupIndex {
   def build(spark: SparkSession, cat: String, ns: String, name: String,
             corpus: DataFrame, idCol: String, textCol: String,
             shingleN: Int = 3, numHashes: Int = 12, bandSize: Int = 3,
-            baseBatch: String = "base"): Unit = {
+            baseBatch: String = "base", maxBucket: Long = -1L): Unit = {
     Seq("catalog" -> cat, "namespace" -> ns, "index name" -> name)
       .foreach { case (k, v) => requireSafeIdent(k, v) }
     require(shingleN >= 1 && numHashes >= 1 && bandSize >= 1 &&
@@ -70,6 +70,12 @@ object NearDupIndex {
       s"invalid banding ($shingleN, $numHashes, $bandSize): shingleN, " +
         "numHashes, bandSize must be >= 1 and numHashes a multiple of " +
         "bandSize")
+    // pin the serve-time hot-band cap NOW (negative = session conf at
+    // build time): a cap that floated with the serving session's conf
+    // would make the same index return different candidate sets on
+    // different days — the parameter-drift problem the meta table exists
+    // to prevent, applied to the cap
+    val pinnedCap = NearDup.resolveMaxBucket(corpus, maxBucket)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTbl(cat, ns, name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${metaTbl(cat, ns, name)}")
@@ -85,9 +91,9 @@ object NearDupIndex {
     spark.sql(s"""CREATE TABLE ${metaTbl(cat, ns, name)}
       (key STRING, value STRING)""")
     import spark.implicits._
-    Seq("shingleN" -> shingleN, "numHashes" -> numHashes,
-      "bandSize" -> bandSize)
-      .map { case (k, v) => (k, v.toString) }.toDF("key", "value")
+    Seq("shingleN" -> shingleN.toString, "numHashes" -> numHashes.toString,
+      "bandSize" -> bandSize.toString, "maxBucket" -> pinnedCap.toString)
+      .toDF("key", "value")
       .writeTo(metaTbl(cat, ns, name)).append()
   }
 
@@ -96,9 +102,22 @@ object NearDupIndex {
     * incomplete — the completion marker of [[build]]. */
   def params(spark: SparkSession, cat: String, ns: String,
              name: String): (Int, Int, Int) = {
+    val m = metaMap(spark, cat, ns, name)
+    (m("shingleN").toInt, m("numHashes").toInt, m("bandSize").toInt)
+  }
+
+  /** The hot-band cap pinned at [[build]] ([[NearDup.MaxBandBucketKey]]
+    * semantics; 0 = off). An index built before the cap existed serves
+    * uncapped — its contract predates the cap. */
+  def pinnedMaxBucket(spark: SparkSession, cat: String, ns: String,
+                      name: String): Long =
+    metaMap(spark, cat, ns, name).getOrElse("maxBucket", 0L)
+
+  private def metaMap(spark: SparkSession, cat: String, ns: String,
+                      name: String): Map[String, Long] = {
     val m = try {
       spark.table(metaTbl(cat, ns, name))
-        .collect().map(r => r.getString(0) -> r.getString(1).toInt).toMap
+        .collect().map(r => r.getString(0) -> r.getString(1).toLong).toMap
     } catch { case e: Exception =>
       throw new IllegalStateException(
         s"near-dup index '$name' has no readable meta table " +
@@ -108,7 +127,7 @@ object NearDupIndex {
     require(Seq("shingleN", "numHashes", "bandSize").forall(m.contains),
       s"near-dup index '$name' meta is incomplete (${m.keySet}) — " +
         "re-run build()")
-    (m("shingleN"), m("numHashes"), m("bandSize"))
+    m
   }
 
   /** Incremental maintenance: band ONLY `docs` (under the index's pinned
@@ -149,7 +168,12 @@ object NearDupIndex {
     * union corpus, without recomputing anything for prior batches. */
   def candidatePairsFor(spark: SparkSession, cat: String, ns: String,
                         name: String, batch: String): DataFrame = {
-    val all = bands(spark, cat, ns, name)
+    // hot-band cap pinned at build(): bucket counts are over the WHOLE
+    // band table (a bucket saturated by history must not pair with
+    // today's postings either); the saturated list broadcasts, so the
+    // fresh side's partition pruning survives the anti-join
+    val all = NearDup.dropHotBands(bands(spark, cat, ns, name),
+      pinnedMaxBucket(spark, cat, ns, name))
     val fresh = all.filter(col("batch") === batch)
       .select(col("doc_id"), col("band_id"), col("band_key"))
     fresh.as("x").join(all.as("y"),
@@ -165,7 +189,8 @@ object NearDupIndex {
     * in-memory pairing over the union corpus (string-id order). */
   def allCandidatePairs(spark: SparkSession, cat: String, ns: String,
                         name: String): DataFrame = {
-    val all = bands(spark, cat, ns, name)
+    val all = NearDup.dropHotBands(bands(spark, cat, ns, name),
+        pinnedMaxBucket(spark, cat, ns, name))
       .select(col("doc_id"), col("band_id"), col("band_key"))
     all.as("x").join(all.as("y"),
         col("x.band_id") === col("y.band_id") &&
