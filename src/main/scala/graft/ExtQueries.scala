@@ -243,10 +243,10 @@ object ExtQueries {
       WITH t AS (SELECT doc_id, ${oToks("text")} AS w FROM documents),
       ws AS (SELECT doc_id, list_distinct(${oShingles("w", 3)}) AS sh
              FROM t WHERE len(w) >= 3),
-      sigs AS (SELECT doc_id,
+      sigs AS MATERIALIZED (SELECT doc_id,
              $sigCols
       FROM ws),
-      bands AS (
+      bands AS MATERIALIZED (
         $bandSelects)
       SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
       FROM bands x JOIN bands y

@@ -600,7 +600,7 @@ object MoreQueries {
   private def oDot(a: String, b: String) = ExtQueries.oDot(a, b)
   private def oCos(a: String, b: String) = ExtQueries.oCos(a, b)
   private val oCentroids = s"""
-      cent AS (SELECT vec_id AS centroid_id, embedding AS cemb
+      cent AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS cemb
                FROM embeddings
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfK)"""
 
@@ -635,7 +635,7 @@ object MoreQueries {
     },
     Some(s"""
       WITH $oCentroids,
-      asc_ AS (SELECT vec_id, centroid_id FROM (
+      asc_ AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
                SELECT e.vec_id, c.centroid_id,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
                         ORDER BY ${oCos("e.embedding", "c.cemb")} DESC,
@@ -643,7 +643,7 @@ object MoreQueries {
                FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
       q AS (SELECT vec_id AS q_id, embedding AS qemb FROM embeddings
             WHERE vec_id < 10),
-      qc AS (SELECT q_id, qemb, centroid_id FROM (
+      qc AS MATERIALIZED (SELECT q_id, qemb, centroid_id FROM (
              SELECT q.q_id, q.qemb, c.centroid_id,
                     ROW_NUMBER() OVER (PARTITION BY q.q_id
                       ORDER BY ${oCos("q.qemb", "c.cemb")} DESC,
@@ -654,7 +654,7 @@ object MoreQueries {
                JOIN asc_ a ON a.centroid_id = qc.centroid_id
                JOIN embeddings e ON e.vec_id = a.vec_id
                WHERE qc.q_id <> e.vec_id),
-      sc AS (SELECT q_id, n_id, ${oCos("qemb", "nemb")} AS cosine FROM cand),
+      sc AS MATERIALIZED (SELECT q_id, n_id, ${oCos("qemb", "nemb")} AS cosine FROM cand),
       rk AS (SELECT q_id, n_id, cosine,
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                  ORDER BY cosine DESC, n_id) AS INT) AS rank FROM sc)

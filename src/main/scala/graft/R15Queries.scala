@@ -60,11 +60,11 @@ object R15Queries {
       served
     },
     Some(s"""
-      WITH cent AS (SELECT CAST(vec_id AS VARCHAR) AS centroid_id,
+      WITH cent AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS centroid_id,
                            embedding AS cemb
             FROM embeddings WHERE vec_id % 10 < 8
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-      asg AS (SELECT vec_id, centroid_id FROM (
+      asg AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
             SELECT e.vec_id, c.centroid_id,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
                 ORDER BY ${ExtQueries.oCos("e.embedding", "c.cemb")} DESC,
@@ -72,7 +72,7 @@ object R15Queries {
             FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
       q AS (SELECT CAST(vec_id AS VARCHAR) AS q_id, embedding AS qemb
             FROM embeddings WHERE vec_id < 10),
-      qc AS (SELECT q_id, qemb, centroid_id FROM (
+      qc AS MATERIALIZED (SELECT q_id, qemb, centroid_id FROM (
              SELECT q.q_id, q.qemb, c.centroid_id,
                     ROW_NUMBER() OVER (PARTITION BY q.q_id
                       ORDER BY ${ExtQueries.oCos("q.qemb", "c.cemb")} DESC,
@@ -85,7 +85,7 @@ object R15Queries {
                JOIN asg a ON a.centroid_id = qc.centroid_id
                JOIN embeddings e ON e.vec_id = a.vec_id
                WHERE qc.q_id <> CAST(e.vec_id AS VARCHAR)),
-      sc AS (SELECT q_id, n_id,
+      sc AS MATERIALIZED (SELECT q_id, n_id,
                     ${ExtQueries.oCos("qemb", "nemb")} AS cosine FROM cand),
       rk AS (SELECT q_id, n_id, cosine,
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id

@@ -184,7 +184,7 @@ object R16Queries {
       ws AS (SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)})
                  AS sh
              FROM t WHERE len(w) >= 3),
-      sigs AS (SELECT doc_id,
+      sigs AS MATERIALIZED (SELECT doc_id,
              $sigCols
       FROM ws),
       bands AS MATERIALIZED (

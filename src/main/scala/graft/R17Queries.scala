@@ -162,11 +162,11 @@ object R17Queries {
       served
     },
     Some(s"""
-      WITH cent AS (SELECT CAST(vec_id AS VARCHAR) AS centroid_id,
+      WITH cent AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS centroid_id,
                            embedding AS cemb
             FROM embeddings
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-      asg AS (SELECT vec_id, centroid_id FROM (
+      asg AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
             SELECT e.vec_id, c.centroid_id,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
                 ORDER BY ${ExtQueries.oCos("e.embedding", "c.cemb")} DESC,
@@ -174,7 +174,7 @@ object R17Queries {
             FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
       q AS (SELECT CAST(vec_id AS VARCHAR) AS q_id, embedding AS qemb
             FROM embeddings WHERE vec_id < 10),
-      qc AS (SELECT q_id, qemb, centroid_id FROM (
+      qc AS MATERIALIZED (SELECT q_id, qemb, centroid_id FROM (
              SELECT q.q_id, q.qemb, c.centroid_id,
                     ROW_NUMBER() OVER (PARTITION BY q.q_id
                       ORDER BY ${ExtQueries.oCos("q.qemb", "c.cemb")} DESC,
@@ -187,7 +187,7 @@ object R17Queries {
                JOIN asg a ON a.centroid_id = qc.centroid_id
                JOIN embeddings e ON e.vec_id = a.vec_id
                WHERE qc.q_id <> CAST(e.vec_id AS VARCHAR)),
-      sc AS (SELECT q_id, n_id,
+      sc AS MATERIALIZED (SELECT q_id, n_id,
                     ${ExtQueries.oCos("qemb", "nemb")} AS cosine FROM cand),
       rk AS (SELECT q_id, n_id, cosine,
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
@@ -415,7 +415,7 @@ object R17Queries {
       ws AS (SELECT doc_id, list_distinct(${ExtQueries.oShingles("w", 3)})
                  AS sh
              FROM t WHERE len(w) >= 3),
-      sigs AS (SELECT doc_id,
+      sigs AS MATERIALIZED (SELECT doc_id,
              $sigCols
       FROM ws),
       bands AS MATERIALIZED (
@@ -463,7 +463,7 @@ object R17Queries {
         "sem", e, "vec_id", "embedding", 0.0)
     },
     Some(s"""
-      WITH cent AS (SELECT CAST(vec_id AS VARCHAR) AS centroid_id,
+      WITH cent AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS centroid_id,
                            embedding AS cemb
             FROM embeddings
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),

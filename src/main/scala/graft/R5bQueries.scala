@@ -122,7 +122,7 @@ object R5bQueries {
                 JOIN sz sb ON b_id = sb.doc_id
                 WHERE CAST(i AS DOUBLE) /
                   CAST(sa.n_sh + sb.n_sh - i AS DOUBLE) >= $RecallTau),
-      sigs AS (SELECT doc_id,
+      sigs AS MATERIALIZED (SELECT doc_id,
              $sigCols
       FROM ws),
       bands AS (

@@ -608,10 +608,10 @@ object R6Queries {
           abs(col("new_share") - col("global_share")) > 0.15)
     },
     Some(s"""
-      WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cemb
+      WITH cent AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS cemb
             FROM embeddings WHERE vec_id % 10 < 8
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-      asg AS (SELECT vec_id, centroid_id FROM (
+      asg AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
             SELECT e.vec_id, c.centroid_id,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
                 ORDER BY ${ExtQueries.oCos("e.embedding", "c.cemb")} DESC,

@@ -31,7 +31,8 @@ object R6bQueries {
                  list_distinct(list_transform(range(1, len(h) - 2),
                    i -> list_aggregate(h[i:i+3], 'min'))) AS fps
                FROM sh WHERE len(h) >= 4),
-      fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM wins)"""
+      fp AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fingerprint
+                          FROM wins)"""
 
   /** Cross-document verbatim span reuse over df-capped winnowing
     * fingerprints (NearDup.winnowReusePairs; reuse = shared hits over
@@ -43,8 +44,8 @@ object R6bQueries {
       "doc_id", "text", k = 3, w = 4, maxDf = 16, minShared = 3),
     Some(s"""
       WITH $oWinnowCtes,
-      hot AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) > 16),
-      kept AS (SELECT fp.doc_id, fp.fingerprint FROM fp
+      hot AS MATERIALIZED (SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) > 16),
+      kept AS MATERIALIZED (SELECT fp.doc_id, fp.fingerprint FROM fp
             WHERE NOT EXISTS (SELECT 1 FROM hot
                               WHERE hot.fingerprint = fp.fingerprint)),
       sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n

@@ -95,11 +95,11 @@ object R8iQueries {
     (s, d) => Quality.sourceQualityShrinkage(Tables.documents(s, d),
       "source", col("n_chars") >= GoodChars, PriorStrength),
     Some(s"""
-      WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      WITH per AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(CASE WHEN n_chars >= $GoodChars THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_good
              FROM documents GROUP BY source),
-      tot AS (SELECT sum(n_docs) AS tn, sum(n_good) AS tk FROM per)
+      tot AS MATERIALIZED (SELECT sum(n_docs) AS tn, sum(n_good) AS tk FROM per)
       SELECT source, n_docs, n_good,
              CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) AS raw_rate,
              (CAST(n_good AS DOUBLE)
@@ -235,7 +235,7 @@ object R8iQueries {
               AS BIGINT) END"""
       }.mkString(" + ")
       s"""
-      WITH tok AS (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
+      WITH tok AS MATERIALIZED (SELECT doc_id, ${ExtQueries.oToks("text")} AS w
             FROM documents),
       base AS (SELECT doc_id, CAST(len(w) AS INT) AS dl,
                  $termSql AS score_scaled

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   *    a centroid change rewrites one value dir, and batch retention is
   *    DROP PARTITION. The partitioned-table tier does the index
   *    maintenance bookkeeping.
+  *  - `coLocate = true` at [[build]] flips the assignment layout to
+  *    PARTITIONED BY (centroid_id) — the SemDeDup blocking key IS the
+  *    partition key, so [[semanticDupPairs]]' within-bucket self-join
+  *    plans as a storage-partitioned join with ZERO shuffle of the
+  *    assignment table (IvfBucketedSpec plan-asserts it; join key ==
+  *    partition key exactly, so no co-partition conf is needed).
+  *    `batch` becomes a data column: re-delivery is DELETE-batch +
+  *    append (converges on re-run), retention a row-level DELETE. The
+  *    batch-partitioned default keeps single-commit replay and
+  *    metadata-only retention; the co-located flavor trades those for
+  *    the shuffle-free dedup join.
   *
   * At 100 TB: centroids are k rows (broadcast); each appendBatch scans
   * only the new batch; driftReport aggregates the assignment table
@@ -49,23 +60,26 @@ object IvfIndex {
     * re-train path. */
   def build(spark: SparkSession, cat: String, ns: String, name: String,
             corpus: DataFrame, idCol: String, embCol: String, k: Int,
-            baseBatch: String = "base"): Unit = {
+            baseBatch: String = "base", coLocate: Boolean = false): Unit = {
     Seq("catalog" -> cat, "namespace" -> ns, "index name" -> name)
       .foreach { case (kk, v) => NearDupIndex.requireSafeIdent(kk, v) }
     require(k >= 1, s"k must be >= 1, got $k")
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
-    spark.sql(s"DROP TABLE IF EXISTS ${centTbl(cat, ns, name)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${asgTbl(cat, ns, name)}")
-    spark.sql(s"""CREATE TABLE ${centTbl(cat, ns, name)}
-      (centroid_id STRING, emb STRING)""")
-    spark.sql(s"""CREATE TABLE ${asgTbl(cat, ns, name)}
-      (vec_id STRING, centroid_id STRING, batch STRING)
-      PARTITIONED BY (batch)""")
-    val cents = Similarity.ivfCentroids(corpus, idCol, embCol, k)
-    cents.select(col("centroid_id").cast("string"),
-        encodeEmb(col("centroid_emb")).as("emb"))
-      .writeTo(centTbl(cat, ns, name)).append()
-    assignBatch(spark, cat, ns, name, corpus, idCol, embCol, baseBatch)
+    IndexMaintenanceLock.withLock(spark, cat, ns, name) {
+      spark.sql(s"DROP TABLE IF EXISTS ${centTbl(cat, ns, name)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${asgTbl(cat, ns, name)}")
+      spark.sql(s"""CREATE TABLE ${centTbl(cat, ns, name)}
+        (centroid_id STRING, emb STRING)""")
+      spark.sql(s"""CREATE TABLE ${asgTbl(cat, ns, name)}
+        (vec_id STRING, centroid_id STRING, batch STRING)
+        PARTITIONED BY (${if (coLocate) "centroid_id" else "batch"})""")
+      val cents = Similarity.ivfCentroids(corpus, idCol, embCol, k)
+      cents.select(col("centroid_id").cast("string"),
+          encodeEmb(col("centroid_emb")).as("emb"))
+        .writeTo(centTbl(cat, ns, name)).append()
+      assignBatchUnlocked(spark, cat, ns, name, corpus, idCol, embCol,
+        baseBatch)
+    }
   }
 
   /** Persisted centroids, decoded back to `array<float>` — exact by the
@@ -83,16 +97,51 @@ object IvfIndex {
     * existing assignment is neither read nor rewritten. */
   def assignBatch(spark: SparkSession, cat: String, ns: String,
                   name: String, vecs: DataFrame, idCol: String,
-                  embCol: String, batch: String): Unit = {
+                  embCol: String, batch: String): Unit =
+    IndexMaintenanceLock.withLock(spark, cat, ns, name) {
+      assignBatchUnlocked(spark, cat, ns, name, vecs, idCol, embCol, batch)
+    }
+
+  /** [[assignBatch]] body without the maintenance lock — [[build]] and
+    * [[retrain]] call it while already holding the lock. */
+  private def assignBatchUnlocked(spark: SparkSession, cat: String,
+                                  ns: String, name: String, vecs: DataFrame,
+                                  idCol: String, embCol: String,
+                                  batch: String): Unit = {
     // validated like NearDupIndex batch labels: retrain interpolates
     // labels read back from the table into DROP PARTITION statements
     NearDupIndex.requireSafeIdent("batch label", batch)
     val asg = Similarity.ivfAssign(vecs, idCol, embCol,
       centroids(spark, cat, ns, name))
-    asg.select(col(idCol).cast("string").as("vec_id"),
+      .select(col(idCol).cast("string").as("vec_id"),
         col("centroid_id").cast("string"), lit(batch).as("batch"))
-      .writeTo(asgTbl(cat, ns, name)).overwritePartitions()
+    if (isCoLocated(spark, cat, ns, name)) {
+      // centroid_id-partitioned layout: batch is a data column, so
+      // re-delivery is DELETE-batch (a no-op first time) + append —
+      // two version-log commits that converge on re-run
+      dropBatchRows(spark, cat, ns, name, batch)
+      asg.writeTo(asgTbl(cat, ns, name)).append()
+    } else
+      asg.writeTo(asgTbl(cat, ns, name)).overwritePartitions()
   }
+
+  /** True when the assignment table is the co-located flavor
+    * (partitioned on centroid_id) — read off the catalog's partition
+    * transform, so the layout decision never needs a side channel. */
+  def isCoLocated(spark: SparkSession, cat: String, ns: String,
+                  name: String): Boolean = {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val t = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array(ns), s"${name}_assign"))
+    t.partitioning().exists(_.references().exists(
+      _.fieldNames().sameElements(Array("centroid_id"))))
+  }
+
+  private def dropBatchRows(spark: SparkSession, cat: String, ns: String,
+                            name: String, batch: String): Unit =
+    spark.sql(s"DELETE FROM ${asgTbl(cat, ns, name)} " +
+      s"WHERE batch = '$batch'")
 
   /** The maintained assignment, straight off the catalog table. */
   def assignment(spark: SparkSession, cat: String, ns: String,
@@ -257,18 +306,23 @@ object IvfIndex {
               baseBatch: String = "base"): Unit = {
     require(k >= 1, s"k must be >= 1, got $k")
     NearDupIndex.requireSafeIdent("batch label", baseBatch)
-    val priorBatches = assignment(spark, cat, ns, name)
-      .select(col("batch")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val cents = Similarity.ivfCentroids(corpus, idCol, embCol, k)
-    cents.select(col("centroid_id").cast("string"),
-        encodeEmb(col("centroid_emb")).as("emb"))
-      .writeTo(centTbl(cat, ns, name)).overwrite(lit(true))
-    assignBatch(spark, cat, ns, name, corpus, idCol, embCol, baseBatch)
-    priorBatches.filterNot(_ == baseBatch).foreach { b =>
-      NearDupIndex.requireSafeIdent("batch label", b)
-      spark.sql(s"ALTER TABLE ${asgTbl(cat, ns, name)} " +
-        s"DROP PARTITION (batch='$b')")
+    IndexMaintenanceLock.withLock(spark, cat, ns, name) {
+      val priorBatches = assignment(spark, cat, ns, name)
+        .select(col("batch")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val cents = Similarity.ivfCentroids(corpus, idCol, embCol, k)
+      cents.select(col("centroid_id").cast("string"),
+          encodeEmb(col("centroid_emb")).as("emb"))
+        .writeTo(centTbl(cat, ns, name)).overwrite(lit(true))
+      assignBatchUnlocked(spark, cat, ns, name, corpus, idCol, embCol,
+        baseBatch)
+      val coLocated = isCoLocated(spark, cat, ns, name)
+      priorBatches.filterNot(_ == baseBatch).foreach { b =>
+        NearDupIndex.requireSafeIdent("batch label", b)
+        if (coLocated) dropBatchRows(spark, cat, ns, name, b)
+        else spark.sql(s"ALTER TABLE ${asgTbl(cat, ns, name)} " +
+          s"DROP PARTITION (batch='$b')")
+      }
     }
   }
 

@@ -31,11 +31,25 @@ import org.apache.spark.sql.functions._
   * persisted keys): one tie-break key type end to end, the q351 lesson.
   *
   * At 100 TB: the index holds band keys only; [[indexBatch]] scans just
-  * the new documents; [[candidatePairsFor]] shuffles the new batch's
-  * bands (small) against the band table keyed on (band_id, band_key) —
-  * at cluster scale that table would be bucketed on band_key so the
-  * daily join co-locates without a full shuffle; candidate pairs then
-  * feed an EXACT verifier (n-gram Jaccard) over only the paired docs. */
+  * the new documents; [[candidatePairsFor]] joins the new batch's bands
+  * (small) against the band table keyed on (band_id, band_key);
+  * candidate pairs then feed an EXACT verifier (n-gram Jaccard) over
+  * only the paired docs. With `joinBuckets > 0` at [[build]] the band
+  * table is laid out CO-LOCATED for that join: a stored `band_bucket`
+  * column (`pmod(xxhash64(band_key), joinBuckets)`) is the identity
+  * partition column, the scan reports KeyGroupedPartitioning over it,
+  * and the candidate self-join (which adds `band_bucket` to its keys —
+  * equal band_keys imply equal buckets, so results are unchanged) plans
+  * as a storage-partitioned join with ZERO shuffle of the band table
+  * (NearDupBucketedSpec plan-asserts it). The join clusters on more
+  * keys than the storage partitions on, so the shuffle-free plan needs
+  * `spark.sql.requireAllClusterKeysForCoPartition=false` (results are
+  * identical either way — the conf only gates the plan shape). `batch` becomes a data
+  * column: re-delivery is DELETE-batch + append (converges on re-run;
+  * both steps are version-log commits), retention is
+  * `DELETE WHERE batch`. The batch-partitioned default keeps
+  * partition-drop retention and single-commit replay; the bucketed
+  * flavor trades those for the shuffle-free daily join. */
 object NearDupIndex {
 
   // every piece interpolated into SQL text is validated to the
@@ -62,7 +76,8 @@ object NearDupIndex {
   def build(spark: SparkSession, cat: String, ns: String, name: String,
             corpus: DataFrame, idCol: String, textCol: String,
             shingleN: Int = 3, numHashes: Int = 12, bandSize: Int = 3,
-            baseBatch: String = "base", maxBucket: Long = -1L): Unit = {
+            baseBatch: String = "base", maxBucket: Long = -1L,
+            joinBuckets: Int = 0): Unit = {
     Seq("catalog" -> cat, "namespace" -> ns, "index name" -> name)
       .foreach { case (k, v) => requireSafeIdent(k, v) }
     require(shingleN >= 1 && numHashes >= 1 && bandSize >= 1 &&
@@ -70,6 +85,7 @@ object NearDupIndex {
       s"invalid banding ($shingleN, $numHashes, $bandSize): shingleN, " +
         "numHashes, bandSize must be >= 1 and numHashes a multiple of " +
         "bandSize")
+    require(joinBuckets >= 0, s"joinBuckets must be >= 0, got $joinBuckets")
     // pin the serve-time hot-band cap NOW (negative = session conf at
     // build time): a cap that floated with the serving session's conf
     // would make the same index return different candidate sets on
@@ -77,24 +93,36 @@ object NearDupIndex {
     // to prevent, applied to the cap
     val pinnedCap = NearDup.resolveMaxBucket(corpus, maxBucket)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    IndexMaintenanceLock.withLock(spark, cat, ns, name) {
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTbl(cat, ns, name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${metaTbl(cat, ns, name)}")
-    spark.sql(s"""CREATE TABLE ${bandsTbl(cat, ns, name)}
-      (doc_id STRING, band_id STRING, band_key STRING, batch STRING)
-      PARTITIONED BY (batch)""")
+    if (joinBuckets > 0)
+      // co-located layout: identity-partitioned on the STORED bucket of
+      // the join key, so every candidate join over this table plans
+      // storage-partitioned (see the class doc's trade-off)
+      spark.sql(s"""CREATE TABLE ${bandsTbl(cat, ns, name)}
+        (doc_id STRING, band_id STRING, band_key STRING, batch STRING,
+         band_bucket STRING)
+        PARTITIONED BY (band_bucket)""")
+    else
+      spark.sql(s"""CREATE TABLE ${bandsTbl(cat, ns, name)}
+        (doc_id STRING, band_id STRING, band_key STRING, batch STRING)
+        PARTITIONED BY (batch)""")
     // band the base corpus BEFORE the meta lands: build is not atomic
     // (drop, create, band, meta), so the meta rows act as the completion
     // marker — a crash mid-build leaves an index that [[params]] rejects
     // with a clear "rebuild required", never one that half-works
     indexBatchWith(spark, cat, ns, name, corpus, idCol, textCol, baseBatch,
-      shingleN, numHashes, bandSize)
+      shingleN, numHashes, bandSize, joinBuckets)
     spark.sql(s"""CREATE TABLE ${metaTbl(cat, ns, name)}
       (key STRING, value STRING)""")
     import spark.implicits._
     Seq("shingleN" -> shingleN.toString, "numHashes" -> numHashes.toString,
-      "bandSize" -> bandSize.toString, "maxBucket" -> pinnedCap.toString)
+      "bandSize" -> bandSize.toString, "maxBucket" -> pinnedCap.toString,
+      "joinBuckets" -> joinBuckets.toString)
       .toDF("key", "value")
       .writeTo(metaTbl(cat, ns, name)).append()
+    }
   }
 
   /** The pinned banding parameters (shingleN, numHashes, bandSize).
@@ -112,6 +140,12 @@ object NearDupIndex {
   def pinnedMaxBucket(spark: SparkSession, cat: String, ns: String,
                       name: String): Long =
     metaMap(spark, cat, ns, name).getOrElse("maxBucket", 0L)
+
+  /** The co-located join-bucket count pinned at [[build]] (0 = the
+    * batch-partitioned default layout). */
+  def pinnedJoinBuckets(spark: SparkSession, cat: String, ns: String,
+                        name: String): Int =
+    metaMap(spark, cat, ns, name).getOrElse("joinBuckets", 0L).toInt
 
   private def metaMap(spark: SparkSession, cat: String, ns: String,
                       name: String): Map[String, Long] = {
@@ -139,20 +173,38 @@ object NearDupIndex {
                  docs: DataFrame, idCol: String, textCol: String,
                  batch: String): Unit = {
     val (sn, nh, bs) = params(spark, cat, ns, name)
-    indexBatchWith(spark, cat, ns, name, docs, idCol, textCol, batch,
-      sn, nh, bs)
+    // multi-step on the co-located layout (delete + append) and racy
+    // against a concurrent build either way — one maintainer at a time
+    IndexMaintenanceLock.withLock(spark, cat, ns, name) {
+      indexBatchWith(spark, cat, ns, name, docs, idCol, textCol, batch,
+        sn, nh, bs, pinnedJoinBuckets(spark, cat, ns, name))
+    }
   }
 
   private def indexBatchWith(spark: SparkSession, cat: String, ns: String,
                              name: String, docs: DataFrame, idCol: String,
                              textCol: String, batch: String,
-                             sn: Int, nh: Int, bs: Int): Unit = {
+                             sn: Int, nh: Int, bs: Int,
+                             joinBuckets: Int): Unit = {
     requireSafeIdent("batch label", batch)
-    NearDup.bandKeys(docs, idCol, textCol, sn, nh, bs)
+    val banded = NearDup.bandKeys(docs, idCol, textCol, sn, nh, bs)
       .select(col("doc_id").cast("string"),
         col("band_id").cast("string"), col("band_key"),
         lit(batch).as("batch"))
-      .writeTo(bandsTbl(cat, ns, name)).overwritePartitions()
+    if (joinBuckets > 0) {
+      // co-located layout: batch is a data column, so re-delivery is a
+      // row-level DELETE of the batch's prior rows (a no-op on first
+      // delivery) followed by the append — two version-log commits, so
+      // a crash between them is visible in history and a re-run
+      // converges to exactly one copy of the batch
+      spark.sql(s"DELETE FROM ${bandsTbl(cat, ns, name)} " +
+        s"WHERE batch = '$batch'")
+      banded
+        .withColumn("band_bucket",
+          pmod(xxhash64(col("band_key")), lit(joinBuckets)).cast("string"))
+        .writeTo(bandsTbl(cat, ns, name)).append()
+    } else
+      banded.writeTo(bandsTbl(cat, ns, name)).overwritePartitions()
   }
 
   /** The maintained band table, straight off the catalog. */
@@ -166,8 +218,25 @@ object NearDupIndex {
     * order, de-duplicated. Covers new-vs-corpus AND new-vs-new pairs —
     * exactly the increment of [[NearDup.minHashLshCandidates]] over the
     * union corpus, without recomputing anything for prior batches. */
+  /** The candidate self-join condition: band equality, plus the stored
+    * bucket on the co-located layout. Equal band_keys imply equal
+    * buckets, so the extra key never changes results — it only lets the
+    * planner line the storage partitions up (SPJ, zero shuffle of the
+    * band table under `spark.sql.sources.v2.bucketing.enabled`). */
+  private def joinCond(bucketed: Boolean) = {
+    val base = col("x.band_id") === col("y.band_id") &&
+      col("x.band_key") === col("y.band_key")
+    if (bucketed) col("x.band_bucket") === col("y.band_bucket") && base
+    else base
+  }
+
+  private def joinCols(bucketed: Boolean) =
+    (if (bucketed) Seq(col("band_bucket")) else Nil) ++
+      Seq(col("doc_id"), col("band_id"), col("band_key"))
+
   def candidatePairsFor(spark: SparkSession, cat: String, ns: String,
                         name: String, batch: String): DataFrame = {
+    val bucketed = pinnedJoinBuckets(spark, cat, ns, name) > 0
     // hot-band cap pinned at build(): bucket counts are over the WHOLE
     // band table (a bucket saturated by history must not pair with
     // today's postings either); the saturated list broadcasts, so the
@@ -175,11 +244,9 @@ object NearDupIndex {
     val all = NearDup.dropHotBands(bands(spark, cat, ns, name),
       pinnedMaxBucket(spark, cat, ns, name))
     val fresh = all.filter(col("batch") === batch)
-      .select(col("doc_id"), col("band_id"), col("band_key"))
+      .select(joinCols(bucketed): _*)
     fresh.as("x").join(all.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") =!= col("y.doc_id"))
+        joinCond(bucketed) && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
       .distinct()
@@ -189,22 +256,30 @@ object NearDupIndex {
     * in-memory pairing over the union corpus (string-id order). */
   def allCandidatePairs(spark: SparkSession, cat: String, ns: String,
                         name: String): DataFrame = {
+    val bucketed = pinnedJoinBuckets(spark, cat, ns, name) > 0
     val all = NearDup.dropHotBands(bands(spark, cat, ns, name),
         pinnedMaxBucket(spark, cat, ns, name))
-      .select(col("doc_id"), col("band_id"), col("band_key"))
+      .select(joinCols(bucketed): _*)
     all.as("x").join(all.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
+        joinCond(bucketed) && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
   }
 
-  /** Batch retention: the partition drops in one metadata statement. */
+  /** Batch retention. Default layout: one metadata-only partition drop.
+    * Co-located layout: a row-level DELETE (batch is a data column
+    * there) — it rewrites the value groups holding the batch's rows,
+    * the documented trade for the shuffle-free daily join. */
   def dropBatch(spark: SparkSession, cat: String, ns: String, name: String,
                 batch: String): Unit = {
     requireSafeIdent("batch label", batch)
-    spark.sql(s"ALTER TABLE ${bandsTbl(cat, ns, name)} " +
-      s"DROP PARTITION (batch='$batch')")
+    IndexMaintenanceLock.withLock(spark, cat, ns, name) {
+      if (pinnedJoinBuckets(spark, cat, ns, name) > 0)
+        spark.sql(s"DELETE FROM ${bandsTbl(cat, ns, name)} " +
+          s"WHERE batch = '$batch'")
+      else
+        spark.sql(s"ALTER TABLE ${bandsTbl(cat, ns, name)} " +
+          s"DROP PARTITION (batch='$batch')")
+    }
   }
 }

@@ -3353,20 +3353,13 @@ private[sources] object QuirkCsv {
             if (dirs.size <= 16)
               dirs.flatMap(d =>
                 fs.listStatus(d.getPath).toIndexedSeq.filter(visible))
-            else {
-              val pool = java.util.concurrent.Executors
-                .newFixedThreadPool(math.min(16, dirs.size))
-              try {
-                val ec = scala.concurrent.ExecutionContext
-                  .fromExecutor(pool)
-                val futs = dirs.map(d => scala.concurrent.Future(
-                  fs.listStatus(d.getPath).toIndexedSeq.filter(visible))(ec))
-                scala.concurrent.Await.result(
-                  scala.concurrent.Future.sequence(futs)(
-                    scala.collection.BuildFrom.buildFromIterableOps, ec),
-                  scala.concurrent.duration.Duration.Inf).flatten
-              } finally pool.shutdown()
-            }
+            else
+              // bounded await: one wedged listStatus must fail planning
+              // loudly, not hang it forever with the pool alive
+              QuirkCsvMaintenance.runBounded(
+                dirs.map(d => d.getPath.getName -> (() =>
+                  fs.listStatus(d.getPath).toIndexedSeq.filter(visible))),
+                math.min(16, dirs.size), 600L, "partition listing").flatten
           direct ++ children
         }
       }

@@ -614,8 +614,17 @@ private[sources] class QuirkCsvStagedTable(
   override def commitStagedChanges(): Unit = {
     if (!replace) {
       // exclusive landing: a concurrent CREATE of the same name wins by
-      // rename order — the loser cleans its staging and throws
-      if (fs.exists(finalDir) || !fs.rename(stagedDir, finalDir)) {
+      // rename order — the loser cleans its staging and throws. The
+      // exists-check + rename alone is NOT enough: if the winner lands
+      // finalDir between our check and our rename, Hadoop's rename moves
+      // stagedDir INTO the winner's directory and still returns true
+      // (POSIX mv-into-dir), which would report success while our data
+      // sits as a hidden .staged-* subdir inside the other table. Verify
+      // the landing and treat a nested arrival as a lost race.
+      val nested = new Path(finalDir, stagedDir.getName)
+      if (fs.exists(finalDir) || !fs.rename(stagedDir, finalDir) ||
+          fs.exists(nested)) {
+        fs.delete(nested, true)
         fs.delete(stagedDir, true)
         throw new TableAlreadyExistsException(ident)
       }

@@ -128,24 +128,69 @@ private[graft] object QuirkCsvMaintenance {
     * (dataFilesBefore, dataFilesAfter) summed across dirs. */
   def compactValueDirs(spark: SparkSession, dirs: Seq[String],
                        numFiles: Int, sortBy: Option[String] = None,
-                       parallelism: Int = 8): (Long, Long) = {
+                       parallelism: Int = 8,
+                       timeoutSec: Long = DefaultCompactTimeoutSec)
+  : (Long, Long) = {
     if (dirs.isEmpty) return (0L, 0L)
     val n = math.max(1, math.min(parallelism, dirs.size))
     if (n == 1)
       return dirs.map(compactCsv(spark, _, numFiles, sortBy))
         .foldLeft((0L, 0L)) { case ((tb, ta), (fb, fa)) =>
           (tb + fb, ta + fa) }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    runBounded(dirs.map(d =>
+        d -> (() => compactCsv(spark, d, numFiles, sortBy))),
+      n, timeoutSec, "compaction")
+      .foldLeft((0L, 0L)) { case ((tb, ta), (fb, fa)) =>
+        (tb + fb, ta + fa) }
+  }
+
+  /** Default wall-clock bound for one pooled maintenance fan-out. One
+    * wedged filesystem call must not hang `system.compact` forever with
+    * the pool alive — a stuck maintenance job should fail loudly and
+    * release its threads. Generous: the bound is for WEDGED calls, not
+    * slow ones. */
+  val DefaultCompactTimeoutSec: Long = 3600L
+
+  /** Run labeled tasks on a bounded pool with a GLOBAL deadline and
+    * per-task failure attribution. All tasks are awaited (a failure in
+    * one does not abandon in-flight siblings mid-rename); then failures
+    * throw together, naming each task. Tasks still running at the
+    * deadline are interrupted and reported by label — the bounded
+    * replacement for `Await.result(…, Duration.Inf)`. */
+  private[graft] def runBounded[T](labeled: Seq[(String, () => T)],
+                                   parallelism: Int, timeoutSec: Long,
+                                   what: String): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     try {
       val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val futs = dirs.map(d => scala.concurrent.Future(
-        compactCsv(spark, d, numFiles, sortBy))(ec))
-      val res = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs)(
-          scala.collection.BuildFrom.buildFromIterableOps, ec),
-        scala.concurrent.duration.Duration.Inf)
-      res.foldLeft((0L, 0L)) { case ((tb, ta), (fb, fa)) =>
-        (tb + fb, ta + fa) }
+      val futs = labeled.map { case (label, task) =>
+        label -> scala.concurrent.Future(task())(ec)
+      }
+      val deadline = System.nanoTime + timeoutSec * 1000000000L
+      val settled = futs.map { case (label, f) =>
+        val left = math.max(0L, deadline - System.nanoTime)
+        label -> (try Right(scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.fromNanos(left)))
+          catch {
+            case _: java.util.concurrent.TimeoutException => Left(None)
+            case scala.util.control.NonFatal(e) => Left(Some(e))
+          })
+      }
+      val hung = settled.collect { case (l, Left(None)) => l }
+      if (hung.nonEmpty) {
+        pool.shutdownNow()
+        throw new IllegalStateException(
+          s"$what timed out after ${timeoutSec}s with " +
+            s"${hung.size} task(s) still running: ${hung.mkString(", ")}")
+      }
+      val failed = settled.collect { case (l, Left(Some(e))) => (l, e) }
+      if (failed.nonEmpty)
+        throw new IllegalStateException(
+          s"$what failed for ${failed.size} task(s): " +
+            failed.map { case (l, e) => s"$l (${e.getMessage})" }
+              .mkString("; "),
+          failed.head._2)
+      settled.collect { case (_, Right(v)) => v }
     } finally pool.shutdown()
   }
 

@@ -212,7 +212,18 @@ object QuirkCsvVersions {
             if (f.length == 2 && f(0) == "A") { added += dec(f(1)); events += 1 }
             else if (f.length == 2 && f(0) == "R") { retired += dec(f(1)); events += 1 }
             else if (f.length == 2 && f(0) == "P") { replaced += dec(f(1)); events += 1 }
-            else if (v2 && f.length == 2 && f(0) == "E") seal = f(1).toLong
+            else if (v2 && f.length == 2 && f(0) == "E")
+              // the seal itself can be torn mid-write ('E\t' or a digit
+              // PREFIX like 'E\t5' of 'E\t50'): crash truncation only
+              // ever produces a prefix, and the seal is written after
+              // every event line, so an unparsable seal — or one below
+              // the (fully present) event count — is a torn/unsealed
+              // claim, never corruption. seal > events stays loud below:
+              // no truncation produces it.
+              f(1).toLongOption match {
+                case Some(n) if n >= events => seal = n
+                case _ => torn = true
+              }
             else if (v2)
               // a torn tail (partial last line of a crashed direct write)
               torn = true

@@ -205,4 +205,121 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.MediaRow(2L, "video", bmp,
           MediaMeta(w, h, 3, 0, 1000L, "mp4")), 5)
   }
+
+  /** A minimal 8-bit unsigned PCM WAV hand-built byte by byte —
+    * independent of [[Multimodal.encodeWavPcm16]], so the 8-bit decode
+    * path is proven against raw RIFF bytes, not our own writer. */
+  private def wav8(samples: Array[Int], rate: Int): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + samples.length)
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate)
+      .putShort(1).putShort(8)
+      .put("data".getBytes(ascii)).putInt(samples.length)
+    samples.foreach(s => bb.put(s.toByte))
+    bb.array()
+  }
+
+  test("REAL audio codec through the seam: WavCodec decodes a hand-" +
+      "synthesized square wave to the exact hand-computed bytes, " +
+      "features, and fingerprint") {
+    // 64-sample 16-bit mono square wave: 32 samples at (191-128)<<8,
+    // 32 at (64-128)<<8 — decode maps them back to bytes 191 / 64
+    val samples = (Array.fill(32)(16128) ++ Array.fill(32)(-16384))
+      .map(_.toShort)
+    val wav = Multimodal.encodeWavPcm16(samples, 16000)
+    val meta = MediaMeta(8, 8, 1, 16000, 4L, "wav")
+    val decoded = Multimodal.WavCodec.decode(wav, meta)
+    decoded.length shouldBe 64
+    decoded.take(32).foreach(_ shouldBe 191.toByte)
+    decoded.drop(32).foreach(_ shouldBe 64.toByte)
+    // through the SAME Spark operators the stub runs under
+    val media = Seq(Multimodal.MediaRow(1L, "audio", wav, meta)).toDS()
+    val feats = Multimodal.extractFeatures(media,
+      codec = Multimodal.WavCodec).collect()(0)
+    feats.n_bytes shouldBe 64
+    feats.mean shouldBe 127.5   // (32*191 + 32*64) / 64
+    feats.std shouldBe 63.5     // sqrt(1298464/64 - 127.5^2) exactly
+    feats.p_zero shouldBe 0.0
+    // average-hash: 64 blocks of 1 byte; the loud half sets bits 0..31
+    Multimodal.perceptualHash(media, codec = Multimodal.WavCodec)
+      .collect()(0).getAs[Long]("phash") shouldBe 0x00000000FFFFFFFFL
+    // resample through the seam's dims-product contract: 64 -> 32
+    val res = Multimodal.WavCodec.resize(decoded, meta, 8, 4)
+    res.length shouldBe 32
+    res.take(16).foreach(_ shouldBe 191.toByte)
+    res.drop(16).foreach(_ shouldBe 64.toByte)
+    // fixed windows: 4 windows of 16 samples, every 2nd emitted
+    val wins = Multimodal.sampleAudioWindows(media, windowSamples = 16,
+      everyNth = 2, codec = Multimodal.WavCodec)
+      .collect().sortBy(_.frame_no)
+    wins.map(_.frame_no).toSeq shouldBe Seq(0, 2)
+    wins(0).payload.toSeq shouldBe Seq.fill(16)(191.toByte)
+    wins(1).payload.toSeq shouldBe Seq.fill(16)(64.toByte)
+    // a constant window sets no fingerprint bit
+    Multimodal.windowFingerprints(
+        Multimodal.sampleAudioWindows(media, 16,
+          codec = Multimodal.WavCodec)).collect()
+      .foreach(_.getAs[Long]("phash") shouldBe 0L)
+    // video sampling through an audio codec fails loud
+    an[Exception] should be thrownBy
+      Multimodal.WavCodec.sampleFrames(
+        Multimodal.MediaRow(2L, "video", wav, meta), 5)
+    // non-WAV bytes fail loud, not as garbage features
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.WavCodec.decode("not audio".getBytes, meta)
+  }
+
+  test("REAL video codec through the seam: AviCodec walks the RIFF " +
+      "container and decodes BMP frames to the exact hand-computed RGB") {
+    val (w, h) = (16, 8)
+    val bmp = halfAndHalfBmp(w, h)
+    val avi = Multimodal.encodeAvi(Seq.fill(5)(bmp), w, h)
+    val meta = MediaMeta(w, h, 3, 0, 200L, "avi")
+    // thumbnail contract: decode == the first frame's RGB
+    val thumb = Multimodal.AviCodec.decode(avi, meta)
+    thumb.length shouldBe w * h * 3
+    thumb.count(_ == 0.toByte) shouldBe w * h * 3 / 2
+    // through the SAME Spark frame-sampling operator the stub runs under
+    val media = Seq(Multimodal.MediaRow(1L, "video", avi, meta)).toDS()
+    val frames = Multimodal.sampleVideoFrames(media, everyNth = 2,
+      codec = Multimodal.AviCodec).collect().sortBy(_.frame_no)
+    frames.map(_.frame_no).toSeq shouldBe Seq(0, 2, 4)
+    frames.foreach { f =>
+      f.payload.length shouldBe w * h * 3
+      f.payload.count(_ == 0.toByte) shouldBe w * h * 3 / 2
+    }
+    // per-frame fingerprints over the real decode: the half/half frame
+    // hashes exactly like the still-image test's hand computation
+    Multimodal.windowFingerprints(
+        Multimodal.sampleVideoFrames(media, everyNth = 2,
+          codec = Multimodal.AviCodec)).collect()
+      .foreach(_.getAs[Long]("phash") shouldBe 0xF0F0F0F0F0F0F0F0L)
+    // resize shares the still codec's deterministic grid
+    Multimodal.AviCodec.resize(thumb, meta, 8, 4).length shouldBe 8 * 4 * 3
+    // non-AVI payloads fail loudly (a WAV is RIFF but not 'AVI ')
+    an[Exception] should be thrownBy Multimodal.AviCodec.decode(
+      Multimodal.encodeWavPcm16(Array[Short](0, 0), 16000), meta)
+    an[Exception] should be thrownBy
+      Multimodal.AviCodec.decode("garbage".getBytes, meta)
+  }
+
+  test("WavCodec: stereo channels integer-mix; raw 8-bit unsigned PCM " +
+      "passes through as identity") {
+    // stereo frames (L=1000, R=3000): mixed 2000 -> byte 135
+    val stereo = Multimodal.encodeWavPcm16(
+      Array.fill(8)(Array(1000, 3000)).flatten.map(_.toShort),
+      16000, channels = 2)
+    val meta = MediaMeta(8, 1, 2, 16000, 1L, "wav")
+    val mixed = Multimodal.WavCodec.decode(stereo, meta)
+    mixed.length shouldBe 8
+    mixed.foreach(_ shouldBe 135.toByte)
+    // 8-bit unsigned WAV: decode is the identity on the stored bytes
+    val raw = wav8(Array(0, 1, 127, 128, 200, 255), 8000)
+    Multimodal.WavCodec.decode(raw, meta.copy(channels = 1))
+      .map(_ & 0xff).toSeq shouldBe Seq(0, 1, 127, 128, 200, 255)
+  }
 }

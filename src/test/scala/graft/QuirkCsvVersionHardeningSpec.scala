@@ -203,6 +203,41 @@ class QuirkCsvVersionHardeningSpec extends SparkSpec {
     QuirkCsvVersions.readLog(fs, dir).map(_.version) shouldBe Seq(1L, 4L)
   }
 
+  test("a seal line torn mid-write reads as an unsealed claim, never " +
+      "as corruption; a seal claiming MORE events than present is loud") {
+    root
+    spark.sql("CREATE TABLE graft_vh.ns.ts (k STRING)")
+    Seq("1").toDF("k").writeTo("graft_vh.ns.ts").append() // v1
+    val dir = new Path(s"$root/ns/ts")
+    val fs = dir.getFileSystem(new Configuration())
+    def tornEntry(v: Long, tail: String): Unit = {
+      val o = fs.create(
+        new Path(dir, f"_graft_versions/v-$v%010d.tsv"), false)
+      o.write(("graft-version-v2\tappend\t123\n" +
+        "A\tpart-ghost-a.csv\nA\tpart-ghost-b.csv\n" + tail)
+        .getBytes("ISO-8859-1"))
+      o.close()
+    }
+    // seal torn right after the tab: 'E\t' (no digits yet)
+    tornEntry(2L, "E\t")
+    // seal torn MID-DIGITS: 'E\t1' is a prefix of the true 'E\t2' ...
+    // any numeric prefix is <= the true count, so < events = torn
+    tornEntry(3L, "E\t1")
+    // both read as unsealed claims: numbers consumed, no events served
+    QuirkCsvVersions.currentVersion(fs, dir) shouldBe 3L
+    QuirkCsvVersions.readLog(fs, dir).map(_.version) shouldBe Seq(1L)
+    spark.sql("SELECT k FROM graft_vh.ns.ts VERSION AS OF 3")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("1")
+    // later commits proceed past the torn claims
+    Seq("2").toDF("k").writeTo("graft_vh.ns.ts").append()
+    QuirkCsvVersions.readLog(fs, dir).map(_.version) shouldBe Seq(1L, 4L)
+    // a seal counting MORE events than the file holds cannot come from
+    // crash truncation (the seal is written last) — that stays loud
+    tornEntry(5L, "E\t7\n")
+    val ex = intercept[Exception] { QuirkCsvVersions.readLog(fs, dir) }
+    ex.getMessage should include("history corrupted")
+  }
+
   test("unsafe identifiers are rejected before any SQL text is built") {
     root
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")

@@ -107,6 +107,36 @@ class SuperstoreScaleSpec extends SparkSpec {
     totalK shouldBe total1 * K
   }
 
+  test(s"guarded dim broadcasts at ${K}x: the hint forces the fast plan " +
+      "under the cap and is WITHHELD above it — identical mart totals") {
+    assume(available)
+    val total = outK.pivotByCategory.collect().find(_.isNullAt(0)).get
+      .getAs[Long]("sum_quantity")
+    // auto-broadcast off isolates the HINT: with it, Spark's own size
+    // estimate would re-broadcast a 793-row dim and mask the guard
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // default cap: every dim fits, the guarded hint keeps the star
+      // join broadcast even with the automatic thresholds disabled
+      val hinted = Pipeline.run(spark, grown.toString)
+      hinted.fact.count() shouldBe 9986L * K
+      (hinted.fact.queryExecution.executedPlan.toString
+        should not).include("SortMergeJoin")
+      // cap below customer (793) / product (1862): the hint is
+      // withheld, the planner falls back to sort-merge — the 100-TB
+      // wide-SCD2-dim posture — and nothing changes but the plan
+      withSQLConf(graft.operators.Dims.MaxBroadcastDimRowsKey -> "500") {
+        val guarded = Pipeline.run(spark, grown.toString)
+        guarded.fact.count() shouldBe 9986L * K
+        guarded.fact.queryExecution.executedPlan.toString should
+          include("SortMergeJoin")
+        guarded.pivotByCategory.collect().find(_.isNullAt(0)).get
+          .getAs[Long]("sum_quantity") shouldBe total
+      }
+    }
+  }
+
   test("plan shape survives the scale-up: dims stay broadcast, no new shuffles") {
     assume(available)
     outK.fact.count(); out1.fact.count() // finalize AQE plans
