@@ -181,6 +181,14 @@ private[sources] object QuirkCsvProcedures {
           sweepIn(dir.getParent, st => st.isDirectory &&
             (st.getPath.getName.startsWith(s".staged-$t-") ||
               st.getPath.getName.startsWith(s".replaced-$t-")))
+          // stale index-maintenance lock markers in the namespace: a
+          // live maintenance holds its lock for minutes, so one older
+          // than the age gate is a crashed holder — the same takeover
+          // IndexMaintenanceLock performs at its own 30-minute bound,
+          // made operator-schedulable here
+          sweepIn(dir.getParent, st => st.isFile &&
+            st.getPath.getName.startsWith(".graft-maint-") &&
+            st.getPath.getName.endsWith(".lock"))
           Seq(new GenericInternalRow(Array[Any](n, bytes)))
       }
       val scan: Scan = new LocalScan {

@@ -78,6 +78,41 @@ class IndexMaintenanceSpec extends SparkSpec {
     after should contain theSameElementsInOrderAs before
   }
 
+  test("nearDupIndexStream into a CO-LOCATED index: streamed epochs " +
+      "serve identically and an epoch replay converges (delete+append)") {
+    root
+    val dir = Files.createTempDirectory("graft_im_ndb").toString
+    val (in, ckpt) = (s"$dir/in", s"$dir/ckpt")
+    val schema = base.toDF("doc_id", "text").schema
+    // joinBuckets: batch is a DATA column here, so the stream exercises
+    // the multi-commit (delete + append) land under the epoch label
+    NearDupIndex.build(spark, "graft_im", "ns", "ndb",
+      base.toDF("doc_id", "text"), "doc_id", "text", joinBuckets = 4)
+    arrive1.toDF("doc_id", "text").write.mode("append").parquet(in)
+    IndexMaintenance.nearDupIndexStream(spark, in, schema, ckpt,
+      "graft_im", "ns", "ndb", "doc_id", "text")
+    arrive2.toDF("doc_id", "text").write.mode("append").parquet(in)
+    IndexMaintenance.nearDupIndexStream(spark, in, schema, ckpt,
+      "graft_im", "ns", "ndb", "doc_id", "text")
+    val union = (base ++ arrive1 ++ arrive2).toDF("doc_id", "text")
+    val expected = NearDup.minHashLshCandidates(union, "doc_id", "text")
+      .select(least(col("a_id").cast("string"), col("b_id").cast("string"))
+          .as("a_id"),
+        greatest(col("a_id").cast("string"), col("b_id").cast("string"))
+          .as("b_id"))
+    val got = NearDupIndex.allCandidatePairs(spark, "graft_im", "ns", "ndb")
+    got.exceptAll(expected).count() shouldBe 0
+    expected.exceptAll(got).count() shouldBe 0
+    // epoch replay on the co-located layout converges to one copy
+    val before = NearDupIndex.bands(spark, "graft_im", "ns", "ndb")
+      .collect().map(_.toString).sorted
+    NearDupIndex.indexBatch(spark, "graft_im", "ns", "ndb",
+      arrive1.toDF("doc_id", "text"), "doc_id", "text", "epoch-0")
+    val after = NearDupIndex.bands(spark, "graft_im", "ns", "ndb")
+      .collect().map(_.toString).sorted
+    after should contain theSameElementsInOrderAs before
+  }
+
   test("ivfAssignStream: streamed assignment equals the in-memory " +
     "assignment against the same persisted centroids") {
     root

@@ -79,20 +79,25 @@ class QuirkCsvProcedureSpec extends SparkSpec {
     staged.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(staged, "part-seed-00000.csv").toPath, "k\n".getBytes)
+    // ...and a crashed holder's index-maintenance lock marker
+    val lock = new java.io.File(s"$root/ns/.graft-maint-idx.lock")
+    java.nio.file.Files.write(lock.toPath, "dead 0".getBytes)
     // a HIGH age gate keeps everything (residue may belong to a live
-    // stream/CTAS)
+    // stream/CTAS/maintenance)
     val kept = spark.sql("CALL graft_proc.system.sweep('ns.sw', 60)")
       .collect()(0)
     kept.getLong(0) shouldBe 0L
     aside.exists() shouldBe true
     staged.exists() shouldBe true
-    // age 0 sweeps both; live data untouched
+    lock.exists() shouldBe true
+    // age 0 sweeps all three; live data untouched
     val swept = spark.sql("CALL graft_proc.system.sweep('ns.sw', 0)")
       .collect()(0)
-    swept.getLong(0) shouldBe 2L
+    swept.getLong(0) shouldBe 3L
     swept.getLong(1) should be > 0L
     aside.exists() shouldBe false
     staged.exists() shouldBe false
+    lock.exists() shouldBe false
     spark.table("graft_proc.ns.sw").collect()
       .map(_.getString(0)).toSeq shouldBe Seq("1")
   }
