@@ -246,8 +246,17 @@ object ExtQueries {
       sigs AS MATERIALIZED (SELECT doc_id,
              $sigCols
       FROM ws),
+      bands0 AS MATERIALIZED (
+        $bandSelects),
       bands AS MATERIALIZED (
-        $bandSelects)
+        -- the default-on hot-band cap (spark.graft.neardup.maxBandBucket
+        -- = ${NearDup.DefaultMaxBandBucket}): buckets holding more
+        -- postings are dropped BEFORE the self-join on the Spark side —
+        -- modeled here so the gate stays meaningful if a corpus ever
+        -- saturates a bucket
+        SELECT doc_id, band_id, band_key FROM bands0
+        QUALIFY count(*) OVER (PARTITION BY band_id, band_key)
+          <= ${NearDup.DefaultMaxBandBucket})
       SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
       FROM bands x JOIN bands y
         ON x.band_id = y.band_id AND x.band_key = y.band_key

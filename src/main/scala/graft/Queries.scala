@@ -644,7 +644,7 @@ object Queries {
     R6fQueries.all ++ R6gQueries.all ++ R6hQueries.all ++ R6iQueries.all ++
     R6jQueries.all ++ R6kQueries.all ++ R6lQueries.all ++ R6mQueries.all ++
     R6nQueries.all ++ R6oQueries.all ++ R6pQueries.all ++ R6qQueries.all ++
-    R6rQueries.all ++ R6sQueries.all ++ R7Queries.all ++ R7bQueries.all ++ R7cQueries.all ++ R7dQueries.all ++ R7eQueries.all ++ R7fQueries.all ++ R7gQueries.all ++ R7hQueries.all ++ R7iQueries.all ++ R7jQueries.all ++ R7kQueries.all ++ R7lQueries.all ++ R7mQueries.all ++ R7nQueries.all ++ R7oQueries.all ++ R7pQueries.all ++ R7qQueries.all ++ R7rQueries.all ++ R7sQueries.all ++ R7tQueries.all ++ R7uQueries.all ++ R7vQueries.all ++ R7wQueries.all ++ R7xQueries.all ++ R7yQueries.all ++ R7zQueries.all ++ R8Queries.all ++ R8bQueries.all ++ R8cQueries.all ++ R8dQueries.all ++ R8eQueries.all ++ R8fQueries.all ++ R8gQueries.all ++ R8hQueries.all ++ R8iQueries.all ++ R9Queries.all ++ R9bQueries.all ++ R10Queries.all ++ R11Queries.all ++ R12Queries.all ++ R13Queries.all ++ R14Queries.all ++ R15Queries.all ++ R16Queries.all ++ R17Queries.all ++ R18Queries.all
+    R6rQueries.all ++ R6sQueries.all ++ R7Queries.all ++ R7bQueries.all ++ R7cQueries.all ++ R7dQueries.all ++ R7eQueries.all ++ R7fQueries.all ++ R7gQueries.all ++ R7hQueries.all ++ R7iQueries.all ++ R7jQueries.all ++ R7kQueries.all ++ R7lQueries.all ++ R7mQueries.all ++ R7nQueries.all ++ R7oQueries.all ++ R7pQueries.all ++ R7qQueries.all ++ R7rQueries.all ++ R7sQueries.all ++ R7tQueries.all ++ R7uQueries.all ++ R7vQueries.all ++ R7wQueries.all ++ R7xQueries.all ++ R7yQueries.all ++ R7zQueries.all ++ R8Queries.all ++ R8bQueries.all ++ R8cQueries.all ++ R8dQueries.all ++ R8eQueries.all ++ R8fQueries.all ++ R8gQueries.all ++ R8hQueries.all ++ R8iQueries.all ++ R9Queries.all ++ R9bQueries.all ++ R10Queries.all ++ R11Queries.all ++ R12Queries.all ++ R13Queries.all ++ R14Queries.all ++ R15Queries.all ++ R16Queries.all ++ R17Queries.all ++ R18Queries.all ++ R19Queries.all
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -187,8 +187,15 @@ object R16Queries {
       sigs AS MATERIALIZED (SELECT doc_id,
              $sigCols
       FROM ws),
+      bands0 AS MATERIALIZED (
+        $bandSelects),
       bands AS MATERIALIZED (
-        $bandSelects)
+        -- the hot-band cap pinned at build() (session default
+        -- ${graft.operators.NearDup.DefaultMaxBandBucket}), counted over
+        -- the WHOLE band table exactly as the serve does
+        SELECT doc_id, band_id, band_key FROM bands0
+        QUALIFY count(*) OVER (PARTITION BY band_id, band_key)
+          <= ${graft.operators.NearDup.DefaultMaxBandBucket})
       SELECT DISTINCT
         LEAST(CAST(x.doc_id AS VARCHAR), CAST(y.doc_id AS VARCHAR)) AS a_id,
         GREATEST(CAST(x.doc_id AS VARCHAR), CAST(y.doc_id AS VARCHAR))

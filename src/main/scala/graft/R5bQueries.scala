@@ -125,8 +125,13 @@ object R5bQueries {
       sigs AS MATERIALIZED (SELECT doc_id,
              $sigCols
       FROM ws),
-      bands AS (
+      bands0 AS (
         $bandSelects),
+      bands AS (
+        -- the candidate side's default-on hot-band cap, modeled (see q35)
+        SELECT doc_id, band_id, band_key FROM bands0
+        QUALIFY count(*) OVER (PARTITION BY band_id, band_key)
+          <= ${graft.operators.NearDup.DefaultMaxBandBucket}),
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                FROM bands x JOIN bands y
                  ON x.band_id = y.band_id AND x.band_key = y.band_key

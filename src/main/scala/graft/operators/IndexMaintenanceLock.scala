@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
@@ -18,16 +20,49 @@ import org.apache.spark.sql.SparkSession
   * atomic; the kernel arbitrates createFile), namenode-atomic
   * `create(overwrite=false)` elsewhere. Contention throws loudly — a
   * maintenance job queues by retrying, never by silently interleaving.
-  * A crashed holder's marker is broken after [[StaleLockMs]] (the
-  * holder writes its pid + claim time for the operator reading the
-  * error). Release is best-effort delete in `finally`; a marker that
-  * outlives a SIGKILLed holder is exactly what the stale break covers. */
+  *
+  * Liveness and safety around crashes, in three pieces:
+  *
+  *  - '''Ownership token.''' The winner writes `pid nonce claimMs` into
+  *    its marker. Release and every heartbeat re-read the token and act
+  *    ONLY if the nonce is ours — a holder that lost its lock (broken
+  *    as stale under it) can never delete the takeover's live marker;
+  *    it fails loudly instead.
+  *  - '''Heartbeat lease.''' The holder touches the marker mtime every
+  *    [[heartbeatMs]] from a daemon thread, so staleness means "no
+  *    heartbeat for [[StaleLockMs]]", not "claimed more than 30 minutes
+  *    ago" — a live 100-TB retrain legitimately runs for hours and must
+  *    not be broken under itself. A crashed holder stops beating and
+  *    its marker goes stale on schedule.
+  *  - '''Single-winner stale break.''' A contender that judges a marker
+  *    stale RENAMES it to a unique tombstone before deleting: rename of
+  *    a missing source fails, so of N contenders racing the same stale
+  *    marker exactly one owns the tombstone and proceeds to claim; the
+  *    rest see normal contention. After the rename the winner re-checks
+  *    the tombstone's mtime (rename preserves it) against the mtime its
+  *    staleness decision was made on — if a heartbeat landed in the
+  *    check-to-rename window the tombstone is renamed straight back and
+  *    the break abandoned. Check-then-delete (two contenders both judge
+  *    stale; the slower deletes the faster's fresh claim) is thereby
+  *    impossible: the delete target is a tombstone only its renamer can
+  *    name.
+  *
+  * Release is ownership-verified delete in `finally`; if the body
+  * completed but the lock was lost mid-flight (marker gone or foreign
+  * nonce), [[withLock]] THROWS rather than reporting a success whose
+  * exclusivity was violated. */
 object IndexMaintenanceLock {
 
-  /** Age after which a marker is presumed crashed and broken. Marker
-    * mtime is the claim time; no live maintenance should hold the lock
-    * this long without completing. */
+  /** Age after which a marker with no heartbeat is presumed crashed and
+    * broken. The holder refreshes mtime every [[heartbeatMs]], so only
+    * a dead holder's marker ever reaches this age. Tests may shrink it
+    * via `spark.graft.maint.staleLockMs`. */
   val StaleLockMs: Long = 30L * 60 * 1000
+
+  /** Default heartbeat period — StaleLockMs/6, far more slack than a
+    * live JVM's daemon thread needs. `spark.graft.maint.heartbeatMs`
+    * overrides; 0 disables (tests simulating a stalled holder). */
+  val DefaultHeartbeatMs: Long = 5L * 60 * 1000
 
   /** Run `body` holding the exclusive maintenance lock for index
     * `name` under `cat.ns`. Throws IllegalStateException("… already in
@@ -39,42 +74,145 @@ object IndexMaintenanceLock {
       .getOrElse(throw new IllegalStateException(
         s"catalog '$cat' has no root conf — index maintenance locking " +
           "needs spark.sql.catalog.<cat>.root"))
+    val staleMs = spark.conf.getOption("spark.graft.maint.staleLockMs")
+      .map(_.toLong).getOrElse(StaleLockMs)
+    val hbMs = spark.conf.getOption("spark.graft.maint.heartbeatMs")
+      .map(_.toLong).getOrElse(math.max(1000L, staleMs / 6))
     val dir = new Path(root, ns)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dir)
     val marker = new Path(dir, s".graft-maint-$name.lock")
-    acquire(fs, marker)
-    try body
-    finally fs.delete(marker, false)
-  }
-
-  private def acquire(fs: FileSystem, marker: Path): Unit = {
-    if (tryClaim(fs, marker)) return
-    // claimed by someone: break it only if provably stale
-    val stale = try {
-      val st = fs.getFileStatus(marker)
-      System.currentTimeMillis() - st.getModificationTime > StaleLockMs
-    } catch { case _: java.io.FileNotFoundException => true } // released
-    if (stale) fs.delete(marker, false)
-    if (!tryClaim(fs, marker)) {
-      val holder = try {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.US_ASCII).trim
-        finally in.close()
-      } catch { case _: Exception => "unknown" }
-      throw new IllegalStateException(
-        s"index maintenance already in progress (lock $marker, " +
-          s"holder: $holder) — retry when it completes, or remove the " +
-          s"marker if the holder crashed less than ${StaleLockMs / 60000}" +
-          " minutes ago and is known dead")
+    val nonce = java.util.UUID.randomUUID().toString
+    acquire(fs, marker, nonce, staleMs)
+    val lost = new AtomicBoolean(false)
+    val beat = if (hbMs > 0) Some(startHeartbeat(fs, marker, nonce, hbMs,
+      lost)) else None
+    var bodyOk = false
+    try {
+      val r = body
+      bodyOk = true
+      r
+    } finally {
+      beat.foreach(_.interrupt())
+      val owned = readToken(fs, marker).exists(_.nonce == nonce)
+      if (owned) fs.delete(marker, false)
+      // the delete is skipped when the marker is gone or foreign — and
+      // if the body "succeeded" under a lost lock, that success is not
+      // trustworthy: another maintainer may have interleaved. Loud.
+      if (bodyOk && (lost.get() || !owned))
+        throw new IllegalStateException(
+          s"maintenance lock $marker was lost while held (marker " +
+            "removed or re-claimed by another process) — the completed " +
+            "work may have interleaved with another maintainer; verify " +
+            "the index (re-run the operation after inspecting history)")
     }
   }
 
-  /** One exclusive-create attempt; the claim carries pid + time for the
-    * contention error. The pid lands AFTER the create wins — the claim
-    * itself is the zero-byte exclusive creation. */
-  private def tryClaim(fs: FileSystem, marker: Path): Boolean = {
+  /** Holder-side lease renewal: touch the marker mtime every `hbMs`,
+    * verifying ownership first. setTimes on a missing path throws, so a
+    * broken-under-us lock flips `lost` instead of resurrecting the
+    * marker (an overwrite-create here could recreate a marker a breaker
+    * just tombstoned — never write, only touch). */
+  private def startHeartbeat(fs: FileSystem, marker: Path, nonce: String,
+                             hbMs: Long, lost: AtomicBoolean): Thread = {
+    val t = new Thread(() => {
+      try {
+        var owned = true
+        while (owned && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(hbMs)
+          if (readToken(fs, marker).exists(_.nonce == nonce))
+            fs.setTimes(marker, System.currentTimeMillis(), -1)
+          else { lost.set(true); owned = false }
+        }
+      } catch {
+        case _: InterruptedException => () // normal release
+        case _: Exception => lost.set(true) // fs error or marker gone
+      }
+    }, s"graft-maint-heartbeat-${marker.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  private[operators] case class Token(pid: Long, nonce: String,
+                                      claimMs: Long)
+
+  /** Parse the marker's ownership token; None when the marker is
+    * missing OR its content is empty/foreign-format (the instant
+    * between exclusive create and token write — callers treat "no
+    * token" as not-owned / possibly-live, the conservative reading on
+    * both sides). */
+  private[operators] def readToken(fs: FileSystem,
+                                   marker: Path): Option[Token] =
+    try {
+      val in = fs.open(marker)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.US_ASCII).trim
+      finally in.close()
+      s.split(" ") match {
+        case Array(p, n, c) if p.forall(_.isDigit) && c.forall(_.isDigit) =>
+          Some(Token(p.toLong, n, c.toLong))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  private def acquire(fs: FileSystem, marker: Path, nonce: String,
+                      staleMs: Long): Unit = {
+    if (tryClaim(fs, marker, nonce)) return
+    // claimed by someone: break it only if provably stale — no
+    // heartbeat for staleMs — and only through the single-winner
+    // tombstone protocol
+    val observedMtime = try {
+      val st = fs.getFileStatus(marker)
+      if (System.currentTimeMillis() - st.getModificationTime > staleMs)
+        Some(st.getModificationTime)
+      else None
+    } catch { case _: java.io.FileNotFoundException => None } // released
+    observedMtime.foreach(m => breakStale(fs, marker, m))
+    if (!tryClaim(fs, marker, nonce)) {
+      val holder = readToken(fs, marker)
+        .map(t => s"pid ${t.pid}, claimed ${t.claimMs}")
+        .getOrElse("unknown")
+      throw new IllegalStateException(
+        s"index maintenance already in progress (lock $marker, " +
+          s"holder: $holder) — retry when it completes; a crashed " +
+          s"holder's marker self-expires ${staleMs / 1000}s after its " +
+          "last heartbeat")
+    }
+  }
+
+  /** Single-winner break of a marker judged stale at `observedMtime`.
+    * Returns true iff THIS caller won the break (renamed the marker to
+    * its private tombstone and deleted it). Of N racers exactly one can
+    * rename the marker away; a heartbeat landing between the caller's
+    * staleness check and the rename is detected on the tombstone's
+    * preserved mtime and rolled back. */
+  private[graft] def breakStale(fs: FileSystem, marker: Path,
+                                    observedMtime: Long): Boolean = {
+    val tomb = new Path(marker.getParent,
+      s"${marker.getName}.tomb-${java.util.UUID.randomUUID()}")
+    val renamed = try fs.rename(marker, tomb)
+    catch { case _: java.io.IOException => false }
+    if (!renamed) return false
+    val tombMtime = try fs.getFileStatus(tomb).getModificationTime
+    catch { case _: java.io.FileNotFoundException => return false }
+    if (tombMtime > observedMtime) {
+      // the holder heartbeated in our check→rename window: it is LIVE.
+      // Put the marker back; if the holder's next beat already failed
+      // (marker briefly missing) it fails loudly — safe side.
+      if (!fs.rename(tomb, marker)) fs.delete(tomb, false)
+      return false
+    }
+    fs.delete(tomb, false)
+    true
+  }
+
+  /** One exclusive-create attempt; the winner then writes its ownership
+    * token (`pid nonce claimMs`). The claim itself is the zero-byte
+    * exclusive creation — the token write may lag an instant, during
+    * which readToken returns None and everyone stays conservative. */
+  private def tryClaim(fs: FileSystem, marker: Path,
+                       nonce: String): Boolean = {
     val scheme = Option(marker.toUri.getScheme).getOrElse(fs.getScheme)
     val won =
       if (scheme == "file") {
@@ -92,11 +230,11 @@ object IndexMaintenanceLock {
     if (won) {
       try {
         val out = fs.create(marker, true)
-        out.write((ProcessHandle.current().pid().toString + " " +
-          System.currentTimeMillis().toString)
+        out.write((ProcessHandle.current().pid().toString + " " + nonce +
+          " " + System.currentTimeMillis().toString)
           .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
         out.close()
-      } catch { case _: Exception => () } // diagnostics only
+      } catch { case _: Exception => () } // token is diagnostics + guard
     }
     won
   }

@@ -226,17 +226,44 @@ object NearDup {
     else df.sparkSession.conf
       .get(MaxBandBucketKey, DefaultMaxBandBucket.toString).toLong
 
+  /** The (band_id, band_key) buckets the hot-band cap would discard,
+    * with their posting counts — the raw audit surface behind
+    * [[hotBandAudit]]. Tiny by construction (≤ postings / maxBucket
+    * rows); empty when `maxBucket <= 0` (cap off). */
+  def saturatedBandBuckets(bands: DataFrame, maxBucket: Long): DataFrame = {
+    val counted = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("postings"))
+    if (maxBucket <= 0) counted.filter(lit(false))
+    else counted.filter(col("postings") > maxBucket)
+  }
+
+  /** One-row audit of what the hot-band cap discards — the repo's "no
+    * silent caps" discipline (scrubPii's per-rule counts) applied to the
+    * cap that protects the LSH self-joins: `(max_bucket,
+    * n_buckets_dropped, postings_dropped)`. At 100 TB an operator must
+    * SEE the discarded mass: a nonzero row says a replica/boilerplate
+    * clique reached banding (exact-dedup upstream should have removed
+    * it) and quantifies exactly how many postings the candidate join
+    * never saw. Zeros when the cap is off or nothing saturates. */
+  def hotBandAudit(bands: DataFrame, maxBucket: Long): DataFrame =
+    saturatedBandBuckets(bands, maxBucket)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_buckets_dropped"),
+        coalesce(sum(col("postings")), lit(0L)).as("postings_dropped"))
+      .select(lit(maxBucket).as("max_bucket"),
+        col("n_buckets_dropped"), col("postings_dropped"))
+
   /** Drop (band_id, band_key) buckets holding more than `maxBucket`
     * postings before a band self-join. The saturated-bucket list is tiny
     * by construction (≤ postings / maxBucket entries), so the exclusion
     * join broadcasts — no posting re-shuffle. `maxBucket <= 0` passes
-    * through untouched. */
+    * through untouched. What the cap discards is never silent:
+    * [[hotBandAudit]] / [[NearDupIndex.saturationAudit]] report it, and
+    * the persisted-index serves log it. */
   private[operators] def dropHotBands(bands: DataFrame,
                                       maxBucket: Long): DataFrame =
     if (maxBucket <= 0) bands
     else {
-      val hot = bands.groupBy(col("band_id"), col("band_key"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      val hot = saturatedBandBuckets(bands, maxBucket)
         .select(col("band_id"), col("band_key"))
       bands.join(broadcast(hot), Seq("band_id", "band_key"), "left_anti")
     }

@@ -172,10 +172,14 @@ object NearDupIndex {
   def indexBatch(spark: SparkSession, cat: String, ns: String, name: String,
                  docs: DataFrame, idCol: String, textCol: String,
                  batch: String): Unit = {
-    val (sn, nh, bs) = params(spark, cat, ns, name)
     // multi-step on the co-located layout (delete + append) and racy
-    // against a concurrent build either way — one maintainer at a time
+    // against a concurrent build either way — one maintainer at a time.
+    // The pinned parameters are read INSIDE the critical section: a
+    // concurrent build() can drop/recreate the index, and a batch banded
+    // under the OLD shingleN/numHashes/bandSize landing in the NEW table
+    // would silently never collide with its bands
     IndexMaintenanceLock.withLock(spark, cat, ns, name) {
+      val (sn, nh, bs) = params(spark, cat, ns, name)
       indexBatchWith(spark, cat, ns, name, docs, idCol, textCol, batch,
         sn, nh, bs, pinnedJoinBuckets(spark, cat, ns, name))
     }
@@ -212,6 +216,65 @@ object NearDupIndex {
             name: String): DataFrame =
     spark.table(bandsTbl(cat, ns, name))
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One-row audit of what the pinned hot-band cap discards from THIS
+    * index's current band table: `(max_bucket, n_buckets_dropped,
+    * postings_dropped)` — [[NearDup.hotBandAudit]] under the cap the
+    * index was built with. Zeros when nothing saturates (or the index
+    * was built with the cap off). The serves also log this (see
+    * [[LogSaturationKey]]): a cap that silently drops candidate mass at
+    * 100 TB is invisible exactly when it matters. */
+  def saturationAudit(spark: SparkSession, cat: String, ns: String,
+                      name: String): DataFrame =
+    NearDup.hotBandAudit(bands(spark, cat, ns, name),
+      pinnedMaxBucket(spark, cat, ns, name))
+
+  /** Conf key: serves compute + WARN-log the saturation audit when the
+    * pinned cap is on (default true; the audit is one aggregation over
+    * the band table — tiny next to the corpus, but a hot loop may turn
+    * it off and poll [[saturationAudit]] on its own schedule). */
+  val LogSaturationKey = "spark.graft.neardup.logSaturation"
+
+  private def logServeAudit(spark: SparkSession, cat: String, ns: String,
+                            name: String, cap: Long): Unit =
+    if (cap > 0 &&
+        spark.conf.get(LogSaturationKey, "true").toBoolean) {
+      val r = saturationAudit(spark, cat, ns, name).collect()(0)
+      if (r.getLong(1) > 0L)
+        log.warn(s"near-dup index '$cat.$ns.$name' serve: hot-band cap " +
+          s"$cap dropped ${r.getLong(1)} saturated bucket(s) holding " +
+          s"${r.getLong(2)} postings — members of those buckets pair " +
+          "only through their other (unsaturated) bands; run exact " +
+          "dedup upstream or raise the cap and rebuild")
+    }
+
+  /** Conf key: the co-located (joinBuckets > 0) serves SET the two
+    * plan-shape confs their storage-partitioned join needs
+    * (`spark.sql.sources.v2.bucketing.enabled=true`,
+    * `spark.sql.requireAllClusterKeysForCoPartition=false`) instead of
+    * relying on the caller — a caller who forgot them silently paid the
+    * full band-table reshuffle the layout was bought to eliminate. The
+    * confs cannot be set-and-restored around a LAZY serve (planning
+    * happens at the caller's action), so they are set session-wide and
+    * the change is INFO-logged; both only gate plan shape, never
+    * results. `false` opts out. */
+  val ManageSpjConfsKey = "spark.graft.neardup.manageSpjConfs"
+
+  private def ensureSpjConfs(spark: SparkSession): Unit =
+    if (spark.conf.get(ManageSpjConfsKey, "true").toBoolean) {
+      Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+        .foreach { case (k, v) =>
+          if (spark.conf.getOption(k).forall(_ != v)) {
+            log.info(s"co-located near-dup serve: setting $k=$v (plan-" +
+              "shape only; spark.graft.neardup.manageSpjConfs=false " +
+              "opts out)")
+            spark.conf.set(k, v)
+          }
+        }
+    }
+
   /** Candidate near-dup pairs TOUCHING `batch`: the batch's bands
     * (partition-pruned — one value directory) joined against the whole
     * persisted band table on the band key, ids canonicalized by string
@@ -237,12 +300,14 @@ object NearDupIndex {
   def candidatePairsFor(spark: SparkSession, cat: String, ns: String,
                         name: String, batch: String): DataFrame = {
     val bucketed = pinnedJoinBuckets(spark, cat, ns, name) > 0
+    if (bucketed) ensureSpjConfs(spark)
+    val cap = pinnedMaxBucket(spark, cat, ns, name)
+    logServeAudit(spark, cat, ns, name, cap)
     // hot-band cap pinned at build(): bucket counts are over the WHOLE
     // band table (a bucket saturated by history must not pair with
     // today's postings either); the saturated list broadcasts, so the
     // fresh side's partition pruning survives the anti-join
-    val all = NearDup.dropHotBands(bands(spark, cat, ns, name),
-      pinnedMaxBucket(spark, cat, ns, name))
+    val all = NearDup.dropHotBands(bands(spark, cat, ns, name), cap)
     val fresh = all.filter(col("batch") === batch)
       .select(joinCols(bucketed): _*)
     fresh.as("x").join(all.as("y"),
@@ -257,8 +322,10 @@ object NearDupIndex {
   def allCandidatePairs(spark: SparkSession, cat: String, ns: String,
                         name: String): DataFrame = {
     val bucketed = pinnedJoinBuckets(spark, cat, ns, name) > 0
-    val all = NearDup.dropHotBands(bands(spark, cat, ns, name),
-        pinnedMaxBucket(spark, cat, ns, name))
+    if (bucketed) ensureSpjConfs(spark)
+    val cap = pinnedMaxBucket(spark, cat, ns, name)
+    logServeAudit(spark, cat, ns, name, cap)
+    val all = NearDup.dropHotBands(bands(spark, cat, ns, name), cap)
       .select(joinCols(bucketed): _*)
     all.as("x").join(all.as("y"),
         joinCond(bucketed) && col("x.doc_id") < col("y.doc_id"))

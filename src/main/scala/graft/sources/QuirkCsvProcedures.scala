@@ -181,14 +181,29 @@ private[sources] object QuirkCsvProcedures {
           sweepIn(dir.getParent, st => st.isDirectory &&
             (st.getPath.getName.startsWith(s".staged-$t-") ||
               st.getPath.getName.startsWith(s".replaced-$t-")))
-          // stale index-maintenance lock markers in the namespace: a
-          // live maintenance holds its lock for minutes, so one older
-          // than the age gate is a crashed holder — the same takeover
-          // IndexMaintenanceLock performs at its own 30-minute bound,
-          // made operator-schedulable here
-          sweepIn(dir.getParent, st => st.isFile &&
-            st.getPath.getName.startsWith(".graft-maint-") &&
-            st.getPath.getName.endsWith(".lock"))
+          // stale index-maintenance lock markers in the namespace: the
+          // same takeover IndexMaintenanceLock performs at its own
+          // stale bound, made operator-schedulable here. The age gate
+          // for THIS residue class is floored at StaleLockMs regardless
+          // of the caller's min_age_minutes: a small gate is reasonable
+          // for staged-dir residue, but lock markers heartbeat while
+          // live — sweeping one younger than the lease would break
+          // mutual exclusion under a running maintenance job
+          val lockCutoff = math.min(cutoff, System.currentTimeMillis() -
+            graft.operators.IndexMaintenanceLock.StaleLockMs)
+          def sweepLocksIn(d: org.apache.hadoop.fs.Path): Unit =
+            if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+              if (st.isFile &&
+                  st.getPath.getName.startsWith(".graft-maint-") &&
+                  (st.getPath.getName.endsWith(".lock") ||
+                    st.getPath.getName.contains(".lock.tomb-")) &&
+                  st.getModificationTime < lockCutoff) {
+                bytes += st.getLen
+                n += 1
+                fs.delete(st.getPath, true)
+              }
+            }
+          sweepLocksIn(dir.getParent)
           Seq(new GenericInternalRow(Array[Any](n, bytes)))
       }
       val scan: Scan = new LocalScan {

@@ -31,6 +31,15 @@ class IndexMaintStormSpec extends SparkSpec {
     NearDupIndex.build(spark, "graft_ims", "ns", "idx", base,
       "doc_id", "text", maxBucket = 0L, joinBuckets = 4)
 
+    // seed a CRASHED maintainer's stale marker (old mtime, no heartbeat)
+    // in front of the storm: the children race its single-winner break —
+    // exactly one may claim through it at a time, and the final index
+    // must still equal the serial twin
+    val staleMarker = new java.io.File(s"$root/ns/.graft-maint-idx.lock")
+    java.nio.file.Files.writeString(staleMarker.toPath, "999 deadnonce 0")
+    staleMarker.setLastModified(
+      System.currentTimeMillis() - IndexMaintenanceLock.StaleLockMs - 60000)
+
     val javaBin = new java.io.File(new java.io.File(
       System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val cp = System.getProperty("java.class.path")

@@ -109,6 +109,43 @@ class NearDupBucketedSpec extends SparkSpec {
       pairsOf(twin)
   }
 
+  test("the serve is SELF-MANAGING: a fresh session conf (SPJ confs at " +
+      "defaults) still plans the zero-shuffle join — candidatePairsFor " +
+      "sets the plan-shape confs from its own meta") {
+    cat
+    val base = docs.filter(col("doc_id") <= 4)
+    val fresh = docs.filter(col("doc_id") > 4)
+    NearDupIndex.build(spark, cat, "ns", "bkt3", base, "doc_id", "text",
+      joinBuckets = 8)
+    NearDupIndex.indexBatch(spark, cat, "ns", "bkt3", fresh, "doc_id",
+      "text", "b1")
+    withSQLConf(
+      // the non-default conf a caller would forget, pinned to its
+      // DEFAULT here: the serve must flip it itself
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "true",
+      // broadcast stays disabled so the plan shape is visible (a
+      // broadcast of the small fixture side would hide the SPJ)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val served = NearDupIndex.candidatePairsFor(spark, cat, "ns",
+        "bkt3", "b1")
+      spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+        .shouldBe("false")
+      served.collect().length should be > 0 // finalize AQE on this QE
+      val js = joinShuffles(served)
+      js should not be empty
+      all(js) shouldBe 0
+    }
+    // opt-out: manageSpjConfs=false leaves the caller's confs alone
+    withSQLConf(
+      NearDupIndex.ManageSpjConfsKey -> "false",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "true") {
+      NearDupIndex.candidatePairsFor(spark, cat, "ns", "bkt3", "b1")
+      spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+        .shouldBe("true")
+    }
+  }
+
   test("re-delivered batch converges to one copy (delete + append); " +
       "retention deletes the batch's rows") {
     cat

@@ -90,6 +90,31 @@ class NearDupHotBandSpec extends SparkSpec {
         spark, "graft_ndhb", "ns", "idx"))
       all.count(p => p._1.startsWith("c")) shouldBe 0
       all should contain(("r1", "r2"))
+      // the cap is never silent: the index's audit reports exactly what
+      // it discarded — the 30-doc clique's 4 band buckets, 120 postings
+      val audit = NearDupIndex.saturationAudit(
+        spark, "graft_ndhb", "ns", "idx").collect()(0)
+      (audit.getLong(0), audit.getLong(1), audit.getLong(2)) shouldBe
+        ((10L, 4L, 120L))
     } finally spark.conf.unset(NearDup.MaxBandBucketKey)
+  }
+
+  test("hotBandAudit reports the exact dropped bucket count and " +
+      "posting mass; zeros when the cap is off or nothing saturates") {
+    val docs = (clique(1, 30) ++ realPair ++ noise).toDF("doc_id", "text")
+    val bands = NearDup.bandKeys(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bandSize = 3)
+    // the 30-replica clique fills all 4 of its band buckets (identical
+    // text = identical signatures): 4 buckets x 30 postings
+    NearDup.saturatedBandBuckets(bands, 10L).count() shouldBe 4L
+    val audit = NearDup.hotBandAudit(bands, 10L).collect()(0)
+    (audit.getLong(0), audit.getLong(1), audit.getLong(2)) shouldBe
+      ((10L, 4L, 120L))
+    // cap off: nothing is dropped, and the audit says so
+    val off = NearDup.hotBandAudit(bands, 0L).collect()(0)
+    (off.getLong(1), off.getLong(2)) shouldBe ((0L, 0L))
+    // cap above every bucket: zeros again
+    val loose = NearDup.hotBandAudit(bands, 1000L).collect()(0)
+    (loose.getLong(1), loose.getLong(2)) shouldBe ((0L, 0L))
   }
 }

@@ -90,13 +90,22 @@ class QuirkCsvProcedureSpec extends SparkSpec {
     aside.exists() shouldBe true
     staged.exists() shouldBe true
     lock.exists() shouldBe true
-    // age 0 sweeps all three; live data untouched
+    // age 0 sweeps the aside and the staged dir, but NOT the fresh lock
+    // marker: lock markers' age gate is floored at StaleLockMs — a live
+    // maintenance heartbeats its marker, so only one older than the
+    // lease can be crash residue, whatever the caller's gate says
     val swept = spark.sql("CALL graft_proc.system.sweep('ns.sw', 0)")
       .collect()(0)
-    swept.getLong(0) shouldBe 3L
+    swept.getLong(0) shouldBe 2L
     swept.getLong(1) should be > 0L
     aside.exists() shouldBe false
     staged.exists() shouldBe false
+    lock.exists() shouldBe true
+    // an actually-stale marker (mtime past the lease) goes, floor or not
+    lock.setLastModified(System.currentTimeMillis() -
+      graft.operators.IndexMaintenanceLock.StaleLockMs - 60000)
+    spark.sql("CALL graft_proc.system.sweep('ns.sw', 0)")
+      .collect()(0).getLong(0) shouldBe 1L
     lock.exists() shouldBe false
     spark.table("graft_proc.ns.sw").collect()
       .map(_.getString(0)).toSeq shouldBe Seq("1")
