@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * Answers are REQUIREd identical everywhere. The probe prints batch
   * and serve wall times plus the shuffle count BENEATH the candidate
   * join (the co-location metric; the trailing distinct's exchange is
-  * layout-independent). The co-located flavor's batch land is slower
-  * (row-level DELETE + append vs one dynamic overwrite) — the measured
-  * price of the shuffle-free serve. */
+  * layout-independent). Since the two-level `(band_bucket, batch)`
+  * layout landed, BOTH flavors land a batch as one overwrite commit —
+  * the old row-level DELETE + append price is gone; the probe verifies
+  * the land-cost gap closed. */
 object ColocatedIndexProbe {
 
   private def joinShuffles(df: DataFrame): Seq[Int] = {

@@ -144,11 +144,13 @@ object R16Queries {
       ensureCatalog(s)
       val docs = Tables.documents(s, d)
       val isNew = col("doc_id") % 10 >= 8
-      graft.operators.NearDupIndex.build(s, "graft_r16", "q357", "nd",
-        docs.filter(!isNew), "doc_id", "text",
-        shingleN = 3, numHashes = 12, bandSize = 3)
-      graft.operators.NearDupIndex.indexBatch(s, "graft_r16", "q357", "nd",
-        docs.filter(isNew), "doc_id", "text", "b1")
+      FixtureOnce("q357", d) {
+        graft.operators.NearDupIndex.build(s, "graft_r16", "q357", "nd",
+          docs.filter(!isNew), "doc_id", "text",
+          shingleN = 3, numHashes = 12, bandSize = 3)
+        graft.operators.NearDupIndex.indexBatch(s, "graft_r16", "q357",
+          "nd", docs.filter(isNew), "doc_id", "text", "b1")
+      }
       val served = graft.operators.NearDupIndex.candidatePairsFor(
         s, "graft_r16", "q357", "nd", "b1").localCheckpoint()
       // twin: in-memory LSH over the UNION corpus with STRING ids (one

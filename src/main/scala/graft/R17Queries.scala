@@ -376,16 +376,18 @@ object R17Queries {
       ensureCatalog(s)
       val docs = Tables.documents(s, d)
       val isNew = col("doc_id") % 10 >= 8
-      graft.operators.NearDupIndex.build(s, "graft_r17", "q368", "nd",
-        docs.filter(!isNew), "doc_id", "text",
-        shingleN = 3, numHashes = 12, bandSize = 3)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_q368").toString
-      docs.filter(isNew).select(col("doc_id"), col("text"))
-        .write.mode("append").parquet(s"$dir/in")
-      graft.streaming.IndexMaintenance.nearDupIndexStream(s, s"$dir/in",
-        docs.select(col("doc_id"), col("text")).schema, s"$dir/ckpt",
-        "graft_r17", "q368", "nd", "doc_id", "text")
+      FixtureOnce("q368", d) {
+        graft.operators.NearDupIndex.build(s, "graft_r17", "q368", "nd",
+          docs.filter(!isNew), "doc_id", "text",
+          shingleN = 3, numHashes = 12, bandSize = 3)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q368").toString
+        docs.filter(isNew).select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(s"$dir/in")
+        graft.streaming.IndexMaintenance.nearDupIndexStream(s, s"$dir/in",
+          docs.select(col("doc_id"), col("text")).schema, s"$dir/ckpt",
+          "graft_r17", "q368", "nd", "doc_id", "text")
+      }
       val got = graft.operators.NearDupIndex.allCandidatePairs(
         s, "graft_r17", "q368", "nd").localCheckpoint()
       val docsStr = docs.select(col("doc_id").cast("string").as("doc_id"),

@@ -199,14 +199,17 @@ object R18Queries {
       ensureCatalog(s)
       val docs = Tables.documents(s, d)
       val isNew = col("doc_id") % 10 >= 8
-      graft.operators.NearDupIndex.build(s, "graft_r18", "q373", "nd",
-        docs.filter(!isNew), "doc_id", "text",
-        shingleN = 3, numHashes = 12, bandSize = 3, joinBuckets = 16)
-      graft.operators.NearDupIndex.indexBatch(s, "graft_r18", "q373",
-        "nd", docs.filter(isNew), "doc_id", "text", "b1")
+      FixtureOnce("q373", d) {
+        graft.operators.NearDupIndex.build(s, "graft_r18", "q373", "nd",
+          docs.filter(!isNew), "doc_id", "text",
+          shingleN = 3, numHashes = 12, bandSize = 3, joinBuckets = 16)
+        graft.operators.NearDupIndex.indexBatch(s, "graft_r18", "q373",
+          "nd", docs.filter(isNew), "doc_id", "text", "b1")
+      }
+      // the SPJ plan-shape confs are NOT set here: candidatePairsFor
+      // self-manages them from the index meta — this query gates that
+      // (broadcast stays disabled so the plan shape is visible)
       withConfs(s,
-        "spark.sql.sources.v2.bucketing.enabled" -> "true",
-        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
         val served = graft.operators.NearDupIndex.candidatePairsFor(
@@ -273,8 +276,10 @@ object R18Queries {
     (s, d) => {
       ensureCatalog(s)
       val e = Tables.embeddings(s, d)
-      graft.operators.IvfIndex.build(s, "graft_r18", "q374", "sem",
-        e, "vec_id", "embedding", 16, coLocate = true)
+      FixtureOnce("q374", d) {
+        graft.operators.IvfIndex.build(s, "graft_r18", "q374", "sem",
+          e, "vec_id", "embedding", 16, coLocate = true)
+      }
       withConfs(s,
         "spark.sql.sources.v2.bucketing.enabled" -> "true",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -45,7 +45,14 @@ object CorpusPipeline {
       simHashBits: Int = 64,
       simHashBands: Int = 4,
       decontaminateShingleN: Int = 3,
-      maxEvalOverlapRatio: Double = 0.5)
+      maxEvalOverlapRatio: Double = 0.5,
+      // per-(band, value) posting cap for the near-dup banded self-join
+      // — the same degenerate-bucket guard as the LSH tier's
+      // maxBandBucket, DEFAULT-ON: a near-dup clique that survives
+      // exact dedup (boilerplate with per-mirror tweaks) otherwise
+      // detonates the candidate join quadratically (CorpusPipelineProbe
+      // measures the law). 0 = off for verification-scale exact passes.
+      nearDupMaxBucket: Int = 10000)
 
   /** `report` is LAZY: the per-stage counts (seven actions over the cached
     * stage outputs) run only when it is first read — a caller that wants
@@ -83,7 +90,7 @@ object CorpusPipeline {
       exactDeduped, idCol,
       Corpus.simHashHammingPairs(exactDeduped, idCol, textCol,
         maxHamming = cfg.nearDupHamming, bits = cfg.simHashBits,
-        numBands = cfg.simHashBands),
+        numBands = cfg.simHashBands, maxBucket = cfg.nearDupMaxBucket),
       "a_id", "b_id", prefer = Some(length(col(textCol))))
       .drop("cluster_id", "cluster_size")
 

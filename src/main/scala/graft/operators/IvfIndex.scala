@@ -26,16 +26,16 @@ import org.apache.spark.sql.functions._
   *    DROP PARTITION. The partitioned-table tier does the index
   *    maintenance bookkeeping.
   *  - `coLocate = true` at [[build]] flips the assignment layout to
-  *    PARTITIONED BY (centroid_id) — the SemDeDup blocking key IS the
-  *    partition key, so [[semanticDupPairs]]' within-bucket self-join
-  *    plans as a storage-partitioned join with ZERO shuffle of the
-  *    assignment table (IvfBucketedSpec plan-asserts it; join key ==
-  *    partition key exactly, so no co-partition conf is needed).
-  *    `batch` becomes a data column: re-delivery is DELETE-batch +
-  *    append (converges on re-run), retention a row-level DELETE. The
-  *    batch-partitioned default keeps single-commit replay and
-  *    metadata-only retention; the co-located flavor trades those for
-  *    the shuffle-free dedup join.
+  *    the two-level PARTITIONED BY (centroid_id, batch) — the SemDeDup
+  *    blocking key LEADS the partitioning, so [[semanticDupPairs]]'
+  *    within-bucket self-join plans as a storage-partitioned join with
+  *    ZERO shuffle of the assignment table (IvfBucketedSpec
+  *    plan-asserts it; the scan's grouped mode keys on the leading
+  *    column, join key == grouping key exactly, so no co-partition
+  *    conf is needed) — while `batch` keeps its own leaf dirs:
+  *    re-delivery is ONE overwrite-by-filter commit (converges even
+  *    for revised content) and retention is a METADATA-ONLY
+  *    partial-spec delete, the same properties as the default layout.
   *
   * At 100 TB: centroids are k rows (broadcast); each appendBatch scans
   * only the new batch; driftReport aggregates the assignment table
@@ -72,7 +72,8 @@ object IvfIndex {
         (centroid_id STRING, emb STRING)""")
       spark.sql(s"""CREATE TABLE ${asgTbl(cat, ns, name)}
         (vec_id STRING, centroid_id STRING, batch STRING)
-        PARTITIONED BY (${if (coLocate) "centroid_id" else "batch"})""")
+        PARTITIONED BY (${if (coLocate) "centroid_id, batch"
+          else "batch"})""")
       val cents = Similarity.ivfCentroids(corpus, idCol, embCol, k)
       cents.select(col("centroid_id").cast("string"),
           encodeEmb(col("centroid_emb")).as("emb"))
@@ -115,13 +116,13 @@ object IvfIndex {
       centroids(spark, cat, ns, name))
       .select(col(idCol).cast("string").as("vec_id"),
         col("centroid_id").cast("string"), lit(batch).as("batch"))
-    if (isCoLocated(spark, cat, ns, name)) {
-      // centroid_id-partitioned layout: batch is a data column, so
-      // re-delivery is DELETE-batch (a no-op first time) + append —
-      // two version-log commits that converge on re-run
-      dropBatchRows(spark, cat, ns, name, batch)
-      asg.writeTo(asgTbl(cat, ns, name)).append()
-    } else
+    if (isCoLocated(spark, cat, ns, name))
+      // two-level (centroid_id, batch) layout: ONE overwrite-by-filter
+      // commit replaces the batch's leaf dirs under every centroid —
+      // idempotent on re-delivery and convergent for revised content
+      asg.writeTo(asgTbl(cat, ns, name))
+        .overwrite(col("batch") === lit(batch))
+    else
       asg.writeTo(asgTbl(cat, ns, name)).overwritePartitions()
   }
 
@@ -138,6 +139,9 @@ object IvfIndex {
       _.fieldNames().sameElements(Array("centroid_id"))))
   }
 
+  /** Metadata-only on the two-level co-located layout: the catalog
+    * recognizes the partition-column predicate and drops every
+    * centroid's `batch=<b>` leaf dir without reading a row. */
   private def dropBatchRows(spark: SparkSession, cat: String, ns: String,
                             name: String, batch: String): Unit =
     spark.sql(s"DELETE FROM ${asgTbl(cat, ns, name)} " +

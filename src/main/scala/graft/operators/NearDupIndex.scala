@@ -36,20 +36,27 @@ import org.apache.spark.sql.functions._
   * candidate pairs then feed an EXACT verifier (n-gram Jaccard) over
   * only the paired docs. With `joinBuckets > 0` at [[build]] the band
   * table is laid out CO-LOCATED for that join: a stored `band_bucket`
-  * column (`pmod(xxhash64(band_key), joinBuckets)`) is the identity
-  * partition column, the scan reports KeyGroupedPartitioning over it,
-  * and the candidate self-join (which adds `band_bucket` to its keys —
-  * equal band_keys imply equal buckets, so results are unchanged) plans
-  * as a storage-partitioned join with ZERO shuffle of the band table
-  * (NearDupBucketedSpec plan-asserts it). The join clusters on more
-  * keys than the storage partitions on, so the shuffle-free plan needs
-  * `spark.sql.requireAllClusterKeysForCoPartition=false` (results are
-  * identical either way — the conf only gates the plan shape). `batch` becomes a data
-  * column: re-delivery is DELETE-batch + append (converges on re-run;
-  * both steps are version-log commits), retention is
-  * `DELETE WHERE batch`. The batch-partitioned default keeps
-  * partition-drop retention and single-commit replay; the bucketed
-  * flavor trades those for the shuffle-free daily join. */
+  * column (`pmod(xxhash64(band_key), joinBuckets)`) is the LEADING
+  * identity partition column of a TWO-LEVEL `(band_bucket, batch)`
+  * layout, the scan reports KeyGroupedPartitioning over the leading
+  * column, and the candidate self-join (which adds `band_bucket` to its
+  * keys — equal band_keys imply equal buckets, so results are
+  * unchanged) plans as a storage-partitioned join with ZERO shuffle of
+  * the band table (NearDupBucketedSpec plan-asserts it). The join
+  * clusters on more keys than the storage partitions on, so the
+  * shuffle-free plan needs
+  * `spark.sql.requireAllClusterKeysForCoPartition=false` — the serves
+  * set it themselves from the index meta ([[ManageSpjConfsKey]]);
+  * results are identical either way, the conf only gates plan shape.
+  *
+  * The two-level layout keeps BOTH maintenance properties the old
+  * single-level bucketed flavor traded away: a re-delivered batch is
+  * ONE overwrite-by-filter commit (`batch = '<b>'` — exact replacement,
+  * converges even for revised content), and retention is a
+  * METADATA-ONLY partial-spec delete of the `batch=<b>` leaf dirs.
+  * Serves additionally pin the LAST COMMITTED VERSION
+  * ([[SnapshotServeKey]]), so a reader concurrent with a replay sees
+  * the old batch or the new batch, never a torn in-between. */
 object NearDupIndex {
 
   // every piece interpolated into SQL text is validated to the
@@ -97,13 +104,14 @@ object NearDupIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTbl(cat, ns, name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${metaTbl(cat, ns, name)}")
     if (joinBuckets > 0)
-      // co-located layout: identity-partitioned on the STORED bucket of
-      // the join key, so every candidate join over this table plans
-      // storage-partitioned (see the class doc's trade-off)
+      // co-located layout: the STORED bucket of the join key leads a
+      // two-level identity partitioning, so every candidate join over
+      // this table plans storage-partitioned while `batch` keeps its
+      // own (metadata-droppable, one-commit-replayable) leaf dirs
       spark.sql(s"""CREATE TABLE ${bandsTbl(cat, ns, name)}
         (doc_id STRING, band_id STRING, band_key STRING, batch STRING,
          band_bucket STRING)
-        PARTITIONED BY (band_bucket)""")
+        PARTITIONED BY (band_bucket, batch)""")
     else
       spark.sql(s"""CREATE TABLE ${bandsTbl(cat, ns, name)}
         (doc_id STRING, band_id STRING, band_key STRING, batch STRING)
@@ -195,19 +203,18 @@ object NearDupIndex {
       .select(col("doc_id").cast("string"),
         col("band_id").cast("string"), col("band_key"),
         lit(batch).as("batch"))
-    if (joinBuckets > 0) {
-      // co-located layout: batch is a data column, so re-delivery is a
-      // row-level DELETE of the batch's prior rows (a no-op on first
-      // delivery) followed by the append — two version-log commits, so
-      // a crash between them is visible in history and a re-run
-      // converges to exactly one copy of the batch
-      spark.sql(s"DELETE FROM ${bandsTbl(cat, ns, name)} " +
-        s"WHERE batch = '$batch'")
+    if (joinBuckets > 0)
+      // co-located layout: ONE overwrite-by-filter commit replaces the
+      // batch's leaf dirs under every bucket exactly — idempotent on
+      // re-delivery AND convergent for revised content (a bucket the
+      // revision no longer posts to is still cleared, unlike a dynamic
+      // overwrite which only touches written tuples)
       banded
         .withColumn("band_bucket",
           pmod(xxhash64(col("band_key")), lit(joinBuckets)).cast("string"))
-        .writeTo(bandsTbl(cat, ns, name)).append()
-    } else
+        .writeTo(bandsTbl(cat, ns, name))
+        .overwrite(col("batch") === lit(batch))
+    else
       banded.writeTo(bandsTbl(cat, ns, name)).overwritePartitions()
   }
 
@@ -215,6 +222,48 @@ object NearDupIndex {
   def bands(spark: SparkSession, cat: String, ns: String,
             name: String): DataFrame =
     spark.table(bandsTbl(cat, ns, name))
+
+  /** Conf key: serves read the band table AS OF its last COMMITTED
+    * version (default true). An in-flight batch land makes its new
+    * files task-visible before the job commit retires the replaced
+    * ones; a current-table read racing that window could double-count
+    * a batch. The snapshot pin resolves the file set from the version
+    * log instead — a concurrent reader sees the old batch or the new
+    * batch, NEVER a torn in-between. The residual race is loud, not
+    * silent: if a replay commits while the pinned read is running, the
+    * pinned files may have moved to the attic mid-scan and the read
+    * fails with FileNotFoundException — retry it (the next pin resolves
+    * the new version). Cost: one tiny log read per serve (partition
+    * pruning on `batch` still applies at planning). */
+  val SnapshotServeKey = "spark.graft.neardup.snapshotServe"
+
+  /** The band table as serves read it (see [[SnapshotServeKey]]).
+    * Snapshot RESOLUTION races a mid-commit replay loudly (the pinned
+    * version's file moved to the attic before the new version's log
+    * entry sealed) — resolution happens eagerly here, so it
+    * self-retries against the re-read current version a few times
+    * before giving up. */
+  private def bandsForServe(spark: SparkSession, cat: String, ns: String,
+                            name: String): DataFrame =
+    if (spark.conf.get(SnapshotServeKey, "true").toBoolean) {
+      var last: Throwable = null
+      (1 to 5).foreach { _ =>
+        try {
+          val v = spark.sql(
+            s"CALL $cat.system.current_version('$ns.${name}_bands')")
+            .collect()(0).getLong(0)
+          return spark.sql(s"SELECT * FROM ${bandsTbl(cat, ns, name)} " +
+            s"VERSION AS OF $v")
+        } catch {
+          case e: Exception
+              if String.valueOf(e.getMessage).contains("out-of-band") ||
+                String.valueOf(e.getMessage).contains("needs attic file") =>
+            last = e // a replay committed mid-resolution; re-pin
+            Thread.sleep(50)
+        }
+      }
+      throw last
+    } else bands(spark, cat, ns, name)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -307,7 +356,8 @@ object NearDupIndex {
     // band table (a bucket saturated by history must not pair with
     // today's postings either); the saturated list broadcasts, so the
     // fresh side's partition pruning survives the anti-join
-    val all = NearDup.dropHotBands(bands(spark, cat, ns, name), cap)
+    val all = NearDup.dropHotBands(
+      bandsForServe(spark, cat, ns, name), cap)
     val fresh = all.filter(col("batch") === batch)
       .select(joinCols(bucketed): _*)
     fresh.as("x").join(all.as("y"),
@@ -325,7 +375,8 @@ object NearDupIndex {
     if (bucketed) ensureSpjConfs(spark)
     val cap = pinnedMaxBucket(spark, cat, ns, name)
     logServeAudit(spark, cat, ns, name, cap)
-    val all = NearDup.dropHotBands(bands(spark, cat, ns, name), cap)
+    val all = NearDup.dropHotBands(
+        bandsForServe(spark, cat, ns, name), cap)
       .select(joinCols(bucketed): _*)
     all.as("x").join(all.as("y"),
         joinCond(bucketed) && col("x.doc_id") < col("y.doc_id"))
@@ -333,10 +384,11 @@ object NearDupIndex {
       .distinct()
   }
 
-  /** Batch retention. Default layout: one metadata-only partition drop.
-    * Co-located layout: a row-level DELETE (batch is a data column
-    * there) — it rewrites the value groups holding the batch's rows,
-    * the documented trade for the shuffle-free daily join. */
+  /** Batch retention — METADATA-ONLY on both layouts. Default layout:
+    * one partition drop. Co-located layout: a partial-spec DELETE on
+    * the `batch` level — the catalog recognizes an all-partition-column
+    * predicate and drops every bucket's `batch=<b>` leaf dir without
+    * reading a row. */
   def dropBatch(spark: SparkSession, cat: String, ns: String, name: String,
                 batch: String): Unit = {
     requireSafeIdent("batch label", batch)

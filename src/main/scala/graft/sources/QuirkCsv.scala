@@ -225,8 +225,8 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     // every partition — whole-table removal is the explicit
     // isDeleteAll/truncateTable route only
     isDeleteAll(filters) ||
-      partitionColOpt.exists(c => filters.nonEmpty && filters.forall(f =>
-        (try QuirkCsv.filterColumn(f) == c
+      (partitionCols.nonEmpty && filters.nonEmpty && filters.forall(f =>
+        (try partitionCols.contains(QuirkCsv.filterColumn(f))
         catch { case _: IllegalArgumentException => false }) &&
           QuirkCsv.evaluable(tableSchema, f)))
 
@@ -235,22 +235,26 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     require(canDeleteWhere(filters),
       s"graftcsv metadata DELETE handles partition-column predicates " +
         s"only, got [${filters.mkString(", ")}]")
-    val c = requirePartitioned()
+    val cols = partitionCols
     val fs = tableRoot.getFileSystem(new Configuration())
     if (!fs.exists(tableRoot)) return
-    val matched = fs.listStatus(tableRoot).toIndexedSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(c + "="))
-      .filter { st =>
-        val v = QuirkCsv.decodePartitionDirValue(
-          st.getPath.getName.substring(c.length + 1))
-        filters.forall(QuirkCsv.eval(_, v))
+    // predicates may hit ANY subset of the levels (a partial spec like
+    // `batch = 'b'` on a (band_bucket, batch) layout matches every
+    // band_bucket's batch=b leaf); the deletion unit is the LEAF value
+    // dir — intermediate dirs that empty out stay as harmless skeleton
+    val matched = QuirkCsv.leafValueDirs(fs, tableRoot, cols)
+      .filter { case (_, tuple) =>
+        filters.forall { f =>
+          val c = QuirkCsv.filterColumn(f)
+          QuirkCsv.eval(f, tuple(cols.indexOf(c)))
+        }
       }
     // versioned: the delete stays metadata-only — ONE rename per value
     // directory into the attic (sidecar travels along), one log entry
     if (QuirkCsvVersions.isVersioned(fs, tableRoot))
       QuirkCsvVersions.commit(fs, tableRoot, "delete", Nil, Nil,
-        matched.map(_.getPath))
-    else matched.foreach(st => fs.delete(st.getPath, true))
+        matched.map(_._1))
+    else matched.foreach { case (d, _) => fs.delete(d, true) }
   }
 
   /** Whole-table row removal: `TRUNCATE TABLE t` AND `DELETE FROM t`
@@ -269,8 +273,9 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     val fs = tableRoot.getFileSystem(new Configuration())
     if (!fs.exists(tableRoot)) return true
     val versioned = QuirkCsvVersions.isVersioned(fs, tableRoot)
-    partitionColOpt match {
+    partitionCols.headOption match {
       case Some(c) =>
+        // level-1 dirs carry everything beneath them — depth-agnostic
         val dirs = fs.listStatus(tableRoot).toIndexedSeq
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith(c + "="))
@@ -299,9 +304,9 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
     * catalog marker is present — surfaces through SHOW CREATE/DESCRIBE
     * and drives the clustered write distribution + grouped scan mode. */
   override def partitioning(): Array[Transform] =
-    partitionColOpt
+    partitionCols
       .map(c => org.apache.spark.sql.connector.expressions.Expressions
-        .identity(c))
+        .identity(c): Transform)
       .toArray
 
   // -------------------------------- partition management (SQL surface)
@@ -313,28 +318,35 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
   // rewrite. On an unpartitioned table every call fails with the same
   // message the ALTER path uses.
 
-  private def partitionColOpt: Option[String] =
-    Option(options.get("partitionCol")).filter(_.nonEmpty)
+  private def partitionCols: Seq[String] = QuirkCsv.partitionColsOf(options)
 
-  private def requirePartitioned(): String = partitionColOpt.getOrElse(
-    throw new UnsupportedOperationException(
+  private def requirePartitioned(): Seq[String] = {
+    val cols = partitionCols
+    if (cols.isEmpty) throw new UnsupportedOperationException(
       s"${name()} is not partitioned — partition management applies to " +
-        "PARTITIONED BY tables only"))
+        "PARTITIONED BY tables only")
+    cols
+  }
 
   private def tableRoot: Path = new Path(options.get("path"))
 
   private def partDir(ident: InternalRow): Path = {
-    val c = requirePartitioned()
-    require(!ident.isNullAt(0),
-      "NULL partition value — partitioned graftcsv tables reject null " +
-        "partition keys")
-    new Path(tableRoot,
-      QuirkCsv.partitionDirName(c, ident.getUTF8String(0).toString))
+    val cols = requirePartitioned()
+    require(ident.numFields == cols.length,
+      s"partition ident arity ${ident.numFields} != partitioning " +
+        s"(${cols.mkString(", ")})")
+    val values = cols.indices.map { i =>
+      require(!ident.isNullAt(i),
+        "NULL partition value — partitioned graftcsv tables reject null " +
+          "partition keys")
+      ident.getUTF8String(i).toString
+    }
+    QuirkCsv.partitionDirPath(tableRoot, cols, values)
   }
 
   override def partitionSchema(): StructType =
-    StructType(Seq(StructField(requirePartitioned(), StringType,
-      nullable = false)))
+    StructType(requirePartitioned().map(c =>
+      StructField(c, StringType, nullable = false)))
 
   override def createPartition(ident: InternalRow,
                                properties: util.Map[String, String]): Unit = {
@@ -381,25 +393,28 @@ private[sources] class QuirkCsvTable(tableSchema: StructType,
   override def listPartitionIdentifiers(names: Array[String],
                                         ident: InternalRow)
   : Array[InternalRow] = {
-    val c = requirePartitioned()
-    require(names.forall(_.equalsIgnoreCase(c)),
+    val cols = requirePartitioned()
+    require(names.forall(n => cols.exists(_.equalsIgnoreCase(n))),
       s"unknown partition column(s) ${names.mkString(", ")} — the " +
-        s"partitioning is ($c)")
+        s"partitioning is (${cols.mkString(", ")})")
     val fs = tableRoot.getFileSystem(new Configuration())
     if (!fs.exists(tableRoot)) return Array.empty
-    val all = fs.listStatus(tableRoot).toIndexedSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(c + "="))
-      .map(st => QuirkCsv.decodePartitionDirValue(
-        st.getPath.getName.substring(c.length + 1)))
-      .sorted
-      .map(v => new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(Array[Any](UTF8String.fromString(v)))
+    val wanted: Seq[(Int, UTF8String)] = names.toIndexedSeq.zipWithIndex
+      .map { case (n, i) =>
+        cols.indexWhere(_.equalsIgnoreCase(n)) -> ident.getUTF8String(i)
+      }
+    QuirkCsv.leafValueDirs(fs, tableRoot, cols)
+      .map(_._2)
+      .sortBy(_.mkString(" "))
+      // PARTIAL specs filter on just the named levels — SHOW PARTITIONS
+      // (names empty) lists every leaf tuple
+      .filter(t => wanted.forall { case (ci, v) =>
+        UTF8String.fromString(t(ci)) == v })
+      .map(t => new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(
+          t.map(v => UTF8String.fromString(v): Any).toArray)
         : InternalRow)
-    // with a prefix filter (names nonEmpty + ident), keep matches only
-    if (names.isEmpty) all.toArray
-    else all.filter(r =>
-      r.getUTF8String(0) == ident.getUTF8String(0)).toArray
+      .toArray
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -588,8 +603,8 @@ private[sources] class QuirkCsvRowLevelOperation(
     tableOptions: CaseInsensitiveStringMap)
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
-  private def partitionCol: Option[String] =
-    Option(tableOptions.get("partitionCol")).filter(_.nonEmpty)
+  private def partitioned: Boolean =
+    QuirkCsv.partitionColsOf(tableOptions).nonEmpty
 
   /** Scan→write coordination for the PARTITIONED path: the replacement
     * scan records which partition values it planned, the write replaces
@@ -603,7 +618,7 @@ private[sources] class QuirkCsvRowLevelOperation(
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap)
   : ScanBuilder = {
     val merged = QuirkCsv.mergeOptions(tableOptions, scanOptions)
-    if (partitionCol.isDefined)
+    if (partitioned)
       new QuirkCsvPartitionedReplaceScanBuilder(fullSchema, merged, scope)
     else new QuirkCsvRowLevelScanBuilder(fullSchema, merged)
   }
@@ -632,7 +647,7 @@ private[sources] class QuirkCsvRowLevelOperation(
     // partitioned: PARTITION-GRANULAR copy-on-write — replace only the
     // value dirs the replacement scan planned; untouched partitions'
     // files stay byte-identical
-    if (partitionCol.isDefined) b.replaceScanned(scope) else b.truncate()
+    if (partitioned) b.replaceScanned(scope) else b.truncate()
     b
   }
 
@@ -750,28 +765,30 @@ private[sources] class QuirkCsvPartitionedReplaceScan(
     options: CaseInsensitiveStringMap, scope: QuirkCsvReplaceScope)
   extends Scan with Batch with SupportsRuntimeFiltering {
 
-  private val col = options.get("partitionCol")
+  private val cols = QuirkCsv.partitionColsOf(options)
   private val files: Seq[QuirkCsvFileMeta] = QuirkCsv.listFiles(options)
   private val maxSplit: Long =
     options.getLong("maxSplitBytes", 128L * 1024 * 1024)
   private var runtimeGroupFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(col))
+    cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+      .column(c): NamedReference).toArray
 
   /** Runtime GROUP filters from the row-level group-filtering rule:
-    * predicates on the partition column listing the values with matching
+    * predicates on partition column(s) listing the values with matching
     * rows. Dropping one we can't evaluate is safe-side — more dirs are
     * read and rewritten with identical content, never fewer. */
   override def filter(newFilters: Array[Filter]): Unit =
     runtimeGroupFilters = newFilters.filter(f =>
       QuirkCsv.evaluable(fullSchema, f) &&
-        QuirkCsv.filterColumn(f) == col)
+        cols.contains(QuirkCsv.filterColumn(f)))
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graftcsv-replace-partitioned($col) ${files.size} file(s), " +
+    s"graftcsv-replace-partitioned(${cols.mkString(", ")}) " +
+      s"${files.size} file(s), " +
       s"RuntimeGroupFilters: [${runtimeGroupFilters.mkString(", ")}]"
 
   override def toBatch: Batch = this
@@ -779,7 +796,7 @@ private[sources] class QuirkCsvPartitionedReplaceScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = QuirkCsv.prunePartitions(options, files, runtimeGroupFilters)
     scope.record(
-      kept.flatMap(f => QuirkCsv.partitionValueOf(f.path, col)).toSet)
+      kept.flatMap(f => QuirkCsv.partitionTupleOf(f.path, cols)).toSet)
     QuirkCsv.planSplits(kept, maxSplit)
   }
 
@@ -867,19 +884,29 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
     else required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
-  private def partitionColName: String = options.get("partitionCol")
+  /** The GROUPING key column of the SPJ mode: the LEADING partition
+    * column. On a single-column table that is the partition column; on
+    * a multi-level layout (e.g. the co-located band table's
+    * `(band_bucket, batch)`) the level-1 value still fully determines a
+    * file's group — all deeper levels chain into it — so the reported
+    * KeyGroupedPartitioning stays layout-determined and an SPJ keyed on
+    * the leading column plans exchange-free while the deeper levels
+    * keep their replay/retention granularity. */
+  private def groupingColName: String =
+    QuirkCsv.partitionColsOf(options).head
 
-  /** One split per partition value (files chained), sorted by value for
-    * deterministic split order. Computed once: both the reported
-    * partitioning's count and the planned splits must agree. DIRECTORY
-    * pruning decides the GROUPS; the per-dir zone maps then prune files
-    * WITHIN each group but never the group itself (a zone-emptied group
-    * stays as an empty split) — if data-value distribution could drop a
-    * value from the reported KeyGroupedPartitioning, the two sides of
-    * an SPJ would disagree and Spark would re-insert the exchanges the
-    * grouped mode exists to eliminate. */
+  /** One split per LEADING-column partition value (files chained,
+    * deeper value levels included), sorted by value for deterministic
+    * split order. Computed once: both the reported partitioning's count
+    * and the planned splits must agree. DIRECTORY pruning decides the
+    * GROUPS; the per-dir zone maps then prune files WITHIN each group
+    * but never the group itself (a zone-emptied group stays as an empty
+    * split) — if data-value distribution could drop a value from the
+    * reported KeyGroupedPartitioning, the two sides of an SPJ would
+    * disagree and Spark would re-insert the exchanges the grouped mode
+    * exists to eliminate. */
   private lazy val groupedPartitions: Array[InputPartition] = {
-    val col = partitionColName
+    val col = groupingColName
     QuirkCsv.prunePartitions(options, files, filters)
       .groupBy(f => QuirkCsv.partitionValueOf(f.path, col).get)
       .toSeq.sortBy(_._1)
@@ -904,7 +931,7 @@ private[sources] class QuirkCsvScan(fullSchema: StructType,
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(partitionColName)),
+            .identity(groupingColName)),
           groupedPartitions.length)
     else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
@@ -2076,10 +2103,10 @@ private[sources] object QuirkCsvWriteMode {
   * write. Both ends run on the driver (scan planning and job commit),
   * so a plain atomic reference suffices. */
 private[sources] final class QuirkCsvReplaceScope {
-  private val ref =
-    new java.util.concurrent.atomic.AtomicReference[Option[Set[String]]](None)
-  def record(values: Set[String]): Unit = ref.set(Some(values))
-  def get: Option[Set[String]] = ref.get()
+  private val ref = new java.util.concurrent.atomic
+    .AtomicReference[Option[Set[Seq[String]]]](None)
+  def record(values: Set[Seq[String]]): Unit = ref.set(Some(values))
+  def get: Option[Set[Seq[String]]] = ref.get()
 }
 
 /** Batch write path: one CSV part file per partition, header per file
@@ -2110,8 +2137,7 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
 
   private var mode: QuirkCsvWriteMode = QuirkCsvWriteMode.Append
 
-  private def partitionCol: Option[String] =
-    Option(options.get("partitionCol")).filter(_.nonEmpty)
+  private def partitionCols: Seq[String] = QuirkCsv.partitionColsOf(options)
 
   // SupportsOverwrite's default truncate() routes through
   // overwrite(ALWAYS_TRUE); keep the explicit whole-table mode instead
@@ -2125,11 +2151,13 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
     * is then exactly a set of whole value directories. Anything else
     * answers false and Spark fails the query loudly (no silent
     * whole-table fallback). */
-  override def canOverwrite(filters: Array[Filter]): Boolean =
-    partitionCol.exists(c => filters.nonEmpty && filters.forall(f =>
-      (try QuirkCsv.filterColumn(f) == c
+  override def canOverwrite(filters: Array[Filter]): Boolean = {
+    val cols = partitionCols
+    cols.nonEmpty && filters.nonEmpty && filters.forall(f =>
+      (try cols.contains(QuirkCsv.filterColumn(f))
       catch { case _: IllegalArgumentException => false }) &&
-        QuirkCsv.evaluable(schema, f)))
+        QuirkCsv.evaluable(schema, f))
+  }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     require(canOverwrite(filters),
@@ -2142,7 +2170,7 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
   }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
-    require(partitionCol.isDefined,
+    require(partitionCols.nonEmpty,
       "graftcsv dynamic partition overwrite applies to PARTITIONED " +
         "tables; overwrite an unpartitioned directory with " +
         "mode(\"overwrite\") / truncate")
@@ -2167,7 +2195,7 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
         s"graftcsv writes the all-string raw layer; column '${f.name}' " +
           s"is ${f.dataType.catalogString} — cast to string first")
     }
-    if (partitionCol.isEmpty) {
+    if (partitionCols.isEmpty) {
       // a flat write into a partitioned table root would drop data
       // files beside the schema seed, where the scan's stray-file guard
       // then rejects the whole table — catch it at the write instead
@@ -2177,7 +2205,7 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
           "catalog (the partitionCol option routes rows into value " +
           "directories); a flat write would strand data files at the root")
     }
-    partitionCol.foreach { c =>
+    partitionCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"partitioned write is missing partition column '$c' in " +
           s"(${schema.fieldNames.mkString(", ")})")
@@ -2214,7 +2242,7 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
       s"bloomBits must be a multiple of 64 in [64, ${1 << 24}], got " +
         s"$bloomBits")
     new QuirkCsvWrite(path, physCols, mode,
-      QuirkCsv.headerOpt(options), queryId, partitionCol, srcIdx,
+      QuirkCsv.headerOpt(options), queryId, partitionCols, srcIdx,
       clusterBy, bloomCols, bloomBits)
   }
 }
@@ -2222,7 +2250,7 @@ private[sources] class QuirkCsvWriteBuilder(path: String,
 private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
                                      mode: QuirkCsvWriteMode, header: Boolean,
                                      queryId: String,
-                                     partitionCol: Option[String] = None,
+                                     partitionCols: Seq[String] = Nil,
                                      srcIdx: Array[Int] = null,
                                      clusterBy: Option[String] = None,
                                      bloomCols: Array[String] = Array.empty,
@@ -2251,21 +2279,22 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     * column (whole value groups per task, no small-file explosion). */
   override def requiredDistribution()
   : org.apache.spark.sql.connector.distributions.Distribution =
-    (partitionCol, clusterBy) match {
+    (partitionCols, clusterBy) match {
       case (pc, Some(k)) =>
         org.apache.spark.sql.connector.distributions.Distributions.ordered(
-          (pc.toSeq :+ k).map(sortOrderOf).toArray)
-      case (Some(c), None) =>
+          (pc :+ k).map(sortOrderOf).toArray)
+      case (pc, None) if pc.nonEmpty =>
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(c)))
-      case (None, None) =>
+          pc.map(c => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c): org.apache.spark.sql.connector.expressions
+            .Expression).toArray)
+      case _ =>
         org.apache.spark.sql.connector.distributions.Distributions
           .unspecified()
     }
 
   override def requiredOrdering(): Array[SortOrder] = clusterBy match {
-    case Some(k) => (partitionCol.toSeq :+ k).map(sortOrderOf).toArray
+    case Some(k) => (partitionCols :+ k).map(sortOrderOf).toArray
     case None => Array.empty
   }
 
@@ -2326,15 +2355,15 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
   private def partitionRowIdx(c: String): Int = src(columns.indexOf(c))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-  : DataWriterFactory = partitionCol match {
-    case Some(c) =>
+  : DataWriterFactory =
+    if (partitionCols.nonEmpty)
       new QuirkCsvPartitionedWriterFactory(path, columns, header,
-        java.util.UUID.randomUUID().toString, c, partitionRowIdx(c), src,
+        java.util.UUID.randomUUID().toString, partitionCols.toArray,
+        partitionCols.map(partitionRowIdx).toArray, src,
         bloomCols, bloomBits)
-    case None =>
+    else
       new QuirkCsvWriterFactory(path, columns, header,
         java.util.UUID.randomUUID().toString, src, bloomCols, bloomBits)
-  }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
   : StreamingDataWriterFactory = {
@@ -2344,14 +2373,14 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     val root = new Path(path)
     val preserve = QuirkCsvVersions.isVersioned(
       root.getFileSystem(new Configuration()), root)
-    partitionCol match {
-      case Some(c) =>
-        new QuirkCsvPartitionedStreamingWriterFactory(path, columns, header,
-          queryId, c, partitionRowIdx(c), src, bloomCols, bloomBits, preserve)
-      case None =>
-        new QuirkCsvStreamingWriterFactory(path, columns, header, queryId,
-          src, bloomCols, bloomBits, preserve)
-    }
+    if (partitionCols.nonEmpty)
+      new QuirkCsvPartitionedStreamingWriterFactory(path, columns, header,
+        queryId, partitionCols.toArray,
+        partitionCols.map(partitionRowIdx).toArray, src,
+        bloomCols, bloomBits, preserve)
+    else
+      new QuirkCsvStreamingWriterFactory(path, columns, header, queryId,
+        src, bloomCols, bloomBits, preserve)
   }
 
   /** The action label a versioned table's log records for this write. */
@@ -2391,8 +2420,7 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     val dispose: Path => Unit =
       if (versioned) (p => retired += p)
       else (p => p.getFileSystem(new Configuration()).delete(p, false))
-    partitionCol match {
-      case None =>
+    if (partitionCols.isEmpty) {
         val commits = messages.collect { case c: QuirkCsvCommit => c }
         if (truncateFirst) {
           val written = commits.map(c => new Path(c.file).getName).toSet
@@ -2407,9 +2435,9 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
           QuirkCsvVersions.commit(rootFs, root, versionAction,
             commits.map(c => new Path(c.file)).toSeq, retired.toSeq)
         mergeZoneMap(commits, dropPrior = truncateFirst)
-      case Some(c) =>
+    } else {
         if (mode != QuirkCsvWriteMode.Append)
-          commitPartitioned(c, messages, dispose)
+          commitPartitioned(partitionCols, messages, dispose)
         if (versioned)
           QuirkCsvVersions.commit(rootFs, root, versionAction,
             allCommits(messages).map(cm => new Path(cm.file)),
@@ -2438,20 +2466,22 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
     * row-level replacement scan PLANNED. Out-of-scope directories are
     * never listed, touched, or rewritten — that is the byte-identity
     * guarantee partitioned copy-on-write rests on. */
-  private def commitPartitioned(col: String,
+  private def commitPartitioned(cols: Seq[String],
                                 messages: Array[WriterCommitMessage],
                                 dispose: Path => Unit): Unit = {
-    val writtenByValue: Map[String, Set[String]] = messages.flatMap {
+    def evalTuple(f: Filter, tuple: Seq[String]): Boolean =
+      QuirkCsv.eval(f, tuple(cols.indexOf(QuirkCsv.filterColumn(f))))
+    val writtenByValue: Map[Seq[String], Set[String]] = messages.flatMap {
       case mc: QuirkCsvMultiCommit => mc.commits
       case cm: QuirkCsvCommit => Seq(cm)
       case _ => Nil
     }.flatMap { cm =>
-      QuirkCsv.partitionValueOf(cm.file, col)
-        .map(v => v -> new Path(cm.file).getName)
-    }.groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+      QuirkCsv.partitionTupleOf(cm.file, cols)
+        .map(t => t -> new Path(cm.file).getName)
+    }.groupBy(_._1).map { case (t, ns) => t -> ns.map(_._2).toSet }
     val root = new Path(path)
     val fs = root.getFileSystem(new Configuration())
-    val targetValues: Set[String] = mode match {
+    val targetValues: Set[Seq[String]] = mode match {
       case QuirkCsvWriteMode.DynamicPartitions => writtenByValue.keySet
       case QuirkCsvWriteMode.OverwriteWhere(filters) =>
         // Iceberg-style validation BEFORE any delete: rows landing
@@ -2459,20 +2489,16 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
         // with overwrite semantics claimed — abort the commit instead
         // (job abort then removes this job's files; no data changed)
         val stray = writtenByValue.keySet
-          .filterNot(v => filters.forall(QuirkCsv.eval(_, v)))
+          .filterNot(t => filters.forall(evalTuple(_, t)))
         require(stray.isEmpty,
           s"overwrite-by-filter write produced rows in partition(s) " +
-            s"${stray.mkString(", ")} outside the overwritten region " +
-            s"[${filters.mkString(", ")}] — every written row must " +
-            "satisfy the overwrite condition (commit aborted, nothing " +
-            "was deleted)")
-        if (!fs.exists(root)) Set.empty
-        else fs.listStatus(root).toIndexedSeq
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(col + "="))
-          .map(st => QuirkCsv.decodePartitionDirValue(
-            st.getPath.getName.substring(col.length + 1)))
-          .filter(v => filters.forall(QuirkCsv.eval(_, v)))
+            s"${stray.map(_.mkString("/")).mkString(", ")} outside the " +
+            s"overwritten region [${filters.mkString(", ")}] — every " +
+            "written row must satisfy the overwrite condition (commit " +
+            "aborted, nothing was deleted)")
+        QuirkCsv.leafValueDirs(fs, root, cols)
+          .map(_._2)
+          .filter(t => filters.forall(evalTuple(_, t)))
           .toSet
       case QuirkCsvWriteMode.ReplaceScanned(scope) =>
         scope.get.getOrElse(throw new IllegalStateException(
@@ -2481,10 +2507,10 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
       case m => throw new IllegalStateException(
         s"unexpected partitioned commit mode $m") // Append returns above
     }
-    targetValues.foreach { v =>
-      val dir = new Path(root, QuirkCsv.partitionDirName(col, v))
+    targetValues.foreach { t =>
+      val dir = QuirkCsv.partitionDirPath(root, cols, t)
       if (fs.exists(dir)) {
-        val keep = writtenByValue.getOrElse(v, Set.empty)
+        val keep = writtenByValue.getOrElse(t, Set.empty)
         fs.listStatus(dir).foreach { st =>
           val n = st.getPath.getName
           if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
@@ -2548,8 +2574,7 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
       if (versioned) (p => phantoms += p)
       else (p => p.getFileSystem(new Configuration()).delete(p, false))
     val commits = allCommits(messages)
-    partitionCol match {
-      case None =>
+    if (partitionCols.isEmpty) {
         if (doSweep) {
           val written = commits.map(c => new Path(c.file).getName).toSet
           if (rootFs.exists(root)) rootFs.listStatus(root).foreach { st =>
@@ -2564,21 +2589,22 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
             retiredAliases = replayAsides(root, commits))
         mergeZoneMap(messages.collect { case c: QuirkCsvCommit => c },
           dropPrior = false)
-      case Some(c) =>
+    } else {
         if (doSweep) {
           // a phantom commit of this (query, epoch) under a died driver
-          // can sit in ANY value dir — walk them once (first epoch of
-          // this instance only, like the flat path)
-          val keepByDir = commits
-            .groupBy(cm => new Path(cm.file).getParent.getName)
-            .map { case (d, cs) =>
-              d -> cs.map(cm => new Path(cm.file).getName).toSet }
-          if (rootFs.exists(root)) rootFs.listStatus(root)
-            .filter(st => st.isDirectory &&
-              st.getPath.getName.startsWith(c + "="))
-            .foreach { d =>
-              val keep = keepByDir.getOrElse(d.getPath.getName, Set.empty)
-              rootFs.listStatus(d.getPath).foreach { st =>
+          // can sit in ANY (leaf) value dir — walk them once (first
+          // epoch of this instance only, like the flat path). Keyed by
+          // the partition TUPLE (scheme-independent): leaf dir NAMES
+          // repeat across level-1 dirs on a multi-level layout.
+          val keepByTuple = commits
+            .flatMap(cm => QuirkCsv.partitionTupleOf(cm.file, partitionCols)
+              .map(_ -> new Path(cm.file).getName))
+            .groupBy(_._1)
+            .map { case (t, ns) => t -> ns.map(_._2).toSet }
+          QuirkCsv.leafValueDirs(rootFs, root, partitionCols)
+            .foreach { case (d, tuple) =>
+              val keep = keepByTuple.getOrElse(tuple, Set.empty)
+              rootFs.listStatus(d).foreach { st =>
                 val n = st.getPath.getName
                 if (st.isFile && !keep.contains(n) && phantom(n))
                   dispose(st.getPath)
@@ -2822,7 +2848,8 @@ private[sources] case class QuirkCsvMultiCommit(commits: Seq[QuirkCsvCommit])
 
 private[sources] class QuirkCsvPartitionedWriterFactory(
     path: String, columns: Array[String], header: Boolean, jobId: String,
-    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null,
+    partitionCols: Array[String], partitionIdxs: Array[Int],
+    srcIdx: Array[Int] = null,
     bloomCols: Array[String] = Array.empty,
     bloomBits: Int = QuirkCsvBloom.DefaultBits)
   extends DataWriterFactory {
@@ -2830,8 +2857,8 @@ private[sources] class QuirkCsvPartitionedWriterFactory(
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new QuirkCsvPartitionedWriter(path, columns, header,
-      f"part-$jobId-$partitionId%05d.csv", taskId, partitionCol,
-      partitionIdx, srcIdx, bloomCols, bloomBits)
+      f"part-$jobId-$partitionId%05d.csv", taskId, partitionCols,
+      partitionIdxs, srcIdx, bloomCols, bloomBits)
 }
 
 /** Streaming twin: the same per-value router with epoch-keyed final
@@ -2839,7 +2866,8 @@ private[sources] class QuirkCsvPartitionedWriterFactory(
   * received rows for, replay renaming over the same names. */
 private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
     path: String, columns: Array[String], header: Boolean, queryId: String,
-    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null,
+    partitionCols: Array[String], partitionIdxs: Array[Int],
+    srcIdx: Array[Int] = null,
     bloomCols: Array[String] = Array.empty,
     bloomBits: Int = QuirkCsvBloom.DefaultBits,
     preserveReplaced: Boolean = false)
@@ -2850,13 +2878,13 @@ private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
     new QuirkCsvPartitionedWriter(path, columns, header,
       QuirkCsvStreamingWriterFactory.epochPrefix(queryId, epochId) +
         f"$partitionId%05d.csv",
-      taskId, partitionCol, partitionIdx, srcIdx, bloomCols, bloomBits,
+      taskId, partitionCols, partitionIdxs, srcIdx, bloomCols, bloomBits,
       preserveReplaced)
 }
 
-/** Dynamic-partition router: each row lands in its value's
-  * `col=value/` subdir through the same attempt-private-tmp +
-  * rename-on-commit writers as the flat path (one open writer per value
+/** Dynamic-partition router: each row lands in its value tuple's nested
+  * `c1=v1/c2=v2/` subdir through the same attempt-private-tmp +
+  * rename-on-commit writers as the flat path (one open writer per tuple
   * seen by this task — the requested clustered distribution keeps that
   * count ~1). NULL partition values fail LOUDLY: a silent null bucket
   * (hive's `__HIVE_DEFAULT_PARTITION__`) turns cleaning bugs into
@@ -2864,19 +2892,20 @@ private[sources] class QuirkCsvPartitionedStreamingWriterFactory(
 private[sources] class QuirkCsvPartitionedWriter(
     basePath: String, columns: Array[String], header: Boolean,
     finalName: String, taskId: Long,
-    partitionCol: String, partitionIdx: Int, srcIdx: Array[Int] = null,
+    partitionCols: Array[String], partitionIdxs: Array[Int],
+    srcIdx: Array[Int] = null,
     bloomCols: Array[String] = Array.empty,
     bloomBits: Int = QuirkCsvBloom.DefaultBits,
     preserveReplaced: Boolean = false)
   extends DataWriter[InternalRow] {
 
-  private val open =
-    scala.collection.mutable.LinkedHashMap.empty[String, QuirkCsvRenamingWriter]
+  private val open = scala.collection.mutable
+    .LinkedHashMap.empty[Seq[String], QuirkCsvRenamingWriter]
 
-  private def writerFor(value: String): QuirkCsvRenamingWriter =
-    open.getOrElseUpdate(value, {
-      val dir = new Path(basePath,
-        QuirkCsv.partitionDirName(partitionCol, value))
+  private def writerFor(values: Seq[String]): QuirkCsvRenamingWriter =
+    open.getOrElseUpdate(values, {
+      val dir = QuirkCsv.partitionDirPath(new Path(basePath),
+        partitionCols.toIndexedSeq, values)
       dir.getFileSystem(new Configuration()).mkdirs(dir)
       new QuirkCsvRenamingWriter(
         s"$dir/.$finalName.attempt-$taskId.tmp", s"$dir/$finalName",
@@ -2884,11 +2913,17 @@ private[sources] class QuirkCsvPartitionedWriter(
     })
 
   override def write(row: InternalRow): Unit = {
-    require(!row.isNullAt(partitionIdx),
-      s"NULL value for partition column '$partitionCol' — partitioned " +
-        "raw tables reject null partition keys; clean upstream or use " +
-        "an explicit sentinel value")
-    writerFor(row.getUTF8String(partitionIdx).toString).write(row)
+    val values = new Array[String](partitionIdxs.length)
+    var i = 0
+    while (i < partitionIdxs.length) {
+      require(!row.isNullAt(partitionIdxs(i)),
+        s"NULL value for partition column '${partitionCols(i)}' — " +
+          "partitioned raw tables reject null partition keys; clean " +
+          "upstream or use an explicit sentinel value")
+      values(i) = row.getUTF8String(partitionIdxs(i)).toString
+      i += 1
+    }
+    writerFor(values.toIndexedSeq).write(row)
   }
 
   /** Per-value renames happen sequentially; a failure partway would
@@ -3296,32 +3331,36 @@ private[sources] object QuirkCsv {
     val fs: FileSystem = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) return Nil
     val st = fs.getFileStatus(path)
-    val pc = options.get("partitionCol")
-    val dirPredicates: Array[Filter] =
-      if (pc == null || pc.isEmpty ||
+    val pcols = partitionColsOf(options)
+    // per-LEVEL directory predicates: a pushed filter on cols(i) prunes
+    // the level-i listing before anything beneath it is touched (never
+    // under a snapshot/pinned read — those resolve file sets themselves)
+    val dirPredicates: Map[String, Array[Filter]] =
+      if (pcols.isEmpty ||
         Option(options.get("asOfVersion")).exists(_.nonEmpty) ||
-        Option(options.get("pinnedFiles")).exists(_.nonEmpty)) Array.empty
-      else partitionFilters.filter(f =>
-        (try filterColumn(f) == pc catch { case _: Exception => false }))
-    def dirMayMatch(name: String): Boolean =
-      dirPredicates.isEmpty || {
-        val eq = name.indexOf('=')
-        if (eq < 0) true
-        else {
-          val v = dec(name.substring(eq + 1))
-          dirPredicates.forall(eval(_, v))
-        }
+        Option(options.get("pinnedFiles")).exists(_.nonEmpty))
+        Map.empty.withDefaultValue(Array.empty)
+      else pcols.map(c => c -> partitionFilters.filter(f =>
+        (try filterColumn(f) == c
+        catch { case _: Exception => false }))).toMap
+        .withDefaultValue(Array.empty)
+    def dirMayMatch(level: Int, name: String): Boolean = {
+      if (level >= pcols.length) return true
+      val c = pcols(level)
+      val preds = dirPredicates(c)
+      preds.isEmpty || !name.startsWith(c + "=") || {
+        val v = dec(name.substring(c.length + 1))
+        preds.forall(eval(_, v))
       }
+    }
     def visible(s: FileStatus): Boolean =
       s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith(".")
-    // identity-partitioned tables keep data in `col=value` subdirs: one
-    // extra listing level, opted in by the partitionCol option so plain
-    // directories never pay (or accidentally read) nested content
-    val partitioned = {
-      val c = options.get("partitionCol")
-      c != null && c.nonEmpty
-    }
+    // identity-partitioned tables keep data in nested `col=value`
+    // subdirs (one level per partition column), opted in by the
+    // partitionCol option so plain directories never pay (or
+    // accidentally read) nested content
+    val partitioned = pcols.nonEmpty
     // reading a partitioned table root WITHOUT the option would see only
     // the root-level schema seed and silently return an empty,
     // schema-correct frame — fail loudly instead (the marker makes the
@@ -3340,27 +3379,33 @@ private[sources] object QuirkCsv {
         val direct = top.filter(visible)
         if (!partitioned) direct
         else {
-          val dirs = top.filter(s => s.isDirectory &&
-            !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith(".") &&
-            dirMayMatch(s.getPath.getName))
           // value-dir listings fan out from a bounded pool past a small
           // threshold: a many-partition root must not pay one sequential
           // filesystem RPC per directory at every scan planning (Hadoop
           // FileSystem instances are thread-safe for reads; the sortBy
-          // below keeps the result deterministic either way)
-          val children: Seq[FileStatus] =
+          // below keeps the result deterministic either way). Bounded
+          // await: one wedged listStatus must fail planning loudly, not
+          // hang it forever with the pool alive.
+          def listMany(dirs: Seq[FileStatus]): Seq[FileStatus] =
             if (dirs.size <= 16)
-              dirs.flatMap(d =>
-                fs.listStatus(d.getPath).toIndexedSeq.filter(visible))
-            else
-              // bounded await: one wedged listStatus must fail planning
-              // loudly, not hang it forever with the pool alive
-              QuirkCsvMaintenance.runBounded(
-                dirs.map(d => d.getPath.getName -> (() =>
-                  fs.listStatus(d.getPath).toIndexedSeq.filter(visible))),
-                math.min(16, dirs.size), 600L, "partition listing").flatten
-          direct ++ children
+              dirs.flatMap(d => fs.listStatus(d.getPath).toIndexedSeq)
+            else QuirkCsvMaintenance.runBounded(
+              dirs.map(d => d.getPath.getName -> (() =>
+                fs.listStatus(d.getPath).toIndexedSeq)),
+              16, 600L, "partition listing").flatten
+          def valueDirs(level: Int, in: Seq[FileStatus]): Seq[FileStatus] =
+            in.filter(s => s.isDirectory &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith(".") &&
+              dirMayMatch(level, s.getPath.getName))
+          // descend one listing level per partition column
+          var dirs = valueDirs(0, top)
+          var level = 1
+          while (level < pcols.length) {
+            dirs = valueDirs(level, listMany(dirs))
+            level += 1
+          }
+          direct ++ listMany(dirs).filter(visible)
         }
       }
     val all = statuses
@@ -3543,16 +3588,28 @@ private[sources] object QuirkCsv {
 
   // ------------------------------------------- identity partitioning
 
-  /** Marker file naming a partitioned table's partition column. */
+  /** Marker file naming a partitioned table's partition column(s) —
+    * one enc()'d name per level, comma-joined (enc escapes commas, so
+    * the join is unambiguous; a single-column marker is byte-identical
+    * to the pre-multi-level format). Level order = directory nesting
+    * order: `c1=v1/c2=v2/part-*.csv`. */
   val PartitioningFile = "_graft_partitioning"
 
-  def writePartitioning(dir: Path, col: String): Unit = {
+  def writePartitioning(dir: Path, col: String): Unit =
+    writePartitioning(dir, splitColsOption(col))
+
+  def writePartitioning(dir: Path, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "partitioning marker needs at least one column")
     val fs = dir.getFileSystem(new Configuration())
     val out = fs.create(new Path(dir, PartitioningFile), true)
-    out.write(enc(col).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(cols.map(enc).mkString(",")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     out.close()
   }
 
+  /** The marker's column list as the comma-joined OPTION value the
+    * catalog plumbs through `partitionCol` (names stay enc()'d inside
+    * the option; [[partitionColsOf]] decodes). */
   def readPartitioning(dir: Path): Option[String] = {
     val fs = dir.getFileSystem(new Configuration())
     val p = new Path(dir, PartitioningFile)
@@ -3562,10 +3619,71 @@ private[sources] object QuirkCsv {
       try {
         val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
         in.readFully(bytes)
-        Some(dec(new String(bytes,
-          java.nio.charset.StandardCharsets.ISO_8859_1).trim))
+        Some(new String(bytes,
+          java.nio.charset.StandardCharsets.ISO_8859_1).trim
+          .split(",", -1).toIndexedSeq.filter(_.nonEmpty).map(dec)
+          .mkString(","))
       } finally in.close()
     }
+  }
+
+  /** The ordered partition columns of a table's options (empty =
+    * unpartitioned). The `partitionCol` option value is comma-joined;
+    * catalog column names are identifier-safe so the split is exact. */
+  def partitionColsOf(options: CaseInsensitiveStringMap): Seq[String] =
+    splitColsOption(options.get("partitionCol"))
+
+  private[sources] def splitColsOption(v: String): Seq[String] =
+    if (v == null || v.isEmpty) Nil
+    else v.split(",", -1).toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** The nested value-directory relative path for one partition tuple:
+    * `c1=enc(v1)/c2=enc(v2)`. */
+  def partitionDirPath(root: Path, cols: Seq[String],
+                       values: Seq[String]): Path = {
+    require(cols.length == values.length,
+      s"partition tuple arity ${values.length} != columns $cols")
+    cols.zip(values).foldLeft(root) { case (p, (c, v)) =>
+      new Path(p, partitionDirName(c, v))
+    }
+  }
+
+  /** The full partition-value TUPLE a file inherits from its ancestor
+    * directories — all columns present (innermost = last level) or None
+    * (root-level files like the schema seed, or foreign layouts). */
+  def partitionTupleOf(filePath: String,
+                       cols: Seq[String]): Option[Seq[String]] = {
+    val vals = new Array[String](cols.length)
+    var p = new Path(filePath).getParent
+    var i = cols.length - 1
+    while (p != null && i >= 0) {
+      val n = p.getName
+      if (n.startsWith(cols(i) + "=")) {
+        vals(i) = dec(n.substring(cols(i).length + 1)); i -= 1
+      } else if (n.contains("=")) return None // wrong level order
+      else return if (i < 0) Some(vals.toSeq) else None
+      p = p.getParent
+    }
+    if (i < 0) Some(vals.toIndexedSeq) else None
+  }
+
+  /** Every LEAF value directory of a partitioned table root with its
+    * decoded value tuple, depth-first in path order. Intermediate
+    * levels with stray files are NOT reported (prunePartitions rejects
+    * those loudly at scan time). */
+  def leafValueDirs(fs: FileSystem, root: Path,
+                    cols: Seq[String]): Seq[(Path, Seq[String])] = {
+    def walk(dir: Path, level: Int,
+             acc: List[String]): Seq[(Path, Seq[String])] =
+      if (level == cols.length) Seq((dir, acc.reverse))
+      else if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toIndexedSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(cols(level) + "="))
+        .sortBy(_.getPath.getName)
+        .flatMap(st => walk(st.getPath, level + 1,
+          dec(st.getPath.getName.substring(cols(level).length + 1)) :: acc))
+    if (cols.isEmpty) Nil else walk(root, 0, Nil)
   }
 
   /** `_graft_cluster` marker: the table's CLUSTER column
@@ -3656,14 +3774,18 @@ private[sources] object QuirkCsv {
   /** Decode the value half of a `col=value` partition directory name. */
   def decodePartitionDirValue(encoded: String): String = dec(encoded)
 
-  /** The partition value a file inherits from its parent directory, or
-    * None for root-level files (the schema seed). */
+  /** The partition value a file inherits for `col` from its ancestor
+    * `col=value` directory (any nesting level), or None for root-level
+    * files (the schema seed) / files outside a `col=` directory. */
   def partitionValueOf(filePath: String, col: String): Option[String] = {
-    val parent = new Path(filePath).getParent
-    if (parent == null) return None
-    val n = parent.getName
-    if (n.startsWith(col + "=")) Some(dec(n.substring(col.length + 1)))
-    else None
+    var p = new Path(filePath).getParent
+    while (p != null) {
+      val n = p.getName
+      if (n.startsWith(col + "=")) return Some(dec(n.substring(col.length + 1)))
+      if (!n.contains("=")) return None // climbed out of the value levels
+      p = p.getParent
+    }
+    None
   }
 
   /** Directory-level partition pruning: drop files whose partition-dir
@@ -3676,24 +3798,30 @@ private[sources] object QuirkCsv {
   def prunePartitions(options: CaseInsensitiveStringMap,
                       files: Seq[QuirkCsvFileMeta],
                       filters: Array[Filter]): Seq[QuirkCsvFileMeta] = {
-    val col = options.get("partitionCol")
-    if (col == null || col.isEmpty) return files
+    val cols = partitionColsOf(options)
+    if (cols.isEmpty) return files
     val data = files.filter { fm =>
       val p = new Path(fm.path)
-      if (partitionValueOf(fm.path, col).isDefined) true
+      if (partitionTupleOf(fm.path, cols).isDefined) true
       else if (p.getName.startsWith("part-seed-")) false
       else throw new IllegalStateException(
-        s"partitioned graftcsv table has a root-level data file " +
-          s"'${p.getName}' outside any $col=<value> directory — move it " +
-          "into its partition directory (root holds only the schema seed)")
+        s"partitioned graftcsv table has a data file '${p.getName}' " +
+          s"outside the ${cols.mkString("/")} value-directory layout — " +
+          "move it into its partition directory (root holds only the " +
+          "schema seed)")
     }
-    val relevant = filters.filter(f =>
-      (try filterColumn(f) == col catch { case _: Exception => false }))
+    // each conjunct prunes on ITS column's inherited dir value
+    val relevant = filters.flatMap { f =>
+      val c = try Some(filterColumn(f)) catch { case _: Exception => None }
+      c.filter(cols.contains).map(_ -> f)
+    }
     if (relevant.isEmpty) data
     else data.filter { fm =>
-      partitionValueOf(fm.path, col) match {
-        case Some(v) => relevant.forall(eval(_, v))
-        case None => true
+      relevant.forall { case (c, f) =>
+        partitionValueOf(fm.path, c) match {
+          case Some(v) => eval(f, v)
+          case None => true
+        }
       }
     }
   }
@@ -3912,14 +4040,15 @@ private[sources] object QuirkCsv {
     // across value subdirs so the root can't carry one map, but within
     // a dir they are unique) prunes files by the remaining predicates —
     // a filter on a non-partition column skips files INSIDE partitions
-    val pc = options.get("partitionCol")
-    if (pc != null && pc.nonEmpty) {
+    val pcs = partitionColsOf(options)
+    if (pcs.nonEmpty) {
       val dirPruned = prunePartitions(options, files, filters)
       // per-dir sidecar loads only pay off when some predicate can
       // discriminate WITHIN a dir (partition-col stats are constant
       // there), and only when there is anything to prune with
       val intraDir = filters.exists(f =>
-        (try filterColumn(f) != pc catch { case _: Exception => false }))
+        (try !pcs.contains(filterColumn(f))
+        catch { case _: Exception => false }))
       if (!pruning || !intraDir) return dirPruned
       return dirPruned.groupBy(f => new Path(f.path).getParent)
         .toSeq.sortBy(_._1.toString)
@@ -3959,9 +4088,10 @@ private[sources] object QuirkCsv {
                          schema: StructType,
                          filters: Array[Filter]): Boolean =
     filters.isEmpty || {
-      val pc = options.get("partitionCol")
-      pc != null && pc.nonEmpty && filters.forall(f =>
-        (try filterColumn(f) == pc catch { case _: Exception => false }) &&
+      val pcols = partitionColsOf(options)
+      pcols.nonEmpty && filters.forall(f =>
+        (try pcols.contains(filterColumn(f))
+        catch { case _: Exception => false }) &&
           evaluable(schema, f))
     }
 

@@ -162,25 +162,24 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
   private def materializeTable(dir: Path, schema: StructType,
                                partitions: Array[Transform],
                                properties: util.Map[String, String]): Unit = {
-    // PARTITIONED BY (col): exactly one IDENTITY transform over a
-    // schema column — the hive-style `col=value` subdir layout that
-    // buys directory-level partition pruning and storage-partitioned
-    // joins. Bucket/sort transforms stay engine-layer concerns.
-    val partitionCol = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) =>
-        val refs = t.references()
-        require(t.name() == "identity" && refs.length == 1 &&
-          refs(0).fieldNames().length == 1,
-          s"graftcsv supports PARTITIONED BY (<one column>) only, got $t")
-        val c = refs(0).fieldNames()(0)
-        require(schema.fieldNames.contains(c),
-          s"partition column '$c' is not in the table schema")
-        Some(c)
-      case many => throw new IllegalArgumentException(
-        s"graftcsv supports at most one partition column, got " +
-          many.mkString(", "))
+    // PARTITIONED BY (c1, c2, …): IDENTITY transforms over schema
+    // columns — the hive-style nested `c1=v1/c2=v2` subdir layout that
+    // buys directory-level partition pruning (any level), partial-spec
+    // partition retention, and storage-partitioned joins keyed on the
+    // LEADING column. Bucket/sort transforms stay engine-layer concerns.
+    val partitionCols: Seq[String] = partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1 &&
+        refs(0).fieldNames().length == 1,
+        s"graftcsv supports PARTITIONED BY (identity columns) only, got $t")
+      val c = refs(0).fieldNames()(0)
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the table schema")
+      c
     }
+    require(partitionCols.map(_.toLowerCase).distinct.size ==
+      partitionCols.size,
+      s"duplicate partition column in (${partitionCols.mkString(", ")})")
     schema.fields.foreach { f =>
       require(f.dataType == StringType,
         s"graftcsv is the all-string raw layer; column '${f.name}' " +
@@ -198,8 +197,8 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     clusterBy.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"clusterBy column '$c' is not in the table schema")
-      require(!partitionCol.contains(c),
-        s"clusterBy column '$c' is already the partition column — " +
+      require(!partitionCols.contains(c),
+        s"clusterBy column '$c' is already a partition column — " +
           "directory routing clusters it for free")
     }
     // TBLPROPERTIES('bloomCols'='a,b'): per-file sidecar Bloom filters on
@@ -216,8 +215,8 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
     bloomCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"bloomCols column '$c' is not in the table schema")
-      require(!partitionCol.contains(c),
-        s"bloomCols column '$c' is the partition column — directory " +
+      require(!partitionCols.contains(c),
+        s"bloomCols column '$c' is a partition column — directory " +
           "pruning already answers equality probes on it")
     }
     fs.mkdirs(dir)
@@ -228,7 +227,7 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
       .mkString(",") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     seed.close()
-    partitionCol.foreach(c => QuirkCsv.writePartitioning(dir, c))
+    if (partitionCols.nonEmpty) QuirkCsv.writePartitioning(dir, partitionCols)
     // TBLPROPERTIES('clusterBy'='col'): writes range-layout the cluster
     // column so per-(value-)dir zone maps prune selective probes to the
     // one covering file (see QuirkCsv.ClusterFile); validated above
@@ -330,7 +329,8 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
                           changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val partitionCol = QuirkCsv.readPartitioning(dir)
+    val partitionCols = QuirkCsv.readPartitioning(dir).toSeq
+      .flatMap(QuirkCsv.splitColsOption)
     var schemaMap = QuirkCsv.loadSchemaMap(dir.toString)
       .getOrElse(QuirkCsvSchemaMap(Nil))
     var logical = loadTable(ident).columns().map(_.name()).toSeq
@@ -382,7 +382,7 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
         val from = rn.fieldNames()(0)
         val to = rn.newName()
         requireSafeName(to)
-        require(!partitionCol.exists(_.equalsIgnoreCase(from)),
+        require(!partitionCols.exists(_.equalsIgnoreCase(from)),
           s"cannot rename partition column '$from': its physical name " +
             "is the value-directory layout on disk")
         require(!QuirkCsv.readClustering(dir).exists(_.equalsIgnoreCase(from)),
@@ -402,7 +402,7 @@ class QuirkCsvCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames().length == 1,
           "graftcsv columns are flat; nested drop is not supported")
         val n = del.fieldNames()(0)
-        require(!partitionCol.exists(_.equalsIgnoreCase(n)),
+        require(!partitionCols.exists(_.equalsIgnoreCase(n)),
           s"cannot drop partition column '$n': it is the value-directory " +
             "layout on disk")
         require(!QuirkCsv.readClustering(dir).exists(_.equalsIgnoreCase(n)),

@@ -126,14 +126,12 @@ private[sources] object QuirkCsvProcedures {
           val n = input.getInt(1)
           val spark = org.apache.spark.sql.SparkSession.active
           val targets: Seq[String] = QuirkCsv.readPartitioning(dir) match {
-            case Some(_) =>
-              // partitioned: each value dir is the compaction unit; the
-              // root guard (and the hidden-dir guard) stay authoritative
-              fs.listStatus(dir).toIndexedSeq
-                .filter(st => st.isDirectory &&
-                  !st.getPath.getName.startsWith("_") &&
-                  !st.getPath.getName.startsWith("."))
-                .map(_.getPath.toString).sorted
+            case Some(pc) =>
+              // partitioned: each LEAF value dir is the compaction unit
+              // (one nesting level per partition column); the root guard
+              // (and the hidden-dir guard) stay authoritative
+              QuirkCsv.leafValueDirs(fs, dir, QuirkCsv.splitColsOption(pc))
+                .map(_._1.toString).sorted
             case None => Seq(dir.toString)
           }
           // value dirs fold CONCURRENTLY (bounded driver pool): a
@@ -172,11 +170,13 @@ private[sources] object QuirkCsvProcedures {
             st.isFile && st.getPath.getName
               .endsWith(QuirkCsvStreamingWriterFactory.PreReplaySuffix)
           sweepIn(dir, isAside)
-          fs.listStatus(dir)
-            .filter(st => st.isDirectory &&
-              !st.getPath.getName.startsWith("_") &&
-              !st.getPath.getName.startsWith("."))
-            .foreach(vd => sweepIn(vd.getPath, isAside))
+          QuirkCsv.readPartitioning(dir) match {
+            case Some(pc) =>
+              // partitioned: asides live in LEAF value dirs
+              QuirkCsv.leafValueDirs(fs, dir, QuirkCsv.splitColsOption(pc))
+                .foreach { case (vd, _) => sweepIn(vd, isAside) }
+            case None => ()
+          }
           val t = dir.getName
           sweepIn(dir.getParent, st => st.isDirectory &&
             (st.getPath.getName.startsWith(s".staged-$t-") ||

@@ -390,8 +390,11 @@ object QuirkCsvVersions {
       // sidecar travels along — snapshot reads keep pruning inside it)
       dirFiles.foreach { case (d, _) =>
         if (fs.exists(d)) {
-          fs.mkdirs(gen)
-          val dst = new Path(gen, d.getName)
+          // attic path mirrors the FULL relpath (nested multi-level
+          // value dirs: `b=0/c=d1` — the leaf name alone would collide
+          // across level-1 dirs and break snapshot file resolution)
+          val dst = new Path(gen, relpath(root, d))
+          fs.mkdirs(dst.getParent)
           require(fs.rename(d, dst),
             s"graftcsv versioning: retire rename $d -> $dst failed")
         }

@@ -307,6 +307,54 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AviCodec.decode("garbage".getBytes, meta)
   }
 
+  test("MJPEG through the seam: JPEG frames ride the same ImageIO call " +
+      "— decode is stable and fingerprints match the lossless twin") {
+    val (w, h) = (16, 8)
+    // the halfAndHalfBmp image as a JPEG: left half black, right white
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    })
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb) shouldBe true
+    val jpeg = jb.toByteArray
+    val avi = Multimodal.encodeAvi(Seq.fill(4)(jpeg), w, h)
+    val meta = MediaMeta(w, h, 3, 0, avi.length, "avi")
+    // decode STABILITY: same bytes in, identical RGB out, every time
+    val d1 = Multimodal.AviCodec.decode(avi, meta)
+    val d2 = Multimodal.AviCodec.decode(avi, meta)
+    d1.length shouldBe w * h * 3
+    d1.toSeq shouldBe d2.toSeq
+    // lossy but BOUNDED: each half's pixels stay near their lossless
+    // value (ringing at the edge is the JPEG price — bounded, not wild)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val v = d1((y * w + x) * 3) & 0xff
+        if (x < w / 2 - 1) v should be <= 80
+        else if (x > w / 2) v should be >= 175
+      }
+    }
+    // the Spark sampling operator + fingerprints: deterministic across
+    // runs AND equal to the lossless (BMP-frame) twin's phash — the
+    // block means sit far from the global mean, so JPEG noise cannot
+    // flip a bit
+    val media = Seq(Multimodal.MediaRow(7L, "video", avi, meta)).toDS()
+    val ph1 = Multimodal.windowFingerprints(
+        Multimodal.sampleVideoFrames(media, everyNth = 1,
+          codec = Multimodal.AviCodec)).collect()
+      .map(r => r.getAs[Int]("frame_no") -> r.getAs[Long]("phash"))
+      .sortBy(_._1)
+    val ph2 = Multimodal.windowFingerprints(
+        Multimodal.sampleVideoFrames(media, everyNth = 1,
+          codec = Multimodal.AviCodec)).collect()
+      .map(r => r.getAs[Int]("frame_no") -> r.getAs[Long]("phash"))
+      .sortBy(_._1)
+    ph1.toSeq shouldBe ph2.toSeq
+    ph1.map(_._1).toSeq shouldBe Seq(0, 1, 2, 3)
+    ph1.foreach(_._2 shouldBe 0xF0F0F0F0F0F0F0F0L) // the BMP twin's hash
+  }
+
   test("WavCodec: stereo channels integer-mix; raw 8-bit unsigned PCM " +
       "passes through as identity") {
     // stereo frames (L=1000, R=3000): mixed 2000 -> byte 135

@@ -14,8 +14,9 @@ import graft.operators.{NearDup, NearDupIndex}
   * candidate self-join a storage-partitioned join — ZERO shuffle of the
   * band table — while returning exactly the candidates the default
   * layout and the in-memory twin return. Also pins the flavor's
-  * maintenance semantics: re-delivery is one atomic row-level REPLACE,
-  * retention is DELETE WHERE batch. */
+  * maintenance semantics under the two-level `(band_bucket, batch)`
+  * layout: re-delivery is ONE overwrite-by-filter commit, retention is
+  * a metadata-only partial-spec DELETE WHERE batch. */
 class NearDupBucketedSpec extends SparkSpec {
   import spark.implicits._
 
@@ -146,8 +147,65 @@ class NearDupBucketedSpec extends SparkSpec {
     }
   }
 
-  test("re-delivered batch converges to one copy (delete + append); " +
-      "retention deletes the batch's rows") {
+  test("a reader racing batch replays only ever sees old-or-new " +
+      "candidate sets (snapshot-pinned serves, single-commit lands)") {
+    cat
+    val base = docs.filter(col("doc_id") <= 4)
+    NearDupIndex.build(spark, cat, "ns", "bkt4", base, "doc_id", "text",
+      joinBuckets = 4)
+    val freshA = Seq((5L,
+      "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val freshB = Seq((6L,
+      "entirely different content about spark catalyst optimizers"))
+      .toDF("doc_id", "text")
+    NearDupIndex.indexBatch(spark, cat, "ns", "bkt4", freshA,
+      "doc_id", "text", "b1")
+    val setA = pairsOf(NearDupIndex.allCandidatePairs(spark, cat, "ns",
+      "bkt4"))
+    NearDupIndex.indexBatch(spark, cat, "ns", "bkt4", freshB,
+      "doc_id", "text", "b1") // REVISED content: replaces, not appends
+    val setB = pairsOf(NearDupIndex.allCandidatePairs(spark, cat, "ns",
+      "bkt4"))
+    setA should not be setB
+    // storm: the writer keeps flipping b1 between the two contents;
+    // every concurrent serve must be EXACTLY one of the two committed
+    // states — never a torn union / double-counted batch
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic
+      .AtomicReference[String](null)
+    val writer = new Thread(() => {
+      var i = 0
+      try while (!stop.get()) {
+        NearDupIndex.indexBatch(spark, cat, "ns", "bkt4",
+          if (i % 2 == 0) freshA else freshB, "doc_id", "text", "b1")
+        i += 1
+      } catch { case t: Throwable => torn.compareAndSet(null,
+        s"writer failed: $t") }
+    })
+    writer.start()
+    // a racing serve either returns a COMMITTED state or fails LOUDLY
+    // (the pinned files moved to the attic mid-scan — retryable); it
+    // never returns a torn/double-counted set
+    var ok = 0
+    var retried = 0
+    while (ok < 10 && retried < 100) {
+      try {
+        val got = pairsOf(NearDupIndex.allCandidatePairs(spark, cat, "ns",
+          "bkt4"))
+        if (got != setA && got != setB)
+          torn.compareAndSet(null, s"torn read: $got")
+        ok += 1
+      } catch { case scala.util.control.NonFatal(_) => retried += 1 }
+    }
+    stop.set(true)
+    writer.join(120000)
+    torn.get() shouldBe null
+    ok shouldBe 10
+  }
+
+  test("re-delivered batch converges to one copy (single overwrite " +
+      "commit); retention deletes the batch's rows metadata-only") {
     cat
     val base = docs.filter(col("doc_id") <= 4)
     val fresh = docs.filter(col("doc_id") > 4)
@@ -157,13 +215,28 @@ class NearDupBucketedSpec extends SparkSpec {
       "text", "b1")
     val before = NearDupIndex.bands(spark, cat, "ns", "bkt2")
       .collect().map(_.toString).sorted.toSeq
+    // two-level layout on disk: batch keeps its own leaf dirs under
+    // every bucket it posts to
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val b1Leaves = new java.io.File(s"$root/ns/bkt2_bands").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("band_bucket="))
+      .flatMap(_.listFiles()).filter(_.getName == "batch=b1")
+    b1Leaves should not be empty
+    def version: Long = spark.sql(
+      s"CALL $cat.system.current_version('ns.bkt2_bands')")
+      .collect()(0).getLong(0)
+    val v0 = version
     NearDupIndex.indexBatch(spark, cat, "ns", "bkt2", fresh, "doc_id",
       "text", "b1") // re-delivery
+    version shouldBe (v0 + 1) // ONE commit, not delete-then-append
     NearDupIndex.bands(spark, cat, "ns", "bkt2")
       .collect().map(_.toString).sorted.toSeq shouldBe before
     NearDupIndex.dropBatch(spark, cat, "ns", "bkt2", "b1")
     val left = NearDupIndex.bands(spark, cat, "ns", "bkt2")
     left.filter(col("batch") === "b1").count() shouldBe 0
     left.filter(col("batch") === "base").count() should be > 0L
+    // retention was metadata-only: the leaf dirs are gone, the buckets
+    // (and the base batch's leaves) remain
+    b1Leaves.foreach(_.exists() shouldBe false)
   }
 }
