@@ -123,5 +123,47 @@ object R19Queries {
              CAST(COALESCE(SUM(n), 0) AS BIGINT) AS postings_dropped
       FROM sat"""))
 
-  val all: Seq[QueryDef] = Seq(q376, q377)
+  /** Multi-column identity partitioning end to end under the oracle
+    * gate: a two-level `(b, c)` graftcsv table takes a routed insert, a
+    * PARTIAL-SPEC metadata DELETE on the SECOND level (every level-1
+    * dir's matching leaf drops without reading a row), serves a
+    * two-level-pruned aggregate, and the fn REQUIREs the equality probe
+    * on both levels planned exactly one value group. The oracle replays
+    * the whole mutation+aggregate chain relationally. */
+  private val q378 = QueryDef(
+    "q378_multilevel_partitioning",
+    (s, d) => {
+      ensureCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r19.q378")
+      s.sql("DROP TABLE IF EXISTS graft_r19.q378.t")
+      s.sql("""CREATE TABLE graft_r19.q378.t (k STRING, b STRING,
+        c STRING) PARTITIONED BY (b, c)""")
+      Tables.orders(s, d).select(
+          col("o_orderkey").cast("string").as("k"),
+          col("o_orderstatus").cast("string").as("b"),
+          substring(col("o_orderpriority"), 1, 1).as("c"))
+        .writeTo("graft_r19.q378.t").append()
+      // partial-spec retention: one statement drops c='1' under EVERY b
+      s.sql("DELETE FROM graft_r19.q378.t WHERE c = '1'")
+      // both-level equality probe prunes to exactly one leaf value group
+      val probe = s.table("graft_r19.q378.t")
+        .filter(col("b") === "F" && col("c") === "3")
+      require(probe.rdd.getNumPartitions == 1,
+        s"two-level pruning must plan ONE value group, got " +
+          s"${probe.rdd.getNumPartitions}")
+      s.table("graft_r19.q378.t")
+        .groupBy(col("b"), col("c"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("key_sum"))
+    },
+    Some("""
+      SELECT CAST(o_orderstatus AS VARCHAR) AS b,
+             substr(CAST(o_orderpriority AS VARCHAR), 1, 1) AS c,
+             count(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+      WHERE substr(CAST(o_orderpriority AS VARCHAR), 1, 1) <> '1'
+      GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(q376, q377, q378)
 }
