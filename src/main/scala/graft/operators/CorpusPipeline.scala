@@ -86,9 +86,17 @@ object CorpusPipeline {
       qualityGated.withColumn("__h", md5(col(textCol))),
       keys = Seq("__h"), ordering = Seq(col(idCol))).drop("__h")
 
+    // signatures are computed ONCE and cached as a tiny (doc_id,
+    // simhash) frame: the banded candidate join consumes them up to
+    // four times (hot-bucket count, anti-join probe, both self-join
+    // sides) and the SimHash token pass over the full text is the
+    // expensive part — recomputing it per consumer quadrupled the
+    // stage's cost when the cap landed (measured at sf0.1)
+    val sigs = NearDup.simHash(exactDeduped, idCol, textCol,
+      cfg.simHashBits)
     val nearDeduped = Corpus.resolveDuplicates(
       exactDeduped, idCol,
-      Corpus.simHashHammingPairs(exactDeduped, idCol, textCol,
+      Corpus.bandedHammingPairs(sigs, "doc_id", "simhash",
         maxHamming = cfg.nearDupHamming, bits = cfg.simHashBits,
         numBands = cfg.simHashBands, maxBucket = cfg.nearDupMaxBucket),
       "a_id", "b_id", prefer = Some(length(col(textCol))))
@@ -113,6 +121,7 @@ object CorpusPipeline {
     // normalized text for the session lifetime even for corpus-only calls
     val hot = Seq(exactDeduped, nearDeduped)
     hot.foreach(_.cache())
+    sigs.cache() // 2 narrow columns, multi-consumer (see above)
     // count each boundary once, deferred until the report is read; the
     // single-consumer stages are cached only AROUND the count pass (each
     // is counted twice: as its own n_out and as the next stage's n_in)
