@@ -152,6 +152,26 @@ object IvfIndex {
                  name: String): DataFrame =
     spark.table(asgTbl(cat, ns, name))
 
+  /** Conf key: serves (topK / semanticDupPairs / driftReport) read the
+    * index tables AS OF their last COMMITTED version (default true) —
+    * the [[NearDupIndex.SnapshotServeKey]] contract for the IVF family:
+    * a reader racing a batch overwrite (or retrain's centroid
+    * overwrite) sees a committed state or fails loudly, never a torn
+    * double-counted one. See [[IndexSnapshots]]. */
+  val SnapshotServeKey = "spark.graft.ivf.snapshotServe"
+
+  private def assignmentForServe(spark: SparkSession, cat: String,
+                                 ns: String, name: String): DataFrame =
+    IndexSnapshots.pinned(spark, cat, ns, s"${name}_assign",
+      SnapshotServeKey)
+
+  private def centroidsForServe(spark: SparkSession, cat: String,
+                                ns: String, name: String): DataFrame =
+    IndexSnapshots.pinned(spark, cat, ns, s"${name}_centroids",
+      SnapshotServeKey)
+      .select(col("centroid_id"),
+        decodeEmb(col("emb")).as("centroid_emb"))
+
   /** Occupancy drift per centroid over the PERSISTED assignment (no
     * embeddings touched): the share of non-base vectors in each bucket
     * vs the global non-base share; `drift_alert` fires when they differ
@@ -161,7 +181,7 @@ object IvfIndex {
   def driftReport(spark: SparkSession, cat: String, ns: String,
                   name: String, baseBatch: String = "base",
                   threshold: Double = 0.15): DataFrame = {
-    val asg = assignment(spark, cat, ns, name)
+    val asg = assignmentForServe(spark, cat, ns, name)
       .withColumn("__new", (col("batch") =!= baseBatch).cast("int"))
     val per = asg.groupBy(col("centroid_id"))
       .agg(sum(lit(1) - col("__new")).cast("long").as("n_base"),
@@ -199,7 +219,7 @@ object IvfIndex {
            queryPredicate: Column, k: Int, nprobe: Int): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k/nprobe must be >= 1, got $k/$nprobe")
     graft.GraftExtensions.register(spark)
-    val cents = centroids(spark, cat, ns, name)
+    val cents = centroidsForServe(spark, cat, ns, name)
     val queries = vectors.filter(queryPredicate)
       .select(col(idCol).cast("string").as("q_id"),
         col(embCol).as("__q_emb"))
@@ -213,9 +233,9 @@ object IvfIndex {
         .orderBy(col("__cos").desc, col("centroid_id"))))
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("__q_emb"), col("centroid_id"))
-    // candidates straight off the maintained assignment table
+    // candidates off the maintained assignment table (snapshot-pinned)
     val cand = qc.join(
-      assignment(spark, cat, ns, name)
+      assignmentForServe(spark, cat, ns, name)
         .select(col("vec_id").as("n_id"), col("centroid_id")),
       Seq("centroid_id"))
     val nvec = vectors.select(col(idCol).cast("string").as("n_id"),
@@ -259,7 +279,7 @@ object IvfIndex {
     graft.GraftExtensions.register(spark)
     val cap = spark.conf.get(MaxSemanticBucketKey,
       DefaultMaxSemanticBucket.toString).toLong
-    val asg = assignment(spark, cat, ns, name)
+    val asg = assignmentForServe(spark, cat, ns, name)
       .select(col("vec_id"), col("centroid_id"))
     val oversized = asg.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n")).filter(col("n") > cap)

@@ -237,33 +237,12 @@ object NearDupIndex {
     * pruning on `batch` still applies at planning). */
   val SnapshotServeKey = "spark.graft.neardup.snapshotServe"
 
-  /** The band table as serves read it (see [[SnapshotServeKey]]).
-    * Snapshot RESOLUTION races a mid-commit replay loudly (the pinned
-    * version's file moved to the attic before the new version's log
-    * entry sealed) — resolution happens eagerly here, so it
-    * self-retries against the re-read current version a few times
-    * before giving up. */
+  /** The band table as serves read it (see [[SnapshotServeKey]] and
+    * [[IndexSnapshots]] for the pin-and-retry contract). */
   private def bandsForServe(spark: SparkSession, cat: String, ns: String,
                             name: String): DataFrame =
-    if (spark.conf.get(SnapshotServeKey, "true").toBoolean) {
-      var last: Throwable = null
-      (1 to 5).foreach { _ =>
-        try {
-          val v = spark.sql(
-            s"CALL $cat.system.current_version('$ns.${name}_bands')")
-            .collect()(0).getLong(0)
-          return spark.sql(s"SELECT * FROM ${bandsTbl(cat, ns, name)} " +
-            s"VERSION AS OF $v")
-        } catch {
-          case e: Exception
-              if String.valueOf(e.getMessage).contains("out-of-band") ||
-                String.valueOf(e.getMessage).contains("needs attic file") =>
-            last = e // a replay committed mid-resolution; re-pin
-            Thread.sleep(50)
-        }
-      }
-      throw last
-    } else bands(spark, cat, ns, name)
+    IndexSnapshots.pinned(spark, cat, ns, s"${name}_bands",
+      SnapshotServeKey)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
