@@ -3668,22 +3668,36 @@ private[sources] object QuirkCsv {
   }
 
   /** Every LEAF value directory of a partitioned table root with its
-    * decoded value tuple, depth-first in path order. Intermediate
-    * levels with stray files are NOT reported (prunePartitions rejects
-    * those loudly at scan time). */
+    * decoded value tuple, in path order. Intermediate levels with stray
+    * files are NOT reported (prunePartitions rejects those loudly at
+    * scan time). Level listings past a small threshold fan out from the
+    * bounded maintenance pool — the same discipline as [[listFiles]]: a
+    * 100k-leaf table must not pay one sequential filesystem RPC per
+    * directory inside every maintenance commit (overwrite-where
+    * targeting, partial-spec deletes, compaction/sweep walks). */
   def leafValueDirs(fs: FileSystem, root: Path,
                     cols: Seq[String]): Seq[(Path, Seq[String])] = {
-    def walk(dir: Path, level: Int,
-             acc: List[String]): Seq[(Path, Seq[String])] =
-      if (level == cols.length) Seq((dir, acc.reverse))
-      else if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir).toIndexedSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(cols(level) + "="))
-        .sortBy(_.getPath.getName)
-        .flatMap(st => walk(st.getPath, level + 1,
-          dec(st.getPath.getName.substring(cols(level).length + 1)) :: acc))
-    if (cols.isEmpty) Nil else walk(root, 0, Nil)
+    if (cols.isEmpty || !fs.exists(root)) return Nil
+    def level(dirs: Seq[(Path, List[String])], c: String)
+    : Seq[(Path, List[String])] = {
+      def list(d: Path): Seq[FileStatus] =
+        fs.listStatus(d).toIndexedSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(c + "="))
+      val listed: Seq[(List[String], Seq[FileStatus])] =
+        if (dirs.size <= 16) dirs.map { case (d, acc) => acc -> list(d) }
+        else QuirkCsvMaintenance.runBounded(
+          dirs.map { case (d, acc) =>
+            d.getName -> (() => acc -> list(d)) },
+          16, 600L, "leaf value-dir listing")
+      listed.flatMap { case (acc, sts) =>
+        sts.map(st => st.getPath ->
+          (dec(st.getPath.getName.substring(c.length + 1)) :: acc))
+      }
+    }
+    cols.foldLeft(Seq(root -> List.empty[String]))(level)
+      .map { case (d, acc) => d -> acc.reverse }
+      .sortBy(_._1.toString)
   }
 
   /** `_graft_cluster` marker: the table's CLUSTER column

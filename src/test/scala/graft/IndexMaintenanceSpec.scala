@@ -84,8 +84,9 @@ class IndexMaintenanceSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_im_ndb").toString
     val (in, ckpt) = (s"$dir/in", s"$dir/ckpt")
     val schema = base.toDF("doc_id", "text").schema
-    // joinBuckets: batch is a DATA column here, so the stream exercises
-    // the multi-commit (delete + append) land under the epoch label
+    // joinBuckets: the two-level layout keeps batch as the SECOND
+    // partition level, so each streamed epoch lands as ONE
+    // overwrite-by-filter commit under its epoch label
     NearDupIndex.build(spark, "graft_im", "ns", "ndb",
       base.toDF("doc_id", "text"), "doc_id", "text", joinBuckets = 4)
     arrive1.toDF("doc_id", "text").write.mode("append").parquet(in)
