@@ -242,31 +242,33 @@ object R15Queries {
     (s, d) => {
       ensureCatalog(s)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r15.q354")
-      s.sql("DROP TABLE IF EXISTS graft_r15.q354.nat")
-      s.sql("DROP TABLE IF EXISTS graft_r15.q354.clu")
-      s.sql("""CREATE TABLE graft_r15.q354.nat (okey STRING, prio STRING)
-        PARTITIONED BY (prio)""")
-      s.sql("""CREATE TABLE graft_r15.q354.clu (okey STRING, prio STRING)
-        PARTITIONED BY (prio) TBLPROPERTIES ('clusterBy'='okey')""")
       val src = Tables.orders(s, d).select(
         lpad(col("o_orderkey").cast("string"), 8, "0").as("okey"),
         col("o_orderpriority").as("prio"),
         (col("o_orderkey") % 3).as("third"))
-      (0 to 2).foreach { m =>
-        val epoch = src.filter(col("third") === m).drop("third")
-        epoch.writeTo("graft_r15.q354.nat").append()
-        epoch.writeTo("graft_r15.q354.clu").append()
-      }
       val root = s.conf.get("spark.sql.catalog.graft_r15.root")
-      Seq("nat", "clu").foreach { t =>
-        val vds = new java.io.File(s"$root/q354/$t").listFiles()
-          .filter(d => d.isDirectory && !d.getName.startsWith("_"))
-          .map(_.toString).sorted.toSeq
-        // sortBy=None auto-detects the table root's cluster marker:
-        // clu folds range-partitioned, nat folds hash-partitioned;
-        // value dirs fold CONCURRENTLY (bounded driver pool)
-        graft.sources.QuirkCsvMaintenance.compactValueDirs(s, vds,
-          numFiles = 3, sortBy = None)
+      FixtureOnce("q354", d) {
+        s.sql("DROP TABLE IF EXISTS graft_r15.q354.nat")
+        s.sql("DROP TABLE IF EXISTS graft_r15.q354.clu")
+        s.sql("""CREATE TABLE graft_r15.q354.nat (okey STRING, prio STRING)
+          PARTITIONED BY (prio)""")
+        s.sql("""CREATE TABLE graft_r15.q354.clu (okey STRING, prio STRING)
+          PARTITIONED BY (prio) TBLPROPERTIES ('clusterBy'='okey')""")
+        (0 to 2).foreach { m =>
+          val epoch = src.filter(col("third") === m).drop("third")
+          epoch.writeTo("graft_r15.q354.nat").append()
+          epoch.writeTo("graft_r15.q354.clu").append()
+        }
+        Seq("nat", "clu").foreach { t =>
+          val vds = new java.io.File(s"$root/q354/$t").listFiles()
+            .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+            .map(_.toString).sorted.toSeq
+          // sortBy=None auto-detects the table root's cluster marker:
+          // clu folds range-partitioned, nat folds hash-partitioned;
+          // value dirs fold CONCURRENTLY (bounded driver pool)
+          graft.sources.QuirkCsvMaintenance.compactValueDirs(s, vds,
+            numFiles = 3, sortBy = None)
+        }
       }
       // probe the MEDIAN key: a min/max probe is prunable even under a
       // hash layout (it falls outside the other files' ranges); only the

@@ -294,24 +294,26 @@ object R17Queries {
         col("o_totalprice").cast("decimal(18,2)").cast("string").as("total"),
         year(col("o_orderdate")).cast("string").as("oyear"),
         (col("o_orderkey") % 3).as("third"))
-      Seq("clu" -> " TBLPROPERTIES ('clusterBy'='odate')", "nat" -> "")
-        .foreach { case (t, props) =>
-          s.sql(s"DROP TABLE IF EXISTS graft_r17.q367.$t")
-          s.sql(s"CREATE TABLE graft_r17.q367.$t (odate STRING, " +
-            s"okey STRING, total STRING, oyear STRING) " +
-            s"PARTITIONED BY (oyear)$props")
-          (0 to 2).foreach { m =>
-            src.filter(col("third") === m).drop("third")
-              .writeTo(s"graft_r17.q367.$t").append()
-          }
-        }
       val root = s.conf.get("spark.sql.catalog.graft_r17.root")
-      Seq("clu", "nat").foreach { t =>
-        val vds = new java.io.File(s"$root/q367/$t").listFiles()
-          .filter(f => f.isDirectory && !f.getName.startsWith("_"))
-          .map(_.toString).sorted.toSeq
-        graft.sources.QuirkCsvMaintenance.compactValueDirs(s, vds,
-          numFiles = 3, sortBy = None)
+      FixtureOnce("q367", d) {
+        Seq("clu" -> " TBLPROPERTIES ('clusterBy'='odate')", "nat" -> "")
+          .foreach { case (t, props) =>
+            s.sql(s"DROP TABLE IF EXISTS graft_r17.q367.$t")
+            s.sql(s"CREATE TABLE graft_r17.q367.$t (odate STRING, " +
+              s"okey STRING, total STRING, oyear STRING) " +
+              s"PARTITIONED BY (oyear)$props")
+            (0 to 2).foreach { m =>
+              src.filter(col("third") === m).drop("third")
+                .writeTo(s"graft_r17.q367.$t").append()
+            }
+          }
+        Seq("clu", "nat").foreach { t =>
+          val vds = new java.io.File(s"$root/q367/$t").listFiles()
+            .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+            .map(_.toString).sorted.toSeq
+          graft.sources.QuirkCsvMaintenance.compactValueDirs(s, vds,
+            numFiles = 3, sortBy = None)
+        }
       }
       val y = Tables.orders(s, d)
         .agg(min(year(col("o_orderdate")))).collect()(0).getInt(0) + 1

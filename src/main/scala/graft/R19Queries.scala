@@ -100,9 +100,11 @@ object R19Queries {
     (s, d) => {
       ensureCatalog(s)
       val corpus = replicatedCorpus(s, d)
-      graft.operators.NearDupIndex.build(s, "graft_r19", "q377", "nd",
-        corpus, "doc_id", "text", shingleN = 3, numHashes = 12,
-        bandSize = 3, maxBucket = AuditCap)
+      FixtureOnce("q377", d) {
+        graft.operators.NearDupIndex.build(s, "graft_r19", "q377", "nd",
+          corpus, "doc_id", "text", shingleN = 3, numHashes = 12,
+          bandSize = 3, maxBucket = AuditCap)
+      }
       val served = graft.operators.NearDupIndex.allCandidatePairs(
         s, "graft_r19", "q377", "nd").localCheckpoint()
       val twin = NearDup.minHashLshCandidates(corpus, "doc_id", "text",
