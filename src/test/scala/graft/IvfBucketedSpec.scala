@@ -156,26 +156,27 @@ class IvfBucketedSpec extends SparkSpec {
     val nB = IvfIndex.semanticDupPairs(spark, cat, "ns", "race", embs,
       "vec_id", "embedding", -1.0).count()
     nA should not be nB
-    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    // FINITE paced storm: the contract under test is CONSISTENCY (a
+    // read returns a committed state or fails loudly, never a torn
+    // one) — a writer replaying continuously at land-latency rate
+    // legitimately starves pinned readers (every scan's files retire
+    // mid-read; each failure is loud), which is a different property.
+    // Six paced lands give reads real overlap windows; once the storm
+    // ends, reads deterministically succeed, so the success target is
+    // load-independent.
     val writer = new Thread(() => {
-      var i = 0
-      try while (!stop.get()) {
-        land(if (i % 2 == 0) freshA else freshB); i += 1
-        // paced replays: the contract under test is CONSISTENCY (a read
-        // returns a committed state or fails loudly) — a writer
-        // replaying the same batch continuously at land-latency rate
-        // legitimately starves pinned readers (every scan's files
-        // retire mid-read; each failure is loud), which is a different
-        // property than the torn-read one this spec pins
-        Thread.sleep(700)
+      try (0 until 6).foreach { i =>
+        land(if (i % 2 == 0) freshA else freshB)
+        Thread.sleep(1000)
       } catch { case t: Throwable =>
         torn.compareAndSet(null, s"writer failed: $t") }
     })
     writer.start()
     var ok = 0
-    var retried = 0
-    while (ok < 6 && retried < 60) {
+    var attempts = 0
+    while (ok < 6 && attempts < 300) {
+      attempts += 1
       try {
         val n = IvfIndex.semanticDupPairs(spark, cat, "ns", "race", embs,
           "vec_id", "embedding", -1.0).count()
@@ -183,9 +184,8 @@ class IvfBucketedSpec extends SparkSpec {
           torn.compareAndSet(null, s"torn read: $n pairs (not $nA/$nB)")
         ids() // exercise the pinned monitoring serve under the storm too
         ok += 1
-      } catch { case scala.util.control.NonFatal(_) => retried += 1 }
+      } catch { case scala.util.control.NonFatal(_) => () } // loud retry
     }
-    stop.set(true)
     writer.join(120000)
     torn.get() shouldBe null
     ok shouldBe 6
