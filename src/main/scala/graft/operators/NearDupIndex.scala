@@ -187,9 +187,10 @@ object NearDupIndex {
     // under the OLD shingleN/numHashes/bandSize landing in the NEW table
     // would silently never collide with its bands
     IndexMaintenanceLock.withLock(spark, cat, ns, name) {
-      val (sn, nh, bs) = params(spark, cat, ns, name)
+      val m = metaMap(spark, cat, ns, name) // ONE meta read for all pins
       indexBatchWith(spark, cat, ns, name, docs, idCol, textCol, batch,
-        sn, nh, bs, pinnedJoinBuckets(spark, cat, ns, name))
+        m("shingleN").toInt, m("numHashes").toInt, m("bandSize").toInt,
+        m.getOrElse("joinBuckets", 0L).toInt)
     }
   }
 
@@ -327,9 +328,10 @@ object NearDupIndex {
 
   def candidatePairsFor(spark: SparkSession, cat: String, ns: String,
                         name: String, batch: String): DataFrame = {
-    val bucketed = pinnedJoinBuckets(spark, cat, ns, name) > 0
+    val m = metaMap(spark, cat, ns, name) // ONE meta read for all pins
+    val bucketed = m.getOrElse("joinBuckets", 0L) > 0
     if (bucketed) ensureSpjConfs(spark)
-    val cap = pinnedMaxBucket(spark, cat, ns, name)
+    val cap = m.getOrElse("maxBucket", 0L)
     logServeAudit(spark, cat, ns, name, cap)
     // hot-band cap pinned at build(): bucket counts are over the WHOLE
     // band table (a bucket saturated by history must not pair with
@@ -350,9 +352,10 @@ object NearDupIndex {
     * in-memory pairing over the union corpus (string-id order). */
   def allCandidatePairs(spark: SparkSession, cat: String, ns: String,
                         name: String): DataFrame = {
-    val bucketed = pinnedJoinBuckets(spark, cat, ns, name) > 0
+    val m = metaMap(spark, cat, ns, name) // ONE meta read for all pins
+    val bucketed = m.getOrElse("joinBuckets", 0L) > 0
     if (bucketed) ensureSpjConfs(spark)
-    val cap = pinnedMaxBucket(spark, cat, ns, name)
+    val cap = m.getOrElse("maxBucket", 0L)
     logServeAudit(spark, cat, ns, name, cap)
     val all = NearDup.dropHotBands(
         bandsForServe(spark, cat, ns, name), cap)

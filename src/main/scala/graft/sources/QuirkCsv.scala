@@ -2442,12 +2442,28 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
           QuirkCsvVersions.commit(rootFs, root, versionAction,
             allCommits(messages).map(cm => new Path(cm.file)),
             retired.toSeq)
-        allCommits(messages)
-          .groupBy(cm => new Path(cm.file).getParent)
-          .foreach { case (dir, cs) =>
-            mergeZoneMapAt(dir, cs.toSeq, dropPrior = false)
-          }
+        mergeZoneMapsByDir(allCommits(messages))
     }
+  }
+
+  /** Per-value-dir sidecar merges for a partitioned commit, fanned out
+    * from the bounded maintenance pool past a small threshold: a write
+    * touching thousands of leaf dirs (a first full load of a two-level
+    * layout) must not pay one sequential open-merge-write per directory
+    * on the driver — measured at 2,048 leaves, the sequential loop
+    * dominated the whole commit. Distinct dirs never contend (one
+    * sidecar each). */
+  private def mergeZoneMapsByDir(commits: Seq[QuirkCsvCommit]): Unit = {
+    val byDir = commits.groupBy(cm => new Path(cm.file).getParent).toSeq
+    if (byDir.size <= 16)
+      byDir.foreach { case (dir, cs) =>
+        mergeZoneMapAt(dir, cs, dropPrior = false)
+      }
+    else
+      QuirkCsvMaintenance.runBounded(
+        byDir.map { case (dir, cs) =>
+          dir.getName -> (() => mergeZoneMapAt(dir, cs, dropPrior = false))
+        }, 16, 600L, "zone sidecar merge")
   }
 
   private def allCommits(messages: Array[WriterCommitMessage])
@@ -2615,10 +2631,7 @@ private[sources] class QuirkCsvWrite(path: String, columns: Array[String],
           QuirkCsvVersions.commit(rootFs, root, s"streamEpoch-$epochId",
             commits.map(cm => new Path(cm.file)), phantoms.toSeq,
             retiredAliases = replayAsides(root, commits))
-        commits.groupBy(cm => new Path(cm.file).getParent)
-          .foreach { case (dir, cs) =>
-            mergeZoneMapAt(dir, cs.toSeq, dropPrior = false)
-          }
+        mergeZoneMapsByDir(commits)
     }
   }
 
