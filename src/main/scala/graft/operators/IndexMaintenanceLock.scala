@@ -94,6 +94,14 @@ object IndexMaintenanceLock {
       r
     } finally {
       beat.foreach(_.interrupt())
+      // JOIN before the ownership check and the marker delete: a beat
+      // mid readToken/setTimes at interrupt time could otherwise race
+      // our own delete below (setTimes on the just-deleted marker →
+      // spurious `lost`) and make a fully successful run throw. The
+      // thread only sleeps or does local fs ops, so the join is prompt;
+      // the timeout is a belt against a wedged fs, after which the
+      // conservative path below still applies.
+      beat.foreach(_.join(10000))
       val owned = readToken(fs, marker).exists(_.nonce == nonce)
       if (owned) fs.delete(marker, false)
       // the delete is skipped when the marker is gone or foreign — and
@@ -122,10 +130,21 @@ object IndexMaintenanceLock {
           Thread.sleep(hbMs)
           if (readToken(fs, marker).exists(_.nonce == nonce))
             fs.setTimes(marker, System.currentTimeMillis(), -1)
+          else if (Thread.currentThread().isInterrupted)
+            // release interrupted us mid-read: readToken swallows the
+            // interrupt-induced I/O abort into None — that is a normal
+            // shutdown, NOT a lost lock (release's own readToken, on the
+            // un-interrupted main thread, stays the authoritative
+            // ownership check). Flagging `lost` here made a fully
+            // successful run throw spuriously (~1 in 30 at a 1 ms
+            // heartbeat — the release-join regression test).
+            owned = false
           else { lost.set(true); owned = false }
         }
       } catch {
         case _: InterruptedException => () // normal release
+        case _: Exception if Thread.currentThread().isInterrupted =>
+          () // interrupt-induced I/O abort mid-beat: normal release
         case _: Exception => lost.set(true) // fs error or marker gone
       }
     }, s"graft-maint-heartbeat-${marker.getName}")
@@ -228,13 +247,27 @@ object IndexMaintenanceLock {
         catch { case _: java.io.IOException => false }
       }
     if (won) {
+      // the token is LOAD-BEARING (heartbeat and release verify the
+      // nonce): an untokened marker makes the heartbeat flag `lost`,
+      // release skips the delete (the marker leaks and blocks all
+      // maintenance until staleMs), and withLock throws despite
+      // exclusivity never being violated. So a token-write failure
+      // UNDOES the claim and fails the acquire loudly instead of
+      // returning a poisoned win.
       try {
         val out = fs.create(marker, true)
         out.write((ProcessHandle.current().pid().toString + " " + nonce +
           " " + System.currentTimeMillis().toString)
           .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
         out.close()
-      } catch { case _: Exception => () } // token is diagnostics + guard
+      } catch {
+        case e: Exception =>
+          try fs.delete(marker, false) catch { case _: Exception => () }
+          throw new IllegalStateException(
+            s"claimed maintenance lock $marker but could not write its " +
+              "ownership token — releasing the claim and failing the " +
+              "acquire (filesystem error)", e)
+      }
     }
     won
   }

@@ -27,13 +27,26 @@ private[operators] object IndexSnapshots {
     * `tbl` parts are requireSafeIdent-validated by the callers. */
   def pinned(spark: SparkSession, cat: String, ns: String, tbl: String,
              confKey: String): DataFrame =
+    pinnedWithVersion(spark, cat, ns, tbl, confKey)._1
+
+  /** [[pinned]] plus the version it pinned (None = live read, conf
+    * off) — the serve-side key into per-version stored artifacts (the
+    * saturation audit, the occupancy guard): a serve must read the
+    * stored row for the SAME version its candidates came from. The
+    * version probe is a driver-local log-dir listing
+    * ([[graft.sources.QuirkCsvVersions.currentVersionOf]]), not a SQL
+    * `CALL` — one parse/analyze per serve measured as pure overhead. */
+  def pinnedWithVersion(spark: SparkSession, cat: String, ns: String,
+                        tbl: String, confKey: String)
+  : (DataFrame, Option[Long]) =
     if (spark.conf.get(confKey, "true").toBoolean) {
       var last: Throwable = null
       (1 to 5).foreach { _ =>
         try {
-          val v = spark.sql(s"CALL $cat.system.current_version('$ns.$tbl')")
-            .collect()(0).getLong(0)
-          return spark.sql(s"SELECT * FROM $cat.$ns.$tbl VERSION AS OF $v")
+          val v = graft.sources.QuirkCsvVersions.currentVersionOf(
+            spark, cat, s"$ns.$tbl")
+          return (spark.sql(s"SELECT * FROM $cat.$ns.$tbl VERSION AS OF $v"),
+            Some(v))
         } catch {
           case e: Exception
               if String.valueOf(e.getMessage).contains("out-of-band") ||
@@ -43,5 +56,5 @@ private[operators] object IndexSnapshots {
         }
       }
       throw last
-    } else spark.table(s"$cat.$ns.$tbl")
+    } else (spark.table(s"$cat.$ns.$tbl"), None)
 }

@@ -129,6 +129,21 @@ object QuirkCsvVersions {
     }
   }
 
+  /** [[currentVersion]] for a CATALOG-relative table (`cat`'s
+    * `ns.tbl`), resolved through the catalog instance — the result of
+    * `CALL cat.system.current_version('ns.tbl')` without a SQL
+    * parse/plan round-trip. Snapshot-pinned index serves probe the
+    * version once per read; going through SQL cost a full parse +
+    * analyze per probe for a driver-local directory listing. */
+  def currentVersionOf(spark: org.apache.spark.sql.SparkSession,
+                       cat: String, table: String): Long = {
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[QuirkCsvCatalog]
+    val dir = c.resolveTableDir(table)
+    currentVersion(dir.getFileSystem(spark.sessionState.newHadoopConf()),
+      dir)
+  }
+
   /** Lowest version [[vacuum]] still serves (0 before any vacuum). */
   def minAsOf(fs: FileSystem, root: Path): Long = {
     val p = new Path(logDir(root), HorizonFile)
@@ -351,15 +366,22 @@ object QuirkCsvVersions {
              retiredDirs: Seq[Path] = Nil,
              retiredAliases: Seq[(Path, String)] = Nil): Long =
     lockFor(root).synchronized {
+    // RECURSIVE listing: a retired dir can be a LEVEL-1 value dir of a
+    // multi-level layout (TRUNCATE on a (b, c) table retires `b=0`,
+    // whose data files live in nested `c=...` leaf dirs). A
+    // non-recursive listing recorded no R lines for those files, so
+    // every pre-truncate snapshot read failed with "expects live file"
+    // — the attic held the bytes (the dir rename preserves the whole
+    // subtree) but the log never said they were retired.
+    def dataFilesUnder(d: Path): Seq[Path] =
+      fs.listStatus(d).toIndexedSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isFile) Seq(st.getPath)
+        else dataFilesUnder(st.getPath)
+      }
     val dirFiles: Seq[(Path, Seq[Path])] = retiredDirs.map { d =>
-      d -> (if (fs.exists(d))
-        fs.listStatus(d).toIndexedSeq.filter(_.isFile)
-          .map(_.getPath)
-          .filterNot { p =>
-            val n = p.getName
-            n.startsWith("_") || n.startsWith(".")
-          }
-      else Nil)
+      d -> (if (fs.exists(d)) dataFilesUnder(d) else Nil)
     }
     val allRetired = retiredFiles ++ dirFiles.flatMap(_._2)
     if (added.isEmpty && allRetired.isEmpty && retiredDirs.isEmpty &&

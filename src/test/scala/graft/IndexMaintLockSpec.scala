@@ -145,4 +145,21 @@ class IndexMaintLockSpec extends SparkSpec {
       IndexMaintenanceLock.withLock(spark, "graft_tk", "ns", "idx") { () }
     }
   }
+
+  test("release joins the heartbeat: a beat in flight at interrupt time " +
+      "can never race the owner's own delete into a spurious 'lost while " +
+      "held' on a fully successful run") {
+    newRoot("graft_jn")
+    // an aggressive heartbeat (1 ms) maximizes the odds a beat is mid
+    // readToken/setTimes exactly when release interrupts; pre-join, that
+    // beat saw the owner's own delete and flipped `lost` on a run whose
+    // exclusivity was never violated (~1 in 30 at this cadence)
+    withSQLConf("spark.graft.maint.heartbeatMs" -> "1") {
+      (1 to 150).foreach { _ =>
+        IndexMaintenanceLock.withLock(spark, "graft_jn", "ns", "idx") {
+          Thread.sleep(2)
+        }
+      }
+    }
+  }
 }

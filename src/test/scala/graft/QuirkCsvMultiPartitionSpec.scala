@@ -186,6 +186,27 @@ class QuirkCsvMultiPartitionSpec extends SparkSpec {
     spark.table("graft_mp.ns.tr").count() shouldBe 0L
   }
 
+  test("time travel ACROSS a multi-level TRUNCATE: pre-truncate " +
+      "snapshots resolve every nested leaf file from the attic, and " +
+      "restore brings the rows back") {
+    root
+    mkTable("ttr")
+    fill("ttr")                                            // v1: append
+    spark.sql("TRUNCATE TABLE graft_mp.ns.ttr")            // v2: truncate
+    spark.table("graft_mp.ns.ttr").count() shouldBe 0L
+    // the regression: TRUNCATE retires LEVEL-1 dirs whose data files sit
+    // in nested leaf dirs — a non-recursive retirement listing recorded
+    // no R lines for them, so this read died with "expects live file …
+    // history was modified out-of-band"
+    val v1 = spark.sql("SELECT * FROM graft_mp.ns.ttr VERSION AS OF 1")
+    v1.count() shouldBe 24L
+    v1.select(col("k").cast("long")).agg(sum("k")).collect()(0)
+      .getLong(0) shouldBe (0 until 24).sum.toLong
+    // and the one-call undo works across the same boundary
+    spark.sql("CALL graft_mp.system.restore('ns.ttr', 1)")
+    spark.table("graft_mp.ns.ttr").count() shouldBe 24L
+  }
+
   test("static overwrite scoped to the leading level replaces every " +
       "batch beneath it and nothing else") {
     root
