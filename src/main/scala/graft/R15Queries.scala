@@ -48,11 +48,14 @@ object R15Queries {
       // everywhere and a long-vs-string n_id order would diverge
       val es = e.select(col("vec_id").cast("string").as("vec_id"),
         col("embedding"))
+      // twin checkpointed: BOTH exceptAll directions consume it — without
+      // the snapshot the in-memory search recomputes once per direction
       val inMem = graft.operators.Similarity.ivfTopK(
           es, "vec_id", "embedding", col("vec_id").cast("long") < 10,
           graft.operators.IvfIndex.centroids(s, "graft_r15", "q351", "ann"),
           k = 3, nprobe = 2)
         .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+        .localCheckpoint()
       require(served.exceptAll(inMem).isEmpty &&
         inMem.exceptAll(served).isEmpty,
         "index-served top-k must equal the in-memory ivfTopK over the " +

@@ -43,16 +43,19 @@ object R16Queries {
         col("l_orderkey").cast("string").as("okey"),
         col("l_linenumber").cast("string").as("lnum"),
         col("l_returnflag").as("flag"))
-      val b1 = src.filter(col("l_orderkey") % 3 === 0)
-      val b2 = src.filter(col("l_orderkey") % 3 === 1)
+      // both batches checkpointed: each feeds its append AND four
+      // exceptAll legs below — un-snapshotted, the lineitem scan+filter
+      // re-ran five times per batch
+      val b1 = src.filter(col("l_orderkey") % 3 === 0).localCheckpoint()
+      val b2 = src.filter(col("l_orderkey") % 3 === 1).localCheckpoint()
       b1.writeTo("graft_r16.q355.t").append()                 // v1
       b2.writeTo("graft_r16.q355.t").append()                 // v2
       s.sql("DELETE FROM graft_r16.q355.t WHERE lnum = '1'")  // v3 (COW)
       val v1 = s.sql("SELECT okey, lnum, flag FROM graft_r16.q355.t " +
-        "VERSION AS OF 1")
+        "VERSION AS OF 1").localCheckpoint()
       require(v1.exceptAll(b1).isEmpty && b1.exceptAll(v1).isEmpty,
         "VERSION AS OF 1 must equal the first append exactly")
-      val cur = s.table("graft_r16.q355.t")
+      val cur = s.table("graft_r16.q355.t").localCheckpoint()
       val curTwin = b1.unionAll(b2).filter(col("lnum") =!= "1")
       require(cur.exceptAll(curTwin).isEmpty &&
         curTwin.exceptAll(cur).isEmpty,
@@ -158,10 +161,13 @@ object R16Queries {
       // touch the new batch
       val docsStr = docs.select(col("doc_id").cast("string").as("doc_id"),
         col("text"))
+      // twin checkpointed: BOTH exceptAll directions consume it — without
+      // the snapshot the full banding recomputes once per direction
       val twin = graft.operators.NearDup.minHashLshCandidates(docsStr,
           "doc_id", "text", shingleN = 3, numHashes = 12, bandSize = 3)
         .filter(col("a_id").cast("long") % 10 >= 8 ||
           col("b_id").cast("long") % 10 >= 8)
+        .localCheckpoint()
       require(served.exceptAll(twin).isEmpty &&
         twin.exceptAll(served).isEmpty,
         "index-served incremental candidates must equal the in-memory " +

@@ -150,11 +150,14 @@ object R17Queries {
       // one tie-break key type, the q351 lesson)
       val es = e.select(col("vec_id").cast("string").as("vec_id"),
         col("embedding"))
+      // twin checkpointed: BOTH exceptAll directions consume it — without
+      // the snapshot the in-memory search recomputes once per direction
       val inMem = graft.operators.Similarity.ivfTopK(
           es, "vec_id", "embedding", col("vec_id").cast("long") < 10,
           graft.operators.IvfIndex.centroids(s, "graft_r17", "q365", "ann"),
           k = 3, nprobe = 2)
         .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+        .localCheckpoint()
       require(served.exceptAll(inMem).isEmpty &&
         inMem.exceptAll(served).isEmpty,
         "post-retrain index-served top-k must equal the in-memory " +
@@ -394,8 +397,11 @@ object R17Queries {
         s, "graft_r17", "q368", "nd").localCheckpoint()
       val docsStr = docs.select(col("doc_id").cast("string").as("doc_id"),
         col("text"))
+      // twin checkpointed: BOTH exceptAll directions consume it — without
+      // the snapshot the full banding recomputes once per direction
       val twin = graft.operators.NearDup.minHashLshCandidates(docsStr,
         "doc_id", "text", shingleN = 3, numHashes = 12, bandSize = 3)
+        .localCheckpoint()
       require(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty,
         "the stream-maintained index must serve the same candidate " +
           "pairing as the one-shot in-memory LSH over the union corpus")

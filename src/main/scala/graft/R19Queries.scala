@@ -107,8 +107,11 @@ object R19Queries {
       }
       val served = graft.operators.NearDupIndex.allCandidatePairs(
         s, "graft_r19", "q377", "nd").localCheckpoint()
+      // twin checkpointed: BOTH exceptAll directions consume it — without
+      // the snapshot the full banding recomputes once per direction
       val twin = NearDup.minHashLshCandidates(corpus, "doc_id", "text",
-        shingleN = 3, numHashes = 12, bandSize = 3, maxBucket = AuditCap)
+          shingleN = 3, numHashes = 12, bandSize = 3, maxBucket = AuditCap)
+        .localCheckpoint()
       require(served.exceptAll(twin).isEmpty &&
         twin.exceptAll(served).isEmpty,
         "index serve under the pinned cap must equal the capped " +

@@ -408,14 +408,18 @@ object Clusters {
     */
   def triangleStats(vertices: DataFrame, idCol: String, edges: DataFrame,
                     aCol: String, bCol: String): DataFrame = {
+    // persisted: e feeds both sym legs, deg feeds the orientation (twice)
+    // and the final report join, and oriented feeds BOTH wedge sides plus
+    // the closing probe — unpersisted, the caller's edge generation
+    // re-ran per consumer (the commonNeighborCandidates lesson)
     val e = edges
       .filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
-      .distinct()
+      .distinct().persist()
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
     // orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
     val withDeg = sym
       .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
@@ -424,6 +428,7 @@ object Clusters {
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
+      .persist()
     val wedges = oriented.select(col("u").as("x"), col("v").as("y"))
       .join(oriented.select(col("u").as("y"), col("v").as("z")), Seq("y"))
     val tris = wedges
@@ -519,14 +524,20 @@ object Clusters {
                                maxCenterDegree: Int = 256): DataFrame = {
     require(maxCenterDegree >= 1,
       s"maxCenterDegree must be >= 1, got $maxCenterDegree")
+    // the canonical edge set is consumed FIVE times below (two sym
+    // legs, the adjacency anti-join, and deg under both wedge sides) —
+    // unpersisted, the caller's edge GENERATION (typically a banded
+    // similarity self-join over the corpus) re-ran once per consumer
+    // (measured ~2x on q181 at sf0.1). The pageRankInt discipline,
+    // applied to the one-shot shape; deg is likewise read three times.
     val e = edges
       .filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
-      .distinct()
+      .distinct().persist()
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
     val centers = sym
       .join(deg.filter(col("deg") <= maxCenterDegree).select(col("u")),
         Seq("u"))
@@ -570,8 +581,14 @@ object Clusters {
                             maxIter: Int = 20,
                             checkpointDir: Option[String] = None,
                             smallGraphMaxEdges: Long = 4000000L): DataFrame = {
+    // lab is read FOUR times below (both endpoint lifts, the relabel,
+    // the new-vertex anti-join) and e three times — persisted, the
+    // stored labeling materializes once (narrow two-column rows,
+    // memory+disk) instead of re-scanning its source per consumer
     val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = newEdges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .persist()
     // lift edge endpoints into label space (unknown vertices label=self)
     val mapped = e
       .join(lab.select(col("__id").as("__a"), col("__l").as("__la")),
@@ -581,12 +598,14 @@ object Clusters {
       .select(coalesce(col("__la"), col("__a")).as("a"),
         coalesce(col("__lb"), col("__b")).as("b"))
       .filter(col("a") =!= col("b"))
+      .persist() // feeds the touched-vertex scan (twice) and the CC run
     val touched = mapped.select(col("a").as("id"))
       .unionByName(mapped.select(col("b").as("id"))).distinct()
     val sup = connectedComponents(touched, "id", mapped, "a", "b",
       maxIter, checkpointDir, smallGraphMaxEdges)
     val remap = sup.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("__l"), col("cluster_id").as("__nl"))
+      .persist() // broadcast twice (relabel + new-vertex label)
     val relabeled = lab.join(broadcast(remap), Seq("__l"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__nl"), col("__l")).as(labelCol))
@@ -626,6 +645,10 @@ object Clusters {
         Seq("__a"))
       .join(mem.select(col("__id").as("__b"), col("community").as("__cb")),
         Seq("__b"))
+      // four consumers below (m, intra, both degree legs): one
+      // materialization of the pair-sized labeled edges beats four
+      // re-runs of the caller's edge generation
+      .persist()
     val m = labeled.agg(count(lit(1)).as("__m"))
     val intra = labeled.filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("community"))

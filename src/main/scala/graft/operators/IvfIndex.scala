@@ -48,14 +48,6 @@ object IvfIndex {
     s"$cat.$ns.${name}_centroids"
   private def asgTbl(cat: String, ns: String, name: String) =
     s"$cat.$ns.${name}_assign"
-  // per-VERSION occupancy sidecar, maintained at WRITE time (see
-  // [[refreshOccupancy]]): one row per committed assignment version
-  // carrying the largest bucket's (centroid_id, size). The
-  // [[semanticDupPairs]] oversized-bucket guard reads the row for the
-  // version it pinned instead of aggregating the whole assignment
-  // table per serve — the IVF twin of NearDupIndex's stored audit.
-  private def occTbl(cat: String, ns: String, name: String) =
-    s"$cat.$ns.${name}_occ"
 
   private def encodeEmb(c: Column): Column =
     concat_ws(",", transform(c, _.cast("string")))
@@ -76,23 +68,18 @@ object IvfIndex {
     IndexMaintenanceLock.withLock(spark, cat, ns, name) {
       spark.sql(s"DROP TABLE IF EXISTS ${centTbl(cat, ns, name)}")
       spark.sql(s"DROP TABLE IF EXISTS ${asgTbl(cat, ns, name)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${occTbl(cat, ns, name)}")
       spark.sql(s"""CREATE TABLE ${centTbl(cat, ns, name)}
         (centroid_id STRING, emb STRING)""")
       spark.sql(s"""CREATE TABLE ${asgTbl(cat, ns, name)}
         (vec_id STRING, centroid_id STRING, batch STRING)
         PARTITIONED BY (${if (coLocate) "centroid_id, batch"
           else "batch"})""")
-      spark.sql(s"""CREATE TABLE ${occTbl(cat, ns, name)}
-        (max_n STRING, max_centroid STRING, v STRING)
-        PARTITIONED BY (v)""")
       val cents = Similarity.ivfCentroids(corpus, idCol, embCol, k)
       cents.select(col("centroid_id").cast("string"),
           encodeEmb(col("centroid_emb")).as("emb"))
         .writeTo(centTbl(cat, ns, name)).append()
       assignBatchUnlocked(spark, cat, ns, name, corpus, idCol, embCol,
         baseBatch)
-      refreshOccupancy(spark, cat, ns, name)
     }
   }
 
@@ -114,49 +101,6 @@ object IvfIndex {
                   embCol: String, batch: String): Unit =
     IndexMaintenanceLock.withLock(spark, cat, ns, name) {
       assignBatchUnlocked(spark, cat, ns, name, vecs, idCol, embCol, batch)
-      refreshOccupancy(spark, cat, ns, name)
-    }
-
-  /** Recompute and persist the occupancy row for the assignment
-    * table's CURRENT committed version — called INSIDE the maintenance
-    * lock after every assignment mutation. One aggregation over the
-    * (id, centroid, batch) assignment table per commit, so the
-    * [[semanticDupPairs]] serve guard stops paying it per call; the
-    * row's presence marks the version audited, and a serve that finds
-    * no row (racing refresh, torn sidecar read) falls back to
-    * aggregating its own pinned frame. */
-  private def refreshOccupancy(spark: SparkSession, cat: String,
-                               ns: String, name: String): Unit = {
-    // self-healing: an in-place retrain over an index whose build
-    // predates the occupancy tier has no sidecar yet
-    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${occTbl(cat, ns, name)}
-      (max_n STRING, max_centroid STRING, v STRING)
-      PARTITIONED BY (v)""")
-    val vs = graft.sources.QuirkCsvVersions
-      .currentVersionOf(spark, cat, s"$ns.${name}_assign").toString
-    val top = assignment(spark, cat, ns, name)
-      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("centroid_id"))
-      .limit(1).collect()
-    val (n, c) = top.headOption
-      .map(r => (r.getLong(1), r.getString(0))).getOrElse((0L, ""))
-    import spark.implicits._
-    Seq((n.toString, c, vs)).toDF("max_n", "max_centroid", "v")
-      .writeTo(occTbl(cat, ns, name)).overwrite(col("v") === lit(vs))
-  }
-
-  /** The stored occupancy row for assignment version `v`: (max bucket
-    * size, its centroid). None when no sealed row exists for `v`. */
-  private def storedOccupancy(spark: SparkSession, cat: String, ns: String,
-                              name: String, v: Option[Long])
-  : Option[(Long, String)] =
-    v.flatMap { vv =>
-      try {
-        spark.table(occTbl(cat, ns, name))
-          .filter(col("v") === vv.toString)
-          .collect().headOption
-          .map(r => (r.getString(0).toLong, r.getString(1)))
-      } catch { case _: Exception => None }
     }
 
   /** [[assignBatch]] body without the maintenance lock — [[build]] and
@@ -335,29 +279,25 @@ object IvfIndex {
     graft.GraftExtensions.register(spark)
     val cap = spark.conf.get(MaxSemanticBucketKey,
       DefaultMaxSemanticBucket.toString).toLong
-    val (asgPinned, pinnedV) = IndexSnapshots.pinnedWithVersion(
-      spark, cat, ns, s"${name}_assign", SnapshotServeKey)
-    val asg = asgPinned.select(col("vec_id"), col("centroid_id"))
-    // oversized-bucket guard off the per-version STORED occupancy row
-    // (maintenance keeps it fresh per commit) — the serve aggregates
-    // nothing; only the fallback (no stored row for the pinned version)
-    // counts buckets, and then over the SAME pinned frame it serves
-    val oversized: Option[(String, Long)] =
-      storedOccupancy(spark, cat, ns, name, pinnedV) match {
-        case Some((maxN, maxC)) =>
-          if (maxN > cap) Some((maxC, maxN)) else None
-        case None =>
-          asg.groupBy(col("centroid_id"))
-            .agg(count(lit(1)).as("n")).filter(col("n") > cap)
-            .limit(1).collect()
-            .headOption.map(r => (r.getString(0), r.getLong(1)))
-      }
-    oversized.foreach { case (cid, n) =>
+    val asg = assignmentForServe(spark, cat, ns, name)
+      .select(col("vec_id"), col("centroid_id"))
+    // oversized-bucket guard over the SAME pinned frame the serve
+    // reads (a live-table count racing a replay could describe a
+    // different version than the pairs below). A per-version STORED
+    // occupancy row was measured here and reverted: the IVF family's
+    // maintenance:serve ratio makes one extra write job per
+    // assign/retrain cost more than this one count saves — the
+    // assignment table is (id, centroid, batch), orders of magnitude
+    // narrower than the vectors, so the count is cheap at any scale.
+    val oversized = asg.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .limit(1).collect()
+    if (oversized.nonEmpty)
       throw new IllegalArgumentException(
-        s"centroid bucket $cid holds $n vectors (cap: conf " +
+        s"centroid bucket ${oversized.head.getString(0)} holds " +
+          s"${oversized.head.getLong(1)} vectors (cap: conf " +
           s"$MaxSemanticBucketKey=$cap) — within-bucket pairing would " +
           "detonate; retrain with a larger k or raise the cap explicitly")
-    }
     val pairs = asg.as("x").join(asg.as("y"),
         col("x.centroid_id") === col("y.centroid_id") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -415,7 +355,6 @@ object IvfIndex {
         else spark.sql(s"ALTER TABLE ${asgTbl(cat, ns, name)} " +
           s"DROP PARTITION (batch='$b')")
       }
-      refreshOccupancy(spark, cat, ns, name)
     }
   }
 

@@ -306,11 +306,16 @@ object NearDup {
   def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bandSize: Int,
                       threshold: Double): DataFrame = {
+    // both sides persisted: each feeds its own count AND the hit join in
+    // ONE plan — unpersisted, the exact shingle self-join and the LSH
+    // banding each ran twice (Catalyst does not dedupe the subtrees)
     val truth = ngramJaccardPairs(docs, idCol, textCol, shingleN,
         threshold, maxDf = 0, uncapped = true) // exact truth IS the report
       .select(col("a_id"), col("b_id"))
+      .persist()
     val cand = minHashLshCandidates(docs, idCol, textCol, shingleN,
       numHashes, bandSize).select(col("a_id"), col("b_id"))
+      .persist()
     val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
     val nCand = cand.agg(count(lit(1)).as("n_candidate_pairs"))
     val nHit = truth.join(cand, Seq("a_id", "b_id"))
@@ -400,6 +405,12 @@ object NearDup {
     // build — measured 2.2 s → ~0.1 s on the 1.8M-candidate bench corpus,
     // and Catalyst may evaluate the verification predicate more than once
     // per row (join-condition inlining), which the merge makes free.
+    // deliberately NOT persisted: the token-set frame feeds the posting
+    // explode and both verification fetches, and `prefix` feeds both
+    // self-join legs — but materializing the ARRAY-carrying frames
+    // measured strictly worse single-shot at sf0.1 (cold 5.9 s → 10.5 s:
+    // the cache write of per-doc hash arrays + the codegen break cost
+    // more than the recomputes, the ngramPairStats lesson again)
     val tokenSets = spread(docs)
       .select(col(idCol).as("doc_id"),
         array_sort(transform(array_distinct(TextFunctions.tokens(col(textCol))),

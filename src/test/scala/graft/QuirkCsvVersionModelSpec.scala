@@ -21,8 +21,20 @@ class QuirkCsvVersionModelSpec extends SparkSpec {
 
   test("random histories: every version's snapshot equals the model, " +
       "byte-for-byte") {
+    runTrials(seedBase = 42, expectCheckpoints = false)
+  }
+
+  test("random histories under an aggressive CHECKPOINT cadence: " +
+      "rolled-up resolution equals the model at every version, " +
+      "including versions below, at, and above each checkpoint") {
+    withSQLConf(QuirkCsvVersions.CheckpointEveryKey -> "5") {
+      runTrials(seedBase = 4200, expectCheckpoints = true)
+    }
+  }
+
+  private def runTrials(seedBase: Int, expectCheckpoints: Boolean): Unit = {
     (1 to Trials).foreach { trial =>
-      val rnd = new scala.util.Random(42 + trial)
+      val rnd = new scala.util.Random(seedBase + trial)
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_vm$trial").toString
       val dir = new Path(root)
@@ -86,6 +98,13 @@ class QuirkCsvVersionModelSpec extends SparkSpec {
           retiredAliases = aliases.toSeq)
         live = next
         states += live
+      }
+      if (expectCheckpoints) {
+        // the cadence must actually have rolled up — otherwise this
+        // test silently degenerates into the full-log path
+        val ckpts = fs.listStatus(new Path(dir, QuirkCsvVersions.LogDirName))
+          .map(_.getPath.getName).count(_.startsWith("ckpt-"))
+        withClue(s"trial $trial: ")(ckpts should be >= 2)
       }
       // every version reconstructs the model exactly, bytes included
       val current = QuirkCsvVersions.liveListing(root)
