@@ -130,8 +130,18 @@ object CorpusPipeline {
       val transient = stages.map(_._2).filterNot(s => hot.exists(_ eq s))
       transient.foreach(_.cache())
       try {
-        val nIn = docs.count() +: stages.init.map(_._2.count())
-        val nOut = stages.map(_._2.count())
+        // ONE action for all seven boundary counts (docs + 6 stages):
+        // thirteen sequential count() jobs paid a driver round-trip
+        // each; a union of 1-row aggregates over the cached stage
+        // outputs computes them in a single job (each stage still
+        // materializes exactly once — the caches carry the reuse)
+        val counts = (docs +: stages.map(_._2)).zipWithIndex
+          .map { case (df, i) =>
+            df.agg(count(lit(1)).as("n")).select(lit(i).as("i"), col("n")) }
+          .reduce(_ unionAll _)
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val nIn = (0 until stages.size).map(counts)
+        val nOut = (1 to stages.size).map(counts)
         spark.createDataFrame(
           stages.map(_._1).zip(nIn).zip(nOut).zipWithIndex.map {
             case (((name, in), out), i) => (i + 1, name, in, out, in - out)
